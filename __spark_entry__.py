@@ -1,38 +1,863 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship RAG pipeline (the reference's end-to-end
+dataflow, reference ``README.md:19-24``) on sf0.001. ``queries()`` exposes
+one entry per implemented operator family from SURVEY.md §2 / §2.11;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- monetary aggregates go through exact DECIMAL casts (2-decimal doubles →
+  DECIMAL(12,2)) and back to DOUBLE — accumulation-order-proof;
+- vector scores are rounded to 6 decimals; ties break on ascending id;
+- top-k windows always order by (score DESC, id ASC) — total order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from confluent_kafka_vector_search_prompt_inference_spark.functions.text import (
+    EN_STOPWORDS,
+    ES_STOPWORDS,
+    PUNCT_CLASS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    language_id,
+    normalized_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_tokens,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot, vec_l2norm
+from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
+from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
+        # raw INT64 (nanosAsLong); convert to a micro-precision timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str | F.Column, typ: str = "decimal(12,2)") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+# ---------------------------------------------------------------------------
+# relational (SURVEY.md §2.2–2.8)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate groupBy with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(4,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount", "decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter both sides, agg, top-10.
+
+    The customer dimension is broadcast (64 MB threshold) so only the
+    orders⋈lineitem shuffle remains — at 100 TB that is the one
+    unavoidable shuffle, and it runs on the join key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dimensions broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def filter_pushdown_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown: filters reach the Parquet scan
+    (assert via plans.pushed_filters in tests); raw IEEE arithmetic is
+    bit-identical across engines so no rounding is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 48)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+  l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity >= 48 AND l_discount >= 0.05
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with broadcast dimensions: one shuffle total (the agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_BROADCAST_ORACLE = """
+SELECT n_name, COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeOrderedAndProject: global top-N without a full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_ORDERBY_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderstatus").alias("code")).agg(F.count("*").alias("n")).select(
+        F.lit("orders").alias("src"), "code", "n"
+    )
+    b = li.groupBy(F.col("l_returnflag").alias("code")).agg(F.count("*").alias("n")).select(
+        F.lit("lineitem").alias("src"), "code", "n"
+    )
+    return a.unionByName(b)
+
+
+_UNION_ORACLE = """
+SELECT 'orders' AS src, o_orderstatus AS code, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'lineitem' AS src, l_returnflag AS code, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: JSON extraction, string, date functions
+    (SURVEY.md §2.8) — all JVM built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+        "value",
+    )
+
+
+_SCALAR_ORACLE = """
+SELECT event_id, UPPER(event_type) AS etype,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+  strftime(ts, '%Y-%m-%d') AS event_date,
+  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+  value
+FROM events
+"""
+
+
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+_CASE_ORACLE = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (streaming surface in batch
+    form — the same expression runs under readStream with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry decode path (SURVEY.md §2.1 S2): serialize rows to
+    JSON wire bytes, decode with a late-bound contract, flatten."""
+    docs = _t(spark, sf_dir, "documents")
+    wire = docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang")).cast("binary").alias("value")
+    )
+    schema = "doc_id BIGINT, text STRING, lang STRING"
+    return wire.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("d")
+    ).select("d.*")
+
+
+_JSON_ROUNDTRIP_ORACLE = "SELECT doc_id, text, lang FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# vector search (SURVEY.md §2.3 J2 / §2.10 M4)
+# ---------------------------------------------------------------------------
+
+def _vec_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+
+
+def _vec_topk(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    out = topk_similarity_join(
+        _vec_queries(spark, sf_dir),
+        _vec_corpus(spark, sf_dir),
+        k=3,
+        query_id="query_id",
+        query_vec="vector",
+        corpus_id="neighbor_id",
+        corpus_vec="vector",
+        metric="dot",
+        strategy=strategy,
+    )
+    return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+def vec_topk_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED_SEARCH semantics, broadcast-matmul path (zero shuffle)."""
+    return _vec_topk(spark, sf_dir, "broadcast_corpus")
+
+
+def vec_topk_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics, huge-corpus path: partial top-k per corpus partition."""
+    return _vec_topk(spark, sf_dir, "broadcast_queries")
+
+
+def vec_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics, pure-Catalyst crossJoin+window path."""
+    return _vec_topk(spark, sf_dir, "shuffle")
+
+
+_VEC_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+scored AS (SELECT query_id, neighbor_id,
+             ROUND(list_inner_product(qv, cv), 6) AS score FROM q CROSS JOIN c),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec_id=0 over the whole corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+    out = topk_similarity_join(
+        q, c, k=10,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="cosine", strategy="shuffle", score_col="cosine",
+    )
+    return out.select("neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+_VEC_COSINE_ORACLE = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id <> 0),
+scored AS (SELECT neighbor_id,
+             ROUND(list_inner_product(qv, cv) / (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(cv, cv))), 6) AS cosine
+           FROM c CROSS JOIN q),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM scored)
+SELECT neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(vec_l2norm("embedding"), 6).alias("l2norm"))
+
+
+_VEC_NORMS_ORACLE = """
+SELECT vec_id,
+  ROUND(SQRT(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2norm
+FROM embeddings
+"""
+
+
+def vec_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a vector-derived quantity per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm6 = F.round(vec_l2norm("embedding"), 6).cast("decimal(18,6)")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.sum(norm6).cast("double") / F.count("*")).alias("avg_norm"),
+    )
+
+
+_VEC_LABEL_ORACLE = """
+SELECT label, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(SQRT(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup + text analysis (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of doc_id<50 (shifted ids) — a controlled
+    duplicate population, constructed identically in the oracle SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(copies)
+
+
+_DOCS_COPIES_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_copies(spark, sf_dir)
+    groups = exact_duplicate_groups(corpus, "doc_id", "text")
+    return groups.select(
+        "fingerprint",
+        "n_docs",
+        "keep_id",
+        F.array_join("member_ids", ",").alias("member_ids"),
+    )
+
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH corpus AS ({_DOCS_COPIES_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+  string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
+FROM corpus
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(word_tokens("text")).cast("bigint").alias("n_words"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("p_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("s_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_ES_LIST = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
+# DuckDB mirrors of the text.py expressions (norm → tokens → ratios).
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_PUNCT = "[.,;:!?''\"()\\-]"
+_TOKEN_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    len({_SQL_WORDS}) AS n_words,
+    len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr
+  FROM documents)
+SELECT doc_id, n_words, n_tokens,
+  ROUND(pr, 6) AS p_ratio, ROUND(sr, 6) AS s_ratio,
+  ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+        + LEAST(sr / 0.1, 1.0) * 0.4
+        + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+FROM t
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS en_r,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_ES_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS es_r
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN en_r > es_r AND en_r >= 0.03 THEN 'en'
+       WHEN es_r > en_r AND es_r >= 0.03 THEN 'es'
+       ELSE 'unknown' END AS lang_pred
+FROM t
+"""
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+       FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+  ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("vector"))
+    copies = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding").alias("vector"))
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_near_duplicates(corpus, "vec_id", "vector", threshold=0.99, method="exact")
+
+
+_EMB_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_inner_product(a.v, b.v) / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) AS cosine
+FROM corpus a CROSS JOIN corpus b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_inner_product(a.v, b.v) / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) >= 0.99
+"""
+
+
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — the 100 TB dedup
+    path (signatures: shuffle-free; candidates: bucket hash join). No SQL
+    oracle (hash-family-specific); equivalence to the exact pairs is
+    asserted in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, est_threshold=0.3)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cands
+    )
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + banded Hamming join. No SQL oracle (custom hash);
+    invariants tested in tests/test_dedup.py."""
+    corpus = _docs_with_copies(spark, sf_dir)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    return simhash_near_duplicates(sigs, "doc_id", max_hamming=3)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → mapInPandas feature
+    extraction (deterministic fake decode — SURVEY.md §2.11). No SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("uri"),
+            F.col("text").cast("binary").alias("bytes"),
+        ).alias("media")
+    )
+    return with_fake_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# RAG pipeline (the reference's workload end-to-end)
+# ---------------------------------------------------------------------------
+
+def _rag(spark: SparkSession, sf_dir: str) -> tuple[RagPipeline, DataFrame, DataFrame]:
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    registry.create_model(
+        "retail_assistant", "text_generation",
+        TemplateLLM(system_prompt="You are a friendly shopping assistant"),
+    )
+    pipe = RagPipeline(registry, k=3)
+    docs = _t(spark, sf_dir, "documents")
+    questions = docs.filter(F.col("doc_id") < 20).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.concat(F.lit("session-"), F.col("doc_id")).alias("sessionid"),
+        F.col("doc_id").cast("string").alias("question_id"),
+    )
+    corpus = pipe.registry.ml_predict(
+        docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        "vector_encoding",
+        "content",
+    )
+    return pipe, questions, corpus
+
+
+def rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_prompts stage (reference ``README.md:438-446``): question +
+    top-3 products as ARRAY<STRUCT<content>>. No SQL oracle (embedding
+    model); pipeline invariants tested in tests/test_rag_pipeline.py."""
+    pipe, questions, corpus = _rag(spark, sf_dir)
+    vec = pipe.embed_questions(questions)
+    return pipe.search_prompts(vec, corpus)
+
+
+def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_answers stage (reference ``README.md:487-495``). No SQL oracle."""
+    pipe, questions, corpus = _rag(spark, sf_dir)
+    return pipe.run_batch(questions, corpus)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's full RAG pipeline on sf0.001."""
+    return rag_answers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (§2.2–2.8)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "filter_pushdown_project": filter_pushdown_project,
+        "broadcast_join_agg": broadcast_join_agg,
+        "distinct_agg": distinct_agg,
+        "window_rank": window_rank,
+        "orderby_limit": orderby_limit,
+        "set_intersect": set_intersect,
+        "union_counts": union_counts,
+        "scalar_json_events": scalar_json_events,
+        "case_bucketing": case_bucketing,
+        "events_tumbling_window": events_tumbling_window,
+        "json_roundtrip": json_roundtrip,
+        # vector search (§2.3 J2, §2.10 M4)
+        "vec_topk_broadcast": vec_topk_broadcast,
+        "vec_topk_reverse": vec_topk_reverse,
+        "vec_topk_shuffle": vec_topk_shuffle,
+        "vec_cosine_topk": vec_cosine_topk,
+        "vec_norms": vec_norms,
+        "vec_label_stats": vec_label_stats,
+        # dedup + text (§2.11)
+        "dedup_exact_groups": dedup_exact_groups,
+        "doc_fingerprints": doc_fingerprints,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "multimodal_features": multimodal_features,
+        # RAG (§3)
+        "rag_prompts": rag_prompts,
+        "rag_answers": rag_answers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_ORACLE,
+        "q3_shipping_priority": _Q3_ORACLE,
+        "q5_region_revenue": _Q5_ORACLE,
+        "filter_pushdown_project": _FILTER_ORACLE,
+        "broadcast_join_agg": _BROADCAST_ORACLE,
+        "distinct_agg": _DISTINCT_ORACLE,
+        "window_rank": _WINDOW_ORACLE,
+        "orderby_limit": _ORDERBY_ORACLE,
+        "set_intersect": _INTERSECT_ORACLE,
+        "union_counts": _UNION_ORACLE,
+        "scalar_json_events": _SCALAR_ORACLE,
+        "case_bucketing": _CASE_ORACLE,
+        "events_tumbling_window": _TUMBLING_ORACLE,
+        "json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
+        "vec_topk_broadcast": _VEC_TOPK_ORACLE,
+        "vec_topk_reverse": _VEC_TOPK_ORACLE,
+        "vec_topk_shuffle": _VEC_TOPK_ORACLE,
+        "vec_cosine_topk": _VEC_COSINE_ORACLE,
+        "vec_norms": _VEC_NORMS_ORACLE,
+        "vec_label_stats": _VEC_LABEL_ORACLE,
+        "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
+        "doc_fingerprints": _FINGERPRINT_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "text_langid": _LANGID_ORACLE,
+        "ngram_jaccard_dups": _JACCARD_ORACLE,
+        "embedding_near_dups": _EMB_DUP_ORACLE,
+        # minhash_lsh_dups / simhash_near_dups / multimodal_features /
+        # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
+        # custom hash families, UDF feature extraction, model inference).
+    }

@@ -1,0 +1,115 @@
+"""Table catalog: name → DataFrame over Parquet (or any path-based format).
+
+Mirrors the reference's model where "tables" are late-bound named datasets
+(Kafka topics with schema-registry contracts, reference ``README.md:223-252``,
+or external MongoDB collections, ``README.md:334-346``). Here a catalog maps
+logical table names to storage paths; schemas are read from Parquet footers
+(self-describing) or supplied explicitly for schemaless JSON, reproducing the
+"data contract attached after the fact" flow (``README.md:225-252``).
+
+Sink writes are schema-checked at analysis time before any data moves,
+reproducing the reference's analysis-time sink validation — a mismatched
+INSERT fails before running (``README.md:586-594``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class SinkSchemaMismatch(ValueError):
+    """Raised before execution when an insert does not match the sink schema.
+
+    Reference behavior: Flink fails the statement at analysis time with
+    "Column types of query result and sink ... do not match"
+    (``README.md:586-594``)."""
+
+
+@dataclass
+class Catalog:
+    """Logical tables over a directory of Parquet files.
+
+    ``Catalog.for_dir("/root/testdata/sf0.01")`` registers each
+    ``<name>.parquet`` as table ``<name>`` and as a temp view, so both the
+    DataFrame API and ``spark.sql`` resolve them.
+    """
+
+    spark: SparkSession
+    paths: dict[str, str] = field(default_factory=dict)
+    schemas: dict[str, StructType] = field(default_factory=dict)
+
+    @classmethod
+    def for_dir(cls, spark: SparkSession, sf_dir: str, register_views: bool = True) -> "Catalog":
+        cat = cls(spark)
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                cat.add_table(name[: -len(".parquet")], os.path.join(sf_dir, name))
+        if register_views:
+            cat.register_views()
+        return cat
+
+    def add_table(self, name: str, path: str, schema: StructType | None = None) -> None:
+        self.paths[name] = path
+        if schema is not None:
+            self.schemas[name] = schema
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.paths:
+            raise KeyError(f"Table '{name}' not found in catalog (have: {sorted(self.paths)})")
+        reader = self.spark.read
+        if name in self.schemas:
+            reader = reader.schema(self.schemas[name])
+        return reader.parquet(self.paths[name])
+
+    def register_views(self) -> None:
+        for name in self.paths:
+            self.table(name).createOrReplaceTempView(name)
+
+    def schema(self, name: str) -> StructType:
+        return self.schemas.get(name) or self.table(name).schema
+
+    def insert_into(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """Schema-checked write (analysis-time, like the reference's sink check)."""
+        target = self.schema(name)
+        check_sink_schema(target, df.schema, sink_name=name)
+        df.select(*[f.name for f in target.fields]).write.mode(mode).parquet(self.paths[name])
+
+
+def check_sink_schema(sink: StructType, query: StructType, sink_name: str = "sink") -> None:
+    """Fail-before-run validation of query result vs sink table schema.
+
+    Column name set and per-column types must match (order-insensitive, since
+    inserts carry a column list — reference ``README.md:438-446``). Raises
+    :class:`SinkSchemaMismatch` with a Flink-style message otherwise
+    (``README.md:586-594``)."""
+    sink_cols = {f.name: f.dataType for f in sink.fields}
+    query_cols = {f.name: f.dataType for f in query.fields}
+    if set(sink_cols) != set(query_cols):
+        raise SinkSchemaMismatch(
+            f"Column sets of query result and sink '{sink_name}' do not match.\n"
+            f"query columns: {sorted(query_cols)}\nsink columns:  {sorted(sink_cols)}"
+        )
+    for col, sink_type in sink_cols.items():
+        if query_cols[col] != sink_type:
+            raise SinkSchemaMismatch(
+                f"Column types of query result and sink '{sink_name}' do not match "
+                f"at column '{col}': query={query_cols[col].simpleString()} "
+                f"sink={sink_type.simpleString()}"
+            )

@@ -1,0 +1,100 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Not present in the reference (its only text handling is prompt assembly,
+``README.md:726-730``); mandated by the engine's extension surface
+(SURVEY.md §2.11). All functions are pure Catalyst expressions — regex /
+split / higher-order functions — so they run JVM-side over 100 TB without a
+Python round-trip, and every one is mirrorable in ANSI-ish SQL for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed stopword lists keep language-ID deterministic and
+# SQL-expressible.  Real deployments would swap in fastText et al. behind the
+# same column signature.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "en", "un", "es", "los", "por")
+
+# "BPE-ish" token regex: runs of word chars, or single non-word-non-space
+# symbols — approximates subword pre-tokenization.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+PUNCT_CLASS = r"[.,;:!?'\"()\-]"
+
+
+def _c(t: Column | str) -> Column:
+    return F.col(t) if isinstance(t, str) else t
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (ARRAY<STRING>)."""
+    return F.split(normalized_text(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count via :data:`TOKEN_REGEX` (JVM regexp_count)."""
+    return F.regexp_count(_c(text), F.lit(TOKEN_REGEX))
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(word_tokens(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    t = _c(text)
+    n = F.length(t)
+    p = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-vote language heuristic → 'en' | 'es' | 'unknown'."""
+    en = stopword_ratio(text, EN_STOPWORDS)
+    es = stopword_ratio(text, ES_STOPWORDS)
+    return (
+        F.when((en > es) & (en >= 0.03), F.lit("en"))
+        .when((es > en) & (es >= 0.03), F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Rewards moderate length and natural stopword frequency, penalizes heavy
+    punctuation — the standard cheap pre-filter in training-data pipelines.
+    """
+    t = _c(text)
+    wc = word_count(t).cast("double")
+    length_term = F.least(wc / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(t) / F.lit(0.1), F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
+    score = length_term * 0.4 + stop_term * 0.4 + punct_term * 0.2
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so any engine reproduces it bit-for-bit; used as the
+    exact-dedup key at scale (group on a 16-byte hash instead of multi-KB
+    document bodies → small shuffle rows).
+    """
+    return F.md5(normalized_text(text))

@@ -1,0 +1,342 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Not in the reference (SURVEY.md §2.11 — mandated extension surface). Five
+strategies, cheapest-first, all expressed so the heavy lifting stays on the
+JVM and shuffles move hashes/ids instead of document bodies:
+
+- exact           — group on a 16-byte md5 fingerprint of normalized text;
+- MinHash + LSH   — shingle → per-seed xxhash64 min → band → bucket join;
+                    candidates verified with exact Jaccard;
+- n-gram Jaccard  — exact set-similarity join via explode + count (the
+                    verification primitive; also standalone for small n);
+- SimHash         — 64-bit signed-bit signature, banded bucketing, Hamming
+                    verify with JVM ``bit_count(a ^ b)``;
+- embedding cosine — near-dup by semantic vector, exact or LSH-bucketed.
+
+Scale notes: every candidate-pair generator is a hash join on short keys
+(bucket ids), never an all-pairs product; verification only touches
+candidate pairs. MinHash signatures are pure Catalyst expressions
+(``transform``/``array_min``/``xxhash64``), so signature computation is
+shuffle-free and codegen'd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.text import (
+    doc_fingerprint,
+    normalized_text,
+    word_tokens,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_cosine
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup: ``dropDuplicates`` (hash aggregate on the key columns)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, min_group: int = 2
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    Returns ``(fingerprint, n_docs, keep_id, member_ids)`` — ``keep_id`` is
+    the smallest id (the canonical survivor). Shuffles 16-byte hashes + ids
+    only, never text bodies."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") >= min_group)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (ARRAY<STRING>).
+
+    Documents shorter than n words fall back to their full token join so no
+    row ends up with an empty shingle set."""
+    toks = word_tokens(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append ``out_col: ARRAY<BIGINT>`` of ``num_hashes`` minima.
+
+    Hash family = ``xxhash64(shingle, seed_i)`` — JVM-side, no UDF; the
+    whole signature is one codegen'd projection, so at 100 TB this stage is
+    a pure map with zero shuffle."""
+    shingles = word_shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias(out_col))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    est_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate duplicate pairs ``(id_a, id_b, est_jaccard)``, id_a < id_b.
+
+    Band hash = xxhash64 of the band's signature slice; pairs sharing ≥1
+    band bucket become candidates (self-join on the bucket id — a hash
+    join). ``est_jaccard`` = fraction of agreeing minhashes."""
+    n_row = signatures.select(F.size(sig_col).alias("n")).first()
+    num_hashes = int(n_row["n"])
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+
+    banded = signatures.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col(sig_col), b * rows + 1, rows), F.lit(b)).alias("h")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a"), "__bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b"), "__bucket"
+    )
+    pairs = (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+    if est_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= est_threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram sets → pairs ≥ threshold.
+
+    With ``candidates`` (id_a, id_b) given — e.g. from MinHash LSH — only
+    those pairs are scored (semi-join pushdown); otherwise all pairs sharing
+    ≥1 shingle are considered (explode + self-join on the shingle — still a
+    hash join, with frequency-skewed shingles the known hot spot; salting
+    hook: filter ultra-common shingles first)."""
+    sets = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__shingle")
+    )
+    sizes = sets.groupBy(id_col).agg(F.count("*").alias("__n"))
+
+    a = sets.select(F.col(id_col).alias("id_a"), "__shingle")
+    b = sets.select(F.col(id_col).alias("id_b"), "__shingle")
+    inter = (
+        a.join(b, on="__shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash of the whitespace tokens (Arrow-batched UDF).
+
+    Token hashing + bit voting is a tight NumPy loop per batch; the output
+    is one BIGINT per doc, so everything downstream (banding, Hamming
+    verify) is JVM-side."""
+    tokens = word_tokens(text_col)
+
+    @F.pandas_udf(LongType())
+    def _simhash(tok_lists: pd.Series) -> pd.Series:
+        out = np.empty(len(tok_lists), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, toks in enumerate(tok_lists):
+            if toks is None or len(toks) == 0:
+                out[i] = 0
+                continue
+            hs = np.array(
+                [np.uint64(int.from_bytes(__import__("hashlib").blake2b(
+                    t.encode(), digest_size=8).digest(), "big")) for t in toks],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            word = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(word)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(tokens).alias(out_col))
+
+
+def simhash_near_duplicates(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole bucketing: split the 64-bit signature into ``bands`` chunks;
+    any pair within distance ``bands-1`` shares ≥1 exact chunk, so a bucket
+    join finds all of them. Verify with JVM ``bit_count(a ^ b)``."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            ((F.shiftrightunsigned(F.col(sig_col), b * width)).bitwiseAND(F.lit(mask)) * bands + b)
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.col(sig_col), F.explode(chunks).alias("__bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"), "__bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sb"), "__bucket")
+    return (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    method: str = "exact",
+    bands: int = 8,
+    rows_per_band: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold, id_a < id_b.
+
+    ``exact`` scores all pairs with the JVM cosine expression (fine to ~1e5
+    rows / use within a blocking key); ``lsh`` buckets by SRP signature
+    first so only colliding pairs are scored — the 100 TB path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if method == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import srp_band_hashes
+
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        hashed = srp_band_hashes(
+            df.select(id_col, vec_col), vec_col,
+            dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
+        ).select(F.col(id_col), F.col(vec_col), F.explode("band_hashes").alias("__bucket"))
+        ha = hashed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
+        hb = hashed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+        pairs = (
+            ha.join(hb, on="__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(vec_cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,276 @@
+"""Top-k similarity join — the engine-native form of ``FEDERATED_SEARCH``.
+
+Reference semantics (SURVEY.md §2.3 J2): each query row carries a vector;
+for each, return the k most-similar corpus rows by dot product
+(``FEDERATED_SEARCH('mongodb_vector_search', 3, vector)``, reference
+``README.md:403-407``; metric dotProduct ``README.md:380``; per-index
+candidate pool ``numCandidates`` with a 10,000 cap ``README.md:364, 368``).
+
+Physical strategies (SURVEY.md §4.1), selected by ``strategy=`` or ``auto``:
+
+- ``broadcast_corpus`` — corpus (id + float32 matrix) broadcast to executors;
+  ``mapInPandas`` over the *queries* does a NumPy matmul + argpartition per
+  Arrow batch. Zero shuffle; exact. Right when the corpus fits the broadcast
+  budget (a 10M × 256-dim float32 corpus is ~10 GB — beyond it, see below).
+- ``broadcast_queries`` — the mirror image for huge corpora: queries
+  broadcast, ``mapInPandas`` over *corpus partitions* emits a per-partition
+  partial top-k per query (≤ k rows × partitions), then one small shuffle
+  (``Window`` by query id) takes the global top-k. Exact; scales with corpus
+  size because the corpus is never moved — only k·P candidate rows shuffle.
+- ``shuffle`` — crossJoin + score + ranked window. Exact, fully distributed,
+  O(|Q|·|C|) — the fallback when both sides are huge and ANN is not allowed.
+- ``lsh`` — sign-random-projection bucketing (see ``operators/ann.py``):
+  join queries to corpus within matching hash buckets only, rescore exactly,
+  top-k. ``num_candidates`` maps to probe width (multi-band OR), mirroring
+  the reference's recall knob (``README.md:364, 368``).
+
+Ties break deterministically on ascending corpus id, so results are stable
+across strategies and match the SQL oracle's ``ORDER BY score DESC, id``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot, vec_cosine
+
+#: hard cap on the LSH candidate pool, mirroring Atlas' numCandidates cap
+#: (reference ``README.md:368``).
+NUM_CANDIDATES_CAP = 10_000
+
+#: float32 bytes beyond which auto mode stops broadcasting a side.
+_BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def _metric_score(metric: str, qv, cv):
+    if metric == "dot":
+        return vec_dot(qv, cv)
+    if metric == "cosine":
+        return vec_cosine(qv, cv)
+    raise ValueError(f"unknown metric {metric!r} (want 'dot' or 'cosine')")
+
+
+def topk_similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    metric: str = "dot",
+    strategy: str = "auto",
+    num_candidates: int | None = None,
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Return ``(query_id, corpus_id, score, rank)`` with rank 1..k per query.
+
+    Callers join payload columns back on the two id columns — keeping the
+    join output narrow means only ids and scores ever shuffle, regardless of
+    how wide the query/corpus rows are.
+    """
+    if num_candidates is not None:
+        num_candidates = min(num_candidates, NUM_CANDIDATES_CAP)
+    if strategy == "auto":
+        strategy = _pick_strategy(queries, corpus, query_vec, corpus_vec)
+    if strategy == "broadcast_corpus":
+        return _topk_numpy_broadcast(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
+            metric, score_col, rank_col, broadcast_side="corpus",
+        )
+    if strategy == "broadcast_queries":
+        return _topk_numpy_broadcast(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
+            metric, score_col, rank_col, broadcast_side="queries",
+        )
+    if strategy == "shuffle":
+        return _topk_shuffle(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
+            metric, score_col, rank_col,
+        )
+    if strategy == "lsh":
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import topk_lsh
+
+        return topk_lsh(
+            queries, corpus, k,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            metric=metric, num_candidates=num_candidates or 20,
+            score_col=score_col, rank_col=rank_col,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _pick_strategy(queries: DataFrame, corpus: DataFrame, query_vec: str, corpus_vec: str) -> str:
+    """Estimate float32 matrix bytes per side from a sampled dim × a cheap
+    count; broadcast the side that fits (prefer corpus — it keeps query
+    payload columns on their original partitions)."""
+    dim_row = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    c_bytes = corpus.count() * dim * 4
+    if c_bytes <= _BROADCAST_BUDGET_BYTES:
+        return "broadcast_corpus"
+    q_bytes = queries.count() * dim * 4
+    if q_bytes <= _BROADCAST_BUDGET_BYTES:
+        return "broadcast_queries"
+    return "shuffle"
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (ids, float32 matrix) — only for a side that passed the
+    broadcast budget check."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]], dtype=np.float32)
+    return ids, mat
+
+
+def _rowwise_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k with deterministic (−score, id) ordering.
+
+    ``argpartition`` first (O(n) per row) so full sorts only touch k
+    candidates — the difference between O(n log n) and O(n + k log k) per
+    query matters when n is the corpus."""
+    n = scores.shape[1]
+    kk = min(k, n)
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    out_idx = np.empty((scores.shape[0], kk), dtype=np.int64)
+    for r in range(scores.shape[0]):
+        cand = part[r]
+        order = np.lexsort((ids[cand], -scores[r, cand]))
+        out_idx[r] = cand[order]
+    return out_idx, scores[np.arange(scores.shape[0])[:, None], out_idx]
+
+
+def _topk_numpy_broadcast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    metric: str,
+    score_col: str,
+    rank_col: str,
+    broadcast_side: str,
+) -> DataFrame:
+    """Exact top-k via broadcast matrix + Arrow-batched NumPy matmul.
+
+    ``broadcast_corpus``: stream over query partitions, k rows out per query.
+    ``broadcast_queries``: stream over corpus partitions emitting *partial*
+    top-k per (query, partition); a final Window takes the global k — the
+    classic partial-aggregation shape, so corpus bytes never shuffle.
+    """
+    spark = queries.sparkSession
+    if broadcast_side == "corpus":
+        b_ids, b_mat = _collect_matrix(corpus, corpus_id, corpus_vec)
+        stream_df, stream_id, stream_vec = queries.select(query_id, query_vec), query_id, query_vec
+    else:
+        b_ids, b_mat = _collect_matrix(queries, query_id, query_vec)
+        stream_df, stream_id, stream_vec = corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec
+
+    if metric == "cosine":
+        b_norm = np.linalg.norm(b_mat, axis=1)
+        b_norm[b_norm == 0] = 1.0
+    else:
+        b_norm = None
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    q_field = queries.schema[query_id].dataType
+    c_field = corpus.schema[corpus_id].dataType
+    out_schema = StructType(
+        [
+            StructField(query_id, q_field),
+            StructField(corpus_id, c_field),
+            StructField(score_col, DoubleType()),
+            StructField(rank_col, IntegerType()),
+        ]
+    )
+
+    partial = broadcast_side == "queries"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        matT = mat.T.astype(np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            S = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[stream_vec]]
+            )  # (batch, d)
+            scores = S @ matT  # (batch, |broadcast|)
+            if metric == "cosine":
+                s_norm = np.linalg.norm(S, axis=1)
+                s_norm[s_norm == 0] = 1.0
+                scores = scores / s_norm[:, None] / norms[None, :]
+            s_ids = pdf[stream_id].to_numpy()
+            if broadcast_side == "corpus":
+                idx, top = _rowwise_topk(scores, ids, k)
+                kk = idx.shape[1]
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(s_ids, kk),
+                        corpus_id: ids[idx].ravel(),
+                        score_col: top.ravel(),
+                        rank_col: np.tile(np.arange(1, kk + 1, dtype=np.int32), len(s_ids)),
+                    }
+                )
+            else:
+                # scores: (corpus_batch, |queries|) — partial top-k per query
+                # over this corpus slice; ranks finalized post-shuffle.
+                idx, top = _rowwise_topk(scores.T, s_ids, k)
+                kk = idx.shape[1]
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(ids, kk),
+                        corpus_id: s_ids[idx].ravel(),
+                        score_col: top.ravel(),
+                        rank_col: np.zeros(len(ids) * kk, dtype=np.int32),
+                    }
+                )
+
+    result = stream_df.mapInPandas(compute, schema=out_schema)
+    if partial:
+        w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+        result = (
+            result.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k)
+        )
+    return result
+
+
+def _topk_shuffle(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    metric: str,
+    score_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """crossJoin → JVM-side score → ranked window. Exact fallback; the score
+    expression is pure Catalyst (``zip_with``/``aggregate``), so the only
+    Python-free plan survives whole-stage codegen."""
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c).select(
+        query_id,
+        corpus_id,
+        F.round(_metric_score(metric, F.col("__qv"), F.col("__cv")), 6).alias(score_col),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return scored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

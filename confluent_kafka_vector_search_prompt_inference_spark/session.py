@@ -1,0 +1,62 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference runs on Confluent's managed Flink (SURVEY.md §3); there is no
+session code to mirror. These settings encode the 100 TB design decisions:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- Arrow on (every model-inference / vector UDF is Arrow-batched);
+- shuffle partitions sized by env (32 locally; a real cluster overrides via
+  ``spark.sql.shuffle.partitions`` — AQE coalesces down when small);
+- broadcast threshold raised to 64 MB: the dimension tables of a star schema
+  and the vector-search corpus metadata are the small sides of every join in
+  this workload, and broadcasting them removes the dominant shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.streaming.schemaInference": "false",
+}
+
+
+def get_spark(app_name: str = "confluent-kafka-vector-search-prompt-inference-spark", **overrides: str) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores when
+    unset); on a real cluster the caller's spark-submit master wins because
+    an existing active session is reused untouched.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    )
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,102 @@
+"""Schema-registry shim: late-bound JSON data contracts for topics.
+
+Reference flow (``README.md:221-252``): a schemaless topic is unreadable
+bytes until a JSON-schema data contract is attached; after that the same
+scan decodes typed columns — schema is attached to the *topic*, applied at
+read. The shim keeps a name→StructType mapping and decodes Kafka-shaped
+DataFrames (``key BINARY, value BINARY``) with ``from_json`` — the decode is
+a Catalyst expression, so at scale it fuses into the scan stage with no
+extra pass. Schema evolution = re-register; next read uses the new contract
+(``README.md:610-612``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def json_schema_to_struct(schema: dict | str) -> StructType:
+    """Convert a draft-07 JSON schema (the reference's contract format,
+    ``README.md:228-252, 517``) into a Spark StructType.
+
+    Unsupported/underspecified ``object`` (no properties) is rejected — the
+    reference's ``ROW<>`` pitfall (``README.md:552-594``): JSON objects you
+    don't type fully must be carried as STRING."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+
+    def convert(node: dict, path: str) -> DataType:
+        t = node.get("type")
+        if t == "string":
+            return StringType()
+        if t == "integer":
+            return LongType()
+        if t == "number":
+            return DoubleType()
+        if t == "array":
+            return ArrayType(convert(node.get("items", {}), path + "[]"))
+        if t == "object":
+            props = node.get("properties")
+            if not props:
+                raise ValueError(
+                    f"JSON schema at {path or '$'} is an untyped object (would be "
+                    "ROW<> — reference README.md:552-594); declare properties or "
+                    "carry it as a string"
+                )
+            return StructType(
+                [StructField(k, convert(v, f"{path}.{k}")) for k, v in props.items()]
+            )
+        raise ValueError(f"Unsupported JSON-schema type {t!r} at {path or '$'}")
+
+    out = convert(schema, "")
+    if not isinstance(out, StructType):
+        raise ValueError("Top-level data contract must be an object")
+    return out
+
+
+@dataclass
+class SchemaRegistry:
+    """topic name → versioned data contracts; latest wins at read time."""
+
+    contracts: dict[str, list[StructType]] = field(default_factory=dict)
+
+    def register(self, topic: str, schema: StructType | dict | str) -> int:
+        if not isinstance(schema, StructType):
+            schema = json_schema_to_struct(schema)
+        versions = self.contracts.setdefault(topic, [])
+        versions.append(schema)
+        return len(versions)
+
+    def latest(self, topic: str) -> StructType:
+        if topic not in self.contracts or not self.contracts[topic]:
+            raise KeyError(
+                f"Topic '{topic}' has no data contract — raw bytes are unreadable "
+                "(reference README.md:221-223)"
+            )
+        return self.contracts[topic][-1]
+
+
+def decode_json_topic(df: DataFrame, registry: SchemaRegistry, topic: str) -> DataFrame:
+    """Kafka-shaped frame (``key, value`` binary) → typed columns.
+
+    ``from_json(cast(value as string), contract)`` then flatten — exactly the
+    reference's "attach contract, topic becomes readable" transition
+    (``README.md:225-257``). Key is kept as ``key`` (``README.md:551``)."""
+    schema = registry.latest(topic)
+    parsed = df.withColumn("__data", F.from_json(F.col("value").cast("string"), schema))
+    keep = ["key"] if "key" in df.columns else []
+    return parsed.select(*keep, "__data.*")

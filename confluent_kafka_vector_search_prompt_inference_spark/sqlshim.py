@@ -1,0 +1,225 @@
+"""SQL dialect shim: the reference's Flink-SQL statement forms on Spark.
+
+Statement forms supported (exactly the shapes the reference exercises —
+SURVEY.md §2.10, §6 M5):
+
+- ``CREATE MODEL name INPUT(...) OUTPUT(...) WITH ('task'=..., ...)``
+  (``README.md:205-213, 469-480``)
+- ``ALTER MODEL name SET ('default_version'='N')`` (``README.md:712-714``)
+- ``DESCRIBE MODEL name`` / ``DESCRIBE MODEL name$all`` (``README.md:660-699``)
+- ``SELECT ... FROM t, LATERAL TABLE(ML_PREDICT('model[$v]', col))``
+  (``README.md:279-281, 628-632``)
+- ``SELECT ... FROM t, LATERAL TABLE(FEDERATED_SEARCH('corpus', k, col))``
+  (``README.md:403-407``)
+- ``INSERT INTO sink SELECT ...`` — runs the SELECT (including lateral
+  rewrites) and appends through the analysis-time sink schema check
+  (``README.md:286-288, 438-446``; mismatch error ``README.md:586-594``)
+- ``JSON_OBJECT('k' VALUE v, ...)`` → ``to_json(struct(...))`` — preserving
+  the string-return semantic (``README.md:598``)
+- ``ARRAY[ROW(...), ...]`` literals in INSERT VALUES (``README.md:616-623``)
+
+Everything else passes through to ``spark.sql`` untouched, so the full
+Spark SQL surface remains available. The rewrites are source-to-source: the
+lateral-table clause is replaced by a temp view (aliased to the original
+table name so qualified projections keep resolving), computed with the
+engine's DataFrame operators — Catalyst then optimizes the whole statement
+as one plan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.catalog import Catalog
+from confluent_kafka_vector_search_prompt_inference_spark.models import (
+    HashingEmbedder,
+    ModelRegistry,
+    TemplateLLM,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+_CREATE_MODEL = re.compile(
+    r"^\s*CREATE\s+MODEL\s+`?(?P<name>\w+)`?\s*"
+    r"INPUT\s*\((?P<input>[^)]*)\)\s*"
+    r"OUTPUT\s*\((?P<output>[^)]*)\)\s*"
+    r"WITH\s*\((?P<options>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_MODEL = re.compile(
+    r"^\s*ALTER\s+MODEL\s+`?(?P<name>\w+)`?\s+SET\s*\((?P<options>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DESCRIBE_MODEL = re.compile(
+    r"^\s*DESCRIBE\s+MODEL\s+`?(?P<ref>\w+(?:\$(?:all|\d+))?)`?\s*;?\s*$", re.IGNORECASE
+)
+_INSERT_SELECT = re.compile(
+    r"^\s*INSERT\s+INTO\s+`?(?P<sink>\w+)`?\s*(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+`?(?P<sink>\w+)`?\s*VALUES\s*(?P<values>\(.*\))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LATERAL_ML_PREDICT = re.compile(
+    r"FROM\s+`?(?P<table>\w+)`?\s*,\s*LATERAL\s+TABLE\s*\(\s*ML_PREDICT\s*\(\s*"
+    r"'(?P<model>[\w$]+)'\s*,\s*`?(?P<col>\w+)`?\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_LATERAL_FED_SEARCH = re.compile(
+    r"FROM\s+`?(?P<table>\w+)`?\s*,\s*LATERAL\s+TABLE\s*\(\s*FEDERATED_SEARCH\s*\(\s*"
+    r"'(?P<corpus>\w+)'\s*,\s*(?P<k>\d+)\s*,\s*`?(?P<col>\w+)`?\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_JSON_OBJECT_PAIR = re.compile(r"'(?P<key>[^']+)'\s+VALUE\s+", re.IGNORECASE)
+_OPTION_PAIR = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
+
+
+def _parse_options(blob: str) -> dict[str, str]:
+    return {m.group("k"): m.group("v") for m in _OPTION_PAIR.finditer(blob)}
+
+
+@dataclass
+class EngineSession:
+    """``engine.sql(...)`` — the reference's statement surface on Spark."""
+
+    spark: SparkSession
+    catalog: Catalog
+    registry: ModelRegistry = field(default_factory=ModelRegistry)
+    _view_counter: int = 0
+
+    def sql(self, statement: str) -> DataFrame | None:
+        if m := _CREATE_MODEL.match(statement):
+            return self._create_model(m)
+        if m := _ALTER_MODEL.match(statement):
+            opts = _parse_options(m.group("options"))
+            if "default_version" in opts:
+                self.registry.alter_default(m.group("name"), int(opts["default_version"]))
+            return None
+        if m := _DESCRIBE_MODEL.match(statement):
+            return self.registry.describe(self.spark, m.group("ref"))
+        if m := _INSERT_VALUES.match(statement):
+            return self._insert_values(m)
+        if m := _INSERT_SELECT.match(statement):
+            df = self.sql(m.group("select"))
+            assert df is not None
+            self.catalog.insert_into(m.group("sink"), df)
+            return None
+        return self.spark.sql(self._rewrite_query(statement))
+
+    # -- statement handlers -------------------------------------------------
+
+    def _create_model(self, m: re.Match) -> None:
+        opts = _parse_options(m.group("options"))
+        task = opts.get("task", "embedding").lower().replace("-", "_")
+        task = "embedding" if "embed" in task else "text_generation"
+        # Local deterministic providers by default; live providers are
+        # drop-ins registered under the same names.
+        if task == "embedding":
+            provider = HashingEmbedder(dim=int(opts.get("dim", "64")))
+        else:
+            provider = TemplateLLM(
+                system_prompt=opts.get(
+                    "openai.system_prompt", opts.get("system_prompt", "assistant")
+                )
+            )
+        out = m.group("output").strip()
+        output_col = out.split()[0].strip("`") if out else ""
+        self.registry.create_model(m.group("name"), task, provider, output_col=output_col, options=opts)
+        return None
+
+    def _insert_values(self, m: re.Match) -> None:
+        """Literal inserts incl. nested ``ARRAY[ROW(...)]`` constructors
+        (``README.md:616-623``): translate Flink constructors to Spark
+        (``ARRAY[...]``→``array(...)``, ``ROW(...)``→``struct(...)``), build
+        rows with SELECT-VALUES, cast positionally to the sink schema."""
+        sink = m.group("sink")
+        values = m.group("values")
+        values = re.sub(r"ARRAY\s*\[", "array(", values, flags=re.IGNORECASE)
+        # close ARRAY[ ... ] brackets: any ']' paired with array( opening
+        values = values.replace("]", ")")
+        values = re.sub(r"\bROW\s*\(", "struct(", values, flags=re.IGNORECASE)
+        target = self.catalog.schema(sink)
+        names = [f.name for f in target.fields]
+        df = self.spark.sql(f"SELECT * FROM VALUES {values}")
+        casted = df.select(
+            *[
+                F.col(old).cast(fld.dataType).alias(fld.name)
+                for old, fld in zip(df.columns, target.fields)
+            ]
+        )
+        self.catalog.insert_into(sink, casted.select(*names))
+        return None
+
+    # -- query rewriting ------------------------------------------------------
+
+    def _fresh_view(self, df: DataFrame, alias: str) -> str:
+        self._view_counter += 1
+        name = f"__engine_lateral_{self._view_counter}"
+        df.createOrReplaceTempView(name)
+        return f"FROM {name} AS {alias}"
+
+    def _rewrite_query(self, statement: str) -> str:
+        statement = self._rewrite_json_object(statement)
+        while m := _LATERAL_ML_PREDICT.search(statement):
+            base = self.catalog.table(m.group("table"))
+            predicted = self.registry.ml_predict(base, m.group("model"), m.group("col"))
+            statement = statement[: m.start()] + self._fresh_view(
+                predicted, m.group("table")
+            ) + statement[m.end() :]
+        while m := _LATERAL_FED_SEARCH.search(statement):
+            statement = statement[: m.start()] + self._fresh_view(
+                self._federated_search(m.group("table"), m.group("corpus"), int(m.group("k")), m.group("col")),
+                m.group("table"),
+            ) + statement[m.end() :]
+        return statement
+
+    def _federated_search(self, table: str, corpus_name: str, k: int, vec_col: str) -> DataFrame:
+        """``FEDERATED_SEARCH(corpus, k, vector)``: append ``search_results
+        ARRAY<STRUCT<content>>`` — top-k corpus rows by dot product
+        (``README.md:403-407``; metric ``README.md:380``)."""
+        queries = self.catalog.table(table).withColumn(
+            "__qid", F.md5(F.to_json(F.struct("*")))
+        )
+        corpus = self.catalog.table(corpus_name)
+        hits = topk_similarity_join(
+            queries, corpus, k,
+            query_id="__qid", query_vec=vec_col,
+            corpus_id="product_id", corpus_vec="vector",
+            metric="dot",
+        )
+        packed = (
+            hits.join(F.broadcast(corpus.select("product_id", "content")), "product_id")
+            .groupBy("__qid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rank", F.col("content").alias("content")))),
+                    lambda s: F.struct(s["content"].alias("content")),
+                ).alias("search_results")
+            )
+        )
+        return queries.join(packed, "__qid", "left").drop("__qid")
+
+    def _rewrite_json_object(self, statement: str) -> str:
+        """``JSON_OBJECT('k' VALUE v, ...)`` → ``to_json(named_struct('k', v,
+        ...))`` — returns a JSON string, the reference's proven semantic
+        (``README.md:598``)."""
+        out = []
+        idx = 0
+        pattern = re.compile(r"JSON_OBJECT\s*\(", re.IGNORECASE)
+        while m := pattern.search(statement, idx):
+            out.append(statement[idx : m.start()])
+            depth = 1
+            i = m.end()
+            while i < len(statement) and depth:
+                depth += {"(": 1, ")": -1}.get(statement[i], 0)
+                i += 1
+            body = statement[m.end() : i - 1]
+            body = _JSON_OBJECT_PAIR.sub(lambda mm: f"'{mm.group('key')}', ", body)
+            out.append(f"to_json(named_struct({body}))")
+            idx = i
+        out.append(statement[idx:])
+        return "".join(out)

@@ -1,0 +1,76 @@
+"""Continuous INSERT-SELECT pipelines with idempotent sinks.
+
+Flink's ``INSERT INTO ... SELECT`` gives exactly-once topic sinks
+implicitly; Spark's ``foreachBatch`` re-delivers a batch after failure, so
+the writer must be idempotent. Strategy: write each micro-batch under
+``<sink>/_batch=<epoch_id>/`` and skip epochs whose directory already
+committed — re-running a batch is a no-op, reproducing the reference's sink
+contract at the semantic level (SURVEY.md §4.3). Readers see the sink as a
+plain partitioned Parquet table.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def file_stream_reader(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+):
+    """Micro-batched file source — the test-friendly stand-in for a Kafka
+    topic (same unbounded-table semantics, ``README.md:219``)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+
+
+def idempotent_batch_writer(sink_dir: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: batch-id-keyed, skip-if-committed."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        target = os.path.join(sink_dir, f"_batch={epoch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replay after failure — already committed
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return write
+
+
+def continuous_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """The reference's continuous ``INSERT INTO sink SELECT ...`` shape
+    (``README.md:286-288, 438-446``): unbounded source → transform →
+    idempotent sink. ``trigger_once`` drains available input then stops
+    (used by tests and backfills)."""
+    if transform is not None:
+        stream_df = transform(stream_df)
+    writer = stream_df.writeStream.foreachBatch(idempotent_batch_writer(sink_dir)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Read an idempotent sink back as one table."""
+    return spark.read.option("basePath", sink_dir).parquet(os.path.join(sink_dir, "_batch=*"))

@@ -1,0 +1,127 @@
+"""The reference's end-to-end RAG pipeline, Spark-first.
+
+Reference dataflow (SURVEY.md §3, reference ``README.md:19-24``):
+
+1. ``user_questions`` topic → embed each question
+   (``INSERT INTO user_questions_vector SELECT ... , LATERAL TABLE(
+   ml_predict('vector_encoding', content))``, ``README.md:286-288``);
+2. top-3 dot-product vector search against the product corpus, laterally
+   joined (``FEDERATED_SEARCH('mongodb_vector_search', 3, vector)``,
+   ``README.md:438-446``) → ``user_prompts`` with
+   ``products ARRAY<ROW<content STRING>>`` (``README.md:413-421``);
+3. JSON prompt assembly (``json_object`` + ``CAST(products AS STRING)``,
+   ``README.md:726-730``) → LLM → ``llm_answers`` (``README.md:487-495``).
+
+Spark translation: embedding is an Arrow-batched UDF column (not a join);
+the vector search is the engine's ``topk_similarity_join`` with the corpus
+broadcast (no shuffle of question rows); prompt assembly is pure Catalyst
+(``to_json(struct(...))``). Batch and streaming share the same transform —
+the streaming variant wraps it in ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.json_fns import json_object
+from confluent_kafka_vector_search_prompt_inference_spark.models import ModelRegistry
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+
+@dataclass
+class RagPipeline:
+    registry: ModelRegistry
+    embed_model: str = "vector_encoding"
+    llm_model: str = "retail_assistant"
+    k: int = 3
+    question_id: str = "question_id"
+    strategy: str = "auto"
+
+    def _ensure_id(self, questions: DataFrame) -> DataFrame:
+        """Questions need a stable unique id for the top-k join; derive one
+        from content+sessionid when absent (deterministic, unlike
+        ``monotonically_increasing_id``)."""
+        if self.question_id in questions.columns:
+            return questions
+        return questions.withColumn(
+            self.question_id,
+            F.md5(F.concat_ws("\x1f", F.col("content"), F.col("sessionid"))),
+        )
+
+    def embed_questions(self, questions: DataFrame) -> DataFrame:
+        """Stage 1 → ``user_questions_vector`` (``README.md:286-288``); the
+        projection drops ``email`` — PII never reaches the LLM
+        (``README.md:244-247``)."""
+        q = self._ensure_id(questions)
+        embedded = self.registry.ml_predict(q, self.embed_model, "content")
+        keep = [c for c in ("role", "content", "sessionid", self.question_id) if c in embedded.columns]
+        return embedded.select(*keep, "vector")
+
+    def search_prompts(self, questions_vec: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Stage 2 → ``user_prompts`` (``README.md:438-446``): top-k corpus
+        rows per question, packed as ``products ARRAY<STRUCT<content>>``
+        ordered by similarity rank (``README.md:413-421``)."""
+        hits = topk_similarity_join(
+            questions_vec,
+            corpus,
+            self.k,
+            query_id=self.question_id,
+            query_vec="vector",
+            corpus_id="product_id",
+            corpus_vec="vector",
+            metric="dot",
+            strategy=self.strategy,
+        )
+        products = (
+            hits.join(F.broadcast(corpus.select("product_id", "content")), "product_id")
+            .groupBy(self.question_id)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rank", F.col("content").alias("content")))),
+                    lambda s: F.struct(s["content"].alias("content")),
+                ).alias("products")
+            )
+        )
+        return questions_vec.join(products, self.question_id, "left").select(
+            "role",
+            F.col("content"),
+            "sessionid",
+            self.question_id,
+            F.coalesce("products", F.array().cast("array<struct<content:string>>")).alias(
+                "products"
+            ),
+        )
+
+    def prompt_json(self) -> F.Column:
+        """Stage-3 prompt assembly (``README.md:726-730``): a JSON *string*
+        via ``json_object`` semantics — nested products stringified like the
+        reference's ``CAST(products AS STRING)``."""
+        return json_object(
+            prompt=F.col("content"),
+            products=F.to_json(F.col("products")),
+        )
+
+    def answer_prompts(self, prompts: DataFrame) -> DataFrame:
+        """Stage 3 → ``llm_answers`` (``README.md:487-495, 724-732``)."""
+        with_prompt = prompts.withColumn("__prompt", self.prompt_json())
+        answered = self.registry.ml_predict(with_prompt, self.llm_model, "__prompt")
+        return answered.select("role", "content", "sessionid", "json_response")
+
+    def run_batch(self, questions: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Full pipeline: questions → embedded → retrieved → answered."""
+        vec = self.embed_questions(questions)
+        prompts = self.search_prompts(vec, corpus)
+        return self.answer_prompts(prompts)
+
+    def streaming_transform(self, corpus: DataFrame):
+        """Per-micro-batch transform for ``foreachBatch`` — identical logic
+        to :meth:`run_batch`, reproducing the reference's three continuous
+        statements as one restart-safe streaming job."""
+
+        def transform(batch_df: DataFrame) -> DataFrame:
+            return self.run_batch(batch_df, corpus)
+
+        return transform
