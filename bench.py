@@ -1,0 +1,74 @@
+"""BENCH: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Executes each query end-to-end into a noop sink (full plan, no driver
+collect) and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from confluent_kafka_vector_search_prompt_inference_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: relational core, vector search (all strategies), dedup/text
+# extension ops, and the reference's RAG pipeline.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "filter_pushdown_project",
+    "broadcast_join_agg",
+    "window_rank",
+    "events_tumbling_window",
+    "vec_topk_broadcast",
+    "vec_topk_shuffle",
+    "vec_cosine_topk",
+    "dedup_exact_groups",
+    "minhash_lsh_dups",
+    "text_quality",
+    "rag_answers",
+]
+
+
+def main() -> None:
+    spark = get_spark("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

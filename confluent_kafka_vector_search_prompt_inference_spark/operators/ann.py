@@ -39,8 +39,8 @@ def srp_band_hashes(
     vec_col: str,
     *,
     dim: int,
-    bands: int = 8,
-    rows_per_band: int = 8,
+    bands: int = 16,
+    rows_per_band: int = 4,
     seed: int = DEFAULT_SEED,
     out_col: str = "band_hashes",
 ) -> DataFrame:
@@ -76,8 +76,8 @@ def topk_lsh(
     corpus_vec: str,
     metric: str = "dot",
     num_candidates: int = 20,
-    bands: int = 8,
-    rows_per_band: int = 8,
+    bands: int = 16,
+    rows_per_band: int = 4,
     seed: int = DEFAULT_SEED,
     score_col: str = "score",
     rank_col: str = "rank",
@@ -90,22 +90,24 @@ def topk_lsh(
     """
     dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
     dim = int(dim_row["d"])
+    # alias both vector columns before the bucket join — query and corpus
+    # commonly share the column name "vector" (reference convention)
     q = srp_band_hashes(
-        queries.select(query_id, query_vec), query_vec,
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), "__qv",
         dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(query_id, query_vec, F.explode("band_hashes").alias("__bucket"))
+    ).select(query_id, "__qv", F.explode("band_hashes").alias("__bucket"))
     c = srp_band_hashes(
-        corpus.select(corpus_id, corpus_vec), corpus_vec,
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), "__cv",
         dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(corpus_id, corpus_vec, F.explode("band_hashes").alias("__bucket"))
+    ).select(corpus_id, "__cv", F.explode("band_hashes").alias("__bucket"))
 
     matches = (
         q.join(c, on="__bucket")
         .groupBy(query_id, corpus_id)
         .agg(
             F.count("*").alias("__nbands"),
-            F.first(query_vec).alias("__qv"),
-            F.first(corpus_vec).alias("__cv"),
+            F.first("__qv").alias("__qv"),
+            F.first("__cv").alias("__cv"),
         )
     )
     probe = Window.partitionBy(query_id).orderBy(F.desc("__nbands"), F.asc(corpus_id))

@@ -50,5 +50,10 @@ def has_shuffle(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans (fewer per operator = wider fusion)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Number of WholeStageCodegen spans (fewer per operator = wider fusion).
+
+    Formatted explain tags codegen'd operators with ``[codegen id : N]``."""
+    plan = formatted_plan(df)
+    ids = set(re.findall(r"codegen id : (\d+)", plan))
+    ids.update(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -60,10 +60,21 @@ def continuous_insert(
     """The reference's continuous ``INSERT INTO sink SELECT ...`` shape
     (``README.md:286-288, 438-446``): unbounded source → transform →
     idempotent sink. ``trigger_once`` drains available input then stops
-    (used by tests and backfills)."""
-    if transform is not None:
-        stream_df = transform(stream_df)
-    writer = stream_df.writeStream.foreachBatch(idempotent_batch_writer(sink_dir)).option(
+    (used by tests and backfills).
+
+    ``transform`` runs inside ``foreachBatch`` on each micro-batch (a plain
+    batch DataFrame), so it may use arbitrary batch operators — joins,
+    aggregations, the full RAG pipeline — without streaming-mode
+    restrictions; this is exactly how Flink's unbounded INSERT-SELECT
+    statements are reproduced micro-batch-wise."""
+    write_batch = idempotent_batch_writer(sink_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        write_batch(batch_df, epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_once:
@@ -72,5 +83,7 @@ def continuous_insert(
 
 
 def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """Read an idempotent sink back as one table."""
-    return spark.read.option("basePath", sink_dir).parquet(os.path.join(sink_dir, "_batch=*"))
+    """Read an idempotent sink back as one table (the ``_batch`` bookkeeping
+    partition column is internal and dropped)."""
+    df = spark.read.option("basePath", sink_dir).parquet(os.path.join(sink_dir, "_batch=*"))
+    return df.drop("_batch")

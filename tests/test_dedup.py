@@ -1,0 +1,92 @@
+"""Dedup family: LSH candidates recover exact pairs; SimHash finds planted
+duplicates; exact groups find planted copies."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_copies(docs):
+    base = docs.select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+def test_exact_groups_find_planted_copies(docs_with_copies):
+    groups = exact_duplicate_groups(docs_with_copies, "doc_id", "text").toPandas()
+    assert len(groups) == 30
+    assert (groups.n_docs == 2).all()
+    assert sorted(groups.keep_id) == list(range(30))
+
+
+def test_dedup_exact_removes_copies(docs_with_copies):
+    assert dedup_exact(docs_with_copies, ["text"]).count() == 500
+
+
+def test_minhash_lsh_recovers_exact_jaccard_pairs(docs):
+    """MinHash-LSH candidates + exact verify == brute-force exact pairs."""
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5).toPandas()
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, est_threshold=0.2)
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cands
+    ).toPandas()
+    exact_set = set(zip(exact.id_a, exact.id_b))
+    got_set = set(zip(verified.id_a, verified.id_b))
+    # LSH may miss pairs (probabilistic) but must not hallucinate
+    assert got_set <= exact_set
+    recall = len(got_set) / max(len(exact_set), 1)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_minhash_estimate_close_to_exact(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16).toPandas()
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.0
+    ).toPandas().set_index(["id_a", "id_b"]).jaccard
+    errs = [
+        abs(row.est_jaccard - exact.get((row.id_a, row.id_b), 0.0))
+        for row in cands.itertuples()
+        if (row.id_a, row.id_b) in exact.index
+    ]
+    assert errs, "no overlapping pairs to compare"
+    assert sum(errs) / len(errs) < 0.15
+
+
+def test_simhash_identical_docs_have_zero_hamming(docs_with_copies):
+    sigs = simhash_signatures(docs_with_copies, "doc_id", "text")
+    pairs = simhash_near_duplicates(sigs, "doc_id", max_hamming=0).toPandas()
+    planted = {(i, i + 100000) for i in range(30)}
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert planted <= got
+
+
+def test_embedding_near_dups_exact_vs_lsh(embeddings):
+    base = embeddings.select("vec_id", F.col("embedding").alias("vector"))
+    copies = embeddings.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding").alias("vector")
+    )
+    corpus = base.unionByName(copies)
+    exact = embedding_near_duplicates(corpus, "vec_id", "vector", threshold=0.99).toPandas()
+    planted = {(i, i + 100000) for i in range(20)}
+    assert planted <= set(zip(exact.id_a, exact.id_b))
+    lsh = embedding_near_duplicates(
+        corpus, "vec_id", "vector", threshold=0.99, method="lsh"
+    ).toPandas()
+    # identical vectors always share every LSH bucket → full recall on planted
+    assert planted <= set(zip(lsh.id_a, lsh.id_b))
+    assert set(zip(lsh.id_a, lsh.id_b)) <= set(zip(exact.id_a, exact.id_b))

@@ -1,0 +1,89 @@
+"""Column functions: json_object semantics, text analysis vs Python oracle."""
+
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.json_fns import json_object
+from confluent_kafka_vector_search_prompt_inference_spark.functions.text import (
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    language_id,
+    normalized_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    word_tokens,
+)
+
+
+def test_json_object_returns_string(spark):
+    """String-returning semantics (reference README.md:598)."""
+    df = spark.createDataFrame([("user", "hi")], "role string, msg string")
+    row = df.select(json_object(role="role", msg=F.col("msg")).alias("j")).first()
+    assert isinstance(row.j, str)
+    assert json.loads(row.j) == {"role": "user", "msg": "hi"}
+
+
+def test_json_object_nested_cast_string(spark):
+    """Nested values serialize structurally (README.md:726-730 pattern)."""
+    df = spark.createDataFrame(
+        [([{"content": "shoes"}],)], "products array<struct<content:string>>"
+    )
+    row = df.select(
+        json_object(products=F.to_json(F.col("products"))).alias("j")
+    ).first()
+    body = json.loads(row.j)
+    assert json.loads(body["products"]) == [{"content": "shoes"}]
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "The quick brown fox, it jumps!",
+        "  MIXED   Case \t whitespace  ",
+        "",
+        "no-stopwords-here xyz",
+    ],
+)
+def test_text_functions_vs_python(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        normalized_text("text").alias("norm"),
+        word_tokens("text").alias("toks"),
+        token_count("text").alias("ntok"),
+        punct_ratio("text").alias("pr"),
+        stopword_ratio("text").alias("sr"),
+    ).first()
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    assert row.norm == norm
+    assert row.toks == norm.split(" ")
+    assert row.ntok == len(re.findall(TOKEN_REGEX, text))
+    n = len(text)
+    p = len(re.findall(r"[.,;:!?'\"()\-]", text))
+    assert row.pr == pytest.approx(p / n if n else 0.0)
+    toks = norm.split(" ")
+    hits = sum(1 for w in toks if w in EN_STOPWORDS)
+    assert row.sr == pytest.approx(hits / len(toks) if toks else 0.0)
+
+
+def test_language_id_english_vs_unknown(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is happy",), ("xyzzy plugh abracadabra",),
+         ("el gato es de la casa y es feliz",)],
+        "text string",
+    )
+    out = [r.lang for r in df.select(language_id("text").alias("lang")).collect()]
+    assert out == ["en", "unknown", "es"]
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("HELLO\tWORLD ",), ("different",)],
+        "text string",
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]

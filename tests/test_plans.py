@@ -1,0 +1,55 @@
+"""Scale-property assertions on physical plans (SURVEY.md §4): pushdown
+reaches the scan, projections prune columns, small sides broadcast, the
+relational hot path stays in whole-stage codegen."""
+
+import __spark_entry__ as entry
+from confluent_kafka_vector_search_prompt_inference_spark.plans import (
+    codegen_stage_count,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_filter_reaches_parquet_scan(spark, sf_correct):
+    df = entry.filter_pushdown_project(spark, sf_correct)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_projection_prunes_columns(spark, sf_correct):
+    df = entry.filter_pushdown_project(spark, sf_correct)
+    schemas = read_schemas(df)
+    assert schemas, "no scan found"
+    # lineitem has 11 columns; the query needs 6 (incl. filter cols)
+    assert all("l_returnflag" not in s for s in schemas), schemas
+    assert all("l_partkey" not in s for s in schemas), schemas
+
+
+def test_q3_broadcasts_dimension(spark, sf_correct):
+    assert has_broadcast_join(entry.q3_shipping_priority(spark, sf_correct))
+
+
+def test_q5_broadcasts_all_dims(spark, sf_correct):
+    plan = formatted_plan(entry.q5_region_revenue(spark, sf_correct))
+    # the only SortMergeJoin allowed is lineitem⋈orders (two fact tables)
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_relational_plan_is_codegened(spark, sf_correct):
+    # AQE wraps the plan and hides codegen ids until execution; inspect the
+    # static plan (the codegen decision is the same either way).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = entry.q1_pricing_summary(spark, sf_correct)
+        assert codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_topk_broadcast_has_no_shuffle(spark, sf_correct):
+    """The broadcast-corpus top-k is a pure map — no Exchange in the plan."""
+    df = entry.vec_topk_broadcast(spark, sf_correct)
+    assert "Exchange" not in formatted_plan(df)

@@ -1,0 +1,95 @@
+"""t1 smoke (SURVEY.md §5): the reference's RAG pipeline end-to-end on
+sf0.001 with deterministic providers; negative tests for the documented
+failure modes (sink schema mismatch README.md:586-594, untyped object
+README.md:552-594)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.catalog import SinkSchemaMismatch, check_sink_schema
+from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    return RagPipeline(registry, k=3)
+
+
+@pytest.fixture(scope="module")
+def questions(spark):
+    rows = [
+        ("user", "Find me a pair of mens formal shoes in medium size", "abc123", "u1@x.com"),
+        ("user", "Show me little girl shoes in medium size", "abc124", "u2@x.com"),
+        ("user", "Show me several options of a cheap read summer dress in medium size", "abc125", "u3@x.com"),
+    ]  # the reference's canonical questions, README.md:111-113
+    return spark.createDataFrame(rows, "role string, content string, sessionid string, email string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, docs, pipe):
+    products = docs.limit(200).select(
+        F.col("doc_id").alias("product_id"), F.col("text").alias("content")
+    )
+    return pipe.registry.ml_predict(products, "vector_encoding", "content")
+
+
+def test_end_to_end_answers(pipe, questions, corpus):
+    answers = pipe.run_batch(questions, corpus)
+    rows = answers.collect()
+    assert answers.columns == ["role", "content", "sessionid", "json_response"]
+    assert len(rows) == 3
+    for r in rows:
+        body = json.loads(r.json_response)
+        assert body["role"] == "assistant"
+
+
+def test_prompts_have_topk_products(pipe, questions, corpus):
+    vec = pipe.embed_questions(questions)
+    prompts = pipe.search_prompts(vec, corpus)
+    rows = prompts.collect()
+    assert all(len(r.products) == 3 for r in rows)
+    # products ARRAY<STRUCT<content>> — reference README.md:413-421
+    assert all(isinstance(r.products[0].content, str) for r in rows)
+
+
+def test_email_never_reaches_prompt(pipe, questions, corpus):
+    """PII guard: email is dropped by the embedding projection
+    (reference README.md:244-247, 286-288)."""
+    vec = pipe.embed_questions(questions)
+    assert "email" not in vec.columns
+    prompts = pipe.search_prompts(vec, corpus)
+    with_prompt = prompts.withColumn("p", pipe.prompt_json())
+    assert all("@x.com" not in r.p for r in with_prompt.select("p").collect())
+
+
+def test_embedding_deterministic_across_runs(pipe, questions):
+    a = pipe.embed_questions(questions).select("question_id", "vector").collect()
+    b = pipe.embed_questions(questions).select("question_id", "vector").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_sink_schema_mismatch_fails_before_run(spark):
+    """Flink rejects INSERT with mismatched sink schema at analysis time
+    (README.md:586-594) — so do we."""
+    sink = spark.createDataFrame([], "role string, content string").schema
+    query = spark.createDataFrame([], "role string, wrong int").schema
+    with pytest.raises(SinkSchemaMismatch):
+        check_sink_schema(sink, query)
+    sink2 = spark.createDataFrame([], "role string, content string").schema
+    query2 = spark.createDataFrame([], "content string, role string").schema
+    check_sink_schema(sink2, query2)  # order-insensitive: OK
+
+
+def test_untyped_json_object_rejected():
+    """The ROW<> pitfall (README.md:552-594): untyped object in a contract
+    must be rejected at DDL time."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.registry import json_schema_to_struct
+
+    with pytest.raises(ValueError, match="ROW<>"):
+        json_schema_to_struct('{"type":"object","properties":{"x":{"type":"object"}}}')

@@ -1,0 +1,111 @@
+"""Sources: schema-registry decode (late-bound contracts), Kafka wire shape,
+multimodal plumbing, catalog."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.catalog import Catalog
+from confluent_kafka_vector_search_prompt_inference_spark.sources.kafka import kafka_sink_options, to_kafka_shape
+from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
+from confluent_kafka_vector_search_prompt_inference_spark.sources.registry import (
+    SchemaRegistry,
+    decode_json_topic,
+    json_schema_to_struct,
+)
+
+# the reference's user_questions data contract, README.md:228-252
+QUESTIONS_CONTRACT = """
+{
+  "type": "object",
+  "properties": {
+    "role": {"type": "string"},
+    "content": {"type": "string"},
+    "sessionid": {"type": "string"},
+    "email": {"type": "string"}
+  },
+  "additionalProperties": false
+}
+"""
+
+
+def test_json_schema_to_struct_contract():
+    st = json_schema_to_struct(QUESTIONS_CONTRACT)
+    assert [f.name for f in st.fields] == ["role", "content", "sessionid", "email"]
+    assert all(f.dataType.simpleString() == "string" for f in st.fields)
+
+
+def test_nested_array_and_numbers():
+    st = json_schema_to_struct(
+        '{"type":"object","properties":{"v":{"type":"array","items":{"type":"number"}},'
+        '"n":{"type":"integer"}}}'
+    )
+    assert st["v"].dataType.simpleString() == "array<double>"
+    assert st["n"].dataType.simpleString() == "bigint"
+
+
+def test_schemaless_topic_unreadable():
+    reg = SchemaRegistry()
+    with pytest.raises(KeyError, match="no data contract"):
+        reg.latest("user_questions")  # README.md:221-223
+
+
+def test_decode_roundtrip(spark):
+    """Wire bytes → contract decode → typed columns (README.md:225-257)."""
+    reg = SchemaRegistry()
+    reg.register("user_questions", QUESTIONS_CONTRACT)
+    rows = spark.createDataFrame(
+        [("user", "mens shoes", "abc123", "u@x.com")],
+        "role string, content string, sessionid string, email string",
+    )
+    wire = to_kafka_shape(rows, key_col=None, value_cols=["role", "content", "sessionid", "email"])
+    assert wire.columns == ["key", "value"]
+    decoded = decode_json_topic(wire, reg, "user_questions")
+    row = decoded.first()
+    assert (row.role, row.content, row.sessionid) == ("user", "mens shoes", "abc123")
+
+
+def test_schema_evolution_latest_wins(spark):
+    reg = SchemaRegistry()
+    v1 = reg.register("t", '{"type":"object","properties":{"a":{"type":"string"}}}')
+    v2 = reg.register(
+        "t", '{"type":"object","properties":{"a":{"type":"string"},"b":{"type":"integer"}}}'
+    )
+    assert (v1, v2) == (1, 2)
+    assert [f.name for f in reg.latest("t").fields] == ["a", "b"]  # README.md:610-612
+
+
+def test_kafka_sink_options():
+    assert kafka_sink_options("broker:9092", "user_prompts") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "user_prompts",
+    }
+
+
+def test_multimodal_features_deterministic(spark):
+    media = spark.createDataFrame(
+        [(("image/png", "mem://a", b"\x89PNG fake"),), (("image/png", "mem://b", b"other"),)],
+        "media struct<mime:string,uri:string,bytes:binary>",
+    )
+    a = with_fake_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
+    b = with_fake_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
+    assert list(a.n_bytes) == [9, 5]
+    assert all(len(f) == 32 for f in a.features)
+    assert str(a.features.tolist()) == str(b.features.tolist())
+
+
+def test_multimodal_decode_stub_raises():
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    cat = Catalog(spark)
+    df = spark.range(5).toDF("id")
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    cat.add_table("t", path)
+    assert cat.table("t").count() == 5
+    with pytest.raises(KeyError):
+        cat.table("missing")

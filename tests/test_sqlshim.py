@@ -1,0 +1,154 @@
+"""SQL shim: the reference's Flink statement forms run on Spark
+(SURVEY.md §2.10, M5). Statements below are near-verbatim reference shapes
+(cited per test)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.catalog import Catalog, SinkSchemaMismatch
+from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder
+from confluent_kafka_vector_search_prompt_inference_spark.sqlshim import EngineSession
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    cat = Catalog(spark)
+    # user_questions topic stand-in (README.md:266-274 schema, minus vector)
+    questions = spark.createDataFrame(
+        [
+            ("user", "mens formal shoes in medium", "abc123"),
+            ("user", "little girl shoes in medium", "abc124"),
+        ],
+        "role string, content string, sessionid string",
+    )
+    qpath = str(tmp_path / "user_questions.parquet")
+    questions.write.parquet(qpath)
+    cat.add_table("user_questions", qpath)
+
+    # product corpus with vectors (README.md:355-366 stand-in)
+    emb = HashingEmbedder(dim=16)
+    products = [
+        (i, f"product {w} shoes, product_id: {i}", emb.embed_batch([f"product {w} shoes"])[0])
+        for i, w in enumerate(["formal mens", "girl", "running", "dress", "sandal"])
+    ]
+    pdf = spark.createDataFrame(
+        products, "product_id bigint, content string, vector array<float>"
+    )
+    ppath = str(tmp_path / "product.parquet")
+    pdf.write.parquet(ppath)
+    cat.add_table("product", ppath)
+
+    # user_questions_vector sink (README.md:266-274)
+    sink = spark.createDataFrame(
+        [], "role string, content string, sessionid string, vector array<float>"
+    )
+    spath = str(tmp_path / "user_questions_vector.parquet")
+    sink.write.parquet(spath)
+    cat.add_table("user_questions_vector", spath)
+    cat.register_views()
+
+    eng = EngineSession(spark, cat)
+    eng.sql(
+        "CREATE MODEL `vector_encoding` INPUT (`input` STRING) OUTPUT (`vector` ARRAY<FLOAT>) "
+        "WITH ('task'='embedding', 'provider'='local', 'dim'='16')"
+    )  # README.md:205-213
+    return eng
+
+
+def test_create_and_describe_model(spark, engine):
+    df = engine.sql("DESCRIBE MODEL vector_encoding")
+    row = df.first()
+    assert row.name == "vector_encoding" and row.version == 1 and row.is_default
+
+
+def test_model_versioning_and_alter(spark, engine):
+    engine.sql(
+        "CREATE MODEL `vector_encoding` INPUT (`input` STRING) OUTPUT (`vector` ARRAY<FLOAT>) "
+        "WITH ('task'='embedding', 'dim'='32')"
+    )
+    assert engine.registry.get("vector_encoding").version == 1  # README.md:718
+    engine.sql("ALTER MODEL `vector_encoding` SET ('default_version'='2')")  # README.md:712-714
+    assert engine.registry.get("vector_encoding").version == 2
+    both = engine.sql("DESCRIBE MODEL vector_encoding$all")
+    assert both.count() == 2  # README.md:661
+
+
+def test_lateral_ml_predict_select(spark, engine):
+    """SELECT form of the embedding pipeline (README.md:279-281)."""
+    df = engine.sql(
+        "SELECT `role`, `content`, `sessionid`, `vector` "
+        "FROM user_questions, LATERAL TABLE(ml_predict('vector_encoding', content))"
+    )
+    rows = df.collect()
+    assert len(rows) == 2 and all(len(r.vector) == 16 for r in rows)
+
+
+def test_insert_select_with_sink_check(spark, engine):
+    """INSERT form (README.md:286-288) lands rows through the schema check."""
+    engine.sql(
+        "INSERT INTO user_questions_vector "
+        "SELECT `role`, `content`, `sessionid`, `vector` "
+        "FROM user_questions, LATERAL TABLE(ml_predict('vector_encoding', content))"
+    )
+    assert engine.catalog.table("user_questions_vector").count() == 2
+
+
+def test_insert_schema_mismatch_fails(spark, engine):
+    """Mismatched insert fails at analysis time (README.md:586-594)."""
+    with pytest.raises(SinkSchemaMismatch):
+        engine.sql(
+            "INSERT INTO user_questions_vector "
+            "SELECT `role`, `content`, `sessionid` FROM user_questions"
+        )
+
+
+def test_federated_search_lateral(spark, engine):
+    """FEDERATED_SEARCH top-3 lateral join (README.md:403-407, 438-446)."""
+    engine.sql(
+        "INSERT INTO user_questions_vector "
+        "SELECT `role`, `content`, `sessionid`, `vector` "
+        "FROM user_questions, LATERAL TABLE(ml_predict('vector_encoding', content))"
+    )
+    df = engine.sql(
+        "SELECT `content`, `sessionid`, search_results AS products "
+        "FROM user_questions_vector, LATERAL TABLE(FEDERATED_SEARCH('product', 3, vector))"
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r.products) == 3
+        assert all(p.content for p in r.products)
+
+
+def test_json_object_returns_string(spark, engine):
+    """JSON_OBJECT builds a JSON *string* (README.md:598, 504-507)."""
+    df = engine.sql(
+        "SELECT JSON_OBJECT('role' VALUE role, 'q' VALUE content) AS j FROM user_questions"
+    )
+    row = df.first()
+    assert isinstance(row.j, str)
+    body = json.loads(row.j)
+    assert body["role"] == "user" and "q" in body
+
+
+def test_insert_values_nested_array_row(spark, engine, tmp_path):
+    """Literal insert with ARRAY[ROW(...)] constructors (README.md:616-623)."""
+    sink = spark.createDataFrame(
+        [], "role string, content string, sessionid string, products array<struct<content:string>>"
+    )
+    path = str(tmp_path / "user_prompts.parquet")
+    sink.write.parquet(path)
+    engine.catalog.add_table("user_prompts", path)
+    engine.sql(
+        "INSERT INTO user_prompts VALUES "
+        "('user', 'I need shoes', '8888', "
+        "ARRAY[ROW('Blue Shoes, product_id: 101'), ROW('Red Shoes, product_id: 102')])"
+    )
+    row = engine.catalog.table("user_prompts").first()
+    assert row.sessionid == "8888"
+    assert [p.content for p in row.products] == [
+        "Blue Shoes, product_id: 101",
+        "Red Shoes, product_id: 102",
+    ]

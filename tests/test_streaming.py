@@ -1,0 +1,117 @@
+"""Streaming: micro-batched file source → idempotent sink (exactly-once
+semantics, SURVEY.md §4.3); watermarked event-time window; streaming RAG."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+    continuous_insert,
+    file_stream_reader,
+    idempotent_batch_writer,
+    read_sink,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """events subset split into 3 files → 3 micro-batches."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).limit(300)
+    src = str(tmp_path / "events_src")
+    ev.repartition(3).write.parquet(src)
+    return src, ev.schema, ev.count()
+
+
+def _drain(query):
+    query.awaitTermination(120)
+
+
+def test_continuous_insert_lands_all_rows(spark, tmp_path, events_dir):
+    src, schema, n = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = continuous_insert(stream, sink, ckpt, trigger_once=True)
+    _drain(q)
+    out = read_sink(spark, sink)
+    assert out.count() == n
+
+
+def test_idempotent_writer_skips_committed_batch(spark, tmp_path):
+    df = spark.range(10).toDF("id")
+    sink = str(tmp_path / "sink")
+    writer = idempotent_batch_writer(sink)
+    writer(df, 0)
+    first = sorted(glob.glob(os.path.join(sink, "_batch=0", "*.parquet")))
+    writer(df, 0)  # replay — must be a no-op
+    second = sorted(glob.glob(os.path.join(sink, "_batch=0", "*.parquet")))
+    assert first == second
+    assert spark.read.parquet(os.path.join(sink, "_batch=0")).count() == 10
+
+
+def test_windowed_agg_with_watermark(spark, tmp_path, events_dir):
+    src, schema, _ = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=3)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    sink = str(tmp_path / "wsink")
+    q = (
+        windowed.writeStream.outputMode("append")
+        .foreachBatch(idempotent_batch_writer(sink))
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # append mode emits only watermark-closed windows; with availableNow all
+    # but the last open window close
+    out = read_sink(spark, sink)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert 0 < out.count() <= batch
+
+
+def test_streaming_rag_pipeline(spark, tmp_path, docs):
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=16))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    pipe = RagPipeline(registry, k=2)
+    corpus = registry.ml_predict(
+        docs.limit(50).select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        "vector_encoding",
+        "content",
+    ).cache()
+
+    questions = docs.limit(6).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("string").alias("sessionid"),
+    )
+    src = str(tmp_path / "qsrc")
+    questions.repartition(2).write.parquet(src)
+
+    stream = file_stream_reader(spark, src, questions.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "answers")
+    q = continuous_insert(
+        stream, sink, str(tmp_path / "ckpt"),
+        transform=pipe.streaming_transform(corpus), trigger_once=True,
+    )
+    _drain(q)
+    out = read_sink(spark, sink)
+    assert out.count() == 6
+    assert set(out.columns) >= {"role", "content", "sessionid", "json_response"}

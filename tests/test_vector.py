@@ -1,0 +1,142 @@
+"""Vector functions + top-k similarity join: strategies agree, numpy oracle,
+LSH recall (SURVEY.md §5 property tests)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+    vec_cosine,
+    vec_dot,
+    vec_l2_distance,
+    vec_l2norm,
+    vec_normalize,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+
+@pytest.fixture(scope="module")
+def qc(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    c = embeddings.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("vector")
+    )
+    return q, c
+
+
+def _np_topk(embeddings_pdf, k=5):
+    """Brute-force float64 oracle."""
+    q = embeddings_pdf[embeddings_pdf.vec_id < 20]
+    c = embeddings_pdf[embeddings_pdf.vec_id >= 20]
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q.embedding])
+    cm = np.array([np.asarray(v, dtype=np.float64) for v in c.embedding])
+    cids = c.vec_id.to_numpy()
+    scores = qm @ cm.T
+    out = {}
+    for i, qid in enumerate(q.vec_id.to_numpy()):
+        order = np.lexsort((cids, -scores[i]))[:k]
+        out[qid] = list(cids[order])
+    return out
+
+
+def test_vector_functions_vs_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    row = df.select(
+        vec_dot("a", "b").alias("dot"),
+        vec_cosine("a", "b").alias("cos"),
+        vec_l2norm("a").alias("na"),
+        vec_l2_distance("a", "b").alias("dist"),
+        vec_normalize("a").alias("unit"),
+    ).first()
+    na, nb = np.array(a), np.array(b)
+    assert row.dot == pytest.approx(float(na @ nb))
+    assert row.cos == pytest.approx(float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb))))
+    assert row.na == pytest.approx(float(np.linalg.norm(na)))
+    assert row.dist == pytest.approx(float(np.linalg.norm(na - nb)))
+    assert np.allclose(row.unit, na / np.linalg.norm(na))
+
+
+def test_normalize_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0],)], "a array<float>")
+    assert df.select(vec_normalize("a").alias("u")).first().u == [0.0, 0.0]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast_corpus", "broadcast_queries", "shuffle"])
+def test_exact_strategies_match_numpy(spark, embeddings, qc, strategy):
+    q, c = qc
+    out = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", metric="dot", strategy=strategy,
+    ).toPandas()
+    oracle = _np_topk(embeddings.toPandas(), k=5)
+    got = {
+        qid: list(g.sort_values("rank").cid)
+        for qid, g in out.groupby("qid")
+    }
+    assert got == oracle
+
+
+def test_auto_picks_broadcast_for_small_corpus(spark, qc):
+    q, c = qc
+    out = topk_similarity_join(
+        q, c, k=3, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="auto",
+    )
+    assert out.count() == q.count() * 3
+
+
+def test_lsh_finds_planted_neighbors(spark, embeddings):
+    """LSH's contract is high-similarity retrieval: queries that are copies
+    of corpus vectors must retrieve their original at rank 1."""
+    c = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    q = embeddings.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_similarity_join(
+        q, c, k=1, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", metric="cosine",
+        strategy="lsh", num_candidates=50,
+    ).toPandas()
+    hits = sum(1 for r in out.itertuples() if r.qid == r.cid)
+    assert hits >= 27, f"only {hits}/30 planted neighbors found at rank 1"
+
+
+def test_lsh_recall_on_random_topk(spark, embeddings, qc):
+    """On unstructured vectors LSH recall is inherently modest — assert the
+    probe-width knob still buys reasonable recall (numCandidates semantics,
+    reference README.md:364-368)."""
+    q, c = qc
+    exact = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="broadcast_corpus",
+    ).toPandas()
+    approx = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="lsh", num_candidates=200,
+    ).toPandas()
+    exact_pairs = set(zip(exact.qid, exact.cid))
+    approx_pairs = set(zip(approx.qid, approx.cid))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_num_candidates_cap(spark, qc):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import NUM_CANDIDATES_CAP
+
+    assert NUM_CANDIDATES_CAP == 10_000  # reference README.md:368
+
+
+def test_k_larger_than_corpus(spark):
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "qid int, vector array<float>")
+    c = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "cid int, vector array<float>"
+    )
+    out = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="broadcast_corpus",
+    )
+    assert out.count() == 2  # clamps to corpus size
