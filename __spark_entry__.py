@@ -708,9 +708,13 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (signatures: shuffle-free; candidates: bucket hash join). No SQL
     oracle (hash-family-specific); equivalence to the exact pairs is
     asserted in tests/test_dedup.py."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
-    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, est_threshold=0.3)
+    # repartition: a single small parquet file arrives as ONE partition, and
+    # signature computation is per-row-heavy — spread it across cores
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # signatures feed both sides of the bucket self-join and the verify
+    # stage — cache so the 64-hash projection runs once per row
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, est_threshold=0.3).cache()
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cands
     )

@@ -18,6 +18,7 @@ import math
 import struct
 from collections.abc import Sequence
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 
 class Provider:
@@ -35,10 +36,13 @@ class Provider:
         raise NotImplementedError
 
 
-def _hash_floats(text: str, dim: int, salt: str) -> list[float]:
+@lru_cache(maxsize=262_144)
+def _hash_floats(text: str, dim: int, salt: str) -> tuple[float, ...]:
     """Deterministic pseudo-embedding: md5-seeded floats in [-1, 1], then
     L2-normalized. Similar strings do NOT get similar vectors (it's a hash);
-    token-level averaging below provides the similarity structure."""
+    token-level averaging below provides the similarity structure. Cached —
+    real corpora have Zipfian token distributions, so the cache turns
+    per-token hashing into a vocabulary-sized cost."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
@@ -49,7 +53,7 @@ def _hash_floats(text: str, dim: int, salt: str) -> list[float]:
         counter += 1
     out = out[:dim]
     norm = math.sqrt(sum(x * x for x in out)) or 1.0
-    return [x / norm for x in out]
+    return tuple(x / norm for x in out)
 
 
 @dataclass
@@ -67,18 +71,19 @@ class HashingEmbedder(Provider):
     deterministic: bool = True
 
     def embed_batch(self, texts: Sequence[str]) -> list[list[float]]:
+        import numpy as np
+
         out = []
         for text in texts:
             toks = (text or "").lower().split()
             if not toks:
                 out.append([0.0] * self.dim)
                 continue
-            acc = [0.0] * self.dim
+            acc = np.zeros(self.dim)
             for t in toks:
-                for i, x in enumerate(_hash_floats(t, self.dim, self.salt)):
-                    acc[i] += x
-            norm = math.sqrt(sum(x * x for x in acc)) or 1.0
-            out.append([x / norm for x in acc])
+                acc += np.asarray(_hash_floats(t, self.dim, self.salt))
+            norm = float(np.linalg.norm(acc)) or 1.0
+            out.append([float(x) for x in acc / norm])
         return out
 
 

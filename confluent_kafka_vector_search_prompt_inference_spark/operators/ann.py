@@ -90,29 +90,29 @@ def topk_lsh(
     """
     dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
     dim = int(dim_row["d"])
-    # alias both vector columns before the bucket join — query and corpus
-    # commonly share the column name "vector" (reference convention)
+    # The bucket join moves ONLY (id, bucket): exploding bands× before a
+    # shuffle must not multiply vector bytes. Vectors are re-attached to the
+    # surviving candidate pairs afterwards by id (narrow hash joins).
     q = srp_band_hashes(
         queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), "__qv",
         dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(query_id, "__qv", F.explode("band_hashes").alias("__bucket"))
+    ).select(query_id, F.explode("band_hashes").alias("__bucket"))
     c = srp_band_hashes(
         corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), "__cv",
         dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(corpus_id, "__cv", F.explode("band_hashes").alias("__bucket"))
+    ).select(corpus_id, F.explode("band_hashes").alias("__bucket"))
 
     matches = (
         q.join(c, on="__bucket")
         .groupBy(query_id, corpus_id)
-        .agg(
-            F.count("*").alias("__nbands"),
-            F.first("__qv").alias("__qv"),
-            F.first("__cv").alias("__cv"),
-        )
+        .agg(F.count("*").alias("__nbands"))
     )
     probe = Window.partitionBy(query_id).orderBy(F.desc("__nbands"), F.asc(corpus_id))
-    candidates = matches.withColumn("__probe", F.row_number().over(probe)).filter(
-        F.col("__probe") <= num_candidates
+    candidates = (
+        matches.withColumn("__probe", F.row_number().over(probe))
+        .filter(F.col("__probe") <= num_candidates)
+        .join(queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), query_id)
+        .join(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), corpus_id)
     )
     score = vec_dot(F.col("__qv"), F.col("__cv")) if metric == "dot" else vec_cosine(
         F.col("__qv"), F.col("__cv")

@@ -94,17 +94,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """Append ``out_col: ARRAY<BIGINT>`` of ``num_hashes`` minima.
 
-    Hash family = ``xxhash64(shingle, seed_i)`` — JVM-side, no UDF; the
-    whole signature is one codegen'd projection, so at 100 TB this stage is
-    a pure map with zero shuffle."""
-    shingles = word_shingles(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    Hash family: each shingle is string-hashed ONCE (``xxhash64`` → 32-bit
+    domain), then ``h_i = (a_i·h + b_i) mod 2^32`` with seeded random odd
+    multipliers — the standard pairwise-independent multiply-shift family
+    (a naive ``h1 + i·h2`` is NOT min-wise independent: high-``i`` members
+    share argmins and the Jaccard estimate collapses). Products stay below
+    2^63, so arithmetic is overflow-free under ANSI mode (Spark 4 default).
+    All JVM-side, no UDF, one codegen'd projection: at 100 TB this stage is
+    a pure map with zero shuffle.
+
+    Intermediate arrays are materialized in staged projections — Catalyst
+    does not CSE a subexpression across array elements, so inlining the
+    shingle pipeline would recompute the regex/split ``num_hashes``× per
+    row."""
+    rng = np.random.default_rng(42)
+    a_consts = [int(a) | 1 for a in rng.integers(1, 2**31 - 1, size=num_hashes)]
+    b_consts = [int(b) for b in rng.integers(0, 2**32 - 1, size=num_hashes)]
+    mask = F.lit(0xFFFFFFFF)
+
+    shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: F.xxhash64(s).bitwiseAND(mask)).alias("__h"),
     )
-    return df.select(F.col(id_col), sig.alias(out_col))
+
+    def member(i: int):
+        return F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: (F.lit(a_consts[i]) * h + F.lit(b_consts[i])).bitwiseAND(mask),
+            )
+        )
+
+    sig = F.array(*[member(i) for i in range(num_hashes)])
+    return hashed.select(F.col(id_col), sig.alias(out_col))
 
 
 def minhash_lsh_candidates(
@@ -125,9 +148,12 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
 
+    # The bucket self-join moves ONLY (id, bucket) — never the signature
+    # arrays: exploding a wide row bands× before a shuffle multiplies the
+    # shuffle bytes by bands. Signatures are re-attached afterwards by id
+    # (a narrow hash join against the original frame).
     banded = signatures.select(
         F.col(id_col),
-        F.col(sig_col),
         F.explode(
             F.array(
                 *[
@@ -137,27 +163,29 @@ def minhash_lsh_candidates(
             )
         ).alias("__bucket"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a"), "__bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b"), "__bucket"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "__bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "__bucket")
     pairs = (
         a.join(b, on="__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    out = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree.cast("double") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    out = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree.cast("double") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
     )
     if est_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= est_threshold)
@@ -179,11 +207,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets → pairs ≥ threshold.
 
-    With ``candidates`` (id_a, id_b) given — e.g. from MinHash LSH — only
-    those pairs are scored (semi-join pushdown); otherwise all pairs sharing
-    ≥1 shingle are considered (explode + self-join on the shingle — still a
-    hash join, with frequency-skewed shingles the known hot spot; salting
-    hook: filter ultra-common shingles first)."""
+    With ``candidates`` (id_a, id_b) given — e.g. from MinHash LSH — each
+    candidate pair is scored directly with ``array_intersect`` on the two
+    shingle sets (two hash joins on doc id, no explode; work is O(pairs)).
+    Otherwise all pairs sharing ≥1 shingle are considered (explode +
+    self-join on the shingle — still a hash join, with frequency-skewed
+    shingles the known hot spot; salting hook: filter ultra-common shingles
+    first)."""
+    if candidates is not None:
+        sets = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
+        sa = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+        sb = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+        inter = F.size(F.array_intersect("__sha", "__shb"))
+        union = F.size("__sha") + F.size("__shb") - inter
+        return (
+            candidates.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
     sets = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__shingle")
     )
@@ -197,8 +245,6 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
