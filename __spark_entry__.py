@@ -67,6 +67,16 @@ def _dec(col: str | F.Column, typ: str = "decimal(12,2)") -> F.Column:
     return c.cast(typ)
 
 
+# DuckDB mirrors of the functions/text.py expressions (norm → tokens →
+# ratios), shared by several oracles below.
+_EN_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_ES_LIST = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_PUNCT = "[.,;:!?''\"()\\-]"
+_TOKEN_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+
 # ---------------------------------------------------------------------------
 # relational (SURVEY.md §2.2–2.8)
 # ---------------------------------------------------------------------------
@@ -400,6 +410,244 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate (everything pushes down)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "decimal(4,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim with conditional aggregation; part is
+    broadcast so the join adds no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    part = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q14_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding at least one 'P' order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no pending ('P') orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_nationkey")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (status, priority) → subtotals + grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY.md §2.8): transform / filter /
+    aggregate / array_distinct over tokenized documents — all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    words = word_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_word"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_unique"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).cast("bigint").alias("max_wlen"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        .cast("bigint")
+        .alias("sum_wlen"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 5)).cast("bigint").alias("n_long"),
+    )
+
+
+_HOF_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+SELECT doc_id,
+  w[1] AS first_word,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_wlen,
+  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+  CAST(len(list_filter(w, x -> length(x) >= 5)) AS BIGINT) AS n_long
+FROM t
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with deterministic survivor: first event per
+    (user_id, event_type) by (ts, event_id) — dropDuplicates semantics made
+    order-stable via a ranked window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+_EVENTS_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user — the batch form
+    of Spark's ``session_window``; in streaming the same expression runs
+    under a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum(_dec("value")).cast("double").alias("total"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "total")
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def asof_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase picks up the latest
+    click at-or-before it by the same user. DuckDB oracles it natively with
+    ASOF LEFT JOIN."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe clicks to one row per (user, ts) so the as-of pick is unique
+    cw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value"))
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return joined.select(
+        "event_id", "user_id", "ts", "click_id", "click_value"
+    )
+
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value FROM (
+    SELECT user_id, ts, event_id, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-registry decode path (SURVEY.md §2.1 S2): serialize rows to
     JSON wire bytes, decode with a late-bound contract, flatten."""
@@ -603,14 +851,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EN_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-_ES_LIST = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
-# DuckDB mirrors of the text.py expressions (norm → tokens → ratios).
-_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
-_SQL_PUNCT = "[.,;:!?''\"()\\-]"
-_TOKEN_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
-
 _TEXT_QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
@@ -799,7 +1039,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
         "filter_pushdown_project": filter_pushdown_project,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "rollup_agg": rollup_agg,
+        "higher_order_fns": higher_order_fns,
+        "events_dedup_first": events_dedup_first,
+        "events_sessionization": events_sessionization,
+        "asof_clicks_before_purchase": asof_clicks_before_purchase,
         "broadcast_join_agg": broadcast_join_agg,
         "distinct_agg": distinct_agg,
         "window_rank": window_rank,
@@ -838,7 +1087,16 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_ORACLE,
         "q3_shipping_priority": _Q3_ORACLE,
         "q5_region_revenue": _Q5_ORACLE,
+        "q6_forecast_revenue": _Q6_ORACLE,
+        "q14_promo_revenue": _Q14_ORACLE,
         "filter_pushdown_project": _FILTER_ORACLE,
+        "join_semi": _SEMI_ORACLE,
+        "join_anti": _ANTI_ORACLE,
+        "rollup_agg": _ROLLUP_ORACLE,
+        "higher_order_fns": _HOF_ORACLE,
+        "events_dedup_first": _EVENTS_DEDUP_ORACLE,
+        "events_sessionization": _SESSION_ORACLE,
+        "asof_clicks_before_purchase": _ASOF_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,
         "distinct_agg": _DISTINCT_ORACLE,
         "window_rank": _WINDOW_ORACLE,
