@@ -26,10 +26,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
     "filter_pushdown_project",
     "broadcast_join_agg",
     "window_rank",
+    "rollup_agg",
     "events_tumbling_window",
+    "events_sessionization",
+    "asof_clicks_before_purchase",
     "vec_topk_broadcast",
     "vec_topk_shuffle",
     "vec_cosine_topk",

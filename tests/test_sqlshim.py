@@ -152,3 +152,21 @@ def test_insert_values_nested_array_row(spark, engine, tmp_path):
         "Blue Shoes, product_id: 101",
         "Red Shoes, product_id: 102",
     ]
+
+
+def test_ml_predict_version_pinning(spark, engine):
+    """Call-site version pin model$N (README.md:704-708)."""
+    engine.sql(
+        "CREATE MODEL `vector_encoding` INPUT (`input` STRING) OUTPUT (`vector` ARRAY<FLOAT>) "
+        "WITH ('task'='embedding', 'dim'='32')"
+    )
+    df = engine.sql(
+        "SELECT `vector` FROM user_questions, "
+        "LATERAL TABLE(ml_predict('vector_encoding$2', content))"
+    )
+    assert all(len(r.vector) == 32 for r in df.collect())
+    df1 = engine.sql(
+        "SELECT `vector` FROM user_questions, "
+        "LATERAL TABLE(ml_predict('vector_encoding$1', content))"
+    )
+    assert all(len(r.vector) == 16 for r in df1.collect())
