@@ -473,6 +473,89 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-0
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (avg quantity per part)
+    — expressed as a pre-aggregated self-join, which is exactly what
+    Catalyst's de-correlation produces; the per-part average is a partial
+    aggregate over the same shuffle key as the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH avg_q AS (
+  SELECT l_partkey AS p_key,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+  COUNT(*) AS n_items
+FROM lineitem JOIN avg_q ON l_partkey = p_key
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority) — all 4 combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (SURVEY.md §2.11 text analysis): regex-scrub emails and
+    phone numbers — pure JVM regexp_replace. The fixture has no PII, so the
+    query plants synthetic contact lines and proves they are scrubbed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id"), F.lit("@example.com or +1-555-000-"),
+            F.lpad(F.col("doc_id") % 10000, 4, "0"), F.lit(" re: "), F.col("text"),
+        ).alias("text"),
+    )
+    return dirty.select("doc_id", redact_pii("text").alias("clean"))
+
+
+_REDACT_ORACLE = """
+WITH dirty AS (
+  SELECT doc_id,
+    'contact user' || doc_id || '@example.com or +1-555-000-' ||
+    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\\+?\\d[\\d() .-]{7,}\\d', '[PHONE]', 'g') AS clean
+FROM dirty
+"""
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join: customers holding at least one 'P' order."""
     cust = _t(spark, sf_dir, "customer")
@@ -721,6 +804,26 @@ ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY scor
            FROM scored)
 SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 """
+
+
+def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (operators/ivf.py): k-means cluster the
+    corpus, probe the 4 nearest of 8 clusters per query, rescore exactly.
+    No SQL oracle (k-means assignment); exactness at full probe width and
+    recall monotonicity are asserted in tests/test_ivf.py."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, topk_ivf
+
+    indexed, centroids = build_ivf_index(
+        _vec_corpus(spark, sf_dir).withColumnRenamed("neighbor_id", "cid"),
+        "vector", n_clusters=8, seed=42,
+    )
+    out = topk_ivf(
+        _vec_queries(spark, sf_dir), indexed, centroids, k=3,
+        query_id="query_id", corpus_id="cid", metric="dot", n_probe=4,
+    )
+    return out.select(
+        "query_id", F.col("cid").alias("neighbor_id"), F.round("score", 6).alias("score"), "rank"
+    )
 
 
 def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,9 +1145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "filter_pushdown_project": filter_pushdown_project,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "join_semi": join_semi,
         "join_anti": join_anti,
         "rollup_agg": rollup_agg,
+        "cube_agg": cube_agg,
+        "text_redact_pii": text_redact_pii,
         "higher_order_fns": higher_order_fns,
         "events_dedup_first": events_dedup_first,
         "events_sessionization": events_sessionization,
@@ -1063,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
         "vec_topk_shuffle": vec_topk_shuffle,
+        "vec_topk_ivf": vec_topk_ivf,
         "vec_cosine_topk": vec_cosine_topk,
         "vec_norms": vec_norms,
         "vec_label_stats": vec_label_stats,
@@ -1090,9 +1197,12 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_ORACLE,
         "q14_promo_revenue": _Q14_ORACLE,
         "filter_pushdown_project": _FILTER_ORACLE,
+        "q17_small_quantity_revenue": _Q17_ORACLE,
         "join_semi": _SEMI_ORACLE,
         "join_anti": _ANTI_ORACLE,
         "rollup_agg": _ROLLUP_ORACLE,
+        "cube_agg": _CUBE_ORACLE,
+        "text_redact_pii": _REDACT_ORACLE,
         "higher_order_fns": _HOF_ORACLE,
         "events_dedup_first": _EVENTS_DEDUP_ORACLE,
         "events_sessionization": _SESSION_ORACLE,

@@ -90,6 +90,21 @@ def quality_score(text: Column | str) -> Column:
     return F.round(score, 6)
 
 
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+?\d[\d() .-]{7,}\d"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails and phone numbers → ``[EMAIL]`` / ``[PHONE]``.
+
+    Pure ``regexp_replace`` (JVM, codegen'd) — the cheap pre-filter every
+    training-data pipeline runs before anything leaves the cluster. Order
+    matters: emails first, so digits inside addresses aren't half-eaten by
+    the phone pattern."""
+    emails_gone = F.regexp_replace(_c(text), EMAIL_REGEX, "[EMAIL]")
+    return F.regexp_replace(emails_gone, PHONE_REGEX, "[PHONE]")
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text.
 

@@ -1,0 +1,105 @@
+"""IVF (inverted-file) approximate nearest neighbor — the clustered scale
+path for similarity search (SURVEY.md §2.11; complements SRP-LSH in
+``ann.py``).
+
+Build: k-means the corpus into ``n_clusters`` partitions (Spark ML KMeans,
+one pass over the data); store each corpus row's cluster id. At 100 TB the
+cluster id becomes the table's physical partition key, so a probe touches
+only ``n_probe / n_clusters`` of the data — the same pruning Atlas'
+``numCandidates`` index scan performs (reference ``README.md:364-368``).
+
+Query: assign each query to its ``n_probe`` nearest centroids (centroid
+matrix is tiny — a plain broadcast + Arrow-batched matmul), explode to
+(query, cluster) pairs, hash-join against the corpus on cluster id, rescore
+exactly, take top-k. No all-pairs work; the only shuffle is the cluster-id
+join, and it prunes to probed clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_cosine, vec_dot
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "vector",
+    *,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    cluster_col: str = "ivf_cluster",
+) -> tuple[DataFrame, np.ndarray]:
+    """Cluster the corpus; returns (corpus + cluster id column, centroids).
+
+    Uses Spark ML KMeans over an ML Vector column (assembled on the fly and
+    dropped). Centroids come back as a small ``(n_clusters, dim)`` float64
+    matrix — they are index *metadata*, shipped to queries via broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    ml_input = corpus.withColumn("__mlvec", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__mlvec",
+        predictionCol=cluster_col,
+    ).fit(ml_input)
+    indexed = model.transform(ml_input).drop("__mlvec")
+    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    return indexed, centroids
+
+
+def _nearest_clusters_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched assignment of each query vector to its n_probe nearest
+    centroids (euclidean, matching KMeans training)."""
+    cent = centroids.astype(np.float64)
+    cent_sq = (cent**2).sum(axis=1)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = (Q**2).sum(axis=1)[:, None] - 2.0 * (Q @ cent.T) + cent_sq[None, :]
+        k = min(n_probe, cent.shape[0])
+        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        return pd.Series([[int(c) for c in row] for row in idx])
+
+    return assign
+
+
+def topk_ivf(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 3,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    cluster_col: str = "ivf_cluster",
+    metric: str = "dot",
+    n_probe: int = 4,
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Approximate top-k via IVF probing (see module docstring)."""
+    assign = _nearest_clusters_udf(centroids, n_probe)
+    probed = queries.select(
+        F.col(query_id), F.col(query_vec).alias("__qv"),
+        F.explode(assign(F.col(query_vec))).alias(cluster_col),
+    )
+    corpus_narrow = indexed_corpus.select(
+        F.col(corpus_id), F.col(corpus_vec).alias("__cv"), F.col(cluster_col)
+    )
+    pairs = probed.join(corpus_narrow, on=cluster_col)
+    score = vec_dot(F.col("__qv"), F.col("__cv")) if metric == "dot" else vec_cosine(
+        F.col("__qv"), F.col("__cv")
+    )
+    rescored = pairs.select(query_id, corpus_id, F.round(score, 6).alias(score_col))
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return rescored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference keeps all state in external systems (topics, MongoDB —
+SURVEY.md §7 "streaming state"); the engine's extension surface needs
+in-engine keyed state for running aggregates a windowed groupBy can't
+express. The canonical example here: a per-key running profile (count,
+sum, exponential moving average) that emits an updated row per micro-batch
+and expires idle keys with a processing-time timeout — state the size of
+one row per live key, the pattern that scales to millions of keys under
+the RocksDB state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_PROFILE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+
+def running_profile(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.2,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, sum, EMA) over an unbounded stream.
+
+    Emits one updated profile row per key per micro-batch that touched it.
+    With ``idle_timeout_ms``, keys silent for that long are dropped from
+    the state store (the emitted row carries their final profile)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, ema = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "n_events": [n], "total": [total], "ema": [ema]}
+            )
+            return
+        n, total, ema = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                v = float(v)
+                n += 1
+                total += v
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+        state.update((n, total, ema))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "n_events": [n], "total": [total], "ema": [ema]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,70 @@
+"""IVF index: planted-neighbor recall, probe-width effect, exact agreement
+when probing all clusters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, topk_ivf
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+
+@pytest.fixture(scope="module")
+def ivf(embeddings):
+    corpus = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    indexed, centroids = build_ivf_index(corpus, "vector", n_clusters=8, seed=42)
+    return corpus, indexed.cache(), centroids
+
+
+def test_planted_neighbors_found(spark, embeddings, ivf):
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_ivf(
+        q, indexed, centroids, k=1,
+        query_id="qid", corpus_id="cid", metric="cosine", n_probe=1,
+    ).toPandas()
+    # a query identical to a corpus vector lands in that vector's cluster
+    hits = sum(1 for r in out.itertuples() if r.qid == r.cid)
+    assert hits == 30
+
+
+def test_full_probe_equals_exact(spark, embeddings, ivf):
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    exact = topk_similarity_join(
+        q, corpus, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="broadcast_corpus",
+    ).toPandas()
+    approx = topk_ivf(
+        q, indexed, centroids, k=5,
+        query_id="qid", corpus_id="cid", n_probe=8,  # probe every cluster
+    ).toPandas()
+    e = {(r.qid, r.cid, r.rank) for r in exact.itertuples()}
+    a = {(r.qid, r.cid, r.rank) for r in approx.itertuples()}
+    assert e == a
+
+
+def test_probe_width_monotonic_recall(spark, embeddings, ivf):
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    exact = topk_similarity_join(
+        q, corpus, k=3, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="broadcast_corpus",
+    ).toPandas()
+    e = set(zip(exact.qid, exact.cid))
+
+    def recall(n_probe):
+        a = topk_ivf(
+            q, indexed, centroids, k=3,
+            query_id="qid", corpus_id="cid", n_probe=n_probe,
+        ).toPandas()
+        return len(e & set(zip(a.qid, a.cid))) / len(e)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0

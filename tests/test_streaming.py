@@ -143,3 +143,35 @@ def test_drop_duplicates_within_watermark(spark, tmp_path, events_dir):
     # within one watermark window no (user, type) pair may repeat more than
     # its event-time spread allows; sanity: no exact duplicate event_ids
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_stateful_running_profile(spark, tmp_path, events_dir):
+    """Custom keyed state via applyInPandasWithState (SURVEY.md §2.9):
+    running count/sum/EMA per event_type across micro-batches."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.stateful import running_profile
+
+    src, schema, n = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=1)
+    profiles = running_profile(stream, "event_type", "value", alpha=0.3)
+    sink = str(tmp_path / "profsink")
+    q = (
+        profiles.writeStream.outputMode("update")
+        .foreachBatch(idempotent_batch_writer(sink))
+        .option("checkpointLocation", str(tmp_path / "profckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = read_sink(spark, sink).toPandas()
+    # last emission per key must equal the batch-computed totals
+    final = out.sort_values("n_events").groupby("key").last()
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for key, row in final.iterrows():
+        assert row.n_events == batch.loc[key].n
+        assert abs(row.total - batch.loc[key].total) < 1e-6
