@@ -731,6 +731,34 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through ``spark.sql``: register catalog views, run a
+    join+window statement verbatim — proving the SQL entry point resolves
+    the identical plans the DataFrame API builds (SURVEY.md §3 entry A)."""
+    for name in ("orders", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn <= 5
+        """
+    )
+
+
+_SQL_SURFACE_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= 5
+"""
+
+
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-registry decode path (SURVEY.md §2.1 S2): serialize rows to
     JSON wire bytes, decode with a late-bound contract, flatten."""
@@ -1164,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json_events": scalar_json_events,
         "case_bucketing": case_bucketing,
         "events_tumbling_window": events_tumbling_window,
+        "sql_surface": sql_surface,
         "json_roundtrip": json_roundtrip,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
@@ -1216,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_json_events": _SCALAR_ORACLE,
         "case_bucketing": _CASE_ORACLE,
         "events_tumbling_window": _TUMBLING_ORACLE,
+        "sql_surface": _SQL_SURFACE_ORACLE,
         "json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,

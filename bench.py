@@ -53,12 +53,16 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # two passes, report the min: the first pass pays one-off JIT/codegen
+    # compilation; steady-state is what a long-running cluster job sees
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -93,6 +93,47 @@ def _fake_features(data: bytes | None) -> list[float]:
     return [float(x) for x in rng.standard_normal(IMAGE_FEATURE_DIM).astype(np.float32)]
 
 
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> DataFrame:
+    """Sample N frames per video/audio blob: one input row → N output rows.
+
+    Real frame extraction needs codec libraries absent here; the fake
+    slices the raw bytes into N deterministic chunks, keeping the
+    production execution shape — ``mapInPandas`` fan-out (bounded memory:
+    one blob decoded at a time per batch, rows yielded incrementally),
+    typed output, no shuffle. Swap the chunker for PyAV/ffmpeg."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, idxs, frames = [], [], []
+            for m in pdf[media_col]:
+                data = m["bytes"] or b""
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    uris.append(m["uri"])
+                    idxs.append(i)
+                    frames.append(data[i * step : (i + 1) * step])
+            yield pd.DataFrame({"uri": uris, "frame_idx": idxs, "frame_bytes": frames})
+
+    return df.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def resize_image_stub(data: bytes, width: int, height: int) -> bytes:
+    """Real resize — requires Pillow; see :func:`decode_image_stub`."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; the Spark-side "
+        "plumbing (frame_sample / with_fake_image_features) is real"
+    )
+
+
 def with_fake_image_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Feature-extract multimodal rows: ``mapInPandas`` over Arrow batches.
 

@@ -82,6 +82,12 @@ def _parse_options(blob: str) -> dict[str, str]:
     return {m.group("k"): m.group("v") for m in _OPTION_PAIR.finditer(blob)}
 
 
+class ConnectionNotFound(KeyError):
+    """Reference analog: a model/table referencing an unknown connection
+    fails at statement submission — "Connection 'mongodb-connection' not
+    found" (``README.md:312-316``)."""
+
+
 @dataclass
 class EngineSession:
     """``engine.sql(...)`` — the reference's statement surface on Spark."""
@@ -89,7 +95,13 @@ class EngineSession:
     spark: SparkSession
     catalog: Catalog
     registry: ModelRegistry = field(default_factory=ModelRegistry)
+    connections: dict[str, dict[str, str]] = field(default_factory=dict)
     _view_counter: int = 0
+
+    def create_connection(self, name: str, **options: str) -> None:
+        """Named credential/endpoint bundle, environment-scoped
+        (``README.md:52-96``). Secrets never enter any DataFrame."""
+        self.connections[name] = dict(options)
 
     def sql(self, statement: str) -> DataFrame | None:
         if m := _CREATE_MODEL.match(statement):
@@ -114,6 +126,11 @@ class EngineSession:
 
     def _create_model(self, m: re.Match) -> None:
         opts = _parse_options(m.group("options"))
+        # connection references resolve at statement time (README.md:312-316)
+        for key, value in opts.items():
+            if key.endswith(".connection") or key == "connection":
+                if value not in self.connections:
+                    raise ConnectionNotFound(f"Connection '{value}' not found")
         task = opts.get("task", "embedding").lower().replace("-", "_")
         task = "embedding" if "embed" in task else "text_generation"
         # Local deterministic providers by default; live providers are

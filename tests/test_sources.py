@@ -109,3 +109,19 @@ def test_catalog_roundtrip(spark, tmp_path):
     assert cat.table("t").count() == 5
     with pytest.raises(KeyError):
         cat.table("missing")
+
+
+def test_frame_sample_fanout(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(("video/mp4", "mem://v1", bytes(range(64))),)],
+        "media struct<mime:string,uri:string,bytes:binary>",
+    )
+    frames = frame_sample(media, n_frames=4).collect()
+    assert len(frames) == 4
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert all(len(f.frame_bytes) == 16 for f in frames)
+    # deterministic: same input → same chunks
+    again = frame_sample(media, n_frames=4).collect()
+    assert [bytes(f.frame_bytes) for f in frames] == [bytes(f.frame_bytes) for f in again]

@@ -170,3 +170,27 @@ def test_ml_predict_version_pinning(spark, engine):
         "LATERAL TABLE(ml_predict('vector_encoding$1', content))"
     )
     assert all(len(r.vector) == 16 for r in df1.collect())
+
+
+def test_connection_not_found(spark, engine):
+    """Unknown connection fails at statement time (README.md:312-316)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sqlshim import ConnectionNotFound
+
+    with pytest.raises(ConnectionNotFound, match="openai-connection"):
+        engine.sql(
+            "CREATE MODEL `llm` INPUT (`prompts` STRING) OUTPUT (`json_response` STRING) "
+            "WITH ('task'='text_generation', 'openai.connection'='openai-connection')"
+        )
+    engine.create_connection("openai-connection", endpoint="https://api.openai.com")
+    engine.sql(
+        "CREATE MODEL `llm` INPUT (`prompts` STRING) OUTPUT (`json_response` STRING) "
+        "WITH ('task'='text_generation', 'openai.connection'='openai-connection')"
+    )  # README.md:469-480 shape
+    assert engine.registry.get("llm").task == "text_generation"
+
+
+def test_describe_table(spark, engine):
+    """DESCRIBE table (SURVEY.md §2.1 S8)."""
+    out = spark.sql("DESCRIBE user_questions").collect()
+    cols = {r.col_name: r.data_type for r in out}
+    assert cols.get("content") == "string" and cols.get("sessionid") == "string"
