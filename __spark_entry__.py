@@ -1141,8 +1141,11 @@ def _rag(spark: SparkSession, sf_dir: str) -> tuple[RagPipeline, DataFrame, Data
         F.concat(F.lit("session-"), F.col("doc_id")).alias("sessionid"),
         F.col("doc_id").cast("string").alias("question_id"),
     )
+    # repartition before the embedding UDF: a single parquet file is one
+    # partition, which would run Arrow inference single-threaded
     corpus = pipe.registry.ml_predict(
-        docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content"))
+        .repartition(32, "product_id"),
         "vector_encoding",
         "content",
     )

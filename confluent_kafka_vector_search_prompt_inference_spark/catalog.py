@@ -43,6 +43,19 @@ class SinkSchemaMismatch(ValueError):
 
 
 @dataclass
+class VectorIndex:
+    """Vector-index metadata on a corpus table — the engine-level analog of
+    the reference's external-table index options (``mongodb.index``,
+    ``mongodb.path``, ``mongodb.numCandidates``, reference
+    ``README.md:334-346, 355-366``; metric ``README.md:380``)."""
+
+    column: str = "vector"
+    id_column: str = "product_id"
+    metric: str = "dot"
+    num_candidates: int = 20  # README.md:364; capped at 10,000 (README.md:368)
+
+
+@dataclass
 class Catalog:
     """Logical tables over a directory of Parquet files.
 
@@ -54,6 +67,17 @@ class Catalog:
     spark: SparkSession
     paths: dict[str, str] = field(default_factory=dict)
     schemas: dict[str, StructType] = field(default_factory=dict)
+    vector_indexes: dict[str, VectorIndex] = field(default_factory=dict)
+
+    def register_vector_index(self, table: str, **opts) -> VectorIndex:
+        """Attach index metadata (column/id/metric/numCandidates) to a
+        corpus table; ``FEDERATED_SEARCH`` resolves it at call time."""
+        idx = VectorIndex(**opts)
+        self.vector_indexes[table] = idx
+        return idx
+
+    def vector_index(self, table: str) -> VectorIndex:
+        return self.vector_indexes.get(table, VectorIndex())
 
     @classmethod
     def for_dir(cls, spark: SparkSession, sf_dir: str, register_views: bool = True) -> "Catalog":

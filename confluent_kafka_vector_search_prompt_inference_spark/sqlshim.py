@@ -196,8 +196,10 @@ class EngineSession:
 
     def _federated_search(self, table: str, corpus_name: str, k: int, vec_col: str) -> DataFrame:
         """``FEDERATED_SEARCH(corpus, k, vector)``: append ``search_results
-        ARRAY<STRUCT<content>>`` — top-k corpus rows by dot product
-        (``README.md:403-407``; metric ``README.md:380``)."""
+        ARRAY<STRUCT<content>>`` — top-k corpus rows by the corpus table's
+        registered index metric (``README.md:403-407``; index options
+        ``README.md:355-366``, metric ``README.md:380``)."""
+        idx = self.catalog.vector_index(corpus_name)
         queries = self.catalog.table(table).withColumn(
             "__qid", F.md5(F.to_json(F.struct("*")))
         )
@@ -205,11 +207,11 @@ class EngineSession:
         hits = topk_similarity_join(
             queries, corpus, k,
             query_id="__qid", query_vec=vec_col,
-            corpus_id="product_id", corpus_vec="vector",
-            metric="dot",
+            corpus_id=idx.id_column, corpus_vec=idx.column,
+            metric=idx.metric, num_candidates=idx.num_candidates,
         )
         packed = (
-            hits.join(F.broadcast(corpus.select("product_id", "content")), "product_id")
+            hits.join(F.broadcast(corpus.select(idx.id_column, "content")), idx.id_column)
             .groupBy("__qid")
             .agg(
                 F.transform(

@@ -194,3 +194,29 @@ def test_describe_table(spark, engine):
     out = spark.sql("DESCRIBE user_questions").collect()
     cols = {r.col_name: r.data_type for r in out}
     assert cols.get("content") == "string" and cols.get("sessionid") == "string"
+
+
+def test_vector_index_metadata(spark, engine):
+    """Index options resolve from catalog metadata (README.md:355-366):
+    a cosine-metric index changes scoring; defaults hold otherwise."""
+    from confluent_kafka_vector_search_prompt_inference_spark.catalog import VectorIndex
+
+    idx = engine.catalog.register_vector_index(
+        "product", column="vector", id_column="product_id",
+        metric="cosine", num_candidates=50,
+    )
+    assert engine.catalog.vector_index("product") is idx
+    engine.sql(
+        "INSERT INTO user_questions_vector "
+        "SELECT `role`, `content`, `sessionid`, `vector` "
+        "FROM user_questions, LATERAL TABLE(ml_predict('vector_encoding', content))"
+    )
+    df = engine.sql(
+        "SELECT sessionid, search_results FROM user_questions_vector, "
+        "LATERAL TABLE(FEDERATED_SEARCH('product', 2, vector))"
+    )
+    rows = df.collect()
+    assert all(len(r.search_results) == 2 for r in rows)
+    # unregistered table falls back to defaults (dot, numCandidates 20)
+    default = engine.catalog.vector_index("unregistered")
+    assert default.metric == "dot" and default.num_candidates == 20
