@@ -209,6 +209,106 @@ GROUP BY n_name
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join, filter on both fact sides, top-20 by
+    revenue. Customer/nation broadcast; lineitem⋈orders is the one shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (SURVEY.md §2.5): running total (unbounded preceding)
+    and 3-row moving average per customer ordered by order date."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    moving = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(running).cast("double") / 100.0).alias("running_total"),
+        (F.sum(cents).over(moving).cast("double") / 100.0 / F.count("*").over(moving)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+_WINDOW_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w_run AS DOUBLE) / 100.0 AS running_total,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w_mov AS DOUBLE) / 100.0
+    / COUNT(*) OVER w_mov AS moving_avg3
+FROM orders
+WHERE o_custkey < 200
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (SURVEY.md §2.8): concat/substring/lpad/
+    regexp_extract/replace/trim-case — all JVM built-ins."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_type", "A", "@").alias("type_sub"),
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+    )
+
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+  p_brand || ':' || p_type AS brand_type,
+  substring(p_name, 1, 8) AS name_prefix,
+  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+  CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+  regexp_replace(p_type, 'A', '@', 'g') AS type_sub,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  upper(p_brand) AS brand_upper
+FROM part
+"""
+
+
 def filter_pushdown_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate + projection pushdown: filters reach the Parquet scan
     (assert via plans.pushed_filters in tests); raw IEEE arithmetic is
@@ -1185,7 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "filter_pushdown_project": filter_pushdown_project,
+        "q10_returned_items": q10_returned_items,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "window_running_total": window_running_total,
+        "scalar_string_fns": scalar_string_fns,
         "join_semi": join_semi,
         "join_anti": join_anti,
         "rollup_agg": rollup_agg,
@@ -1238,7 +1341,10 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_ORACLE,
         "q14_promo_revenue": _Q14_ORACLE,
         "filter_pushdown_project": _FILTER_ORACLE,
+        "q10_returned_items": _Q10_ORACLE,
         "q17_small_quantity_revenue": _Q17_ORACLE,
+        "window_running_total": _WINDOW_FRAME_ORACLE,
+        "scalar_string_fns": _STRING_ORACLE,
         "join_semi": _SEMI_ORACLE,
         "join_anti": _ANTI_ORACLE,
         "rollup_agg": _ROLLUP_ORACLE,

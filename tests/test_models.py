@@ -93,3 +93,16 @@ def test_parse_golden_embedding_response():
     body = json.loads(payload)
     assert body["model"] == "text-embedding-3-small"
     assert body["usage"]["prompt_tokens"] in (11, 12)  # README.md:164-166
+
+
+def test_all_golden_payloads_parse():
+    """All four captured provider responses from the reference repo
+    (files/sampleVectorSearches/) parse to 1536-dim vectors."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "embedding_*.json")))
+    assert len(files) == 4
+    for path in files:
+        with open(path) as f:
+            vecs = parse_embedding_response(f.read())
+        assert len(vecs) == 1 and len(vecs[0]) == 1536
