@@ -751,6 +751,51 @@ FROM t
 """
 
 
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted aggregation: order counts by priority × status. The pivot
+    column list is pinned so the plan is static (one pass, no value scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_f,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_o,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per (doc, word position) — the generic fan-out
+    primitive every shingling/tokenizing pipeline builds on."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "word")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "word")
+
+
+_EXPLODE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 50)
+SELECT doc_id, CAST(x.pos AS INTEGER) AS pos, x.word AS word
+FROM (SELECT doc_id,
+        unnest(list_transform(range(1, len(w)+1),
+                              i -> struct_pack(pos := i, word := w[i]))) AS x
+      FROM t)
+"""
+
+
 def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup with deterministic survivor: first event per
     (user_id, event_type) by (ts, event_id) — dropDuplicates semantics made
@@ -1295,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": cube_agg,
         "text_redact_pii": text_redact_pii,
         "higher_order_fns": higher_order_fns,
+        "pivot_status_priority": pivot_status_priority,
+        "explode_positions": explode_positions,
         "events_dedup_first": events_dedup_first,
         "events_sessionization": events_sessionization,
         "asof_clicks_before_purchase": asof_clicks_before_purchase,
@@ -1351,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": _CUBE_ORACLE,
         "text_redact_pii": _REDACT_ORACLE,
         "higher_order_fns": _HOF_ORACLE,
+        "pivot_status_priority": _PIVOT_ORACLE,
+        "explode_positions": _EXPLODE_ORACLE,
         "events_dedup_first": _EVENTS_DEDUP_ORACLE,
         "events_sessionization": _SESSION_ORACLE,
         "asof_clicks_before_purchase": _ASOF_ORACLE,

@@ -56,6 +56,11 @@ _ALTER_MODEL = re.compile(
 _DESCRIBE_MODEL = re.compile(
     r"^\s*DESCRIBE\s+MODEL\s+`?(?P<ref>\w+(?:\$(?:all|\d+))?)`?\s*;?\s*$", re.IGNORECASE
 )
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+`?(?P<name>\w+)`?\s*\((?P<cols>.*?)\)\s*"
+    r"(?:WITH\s*\((?P<options>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_SELECT = re.compile(
     r"^\s*INSERT\s+INTO\s+`?(?P<sink>\w+)`?\s*(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -113,6 +118,8 @@ class EngineSession:
             return None
         if m := _DESCRIBE_MODEL.match(statement):
             return self.registry.describe(self.spark, m.group("ref"))
+        if m := _CREATE_TABLE.match(statement):
+            return self._create_table(m)
         if m := _INSERT_VALUES.match(statement):
             return self._insert_values(m)
         if m := _INSERT_SELECT.match(statement):
@@ -146,6 +153,35 @@ class EngineSession:
         out = m.group("output").strip()
         output_col = out.split()[0].strip("`") if out else ""
         self.registry.create_model(m.group("name"), task, provider, output_col=output_col, options=opts)
+        return None
+
+    def _create_table(self, m: re.Match) -> None:
+        """``CREATE TABLE name (cols) WITH (...)`` — the reference's sink
+        declaration (``README.md:266-274, 413-421``): auto-creates the
+        backing store + registers the schema ("creates the topic and the
+        data contract", ``README.md:275``). Flink types are mapped to Spark
+        DDL; the WITH options (``value.format`` etc.) are recorded but the
+        wire format here is always Parquet."""
+        cols = m.group("cols").strip()
+        # Flink → Spark DDL: ROW<...> → STRUCT<...>; BYTES → BINARY
+        ddl = re.sub(r"\bROW\s*<", "STRUCT<", cols, flags=re.IGNORECASE)
+        ddl = re.sub(r"\bBYTES\b", "BINARY", ddl, flags=re.IGNORECASE)
+        if re.search(r"STRUCT<\s*>", ddl):
+            raise ValueError(
+                "untyped ROW<> column in CREATE TABLE — declare the full struct "
+                "or use STRING + json_object (reference README.md:552-594)"
+            )
+        schema = __import__("pyspark.sql.types", fromlist=["_parse_datatype_string"])
+        struct = schema._parse_datatype_string(f"struct<{ddl}>")
+        import os
+        import tempfile
+
+        base = self.spark.conf.get("spark.sql.warehouse.dir", tempfile.gettempdir())
+        path = os.path.join(base.removeprefix("file:"), f"engine_table_{m.group('name')}")
+        empty = self.spark.createDataFrame([], struct)
+        empty.write.mode("overwrite").parquet(path)
+        self.catalog.add_table(m.group("name"), path, schema=struct)
+        self.catalog.table(m.group("name")).createOrReplaceTempView(m.group("name"))
         return None
 
     def _insert_values(self, m: re.Match) -> None:

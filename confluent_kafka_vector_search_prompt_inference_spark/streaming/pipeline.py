@@ -82,6 +82,17 @@ def continuous_insert(
     return writer.start()
 
 
+def statement_phase(query: StreamingQuery) -> str:
+    """The reference's statement phase machine (PENDING → RUNNING →
+    COMPLETED/FAILED, ``README.md:312-316, 544-547``) read off a Spark
+    StreamingQuery."""
+    if query.exception() is not None:
+        return "FAILED"
+    if not query.isActive:
+        return "COMPLETED"
+    return "RUNNING" if query.status.get("isDataAvailable") is not None else "PENDING"
+
+
 def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Read an idempotent sink back as one table (the ``_batch`` bookkeeping
     partition column is internal and dropped)."""

@@ -220,3 +220,26 @@ def test_vector_index_metadata(spark, engine):
     # unregistered table falls back to defaults (dot, numCandidates 20)
     default = engine.catalog.vector_index("unregistered")
     assert default.metric == "dot" and default.num_candidates == 20
+
+
+def test_create_table_statement(spark, engine):
+    """CREATE TABLE with Flink types incl. nested ROW (README.md:413-421)."""
+    engine.sql(
+        "CREATE TABLE user_prompts2 (role STRING, content STRING, sessionid STRING, "
+        "products ARRAY<ROW<content STRING>>) WITH ('value.format'='json-registry')"
+    )
+    df = engine.catalog.table("user_prompts2")
+    assert df.schema["products"].dataType.simpleString() == "array<struct<content:string>>"
+    engine.sql(
+        "INSERT INTO user_prompts2 VALUES ('user', 'q', 's1', ARRAY[ROW('item a')])"
+    )
+    assert engine.catalog.table("user_prompts2").count() == 1
+
+
+def test_create_table_untyped_row_rejected(spark, engine):
+    """The ROW<> pitfall fails at DDL time (README.md:552-594)."""
+    with pytest.raises(ValueError, match="ROW<>"):
+        engine.sql(
+            "CREATE TABLE bad_table (sessionid STRING, llm_request ROW<>) "
+            "WITH ('value.format'='json-registry')"
+        )

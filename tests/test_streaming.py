@@ -175,3 +175,15 @@ def test_stateful_running_profile(spark, tmp_path, events_dir):
     for key, row in final.iterrows():
         assert row.n_events == batch.loc[key].n
         assert abs(row.total - batch.loc[key].total) < 1e-6
+
+
+def test_statement_phase(spark, tmp_path, events_dir):
+    """Statement lifecycle phases (README.md:312-316, 544-547)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import statement_phase
+
+    src, schema, _ = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=3)
+    q = continuous_insert(stream, str(tmp_path / "s"), str(tmp_path / "c"), trigger_once=True)
+    assert statement_phase(q) in ("PENDING", "RUNNING")
+    _drain(q)
+    assert statement_phase(q) == "COMPLETED"
