@@ -108,8 +108,8 @@ def minhash_signatures(
     shingle pipeline would recompute the regex/split ``num_hashes``× per
     row."""
     rng = np.random.default_rng(42)
-    a_consts = [int(a) | 1 for a in rng.integers(1, 2**31 - 1, size=num_hashes)]
-    b_consts = [int(b) for b in rng.integers(0, 2**32 - 1, size=num_hashes)]
+    a_consts = rng.integers(1, 2**31 - 1, size=num_hashes, dtype=np.int64) | 1
+    b_consts = rng.integers(0, 2**32 - 1, size=num_hashes, dtype=np.int64)
     mask = F.lit(0xFFFFFFFF)
 
     shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
@@ -118,16 +118,26 @@ def minhash_signatures(
         F.transform(F.col("__sh"), lambda s: F.xxhash64(s).bitwiseAND(mask)).alias("__h"),
     )
 
-    def member(i: int):
-        return F.array_min(
-            F.transform(
-                F.col("__h"),
-                lambda h: (F.lit(a_consts[i]) * h + F.lit(b_consts[i])).bitwiseAND(mask),
-            )
-        )
+    # The num_hashes affine minima run in ONE Arrow-batched NumPy UDF over
+    # the precomputed hash arrays: a 64-member Catalyst expression array
+    # generates megabytes of Java that blows past JIT limits and runs
+    # interpreted (~5× slower); the (shingles × num_hashes) outer product is
+    # exactly what BLAS-style vectorization is for. Still a zero-shuffle map.
+    from pyspark.sql.types import ArrayType, LongType as _Long
 
-    sig = F.array(*[member(i) for i in range(num_hashes)])
-    return hashed.select(F.col(id_col), sig.alias(out_col))
+    @F.pandas_udf(ArrayType(_Long()))
+    def _minima(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append([0] * num_hashes)
+                continue
+            hv = np.asarray(h, dtype=np.int64)  # values < 2^32
+            fam = (hv[:, None] * a_consts[None, :] + b_consts[None, :]) & 0xFFFFFFFF
+            out.append([int(x) for x in fam.min(axis=0)])
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), _minima(F.col("__h")).alias(out_col))
 
 
 def minhash_lsh_candidates(
