@@ -475,6 +475,59 @@ FROM events
 """
 
 
+def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (SURVEY.md §2.8): extract fields, day
+    arithmetic, truncation — all JVM built-ins with ANSI-portable mirrors."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.to_date(F.lit("1999-01-01")), F.to_date("o_orderdate")).alias(
+            "days_to_1999"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: NULLIF / COALESCE / null-safe equality and
+    null-aware aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.groupBy(F.col("c_nationkey")).agg(
+        F.count(seg_or_null).alias("n_nonbuilding"),  # count skips NULLs
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(seg_or_null.eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)
+        ).alias("n_building"),
+        F.coalesce(F.max(seg_or_null), F.lit("(none)")).alias("max_other_seg"),
+    )
+
+
+_NULL_ORACLE = """
+SELECT c_nationkey,
+  COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding,
+  COUNT(*) AS n_total,
+  SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+           THEN 1 ELSE 0 END) AS n_building,
+  COALESCE(MAX(NULLIF(c_mktsegment, 'BUILDING')), '(none)') AS max_other_seg
+FROM customer GROUP BY c_nationkey
+"""
+
+
 def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     bucket = (
@@ -1352,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": set_intersect,
         "union_counts": union_counts,
         "scalar_json_events": scalar_json_events,
+        "scalar_date_fns": scalar_date_fns,
+        "null_semantics": null_semantics,
         "case_bucketing": case_bucketing,
         "events_tumbling_window": events_tumbling_window,
         "sql_surface": sql_surface,
@@ -1410,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": _INTERSECT_ORACLE,
         "union_counts": _UNION_ORACLE,
         "scalar_json_events": _SCALAR_ORACLE,
+        "scalar_date_fns": _DATE_ORACLE,
+        "null_semantics": _NULL_ORACLE,
         "case_bucketing": _CASE_ORACLE,
         "events_tumbling_window": _TUMBLING_ORACLE,
         "sql_surface": _SQL_SURFACE_ORACLE,
