@@ -528,6 +528,29 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the events props JSON into a map, read keys /
+    values / sizes (SURVEY.md §1.2 — maps are engine-supported even though
+    the reference never uses them)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+_MAP_ORACLE = """
+SELECT event_id,
+  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events WHERE event_id < 2000
+"""
+
+
 def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     bucket = (
@@ -1331,7 +1354,9 @@ def _rag(spark: SparkSession, sf_dir: str) -> tuple[RagPipeline, DataFrame, Data
         "retail_assistant", "text_generation",
         TemplateLLM(system_prompt="You are a friendly shopping assistant"),
     )
-    pipe = RagPipeline(registry, k=3)
+    # corpus is small at test scale — pin the broadcast strategy so the
+    # auto-picker's sizing probes (count + dim) don't cost extra Spark jobs
+    pipe = RagPipeline(registry, k=3, strategy="broadcast_corpus")
     docs = _t(spark, sf_dir, "documents")
     questions = docs.filter(F.col("doc_id") < 20).select(
         F.lit("user").alias("role"),
@@ -1407,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json_events": scalar_json_events,
         "scalar_date_fns": scalar_date_fns,
         "null_semantics": null_semantics,
+        "map_type_ops": map_type_ops,
         "case_bucketing": case_bucketing,
         "events_tumbling_window": events_tumbling_window,
         "sql_surface": sql_surface,
@@ -1467,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_json_events": _SCALAR_ORACLE,
         "scalar_date_fns": _DATE_ORACLE,
         "null_semantics": _NULL_ORACLE,
+        "map_type_ops": _MAP_ORACLE,
         "case_bucketing": _CASE_ORACLE,
         "events_tumbling_window": _TUMBLING_ORACLE,
         "sql_surface": _SQL_SURFACE_ORACLE,

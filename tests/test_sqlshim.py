@@ -243,3 +243,27 @@ def test_create_table_untyped_row_rejected(spark, engine):
             "CREATE TABLE bad_table (sessionid STRING, llm_request ROW<>) "
             "WITH ('value.format'='json-registry')"
         )
+
+
+def test_python_udtf_lateral(spark):
+    """User-authored UDTF + SQL LATERAL (SURVEY.md §2.10 — the engine ships
+    the UDTF surface the reference's author wished for, README.md:501)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    spark.createDataFrame(
+        [("the quick fox",), ("hello world",)], "line string"
+    ).createOrReplaceTempView("lines")
+    out = spark.sql(
+        "SELECT line, word, pos FROM lines, LATERAL split_words(line)"
+    ).collect()
+    assert len(out) == 5
+    assert {(r.word, r.pos) for r in out if r.line == "hello world"} == {
+        ("hello", 0), ("world", 1)
+    }
