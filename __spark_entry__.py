@@ -1344,6 +1344,317 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# subquery / analytic / set-op surfaces (SURVEY.md §2.3–2.7 shipped-beyond-
+# reference rows; TPC-H shapes adapted to the driver's column subset)
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with a
+    non-equi residual. The semi join shuffles on the equi key only; the
+    range predicate rides along as a join residual, so at 100 TB this is
+    one key-partitioned shuffle with no row explosion (semi output ≤ orders)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation (orders per
+    customer, then customers per order-count). First agg shuffles on
+    c_custkey; the distribution agg is tiny (≤ max order count rows)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving an IN
+    semi-join. The lineitem agg is the big shuffle (on l_orderkey, the
+    natural key); the surviving keys are a tiny set that broadcasts into
+    the orders/customer joins — no second large shuffle at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).cast("double") / 100.0).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120.0)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+_Q18_ORACLE = """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, t.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 > 120.0
+) t ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: join with OR-of-AND predicate blocks. The equi key
+    (partkey) is extracted so the join stays a hash join (part side
+    broadcast); the disjunction evaluates as a post-join residual —
+    Catalyst also derives the superset filters pushed to each scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50)) & (F.col("l_quantity") >= 20))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    return j.filter(block).agg(
+        (F.sum(cents * disc).cast("double") / 10000.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS
+    anti-join. The scalar avg is a one-row broadcast; the anti join
+    shuffles on custkey only."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+    )
+    idle = rich.join(big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        (F.sum(_dec("c_acctbal")).cast("double")).alias("totacctbal"),
+    )
+
+
+_Q22_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+GROUP BY c_mktsegment
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: explicit set list with grouping_id
+    (SURVEY.md §2.4). Single shuffle; Spark expands sets map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double") / 100.0).alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface: lag / lead / ntile / percent_rank over a
+    total per-user order (SURVEY.md §2.5). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_WINDOW_ANALYTICS_ORACLE = """
+SELECT user_id, event_id,
+  LAG(value, 1) OVER w AS prev_value,
+  LEAD(event_type, 1) OVER w AS next_type,
+  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM events WHERE user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops: exceptAll + intersectAll (SURVEY.md §2.7 *All
+    variants) — Catalyst rewrites to aggregated replication counts, so no
+    row-by-row matching is needed at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    ex = f.exceptAll(o).groupBy("o_custkey").agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "o_custkey", "n"
+    )
+    ia = f.intersectAll(o).groupBy("o_custkey").agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "o_custkey", "n"
+    )
+    return ex.unionByName(ia)
+
+
+_EXCEPT_ALL_ORACLE = """
+WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+FROM (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o) GROUP BY o_custkey
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+FROM (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o) GROUP BY o_custkey
+"""
+
+
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: clicks within the hour before each purchase, per
+    user (SURVEY.md §2.3 range-join row). Spark plan: equi join on user_id
+    with the time band as residual — shuffles both sides on user_id once.
+    At 100 TB the residual band keeps the per-key fan-out bounded by the
+    window, and skewed users are handled by AQE skew-join splitting."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = purchases.join(
+        clicks,
+        (purchases.p_user == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts < purchases.p_ts),
+        "left",
+    )
+    return j.groupBy("purchase_id").agg(F.count("c_user").alias("clicks_before"))
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, COUNT(c.user_id) AS clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics + moments per group: percentile (exact
+    interpolated), stddev, correlation (SURVEY.md §2.4). Exact percentile
+    needs per-group sorted values — fine for bounded group counts; at
+    100 TB switch to approx_percentile (t-digest, mergeable map-side)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.corr("c_acctbal", F.col("c_nationkey").cast("double")), 6).alias("bal_nation_corr"),
+    )
+
+
+_STATS_ORACLE = """
+SELECT c_mktsegment,
+  ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+  ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+  ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+  ROUND(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS bal_nation_corr
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside the exact count — the
+    scale path for distinct cardinality (mergeable sketch, no distinct
+    shuffle). Rows-only check: HLL estimates are engine-specific; the
+    ±5%% accuracy contract is asserted in tests/test_functions.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # RAG pipeline (the reference's workload end-to-end)
 # ---------------------------------------------------------------------------
 
@@ -1437,6 +1748,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "sql_surface": sql_surface,
         "json_roundtrip": json_roundtrip,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "grouping_sets_agg": grouping_sets_agg,
+        "window_analytics": window_analytics,
+        "set_except_all": set_except_all,
+        "range_join_clicks": range_join_clicks,
+        "stats_quantiles": stats_quantiles,
+        "approx_distinct_counts": approx_distinct_counts,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
@@ -1498,6 +1820,17 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": _TUMBLING_ORACLE,
         "sql_surface": _SQL_SURFACE_ORACLE,
         "json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
+        "q4_order_priority": _Q4_ORACLE,
+        "q13_customer_distribution": _Q13_ORACLE,
+        "q18_large_volume": _Q18_ORACLE,
+        "q19_disjunctive_revenue": _Q19_ORACLE,
+        "q22_idle_customers": _Q22_ORACLE,
+        "grouping_sets_agg": _GROUPING_SETS_ORACLE,
+        "window_analytics": _WINDOW_ANALYTICS_ORACLE,
+        "set_except_all": _EXCEPT_ALL_ORACLE,
+        "range_join_clicks": _RANGE_JOIN_ORACLE,
+        "stats_quantiles": _STATS_ORACLE,
+        # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,
         "vec_topk_shuffle": _VEC_TOPK_ORACLE,

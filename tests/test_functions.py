@@ -87,3 +87,18 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL++ sketch estimate stays within the configured rsd of the exact
+    distinct count (the scale path for cardinality — mergeable, no
+    distinct shuffle)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select((F.col("id") % 7919).alias("k"))
+    row = df.agg(
+        F.approx_count_distinct("k", 0.02).alias("approx"),
+        F.countDistinct("k").alias("exact"),
+    ).first()
+    assert row.exact == 7919
+    assert abs(row.approx - row.exact) / row.exact < 0.05
