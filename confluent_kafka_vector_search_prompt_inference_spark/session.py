@@ -27,6 +27,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Split-size floor for SMALL files: the default 4 MB floor collapses a
+    # 10 MB table to 3 splits, idling 29 of 32 local cores. At cluster scale
+    # bytes-per-core >> maxPartitionBytes, so this floor never binds there.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
