@@ -45,6 +45,8 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
     simhash_near_duplicates,
     simhash_signatures,
 )
+from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
+from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
 from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
 from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
 from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
@@ -1642,6 +1644,96 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (§2.11 curation
+    surface): a row's split depends only on its key — reproducible across
+    reruns, engines, and re-sharding. Narrow md5 expression, no shuffle
+    except the final tiny count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    split = dataset_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+_DATASET_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT lang,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling by content hash (class
+    rebalancing): keep 50%% of 'en' docs, 25%% of everything else. Map-side
+    filter only — the 100 TB path (seeded Bernoulli ``sampleBy`` also
+    ships; this hash form is additionally engine-reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id")
+    keep = F.when(F.col("lang") == "en", bucket < 500000).otherwise(bucket < 250000)
+    return docs.filter(keep).groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT lang, doc_id,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS bucket
+  FROM documents)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM b
+WHERE CASE WHEN lang = 'en' THEN bucket < 500000 ELSE bucket < 250000 END
+GROUP BY lang
+"""
+
+
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact-Jaccard candidate pairs →
+    iterative connected components (min-label propagation, one shuffle of
+    (node,label) per round) → canonical representative per cluster
+    (§2.11 dedup last mile). Oracled by a DuckDB recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return dedup_clusters(pairs, docs, "doc_id").orderBy("id")
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+       FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.b AS node, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS id,
+  COALESCE(c.component, d.doc_id) AS canonical_id,
+  COALESCE(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY id
+"""
+
+
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact count — the
     scale path for distinct cardinality (mergeable sketch, no distinct
@@ -1759,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks": range_join_clicks,
         "stats_quantiles": stats_quantiles,
         "approx_distinct_counts": approx_distinct_counts,
+        "dataset_split_counts": dataset_split_counts,
+        "stratified_hash_sample": stratified_hash_sample,
+        "dedup_cluster_assignments": dedup_cluster_assignments,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
@@ -1830,6 +1925,9 @@ def oracle_sql() -> dict[str, str]:
         "set_except_all": _EXCEPT_ALL_ORACLE,
         "range_join_clicks": _RANGE_JOIN_ORACLE,
         "stats_quantiles": _STATS_ORACLE,
+        "dataset_split_counts": _DATASET_SPLIT_ORACLE,
+        "stratified_hash_sample": _STRATIFIED_ORACLE,
+        "dedup_cluster_assignments": _DEDUP_CLUSTERS_ORACLE,
         # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,

@@ -1,0 +1,78 @@
+"""Sampling / split / connected-components operators (SURVEY.md §2.11)."""
+
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import (
+    dataset_split,
+    hash_bucket,
+    stratified_sample,
+)
+
+
+def test_dataset_split_deterministic_and_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = dataset_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = dataset_split(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # proportions near the weights (content hash, not exact allocation)
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # identical assignment regardless of partitioning
+    a = {r.k: r.split for r in s1.collect()}
+    b = {r.k: r.split for r in s2.collect()}
+    assert a == b
+
+
+def test_dataset_split_duplicate_keys_never_straddle(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+    out = dataset_split(df, "k", {"train": 0.5, "test": 0.5}).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_dataset_split_bad_weights_rejected(spark):
+    import pytest
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        dataset_split(df, "id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(0, 500)
+    rows = df.select(hash_bucket("id", 100).alias("b")).collect()
+    assert all(0 <= r.b < 100 for r in rows)
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.range(0, 4000).select(
+        (F.when(F.col("id") % 2 == 0, "a").otherwise("b")).alias("s"), "id"
+    )
+    out = stratified_sample(df, "s", {"a": 0.5, "b": 0.1}, seed=7)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] / 2000 - 0.5) < 0.08
+    assert abs(counts.get("b", 0) / 2000 - 0.1) < 0.05
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    # {1,2,3} triangle-ish, {10,11,12,13} chain — min label wins everywhere
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (12, 13)], "src bigint, dst bigint"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_dedup_clusters_singletons_kept(spark):
+    pairs = spark.createDataFrame([(5, 3)], "id_a bigint, id_b bigint")
+    ids = spark.createDataFrame([(1,), (3,), (5,)], "doc_id bigint")
+    out = {r.id: (r.canonical_id, r.is_duplicate)
+           for r in dedup_clusters(pairs, ids, "doc_id").collect()}
+    assert out == {1: (1, False), 3: (3, False), 5: (3, True)}
