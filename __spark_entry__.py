@@ -34,7 +34,12 @@ from confluent_kafka_vector_search_prompt_inference_spark.functions.text import 
     token_count,
     word_tokens,
 )
-from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot, vec_l2norm
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+    vec_dot,
+    vec_l2norm,
+    vec_quantize_int8,
+    vec_quantized_dot,
+)
 from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
 from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
     embedding_near_duplicates,
@@ -1116,6 +1121,82 @@ SELECT neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+def vec_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings (§2.11 similarity search at
+    scale): per-vector symmetric quantization → EXACT integer dot products
+    rescaled by the two scales. The quantized corpus broadcasts in 1/4 the
+    bytes of float32 — the memory lever that keeps the broadcast strategy
+    viable 4× longer before falling back to shuffle. Scores are approximate
+    vs full precision but bit-identical across engines (integer reduction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", vec_quantize_int8("embedding").alias("qv"))
+    q = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("a")
+    )
+    c = qz.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("b")
+    )
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id",
+        F.round(vec_quantized_dot("a", "b"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_VEC_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+q AS (SELECT vec_id AS query_id, scale AS qs, q AS qq FROM qz WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, scale AS cs, q AS cq FROM qz WHERE vec_id >= 10),
+scored AS (SELECT query_id, neighbor_id,
+             ROUND(list_inner_product(qq, cq) * qs * cs, 6) AS score
+           FROM q CROSS JOIN c),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: pre-aggregate once at minute
+    grain, then answer the hour-grain query by RE-AGGREGATING THE PARTIALS
+    (count + exact cents sum are mergeable). At 100 TB the minute rollup is
+    the only pass over raw events; every coarser grain reads the rollup —
+    ~60× less data per re-aggregation. Identical result to aggregating raw
+    events, which is exactly what the oracle computes."""
+    ev = _t(spark, sf_dir, "events")
+    minutes = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        ).agg(
+            F.count("*").alias("n_part"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_part"),
+        )
+    )
+    return (
+        minutes.groupBy(F.date_trunc("hour", "minute").alias("hour"), "event_type")
+        .agg(
+            F.sum("n_part").alias("n"),
+            (F.sum("cents_part").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+_HIER_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select("vec_id", F.round(vec_l2norm("embedding"), 6).alias("l2norm"))
@@ -1860,7 +1941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_shuffle": vec_topk_shuffle,
         "vec_topk_ivf": vec_topk_ivf,
         "vec_cosine_topk": vec_cosine_topk,
+        "vec_quantized_topk": vec_quantized_topk,
         "vec_norms": vec_norms,
+        "events_hierarchical_rollup": events_hierarchical_rollup,
         "vec_label_stats": vec_label_stats,
         # dedup + text (§2.11)
         "dedup_exact_groups": dedup_exact_groups,
@@ -1933,7 +2016,9 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_reverse": _VEC_TOPK_ORACLE,
         "vec_topk_shuffle": _VEC_TOPK_ORACLE,
         "vec_cosine_topk": _VEC_COSINE_ORACLE,
+        "vec_quantized_topk": _VEC_QUANT_ORACLE,
         "vec_norms": _VEC_NORMS_ORACLE,
+        "events_hierarchical_rollup": _HIER_ROLLUP_ORACLE,
         "vec_label_stats": _VEC_LABEL_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "doc_fingerprints": _FINGERPRINT_ORACLE,

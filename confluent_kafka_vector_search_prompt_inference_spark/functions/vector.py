@@ -57,3 +57,53 @@ def vec_normalize(a: Column | str) -> Column:
     return F.when(norm == 0.0, _as_double(a)).otherwise(
         F.transform(_as_double(a), lambda x: x / norm)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the 100 TB memory lever for similarity search:
+# a quantized corpus broadcasts in 1/4 the bytes of float32 (1/8 of float64),
+# and candidate scoring becomes exact INTEGER dot products (engine-portable,
+# no float accumulation-order concerns). Recall loss is bounded by the
+# per-vector max-abs scaling; re-score the top candidates with vec_dot on
+# the full-precision vectors when exactness matters.
+# ---------------------------------------------------------------------------
+
+def vec_quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization.
+
+    Returns ``STRUCT<scale: DOUBLE, q: ARRAY<INT>>`` with
+    ``scale = max(|v|)/127`` and ``q_i = round(v_i / scale)`` ∈ [-127, 127].
+    Zero vectors quantize to zeros with scale 0.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    d = _as_double(a)
+    amax = F.array_max(F.transform(d, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0.0, F.transform(d, lambda x: x.cast("int"))).otherwise(
+        F.transform(d, lambda x: F.round(x / scale).cast("int"))
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def vec_int_dot(qa: Column | str, qb: Column | str) -> Column:
+    """Exact integer dot product of two int arrays (BIGINT accumulation —
+    overflow-safe under ANSI for any realistic dimensionality)."""
+    qa = F.col(qa) if isinstance(qa, str) else qa
+    qb = F.col(qb) if isinstance(qb, str) else qb
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x.cast("bigint") * y.cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_quantized_dot(a_struct: Column | str, b_struct: Column | str) -> Column:
+    """Approximate dot product from two quantized structs:
+    ``int_dot(qa, qb) * scale_a * scale_b`` — one exact integer reduction
+    plus two multiplies; identical in any engine."""
+    a_struct = F.col(a_struct) if isinstance(a_struct, str) else a_struct
+    b_struct = F.col(b_struct) if isinstance(b_struct, str) else b_struct
+    return (
+        vec_int_dot(a_struct["q"], b_struct["q"]).cast("double")
+        * a_struct["scale"] * b_struct["scale"]
+    )

@@ -140,3 +140,52 @@ def test_k_larger_than_corpus(spark):
         corpus_id="cid", corpus_vec="vector", strategy="broadcast_corpus",
     )
     assert out.count() == 2  # clamps to corpus size
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values differ from the original by at most scale/2
+    (symmetric rounding), and zero vectors survive."""
+    from pyspark.sql import functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id int, v array<double>",
+    )
+    rows = df.select("id", "v", vec_quantize_int8("v").alias("qv")).collect()
+    for r in rows:
+        assert len(r.qv.q) == len(r.v)
+        assert all(-127 <= x <= 127 for x in r.qv.q)
+        for orig, q in zip(r.v, r.qv.q):
+            assert abs(orig - q * r.qv.scale) <= r.qv.scale / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_smoke):
+    """Quantized top-3 recovers most of the exact top-3 (int8 keeps ~2
+    decimal digits of the score; embeddings are well-spread)."""
+    from pyspark.sql import Window, functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+        vec_dot, vec_quantize_int8, vec_quantized_dot,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cid"))
+    exact = (
+        q.crossJoin(c).select("qid", "cid", vec_dot("qv", "cv").alias("s"))
+        .withColumn("r", F.row_number().over(w)).filter("r <= 3")
+    )
+    quant = (
+        q.select("qid", vec_quantize_int8("qv").alias("a"))
+        .crossJoin(c.select("cid", vec_quantize_int8("cv").alias("b")))
+        .select("qid", "cid", vec_quantized_dot("a", "b").alias("s"))
+        .withColumn("r", F.row_number().over(w)).filter("r <= 3")
+    )
+    e = {(r.qid, r.cid) for r in exact.collect()}
+    a = {(r.qid, r.cid) for r in quant.collect()}
+    assert len(e & a) / len(e) >= 0.8
