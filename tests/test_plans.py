@@ -53,3 +53,39 @@ def test_topk_broadcast_has_no_shuffle(spark, sf_correct):
     """The broadcast-corpus top-k is a pure map — no Exchange in the plan."""
     df = entry.vec_topk_broadcast(spark, sf_correct)
     assert "Exchange" not in formatted_plan(df)
+
+
+def test_q4_semi_join_shape(spark, sf_correct):
+    """EXISTS compiles to a LeftSemi join (no row explosion) with the
+    range predicate as a join residual, and the date filter reaches the
+    orders scan."""
+    df = entry.q4_order_priority(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q18_aggregate_then_broadcast(spark, sf_correct):
+    """The HAVING-filtered key set broadcasts into orders/customer — the
+    only shuffle left is the lineitem groupBy on its natural key."""
+    assert has_broadcast_join(entry.q18_large_volume(spark, sf_correct))
+
+
+def test_q19_part_side_broadcasts(spark, sf_correct):
+    assert has_broadcast_join(entry.q19_disjunctive_revenue(spark, sf_correct))
+
+
+def test_dataset_split_is_narrow(spark, sf_correct):
+    """Content-hash split adds no Exchange: split assignment is map-side."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    df = dataset_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    assert "Exchange" not in formatted_plan(df)
+
+
+def test_hierarchical_rollup_two_aggs_one_scan(spark, sf_correct):
+    """The rollup re-aggregates minute partials: exactly one scan of the
+    events table feeds both aggregation levels."""
+    df = entry.events_hierarchical_rollup(spark, sf_correct)
+    assert len(read_schemas(df)) == 1, formatted_plan(df)
