@@ -1725,6 +1725,106 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join through two independent dimension chains
+    (lineitem→supplier→nation, orders→customer→nation) with a symmetric
+    nation-pair predicate. All four dimension tables broadcast; the single
+    shuffle is lineitem⋈orders on orderkey — at 100 TB that fact-fact join
+    is the unavoidable one and it runs on the natural key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(cents * disc).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join on a
+    broadcast-able key set) + per-group countDistinct. The excluded
+    supplier set is tiny → broadcast anti join, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 40
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per user, total value in the
+    strictly-preceding hour (SURVEY.md §2.5 rangeBetween frames — the
+    windowed cousin of range_join_clicks). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("trailing_cents"),
+    )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+  SUM(CAST(round(value*100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS trailing_cents
+FROM events WHERE user_id < 100
+"""
+
+
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (§2.11 curation
     surface): a row's split depends only on its key — reproducible across
@@ -1935,6 +2035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_counts": dataset_split_counts,
         "stratified_hash_sample": stratified_hash_sample,
         "dedup_cluster_assignments": dedup_cluster_assignments,
+        "q7_nation_volume": q7_nation_volume,
+        "q16_supplier_counts": q16_supplier_counts,
+        "window_range_frame": window_range_frame,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
@@ -2011,6 +2114,9 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_counts": _DATASET_SPLIT_ORACLE,
         "stratified_hash_sample": _STRATIFIED_ORACLE,
         "dedup_cluster_assignments": _DEDUP_CLUSTERS_ORACLE,
+        "q7_nation_volume": _Q7_ORACLE,
+        "q16_supplier_counts": _Q16_ORACLE,
+        "window_range_frame": _RANGE_FRAME_ORACLE,
         # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,
