@@ -52,6 +52,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
 )
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
 from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
+from confluent_kafka_vector_search_prompt_inference_spark.operators.skew import salted_join
 from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
 from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
 from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
@@ -1825,6 +1826,34 @@ FROM events WHERE user_id < 100
 """
 
 
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): the plan-level answer to
+    pathological key skew — the fact side salts each key over 8 reducers,
+    the dim side replicates ×8. Row-level results are identical to the
+    plain join, which is exactly what the oracle computes."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, "l_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SKEW_ORACLE = """
+SELECT s.s_nationkey,
+  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (§2.11 curation
     surface): a row's split depends only on its key — reproducible across
@@ -2038,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q16_supplier_counts": q16_supplier_counts,
         "window_range_frame": window_range_frame,
+        "skew_salted_revenue": skew_salted_revenue,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
@@ -2117,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": _Q7_ORACLE,
         "q16_supplier_counts": _Q16_ORACLE,
         "window_range_frame": _RANGE_FRAME_ORACLE,
+        "skew_salted_revenue": _SKEW_ORACLE,
         # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,

@@ -98,3 +98,71 @@ def running_profile(
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API): typed state variables +
+# TTL managed by the engine, the forward path for custom operators (the
+# applyInPandasWithState form above remains for 3.x compatibility).
+# ---------------------------------------------------------------------------
+
+KEYED_COUNTER_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def keyed_totals_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, total) via ``transformWithStateInPandas``.
+
+    State is a single typed ValueState row per key; with ``state_ttl_ms``
+    the store expires idle keys itself (no manual timer bookkeeping, the
+    operational contract for millions of keys under RocksDB).
+
+    Requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the TWS state-server wire protocol) — when
+    either is unavailable, use :func:`running_profile`
+    (``applyInPandasWithState``), which has no extra dependencies."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    value_col_name = value_col
+
+    class KeyedTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events BIGINT, total DOUBLE", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col_name].astype("float64").sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"key": [str(key[0])], "n_events": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy(key_col)
+        .transformWithStateInPandas(
+            KeyedTotals(),
+            outputStructType=KEYED_COUNTER_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -187,3 +187,48 @@ def test_statement_phase(spark, tmp_path, events_dir):
     assert statement_phase(q) in ("PENDING", "RUNNING")
     _drain(q)
     assert statement_phase(q) == "COMPLETED"
+
+
+def test_transform_with_state_keyed_totals(spark, tmp_path, events_dir):
+    """Spark 4 typed-state API (transformWithStateInPandas): running
+    count/total per event_type matches the batch aggregate."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.stateful import keyed_totals_tws
+
+    # the TWS state-server protocol needs protobuf, not present everywhere
+    pytest.importorskip("google.protobuf.descriptor")
+    src, schema, n = events_dir
+    # transformWithStateInPandas requires the RocksDB state store
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=1)
+    totals = keyed_totals_tws(stream, "event_type", "value")
+    sink = str(tmp_path / "twssink")
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(idempotent_batch_writer(sink))
+        .option("checkpointLocation", str(tmp_path / "twsckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = read_sink(spark, sink).toPandas()
+    final = out.sort_values("n_events").groupby("key").last()
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for key, row in final.iterrows():
+        assert row.n_events == batch.loc[key].n
+        assert abs(row.total - batch.loc[key].total) < 1e-6
