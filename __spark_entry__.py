@@ -1826,6 +1826,71 @@ FROM events WHERE user_id < 100
 """
 
 
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measures to long form (§2.2 projection family):
+    Spark's ``unpivot`` — pure map-side row expansion, no shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.unpivot(
+        ids=["p_partkey", "p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select(
+        "p_partkey", "p_brand", "measure", F.col("value").cast("double").alias("value")
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, p_brand, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey < 500
+UNION ALL
+SELECT p_partkey, p_brand, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+FROM part WHERE p_partkey < 500
+"""
+
+
+def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event_type: a generated date spine
+    (``sequence`` + ``explode`` — map-side generator, no driver loop)
+    left-joined to the hourly rollup so silent hours appear as zeros.
+    The spine is tiny (hours × types) and broadcasts; at 100 TB the
+    rollup side is the §hierarchical-rollup output, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        F.broadcast(spine)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.hour, t.event_type, COALESCE(h.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+"""
+
+
 def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact⋈dim join (operators/skew.py): the plan-level answer to
     pathological key skew — the fact side salts each key over 8 reducers,
@@ -2068,6 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_counts": q16_supplier_counts,
         "window_range_frame": window_range_frame,
         "skew_salted_revenue": skew_salted_revenue,
+        "unpivot_part_measures": unpivot_part_measures,
+        "time_spine_gap_fill": time_spine_gap_fill,
         # vector search (§2.3 J2, §2.10 M4)
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
@@ -2148,6 +2215,8 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_counts": _Q16_ORACLE,
         "window_range_frame": _RANGE_FRAME_ORACLE,
         "skew_salted_revenue": _SKEW_ORACLE,
+        "unpivot_part_measures": _UNPIVOT_ORACLE,
+        "time_spine_gap_fill": _GAP_FILL_ORACLE,
         # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,
