@@ -1166,6 +1166,66 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def vec_quantized_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production ANN recipe at 100 TB): stage 1
+    scores the int8-quantized corpus (4× smaller broadcast, exact integer
+    dot) and keeps 4k candidates; stage 2 re-scores ONLY those with
+    full-precision vec_dot and emits the final top-k. The expensive float
+    pass touches 4k rows per query instead of the whole corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 3
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_quantize_int8("embedding").alias("a"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        vec_quantize_int8("embedding").alias("b"),
+    )
+    coarse = q.crossJoin(c).select(
+        "query_id", "neighbor_id", "qv", "cv",
+        vec_quantized_dot("a", "b").alias("qscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = coarse.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= 4 * k
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id", "neighbor_id", F.round(vec_dot("qv", "cv"), 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+    )
+
+
+_VEC_RESCORE_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+q AS (SELECT vec_id AS query_id, v AS qv, scale AS qs, q AS qq FROM qz WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cs, q AS cq FROM qz WHERE vec_id >= 10),
+coarse AS (SELECT query_id, neighbor_id, qv, cv,
+             list_inner_product(qq, cq) * qs * cs AS qscore
+           FROM q CROSS JOIN c),
+cands AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) AS crank
+          FROM coarse),
+rescored AS (SELECT query_id, neighbor_id,
+               ROUND(list_inner_product(qv, cv), 6) AS score
+             FROM cands WHERE crank <= 12),
+ranked AS (SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM rescored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: pre-aggregate once at minute
     grain, then answer the hour-grain query by RE-AGGREGATING THE PARTIALS
@@ -2142,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_ivf": vec_topk_ivf,
         "vec_cosine_topk": vec_cosine_topk,
         "vec_quantized_topk": vec_quantized_topk,
+        "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
         "vec_norms": vec_norms,
         "events_hierarchical_rollup": events_hierarchical_rollup,
         "vec_label_stats": vec_label_stats,
@@ -2223,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_shuffle": _VEC_TOPK_ORACLE,
         "vec_cosine_topk": _VEC_COSINE_ORACLE,
         "vec_quantized_topk": _VEC_QUANT_ORACLE,
+        "vec_quantized_rescore_topk": _VEC_RESCORE_ORACLE,
         "vec_norms": _VEC_NORMS_ORACLE,
         "events_hierarchical_rollup": _HIER_ROLLUP_ORACLE,
         "vec_label_stats": _VEC_LABEL_ORACLE,
