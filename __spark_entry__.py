@@ -1859,6 +1859,229 @@ GROUP BY p.p_brand, p.p_size
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a conditional-aggregation
+    ratio over a 7-way join (lineitem⋈orders fact-fact shuffle; part,
+    customer, supplier, nation×2, region all broadcast). The share is
+    sum(volume where supplier is NATION_1) / sum(volume) per order year,
+    computed as one pass with a CASE inside the aggregate — no self-join,
+    no second scan. Exact: integer-cents volumes summed as BIGINT, one
+    double division at the end."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+        ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: testdata has no partsupp, so supply cost is
+    p_retailprice × quantity): profit by supplier nation and order year over
+    a 5-way join with a substring filter on part name. Profit stays in
+    integer ten-thousandths of a dollar until the final cast: BIGINT
+    arithmetic is associative, so partial aggregation (map-side combine)
+    is exact — the float recipe would not survive re-ordering at 1000
+    executors."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    cost = (
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint")
+        * F.lit(100)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(rev - cost).cast("double") / 10000.0).alias("sum_profit"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(
+    CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+    - CAST(round(p.p_retailprice*100) AS BIGINT) * CAST(round(l.l_quantity) AS BIGINT) * 100
+  ) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view over a shipdate quarter, then keep the
+    supplier(s) whose revenue equals the global max — an uncorrelated scalar
+    subquery. The max is computed with an empty-frame window over the
+    already-aggregated (tiny) per-supplier totals, so the fact table is
+    scanned exactly once; comparing BIGINT cents makes the tie predicate
+    exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    totals = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_units"))
+    best = totals.withColumn("max_units", F.max("rev_units").over(Window.partitionBy()))
+    return (
+        best.filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_units").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_units AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_units = (SELECT MAX(rev_units) FROM revenue)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped more than 60 days after
+    the order date, since testdata has no commit/receipt dates): suppliers
+    who were the ONLY late supplier on a multi-supplier finalized order.
+    Double-correlated subquery — EXISTS(other supplier on the order) via
+    left-semi with a non-equi residual, NOT EXISTS(other LATE supplier) via
+    left-anti. Both probe sides are projected to (orderkey, suppkey) pairs
+    before the join, so the shuffles move two BIGINTs per row."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).filter(late).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2_key) & (l1.l_suppkey != l2.s2_key),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.o3_key) & (F.col("l_suppkey") != l3.s3_key),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q21_ORACLE = """
+WITH late1 AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late1 l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late1 l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+"""
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window over event time: per user, total value in the
     strictly-preceding hour (SURVEY.md §2.5 rangeBetween frames — the
@@ -2191,6 +2414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assignments": dedup_cluster_assignments,
         "q7_nation_volume": q7_nation_volume,
         "q16_supplier_counts": q16_supplier_counts,
+        "q8_market_share": q8_market_share,
+        "q9_nation_profit": q9_nation_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "window_range_frame": window_range_frame,
         "skew_salted_revenue": skew_salted_revenue,
         "unpivot_part_measures": unpivot_part_measures,
@@ -2274,6 +2501,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_assignments": _DEDUP_CLUSTERS_ORACLE,
         "q7_nation_volume": _Q7_ORACLE,
         "q16_supplier_counts": _Q16_ORACLE,
+        "q8_market_share": _Q8_ORACLE,
+        "q9_nation_profit": _Q9_ORACLE,
+        "q15_top_supplier": _Q15_ORACLE,
+        "q21_waiting_suppliers": _Q21_ORACLE,
         "window_range_frame": _RANGE_FRAME_ORACLE,
         "skew_salted_revenue": _SKEW_ORACLE,
         "unpivot_part_measures": _UNPIVOT_ORACLE,
