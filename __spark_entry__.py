@@ -2355,6 +2355,191 @@ def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so supply cost is the
+    cheapest observed unit price in lineitem): per-part minimum-cost
+    supplier via a correlated MIN subquery, expressed as a window MIN over
+    the per-(part, supplier) aggregate — one shuffle on part key serves
+    both the GROUP BY and the window. Unit cost is a single IEEE division
+    of exact integer cents (MIN is order-independent, so the double is
+    reproducible across any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    unit_cost = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.lit(1.0)
+        / F.round(F.col("l_quantity") * 100).cast("bigint")
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    best = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("best", F.min("unit_cost").over(best))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "nation",
+            "s_acctbal",
+            F.round("unit_cost", 6).alias("supply_cost"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT p.p_partkey, l.l_suppkey,
+         MIN(CAST(round(l.l_extendedprice*100) AS BIGINT) * 1.0
+             / CAST(round(l.l_quantity*100) AS BIGINT)) AS unit_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS best FROM cost
+)
+SELECT r.p_partkey, s.s_name, n.n_name AS nation, s.s_acctbal,
+       round(r.unit_cost, 6) AS supply_cost
+FROM ranked r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.unit_cost = r.best
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped value stands in for stock value):
+    per-part value for one nation's suppliers, HAVING value > 0.1% of the
+    global total — an uncorrelated scalar aggregate compared inside HAVING.
+    The total is a 1-row broadcast cross join; the comparison stays in
+    exact BIGINT cents (value_c * 1000 > total_c) so no float threshold
+    wobbles at any partition count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_11").select("n_nationkey")
+    filtered = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    val = filtered.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("value_c")
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("l_partkey", (F.col("value_c").cast("double") / 100.0).alias("part_value"))
+    )
+
+
+_Q11_ORACLE = """
+WITH val AS (
+  SELECT l.l_partkey, SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS value_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_11'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(value_c AS DOUBLE)/100.0 AS part_value
+FROM val
+WHERE value_c * 1000 > (SELECT SUM(value_c) FROM val)
+"""
+
+
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata has no l_shipmode, so lines group
+    by ship year): dual conditional counts — high- vs low-priority order
+    lines — over the lineitem⋈orders fact-fact join with a shipdate range
+    pushed to the scan. One pass, two CASE-sums, map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "holds excess stock" becomes "shipped more
+    than 1/8 of a part's total volume"): nested IN-subquery with a
+    grouped-HAVING inner query — suppliers qualify through a per-(part,
+    supplier) aggregate compared against a per-part window total, then a
+    DISTINCT semi-style join back to supplier/nation. Share test is exact
+    integer arithmetic (qty_c * 8 > part_total_c)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    pq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"))
+    )
+    dom = pq.withColumn(
+        "part_total_c", F.sum("qty_c").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("qty_c") * 8 > F.col("part_total_c"))
+    return (
+        dom.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "nation", "s_acctbal")
+    )
+
+
+_Q20_ORACLE = """
+WITH pq AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(CAST(round(l.l_quantity*100) AS BIGINT)) AS qty_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%bolt%'
+  GROUP BY 1, 2
+), dom AS (
+  SELECT *, SUM(qty_c) OVER (PARTITION BY l_partkey) AS part_total_c FROM pq
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation, s.s_acctbal
+FROM dom d
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE d.qty_c * 8 > d.part_total_c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -2418,6 +2603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_nation_profit": q9_nation_profit,
         "q15_top_supplier": q15_top_supplier,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_shipments": q12_priority_shipments,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
         "window_range_frame": window_range_frame,
         "skew_salted_revenue": skew_salted_revenue,
         "unpivot_part_measures": unpivot_part_measures,
@@ -2505,6 +2694,10 @@ def oracle_sql() -> dict[str, str]:
         "q9_nation_profit": _Q9_ORACLE,
         "q15_top_supplier": _Q15_ORACLE,
         "q21_waiting_suppliers": _Q21_ORACLE,
+        "q2_min_cost_supplier": _Q2_ORACLE,
+        "q11_important_parts": _Q11_ORACLE,
+        "q12_priority_shipments": _Q12_ORACLE,
+        "q20_dominant_suppliers": _Q20_ORACLE,
         "window_range_frame": _RANGE_FRAME_ORACLE,
         "skew_salted_revenue": _SKEW_ORACLE,
         "unpivot_part_measures": _UNPIVOT_ORACLE,
