@@ -35,6 +35,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.functions.text import 
     word_tokens,
 )
 from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+    vec_cosine,
     vec_dot,
     vec_l2norm,
     vec_quantize_int8,
@@ -50,6 +51,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
     simhash_near_duplicates,
     simhash_signatures,
 )
+from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search, rrf_fuse
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
 from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
 from confluent_kafka_vector_search_prompt_inference_spark.operators.skew import salted_join
@@ -2355,6 +2357,127 @@ def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (§2.11 similarity search, keyword leg): the
+    first five documents as queries against the full corpus. Impacts are
+    exact integer nano-units, so ranking is reproducible at any partition
+    count (see operators/bm25.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_search(docs, queries, k=10)
+
+
+# Shared BM25 CTE chain (tokenize → postings → idf/impacts → query-term
+# join → exact BIGINT scores). Mirrors operators/bm25.py expression for
+# expression; the fixed-point round makes the two engines' sums identical.
+_BM25_KW_CTE = f"""
+toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+impact AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(
+      ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+      * 1000000000.0) AS BIGINT) AS impact_n
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+qterms AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+           FROM toks WHERE doc_id < 5),
+kw_scored AS (SELECT q.query_id, i.doc_id, SUM(i.impact_n) AS score_n
+              FROM qterms q JOIN impact i USING (term) GROUP BY 1, 2),
+kw_ranked AS (SELECT query_id, doc_id, score_n,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score_n DESC, doc_id ASC) AS INTEGER) AS rank
+              FROM kw_scored)
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_KW_CTE}
+SELECT query_id, doc_id,
+  ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
+FROM kw_ranked WHERE rank <= 10
+"""
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (§2.11): BM25 keyword top-20 fused with cosine
+    vector top-20 by reciprocal-rank fusion, final top-10 per query.
+    Queries are ids 0–4 on both legs (documents.text for keywords,
+    embeddings.embedding for vectors). Both legs broadcast the query
+    side; the fuse joins two already-top-k'd lists, so its cost is
+    O(queries × k) no matter the corpus size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kw_queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    kw = bm25_search(docs, kw_queries, k=20)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    vc = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"))
+    scored = vc.crossJoin(F.broadcast(vq)).select(
+        "query_id", "doc_id", F.round(vec_cosine("qv", "cv"), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    vec = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+    return rrf_fuse(kw, vec, k=10)
+
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_KW_CTE},
+kw AS (SELECT query_id, doc_id, rank FROM kw_ranked WHERE rank <= 20),
+qv AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       FROM embeddings),
+vs AS (SELECT query_id, doc_id,
+         ROUND(list_inner_product(qv, cv)
+               / (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(cv, cv))), 6) AS cos
+       FROM cv CROSS JOIN qv),
+vr AS (SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+       FROM vs),
+vec AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= 20),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS rank_a, b.rank AS rank_b
+  FROM kw a FULL OUTER JOIN vec b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+rrf AS (
+  SELECT query_id, doc_id,
+    ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+          + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score,
+    COALESCE(rank_a, 0) AS rank_keyword, COALESCE(rank_b, 0) AS rank_vector
+  FROM fused
+),
+final AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+          FROM rrf)
+SELECT query_id, doc_id, rrf_score, rank,
+       CAST(rank_keyword AS INTEGER) AS rank_keyword,
+       CAST(rank_vector AS INTEGER) AS rank_vector
+FROM final WHERE rank <= 10
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: no partsupp table, so supply cost is the
     cheapest observed unit price in lineitem): per-part minimum-cost
@@ -2631,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "minhash_lsh_dups": minhash_lsh_dups,
         "simhash_near_dups": simhash_near_dups,
+        "bm25_keyword_topk": bm25_keyword_topk,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "multimodal_features": multimodal_features,
         # RAG (§3)
         "rag_prompts": rag_prompts,
@@ -2718,6 +2843,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_ORACLE,
         "ngram_jaccard_dups": _JACCARD_ORACLE,
         "embedding_near_dups": _EMB_DUP_ORACLE,
+        "bm25_keyword_topk": _BM25_ORACLE,
+        "hybrid_rrf_topk": _HYBRID_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).

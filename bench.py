@@ -40,6 +40,8 @@ HEADLINE = [
     "vec_cosine_topk",
     "dedup_exact_groups",
     "minhash_lsh_dups",
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
     "text_quality",
     "rag_answers",
 ]

@@ -1,0 +1,200 @@
+"""BM25 keyword retrieval and hybrid (keyword + vector) rank fusion.
+
+Not present in the reference — its only retrieval is the vector search
+lateral join (``README.md:405-407``); this module supplies the keyword leg
+a production RAG / training-data pipeline pairs with it (SURVEY.md §2.11
+"similarity search"), plus reciprocal-rank fusion to combine both legs.
+
+Spark-first design, sized for a 100 TB corpus:
+
+- The inverted index (postings) is built with two shuffles, both with
+  map-side partial aggregation: ``groupBy(doc, term)`` for term
+  frequencies and ``groupBy(term)`` for document frequencies. Document
+  length rides along in the first projection so no extra join is needed.
+- Corpus statistics (N, avgdl) are a 1-row aggregate, broadcast via a
+  literal-free cross join; the per-term document frequencies are
+  vocabulary-sized and broadcast too. Nothing per-document ever sits on
+  the driver.
+- Query terms are tiny and broadcast; scoring is one broadcast hash join
+  term-for-term against the postings, then a keyed sum with partial
+  aggregation and a per-query top-k window — the same shape as the
+  shuffle top-k vector strategy, so it scales with the postings, not
+  with |queries| × |corpus|.
+- Per-(doc, term) BM25 impacts are rounded into integer nano-units
+  (``round(score * 1e9) → BIGINT``) before summing: BIGINT addition is
+  associative, so partial aggregation across any partitioning — or any
+  engine — reproduces the exact same totals and therefore the exact same
+  ranking. The float recipe would tie-break differently at 1000
+  executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.functions.text import word_tokens
+
+#: Standard Robertson/Sparck-Jones defaults.
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+#: Impact scores are fixed-point nano-units so sums are exact BIGINTs.
+_SCALE = 1e9
+
+
+def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: ``(doc_id, term, tf, dl)``.
+
+    Tokens are materialized in a staged projection before the explode so
+    Catalyst evaluates the tokenizer once per document (it does not CSE
+    the split across ``size`` and ``explode``).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("toks")
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    return exploded.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_impacts(
+    postings: DataFrame, k1: float = DEFAULT_K1, b: float = DEFAULT_B
+) -> DataFrame:
+    """Per-(doc, term) BM25 impact in exact nano-units: ``(doc_id, term,
+    impact_n)``.
+
+    idf uses the BM25+ smoothing ``ln(1 + (N - df + 0.5)/(df + 0.5))`` —
+    always positive, so rare terms can't flip sign. The arithmetic is
+    written in one fixed shape (integer differences first, a single
+    division chain) so any engine evaluating the same shape reproduces
+    the double bit-for-bit before the fixed-point round.
+    """
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_term = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    norm = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * tf_term / norm * F.lit(_SCALE)).cast("bigint").alias("impact_n"),
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k BM25 keyword search: ``(query_id, doc_id, score, rank)``.
+
+    Each distinct query term contributes once (standard bag-of-terms
+    form). Ranking happens on the exact BIGINT nano-unit totals — ties
+    broken by ascending doc id — so results are identical at any
+    parallelism; ``score`` is the total scaled back to a double.
+    """
+    impacts = bm25_impacts(bm25_postings(docs, id_col, text_col), k1=k1, b=b)
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
+    )
+    scored = (
+        impacts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    on: tuple[str, str] = ("query_id", "doc_id"),
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings.
+
+    ``score = Σ 1/(rrf_k + rank)`` over the lists that retrieved the
+    pair; a full outer join keeps candidates found by only one leg
+    (their missing reciprocal contributes 0). The join keys are
+    (query, doc) — both inputs are already top-k'd per query, so the
+    join is small regardless of corpus size. Output ranks break ties on
+    ascending doc id; absent ranks surface as 0 (never NULL) so
+    downstream schemas stay integral.
+    """
+    qcol, dcol = on
+    a = ranked_a.select(
+        F.col(qcol).alias("query_id"),
+        F.col(dcol).alias("doc_id"),
+        F.col(rank_col).alias("rank_a"),
+    )
+    b = ranked_b.select(
+        F.col(qcol).alias("query_id"),
+        F.col(dcol).alias("doc_id"),
+        F.col(rank_col).alias("rank_b"),
+    )
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer")
+    contrib_a = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0)
+    )
+    contrib_b = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)
+    )
+    rrf = F.round(contrib_a + contrib_b, 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            "rank",
+            F.coalesce("rank_a", F.lit(0)).cast("int").alias("rank_keyword"),
+            F.coalesce("rank_b", F.lit(0)).cast("int").alias("rank_vector"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""BM25 retrieval + reciprocal-rank fusion: self-retrieval, idf ordering,
+exact-duplicate tie behavior, and fusion arithmetic."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+    bm25_impacts,
+    bm25_postings,
+    bm25_search,
+    rrf_fuse,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "broadcast joins avoid the shuffle entirely"),
+        (3, "vector search ranks documents by similarity"),
+        (4, "vector search ranks documents by similarity"),  # exact dup of 3
+        (5, "the the the the the"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_postings_tf_and_dl(toy_docs):
+    post = bm25_postings(toy_docs, "doc_id", "text").toPandas()
+    row = post[(post.doc_id == 5) & (post.term == "the")].iloc[0]
+    assert row.tf == 5 and row.dl == 5
+    assert post[post.doc_id == 1].dl.unique().tolist() == [6]
+
+
+def test_rare_term_outscores_common(toy_docs):
+    imp = bm25_impacts(bm25_postings(toy_docs, "doc_id", "text")).toPandas()
+    # "broadcast" appears in 1 doc, "the" in 4 → higher idf, higher impact.
+    rare = imp[imp.term == "broadcast"].impact_n.max()
+    common = imp[(imp.term == "the") & (imp.doc_id == 2)].impact_n.max()
+    assert rare > common
+
+
+def test_self_retrieval_ranks_first(toy_docs):
+    queries = toy_docs.filter(F.col("doc_id") == 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    top = bm25_search(toy_docs, queries, k=3).toPandas().sort_values("rank")
+    assert top.iloc[0].doc_id == 2 and top.iloc[0]["rank"] == 1
+
+
+def test_exact_duplicates_tie_break_on_id(toy_docs):
+    queries = toy_docs.filter(F.col("doc_id") == 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    top = bm25_search(toy_docs, queries, k=2).toPandas().sort_values("rank")
+    # docs 3 and 4 are identical → identical integer scores, id ascending.
+    assert top.doc_id.tolist() == [3, 4]
+    assert top.score.iloc[0] == top.score.iloc[1]
+
+
+def test_rrf_fuse_arithmetic(spark):
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)], ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([(0, 11, 1), (0, 12, 2)], ["query_id", "doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    # doc 11 in both lists → sum of reciprocals, ranks preserved per leg.
+    assert out[11].rank == 1
+    assert out[11].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert out[11].rank_keyword == 2 and out[11].rank_vector == 1
+    # single-leg docs get 0 for the missing leg, never NULL.
+    assert out[10].rank_vector == 0 and out[12].rank_keyword == 0
+    assert out[10].rrf_score == pytest.approx(1 / 61, abs=1e-6)
+
+
+def test_bm25_matches_reference_formula(toy_docs):
+    """One hand-computed cell: doc 2, term 'broadcast' (tf=1, df=1, N=5)."""
+    post = bm25_postings(toy_docs, "doc_id", "text")
+    imp = bm25_impacts(post).toPandas()
+    dls = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).toPandas()
+    avgdl = dls.dl.sum() / len(dls)
+    idf = math.log(1.0 + (5 - 1 + 0.5) / (1 + 0.5))
+    expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 6 / avgdl))
+    got = imp[(imp.doc_id == 2) & (imp.term == "broadcast")].impact_n.iloc[0]
+    assert got == round(expected * 1e9)
