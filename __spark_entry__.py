@@ -2357,6 +2357,87 @@ def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING window aggregation (1 h window, 30 min slide) —
+    the overlapping-window streaming surface (§2.9) in its batch form; the
+    identical expression runs under ``readStream`` with a watermark. Each
+    event fans out to exactly window/slide = 2 windows; the oracle mirrors
+    that with an explicit 2-element unnest of aligned bucket starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT window_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start,
+         event_type, value
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (regression slope of value over time) and
+    Pearson correlation, from EXACT integer moments: x = whole seconds
+    since 2024-01-01, y = value in cents, and all five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) are BIGINT sums — associative, so
+    map-side partials at any parallelism reproduce the same doubles, where
+    Spark's built-in ``regr_slope``/``corr`` (Welford merges) would drift
+    in the last ulps between engines. Bounds: |x| < 2.7e6 s (one month)
+    and n ≤ 1e4 keep n·Σx² < 2^63; longer spans need a coarser x unit."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    m = g.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "user_id",
+        "n",
+        F.round(num / den_x * F.lit(864.0), 6).alias("trend_per_day"),
+        F.round(num / F.sqrt(den_x * den_y), 6).alias("corr_xy"),
+    )
+
+
+_USER_TREND_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+    CAST(round(value*100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM g GROUP BY 1)
+SELECT user_id, n,
+  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 864.0, 6) AS trend_per_day,
+  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr_xy
+FROM m
+"""
+
+
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (§2.11 similarity search, keyword leg): the
     first five documents as queries against the full corpus. Impacts are
@@ -2704,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_type_ops": map_type_ops,
         "case_bucketing": case_bucketing,
         "events_tumbling_window": events_tumbling_window,
+        "events_sliding_window": events_sliding_window,
+        "events_user_trend": events_user_trend,
         "sql_surface": sql_surface,
         "json_roundtrip": json_roundtrip,
         "q4_order_priority": q4_order_priority,
@@ -2798,6 +2881,8 @@ def oracle_sql() -> dict[str, str]:
         "map_type_ops": _MAP_ORACLE,
         "case_bucketing": _CASE_ORACLE,
         "events_tumbling_window": _TUMBLING_ORACLE,
+        "events_sliding_window": _SLIDING_ORACLE,
+        "events_user_trend": _USER_TREND_ORACLE,
         "sql_surface": _SQL_SURFACE_ORACLE,
         "json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "q4_order_priority": _Q4_ORACLE,
