@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from confluent_kafka_vector_search_prompt_inference_spark.functions.text import word_tokens
 
@@ -63,8 +64,22 @@ def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25_doc_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus statistics ``(n, avgdl)`` in one no-explode pass over the
+    documents — far cheaper than re-deriving them from the postings, which
+    would re-run the tokenizer and the (doc, term) shuffle a second time."""
+    lens = docs.select(F.size(word_tokens(text_col)).cast("bigint").alias("dl"))
+    return lens.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
 def bm25_impacts(
-    postings: DataFrame, k1: float = DEFAULT_K1, b: float = DEFAULT_B
+    postings: DataFrame,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(doc, term) BM25 impact in exact nano-units: ``(doc_id, term,
     impact_n)``.
@@ -76,10 +91,12 @@ def bm25_impacts(
     the double bit-for-bit before the fixed-point round.
     """
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
-    stats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
+    stats = doc_stats
+    if stats is None:
+        stats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
     idf = F.log(
         F.lit(1.0)
         + ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
@@ -111,6 +128,7 @@ def bm25_search(
     k: int = 10,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Top-k BM25 keyword search: ``(query_id, doc_id, score, rank)``.
 
@@ -118,8 +136,19 @@ def bm25_search(
     form). Ranking happens on the exact BIGINT nano-unit totals — ties
     broken by ascending doc id — so results are identical at any
     parallelism; ``score`` is the total scaled back to a double.
+
+    The postings feed two plan branches (document frequencies and
+    scoring); without persistence Catalyst would re-tokenize and
+    re-shuffle the whole corpus once per branch, so they are persisted
+    MEMORY_AND_DISK by default — the spill tier keeps this viable when
+    the index outgrows executor memory.
     """
-    impacts = bm25_impacts(bm25_postings(docs, id_col, text_col), k1=k1, b=b)
+    postings = bm25_postings(docs, id_col, text_col)
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    impacts = bm25_impacts(
+        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
+    )
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
