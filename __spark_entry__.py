@@ -2438,6 +2438,98 @@ FROM m
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (training-data quality, §2.11): the
+    fraction of word 3-gram occurrences that are repeats of an earlier
+    3-gram in the same document — the classic cheap filter for degenerate
+    generated text. Pure higher-order array functions, one scan, no
+    shuffle, no Python; tokens are materialized in a staged projection so
+    the tokenizer runs once per row."""
+    toks = _t(spark, sf_dir, "documents").select("doc_id", word_tokens("text").alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 3)),
+    )
+    g = toks.select("doc_id", grams.alias("g"))
+    return g.select(
+        "doc_id",
+        F.size("g").cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("g")).cast("double") / F.size("g").cast("double"),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')) AS g
+      FROM toks)
+SELECT doc_id, len(g) AS n_shingles, len(list_distinct(g)) AS n_distinct,
+  ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 6) AS rep_ratio
+FROM g
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline, §2.11): for every
+    document, the fraction of its distinct word 5-grams that also appear in
+    a held-out benchmark set (docs 0–4 stand in for the eval suite) — the
+    overlap check run before any corpus ships to training. The benchmark
+    shingle set is distinct-tiny → broadcast semi join; per-doc totals come
+    from array ``size`` without an explode, so the corpus is scanned twice,
+    shuffled once (the per-doc hit count)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh5 = word_shingles("text", 5)
+    tot = docs.select("doc_id", F.size(sh5).cast("bigint").alias("n_shingles"))
+    bench = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(sh5).alias("s"))
+        .distinct()
+    )
+    hits = (
+        docs.select("doc_id", F.explode(sh5).alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                             i -> array_to_string(t[i:i+4], ' ')))) AS s
+       FROM toks),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM sh
+         WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+  ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (§2.11 similarity search, keyword leg): the
     first five documents as queries against the full corpus. Impacts are
@@ -2839,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "bm25_keyword_topk": bm25_keyword_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
+        "text_repetition": text_repetition,
+        "benchmark_contamination": benchmark_contamination,
         "multimodal_features": multimodal_features,
         # RAG (§3)
         "rag_prompts": rag_prompts,
@@ -2930,6 +3024,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMB_DUP_ORACLE,
         "bm25_keyword_topk": _BM25_ORACLE,
         "hybrid_rrf_topk": _HYBRID_ORACLE,
+        "text_repetition": _REPETITION_ORACLE,
+        "benchmark_contamination": _CONTAMINATION_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
