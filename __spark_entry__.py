@@ -51,7 +51,8 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
     simhash_near_duplicates,
     simhash_signatures,
 )
-from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search, rrf_fuse
+from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_postings, bm25_search, rrf_fuse
+from confluent_kafka_vector_search_prompt_inference_spark.operators.packing import pack_sequences
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
 from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
 from confluent_kafka_vector_search_prompt_inference_spark.operators.skew import salted_join
@@ -2438,6 +2439,66 @@ FROM m
 """
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (§2.11 training-data pipeline): documents hashed
+    into 8 shards, greedily packed into 512-token sequences within each
+    shard (see operators/packing.py), summarized per packed sequence.
+    Everything — hash, running sum, integer division — is exact integer
+    arithmetic, so any engine rebuilds identical shards."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").cast("bigint").alias("tokens"))
+    packed = pack_sequences(sized, "doc_id", "tokens", budget=512, shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS tokens,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT *, COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t)
+SELECT CAST(shard AS BIGINT) AS shard, start_offset // 512 AS seq_id,
+  COUNT(*) AS n_docs, SUM(tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (§2.11): top-50 non-stopword terms by document
+    frequency with a total (df DESC, term ASC) order so the cut is
+    deterministic. Reuses the BM25 postings (one tokenize + one (doc,term)
+    shuffle); the df aggregation is vocabulary-sized."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = bm25_postings(docs, "doc_id", "text")
+    return (
+        postings.filter(~F.col("term").isin(*EN_STOPWORDS))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_WORDS}) AS term FROM documents)
+SELECT term, COUNT(*) AS df
+FROM post
+WHERE term NOT IN ({_EN_LIST})
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 50
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signal (training-data quality, §2.11): the
     fraction of word 3-gram occurrences that are repeats of an earlier
@@ -2933,6 +2994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "text_repetition": text_repetition,
         "benchmark_contamination": benchmark_contamination,
+        "sequence_packing": sequence_packing,
+        "vocab_top_terms": vocab_top_terms,
         "multimodal_features": multimodal_features,
         # RAG (§3)
         "rag_prompts": rag_prompts,
@@ -3026,6 +3089,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _HYBRID_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "benchmark_contamination": _CONTAMINATION_ORACLE,
+        "sequence_packing": _PACKING_ORACLE,
+        "vocab_top_terms": _VOCAB_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
