@@ -82,6 +82,41 @@ def continuous_insert(
     return writer.start()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream equi join with an event-time interval band: each left
+    row matches right rows with the same key whose timestamp falls in
+    ``(left_ts, left_ts + within]``.
+
+    Both sides carry a watermark, which is what lets Spark BOUND the join
+    state: a buffered row can be dropped once the other side's watermark
+    passes its end of the interval — without it, state grows with the
+    stream. The column sets must be disjoint except for ``on``/timestamps
+    (rename upstream); the key equality shuffles both streams once on the
+    key, the band is a residual predicate — the same physical shape as the
+    batch range join, so the operator behaves identically in either mode.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
 def statement_phase(query: StreamingQuery) -> str:
     """The reference's statement phase machine (PENDING → RUNNING →
     COMPLETED/FAILED, ``README.md:312-316, 544-547``) read off a Spark

@@ -232,3 +232,46 @@ def test_transform_with_state_keyed_totals(spark, tmp_path, events_dir):
     for key, row in final.iterrows():
         assert row.n_events == batch.loc[key].n
         assert abs(row.total - batch.loc[key].total) < 1e-6
+
+
+def test_stream_stream_interval_join(spark, tmp_path, events_dir):
+    """Purchases within 1 h after a click, per user — joined stream-to-stream
+    with watermarks bounding both buffers; result equals the batch range
+    join over the same data."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import stream_interval_join
+
+    src, schema, _ = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=3)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purch_s = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = stream_interval_join(
+        clicks_s, purch_s, on="user_id", left_ts="c_ts", right_ts="p_ts", within="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_out").count()
+
+    batch = spark.read.parquet(src)
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    expected = bc.join(
+        bp,
+        (bc.cu == bp.pu)
+        & (bp.p_ts > bc.c_ts)
+        & (bp.p_ts <= bc.c_ts + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == expected and expected > 0
