@@ -2439,6 +2439,40 @@ FROM m
 """
 
 
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling (stats collection — what feeds a CBO and
+    data-quality dashboards): row count, NDV, null counts, min/max, and an
+    exact total, all in ONE aggregate over ONE scan — never one pass per
+    column. Timestamps exit as formatted strings (cross-client DATE dtype
+    normalization differs; see the determinism rules in the module
+    docstring)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias("nulls_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("double") / 100.0).alias(
+            "total_price"
+        ),
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls_returnflag,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_shipdate,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+FROM lineitem
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (§2.11 training-data pipeline): documents hashed
     into 8 shards, greedily packed into 512-token sequences within each
@@ -2996,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": benchmark_contamination,
         "sequence_packing": sequence_packing,
         "vocab_top_terms": vocab_top_terms,
+        "table_profile_stats": table_profile_stats,
         "multimodal_features": multimodal_features,
         # RAG (§3)
         "rag_prompts": rag_prompts,
@@ -3091,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": _CONTAMINATION_ORACLE,
         "sequence_packing": _PACKING_ORACLE,
         "vocab_top_terms": _VOCAB_ORACLE,
+        "table_profile_stats": _PROFILE_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
