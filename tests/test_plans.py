@@ -89,3 +89,41 @@ def test_hierarchical_rollup_two_aggs_one_scan(spark, sf_correct):
     events table feeds both aggregation levels."""
     df = entry.events_hierarchical_rollup(spark, sf_correct)
     assert len(read_schemas(df)) == 1, formatted_plan(df)
+
+
+def test_static_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter (no
+    data files outside the matching directory are even listed)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    path = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == expected
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dimension must inject a
+    runtime (dynamicpruning) partition filter into the fact scan — the
+    mechanism that keeps star joins from scanning every partition at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    path = str(tmp_path / "orders_parted")
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["prio", "tier"]
+    ).filter(F.col("tier") == "hot")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy("tier").count()
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = {r.tier: r["count"] for r in j.collect()}
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert rows == {"hot": expected}
