@@ -2439,6 +2439,18 @@ FROM m
 """
 
 
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` surface (§2.10): per-label centroid
+    distance + z-score outlier flagging over the embeddings table. No SQL
+    oracle (Arrow grouped-map with float reductions is the declared
+    non-SQL class); behavior is pytest-verified against an exact
+    explode-based computation (tests/test_outliers.py)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.outliers import label_centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb).filter(F.col("z") > 2.0)
+
+
 def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling (stats collection — what feeds a CBO and
     data-quality dashboards): row count, NDV, null counts, min/max, and an
@@ -3031,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "vocab_top_terms": vocab_top_terms,
         "table_profile_stats": table_profile_stats,
+        "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
         "rag_prompts": rag_prompts,
