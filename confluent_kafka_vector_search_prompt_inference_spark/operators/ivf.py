@@ -17,10 +17,12 @@ join, and it prunes to probed clusters.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
@@ -69,6 +71,42 @@ def _nearest_clusters_udf(centroids: np.ndarray, n_probe: int):
         return pd.Series([[int(c) for c in row] for row in idx])
 
     return assign
+
+
+def save_ivf_index(
+    indexed_corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    *,
+    cluster_col: str = "ivf_cluster",
+) -> None:
+    """Persist the index: corpus parquet PARTITIONED BY cluster id, plus a
+    tiny centroid table. Training happens once; every later search loads
+    metadata only. Because the cluster id is the physical partition key,
+    the probe join (tiny probed side → broadcast) triggers dynamic
+    partition pruning — a probe of ``n_probe`` clusters reads exactly
+    those directories off storage, which is what makes IVF an *index*
+    rather than a full-scan rescorer at 100 TB."""
+    spark = indexed_corpus.sparkSession
+    indexed_corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(
+        os.path.join(path, "corpus")
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, ["cluster_id", "centroid"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(partition-pruned corpus DataFrame, centroid matrix) from disk."""
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    centroids = np.asarray([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+    return corpus, centroids
 
 
 def topk_ivf(

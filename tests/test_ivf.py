@@ -68,3 +68,33 @@ def test_probe_width_monotonic_recall(spark, embeddings, ivf):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8
     assert r8 == 1.0
+
+
+def test_persisted_index_roundtrip_and_pruning(spark, embeddings, ivf, tmp_path):
+    """Saving the index and searching the loaded copy gives identical
+    results, and the probe join dynamically prunes the cluster-partitioned
+    corpus (reads only probed directories)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index, save_ivf_index
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(indexed, centroids, path)
+    loaded_corpus, loaded_centroids = load_ivf_index(spark, path)
+    assert (loaded_centroids == centroids).all()
+
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    mem = topk_ivf(
+        q, indexed, centroids, k=3,
+        query_id="qid", corpus_id="cid", metric="cosine", n_probe=2,
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    disk = topk_ivf(
+        q, loaded_corpus, loaded_centroids, k=3,
+        query_id="qid", corpus_id="cid", metric="cosine", n_probe=2,
+    )
+    plan = formatted_plan(disk)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [dynamic" in plan, plan
+    disk_pd = disk.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert mem[["qid", "cid", "rank"]].equals(disk_pd[["qid", "cid", "rank"]])
