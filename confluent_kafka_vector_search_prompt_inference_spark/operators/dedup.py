@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -147,12 +147,20 @@ def minhash_lsh_candidates(
     sig_col: str = "minhash",
     bands: int = 16,
     est_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs ``(id_a, id_b, est_jaccard)``, id_a < id_b.
 
     Band hash = xxhash64 of the band's signature slice; pairs sharing ≥1
     band bucket become candidates (self-join on the bucket id — a hash
-    join). ``est_jaccard`` = fraction of agreeing minhashes."""
+    join). ``est_jaccard`` = fraction of agreeing minhashes.
+
+    ``max_bucket_size`` drops buckets with more members before the
+    self-join — a bucket of m docs emits m² pairs, so one boilerplate/spam
+    cluster can dominate the whole job on low-entropy corpora. Oversized
+    buckets are near-duplicate *families*, better handled by the exact
+    dedup path; true pairs in a dropped bucket still surface through
+    their other bands."""
     n_row = signatures.select(F.size(sig_col).alias("n")).first()
     num_hashes = int(n_row["n"])
     assert num_hashes % bands == 0, "bands must divide num_hashes"
@@ -173,6 +181,13 @@ def minhash_lsh_candidates(
             )
         ).alias("__bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__bucket")
+        banded = (
+            banded.withColumn("__bsize", F.count("*").over(w))
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     a = banded.select(F.col(id_col).alias("id_a"), "__bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "__bucket")
     pairs = (

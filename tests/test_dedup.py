@@ -90,3 +90,17 @@ def test_embedding_near_dups_exact_vs_lsh(embeddings):
     # identical vectors always share every LSH bucket → full recall on planted
     assert planted <= set(zip(lsh.id_a, lsh.id_b))
     assert set(zip(lsh.id_a, lsh.id_b)) <= set(zip(exact.id_a, exact.id_b))
+
+
+def test_lsh_bucket_cap_bounds_candidates_keeps_planted_pairs(docs_with_copies):
+    sigs = minhash_signatures(docs_with_copies, "doc_id", "text", num_hashes=64)
+    uncapped = minhash_lsh_candidates(sigs, "doc_id", bands=16)
+    capped = minhash_lsh_candidates(sigs, "doc_id", bands=16, max_bucket_size=8)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_capped <= n_uncapped
+    # exact copies agree on every band → they collide in ALL 16 buckets;
+    # the cap must not lose them (their buckets hold just the pair family)
+    copies = capped.filter(
+        (F.col("id_b") - F.col("id_a") == 100000) & (F.col("est_jaccard") == 1.0)
+    )
+    assert copies.count() == 30
