@@ -82,6 +82,50 @@ def continuous_insert(
     return writer.start()
 
 
+def dedup_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_expr,
+    key_name: str = "__fp",
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous INSERT that drops rows whose content key already landed —
+    incremental exact dedup against the sink itself.
+
+    Each micro-batch (a) dedups within itself (one surviving row per
+    key), then (b) anti-joins the keys already in the sink. Reading the sink back per batch is the
+    no-extra-infrastructure form; at scale the accumulated-keys side is a
+    compacted fingerprint table bucketed by key, so the anti join is a
+    bucket-pruned hash join, not a full sink scan. Unlike
+    ``dropDuplicates`` in streaming mode, the seen-set lives in the sink,
+    not executor state — it survives restarts and is unbounded without a
+    watermark.
+    """
+    from pyspark.sql import functions as F
+
+    write_batch = idempotent_batch_writer(sink_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.withColumn(key_name, key_expr)
+        keyed = keyed.dropDuplicates([key_name])
+        spark = batch_df.sparkSession
+        try:
+            seen = read_sink(spark, sink_dir).select(key_name).distinct()
+            keyed = keyed.join(seen, key_name, "left_anti")
+        except Exception:
+            pass  # empty sink on the first batch — nothing seen yet
+        write_batch(keyed, epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

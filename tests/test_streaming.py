@@ -275,3 +275,33 @@ def test_stream_stream_interval_join(spark, tmp_path, events_dir):
         & (bp.p_ts <= bc.c_ts + F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert got == expected and expected > 0
+
+
+def test_incremental_dedup_insert(spark, tmp_path, docs):
+    """Feeding the same documents twice across micro-batches lands each
+    fingerprint exactly once; the second delivery is dropped by the
+    anti-join against the sink."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import doc_fingerprint
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import dedup_insert
+
+    base = docs.select("doc_id", "text").limit(100)
+    src = str(tmp_path / "dedup_src")
+    # file 1: docs as-is; file 2: the same texts under shifted ids (re-delivery)
+    base.coalesce(1).write.parquet(src)
+    base.select((F.col("doc_id") + 5000).alias("doc_id"), "text").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = file_stream_reader(spark, src, base.schema, max_files_per_trigger=1)
+    q = dedup_insert(
+        stream,
+        str(tmp_path / "dedup_sink"),
+        str(tmp_path / "dedup_ckpt"),
+        key_expr=doc_fingerprint("text"),
+        trigger_once=True,
+    )
+    _drain(q)
+    out = read_sink(spark, str(tmp_path / "dedup_sink"))
+    n_unique = base.select(doc_fingerprint("text").alias("fp")).distinct().count()
+    assert out.count() == n_unique
+    assert out.select("__fp").distinct().count() == n_unique
