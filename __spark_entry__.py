@@ -2762,10 +2762,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: no partsupp table, so supply cost is the
     cheapest observed unit price in lineitem): per-part minimum-cost
     supplier via a correlated MIN subquery, expressed as a window MIN over
-    the per-(part, supplier) aggregate — one shuffle on part key serves
-    both the GROUP BY and the window. Unit cost is a single IEEE division
-    of exact integer cents (MIN is order-independent, so the double is
-    reproducible across any partitioning)."""
+    the per-(part, supplier) aggregate. The join output is explicitly
+    repartitioned on part key alone: hash(p_partkey) co-locates every
+    (part, supplier) group AND satisfies the window's partitioning, so the
+    plan has exactly ONE data shuffle (plan-asserted in test_plans.py)
+    where the naive groupBy-then-window form pays two. Unit cost is a
+    single IEEE division of exact integer cents (MIN is order-independent,
+    so the double is reproducible across any partitioning)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
@@ -2782,6 +2785,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition("p_partkey")
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min(unit_cost).alias("unit_cost"))
     )

@@ -127,3 +127,15 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     rows = {r.tier: r["count"] for r in j.collect()}
     expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert rows == {"hot": expected}
+
+
+def test_q2_single_data_shuffle(spark, sf_correct):
+    """hash(p_partkey) serves both the (part, supplier) aggregate and the
+    per-part window — exactly one non-broadcast exchange in the plan."""
+    plan = formatted_plan(entry.q2_min_cost_supplier(spark, sf_correct))
+    tree = plan.split("(1) Scan")[0]
+    data_exchanges = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(data_exchanges) == 1, tree
