@@ -1235,18 +1235,27 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count + exact cents sum are mergeable). At 100 TB the minute rollup is
     the only pass over raw events; every coarser grain reads the rollup —
     ~60× less data per re-aggregation. Identical result to aggregating raw
-    events, which is exactly what the oracle computes."""
+    events, which is exactly what the oracle computes.
+
+    One shuffle, not two: events are partitioned by (hour, event_type) up
+    front and the hour key rides through the minute grouping — hash(hour,
+    type) co-locates every minute group AND the hour re-aggregation, so
+    the merge of partials is a local pass."""
     ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
     minutes = (
-        ev.groupBy(
-            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        ev.repartition(hour, F.col("event_type"))
+        .groupBy(
+            hour.alias("hour"),
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
         ).agg(
             F.count("*").alias("n_part"),
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_part"),
         )
     )
     return (
-        minutes.groupBy(F.date_trunc("hour", "minute").alias("hour"), "event_type")
+        minutes.groupBy("hour", "event_type")
         .agg(
             F.sum("n_part").alias("n"),
             (F.sum("cents_part").cast("double") / 100.0).alias("total_value"),
@@ -2903,7 +2912,9 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-HAVING inner query — suppliers qualify through a per-(part,
     supplier) aggregate compared against a per-part window total, then a
     DISTINCT semi-style join back to supplier/nation. Share test is exact
-    integer arithmetic (qty_c * 8 > part_total_c)."""
+    integer arithmetic (qty_c * 8 > part_total_c). Partitioning on part
+    key alone lets the aggregate and the window share one shuffle (same
+    plan shape as q2)."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     part = (
         _t(spark, sf_dir, "part")
@@ -2914,6 +2925,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     pq = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"))
     )
