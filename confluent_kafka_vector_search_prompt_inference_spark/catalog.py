@@ -56,6 +56,18 @@ class VectorIndex:
 
 
 @dataclass
+class TextIndex:
+    """Keyword-index metadata on a corpus table — the BM25 analog of
+    :class:`VectorIndex` (extension surface; the reference only indexes
+    vectors). ``k1``/``b`` are the standard BM25 shape parameters."""
+
+    column: str = "content"
+    id_column: str = "product_id"
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
 class Catalog:
     """Logical tables over a directory of Parquet files.
 
@@ -68,6 +80,7 @@ class Catalog:
     paths: dict[str, str] = field(default_factory=dict)
     schemas: dict[str, StructType] = field(default_factory=dict)
     vector_indexes: dict[str, VectorIndex] = field(default_factory=dict)
+    text_indexes: dict[str, TextIndex] = field(default_factory=dict)
 
     def register_vector_index(self, table: str, **opts) -> VectorIndex:
         """Attach index metadata (column/id/metric/numCandidates) to a
@@ -78,6 +91,16 @@ class Catalog:
 
     def vector_index(self, table: str) -> VectorIndex:
         return self.vector_indexes.get(table, VectorIndex())
+
+    def register_text_index(self, table: str, **opts) -> TextIndex:
+        """Attach BM25 keyword-index metadata to a corpus table;
+        ``TEXT_SEARCH`` resolves it at call time."""
+        idx = TextIndex(**opts)
+        self.text_indexes[table] = idx
+        return idx
+
+    def text_index(self, table: str) -> TextIndex:
+        return self.text_indexes.get(table, TextIndex())
 
     @classmethod
     def for_dir(cls, spark: SparkSession, sf_dir: str, register_views: bool = True) -> "Catalog":

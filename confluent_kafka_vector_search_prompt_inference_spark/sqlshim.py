@@ -79,6 +79,11 @@ _LATERAL_FED_SEARCH = re.compile(
     r"'(?P<corpus>\w+)'\s*,\s*(?P<k>\d+)\s*,\s*`?(?P<col>\w+)`?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_LATERAL_TEXT_SEARCH = re.compile(
+    r"FROM\s+`?(?P<table>\w+)`?\s*,\s*LATERAL\s+TABLE\s*\(\s*TEXT_SEARCH\s*\(\s*"
+    r"'(?P<corpus>\w+)'\s*,\s*(?P<k>\d+)\s*,\s*`?(?P<col>\w+)`?\s*\)\s*\)",
+    re.IGNORECASE,
+)
 _JSON_OBJECT_PAIR = re.compile(r"'(?P<key>[^']+)'\s+VALUE\s+", re.IGNORECASE)
 _OPTION_PAIR = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
 
@@ -228,6 +233,11 @@ class EngineSession:
                 self._federated_search(m.group("table"), m.group("corpus"), int(m.group("k")), m.group("col")),
                 m.group("table"),
             ) + statement[m.end() :]
+        while m := _LATERAL_TEXT_SEARCH.search(statement):
+            statement = statement[: m.start()] + self._fresh_view(
+                self._text_search(m.group("table"), m.group("corpus"), int(m.group("k")), m.group("col")),
+                m.group("table"),
+            ) + statement[m.end() :]
         return statement
 
     def _federated_search(self, table: str, corpus_name: str, k: int, vec_col: str) -> DataFrame:
@@ -255,6 +265,40 @@ class EngineSession:
                     lambda s: F.struct(s["content"].alias("content")),
                 ).alias("search_results")
             )
+        )
+        return queries.join(packed, "__qid", "left").drop("__qid")
+
+    def _text_search(self, table: str, corpus_name: str, k: int, text_col: str) -> DataFrame:
+        """``TEXT_SEARCH(corpus, k, question)``: the keyword twin of
+        ``FEDERATED_SEARCH`` (extension surface — the reference only ships
+        the vector leg). Appends ``search_results ARRAY<STRUCT<content>>``
+        with the top-k BM25 matches from the corpus' registered text
+        index."""
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search
+
+        idx = self.catalog.text_index(corpus_name)
+        queries = self.catalog.table(table).withColumn(
+            "__qid", F.md5(F.to_json(F.struct("*")))
+        )
+        corpus = self.catalog.table(corpus_name)
+        hits = bm25_search(
+            corpus.select(F.col(idx.id_column).alias("doc_id"), F.col(idx.column).alias("text")),
+            queries.select("__qid", F.col(text_col).alias("query_text")).withColumnRenamed("__qid", "query_id"),
+            k=k, k1=idx.k1, b=idx.b,
+        )
+        packed = (
+            hits.join(
+                F.broadcast(corpus.select(F.col(idx.id_column).alias("doc_id"), F.col(idx.column))),
+                "doc_id",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rank", F.col(idx.column).alias("content")))),
+                    lambda s: F.struct(s["content"].alias("content")),
+                ).alias("search_results")
+            )
+            .withColumnRenamed("query_id", "__qid")
         )
         return queries.join(packed, "__qid", "left").drop("__qid")
 

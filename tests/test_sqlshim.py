@@ -267,3 +267,23 @@ def test_python_udtf_lateral(spark):
     assert {(r.word, r.pos) for r in out if r.line == "hello world"} == {
         ("hello", 0), ("world", 1)
     }
+
+
+def test_text_search_lateral(spark, engine):
+    """TEXT_SEARCH — the keyword twin of FEDERATED_SEARCH: BM25 top-k over
+    the corpus' registered text index, same search_results shape."""
+    engine.catalog.register_text_index("product", column="content", id_column="product_id")
+    df = engine.sql(
+        "SELECT `content`, search_results AS products "
+        "FROM user_questions, LATERAL TABLE(TEXT_SEARCH('product', 2, content))"
+    )
+    rows = {r.content: r.products for r in df.collect()}
+    assert len(rows) == 2
+    # BM25 only surfaces docs sharing ≥1 term, so lists hold 1..k entries
+    for products in rows.values():
+        assert 1 <= len(products) <= 2
+    # "girl shoes" query retrieves the girl-shoes product first
+    girl = rows["little girl shoes in medium"]
+    assert "girl" in girl[0].content
+    mens = rows["mens formal shoes in medium"]
+    assert "mens" in mens[0].content
