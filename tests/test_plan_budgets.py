@@ -1,0 +1,52 @@
+"""Shuffle-budget regression guard: every headline query has a recorded
+maximum number of non-broadcast exchanges. A refactor that sneaks an extra
+shuffle into a hot query fails here long before it shows up as a 100 TB
+regression — the plan, not the timing, is the contract."""
+
+import pytest
+
+import __spark_entry__ as entry
+from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+# query → max allowed data (non-broadcast) exchanges in the plan tree.
+# Budgets are the current plan's count — tightened deliberately, never
+# loosened without a scaling argument in the commit.
+BUDGETS = {
+    "q1_pricing_summary": 1,
+    "q6_forecast_revenue": 1,       # SinglePartition gather of partial-agg rows
+    "filter_pushdown_project": 0,
+    "broadcast_join_agg": 1,
+    "q2_min_cost_supplier": 1,      # shared agg+window exchange
+    "q20_dominant_suppliers": 2,    # shared part-key exchange + supplier distinct
+    "events_hierarchical_rollup": 1,
+    "events_sessionization": 1,
+    "window_rank": 1,
+    "sequence_packing": 1,
+    "vec_topk_broadcast": 0,        # broadcast matmul — zero shuffles
+}
+
+
+def _data_exchanges(df) -> int:
+    tree = formatted_plan(df).split("(1) Scan")[0]
+    return sum(
+        1
+        for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_aqe(spark):
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, sf_correct, name):
+    df = entry.queries()[name](spark, sf_correct)
+    n = _data_exchanges(df)
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} data exchanges exceeds recorded budget {BUDGETS[name]}"
+    )
