@@ -2460,6 +2460,46 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_outliers(emb).filter(F.col("z") > 2.0)
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (curriculum) sampling (§2.11): keep each document
+    with probability equal to its quality score, decided by the document's
+    content hash — deterministic, shuffle-free, engine-portable (the same
+    doc survives in any engine, at any parallelism, on any re-run; no RNG
+    state). The comparison is exact integers: hash bucket in [0, 1e6) vs
+    round(quality × 1e6)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = hash_bucket("doc_id", 1_000_000) < F.round(
+        quality_score("text") * 1_000_000
+    ).cast("bigint")
+    return docs.filter(keep).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+_QUALITY_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    len({_SQL_WORDS}) AS n_words,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+          + LEAST(sr / 0.1, 1.0) * 0.4
+          + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+  FROM t)
+SELECT doc_id, quality
+FROM q
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000
+      < CAST(round(quality * 1000000) AS BIGINT)
+"""
+
+
 def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling (stats collection — what feeds a CBO and
     data-quality dashboards): row count, NDV, null counts, min/max, and an
@@ -3059,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "vocab_top_terms": vocab_top_terms,
         "table_profile_stats": table_profile_stats,
+        "quality_weighted_sample": quality_weighted_sample,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3156,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": _PACKING_ORACLE,
         "vocab_top_terms": _VOCAB_ORACLE,
         "table_profile_stats": _PROFILE_ORACLE,
+        "quality_weighted_sample": _QUALITY_SAMPLE_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
