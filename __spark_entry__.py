@@ -2460,6 +2460,59 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_outliers(emb).filter(F.col("z") > 2.0)
 
 
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filter (§2.11): mean unigram log-probability
+    of each document under the corpus' own unigram distribution — the
+    cheap perplexity proxy used to drop gibberish before training. The
+    vocabulary (term → ln P(term) in fixed-point nano-units) is
+    vocabulary-sized and broadcast; per-doc scores are exact BIGINT sums
+    of those units, so partial aggregation reproduces identical scores at
+    any parallelism — same determinism recipe as BM25."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(word_tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    logp = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("logp_n"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("logp_n").alias("sum_n"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("sum_n").cast("double") / F.lit(1000000000.0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT SUM(tf) AS n_total FROM vocab),
+logp AS (
+  SELECT term,
+    CAST(round(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000000.0) AS BIGINT) AS logp_n
+  FROM vocab CROSS JOIN total)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+  ROUND((CAST(SUM(l.logp_n) AS DOUBLE) / 1000000000.0) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+FROM toks t JOIN logp l USING (term)
+GROUP BY 1
+"""
+
+
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted (curriculum) sampling (§2.11): keep each document
     with probability equal to its quality score, decided by the document's
@@ -3100,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": vocab_top_terms,
         "table_profile_stats": table_profile_stats,
         "quality_weighted_sample": quality_weighted_sample,
+        "unigram_logprob_scores": unigram_logprob_scores,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3198,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_terms": _VOCAB_ORACLE,
         "table_profile_stats": _PROFILE_ORACLE,
         "quality_weighted_sample": _QUALITY_SAMPLE_ORACLE,
+        "unigram_logprob_scores": _UNIGRAM_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
