@@ -47,21 +47,33 @@ _SCALE = 1e9
 def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Inverted-index postings: ``(doc_id, term, tf, dl)``.
 
-    Tokens are materialized in a staged projection before the explode so
-    Catalyst evaluates the tokenizer once per document (it does not CSE
-    the split across ``size`` and ``explode``).
+    Term frequencies are counted IN-ROW with higher-order functions before
+    the explode: each document emits one row per *distinct* term (already
+    carrying its tf), not one per token — for natural text that's ~4×
+    fewer rows into the explode and the (doc, term) shuffle, and the
+    aggregation below it disappears entirely. The O(|distinct| × |tokens|)
+    in-row count is whole-stage-codegen'd array arithmetic, far cheaper
+    than shuffling the difference. Tokens are materialized in a staged
+    projection so Catalyst evaluates the tokenizer once per document (it
+    does not CSE the split across expressions).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("toks")
     )
-    exploded = toks.select(
+    pairs = toks.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
-        F.explode("toks").alias("term"),
+        F.explode(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter("toks", lambda x: x == t)).cast("bigint").alias("tf"),
+                ),
+            )
+        ).alias("p"),
     )
-    return exploded.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
+    return pairs.select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
 
 
 def bm25_doc_stats(docs: DataFrame, text_col: str) -> DataFrame:
