@@ -2467,24 +2467,30 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (term → ln P(term) in fixed-point nano-units) is
     vocabulary-sized and broadcast; per-doc scores are exact BIGINT sums
     of those units, so partial aggregation reproduces identical scores at
-    any parallelism — same determinism recipe as BM25."""
+    any parallelism — same determinism recipe as BM25. Shares the
+    shuffle-free in-row-tf postings with BM25 (one row per distinct term
+    per doc); per-doc totals weight each term's log-prob by its tf, so
+    the result equals the per-token sum with ~4× fewer joined rows."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(word_tokens("text")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    total = vocab.agg(F.sum("tf").alias("n_total"))
+    post = bm25_postings(docs, "doc_id", "text").persist()
+    vocab = post.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = vocab.agg(F.sum("ctf").alias("n_total"))
     logp = vocab.join(F.broadcast(total)).select(
         "term",
         F.round(
-            F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
+            F.log(F.col("ctf").cast("double") / F.col("n_total").cast("double"))
             * F.lit(1000000000.0)
         )
         .cast("bigint")
         .alias("logp_n"),
     )
     return (
-        toks.join(F.broadcast(logp), "term")
+        post.join(F.broadcast(logp), "term")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("logp_n").alias("sum_n"))
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_n")).alias("sum_n"),
+        )
         .select(
             "doc_id",
             "n_tokens",
