@@ -305,3 +305,33 @@ def test_incremental_dedup_insert(spark, tmp_path, docs):
     n_unique = base.select(doc_fingerprint("text").alias("fp")).distinct().count()
     assert out.count() == n_unique
     assert out.select("__fp").distinct().count() == n_unique
+
+
+def test_stream_static_enrichment_join(spark, tmp_path, events_dir):
+    """Stream-static join: an unbounded stream enriched against a static
+    dimension — no watermark needed (the static side is re-resolvable per
+    micro-batch), rows and categories match the batch join."""
+    src, schema, n = events_dir
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=3)
+    enriched = stream.join(dim, "event_type")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("enriched_out")
+    assert got.count() == n  # every event type has a dim row
+    batch_counts = {
+        r.category: r["count"]
+        for r in spark.read.parquet(src).join(dim, "event_type").groupBy("category").count().collect()
+    }
+    stream_counts = {r.category: r["count"] for r in got.groupBy("category").count().collect()}
+    assert stream_counts == batch_counts
