@@ -12,7 +12,8 @@ This package re-expresses that surface Spark-first:
 - ``session``    — tuned SparkSession bootstrap (AQE, Arrow, 32 shuffle parts)
 - ``catalog``    — table registry over Parquet dirs + late-bound schema shim
 - ``functions``  — vector / JSON / text column functions (JVM-side built-ins)
-- ``operators``  — top-k similarity join, dedup family, ANN index
+- ``operators``  — top-k similarity join, dedup family, ANN/IVF indexes,
+  BM25 + hybrid retrieval, sequence packing, sampling, outlier scoring
 - ``models``     — CREATE MODEL registry, versioning, batched inference UDFs
 - ``sources``    — Kafka / file / schema-registry-decoded sources, multimodal
 - ``streaming``  — continuous pipelines (foreachBatch, watermarks, windows)

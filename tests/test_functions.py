@@ -102,3 +102,18 @@ def test_approx_count_distinct_accuracy(spark):
     ).first()
     assert row.exact == 7919
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_approx_percentile_within_tolerance(spark, sf_correct):
+    """approx_percentile tracks the exact percentile within a few percent —
+    the mergeable-sketch path for quantiles at 100 TB where exact
+    percentile_cont would need a global sort."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("approx"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact"),
+    ).first()
+    for a, e in zip(row.approx, row.exact):
+        assert abs(a - e) / e < 0.05, (a, e)
