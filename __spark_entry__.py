@@ -2448,6 +2448,24 @@ FROM m
 """
 
 
+def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-k (§2.11 similarity search at scale):
+    64-dim float32 vectors compressed to 8 one-byte codes (32×), scored by
+    per-subspace lookup-table sums inside ``mapInPandas``. Approximate by
+    construction (no SQL oracle); recall vs the exact scorer is
+    pytest-bounded in tests/test_pq.py."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import pq_encode, topk_pq, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    books = train_pq_codebooks(corpus, m=8, k=32, sample_rows=1000, max_iter=5)
+    encoded = pq_encode(corpus, books)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    return topk_pq(q, encoded, books, k=10, query_id="qid", corpus_id="cid")
+
+
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` surface (§2.10): per-label centroid
     distance + z-score outlier flagging over the embeddings table. No SQL
@@ -3160,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_stats": table_profile_stats,
         "quality_weighted_sample": quality_weighted_sample,
         "unigram_logprob_scores": unigram_logprob_scores,
+        "vec_pq_topk": vec_pq_topk,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)

@@ -1,0 +1,176 @@
+"""Product quantization (PQ): codebook compression for vector corpora.
+
+The memory lever beyond int8 (``functions/vector.py``): split each d-dim
+vector into ``m`` subvectors, k-means each subspace into 256 centroids,
+and store a vector as ``m`` uint8 codes — d×4 bytes becomes m bytes
+(e.g. 64-dim float32 → 8 bytes at m=8, 32×). Search uses asymmetric
+distance computation (ADC): per query, a tiny (m × 256) lookup table of
+query-subvector · centroid dot products; a corpus row's approximate score
+is the sum of m table lookups — no float math per row at scan time.
+
+Spark shape, sized for 100 TB:
+- Training samples the corpus (codebooks need thousands of rows, not
+  billions) and runs m independent Spark ML KMeans fits.
+- Encoding is one Arrow-batched pandas pass: vectorized argmin against
+  the (m, 256, d/m) codebook tensor, broadcast via closure.
+- Search broadcasts only the (m, 256) LUT per query batch; scoring is a
+  NumPy gather-and-sum over the code matrix inside ``mapInPandas`` —
+  the same partition-parallel pattern as the broadcast top-k join.
+- Like IVF, the index persists as plain columns (``pq_codes
+  ARRAY<SMALLINT>``) next to the data, so any engine can store it.
+
+Approximate by construction (quantization error) — verified by recall
+tests against the exact scorer, not a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, ShortType
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "vector",
+    *,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train ``(m, k, d/m)`` codebooks from a corpus sample.
+
+    Codebooks train DRIVER-SIDE on a sample, deliberately: PQ codebooks
+    need thousands of representative rows, not the corpus — sampling to
+    the driver and running m tiny seeded Lloyd's iterations in NumPy is
+    milliseconds, where distributing m k-means jobs pays Spark job
+    overhead ×m for no quality gain. (This mirrors how IVF/PQ indexes
+    are trained in production vector stores.) Small corpora shrink k to
+    the sample size so every centroid is occupied."""
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+
+    def _kmeanspp_init(seg: np.ndarray) -> np.ndarray:
+        # k-means++ D² seeding — matches distributed k-means|| quality on
+        # sample-sized inputs and keeps codebooks deterministic per seed.
+        cent = np.empty((k, seg.shape[1]))
+        cent[0] = seg[rng.randint(len(seg))]
+        d2 = ((seg - cent[0]) ** 2).sum(axis=1)
+        for c in range(1, k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            idx = rng.choice(len(seg), p=probs)
+            cent[c] = seg[idx]
+            d2 = np.minimum(d2, ((seg - cent[c]) ** 2).sum(axis=1))
+        return cent
+
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        seg = X[:, j * sub : (j + 1) * sub]
+        cent = _kmeanspp_init(seg)
+        for _ in range(max_iter):
+            d2 = (
+                (seg**2).sum(axis=1)[:, None]
+                - 2.0 * seg @ cent.T
+                + (cent**2).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = seg[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+                else:  # re-seed empty clusters from a random point
+                    cent[c] = seg[rng.randint(n)]
+        books[j] = cent
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray, vec_col: str = "vector") -> DataFrame:
+    """Append ``pq_codes ARRAY<SMALLINT>`` (m entries in [0, k))."""
+    books = codebooks.astype(np.float64)
+    m, k, sub = books.shape
+
+    @F.pandas_udf(ArrayType(ShortType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        codes = np.empty((len(X), m), dtype=np.int16)
+        for j in range(m):
+            seg = X[:, j * sub : (j + 1) * sub]
+            # (n, k) squared distances via ||x||² - 2x·c + ||c||²
+            d2 = (
+                (seg**2).sum(axis=1)[:, None]
+                - 2.0 * seg @ books[j].T
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def topk_pq(
+    queries: DataFrame,
+    encoded_corpus: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    code_col: str = "pq_codes",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Approximate dot-product top-k by ADC over PQ codes.
+
+    Scores every (query, corpus) pair as the sum of per-subspace LUT
+    entries; exact rescoring of the short-list (see the quantized-rescore
+    pattern) recovers full precision when needed."""
+    books = codebooks.astype(np.float64)
+    m, kk, sub = books.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # (nq, m, k) lookup tables: query subvector · centroid
+    luts = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+
+    out_schema = f"{corpus_id} long, __qix int, {score_col} double"
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.asarray(list(pdf[code_col]), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            for qi in range(len(qids)):
+                lut = luts[qi]  # (m, k)
+                s = lut[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+                yield pd.DataFrame(
+                    {
+                        corpus_id: pdf[corpus_id].to_numpy(),
+                        "__qix": np.full(n, qi, dtype=np.int32),
+                        score_col: s,
+                    }
+                )
+
+    scored = encoded_corpus.select(corpus_id, code_col).mapInPandas(score, out_schema)
+    qmap = queries.sparkSession.createDataFrame(
+        [(int(i), qid) for i, qid in enumerate(qids)], ["__qix", query_id]
+    )
+    w = Window.partitionBy("__qix").orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank_col) <= k)
+        .join(F.broadcast(qmap), "__qix")
+        .select(query_id, corpus_id, F.round(score_col, 6).alias(score_col), rank_col)
+    )

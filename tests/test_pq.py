@@ -1,0 +1,57 @@
+"""Product quantization: encoding shape, reconstruction sanity, ADC recall
+vs the exact scorer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import pq_encode, topk_pq, train_pq_codebooks
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+
+@pytest.fixture(scope="module")
+def pq_setup(spark, embeddings):
+    corpus = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    books = train_pq_codebooks(corpus, m=8, k=64, sample_rows=500)
+    encoded = pq_encode(corpus, books).cache()
+    return corpus, books, encoded
+
+
+def test_codebook_and_code_shapes(pq_setup):
+    corpus, books, encoded = pq_setup
+    assert books.shape[0] == 8 and books.shape[2] == 8  # 64-dim / m=8
+    row = encoded.select("pq_codes").first()
+    assert len(row.pq_codes) == 8
+    assert all(0 <= c < books.shape[1] for c in row.pq_codes)
+
+
+def test_adc_recall_vs_exact(spark, embeddings, pq_setup):
+    corpus, books, encoded = pq_setup
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    approx = topk_pq(q, encoded, books, k=10, query_id="qid", corpus_id="cid")
+    exact = topk_similarity_join(
+        q, corpus, k=10,
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric="dot", strategy="shuffle",
+    )
+    a = approx.toPandas().groupby("qid").cid.apply(set)
+    e = exact.toPandas().groupby("qid").cid.apply(set)
+    recalls = [len(a[i] & e[i]) / 10 for i in a.index]
+    # the fixture embeddings are near-uniform random — PQ's worst case
+    # (no cluster structure to exploit). Chance top-10 overlap is
+    # 10/500 = 0.02; ≥0.35 at 32× compression demonstrates real signal,
+    # and clustered production embeddings sit far higher.
+    assert np.mean(recalls) >= 0.35, recalls
+
+
+def test_self_match_survives_quantization(spark, embeddings, pq_setup):
+    corpus, books, encoded = pq_setup
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_pq(q, encoded, books, k=10, query_id="qid", corpus_id="cid").toPandas()
+    hits = out[out.qid == out.cid]
+    assert len(hits) >= 8  # a vector's own code is (almost) always in its top-10
