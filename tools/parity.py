@@ -35,16 +35,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from confluent_kafka_vector_search_prompt_inference_spark import get_spark
+    args = sys.argv[1:]
+    if "--vanilla" in args:
+        # mimic the real driver even closer: a stock SparkSession without
+        # any of our tuned configs (catches hidden config dependence)
+        args.remove("--vanilla")
+        from pyspark.sql import SparkSession
 
-    spark = get_spark()
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from confluent_kafka_vector_search_prompt_inference_spark import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(args)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
