@@ -55,3 +55,37 @@ def test_self_match_survives_quantization(spark, embeddings, pq_setup):
     out = topk_pq(q, encoded, books, k=10, query_id="qid", corpus_id="cid").toPandas()
     hits = out[out.qid == out.cid]
     assert len(hits) >= 8  # a vector's own code is (almost) always in its top-10
+
+
+def test_pq_coarse_plus_exact_rescore_recovers_topk(spark, embeddings, pq_setup):
+    """The production pattern: PQ ADC coarse top-50 (32× compressed scan)
+    → full-precision rescore of the shortlist → top-10. Recovers nearly
+    the exact top-10 despite the compressed first pass."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot
+    from pyspark.sql import Window
+
+    corpus, books, encoded = pq_setup
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    coarse = topk_pq(q, encoded, books, k=50, query_id="qid", corpus_id="cid")
+    rescored = (
+        coarse.select("qid", "cid")
+        .join(corpus.withColumnRenamed("vector", "cv"), "cid")
+        .join(q.withColumnRenamed("vector", "qv"), "qid")
+        .select("qid", "cid", vec_dot("qv", "cv").alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cid"))
+    final = rescored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+    exact = topk_similarity_join(
+        q, corpus, k=10,
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric="dot", strategy="shuffle",
+    )
+    a = final.toPandas().groupby("qid").cid.apply(set)
+    e = exact.toPandas().groupby("qid").cid.apply(set)
+    recalls = [len(a[i] & e[i]) / 10 for i in a.index]
+    import numpy as np
+    assert np.mean(recalls) >= 0.8, recalls
