@@ -2448,6 +2448,50 @@ FROM m
 """
 
 
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (training-data hygiene, §2.11 adjacent — the
+    Deequ/dbt-tests pattern): null checks, range checks, and key
+    uniqueness in ONE aggregate pass over the fact table, plus an orphan
+    foreign-key count via a broadcast-anti-join — every violation class
+    lands in a single 1-row report. At 100 TB the agg is map-side
+    partials and the FK check is the only join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    base = li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)).alias("nonpos_price"),
+        F.sum(F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1).otherwise(0)).alias(
+            "bad_discount"
+        ),
+        (
+            F.count("*")
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_line_keys"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lines"))
+    )
+    return base.join(F.broadcast(orphans))
+
+
+_DQ_ORACLE = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+    SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS nonpos_price,
+    SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS bad_discount,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_line_keys
+  FROM lineitem),
+orph AS (
+  SELECT COUNT(*) AS orphan_lines FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT * FROM base CROSS JOIN orph
+"""
+
+
 def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC top-k (§2.11 similarity search at scale):
     64-dim float32 vectors compressed to 8 one-byte codes (32×), scored by
@@ -3179,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": quality_weighted_sample,
         "unigram_logprob_scores": unigram_logprob_scores,
         "vec_pq_topk": vec_pq_topk,
+        "data_quality_checks": data_quality_checks,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3278,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_stats": _PROFILE_ORACLE,
         "quality_weighted_sample": _QUALITY_SAMPLE_ORACLE,
         "unigram_logprob_scores": _UNIGRAM_ORACLE,
+        "data_quality_checks": _DQ_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).

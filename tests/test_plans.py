@@ -139,3 +139,40 @@ def test_q2_single_data_shuffle(spark, sf_correct):
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
     assert len(data_exchanges) == 1, tree
+
+
+def test_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime bloom-filter injection: a selective dim filter plants a
+    might-contain probe on the fact scan side — the row-level companion to
+    dynamic partition pruning for unpartitioned 100 TB facts."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    creation = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+    )
+    app_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    # test tables are tiny — drop the size gates that target real 100 TB scans
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ so bloom applies
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderpriority").count()
+        plan = formatted_plan(j)
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", creation)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", app_thresh
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
