@@ -82,6 +82,45 @@ def continuous_insert(
     return writer.start()
 
 
+def enforce_retention(
+    sink_dir: str,
+    *,
+    max_batches: int | None = None,
+    max_bytes: int | None = None,
+) -> list[int]:
+    """Drop the oldest committed ``_batch=`` directories beyond a count or
+    byte budget — the engine-side analog of the reference's topic
+    retention (1 h / 1 GB on ``user_questions``, ``README.md:102``):
+    bounded sink state under a continuous INSERT. Returns the epoch ids
+    removed. Oldest-first by epoch id; a batch is only dropped whole
+    (mirroring segment deletion, not row-level expiry)."""
+    import re
+    import shutil
+
+    dirs = []
+    for d in sorted(os.listdir(sink_dir)) if os.path.isdir(sink_dir) else []:
+        m = re.fullmatch(r"_batch=(\d+)", d)
+        if m:
+            path = os.path.join(sink_dir, d)
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            )
+            dirs.append((int(m.group(1)), path, size))
+    dirs.sort()  # oldest epoch first
+    removed: list[int] = []
+    while dirs:
+        over_count = max_batches is not None and len(dirs) > max_batches
+        over_bytes = max_bytes is not None and sum(s for _, _, s in dirs) > max_bytes
+        if not (over_count or over_bytes):
+            break
+        epoch, path, _ = dirs.pop(0)
+        shutil.rmtree(path)
+        removed.append(epoch)
+    return removed
+
+
 def dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,

@@ -335,3 +335,27 @@ def test_stream_static_enrichment_join(spark, tmp_path, events_dir):
     }
     stream_counts = {r.category: r["count"] for r in got.groupBy("category").count().collect()}
     assert stream_counts == batch_counts
+
+
+def test_sink_retention_by_count_and_bytes(spark, tmp_path):
+    """Retention drops whole oldest batches once count/byte budgets are
+    exceeded — the reference's 1 h / 1 GB topic retention semantics
+    (README.md:102) applied to the idempotent sink."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention
+
+    sink = str(tmp_path / "sink")
+    writer = idempotent_batch_writer(sink)
+    for epoch in range(5):
+        writer(spark.range(100).toDF("id"), epoch)
+
+    removed = enforce_retention(sink, max_batches=3)
+    assert removed == [0, 1]
+    remaining = read_sink(spark, sink)
+    assert remaining.count() == 300
+
+    # byte budget: shrink until under ~2 batches' size
+    import glob, os
+    one = sum(os.path.getsize(f) for f in glob.glob(os.path.join(sink, "_batch=2", "*")) if os.path.isfile(f))
+    removed2 = enforce_retention(sink, max_bytes=int(one * 2.5))
+    assert removed2 == [2]
+    assert read_sink(spark, sink).count() == 200
