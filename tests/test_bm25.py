@@ -82,3 +82,16 @@ def test_bm25_matches_reference_formula(toy_docs):
     expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 6 / avgdl))
     got = imp[(imp.doc_id == 2) & (imp.term == "broadcast")].impact_n.iloc[0]
     assert got == round(expected * 1e9)
+
+
+def test_empty_corpus_returns_no_rows(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "anything")], ["query_id", "query_text"])
+    assert bm25_search(docs, queries, k=5).count() == 0
+
+
+def test_query_with_no_matching_terms(toy_docs):
+    queries = toy_docs.sparkSession.createDataFrame(
+        [(9, "zzz qqq unseen tokens")], ["query_id", "query_text"]
+    )
+    assert bm25_search(toy_docs, queries, k=5).count() == 0

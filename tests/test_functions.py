@@ -117,3 +117,20 @@ def test_approx_percentile_within_tolerance(spark, sf_correct):
     ).first()
     for a, e in zip(row.approx, row.exact):
         assert abs(a - e) / e < 0.05, (a, e)
+
+
+def test_observation_metrics_single_pass(spark, sf_correct):
+    """df.observe() collects pipeline metrics during the SAME action that
+    produces the data — no second scan for row counts in a 100 TB job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+    out = observed.filter(F.col("l_discount") > 0.02).count()
+    m = obs.get
+    assert m["n"] == li.count()  # metrics cover pre-filter rows
+    assert out < m["n"] and m["qty"] > 0

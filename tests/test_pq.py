@@ -89,3 +89,12 @@ def test_pq_coarse_plus_exact_rescore_recovers_topk(spark, embeddings, pq_setup)
     recalls = [len(a[i] & e[i]) / 10 for i in a.index]
     import numpy as np
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_codebooks_deterministic_per_seed(spark, embeddings):
+    corpus = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    a = train_pq_codebooks(corpus, m=4, k=16, sample_rows=200, seed=7)
+    b = train_pq_codebooks(corpus, m=4, k=16, sample_rows=200, seed=7)
+    c = train_pq_codebooks(corpus, m=4, k=16, sample_rows=200, seed=8)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
