@@ -30,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, ShortType
+from pyspark.sql.types import ArrayType, ShortType
 
 
 def train_pq_codebooks(
