@@ -2448,6 +2448,49 @@ FROM m
 """
 
 
+def trending_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items shape: top-3 parts by revenue per ship month — a
+    two-level aggregate (month × part) with a ranked cut per month.
+    Partitioning on the month alone up front lets the (month, part)
+    aggregate and the per-month ranking window share ONE exchange (the
+    q2/q20 pattern); revenue stays exact integer cents until the end."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    agg = (
+        li.repartition(month)
+        .groupBy(month.alias("ship_month"), "l_partkey")
+        .agg(F.sum(rev).alias("rev_c"))
+    )
+    w = Window.partitionBy("ship_month").orderBy(F.col("rev_c").desc(), F.col("l_partkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "ship_month",
+            "l_partkey",
+            (F.col("rev_c").cast("double") / 10000.0).alias("revenue"),
+            "rank",
+        )
+    )
+
+
+_TRENDING_ORACLE = """
+WITH agg AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_partkey,
+    SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ship_month
+              ORDER BY rev_c DESC, l_partkey ASC) AS INTEGER) AS rank
+  FROM agg)
+SELECT ship_month, l_partkey, CAST(rev_c AS DOUBLE) / 10000.0 AS revenue, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint validation (training-data hygiene, §2.11 adjacent — the
     Deequ/dbt-tests pattern): null checks, range checks, and key
@@ -3224,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_scores": unigram_logprob_scores,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
+        "trending_parts_monthly": trending_parts_monthly,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3324,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_weighted_sample": _QUALITY_SAMPLE_ORACLE,
         "unigram_logprob_scores": _UNIGRAM_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
+        "trending_parts_monthly": _TRENDING_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
