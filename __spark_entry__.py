@@ -2448,6 +2448,35 @@ FROM m
 """
 
 
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (§2.5 IGNORE NULLS window semantics): error events
+    carry no trustworthy value, so each takes the user's last healthy
+    reading — ``last(col, ignorenulls=True)`` over an unbounded-preceding
+    frame, the standard sensor/metric gap-fill. One shuffle on user."""
+    ev = _t(spark, sf_dir, "events")
+    healthy = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(healthy, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+_FFILL_ORACLE = """
+SELECT event_id, user_id, event_type,
+  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events
+"""
+
+
 def trending_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending-items shape: top-3 parts by revenue per ship month — a
     two-level aggregate (month × part) with a ranked cut per month.
@@ -3268,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
+        "events_forward_fill": events_forward_fill,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3369,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_scores": _UNIGRAM_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
+        "events_forward_fill": _FFILL_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
