@@ -2448,6 +2448,45 @@ FROM m
 """
 
 
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (metric normalization, §2.11 adjacent): clip each
+    event's value to its event-type's [p05, p95] band, then re-aggregate —
+    the standard tail-taming step before averaging noisy reward/metric
+    columns. Per-group bounds are a tiny aggregate broadcast back onto the
+    stream; clipping is ``least``/``greatest``, fully codegen'd. Clipped
+    sums go through exact cents after a round-2 of the clipped double
+    (bounds are interpolated doubles, identical in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.round(F.greatest("lo", F.least("hi", F.col("value"))), 2).alias("v2"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("v2") * 100).cast("bigint")).cast("double") / 100.0
+        ).alias("winsorized_total"),
+    )
+
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1),
+clipped AS (
+  SELECT e.event_type, ROUND(GREATEST(b.lo, LEAST(b.hi, e.value)), 2) AS v2
+  FROM events e JOIN bounds b USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(round(v2*100) AS BIGINT)) AS DOUBLE) / 100.0 AS winsorized_total
+FROM clipped GROUP BY 1
+"""
+
+
 def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (§2.5 IGNORE NULLS window semantics): error events
     carry no trustworthy value, so each takes the user's last healthy
@@ -3298,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
         "events_forward_fill": events_forward_fill,
+        "events_winsorized_stats": events_winsorized_stats,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3400,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
+        "events_winsorized_stats": _WINSOR_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
