@@ -2448,6 +2448,37 @@ FROM m
 """
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (data profiling, §2.11 adjacent): 10 buckets
+    over [0, 500) per event type via ``width_bucket`` — a pure
+    map-side expression, one shuffle on (type, bucket), mergeable counts.
+    The profiling companion to `table_profile_stats` for distribution
+    shape instead of point statistics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10)).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "bucket_total"
+            ),
+        )
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT event_type,
+  -- width_bucket(value, 0, 500, 10) for in-range values (DuckDB lacks the fn)
+  CAST(floor(value / 50.0) + 1 AS BIGINT) AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS bucket_total
+FROM events GROUP BY 1, 2
+"""
+
+
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (metric normalization, §2.11 adjacent): clip each
     event's value to its event-type's [p05, p95] band, then re-aggregate —
@@ -3338,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_parts_monthly": trending_parts_monthly,
         "events_forward_fill": events_forward_fill,
         "events_winsorized_stats": events_winsorized_stats,
+        "events_value_histogram": events_value_histogram,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
@@ -3441,6 +3473,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
         "events_winsorized_stats": _WINSOR_ORACLE,
+        "events_value_histogram": _HISTOGRAM_ORACLE,
         # minhash_lsh_dups / simhash_near_dups / multimodal_features /
         # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
         # custom hash families, UDF feature extraction, model inference).
