@@ -2363,6 +2363,18 @@ def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run_batch(questions, corpus)
 
 
+def rag_answers_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with hybrid (vector ⊕ BM25, RRF-fused)
+    retrieval — the engine extension the reference's vector-only
+    FEDERATED_SEARCH lacks. Same output contract as ``rag_answers``.
+    No SQL oracle (model inference)."""
+    pipe, questions, corpus = _rag(spark, sf_dir)
+    hybrid = RagPipeline(
+        pipe.registry, k=3, strategy="broadcast_corpus", retrieval="hybrid"
+    )
+    return hybrid.run_batch(questions, corpus)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3375,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAG (§3)
         "rag_prompts": rag_prompts,
         "rag_answers": rag_answers,
+        "rag_answers_hybrid": rag_answers_hybrid,
     }
 
 

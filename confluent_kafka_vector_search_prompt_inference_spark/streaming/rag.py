@@ -39,6 +39,10 @@ class RagPipeline:
     k: int = 3
     question_id: str = "question_id"
     strategy: str = "auto"
+    #: "vector" (the reference's FEDERATED_SEARCH semantics) or "hybrid"
+    #: (vector ⊕ BM25 keyword legs fused by reciprocal rank — the
+    #: engine's extension; same output schema either way).
+    retrieval: str = "vector"
 
     def _ensure_id(self, questions: DataFrame) -> DataFrame:
         """Questions need a stable unique id for the top-k join; derive one
@@ -64,17 +68,20 @@ class RagPipeline:
         """Stage 2 → ``user_prompts`` (``README.md:438-446``): top-k corpus
         rows per question, packed as ``products ARRAY<STRUCT<content>>``
         ordered by similarity rank (``README.md:413-421``)."""
-        hits = topk_similarity_join(
-            questions_vec,
-            corpus,
-            self.k,
-            query_id=self.question_id,
-            query_vec="vector",
-            corpus_id="product_id",
-            corpus_vec="vector",
-            metric="dot",
-            strategy=self.strategy,
-        )
+        if self.retrieval == "hybrid":
+            hits = self._hybrid_hits(questions_vec, corpus)
+        else:
+            hits = topk_similarity_join(
+                questions_vec,
+                corpus,
+                self.k,
+                query_id=self.question_id,
+                query_vec="vector",
+                corpus_id="product_id",
+                corpus_vec="vector",
+                metric="dot",
+                strategy=self.strategy,
+            )
         products = (
             hits.join(F.broadcast(corpus.select("product_id", "content")), "product_id")
             .groupBy(self.question_id)
@@ -93,6 +100,38 @@ class RagPipeline:
             F.coalesce("products", F.array().cast("array<struct<content:string>>")).alias(
                 "products"
             ),
+        )
+
+    def _hybrid_hits(self, questions_vec: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Hybrid retrieval: vector and BM25 keyword top-pool legs fused by
+        reciprocal rank, cut to k — catches lexical matches the embedding
+        misses and vice versa. Pool = max(4k, 20) per leg before fusion."""
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search, rrf_fuse
+
+        pool = max(self.k * 4, 20)
+        vec = topk_similarity_join(
+            questions_vec, corpus, pool,
+            query_id=self.question_id, query_vec="vector",
+            corpus_id="product_id", corpus_vec="vector",
+            metric="dot", strategy=self.strategy,
+        ).select(
+            F.col(self.question_id).alias("query_id"),
+            F.col("product_id").alias("doc_id"),
+            "rank",
+        )
+        kw = bm25_search(
+            corpus.select(F.col("product_id").alias("doc_id"), F.col("content").alias("text")),
+            questions_vec.select(
+                F.col(self.question_id).alias("query_id"),
+                F.col("content").alias("query_text"),
+            ),
+            k=pool,
+        )
+        fused = rrf_fuse(kw, vec, k=self.k)
+        return fused.select(
+            F.col("query_id").alias(self.question_id),
+            F.col("doc_id").alias("product_id"),
+            "rank",
         )
 
     def prompt_json(self) -> F.Column:

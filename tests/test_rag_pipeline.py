@@ -93,3 +93,17 @@ def test_untyped_json_object_rejected():
 
     with pytest.raises(ValueError, match="ROW<>"):
         json_schema_to_struct('{"type":"object","properties":{"x":{"type":"object"}}}')
+
+
+def test_hybrid_retrieval_mode(pipe, questions, corpus):
+    """retrieval='hybrid' fuses the BM25 keyword leg with the vector leg
+    (RRF) and keeps the reference's output contract — same schema, k
+    products per question, end-to-end answerable."""
+    hybrid = RagPipeline(pipe.registry, k=3, retrieval="hybrid")
+    vec = hybrid.embed_questions(questions)
+    prompts = hybrid.search_prompts(vec, corpus)
+    rows = prompts.collect()
+    assert all(len(r.products) == 3 for r in rows)
+    answers = hybrid.run_batch(questions, corpus)
+    assert answers.columns == ["role", "content", "sessionid", "json_response"]
+    assert answers.count() == 3
