@@ -3274,6 +3274,187 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def retrieval_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (§2.11): recall@10 and reciprocal rank
+    of int8-quantized retrieval measured against the full-precision exact
+    top-10, per query. Both legs are engine-portable (round-6 float dot /
+    exact integer dot), so the whole evaluation is exact-oracle-checkable —
+    the pattern for regression-gating ANN recall in CI before a cheaper
+    index ships to the 100 TB corpus. One crossJoin scores both legs; the
+    two rank windows share the same partitioning so Catalyst pays a single
+    exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_quantize_int8("embedding").alias("a"),
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        vec_quantize_int8("embedding").alias("b"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(vec_dot("qv", "cv"), 6).alias("escore"),
+        F.round(vec_quantized_dot("a", "b"), 6).alias("qscore"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("escore"), F.asc("neighbor_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(we).alias("erank"),
+        F.row_number().over(wq).alias("qrank"),
+    )
+    hit = (F.col("erank") <= 10) & (F.col("qrank") <= 10)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("hits"),
+            F.max(
+                F.when(
+                    F.col("erank") == 1,
+                    F.when(
+                        F.col("qrank") <= 10,
+                        F.lit(1.0) / F.col("qrank").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+            ).alias("rr_raw"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall_at_10"),
+            F.round("rr_raw", 6).alias("rr"),
+        )
+    )
+
+
+_RETRIEVAL_RECALL_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+qs AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, q AS qq FROM qz WHERE vec_id < 20),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cscale, q AS cq FROM qz WHERE vec_id >= 20),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_inner_product(qv, cv), 6) AS escore,
+    ROUND(list_inner_product(qq, cq) * qscale * cscale, 6) AS qscore
+  FROM qs CROSS JOIN cs),
+ranked AS (
+  SELECT query_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY escore DESC, neighbor_id ASC) AS erank,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) AS qrank
+  FROM scored)
+SELECT query_id,
+  CAST(SUM(CASE WHEN erank <= 10 AND qrank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+  ROUND(CAST(SUM(CASE WHEN erank <= 10 AND qrank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall_at_10,
+  ROUND(MAX(CASE WHEN erank = 1 THEN
+              CASE WHEN qrank <= 10 THEN 1.0 / CAST(qrank AS DOUBLE) ELSE 0.0 END
+            END), 6) AS rr
+FROM ranked GROUP BY 1
+"""
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 + point-in-time reconstruction: the
+    event stream becomes per-user validity intervals (valid_from = event
+    ts, valid_to = next event's ts via ``lead``), then a snapshot query
+    answers "what was every user's status at T" with an interval predicate
+    — the standard temporal-table pattern for training-data versioning.
+    One window shuffle on user_id; the snapshot filter needs no second
+    exchange because it is row-local after the lead."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hist = ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH hist AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM events)
+SELECT user_id, status, valid_from, (valid_to IS NULL) AS is_current
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: users who viewed,
+    then clicked strictly after their first view, then purchased strictly
+    after that first qualifying click. Each stage is a min-aggregate over a
+    user-key shuffle; stage joins stay on the same key so AQE coalesces
+    them without extra exchanges. Counts are exact integers — portable."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    stage = lambda name, df: df.agg(F.count("*").alias("users")).select(  # noqa: E731
+        F.lit(name).alias("stage"), "users"
+    )
+    return (
+        stage("1_view", views)
+        .unionByName(stage("2_click_after_view", clicks))
+        .unionByName(stage("3_purchase_after_click", buys))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+buys AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM views
+UNION ALL
+SELECT '2_click_after_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM clicks
+UNION ALL
+SELECT '3_purchase_after_click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM buys
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -3376,6 +3557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_stats": table_profile_stats,
         "quality_weighted_sample": quality_weighted_sample,
         "unigram_logprob_scores": unigram_logprob_scores,
+        "retrieval_recall_quantized": retrieval_recall_quantized,
+        "scd2_point_in_time": scd2_point_in_time,
+        "funnel_conversion": funnel_conversion,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -3482,6 +3666,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_stats": _PROFILE_ORACLE,
         "quality_weighted_sample": _QUALITY_SAMPLE_ORACLE,
         "unigram_logprob_scores": _UNIGRAM_ORACLE,
+        "retrieval_recall_quantized": _RETRIEVAL_RECALL_ORACLE,
+        "scd2_point_in_time": _SCD2_ORACLE,
+        "funnel_conversion": _FUNNEL_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
