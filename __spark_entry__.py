@@ -3274,6 +3274,104 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring (§2.11 quality filter,
+    one order up from :func:`unigram_logprob_scores`): each document's mean
+    ln(0.75·P(cur|prev) + 0.25·P(cur)) over its bigram positions, with both
+    distributions estimated from the corpus itself. The bigram model table
+    is vocabulary²-bounded and broadcast; per-doc totals are exact BIGINT
+    sums of nano-unit log-probs weighted by in-doc bigram tf, so scores are
+    identical at any parallelism. The prefix totals reuse the bigram-count
+    exchange: ``repartition(prev)`` ahead of the (prev, cur) aggregate lets
+    the PARTITION BY prev window run shuffle-free on the same exchange."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", word_tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("prev"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("cur"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.cur")
+    doc_bg = bg.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n"))
+    bgc = (
+        doc_bg.repartition("prev")
+        .groupBy("prev", "cur")
+        .agg(F.sum("n").alias("c_bg"))
+        .withColumn("c_prefix", F.sum("c_bg").over(Window.partitionBy("prev")))
+    )
+    uni = docs.select(F.explode("toks").alias("cur")).groupBy("cur").agg(
+        F.count("*").alias("ctf")
+    )
+    total = uni.agg(F.sum("ctf").alias("n_total"))
+    logp = (
+        bgc.join(F.broadcast(uni), "cur")
+        .join(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    F.lit(0.75)
+                    * (F.col("c_bg").cast("double") / F.col("c_prefix").cast("double"))
+                    + F.lit(0.25)
+                    * (F.col("ctf").cast("double") / F.col("n_total").cast("double"))
+                )
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("logp_n"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(logp), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("logp_n")).alias("sum_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (F.col("sum_n").cast("double") / F.lit(1000000000.0))
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE len({_SQL_WORDS}) >= 2),
+bg AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM toks, unnest(range(1, len(w))) AS u(i)),
+doc_bg AS (SELECT doc_id, prev, cur, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT prev, cur, SUM(n) AS c_bg FROM doc_bg GROUP BY 1, 2),
+bgp AS (SELECT *, SUM(c_bg) OVER (PARTITION BY prev) AS c_prefix FROM bgc),
+uni AS (SELECT cur, COUNT(*) AS ctf FROM (SELECT unnest(w) AS cur FROM toks) GROUP BY 1),
+total AS (SELECT SUM(ctf) AS n_total FROM uni),
+logp AS (
+  SELECT b.prev, b.cur,
+    CAST(round(ln(0.75 * (CAST(c_bg AS DOUBLE) / CAST(c_prefix AS DOUBLE))
+                  + 0.25 * (CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS logp_n
+  FROM bgp b JOIN uni u ON b.cur = u.cur CROSS JOIN total)
+SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+  ROUND((CAST(SUM(d.n * l.logp_n) AS DOUBLE) / 1000000000.0)
+        / CAST(SUM(d.n) AS DOUBLE), 6) AS avg_logprob
+FROM doc_bg d JOIN logp l ON d.prev = l.prev AND d.cur = l.cur
+GROUP BY 1
+"""
+
+
 def retrieval_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation (§2.11): recall@10 and reciprocal rank
     of int8-quantized retrieval measured against the full-precision exact
@@ -3560,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_recall_quantized": retrieval_recall_quantized,
         "scd2_point_in_time": scd2_point_in_time,
         "funnel_conversion": funnel_conversion,
+        "bigram_logprob_scores": bigram_logprob_scores,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -3669,6 +3768,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_recall_quantized": _RETRIEVAL_RECALL_ORACLE,
         "scd2_point_in_time": _SCD2_ORACLE,
         "funnel_conversion": _FUNNEL_ORACLE,
+        "bigram_logprob_scores": _BIGRAM_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
