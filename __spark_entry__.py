@@ -3274,6 +3274,83 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: assign
+    every vector to its nearest anchor (cluster), score cosine pairs ONLY
+    within a cluster, and drop every row whose cluster holds a near-dup
+    (cosine ≥ 0.99) with a smaller id. Clustering bounds the quadratic —
+    O(Σ|cluster|²) pairs instead of O(n²) — and the per-cluster self-join
+    is a co-located hash join on the cluster id; at 100 TB the cluster id
+    becomes the physical partition key and the pair stage goes
+    partition-local. This oracle-checkable variant uses fixed anchor
+    vectors (first 8 corpus rows) assigned declaratively; the production
+    operator (``operators.dedup.semantic_dedup``) trains k-means centroids
+    instead — same dataflow, pytest-verified. Duplicates are planted
+    (vec_id < 50 copied at +100000) since the synthetic corpus has no
+    natural near-pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    copies = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding").alias("v"))
+    )
+    corpus = emb.unionByName(copies)
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("anchor_id"))
+    assign = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "v",
+            "anchor_id",
+            F.round(vec_cosine("v", "av"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("anchor_id").alias("cluster"))
+    )
+    a = assign.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = assign.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(vec_cosine("va", "vb"), 6) >= 0.99)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, v FROM emb WHERE vec_id < 50),
+anchors AS (SELECT vec_id AS anchor_id, v AS av FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT c.vec_id, c.v, a.anchor_id,
+    ROUND(list_inner_product(c.v, a.av)
+          / (SQRT(list_inner_product(c.v, c.v)) * SQRT(list_inner_product(a.av, a.av))), 6) AS score
+  FROM corpus c CROSS JOIN anchors a),
+assign AS (
+  SELECT vec_id, v, anchor_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, anchor_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vec_id
+  FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE ROUND(list_inner_product(x.v, y.v)
+              / (SQRT(list_inner_product(x.v, x.v)) * SQRT(list_inner_product(y.v, y.v))), 6) >= 0.99)
+SELECT vec_id, cluster FROM assign
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram language-model scoring (§2.11 quality filter,
     one order up from :func:`unigram_logprob_scores`): each document's mean
@@ -3659,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_in_time": scd2_point_in_time,
         "funnel_conversion": funnel_conversion,
         "bigram_logprob_scores": bigram_logprob_scores,
+        "semantic_dedup_survivors": semantic_dedup_survivors,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -3769,6 +3847,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_point_in_time": _SCD2_ORACLE,
         "funnel_conversion": _FUNNEL_ORACLE,
         "bigram_logprob_scores": _BIGRAM_ORACLE,
+        "semantic_dedup_survivors": _SEMANTIC_DEDUP_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,

@@ -411,3 +411,50 @@ def embedding_near_duplicates(
         "id_b",
         F.round(vec_cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding corpus into ``n_clusters`` partitions, score cosine pairs
+    ONLY within each cluster, and greedily drop every row whose cluster
+    contains a near-duplicate (cosine ≥ threshold) with a smaller id.
+
+    Returns the surviving rows with their ``cluster`` column attached.
+
+    Scale design: clustering bounds the quadratic — pairwise work is
+    O(Σ |cluster|²) instead of O(n²), and the per-cluster self-join is a
+    hash join on the cluster id, so each cluster's block is co-located on
+    one executor. At 100 TB, ``cluster`` doubles as the physical partition
+    key (same layout the IVF index uses), making the pair stage a
+    partition-local map. Greedy min-id pruning matches connected-components
+    resolution on duplicate cliques and is the standard SemDeDup policy;
+    use :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.components.dedup_clusters` when
+    chain-transitive resolution is required.
+    """
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index
+
+    indexed, _ = build_ivf_index(
+        df, vec_col, n_clusters=n_clusters, seed=seed, cluster_col="cluster"
+    )
+    a = indexed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
+    )
+    b = indexed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(vec_cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return indexed.join(dropped, id_col, "left_anti")

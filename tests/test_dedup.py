@@ -11,6 +11,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_near_duplicates,
     simhash_signatures,
 )
@@ -104,3 +105,23 @@ def test_lsh_bucket_cap_bounds_candidates_keeps_planted_pairs(docs_with_copies):
         (F.col("id_b") - F.col("id_a") == 100000) & (F.col("est_jaccard") == 1.0)
     )
     assert copies.count() == 30
+
+
+def test_semantic_dedup_drops_planted_copies_keeps_originals(embeddings):
+    base = embeddings.select("vec_id", F.col("embedding").alias("vector"))
+    copies = embeddings.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding").alias("vector")
+    )
+    corpus = base.unionByName(copies)
+    survivors = semantic_dedup(
+        corpus, "vec_id", "vector", threshold=0.99, n_clusters=4
+    ).toPandas()
+    kept = set(survivors.vec_id)
+    # an exact copy lands in the same k-means cluster as its original, so
+    # greedy min-id pruning must drop every planted +100000 copy
+    assert all(i + 100000 not in kept for i in range(20))
+    # every original survives (synthetic corpus has no natural near-pairs)
+    n_base = base.count()
+    assert set(range(20)) <= kept and len(kept) == n_base
+    # survivors carry their cluster assignment
+    assert "cluster" in survivors.columns
