@@ -3274,6 +3274,39 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact cosine top-20 per query, then maximal
+    marginal relevance (λ=0.7) picks a top-5 that trades relevance against
+    redundancy with what is already picked. The greedy loop is sequential
+    per query but parallel across queries (``applyInPandas`` groups of ≤20
+    rows), so cost is independent of corpus size once the candidate stage
+    has run. No SQL oracle — greedy argmax recursion is not
+    SQL-expressible; equivalence to an independent brute-force oracle is
+    asserted in tests/test_rerank.py."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.rerank import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cands = (
+        q.crossJoin(c)
+        .select(
+            "query_id",
+            "doc_id",
+            "vector",
+            F.round(vec_cosine("qv", "vector"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+    return mmr_rerank(cands, k=5, lam=0.7)
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) deduplication, SemDeDup-style: assign
     every vector to its nearest anchor (cluster), score cosine pairs ONLY
@@ -3737,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": funnel_conversion,
         "bigram_logprob_scores": bigram_logprob_scores,
         "semantic_dedup_survivors": semantic_dedup_survivors,
+        "mmr_rerank_topk": mmr_rerank_topk,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
