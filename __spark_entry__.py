@@ -3274,6 +3274,110 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (§2.11 end-to-end): one query
+    chaining the four curation stages every 100 TB corpus goes through —
+    (1) language filter (lang_pred = 'en'), (2) quality filter
+    (quality ≥ 0.5), (3) exact dedup (survivor = min doc_id per normalized
+    fingerprint, computed over the FULL corpus so duplicates of rejected
+    docs vanish with them), (4) benchmark decontamination (distinct 5-gram
+    overlap vs the held-out set < 0.5). Every stage is a single-scan column
+    expression or a broadcast/semi join; the only wide exchanges are the
+    fingerprint window and the per-doc hit count. Exactly oracle-checkable
+    because each stage's arithmetic is already engine-portable."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh5 = word_shingles("text", 5)
+    base = docs.select(
+        "doc_id",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+        F.size(sh5).cast("bigint").alias("n_shingles"),
+    )
+    survivors = base.withColumn(
+        "min_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("min_id"))
+    bench = (
+        docs.filter(F.col("doc_id") < 5).select(F.explode(sh5).alias("s")).distinct()
+    )
+    hits = (
+        docs.select("doc_id", F.explode(sh5).alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        survivors.join(hits, "doc_id", "left")
+        .withColumn(
+            "contamination",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("contamination") < 0.5)
+        )
+        .select("doc_id", "quality", "contamination")
+    )
+
+
+_TRAINING_SELECTION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    len({_SQL_WORDS}) AS n_words,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_ES_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS es_r
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+          + LEAST(sr / 0.1, 1.0) * 0.4
+          + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality,
+    CASE WHEN sr > es_r AND sr >= 0.03 THEN 'en'
+         WHEN es_r > sr AND es_r >= 0.03 THEN 'es'
+         ELSE 'unknown' END AS lang_pred
+  FROM t),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+survivors AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM fp)
+  WHERE doc_id = min_id),
+toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                                             i -> array_to_string(w[i:i+4], ' ')))) AS s
+       FROM toks),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM sh
+         WHERE s IN (SELECT s FROM bench) GROUP BY 1),
+contam AS (
+  SELECT t.doc_id,
+    ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+  FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+SELECT q.doc_id, q.quality, c.contamination
+FROM q
+JOIN survivors s ON q.doc_id = s.doc_id
+JOIN contam c ON q.doc_id = c.doc_id
+WHERE q.lang_pred = 'en' AND q.quality >= 0.5 AND c.contamination < 0.5
+"""
+
+
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact cosine top-20 per query, then maximal
     marginal relevance (λ=0.7) picks a top-5 that trades relevance against
@@ -3771,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_scores": bigram_logprob_scores,
         "semantic_dedup_survivors": semantic_dedup_survivors,
         "mmr_rerank_topk": mmr_rerank_topk,
+        "training_set_selection": training_set_selection,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -3882,6 +3987,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _FUNNEL_ORACLE,
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "semantic_dedup_survivors": _SEMANTIC_DEDUP_ORACLE,
+        "training_set_selection": _TRAINING_SELECTION_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
