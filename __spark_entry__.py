@@ -3274,6 +3274,40 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation under event-time windows: daily active users
+    (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
+    expands countDistinct into a two-phase aggregate (partial distinct per
+    partition → final merge), so the exact count scales without collecting
+    user sets; at 100 TB the same query swaps in approx_count_distinct
+    (HLL++, mergeable sketches — accuracy-tested in tests/test_functions)
+    when estimates suffice."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "dau",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("dau").cast("double"), 6).alias(
+                "events_per_user"
+            ),
+        )
+    )
+
+
+_WINDOW_DISTINCT_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 6) AS events_per_user
+FROM events GROUP BY 1
+"""
+
+
 def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (§2.11 end-to-end): one query
     chaining the four curation stages every 100 TB corpus goes through —
@@ -3876,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_survivors": semantic_dedup_survivors,
         "mmr_rerank_topk": mmr_rerank_topk,
         "training_set_selection": training_set_selection,
+        "events_window_distinct_users": events_window_distinct_users,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -3988,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "semantic_dedup_survivors": _SEMANTIC_DEDUP_ORACLE,
         "training_set_selection": _TRAINING_SELECTION_ORACLE,
+        "events_window_distinct_users": _WINDOW_DISTINCT_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
