@@ -3546,7 +3546,10 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr"),
     ).select("doc_id", "pr.prev", "pr.cur")
-    doc_bg = bg.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n"))
+    # doc_bg feeds both the model side (bigram counts) and the final
+    # scoring join — persist so tokenize+explode+agg runs once, not per
+    # consuming branch (Catalyst re-executes shared subtrees otherwise)
+    doc_bg = bg.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n")).persist()
     bgc = (
         doc_bg.repartition("prev")
         .groupBy("prev", "cur")
