@@ -3274,6 +3274,131 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training at scale — one BPE round: count adjacent symbol
+    pairs across the corpus, weighted by word frequency, and rank the top
+    32 merge candidates (the pair a BPE trainer would merge next). The
+    expensive part runs on the DISTINCT-word table (vocabulary-sized, not
+    corpus-sized): each distinct word explodes to its char bigrams exactly
+    once and carries its corpus frequency, so 100 TB of text costs one
+    word-count shuffle plus vocabulary-local array work. The final ranking
+    window is over the symbol-pair table (alphabet², tiny) — the single
+    partition it needs is by construction small."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = words.select("word", "freq", F.split("word", "").alias("ch")).filter(
+        F.size("ch") >= 2
+    )
+    pairs = chars.select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ch, 1, size(ch)-1)").alias("left_sym"),
+                F.expr("slice(ch, 2, size(ch)-1)").alias("right_sym"),
+            )
+        ).alias("pr"),
+    ).select("freq", "pr.left_sym", "pr.right_sym")
+    counts = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 32)
+        .select("rank", "left_sym", "right_sym", "pair_count")
+    )
+
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents) GROUP BY 1),
+chars AS (
+  SELECT word, freq, regexp_extract_all(word, '.') AS ch FROM words
+  WHERE len(regexp_extract_all(word, '.')) >= 2),
+pairs AS (
+  SELECT ch[i] AS left_sym, ch[i+1] AS right_sym, freq
+  FROM chars, unnest(range(1, len(ch))) AS u(i)),
+counts AS (
+  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2)
+SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, pair_count FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym ASC, right_sym ASC) AS rank
+  FROM counts)
+WHERE rank <= 32
+"""
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    (≥ 2 co-occurrences) with their lift — the association-mining /
+    item-item-similarity shape every recommender pipeline runs. The pair
+    stage pays ONE exchange: ``repartition(l_orderkey)`` satisfies both the
+    (orderkey, partkey) dedup aggregate (partitioning exprs ⊆ clustering
+    exprs) and the self-join on orderkey, so dedup + join run on the same
+    shuffle. Per-part order counts are small and broadcast. Scale guards:
+    basket size bounds the per-order quadratic (TPC-H baskets ≤ 7; cap
+    oversized baskets the way LSH caps buckets), and lift arithmetic is
+    integer-ratio → portable."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_COPURCHASE_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT part_a, part_b, pair_n,
+  ROUND(CAST(pair_n AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN cnt ca ON part_a = ca.l_partkey
+JOIN cnt cb ON part_b = cb.l_partkey
+CROSS JOIN tot
+"""
+
+
 def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation under event-time windows: daily active users
     (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
@@ -3914,6 +4039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_topk": mmr_rerank_topk,
         "training_set_selection": training_set_selection,
         "events_window_distinct_users": events_window_distinct_users,
+        "copurchase_lift": copurchase_lift,
+        "bpe_merge_candidates": bpe_merge_candidates,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4027,6 +4154,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_survivors": _SEMANTIC_DEDUP_ORACLE,
         "training_set_selection": _TRAINING_SELECTION_ORACLE,
         "events_window_distinct_users": _WINDOW_DISTINCT_ORACLE,
+        "copurchase_lift": _COPURCHASE_ORACLE,
+        "bpe_merge_candidates": _BPE_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
