@@ -3344,11 +3344,14 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size bounds the per-order quadratic (TPC-H baskets ≤ 7; cap
     oversized baskets the way LSH caps buckets), and lift arithmetic is
     integer-ratio → portable."""
+    # items feeds four consumers (both self-join sides, per-part counts,
+    # the order total) — persist so the dedup exchange is paid once
     items = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
+        .persist()
     )
     cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -3881,10 +3884,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-key shuffle; stage joins stay on the same key so AQE coalesces
     them without extra exchanges. Counts are exact integers — portable."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage frame feeds both the next stage's join and its own count
+    # — persist the (small, per-user) frames so neither recomputes
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist()
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -3892,6 +3898,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()
     )
     buys = (
         ev.filter(F.col("event_type") == "purchase")

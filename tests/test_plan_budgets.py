@@ -23,6 +23,11 @@ BUDGETS = {
     "window_rank": 1,
     "sequence_packing": 1,
     "vec_topk_broadcast": 0,        # broadcast matmul — zero shuffles
+    "scd2_point_in_time": 1,        # one user-key window shuffle
+    "retrieval_recall_quantized": 1,  # both rank windows + final agg share one query-id exchange
+    "bpe_merge_candidates": 2,      # word count + pair count (rank window is alphabet²-tiny)
+    "events_window_distinct_users": 2,  # countDistinct two-phase expansion
+    "training_set_selection": 3,    # fingerprint window + hit count + its distinct
 }
 
 
