@@ -3274,6 +3274,132 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diagnostics for labeled training data: per label,
+    the within-class scatter (mean squared distance to the label centroid)
+    and the between-class separation (squared distance from the label
+    centroid to the global centroid), plus their ratio — the Fisher-style
+    check that flags collapsed or mislabeled embedding clusters before
+    training. Determinism recipe: embeddings quantize to nano-unit BIGINTs
+    so centroids are exact integer sums; every per-row/per-dim double term
+    rounds to fixed point BEFORE summing, so results are identical at any
+    partition count and engine. Dataflow: one posexplode to (label, dim)
+    long format (dim-fold row blowup, but rows are 3 integers wide), one
+    shuffle per aggregate level, centroids broadcast back."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e9).cast("bigint")
+        ).alias("e9"),
+    )
+    long = emb.select(
+        "vec_id", "label", F.posexplode("e9").alias("pos", "v9")
+    ).persist()
+    cent = (
+        long.groupBy("label", "pos")
+        .agg(F.sum("v9").alias("s9"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            ((F.col("s9").cast("double") / F.lit(1e9)) / F.col("n").cast("double")).alias("c"),
+        )
+    )
+    gcent = (
+        long.groupBy("pos")
+        .agg(F.sum("v9").alias("s9"), F.count("*").alias("n"))
+        .select(
+            "pos",
+            ((F.col("s9").cast("double") / F.lit(1e9)) / F.col("n").cast("double")).alias("g"),
+        )
+    )
+    # within: per-(row, dim) squared deviation, fixed-point before any sum
+    term = (
+        long.join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                (F.col("v9").cast("double") / F.lit(1e9) - F.col("c"))
+                * (F.col("v9").cast("double") / F.lit(1e9) - F.col("c"))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("t9"),
+        )
+    )
+    within = (
+        term.groupBy("label")
+        .agg(F.sum("t9").alias("w9"), F.countDistinct("vec_id").alias("n"))
+        .select(
+            "label",
+            "n",
+            F.round((F.col("w9").cast("double") / F.lit(1e9)) / F.col("n").cast("double"), 6).alias(
+                "within_msd"
+            ),
+        )
+    )
+    between = (
+        cent.join(F.broadcast(gcent), "pos")
+        .select(
+            "label",
+            F.round((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")) * F.lit(1e9))
+            .cast("bigint")
+            .alias("b9"),
+        )
+        .groupBy("label")
+        .agg(
+            F.round(F.sum("b9").cast("double") / F.lit(1e9), 6).alias("between_sq")
+        )
+    )
+    return (
+        within.join(between, "label")
+        .select(
+            "label",
+            "n",
+            "within_msd",
+            "between_sq",
+            F.round(F.col("between_sq") / F.col("within_msd"), 6).alias("separation"),
+        )
+    )
+
+
+_CLASS_SEP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS e9
+  FROM embeddings),
+long AS (
+  SELECT vec_id, label, i - 1 AS pos, e9[i] AS v9
+  FROM e, unnest(range(1, len(e9) + 1)) AS u(i)),
+cent AS (
+  SELECT label, pos,
+    (CAST(SUM(v9) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) AS c
+  FROM long GROUP BY 1, 2),
+gcent AS (
+  SELECT pos, (CAST(SUM(v9) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) AS g
+  FROM long GROUP BY 1),
+term AS (
+  SELECT l.vec_id, l.label,
+    CAST(round((CAST(l.v9 AS DOUBLE) / 1e9 - c.c) * (CAST(l.v9 AS DOUBLE) / 1e9 - c.c) * 1e9) AS BIGINT) AS t9
+  FROM long l JOIN cent c ON l.label = c.label AND l.pos = c.pos),
+within AS (
+  SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+    ROUND((CAST(SUM(t9) AS DOUBLE) / 1e9) / CAST(COUNT(DISTINCT vec_id) AS DOUBLE), 6) AS within_msd
+  FROM term GROUP BY 1),
+between_t AS (
+  SELECT c.label,
+    CAST(round((c.c - g.g) * (c.c - g.g) * 1e9) AS BIGINT) AS b9
+  FROM cent c JOIN gcent g ON c.pos = g.pos),
+between_s AS (
+  SELECT label, ROUND(CAST(SUM(b9) AS DOUBLE) / 1e9, 6) AS between_sq
+  FROM between_t GROUP BY 1)
+SELECT w.label, w.n, w.within_msd, b.between_sq,
+  ROUND(b.between_sq / w.within_msd, 6) AS separation
+FROM within w JOIN between_s b ON w.label = b.label
+"""
+
+
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training at scale — one BPE round: count adjacent symbol
     pairs across the corpus, weighted by word frequency, and rank the top
@@ -4048,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_distinct_users": events_window_distinct_users,
         "copurchase_lift": copurchase_lift,
         "bpe_merge_candidates": bpe_merge_candidates,
+        "embedding_class_separation": embedding_class_separation,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4163,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_distinct_users": _WINDOW_DISTINCT_ORACLE,
         "copurchase_lift": _COPURCHASE_ORACLE,
         "bpe_merge_candidates": _BPE_ORACLE,
+        "embedding_class_separation": _CLASS_SEP_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
