@@ -3274,6 +3274,85 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking at scale: split every document into
+    fixed-size token windows (50 tokens, stride 40 → 10-token overlap) —
+    the preprocessing step between raw corpus and embedding in every
+    retrieval pipeline. Pure array arithmetic on the tokens column
+    (sequence → explode → slice), single scan, zero shuffles, fully
+    codegen'd; chunk boundaries are positional so results are identical at
+    any parallelism. At 100 TB this is the map stage feeding the batched
+    embedder (`mapInPandas` provider), which sees chunk rows, never whole
+    documents."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_tokens("text").alias("toks")
+    )
+    return (
+        docs.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / 40).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr("slice(toks, chunk_id * 40 + 1, 50)").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+_CHUNKS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE len({_SQL_WORDS}) > 0),
+idx AS (
+  SELECT doc_id, w, CAST(i AS INTEGER) AS chunk_id
+  FROM toks, unnest(range(0, CAST(floor((len(w) - 1) / 40) AS BIGINT) + 1)) AS u(i)),
+ch AS (SELECT doc_id, chunk_id, list_slice(w, chunk_id * 40 + 1, chunk_id * 40 + 50) AS chunk FROM idx)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM ch
+"""
+
+
+def balanced_sample_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset extraction: exactly k=20 documents per language,
+    chosen by content-hash rank — the deterministic equivalent of per-group
+    reservoir sampling (same k rows at any parallelism, on any engine, on
+    every re-run; no RNG state to coordinate across executors). One window
+    shuffle on the group key; the hash order is uniform so the sample is
+    unbiased within each stratum."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = hash_bucket("doc_id", 1_000_000_000)
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "rank", "doc_id")
+    )
+
+
+_BALANCED_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000000 AS h
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM b)
+SELECT lang, rank, doc_id FROM r WHERE rank <= 20
+"""
+
+
 def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space diagnostics for labeled training data: per label,
     the within-class scatter (mean squared distance to the label centroid)
@@ -4175,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": copurchase_lift,
         "bpe_merge_candidates": bpe_merge_candidates,
         "embedding_class_separation": embedding_class_separation,
+        "document_chunks": document_chunks,
+        "balanced_sample_per_label": balanced_sample_per_label,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4291,6 +4372,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_lift": _COPURCHASE_ORACLE,
         "bpe_merge_candidates": _BPE_ORACLE,
         "embedding_class_separation": _CLASS_SEP_ORACLE,
+        "document_chunks": _CHUNKS_ORACLE,
+        "balanced_sample_per_label": _BALANCED_SAMPLE_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
