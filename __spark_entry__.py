@@ -3274,6 +3274,35 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def incremental_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct counting with mergeable sketch state: per-day
+    HyperLogLog partials (Apache DataSketches ``hll_sketch_agg``) union
+    into the monthly unique-user estimate WITHOUT rescanning history — the
+    pattern that replaces exact countDistinct when state must carry across
+    batches (a streaming job stores yesterday's sketch, merges today's
+    delta; a backfill merges per-partition sketches). Output: one row per
+    day plus a ``month`` row whose estimate comes purely from merging the
+    daily sketches. No SQL oracle — sketch binaries are
+    implementation-specific; the estimate's accuracy vs exact countDistinct
+    is asserted in tests/test_functions.py."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .select(F.col("w.start").alias("window_start"), "sk")
+        .persist()
+    )
+    per_day = daily.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("period"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("uniques_est"),
+    )
+    month = daily.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("month").alias("period"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("uniques_est"),
+    )
+    return per_day.unionByName(month)
+
+
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG document chunking at scale: split every document into
     fixed-size token windows (50 tokens, stride 40 → 10-token overlap) —
@@ -4256,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_class_separation": embedding_class_separation,
         "document_chunks": document_chunks,
         "balanced_sample_per_label": balanced_sample_per_label,
+        "incremental_dau_hll": incremental_dau_hll,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,

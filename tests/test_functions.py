@@ -134,3 +134,20 @@ def test_observation_metrics_single_pass(spark, sf_correct):
     m = obs.get
     assert m["n"] == li.count()  # metrics cover pre-filter rows
     assert out < m["n"] and m["qty"] > 0
+
+
+def test_hll_sketch_union_matches_exact_within_tolerance(spark, sf_correct):
+    """Merging per-day HLL sketches estimates the monthly distinct count
+    without rescanning history — the incremental/mergeable state pattern.
+    The merged estimate must match a direct whole-range sketch and stay
+    within HLL error of the exact count."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    out = entry.queries()["incremental_dau_hll"](spark, sf_correct).toPandas()
+    month_est = int(out[out.period == "month"].uniques_est.iloc[0])
+    ev = entry._t(spark, sf_correct, "events")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).first()["n"]
+    assert abs(month_est - exact) / exact < 0.05, (month_est, exact)
+    # daily rows present alongside the merged row
+    assert (out.period != "month").sum() >= 28
