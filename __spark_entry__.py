@@ -3274,6 +3274,146 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-duplicate detection: containment
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ 0.8 — catches a document
+    quoted or embedded inside a larger one, which symmetric Jaccard misses
+    when sizes differ. Same shuffle profile as the Jaccard join (explode →
+    shingle-key hash join moving ids only, intersection counted by
+    groupBy), but the denominator is one side's shingle count, so each
+    ordered pair (a→b, b→a) scores independently from the same
+    intersection row."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles("text", 3)).cast("bigint").alias("n")
+    )
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i").cast("double") / F.col("n_a").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+       FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+  ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) >= 0.8
+"""
+
+
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring between two corpus slices (here: even
+    vs odd doc_id, standing in for week-over-week snapshots): KL divergence
+    both directions plus Jensen-Shannon divergence over add-one-smoothed
+    unigram distributions — the drift alarm a training pipeline runs before
+    ingesting a new crawl. One explode + one term-level aggregate; the
+    vocabulary-sized term table then reduces to a single row. Per-term
+    contributions round to nano-units before summing, so the statistic is
+    exact at any parallelism and oracle-checkable."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2).alias("side"), F.explode(word_tokens("text")).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    p = (F.col("cnt_a").cast("double") + F.lit(1.0)) / (
+        F.col("na").cast("double") + F.col("v").cast("double")
+    )
+    q = (F.col("cnt_b").cast("double") + F.lit(1.0)) / (
+        F.col("nb").cast("double") + F.col("v").cast("double")
+    )
+    terms = counts.join(F.broadcast(tot)).select(
+        F.col("v"),
+        F.round(p * F.log(p / q) * F.lit(1000000000.0)).cast("bigint").alias("kl_pq_n"),
+        F.round(q * F.log(q / p) * F.lit(1000000000.0)).cast("bigint").alias("kl_qp_n"),
+        F.round(
+            (
+                p * F.log(p / (F.lit(0.5) * (p + q)))
+                + q * F.log(q / (F.lit(0.5) * (p + q)))
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("jsd_n"),
+    )
+    return terms.groupBy("v").agg(
+        F.round(F.sum("kl_pq_n").cast("double") / F.lit(1000000000.0), 6).alias("kl_pq"),
+        F.round(F.sum("kl_qp_n").cast("double") / F.lit(1000000000.0), 6).alias("kl_qp"),
+        F.round(F.sum("jsd_n").cast("double") / F.lit(2000000000.0), 6).alias("jsd"),
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side, unnest({_SQL_WORDS}) AS term FROM documents),
+counts AS (
+  SELECT term,
+    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_a,
+    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_b
+  FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v FROM counts),
+terms AS (
+  SELECT t.v,
+    CAST(round((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))
+               * ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+                    / ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))))
+               * 1000000000.0) AS BIGINT) AS kl_pq_n,
+    CAST(round((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))
+               * ln(((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+                    / ((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))))
+               * 1000000000.0) AS BIGINT) AS kl_qp_n,
+    CAST(round((
+        (CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))
+        * ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+             / (0.5 * ((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))
+                       + (CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))))
+        + (CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))
+        * ln(((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+             / (0.5 * ((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))
+                       + (CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))))
+      ) * 1000000000.0) AS BIGINT) AS jsd_n
+  FROM counts CROSS JOIN tot t)
+SELECT v, ROUND(CAST(SUM(kl_pq_n) AS DOUBLE) / 1000000000.0, 6) AS kl_pq,
+  ROUND(CAST(SUM(kl_qp_n) AS DOUBLE) / 1000000000.0, 6) AS kl_qp,
+  ROUND(CAST(SUM(jsd_n) AS DOUBLE) / 2000000000.0, 6) AS jsd
+FROM terms GROUP BY 1
+"""
+
+
 def incremental_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental distinct counting with mergeable sketch state: per-day
     HyperLogLog partials (Apache DataSketches ``hll_sketch_agg``) union
@@ -4286,6 +4426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": document_chunks,
         "balanced_sample_per_label": balanced_sample_per_label,
         "incremental_dau_hll": incremental_dau_hll,
+        "corpus_drift_kl": corpus_drift_kl,
+        "ngram_containment_pairs": ngram_containment_pairs,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4404,6 +4546,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_class_separation": _CLASS_SEP_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
         "balanced_sample_per_label": _BALANCED_SAMPLE_ORACLE,
+        "corpus_drift_kl": _DRIFT_ORACLE,
+        "ngram_containment_pairs": _CONTAINMENT_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
