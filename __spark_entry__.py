@@ -3274,6 +3274,119 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing for RAG: after retrieval ranks candidates,
+    keep the best-ranked documents whose cumulative token count fits a
+    256-token prompt budget — the greedy fill every serving layer runs
+    between retrieval and the LLM call. Retrieval leg is the exact cosine
+    top-10 (portable round-6 scores); the budget cut is a running-sum
+    window over the same query-id partitioning, so ranking and packing
+    share one exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    ranked = (
+        q.crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(vec_cosine("qv", "cv"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    # candidate ids map onto doc ids modulo 500 (ids present at every SF);
+    # join token counts then cut by running total in the SAME partitioning
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.asc("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.join(
+            F.broadcast(docs),
+            ranked.cand_id % 500 == docs.doc_id,
+        )
+        .select("query_id", "cand_id", "rank", "n_tokens")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wcum))
+        .filter(F.col("cum_tokens") <= 256)
+    )
+
+
+_RAG_BUDGET_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, cand_id,
+    ROUND(list_inner_product(qv, cv)
+          / (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(cv, cv))), 6) AS score
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT query_id, cand_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+toks AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS n_tokens
+  FROM documents),
+joined AS (
+  SELECT t.query_id, t.cand_id, t.rank, k.n_tokens
+  FROM top t JOIN toks k ON t.cand_id % 500 = k.doc_id),
+cum AS (
+  SELECT *, SUM(n_tokens) OVER (
+      PARTITION BY query_id ORDER BY rank ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM joined)
+SELECT query_id, cand_id, rank, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 256
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over the event stream: the per-user event-type
+    transition matrix — counts of (current → next) steps via a lag window,
+    with transition probability P(next|current) as an exact integer ratio.
+    The shape behind Markov funnel models and next-action features. One
+    user-key window shuffle + one vocabulary²-sized aggregate."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    steps = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = steps.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "row_total", F.sum("n").over(Window.partitionBy("cur"))
+    ).select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total").cast("double"), 6).alias("p"),
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS cur,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events),
+counts AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT cur, nxt, n,
+  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional near-duplicate detection: containment
     |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ 0.8 — catches a document
@@ -4428,6 +4541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dau_hll": incremental_dau_hll,
         "corpus_drift_kl": corpus_drift_kl,
         "ngram_containment_pairs": ngram_containment_pairs,
+        "rag_context_budget": rag_context_budget,
+        "event_transition_matrix": event_transition_matrix,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4548,6 +4663,8 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample_per_label": _BALANCED_SAMPLE_ORACLE,
         "corpus_drift_kl": _DRIFT_ORACLE,
         "ngram_containment_pairs": _CONTAINMENT_ORACLE,
+        "rag_context_budget": _RAG_BUDGET_ORACLE,
+        "event_transition_matrix": _TRANSITION_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
