@@ -3274,6 +3274,75 @@ WHERE d.qty_c * 8 > d.part_total_c
 """
 
 
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: pointwise mutual information of term pairs
+    co-occurring in the same document (distinct terms, ≥ 25 co-occurrences)
+    — the classic feature builder behind collocation detection and
+    embedding evaluation. Same single-exchange pair pattern as the
+    market-basket query (doc-key self-join moves terms+ids only); PMI is
+    one ln of an integer ratio per pair — no summation of floats, so
+    round-6 output is engine-exact. Vocabulary-sized count table
+    broadcasts."""
+    dt = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_tokens("text"))).alias("t"),
+        )
+        .repartition("doc_id")
+        .persist()
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    tc = dt.groupBy("t").agg(F.count("*").alias("n_t"))
+    pairs = (
+        dt.alias("a")
+        .join(dt.alias("b"), "doc_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 25)
+    )
+    ta = tc.select(F.col("t").alias("term_a"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("t").alias("term_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_WORDS})) AS t FROM documents),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM dt),
+tc AS (SELECT t, COUNT(*) AS n_t FROM dt GROUP BY 1),
+pairs AS (
+  SELECT a.t AS term_a, b.t AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING COUNT(*) >= 25)
+SELECT term_a, term_b, n_ab,
+  ROUND(ln(CAST(n_ab AS DOUBLE) * n_docs
+           / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE))), 6) AS pmi
+FROM pairs
+JOIN tc ta ON term_a = ta.t
+JOIN tc tb ON term_b = tb.t
+CROSS JOIN nd
+"""
+
+
 def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing for RAG: after retrieval ranks candidates,
     keep the best-ranked documents whose cumulative token count fits a
@@ -4543,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_pairs": ngram_containment_pairs,
         "rag_context_budget": rag_context_budget,
         "event_transition_matrix": event_transition_matrix,
+        "term_pmi_pairs": term_pmi_pairs,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4665,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": _CONTAINMENT_ORACLE,
         "rag_context_budget": _RAG_BUDGET_ORACLE,
         "event_transition_matrix": _TRANSITION_ORACLE,
+        "term_pmi_pairs": _PMI_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
