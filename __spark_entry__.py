@@ -4393,6 +4393,77 @@ FROM ranked GROUP BY 1
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for every query, the gold positive
+    is the exact full-precision top-1; hard negatives are the next five
+    candidates the (cheaper, int8-quantized) retriever ranks highest that
+    are NOT the gold — the highest-loss negatives an embedding trainer
+    wants. Both scoring legs are engine-portable, so the mined pairs
+    oracle exactly; the two rank windows share one query-id exchange. At
+    100 TB the quantized leg runs over the compressed broadcast corpus and
+    the float leg only rescores the gold candidate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_quantize_int8("embedding").alias("a"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        vec_quantize_int8("embedding").alias("b"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(vec_dot("qv", "cv"), 6).alias("escore"),
+        F.round(vec_quantized_dot("a", "b"), 6).alias("qscore"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("escore"), F.asc("neighbor_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "qscore",
+        F.row_number().over(we).alias("erank"),
+        F.row_number().over(wq).alias("qrank"),
+    )
+    gold = ranked.filter(F.col("erank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("gold_id")
+    )
+    return (
+        ranked.join(F.broadcast(gold), "query_id")
+        .filter((F.col("neighbor_id") != F.col("gold_id")) & (F.col("qrank") <= 6))
+        .select("query_id", "gold_id", F.col("neighbor_id").alias("negative_id"), "qrank", "qscore")
+    )
+
+
+_HARD_NEG_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+qs AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, q AS qq FROM qz WHERE vec_id < 10),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cscale, q AS cq FROM qz WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_inner_product(qv, cv), 6) AS escore,
+    ROUND(list_inner_product(qq, cq) * qscale * cscale, 6) AS qscore
+  FROM qs CROSS JOIN cs),
+ranked AS (
+  SELECT query_id, neighbor_id, qscore,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY escore DESC, neighbor_id ASC) AS erank,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) AS INTEGER) AS qrank
+  FROM scored),
+gold AS (SELECT query_id, neighbor_id AS gold_id FROM ranked WHERE erank = 1)
+SELECT r.query_id, g.gold_id, r.neighbor_id AS negative_id, r.qrank, r.qscore
+FROM ranked r JOIN gold g ON r.query_id = g.query_id
+WHERE r.neighbor_id <> g.gold_id AND r.qrank <= 6
+"""
+
+
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 + point-in-time reconstruction: the
     event stream becomes per-user validity intervals (valid_from = event
@@ -4613,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context_budget": rag_context_budget,
         "event_transition_matrix": event_transition_matrix,
         "term_pmi_pairs": term_pmi_pairs,
+        "hard_negative_mining": hard_negative_mining,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4736,6 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_context_budget": _RAG_BUDGET_ORACLE,
         "event_transition_matrix": _TRANSITION_ORACLE,
         "term_pmi_pairs": _PMI_ORACLE,
+        "hard_negative_mining": _HARD_NEG_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
