@@ -4393,6 +4393,99 @@ FROM ranked GROUP BY 1
 """
 
 
+def subsequence_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (UCR-style): find the 20
+    sliding windows (length 8) across all users' per-event value series
+    closest in z-normalized euclidean distance to a query pattern (user
+    1's first 8 values) — the streaming-similarity workload of the
+    retrieved EDBT 2019 time-series-search paper, expressed relationally.
+    Each user's series materializes once (array_sort of (ts, event_id,
+    value) structs — one shuffle); windows explode positionally and every
+    mean/variance/distance is an in-row fold over ≤ 8 elements with
+    fixed-point integer sums, so scores are engine-exact. At 100 TB the
+    per-key series bound is the knob: partition by (user, day) when series
+    outgrow task memory and merge window results across boundaries."""
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s"))
+        .select("user_id", F.expr("transform(s, r -> r.value)").alias("vals"))
+        .persist()
+    )
+    cents = "cast(round({x} * 100) as bigint)"
+    mu_of = (
+        "(cast(aggregate(transform({w}, x -> " + cents.format(x="x") + "), "
+        "cast(0 as bigint), (a, b) -> a + b) as double) / 100.0) / 8.0"
+    )
+    sd_of = (
+        "sqrt((cast(aggregate(transform({w}, x -> cast(round((x - {mu}) * (x - {mu}) * 1e9) as bigint)), "
+        "cast(0 as bigint), (a, b) -> a + b) as double) / 1e9) / 8.0)"
+    )
+    q = (
+        series.filter(F.col("user_id") == 1)
+        .select(F.expr("slice(vals, 1, 8)").alias("qw"))
+        .withColumn("qmu", F.expr(mu_of.format(w="qw")))
+        .withColumn("qsd", F.expr(sd_of.format(w="qw", mu="qmu")))
+    )
+    wins = (
+        series.select(
+            "user_id",
+            "vals",
+            F.explode(F.sequence(F.lit(1), F.size("vals") - 7)).alias("start"),
+        )
+        .select("user_id", "start", F.expr("slice(vals, start, 8)").alias("w"))
+        .withColumn("mu", F.expr(mu_of.format(w="w")))
+        .withColumn("sd", F.expr(sd_of.format(w="w", mu="mu")))
+        .filter(F.col("sd") > 0)
+    )
+    dist_expr = (
+        "round(sqrt(cast(aggregate(zip_with(w, qw, (a, b) -> "
+        "cast(round(((a - mu) / sd - (b - qmu) / qsd) * ((a - mu) / sd - (b - qmu) / qsd) * 1e9) as bigint)), "
+        "cast(0 as bigint), (a, b) -> a + b) as double) / 1e9), 6)"
+    )
+    d = (
+        wins.crossJoin(F.broadcast(q.filter(F.col("qsd") > 0)))
+        .select("user_id", "start", F.expr(dist_expr).alias("dist"))
+    )
+    wr = Window.orderBy(F.asc("dist"), F.asc("user_id"), F.asc("start"))
+    return (
+        d.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "user_id", "start", "dist")
+    )
+
+
+_SUBSEQ_ORACLE = """
+WITH series AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals FROM events GROUP BY user_id),
+q0 AS (SELECT vals[1:8] AS qw FROM series WHERE user_id = 1),
+q1 AS (SELECT qw,
+        (CAST(list_sum(list_transform(qw, x -> CAST(round(x * 100) AS BIGINT))) AS DOUBLE) / 100.0) / 8.0 AS qmu
+       FROM q0),
+q2 AS (SELECT qw, qmu,
+        sqrt((CAST(list_sum(list_transform(qw, x -> CAST(round((x - qmu) * (x - qmu) * 1e9) AS BIGINT))) AS DOUBLE) / 1e9) / 8.0) AS qsd
+       FROM q1),
+wins0 AS (
+  SELECT user_id, CAST(i AS INTEGER) AS start, list_slice(vals, i, i + 7) AS w
+  FROM series, unnest(range(1, len(vals) - 6)) AS u(i)),
+w1 AS (SELECT user_id, start, w,
+        (CAST(list_sum(list_transform(w, x -> CAST(round(x * 100) AS BIGINT))) AS DOUBLE) / 100.0) / 8.0 AS mu
+       FROM wins0),
+w2 AS (SELECT *,
+        sqrt((CAST(list_sum(list_transform(w, x -> CAST(round((x - mu) * (x - mu) * 1e9) AS BIGINT))) AS DOUBLE) / 1e9) / 8.0) AS sd
+       FROM w1),
+d AS (
+  SELECT user_id, start,
+    ROUND(sqrt(CAST(list_sum(list_transform(range(1, 9), i ->
+      CAST(round(((w[i] - mu) / sd - (qw[i] - qmu) / qsd)
+                 * ((w[i] - mu) / sd - (qw[i] - qmu) / qsd) * 1e9) AS BIGINT))) AS DOUBLE) / 1e9), 6) AS dist
+  FROM w2 CROSS JOIN q2 WHERE sd > 0 AND qsd > 0)
+SELECT rank, user_id, start, dist FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY dist ASC, user_id ASC, start ASC) AS INTEGER) AS rank FROM d)
+WHERE rank <= 20
+"""
+
+
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training data prep: for every query, the gold positive
     is the exact full-precision top-1; hard negatives are the next five
@@ -4685,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": event_transition_matrix,
         "term_pmi_pairs": term_pmi_pairs,
         "hard_negative_mining": hard_negative_mining,
+        "subsequence_similarity_search": subsequence_similarity_search,
         "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
@@ -4809,6 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_matrix": _TRANSITION_ORACLE,
         "term_pmi_pairs": _PMI_ORACLE,
         "hard_negative_mining": _HARD_NEG_ORACLE,
+        "subsequence_similarity_search": _SUBSEQ_ORACLE,
         "data_quality_checks": _DQ_ORACLE,
         "trending_parts_monthly": _TRENDING_ORACLE,
         "events_forward_fill": _FFILL_ORACLE,
