@@ -4167,6 +4167,9 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("anchor_id").alias("cluster"))
+        # assign feeds both self-join sides and the final anti-join —
+        # persist so the score+rank subtree runs once, not three times
+        .persist()
     )
     a = assign.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster")
     b = assign.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
