@@ -166,3 +166,60 @@ def keyed_totals_tws(
             timeMode="None",
         )
     )
+
+
+TRANSITIONS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("cur", StringType()),
+        StructField("nxt", StringType()),
+    ]
+)
+
+_TRANS_STATE = StructType([StructField("last_type", StringType())])
+
+
+def transition_steps(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming twin of the batch lag-window transition matrix: emits one
+    ``(cur → nxt)`` row per consecutive event pair per key, bridging
+    micro-batch boundaries with one row of keyed state (the key's last
+    event type). Downstream, a plain ``groupBy(cur, nxt).count()`` — or an
+    idempotent sink plus batch re-aggregation — yields exactly the counts
+    the batch ``LEAD() OVER (PARTITION BY key ORDER BY ts, id)`` query
+    produces, provided arrival order respects event time per key (enforce
+    with a watermark + sorted replay, or run the batch form for backfill).
+    State is O(1) per live key — the minimal footprint for sequence
+    features over millions of keys on the RocksDB store."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        prev = state.get[0] if state.exists else None
+        curs: list[str] = []
+        nxts: list[str] = []
+        if not rows.empty:
+            rows = rows.sort_values([ts_col, id_col])
+            for t in rows[type_col]:
+                if prev is not None:
+                    curs.append(prev)
+                    nxts.append(str(t))
+                prev = str(t)
+        state.update((prev,))
+        yield pd.DataFrame(
+            {"key": [str(key[0])] * len(curs), "cur": curs, "nxt": nxts}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        TRANSITIONS_SCHEMA,
+        _TRANS_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

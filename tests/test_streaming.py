@@ -5,6 +5,7 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
@@ -359,3 +360,70 @@ def test_sink_retention_by_count_and_bytes(spark, tmp_path):
     removed2 = enforce_retention(sink, max_bytes=int(one * 2.5))
     assert removed2 == [2]
     assert read_sink(spark, sink).count() == 200
+
+
+def test_stateful_transition_steps_match_batch_lag(spark, tmp_path):
+    """Streaming transition mining with cross-batch keyed state equals the
+    batch LEAD() transition matrix when micro-batches replay in event-time
+    order (three sequential time slices, one file per trigger)."""
+    import time as _time
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.stateful import transition_steps
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_type", "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .limit(300)
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = tmp_path / "trans_src"
+    src.mkdir()
+    # write time slices sequentially so file mod-times replay in order
+    for i, lo in enumerate(range(0, 300, 100)):
+        spark.createDataFrame(pdf.iloc[lo : lo + 100]).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+        _time.sleep(0.2)
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/slice=*")
+    )
+    steps = transition_steps(stream, "user_id", "event_type", "ts", "event_id")
+    sink = str(tmp_path / "trans_sink")
+    q = (
+        steps.writeStream.outputMode("append")
+        .foreachBatch(idempotent_batch_writer(sink))
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = (
+        read_sink(spark, sink)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .set_index(["cur", "nxt"])
+        .n.to_dict()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    batch = (
+        spark.createDataFrame(pdf)
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .set_index(["cur", "nxt"])
+        .n.to_dict()
+    )
+    assert got == batch
