@@ -3958,6 +3958,76 @@ CROSS JOIN tot
 """
 
 
+def part_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded graph traversal as iterative dataflow: min-hop distance
+    (≤ 3) from a seed part over the co-purchase graph (edges = part pairs
+    bought together in ≥ 2 orders). Each hop is one join + one min
+    aggregate — the Pregel-style superstep Spark expresses natively; three
+    fixed rounds keep the plan static and the oracle expressible as a
+    bounded recursive CTE. At 100 TB the frontier join is the only wide
+    op; broadcast the frontier while it is small, switch to a shuffle join
+    when it grows past the threshold (AQE decides per round because each
+    round is a fresh plan)."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .persist()
+    )
+    seed = edges.agg(F.min("src").alias("s")).first()["s"]
+    dists = (
+        spark.createDataFrame([(int(seed), 0)], "node bigint, dist int")
+    )
+    for _ in range(3):
+        nxt = (
+            dists.join(edges, dists.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dists = (
+            dists.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dists
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs),
+seed AS (SELECT MIN(src) AS s FROM edges),
+walk AS (
+  SELECT s AS node, 0 AS dist FROM seed
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < 3)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY 1
+"""
+
+
 def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation under event-time windows: daily active users
     (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
@@ -4769,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_topk": mmr_rerank_topk,
         "training_set_selection": training_set_selection,
         "events_window_distinct_users": events_window_distinct_users,
+        "part_graph_bfs_hops": part_graph_bfs_hops,
         "copurchase_lift": copurchase_lift,
         "bpe_merge_candidates": bpe_merge_candidates,
         "embedding_class_separation": embedding_class_separation,
@@ -4895,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_survivors": _SEMANTIC_DEDUP_ORACLE,
         "training_set_selection": _TRAINING_SELECTION_ORACLE,
         "events_window_distinct_users": _WINDOW_DISTINCT_ORACLE,
+        "part_graph_bfs_hops": _BFS_ORACLE,
         "copurchase_lift": _COPURCHASE_ORACLE,
         "bpe_merge_candidates": _BPE_ORACLE,
         "embedding_class_separation": _CLASS_SEP_ORACLE,
