@@ -174,3 +174,49 @@ def topk_pq(
         .join(F.broadcast(qmap), "__qix")
         .select(query_id, corpus_id, F.round(score_col, 6).alias(score_col), rank_col)
     )
+
+
+def save_pq_index(
+    encoded_corpus: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Persist the PQ index: the encoded corpus (codes travel as plain
+    ``ARRAY<SMALLINT>`` columns next to the data) plus the codebook tensor
+    flattened to a (segment, code, centroid) table. Encoding happens once;
+    every later search ships only the m×256 codebooks back to the driver
+    — same operating mode as the IVF index (encode once, search many),
+    which is what makes PQ viable as an *index* at 100 TB rather than a
+    per-job recompute."""
+    import os
+
+    spark = encoded_corpus.sparkSession
+    encoded_corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    m, k, sub = codebooks.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(rows, ["segment", "code", "centroid"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(encoded corpus DataFrame, (m, k, d/m) codebook tensor) from disk."""
+    import os
+
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("segment", "code")
+        .collect()
+    )
+    m = max(r.segment for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    sub = len(rows[0].centroid)
+    books = np.empty((m, k, sub))
+    for r in rows:
+        books[r.segment, r.code] = np.asarray(r.centroid, dtype=np.float64)
+    return corpus, books

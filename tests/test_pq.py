@@ -98,3 +98,27 @@ def test_codebooks_deterministic_per_seed(spark, embeddings):
     c = train_pq_codebooks(corpus, m=4, k=16, sample_rows=200, seed=8)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_pq_index_roundtrip_preserves_search(spark, embeddings, pq_setup, tmp_path):
+    """Persisted PQ index (encoded corpus + codebook table) reloads to the
+    identical codebook tensor and yields the identical search results —
+    the encode-once / search-many operating mode."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import load_pq_index, save_pq_index
+
+    _, books, encoded = pq_setup
+    path = str(tmp_path / "pq_index")
+    save_pq_index(encoded, books, path)
+    corpus2, books2 = load_pq_index(spark, path)
+    assert books2.shape == books.shape
+    assert np.allclose(books2, books)
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    fresh = topk_pq(q, encoded, books, k=5, query_id="qid", corpus_id="cid").toPandas()
+    loaded = topk_pq(q, corpus2, books2, k=5, query_id="qid", corpus_id="cid").toPandas()
+    key = ["qid", "rank"]
+    assert (
+        fresh.sort_values(key).reset_index(drop=True)[["qid", "cid", "rank"]]
+        .equals(loaded.sort_values(key).reset_index(drop=True)[["qid", "cid", "rank"]])
+    )
