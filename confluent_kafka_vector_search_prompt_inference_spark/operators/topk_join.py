@@ -19,6 +19,10 @@ Physical strategies (SURVEY.md §4.1), selected by ``strategy=`` or ``auto``:
   size because the corpus is never moved — only k·P candidate rows shuffle.
 - ``shuffle`` — crossJoin + score + ranked window. Exact, fully distributed,
   O(|Q|·|C|) — the fallback when both sides are huge and ANN is not allowed.
+- ``quantized`` — int8-quantized corpus broadcast (4× smaller than float32,
+  so the broadcast path stays viable 4× longer); exact integer dots rescaled
+  by per-vector scales. ``rescore_factor=r`` adds the two-stage recipe:
+  keep r·k coarse candidates, full-precision-rescore only those.
 - ``lsh`` — sign-random-projection bucketing (see ``operators/ann.py``):
   join queries to corpus within matching hash buckets only, rescore exactly,
   top-k. ``num_candidates`` maps to probe width (multi-band OR), mirroring
@@ -72,6 +76,7 @@ def topk_similarity_join(
     num_candidates: int | None = None,
     score_col: str = "score",
     rank_col: str = "rank",
+    rescore_factor: int | None = None,
 ) -> DataFrame:
     """Return ``(query_id, corpus_id, score, rank)`` with rank 1..k per query.
 
@@ -97,6 +102,11 @@ def topk_similarity_join(
         return _topk_shuffle(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
             metric, score_col, rank_col,
+        )
+    if strategy == "quantized":
+        return _topk_quantized(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
+            metric, score_col, rank_col, rescore_factor,
         )
     if strategy == "lsh":
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import topk_lsh
@@ -274,3 +284,78 @@ def _topk_shuffle(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
     return scored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def _topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    metric: str,
+    score_col: str,
+    rank_col: str,
+    rescore_factor: int | None,
+) -> DataFrame:
+    """int8-quantized broadcast scoring — the 4×-smaller-corpus memory
+    lever (the broadcast strategy stays viable 4× longer before falling
+    back to shuffle). Scores are exact integer dots rescaled by the two
+    per-vector scales; for ``metric='cosine'`` both sides L2-normalize
+    BEFORE quantization so the quantized dot approximates cosine. With
+    ``rescore_factor=r``, the quantized pass keeps r·k candidates and a
+    full-precision pass rescores ONLY those — the two-stage production
+    recipe that recovers the exact top-k at a fraction of the float work.
+    Without it, the quantized scores are final (approximate, but
+    bit-identical across engines and partitionings)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+        vec_normalize,
+        vec_quantize_int8,
+        vec_quantized_dot,
+    )
+
+    qv = vec_normalize(query_vec) if metric == "cosine" else F.col(query_vec)
+    cv = vec_normalize(corpus_vec) if metric == "cosine" else F.col(corpus_vec)
+    q = queries.select(
+        F.col(query_id), qv.alias("__qv"), vec_quantize_int8(qv).alias("__qa")
+    )
+    c = corpus.select(
+        F.col(corpus_id), cv.alias("__cv"), vec_quantize_int8(cv).alias("__qb")
+    )
+    coarse = q.crossJoin(F.broadcast(c)).select(
+        query_id,
+        corpus_id,
+        "__qv",
+        "__cv",
+        vec_quantized_dot("__qa", "__qb").alias("__qs"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("__qs"), F.asc(corpus_id))
+    if rescore_factor is None:
+        return (
+            coarse.select(
+                query_id, corpus_id, F.round("__qs", 6).alias(score_col)
+            )
+            .withColumn(
+                rank_col,
+                F.row_number().over(
+                    Window.partitionBy(query_id).orderBy(
+                        F.desc(score_col), F.asc(corpus_id)
+                    )
+                ),
+            )
+            .filter(F.col(rank_col) <= k)
+        )
+    cands = coarse.withColumn("__crank", F.row_number().over(wq)).filter(
+        F.col("__crank") <= rescore_factor * k
+    )
+    wf = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        cands.select(
+            query_id,
+            corpus_id,
+            F.round(vec_dot("__qv", "__cv"), 6).alias(score_col),
+        )
+        .withColumn(rank_col, F.row_number().over(wf))
+        .filter(F.col(rank_col) <= k)
+    )

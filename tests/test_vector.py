@@ -189,3 +189,32 @@ def test_quantized_topk_recall_vs_exact(spark, sf_smoke):
     e = {(r.qid, r.cid) for r in exact.collect()}
     a = {(r.qid, r.cid) for r in quant.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_quantized_strategy_with_rescore_recovers_exact_topk(spark, embeddings, qc):
+    """strategy='quantized' + rescore_factor: the int8 coarse pass keeps
+    r·k candidates, the float rescore recovers exactly the full-precision
+    top-k (two-stage production recipe, now first-class in the join)."""
+    q, c = qc
+    out = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", metric="dot",
+        strategy="quantized", rescore_factor=8,
+    ).toPandas()
+    oracle = _np_topk(embeddings.toPandas(), k=5)
+    got = {qid: list(g.sort_values("rank").cid) for qid, g in out.groupby("qid")}
+    assert got == oracle
+
+
+def test_quantized_strategy_without_rescore_has_high_recall(spark, embeddings, qc):
+    q, c = qc
+    approx = topk_similarity_join(
+        q, c, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", metric="dot", strategy="quantized",
+    ).toPandas()
+    oracle = _np_topk(embeddings.toPandas(), k=5)
+    hits = tot = 0
+    for qid, g in approx.groupby("qid"):
+        hits += len(set(g.cid) & set(oracle[qid]))
+        tot += len(oracle[qid])
+    assert hits / tot >= 0.8, hits / tot
