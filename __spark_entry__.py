@@ -532,8 +532,8 @@ _NULL_ORACLE = """
 SELECT c_nationkey,
   COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding,
   COUNT(*) AS n_total,
-  SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
-           THEN 1 ELSE 0 END) AS n_building,
+  CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
   COALESCE(MAX(NULLIF(c_mktsegment, 'BUILDING')), '(none)') AS max_other_seg
 FROM customer GROUP BY c_nationkey
 """
@@ -857,9 +857,9 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT o_orderpriority,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_f,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_o,
-  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS n_p
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_f,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_o,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 

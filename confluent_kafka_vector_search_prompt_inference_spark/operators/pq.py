@@ -30,7 +30,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, ShortType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 
 def train_pq_codebooks(
@@ -133,45 +139,67 @@ def topk_pq(
 ) -> DataFrame:
     """Approximate dot-product top-k by ADC over PQ codes.
 
-    Scores every (query, corpus) pair as the sum of per-subspace LUT
-    entries; exact rescoring of the short-list (see the quantized-rescore
-    pattern) recovers full precision when needed."""
-    books = codebooks.astype(np.float64)
-    m, kk, sub = books.shape
-    qrows = queries.select(query_id, query_vec).collect()
-    qids = [r[0] for r in qrows]
-    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    # (nq, m, k) lookup tables: query subvector · centroid
-    luts = np.stack(
-        [Q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    The query block is *broadcast* (ids + float matrix, once per executor —
+    not a per-task closure, not a driver-side LUT tensor); each corpus
+    partition builds the (nq, m, 256) LUTs locally and emits a per-partition
+    **partial top-k** (≤ k rows per query per partition). Only k·P candidate
+    rows per query ever shuffle into the final ranking window — the same
+    shape as ``_topk_numpy_broadcast``'s broadcast-queries mode, so corpus
+    scale drops out of the shuffle entirely. Exact rescoring of the
+    short-list (see the quantized-rescore pattern) recovers full precision
+    when needed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
+        _collect_matrix,
+        _rowwise_topk,
     )
 
-    out_schema = f"{corpus_id} long, __qix int, {score_col} double"
+    books = codebooks.astype(np.float64)
+    m, _nk, sub = books.shape
+    spark = queries.sparkSession
+    q_ids, Q = _collect_matrix(queries, query_id, query_vec)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, encoded_corpus.schema[corpus_id].dataType),
+            StructField(score_col, DoubleType()),
+        ]
+    )
 
     def score(batches):
+        qids, Qm = bc.value
+        if Qm.size == 0:
+            return
+        # (nq, m, k) lookup tables: query subvector · centroid — built once
+        # per partition task from the broadcast matrix.
+        luts = np.stack(
+            [Qm.astype(np.float64)[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+            axis=1,
+        )
         for pdf in batches:
+            if pdf.empty:
+                continue
             codes = np.asarray(list(pdf[code_col]), dtype=np.int64)  # (n, m)
-            n = len(pdf)
-            for qi in range(len(qids)):
-                lut = luts[qi]  # (m, k)
-                s = lut[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
-                yield pd.DataFrame(
-                    {
-                        corpus_id: pdf[corpus_id].to_numpy(),
-                        "__qix": np.full(n, qi, dtype=np.int32),
-                        score_col: s,
-                    }
-                )
+            cids = pdf[corpus_id].to_numpy()
+            scores = np.zeros((len(qids), len(pdf)))  # (nq, n)
+            for j in range(m):
+                scores += luts[:, j, codes[:, j]]
+            idx, top = _rowwise_topk(scores, cids, k)
+            kk = idx.shape[1]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, kk),
+                    corpus_id: cids[idx].ravel(),
+                    score_col: top.ravel(),
+                }
+            )
 
-    scored = encoded_corpus.select(corpus_id, code_col).mapInPandas(score, out_schema)
-    qmap = queries.sparkSession.createDataFrame(
-        [(int(i), qid) for i, qid in enumerate(qids)], ["__qix", query_id]
-    )
-    w = Window.partitionBy("__qix").orderBy(F.desc(score_col), F.asc(corpus_id))
+    partial = encoded_corpus.select(corpus_id, code_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
     return (
-        scored.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        partial.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .filter(F.col(rank_col) <= k)
-        .join(F.broadcast(qmap), "__qix")
         .select(query_id, corpus_id, F.round(score_col, 6).alias(score_col), rank_col)
     )
 

@@ -77,17 +77,26 @@ def topk_similarity_join(
     score_col: str = "score",
     rank_col: str = "rank",
     rescore_factor: int | None = None,
+    exact_only: bool = False,
 ) -> DataFrame:
     """Return ``(query_id, corpus_id, score, rank)`` with rank 1..k per query.
 
     Callers join payload columns back on the two id columns — keeping the
     join output narrow means only ids and scores ever shuffle, regardless of
     how wide the query/corpus rows are.
+
+    ``strategy='auto'`` sizes both sides from Catalyst plan statistics (file
+    footers — no Spark job) and escalates broadcast → quantized-broadcast →
+    LSH as the data outgrows each budget, mirroring the reference engine's
+    always-indexed search (``README.md:355-366``). Pass ``exact_only=True``
+    to cap the escalation at the exact ``shuffle`` fallback instead.
     """
     if num_candidates is not None:
         num_candidates = min(num_candidates, NUM_CANDIDATES_CAP)
     if strategy == "auto":
-        strategy = _pick_strategy(queries, corpus, query_vec, corpus_vec)
+        strategy = _pick_strategy(queries, corpus, exact_only=exact_only)
+        if strategy == "quantized" and rescore_factor is None:
+            rescore_factor = 4  # auto mode keeps the result exact-after-rescore
     if strategy == "broadcast_corpus":
         return _topk_numpy_broadcast(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
@@ -121,19 +130,33 @@ def topk_similarity_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
-def _pick_strategy(queries: DataFrame, corpus: DataFrame, query_vec: str, corpus_vec: str) -> str:
-    """Estimate float32 matrix bytes per side from a sampled dim × a cheap
-    count; broadcast the side that fits (prefer corpus — it keeps query
-    payload columns on their original partitions)."""
-    dim_row = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
-    c_bytes = corpus.count() * dim * 4
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — file-footer bytes for scans,
+    propagated through projections/filters. Reads catalog statistics only;
+    launches NO job, so the picker costs nothing even when the inputs are
+    100 TB scans with long upstream lineage."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _pick_strategy(queries: DataFrame, corpus: DataFrame, *, exact_only: bool = False) -> str:
+    """Choose a physical strategy from plan statistics (no jobs — the old
+    eager ``.count()`` probe re-ran the full upstream lineage twice just to
+    pick a path). Prefer broadcasting the corpus (keeps query payload
+    columns on their original partitions); past both exact broadcast
+    budgets, escalate to the int8-quantized broadcast (4× smaller, exact
+    after rescore) and finally banded LSH — the reference engine likewise
+    switches to its ANN index rather than scanning (``README.md:355-366``)."""
+    c_bytes = _plan_size_bytes(corpus)
     if c_bytes <= _BROADCAST_BUDGET_BYTES:
         return "broadcast_corpus"
-    q_bytes = queries.count() * dim * 4
+    q_bytes = _plan_size_bytes(queries)
     if q_bytes <= _BROADCAST_BUDGET_BYTES:
         return "broadcast_queries"
-    return "shuffle"
+    if exact_only:
+        return "shuffle"
+    if c_bytes // 4 <= _BROADCAST_BUDGET_BYTES:
+        return "quantized"
+    return "lsh"
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -212,6 +235,8 @@ def _topk_numpy_broadcast(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, norms = bc.value
+        if mat.size == 0:  # empty broadcast side → empty result, not a crash
+            return
         matT = mat.T.astype(np.float64)
         for pdf in batches:
             if pdf.empty:
@@ -320,14 +345,15 @@ def _topk_quantized(
     q = queries.select(
         F.col(query_id), qv.alias("__qv"), vec_quantize_int8(qv).alias("__qa")
     )
-    c = corpus.select(
-        F.col(corpus_id), cv.alias("__cv"), vec_quantize_int8(cv).alias("__qb")
-    )
+    # Broadcast ONLY the int8 codes (+ per-vector scale inside the struct) —
+    # the whole point of the strategy is that the broadcast is 4× smaller
+    # than float32; the full-precision corpus vectors never leave their
+    # partitions (rescore re-attaches them by id below).
+    c = corpus.select(F.col(corpus_id), vec_quantize_int8(cv).alias("__qb"))
     coarse = q.crossJoin(F.broadcast(c)).select(
         query_id,
         corpus_id,
         "__qv",
-        "__cv",
         vec_quantized_dot("__qa", "__qb").alias("__qs"),
     )
     wq = Window.partitionBy(query_id).orderBy(F.desc("__qs"), F.asc(corpus_id))
@@ -349,9 +375,15 @@ def _topk_quantized(
     cands = coarse.withColumn("__crank", F.row_number().over(wq)).filter(
         F.col("__crank") <= rescore_factor * k
     )
+    # Exact rescore touches candidates only: broadcast the small candidate
+    # list (|Q|·r·k ids) and stream the corpus past it — the big side is
+    # neither shuffled nor broadcast.
+    exact = corpus.select(F.col(corpus_id), cv.alias("__cv")).join(
+        F.broadcast(cands.select(query_id, corpus_id, "__qv")), corpus_id
+    )
     wf = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
     return (
-        cands.select(
+        exact.select(
             query_id,
             corpus_id,
             F.round(vec_dot("__qv", "__cv"), 6).alias(score_col),

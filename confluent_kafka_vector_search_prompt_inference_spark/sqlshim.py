@@ -92,6 +92,54 @@ def _parse_options(blob: str) -> dict[str, str]:
     return {m.group("k"): m.group("v") for m in _OPTION_PAIR.finditer(blob)}
 
 
+def _translate_constructors(values: str) -> str:
+    """Flink → Spark literal constructors in a VALUES clause:
+    ``ARRAY[...]`` → ``array(...)`` and ``ROW(...)`` → ``struct(...)``.
+
+    Single quote-aware scan: brackets and keywords inside string literals
+    (``'size [large]'``, ``'it''s ROW(ish)'``) are left untouched, and each
+    ``]`` is rewritten to ``)`` only when it closes a matching ``ARRAY[``."""
+    out: list[str] = []
+    stack: list[bool] = []  # True = bracket opened by ARRAY[
+    i, n = 0, len(values)
+    while i < n:
+        c = values[i]
+        if c == "'":  # string literal: copy through, honoring '' escapes
+            j = i + 1
+            while j < n:
+                if values[j] == "'":
+                    if j + 1 < n and values[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(values[i : j + 1])
+            i = j + 1
+            continue
+        at_word_start = i == 0 or not (values[i - 1].isalnum() or values[i - 1] == "_")
+        if at_word_start:
+            m = re.match(r"ARRAY\s*\[", values[i:], re.IGNORECASE)
+            if m:
+                out.append("array(")
+                stack.append(True)
+                i += m.end()
+                continue
+            m = re.match(r"ROW\s*\(", values[i:], re.IGNORECASE)
+            if m:
+                out.append("struct(")
+                i += m.end()
+                continue
+        if c == "[":
+            stack.append(False)
+            out.append(c)
+        elif c == "]":
+            out.append(")" if (stack.pop() if stack else False) else c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class ConnectionNotFound(KeyError):
     """Reference analog: a model/table referencing an unknown connection
     fails at statement submission — "Connection 'mongodb-connection' not
@@ -195,11 +243,7 @@ class EngineSession:
         (``ARRAY[...]``→``array(...)``, ``ROW(...)``→``struct(...)``), build
         rows with SELECT-VALUES, cast positionally to the sink schema."""
         sink = m.group("sink")
-        values = m.group("values")
-        values = re.sub(r"ARRAY\s*\[", "array(", values, flags=re.IGNORECASE)
-        # close ARRAY[ ... ] brackets: any ']' paired with array( opening
-        values = values.replace("]", ")")
-        values = re.sub(r"\bROW\s*\(", "struct(", values, flags=re.IGNORECASE)
+        values = _translate_constructors(m.group("values"))
         target = self.catalog.schema(sink)
         names = [f.name for f in target.fields]
         df = self.spark.sql(f"SELECT * FROM VALUES {values}")

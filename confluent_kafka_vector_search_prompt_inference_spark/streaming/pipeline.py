@@ -150,11 +150,12 @@ def dedup_insert(
         keyed = batch_df.withColumn(key_name, key_expr)
         keyed = keyed.dropDuplicates([key_name])
         spark = batch_df.sparkSession
-        try:
+        # An empty sink (first batch) has no committed _batch=* dirs; any
+        # other failure must propagate so the checkpoint retries the batch —
+        # swallowing it would silently disable dedup and commit duplicates.
+        if _sink_has_batches(sink_dir):
             seen = read_sink(spark, sink_dir).select(key_name).distinct()
             keyed = keyed.join(seen, key_name, "left_anti")
-        except Exception:
-            pass  # empty sink on the first batch — nothing seen yet
         write_batch(keyed, epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
@@ -163,6 +164,13 @@ def dedup_insert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _sink_has_batches(sink_dir: str) -> bool:
+    """True iff the sink holds at least one committed ``_batch=<n>`` dir."""
+    import glob
+
+    return bool(glob.glob(os.path.join(sink_dir, "_batch=*", "_SUCCESS")))
 
 
 def stream_interval_join(
@@ -208,7 +216,9 @@ def statement_phase(query: StreamingQuery) -> str:
         return "FAILED"
     if not query.isActive:
         return "COMPLETED"
-    return "RUNNING" if query.status.get("isDataAvailable") is not None else "PENDING"
+    # A query that has not yet completed any micro-batch is still PENDING;
+    # status["isDataAvailable"] is always present, so key off progress.
+    return "RUNNING" if query.recentProgress else "PENDING"
 
 
 def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:

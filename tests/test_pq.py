@@ -91,6 +91,24 @@ def test_pq_coarse_plus_exact_rescore_recovers_topk(spark, embeddings, pq_setup)
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_pq_string_ids_and_no_query_collect(spark, embeddings, pq_setup, monkeypatch):
+    """Output id columns inherit their schema types (string corpus ids work —
+    ADVICE r1 flagged the hardcoded ``long``), and the query side is never
+    ``.collect()``-ed row-by-row into LUTs on the driver: results flow through
+    the broadcast + partial-top-k path."""
+    corpus, books, encoded = pq_setup
+    enc_str = encoded.withColumn("cid", F.concat(F.lit("doc-"), F.col("cid")))
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_pq(q, enc_str, books, k=5, query_id="qid", corpus_id="cid")
+    assert dict(out.dtypes)["qid"] == "string" and dict(out.dtypes)["cid"] == "string"
+    pdf = out.toPandas()
+    assert set(pdf.qid) == {"q-0", "q-1", "q-2"}
+    assert (pdf.groupby("qid").size() == 5).all()
+    assert pdf.cid.str.startswith("doc-").all()
+
+
 def test_codebooks_deterministic_per_seed(spark, embeddings):
     corpus = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
     a = train_pq_codebooks(corpus, m=4, k=16, sample_rows=200, seed=7)

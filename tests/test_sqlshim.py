@@ -154,6 +154,34 @@ def test_insert_values_nested_array_row(spark, engine, tmp_path):
     ]
 
 
+def test_insert_values_brackets_inside_strings(spark, engine, tmp_path):
+    """Brackets and constructor keywords inside string literals survive the
+    Flink→Spark constructor translation (ADVICE r1: the old blanket
+    ``.replace("]", ")")`` corrupted them)."""
+    sink = spark.createDataFrame(
+        [], "content string, tags array<string>"
+    )
+    path = str(tmp_path / "bracket_sink.parquet")
+    sink.write.parquet(path)
+    engine.catalog.add_table("bracket_sink", path)
+    engine.sql(
+        "INSERT INTO bracket_sink VALUES "
+        "('size [large] and it''s ROW(ish)', ARRAY['a[0]', 'b]c'])"
+    )
+    row = engine.catalog.table("bracket_sink").first()
+    assert row.content == "size [large] and it's ROW(ish)"
+    assert list(row.tags) == ["a[0]", "b]c"]
+
+
+def test_translate_constructors_unit():
+    from confluent_kafka_vector_search_prompt_inference_spark.sqlshim import _translate_constructors
+
+    assert _translate_constructors("ARRAY[ROW('x'), ROW('y')]") == "array(struct('x'), struct('y'))"
+    assert _translate_constructors("'keep [this] and ARRAY[that]'") == "'keep [this] and ARRAY[that]'"
+    assert _translate_constructors("GROW(1)") == "GROW(1)"  # no false ROW( match
+    assert _translate_constructors("ARRAY['a]b', 'c']") == "array('a]b', 'c')"
+
+
 def test_ml_predict_version_pinning(spark, engine):
     """Call-site version pin model$N (README.md:704-708)."""
     engine.sql(
