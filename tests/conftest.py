@@ -22,6 +22,26 @@ def sf_correct():
     return SF_CORRECT
 
 
+def load_events(spark, sf_dir):
+    """Read the events table with a schema-version-tolerant ts column.
+
+    Older driver testdata stored ts as TIMESTAMP(NANOS) (Spark reads it as
+    raw INT64 under nanosAsLong); newer drops to timestamp[us] directly.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (tz-aware); parquet timestamp[us]
+        # without a zone arrives as TIMESTAMP_NTZ.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
 @pytest.fixture(scope="session")
 def docs(spark, sf_smoke):
     return spark.read.parquet(f"{sf_smoke}/documents.parquet")

@@ -3,12 +3,11 @@
 from pyspark.sql import functions as F
 
 from confluent_kafka_vector_search_prompt_inference_spark.operators.cogroup import conversion_lag_stats
+from tests.conftest import load_events
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return load_events(spark, "/root/testdata/sf0.001")
 
 
 def test_counts_and_lags_match_join_oracle(spark):

@@ -21,10 +21,9 @@ from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import R
 @pytest.fixture()
 def events_dir(spark, tmp_path):
     """events subset split into 3 files → 3 micro-batches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).limit(300)
+    from tests.conftest import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").limit(300)
     src = str(tmp_path / "events_src")
     ev.repartition(3).write.parquet(src)
     return src, ev.schema, ev.count()
@@ -370,10 +369,10 @@ def test_stateful_transition_steps_match_batch_lag(spark, tmp_path):
 
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.stateful import transition_steps
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from tests.conftest import load_events
+
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_events(spark, "/root/testdata/sf0.001")
         .select("user_id", "event_type", "ts", "event_id")
         .orderBy("ts", "event_id")
         .limit(300)
