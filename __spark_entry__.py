@@ -1077,44 +1077,60 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 
 def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k (operators/ivf.py): k-means cluster the
-    corpus, probe the 4 nearest of 8 clusters per query, rescore exactly.
-    The k-means assignment is engine-specific, so the *recall verdict* is
-    emitted as data: per query, ``recall_ok`` is TRUE iff the probed search
-    recovered ≥2 of the exact top-3 (the bound holds with margin at every
-    test SF; exactness at full probe width and recall monotonicity are
-    asserted in tests/test_ivf.py). The oracle expects TRUE per query —
-    a clustering or probe regression turns the row red."""
+    corpus, probe the nearest clusters per query, rescore exactly. The
+    k-means assignment is engine-specific, so two *verdicts* are emitted as
+    data and hard-checked by the DuckDB oracle:
+
+    - ``full_probe_exact``: at probe width = n_clusters IVF degenerates to
+      exhaustive search, so its top-3 must EQUAL the exact top-3 per query
+      — a deterministic invariant of the probe/partition/rescore plumbing
+      (any dropped cluster, mis-assignment, or rank bug turns it false).
+    - ``partial_recall_ok``: at half probe width (4 of 8), aggregate recall
+      over all 10 queries must stay ≥ 60% (observed 25/30 at sf0.01 —
+      per-query recall on hash embeddings is not guaranteed, the aggregate
+      is stable). Recall monotonicity in probe width is asserted in
+      tests/test_ivf.py."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, topk_ivf
 
     indexed, centroids = build_ivf_index(
         _vec_corpus(spark, sf_dir).withColumnRenamed("neighbor_id", "cid"),
         "vector", n_clusters=8, seed=42,
     )
-    approx = topk_ivf(
-        _vec_queries(spark, sf_dir), indexed, centroids, k=3,
-        query_id="query_id", corpus_id="cid", metric="dot", n_probe=4,
-    ).select("query_id", F.col("cid").alias("neighbor_id"))
     exact = _vec_topk(spark, sf_dir, "broadcast_corpus").select(
         "query_id", "neighbor_id"
     )
-    recalled = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+
+    def _recovered(n_probe: int, alias: str) -> DataFrame:
+        approx = topk_ivf(
+            _vec_queries(spark, sf_dir), indexed, centroids, k=3,
+            query_id="query_id", corpus_id="cid", metric="dot", n_probe=n_probe,
+        ).select("query_id", F.col("cid").alias("neighbor_id"))
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    full = _recovered(8, "__nf")
+    part = _recovered(4, "__np")
+    total = part.agg(F.sum("__np").alias("__t"))
     return (
         _vec_queries(spark, sf_dir)
         .select("query_id")
-        .join(recalled, "query_id", "left")
+        .join(full, "query_id", "left")
+        .join(part, "query_id", "left")
+        .crossJoin(F.broadcast(total))
         .select(
             "query_id",
-            (F.coalesce(F.col("__n"), F.lit(0)) >= 2).alias("recall_ok"),
+            (F.coalesce(F.col("__nf"), F.lit(0)) == 3).alias("full_probe_exact"),
+            (F.coalesce(F.col("__t"), F.lit(0)) >= 18).alias("partial_recall_ok"),
         )
     )
 
 
 _IVF_RECALL_ORACLE = """
-SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10
+SELECT vec_id AS query_id, TRUE AS full_probe_exact, TRUE AS partial_recall_ok
+FROM embeddings WHERE vec_id < 10
 """
 
 
@@ -2715,12 +2731,17 @@ SELECT * FROM base CROSS JOIN orph
 def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC top-k (§2.11 similarity search at scale):
     64-dim float32 vectors compressed to 8 one-byte codes (32×), scored by
-    per-subspace lookup-table sums inside ``mapInPandas``. The codebooks
-    are engine-specific (sampled k-means), so the *recall verdict* is
-    emitted as data: per query, ``recall_ok`` is TRUE iff ADC's top-10
-    recovered ≥5 of the exact dot-product top-10 (holds with margin at
-    every test SF; tighter recall curves in tests/test_pq.py). The oracle
-    expects TRUE per query."""
+    per-subspace lookup-table sums inside ``mapInPandas``, then the
+    short-list is exact-dot rescored (the production two-stage shape).
+    The codebooks are engine-specific (sampled k-means), so three
+    *verdicts* are emitted as data and hard-checked by the DuckDB oracle:
+
+    - ``full_rescore_exact``: with the candidate width opened to the whole
+      corpus, the rescored top-10 must EQUAL the exact top-10 per query —
+      a deterministic invariant of the encode/ADC/rescore plumbing.
+    - ``recall_ok`` / ``agg_recall_ok``: at candidate width 50, per-query
+      recall@10 ≥ 4 and aggregate recall ≥ 60% (observed 40/50 at
+      sf0.01). Tighter recall curves in tests/test_pq.py."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import pq_encode, topk_pq, train_pq_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2730,29 +2751,56 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
     )
-    approx = topk_pq(q, encoded, books, k=10, query_id="qid", corpus_id="cid").select(
-        "qid", "cid"
-    )
     exact = topk_similarity_join(
         q, corpus, k=10,
         query_id="qid", query_vec="vector",
         corpus_id="cid", corpus_vec="vector",
         metric="dot", strategy="broadcast_corpus",
     ).select("qid", "cid")
-    recalled = (
-        exact.join(approx, ["qid", "cid"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    qv = q.select("qid", F.col("vector").alias("__qv"))
+
+    def _two_stage(adc_k: int, alias: str) -> DataFrame:
+        """ADC candidates → exact-dot rescore → final top-10, the
+        production two-stage shape (quantized-rescore pattern)."""
+        cand = topk_pq(
+            q, encoded, books, k=adc_k, query_id="qid", corpus_id="cid"
+        ).select("qid", "cid")
+        w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("cid"))
+        final = (
+            cand.join(corpus, "cid")
+            .join(F.broadcast(qv), "qid")
+            .select("qid", "cid", vec_dot("__qv", "vector").alias("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 10)
+        )
+        return (
+            exact.join(final, ["qid", "cid"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    n_corpus = corpus.count()
+    full = _two_stage(int(n_corpus), "__nf")
+    part = _two_stage(50, "__np")
+    total = part.agg(F.sum("__np").alias("__t"))
     return (
         q.select("qid")
-        .join(recalled, "qid", "left")
-        .select("qid", (F.coalesce(F.col("__n"), F.lit(0)) >= 5).alias("recall_ok"))
+        .join(full, "qid", "left")
+        .join(part, "qid", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "qid",
+            (F.coalesce(F.col("__nf"), F.lit(0)) == 10).alias("full_rescore_exact"),
+            (F.coalesce(F.col("__np"), F.lit(0)) >= 4).alias("recall_ok"),
+            (F.coalesce(F.col("__t"), F.lit(0)) >= 30).alias("agg_recall_ok"),
+        )
     )
 
 
 _PQ_RECALL_ORACLE = """
-SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+SELECT vec_id AS qid, TRUE AS full_rescore_exact, TRUE AS recall_ok,
+  TRUE AS agg_recall_ok
+FROM embeddings WHERE vec_id < 5
 """
 
 
@@ -4264,9 +4312,15 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundancy with what is already picked. The greedy loop is sequential
     per query but parallel across queries (``applyInPandas`` groups of ≤20
     rows), so cost is independent of corpus size once the candidate stage
-    has run. No SQL oracle — greedy argmax recursion is not
-    SQL-expressible; equivalence to an independent brute-force oracle is
-    asserted in tests/test_rerank.py."""
+    has run. Greedy argmax recursion is not SQL-expressible, so the
+    *equivalence verdict* is emitted as data: the operator's picks are
+    compared against an independent pure-Python greedy recomputation over
+    the same (tiny: 5×20-row) candidate set — ``matches_bruteforce`` must
+    be TRUE per query, which the DuckDB oracle asserts. A regression in
+    the distributed operator (grouping, tie-break, redundancy term) turns
+    the row red. Full score-level equivalence stays in tests/test_rerank.py."""
+    import math
+
     from confluent_kafka_vector_search_prompt_inference_spark.operators.rerank import mmr_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4288,7 +4342,70 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
     )
-    return mmr_rerank(cands, k=5, lam=0.7)
+    # independent brute-force recompute (plain Python loops, no numpy — a
+    # genuinely separate code path from the operator's matmul): candidate
+    # sets are k-bounded (≤20/query × 5 queries), so this collect is O(k),
+    # not O(data)
+    rows = cands.select("query_id", "doc_id", "vector", "score").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], float(r["score"]), [float(x) for x in r["vector"]])
+        )
+    lam = 0.7
+    expected = []  # (query_id, doc_id, mmr_rank)
+    for qid, items in by_q.items():
+        items.sort(key=lambda t: t[0])
+
+        def _cos(a: list, b: list) -> float:
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return dot / (na * nb)
+
+        selected: list[int] = []
+        remaining = set(range(len(items)))
+        for rank in range(1, min(5, len(items)) + 1):
+            best_i, best_v = None, None
+            for i in sorted(remaining):
+                red = max(
+                    (_cos(items[i][2], items[s][2]) for s in selected),
+                    default=0.0,
+                )
+                v = lam * items[i][1] - (1.0 - lam) * red
+                if best_v is None or v > best_v:
+                    best_i, best_v = i, v
+            selected.append(best_i)
+            remaining.discard(best_i)
+            expected.append((qid, items[best_i][0], rank))
+    exp_df = spark.createDataFrame(
+        expected, "query_id bigint, doc_id bigint, mmr_rank int"
+    )
+    picks = mmr_rerank(cands, k=5, lam=0.7)
+    agreed = picks.join(exp_df, ["query_id", "doc_id", "mmr_rank"], "left_semi")
+    return (
+        picks.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+        .join(
+            agreed.groupBy("query_id").agg(F.count(F.lit(1)).alias("__m")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_selected",
+            (F.coalesce(F.col("__m"), F.lit(0)) == F.col("n_selected")).alias(
+                "matches_bruteforce"
+            ),
+        )
+    )
+
+
+_MMR_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_selected,
+  TRUE AS matches_bruteforce
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5026,7 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_revenue": _SKEW_ORACLE,
         "unpivot_part_measures": _UNPIVOT_ORACLE,
         "time_spine_gap_fill": _GAP_FILL_ORACLE,
-        # approx_distinct_counts: rows-only (HLL estimate is engine-specific)
+        "approx_distinct_counts": _APPROX_DISTINCT_ORACLE,
         "vec_topk_broadcast": _VEC_TOPK_ORACLE,
         "vec_topk_reverse": _VEC_TOPK_ORACLE,
         "vec_topk_shuffle": _VEC_TOPK_ORACLE,
@@ -5076,7 +5193,13 @@ def oracle_sql() -> dict[str, str]:
         "events_forward_fill": _FFILL_ORACLE,
         "events_winsorized_stats": _WINSOR_ORACLE,
         "events_value_histogram": _HISTOGRAM_ORACLE,
-        # minhash_lsh_dups / simhash_near_dups / multimodal_features /
-        # rag_prompts / rag_answers: intentionally no oracle (non-SQL ops —
-        # custom hash families, UDF feature extraction, model inference).
+        "vec_topk_ivf": _IVF_RECALL_ORACLE,
+        "vec_pq_topk": _PQ_RECALL_ORACLE,
+        "simhash_near_dups": _SIMHASH_ORACLE,
+        # minhash output EQUALS the exact-Jaccard >= 0.5 pair set (total
+        # banding recall at tau=0.5, asserted in tests/test_dedup.py), so the
+        # exact-Jaccard oracle doubles as the LSH recall gate.
+        "minhash_lsh_dups": _JACCARD_ORACLE,
+        "mmr_rerank_topk": _MMR_ORACLE,
+        # multimodal_features: rows-only (UDF feature extraction, non-SQL).
     }
