@@ -2432,17 +2432,102 @@ def _rag(spark: SparkSession, sf_dir: str) -> tuple[RagPipeline, DataFrame, Data
 
 def rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """user_prompts stage (reference ``README.md:438-446``): question +
-    top-3 products as ARRAY<STRUCT<content>>. No SQL oracle (embedding
-    model); pipeline invariants tested in tests/test_rag_pipeline.py."""
+    top-3 products, serialized to a JSON string per the reference's
+    ``CAST(products AS STRING)`` prompt-assembly form (``README.md:726-730``).
+
+    HARD ORACLE: HashingEmbedder is deterministic (md5-seeded per-token
+    vectors, mean-pooled, L2-normalized, float32 output — see
+    models/providers.py:_hash_floats), so the whole embed→top-3→pack stage
+    is re-expressed in DuckDB SQL (`_RAG_PROMPTS_ORACLE`): same token
+    hashing via md5 hex→uint, same float32 rounding via CAST(… AS REAL),
+    same (score DESC, id ASC) tie-break. Any drift in the embedder, the
+    top-k join, or the products packing turns the row red."""
     pipe, questions, corpus = _rag(spark, sf_dir)
     vec = pipe.embed_questions(questions)
-    return pipe.search_prompts(vec, corpus)
+    return pipe.search_prompts(vec, corpus).withColumn(
+        "products", F.to_json("products")
+    )
 
 
 def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """llm_answers stage (reference ``README.md:487-495``). No SQL oracle."""
+    """llm_answers stage (reference ``README.md:487-495``). HARD ORACLE:
+    TemplateLLM is deterministic (md5 digest of the assembled prompt), so
+    `_RAG_ANSWERS_ORACLE` rebuilds the exact prompt JSON in DuckDB
+    (field order ``prompt``, ``products`` as in ``json_object``), hashes
+    it, and formats the same response string — end-to-end pipeline parity
+    in one row hash."""
     pipe, questions, corpus = _rag(spark, sf_dir)
     return pipe.run_batch(questions, corpus)
+
+
+# The md5-hash embedding re-expressed in SQL (HashingEmbedder parity):
+# tokens → per-token md5(salt|token|counter) hex → 4 big-endian uints per
+# digest → (u/2^31)-1 in [-1,1] → per-token L2 unit vector → summed per doc
+# with multiplicity → doc L2 normalize → float32 (CAST AS REAL), exactly the
+# model's ARRAY<FLOAT> output. Scoring then upcasts to DOUBLE — the same
+# precision ladder as the broadcast matmul (operators/topk_join.py:239-247).
+_RAG_PROMPTS_ORACLE = r"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+  FROM docs),
+vocab AS (SELECT DISTINCT t FROM tok),
+hash_vals AS (
+  SELECT t, c.counter * 4 + i.i AS dim,
+    (('0x' || substr(md5('spark-graft|' || t || '|' || c.counter), 1 + 8*i.i, 8))::UBIGINT
+      / 2147483648.0) - 1.0 AS v
+  FROM vocab, range(8) c(counter), range(4) i(i)),
+tokvec AS (
+  SELECT t, dim, v / sqrt(sum(v*v) OVER (PARTITION BY t)) AS u FROM hash_vals),
+docsum AS (
+  SELECT doc_id, dim, SUM(u) AS s FROM tok JOIN tokvec USING (t) GROUP BY doc_id, dim),
+docvec AS (
+  SELECT doc_id, dim,
+    CAST(s / sqrt(SUM(s*s) OVER (PARTITION BY doc_id)) AS REAL) AS e
+  FROM docsum),
+scores AS (
+  SELECT qv.doc_id AS qid, cv.doc_id AS pid,
+    SUM(CAST(qv.e AS DOUBLE) * CAST(cv.e AS DOUBLE)) AS score
+  FROM docvec qv JOIN docvec cv USING (dim)
+  WHERE qv.doc_id < 20
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, pid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, pid ASC) AS rnk
+  FROM scores),
+prods AS (
+  SELECT r.qid,
+    '[' || string_agg(to_json(struct_pack(content := d.text)), ',' ORDER BY r.rnk) || ']' AS products
+  FROM ranked r JOIN docs d ON d.doc_id = r.pid
+  WHERE r.rnk <= 3
+  GROUP BY r.qid)
+SELECT 'user' AS role, q.text AS content,
+  'session-' || q.doc_id AS sessionid,
+  CAST(q.doc_id AS VARCHAR) AS question_id,
+  p.products AS products
+FROM docs q JOIN prods p ON p.qid = q.doc_id
+WHERE q.doc_id < 20
+"""
+
+_RAG_ANSWERS_HEAD, _RAG_ANSWERS_TAIL = _RAG_PROMPTS_ORACLE.rsplit(
+    "SELECT 'user' AS role", 1
+)
+# TemplateLLM parity: prompt = json_object(prompt=content, products=<json>)
+# (functions/json_fns.py), response = fixed template around md5(prompt)[:12]
+# and len(prompt) (models/providers.py TemplateLLM.complete_batch).
+_RAG_ANSWERS_ORACLE = (
+    _RAG_ANSWERS_HEAD
+    + ", base AS (SELECT 'user' AS role"
+    + _RAG_ANSWERS_TAIL.rstrip()
+    + r""")
+SELECT role, content, sessionid,
+  '{"role":"assistant","content":"[template-llm:'
+    || substr(md5(to_json(struct_pack(prompt := content, products := products))), 1, 12)
+    || '] You are a friendly shopping assistant: answering from prompt of '
+    || length(to_json(struct_pack(prompt := content, products := products)))
+    || ' chars"}' AS json_response
+FROM base
+"""
+)
 
 
 def rag_answers_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5201,5 +5286,9 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard oracle doubles as the LSH recall gate.
         "minhash_lsh_dups": _JACCARD_ORACLE,
         "mmr_rerank_topk": _MMR_ORACLE,
+        "rag_prompts": _RAG_PROMPTS_ORACLE,
+        "rag_answers": _RAG_ANSWERS_ORACLE,
         # multimodal_features: rows-only (UDF feature extraction, non-SQL).
+        # rag_answers_hybrid: rows-only (RRF leg shares the BM25/hybrid
+        # oracles' machinery; covered by hybrid_rrf_topk + rag_answers).
     }
