@@ -5029,8 +5029,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate hashes exactly the
+    # FIRST 50 entries (insertion order) against their oracles at sf0.01.
+    # The first 50 therefore carry one representative per SURVEY.md §2
+    # family — relational core, windows, joins (semi/anti/as-of/range/
+    # broadcast), grouping, sets, scalars, event-time windows, sampling,
+    # sketches, AND the reference's core surface: vector top-k (J2/M4, five
+    # strategies incl. IVF + PQ), dedup (exact/MinHash/SimHash), BM25,
+    # hybrid RRF, and the end-to-end RAG pipeline. Displaced TPC-H
+    # variants and redundant family shapes sit after position 50; every
+    # one still has a registered oracle and is exact-checked by
+    # tools/parity.py.
     return {
-        # relational (§2.2–2.8)
+        # relational core (§2.2–2.8)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -5044,7 +5055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": join_semi,
         "join_anti": join_anti,
         "rollup_agg": rollup_agg,
-        "cube_agg": cube_agg,
         "text_redact_pii": text_redact_pii,
         "higher_order_fns": higher_order_fns,
         "pivot_status_priority": pivot_status_priority,
@@ -5062,12 +5072,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_date_fns": scalar_date_fns,
         "null_semantics": null_semantics,
         "map_type_ops": map_type_ops,
-        "case_bucketing": case_bucketing,
         "events_tumbling_window": events_tumbling_window,
-        "events_sliding_window": events_sliding_window,
-        "events_user_trend": events_user_trend,
         "sql_surface": sql_surface,
         "json_roundtrip": json_roundtrip,
+        "range_join_clicks": range_join_clicks,
+        "stats_quantiles": stats_quantiles,
+        "approx_distinct_counts": approx_distinct_counts,
+        "dataset_split_counts": dataset_split_counts,
+        # vector search (§2.3 J2, §2.10 M4 — the reference's core operator)
+        "vec_topk_broadcast": vec_topk_broadcast,
+        "vec_topk_shuffle": vec_topk_shuffle,
+        "vec_cosine_topk": vec_cosine_topk,
+        "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
+        "vec_topk_ivf": vec_topk_ivf,
+        "vec_pq_topk": vec_pq_topk,
+        # dedup (§2.11)
+        "dedup_exact_groups": dedup_exact_groups,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_near_dups": simhash_near_dups,
+        # keyword + hybrid retrieval (§2.11)
+        "bm25_keyword_topk": bm25_keyword_topk,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
+        # RAG end-to-end (§3 — the reference's flagship workload)
+        "rag_prompts": rag_prompts,
+        "rag_answers": rag_answers,
+        # ---- position 51+: parity-checked via tools/parity.py ----
+        "cube_agg": cube_agg,
+        "case_bucketing": case_bucketing,
+        "events_sliding_window": events_sliding_window,
+        "events_user_trend": events_user_trend,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume": q18_large_volume,
@@ -5076,10 +5109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": grouping_sets_agg,
         "window_analytics": window_analytics,
         "set_except_all": set_except_all,
-        "range_join_clicks": range_join_clicks,
-        "stats_quantiles": stats_quantiles,
-        "approx_distinct_counts": approx_distinct_counts,
-        "dataset_split_counts": dataset_split_counts,
         "stratified_hash_sample": stratified_hash_sample,
         "dedup_cluster_assignments": dedup_cluster_assignments,
         "q7_nation_volume": q7_nation_volume,
@@ -5096,28 +5125,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_revenue": skew_salted_revenue,
         "unpivot_part_measures": unpivot_part_measures,
         "time_spine_gap_fill": time_spine_gap_fill,
-        # vector search (§2.3 J2, §2.10 M4)
-        "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_reverse": vec_topk_reverse,
-        "vec_topk_shuffle": vec_topk_shuffle,
-        "vec_topk_ivf": vec_topk_ivf,
-        "vec_cosine_topk": vec_cosine_topk,
         "vec_quantized_topk": vec_quantized_topk,
-        "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
         "vec_norms": vec_norms,
         "events_hierarchical_rollup": events_hierarchical_rollup,
         "vec_label_stats": vec_label_stats,
-        # dedup + text (§2.11)
-        "dedup_exact_groups": dedup_exact_groups,
         "doc_fingerprints": doc_fingerprints,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
-        "minhash_lsh_dups": minhash_lsh_dups,
-        "simhash_near_dups": simhash_near_dups,
-        "bm25_keyword_topk": bm25_keyword_topk,
-        "hybrid_rrf_topk": hybrid_rrf_topk,
         "text_repetition": text_repetition,
         "benchmark_contamination": benchmark_contamination,
         "sequence_packing": sequence_packing,
@@ -5156,8 +5173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         # RAG (§3)
-        "rag_prompts": rag_prompts,
-        "rag_answers": rag_answers,
         "rag_answers_hybrid": rag_answers_hybrid,
     }
 
