@@ -1506,16 +1506,35 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands × 4 rows the banding recall at τ=0.5 is total (asserted in
     tests/test_dedup.py), so the result EQUALS the exact pair set and the
     exact-Jaccard DuckDB oracle doubles as a recall gate: any missed pair
-    turns the hash row red."""
+    turns the hash row red.
+
+    Pipeline shape (r3 rework — the r2 bench regression, 1.66s → 4.62s
+    with unchanged code, was cross-invocation CacheManager plan-matching
+    luck on a double-``.cache()`` pipeline):
+
+    - shingles are computed ONCE and persisted (MEMORY_AND_DISK — evicted
+      partitions spill, never recompute), then shared by the signature leg
+      and both exact-verify sides via ``shingle_col``;
+    - ``with_estimate=False`` drops the est_jaccard signature re-attach
+      joins (they pruned 1 of 257 candidates at sf0.1 — pure overhead when
+      the exact verify follows), making signatures single-consumer;
+    - ``num_hashes=64`` passed explicitly kills the width probe job.
+    The persisted table is (id, shingles) only — at 100 TB scale swap the
+    persist for a DISK_ONLY level or a staging parquet write."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
     # repartition: a single small parquet file arrives as ONE partition, and
     # signature computation is per-row-heavy — spread it across cores
     docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    # signatures feed both sides of the bucket self-join and the verify
-    # stage — cache so the 64-hash projection runs once per row
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3).cache()
-    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, est_threshold=0.3).cache()
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("__sh")).persist()
+    sigs = minhash_signatures(
+        sh, "doc_id", None, num_hashes=64, shingle_col="__sh"
+    )
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", bands=16, num_hashes=64, with_estimate=False
+    )
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cands
+        sh, "doc_id", None, threshold=0.5, candidates=cands, shingle_col="__sh"
     )
 
 

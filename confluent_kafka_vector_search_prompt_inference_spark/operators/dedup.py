@@ -86,11 +86,12 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     *,
     num_hashes: int = 64,
     shingle_n: int = 3,
     out_col: str = "minhash",
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col: ARRAY<BIGINT>`` of ``num_hashes`` minima.
 
@@ -106,13 +107,21 @@ def minhash_signatures(
     Intermediate arrays are materialized in staged projections — Catalyst
     does not CSE a subexpression across array elements, so inlining the
     shingle pipeline would recompute the regex/split ``num_hashes``× per
-    row."""
+    row.
+
+    ``shingle_col``: name of a precomputed shingle-array column on ``df``
+    (skips the shingling stage). Lets a caller compute shingles ONCE and
+    share them between the signature leg and an exact-Jaccard verify leg
+    (see ``ngram_jaccard_pairs``'s matching parameter)."""
     rng = np.random.default_rng(42)
     a_consts = rng.integers(1, 2**31 - 1, size=num_hashes, dtype=np.int64) | 1
     b_consts = rng.integers(0, 2**32 - 1, size=num_hashes, dtype=np.int64)
     mask = F.lit(0xFFFFFFFF)
 
-    shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
+    if shingle_col is not None:
+        shingled = df.select(F.col(id_col), F.col(shingle_col).alias("__sh"))
+    else:
+        shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
     hashed = shingled.select(
         F.col(id_col),
         F.transform(F.col("__sh"), lambda s: F.xxhash64(s).bitwiseAND(mask)).alias("__h"),
@@ -148,6 +157,8 @@ def minhash_lsh_candidates(
     bands: int = 16,
     est_threshold: float | None = None,
     max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """Candidate duplicate pairs ``(id_a, id_b, est_jaccard)``, id_a < id_b.
 
@@ -155,15 +166,30 @@ def minhash_lsh_candidates(
     band bucket become candidates (self-join on the bucket id — a hash
     join). ``est_jaccard`` = fraction of agreeing minhashes.
 
+    ``num_hashes``: pass the known signature width to skip the one-row
+    probe job that otherwise derives it from the data.
+
+    ``with_estimate=False`` returns bare ``(id_a, id_b)`` pairs and skips
+    the two signature re-attach joins that compute ``est_jaccard`` — the
+    right shape when an exact verify stage follows anyway (the estimate
+    only pays for itself when it prunes a large candidate fraction, e.g.
+    wide-band configs on low-similarity corpora). It also makes
+    ``signatures`` a single-consumer input, so the caller needs no
+    cache/persist on it.
+
     ``max_bucket_size`` drops buckets with more members before the
     self-join — a bucket of m docs emits m² pairs, so one boilerplate/spam
     cluster can dominate the whole job on low-entropy corpora. Oversized
     buckets are near-duplicate *families*, better handled by the exact
     dedup path; true pairs in a dropped bucket still surface through
     their other bands."""
-    n_row = signatures.select(F.size(sig_col).alias("n")).first()
-    num_hashes = int(n_row["n"])
+    if num_hashes is None:
+        n_row = signatures.select(F.size(sig_col).alias("n")).first()
+        num_hashes = int(n_row["n"])
     assert num_hashes % bands == 0, "bands must divide num_hashes"
+    assert with_estimate or est_threshold is None, (
+        "est_threshold requires with_estimate=True"
+    )
     rows = num_hashes // bands
 
     # The bucket self-join moves ONLY (id, bucket) — never the signature
@@ -195,6 +221,8 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_estimate:
+        return pairs.select("id_a", "id_b")
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a"))
     sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b"))
     agree = F.size(
@@ -224,11 +252,12 @@ def minhash_lsh_candidates(
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     *,
     shingle_n: int = 1,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets → pairs ≥ threshold.
 
@@ -238,9 +267,19 @@ def ngram_jaccard_pairs(
     Otherwise all pairs sharing ≥1 shingle are considered (explode +
     self-join on the shingle — still a hash join, with frequency-skewed
     shingles the known hot spot; salting hook: filter ultra-common shingles
-    first)."""
+    first).
+
+    ``shingle_col``: precomputed shingle-array column on ``df`` (skips
+    shingling here; pair with ``minhash_signatures(shingle_col=...)`` to
+    compute shingles once for the whole candidates+verify pipeline)."""
+    if shingle_col is not None:
+        sets_src = df.select(F.col(id_col), F.col(shingle_col).alias("__sh"))
+    else:
+        sets_src = df.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
+        )
     if candidates is not None:
-        sets = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh"))
+        sets = sets_src
         sa = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
         sb = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
         inter = F.size(F.array_intersect("__sha", "__shb"))
@@ -257,9 +296,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
-    sets = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__shingle")
-    )
+    sets = sets_src.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("__n"))
 
     a = sets.select(F.col(id_col).alias("id_a"), "__shingle")
