@@ -44,6 +44,12 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "text_quality",
     "rag_answers",
+    # LLM-pipeline heavies: regressions in the extension surface must be
+    # visible round-over-round, not just the reference workload
+    "semantic_dedup_survivors",
+    "dedup_cluster_assignments",
+    "training_set_selection",
+    "sequence_packing",
 ]
 
 

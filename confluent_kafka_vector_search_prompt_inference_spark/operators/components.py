@@ -38,6 +38,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the iteration parallelism to the GRAPH, not the session default:
+    # dup graphs are usually orders of magnitude smaller than the corpus
+    # (most docs have no dup edge), and each of the ~3-4 label rounds pays
+    # per-partition task overhead. ~100k edges per partition keeps a round
+    # one task on small graphs and thousands of tasks at the 100 TB tier.
+    # The count is free — sym was just materialized by the checkpoint.
+    n_edges = sym.count()
+    n_part = max(1, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    sym = sym.repartition(n_part, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
