@@ -120,7 +120,14 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self.paths:
             raise KeyError(f"Table '{name}' not found in catalog (have: {sorted(self.paths)})")
-        reader = self.spark.read
+        # mergeSchema: a sink directory that has been schema-evolved holds
+        # files written under different contract versions; the union schema
+        # is the table (reference README.md:610-612 — "the table will
+        # automatically update"). Cost note for 100 TB: merging reads every
+        # file footer at planning time, so evolved sinks should keep file
+        # counts bounded via compaction; unevolved tables pay nothing (all
+        # footers agree).
+        reader = self.spark.read.option("mergeSchema", "true")
         if name in self.schemas:
             reader = reader.schema(self.schemas[name])
         return reader.parquet(self.paths[name])
@@ -132,11 +139,61 @@ class Catalog:
     def schema(self, name: str) -> StructType:
         return self.schemas.get(name) or self.table(name).schema
 
-    def insert_into(self, name: str, df: DataFrame, mode: str = "append") -> None:
-        """Schema-checked write (analysis-time, like the reference's sink check)."""
+    def insert_into(
+        self, name: str, df: DataFrame, mode: str = "append", evolve: bool = False
+    ) -> None:
+        """Schema-checked write (analysis-time, like the reference's sink check).
+
+        ``evolve=True`` reproduces the reference's contract-evolution flow
+        (``README.md:610-612``: on a data-contract change "the table will
+        automatically update"): an insert whose schema ADDS columns — while
+        every pre-existing column keeps its exact type — widens the sink
+        instead of failing. The new file lands with the wider schema, the
+        catalog contract updates to the union, and earlier files keep their
+        old footprint (read back as NULL in the new columns via
+        ``mergeSchema``). Type changes and column drops are still rejected:
+        that is a breaking contract change in the registry model too."""
         target = self.schema(name)
-        check_sink_schema(target, df.schema, sink_name=name)
-        df.select(*[f.name for f in target.fields]).write.mode(mode).parquet(self.paths[name])
+        if evolve:
+            evolved = evolve_sink_schema(target, df.schema, sink_name=name)
+            if [f.name for f in evolved.fields] != [f.name for f in target.fields]:
+                self.schemas[name] = evolved
+                target = evolved
+            out_cols = [f.name for f in df.schema.fields]
+        else:
+            check_sink_schema(target, df.schema, sink_name=name)
+            out_cols = [f.name for f in target.fields]
+        df.select(*out_cols).write.mode(mode).parquet(self.paths[name])
+
+
+def evolve_sink_schema(
+    sink: StructType, query: StructType, sink_name: str = "sink"
+) -> StructType:
+    """Union the sink schema with a widening insert schema, or raise.
+
+    Allowed evolution: the query carries every sink column with its exact
+    type plus zero or more NEW columns (appended to the schema in query
+    order). Anything else — dropped columns, type changes — raises
+    :class:`SinkSchemaMismatch`, mirroring the registry's
+    backward-compatibility rule."""
+    sink_cols = {f.name: f.dataType for f in sink.fields}
+    query_cols = {f.name: f.dataType for f in query.fields}
+    missing = set(sink_cols) - set(query_cols)
+    if missing:
+        raise SinkSchemaMismatch(
+            f"Evolving insert into '{sink_name}' drops columns {sorted(missing)} — "
+            "contract evolution may only add columns"
+        )
+    for col, sink_type in sink_cols.items():
+        if query_cols[col] != sink_type:
+            raise SinkSchemaMismatch(
+                f"Evolving insert into '{sink_name}' changes type of column "
+                f"'{col}': query={query_cols[col].simpleString()} "
+                f"sink={sink_type.simpleString()} — contract evolution may only "
+                "add columns"
+            )
+    new_fields = [f for f in query.fields if f.name not in sink_cols]
+    return StructType(list(sink.fields) + new_fields)
 
 
 def check_sink_schema(sink: StructType, query: StructType, sink_name: str = "sink") -> None:

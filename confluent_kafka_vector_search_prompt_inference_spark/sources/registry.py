@@ -89,14 +89,63 @@ class SchemaRegistry:
             )
         return self.contracts[topic][-1]
 
+    def version(self, topic: str) -> int:
+        """Current contract version (1-based; 0 = no contract)."""
+        return len(self.contracts.get(topic, []))
+
+    def evolve(self, topic: str, schema: StructType | dict | str) -> int:
+        """Register a new contract version, enforcing backward compatibility:
+        every existing field keeps its exact type; new fields may be added
+        (they decode as NULL from old payloads — the reference's "table
+        will automatically update" flow, ``README.md:610-612``). Breaking
+        changes (drop / retype) raise ``ValueError`` — that is a new topic,
+        not an evolution."""
+        if not isinstance(schema, StructType):
+            schema = json_schema_to_struct(schema)
+        current = self.latest(topic)
+        cur = {f.name: f.dataType for f in current.fields}
+        new = {f.name: f.dataType for f in schema.fields}
+        missing = set(cur) - set(new)
+        if missing:
+            raise ValueError(
+                f"Contract evolution for '{topic}' drops fields {sorted(missing)}; "
+                "evolution may only add fields"
+            )
+        for name, typ in cur.items():
+            if new[name] != typ:
+                raise ValueError(
+                    f"Contract evolution for '{topic}' changes type of '{name}': "
+                    f"{typ.simpleString()} -> {new[name].simpleString()}; "
+                    "evolution may only add fields"
+                )
+        return self.register(topic, schema)
+
 
 def decode_json_topic(df: DataFrame, registry: SchemaRegistry, topic: str) -> DataFrame:
     """Kafka-shaped frame (``key, value`` binary) → typed columns.
 
     ``from_json(cast(value as string), contract)`` then flatten — exactly the
     reference's "attach contract, topic becomes readable" transition
-    (``README.md:225-257``). Key is kept as ``key`` (``README.md:551``)."""
+    (``README.md:225-257``). Key is kept as ``key`` (``README.md:551``).
+
+    Handles BOTH value framings the reference's ``'value.format'=
+    'json-registry'`` (``README.md:272``) implies on the wire:
+
+    - Confluent Schema-Registry JSON_SR framing — magic byte ``0x00`` +
+      4-byte big-endian schema id + JSON UTF-8 (the producer-side wire
+      format of Confluent's JSON-Schema serializer); the 5-byte header is
+      stripped before parsing.
+    - bare JSON UTF-8 bytes (console producers, ``to_kafka_shape``).
+
+    Detection is per-record and exact: JSON text can never start with
+    ``0x00`` (it opens with ``{``/``[``/quote/digit/whitespace), so the
+    magic byte is unambiguous. Pure Catalyst (``substring`` on binary +
+    ``from_json``) — fuses into the scan, no UDF."""
     schema = registry.latest(topic)
-    parsed = df.withColumn("__data", F.from_json(F.col("value").cast("string"), schema))
+    framed = F.substring(F.col("value"), 1, 1) == F.lit(b"\x00")
+    payload = F.when(
+        framed, F.expr("substring(value, 6, length(value) - 5)")
+    ).otherwise(F.col("value"))
+    parsed = df.withColumn("__data", F.from_json(payload.cast("string"), schema))
     keep = ["key"] if "key" in df.columns else []
     return parsed.select(*keep, "__data.*")
