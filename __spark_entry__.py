@@ -2505,8 +2505,9 @@ def rag_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with multiplicity → doc L2 normalize → float32 (CAST AS REAL), exactly the
 # model's ARRAY<FLOAT> output. Scoring then upcasts to DOUBLE — the same
 # precision ladder as the broadcast matmul (operators/topk_join.py:239-247).
-_RAG_PROMPTS_ORACLE = r"""
-WITH docs AS (SELECT doc_id, text FROM documents),
+# Reusable embed-CTE head: documents → tokens → md5 hash vectors →
+# float32 doc embeddings (ends at ``docvec(doc_id, dim, e)``).
+_RAG_EMBED_CTE = r"""docs AS (SELECT doc_id, text FROM documents),
 tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
   FROM docs),
@@ -2523,7 +2524,9 @@ docsum AS (
 docvec AS (
   SELECT doc_id, dim,
     CAST(s / sqrt(SUM(s*s) OVER (PARTITION BY doc_id)) AS REAL) AS e
-  FROM docsum),
+  FROM docsum)"""
+
+_RAG_PROMPTS_ORACLE = "WITH " + _RAG_EMBED_CTE + r""",
 scores AS (
   SELECT qv.doc_id AS qid, cv.doc_id AS pid,
     SUM(CAST(qv.e AS DOUBLE) * CAST(cv.e AS DOUBLE)) AS score
@@ -2558,6 +2561,103 @@ _RAG_ANSWERS_ORACLE = (
     + ", base AS (SELECT 'user' AS role"
     + _RAG_ANSWERS_TAIL.rstrip()
     + r""")
+SELECT role, content, sessionid,
+  '{"role":"assistant","content":"[template-llm:'
+    || substr(md5(to_json(struct_pack(prompt := content, products := products))), 1, 12)
+    || '] You are a friendly shopping assistant: answering from prompt of '
+    || length(to_json(struct_pack(prompt := content, products := products)))
+    || ' chars"}' AS json_response
+FROM base
+"""
+)
+
+# Shared BM25 CTE chain (tokenize → postings → idf/impacts → query-term
+# join → exact BIGINT scores). Mirrors operators/bm25.py expression for
+# expression; the fixed-point round makes the two engines' sums identical.
+# Parameterized on the query-doc predicate so both the standalone BM25
+# oracles (queries = docs < 5) and the RAG-hybrid oracle (the 20-question
+# set) reuse the chain.
+def _bm25_kw_cte(q_where: str) -> str:
+    return f"""
+toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+impact AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(
+      ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+      * 1000000000.0) AS BIGINT) AS impact_n
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+qterms AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+           FROM toks WHERE {q_where}),
+kw_scored AS (SELECT q.query_id, i.doc_id, SUM(i.impact_n) AS score_n
+              FROM qterms q JOIN impact i USING (term) GROUP BY 1, 2),
+kw_ranked AS (SELECT query_id, doc_id, score_n,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score_n DESC, doc_id ASC) AS INTEGER) AS rank
+              FROM kw_scored)
+"""
+
+
+# Hybrid-retrieval RAG answers: vector leg (top-20 dot over the hashed
+# embeddings) ⊕ BM25 keyword leg (top-20 exact nano-unit impacts) fused by
+# reciprocal rank (1/(60+rank), round 6, ties on ascending product id) and
+# cut to k=3 — streaming/rag.py _hybrid_hits + operators/bm25.py rrf_fuse,
+# expression for expression. Same prompt/answer tail as _RAG_ANSWERS_ORACLE.
+_RAG_HYBRID_ANSWERS_ORACLE = (
+    "WITH "
+    + _RAG_EMBED_CTE
+    + ", "
+    + _bm25_kw_cte("doc_id < 20")
+    + r""", kw AS (SELECT query_id, doc_id, rank FROM kw_ranked WHERE rank <= 20),
+vscore AS (
+  SELECT qv.doc_id AS query_id, cv.doc_id AS doc_id,
+    SUM(CAST(qv.e AS DOUBLE) * CAST(cv.e AS DOUBLE)) AS score
+  FROM docvec qv JOIN docvec cv USING (dim)
+  WHERE qv.doc_id < 20
+  GROUP BY 1, 2),
+vrank AS (
+  SELECT query_id, doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM vscore),
+vec AS (SELECT query_id, doc_id, rank FROM vrank WHERE rank <= 20),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS rank_a, b.rank AS rank_b
+  FROM kw a FULL OUTER JOIN vec b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+rrf AS (
+  SELECT query_id, doc_id,
+    ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+          + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS s
+  FROM fused),
+hits AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM rrf),
+prods AS (
+  SELECT h.query_id,
+    '[' || string_agg(to_json(struct_pack(content := d.text)), ',' ORDER BY h.rnk) || ']' AS products
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  WHERE h.rnk <= 3
+  GROUP BY h.query_id),
+base AS (
+  SELECT 'user' AS role, q.text AS content,
+    'session-' || q.doc_id AS sessionid,
+    CAST(q.doc_id AS VARCHAR) AS question_id,
+    p.products AS products
+  FROM docs q JOIN prods p ON p.query_id = q.doc_id
+  WHERE q.doc_id < 20)
 SELECT role, content, sessionid,
   '{"role":"assistant","content":"[template-llm:'
     || substr(md5(to_json(struct_pack(prompt := content, products := products))), 1, 12)
@@ -2930,14 +3030,46 @@ FROM embeddings WHERE vec_id < 5
 
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` surface (§2.10): per-label centroid
-    distance + z-score outlier flagging over the embeddings table. No SQL
-    oracle (Arrow grouped-map with float reductions is the declared
-    non-SQL class); behavior is pytest-verified against an exact
-    explode-based computation (tests/test_outliers.py)."""
+    distance + z-score outlier flagging over the embeddings table.
+
+    HARD ORACLE: the NumPy reduction (per-dim mean centroid → L2 distance
+    → population z-score) is plain double arithmetic, so the DuckDB oracle
+    recomputes it via an explode on the dim axis; ``dist``/``z`` round to
+    6 decimals for cross-engine comparison (summation-order ulps sit ~10
+    orders below the rounding grain)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.outliers import label_centroid_outliers
 
     emb = _t(spark, sf_dir, "embeddings")
-    return label_centroid_outliers(emb).filter(F.col("z") > 2.0)
+    return (
+        label_centroid_outliers(emb)
+        .filter(F.col("z") > 2.0)
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round("z", 6).alias("z"),
+        )
+    )
+
+
+_LABEL_OUTLIERS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+    generate_subscripts(embedding, 1) AS i,
+    CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (SELECT label, i, AVG(v) AS c FROM e GROUP BY 1, 2),
+d AS (
+  SELECT vec_id, e.label, SQRT(SUM((v - c) * (v - c))) AS dist
+  FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i
+  GROUP BY 1, 2),
+stats AS (SELECT label, AVG(dist) AS m, stddev_pop(dist) AS s FROM d GROUP BY 1)
+SELECT vec_id, d.label,
+  ROUND(dist, 6) AS dist,
+  ROUND(CASE WHEN s > 0 THEN (dist - m) / s ELSE 0.0 END, 6) AS z
+FROM d JOIN stats ON d.label = stats.label
+WHERE s > 0 AND (dist - m) / s > 2.0
+"""
 
 
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3237,37 +3369,7 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, queries, k=10)
 
 
-# Shared BM25 CTE chain (tokenize → postings → idf/impacts → query-term
-# join → exact BIGINT scores). Mirrors operators/bm25.py expression for
-# expression; the fixed-point round makes the two engines' sums identical.
-_BM25_KW_CTE = f"""
-toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
-lens AS (SELECT doc_id, len(t) AS dl FROM toks),
-stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM lens),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf
-       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-impact AS (
-  SELECT tf.doc_id, tf.term,
-    CAST(round(
-      ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-      * (CAST(tf.tf AS DOUBLE) * 2.2)
-      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
-      * 1000000000.0) AS BIGINT) AS impact_n
-  FROM tf
-  JOIN dfreq d USING (term)
-  JOIN lens l ON tf.doc_id = l.doc_id
-  CROSS JOIN stats s
-),
-qterms AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
-           FROM toks WHERE doc_id < 5),
-kw_scored AS (SELECT q.query_id, i.doc_id, SUM(i.impact_n) AS score_n
-              FROM qterms q JOIN impact i USING (term) GROUP BY 1, 2),
-kw_ranked AS (SELECT query_id, doc_id, score_n,
-                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY score_n DESC, doc_id ASC) AS INTEGER) AS rank
-              FROM kw_scored)
-"""
+_BM25_KW_CTE = _bm25_kw_cte("doc_id < 5")
 
 _BM25_ORACLE = f"""
 WITH {_BM25_KW_CTE}
@@ -3868,25 +3970,47 @@ def incremental_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches (a streaming job stores yesterday's sketch, merges today's
     delta; a backfill merges per-partition sketches). Output: one row per
     day plus a ``month`` row whose estimate comes purely from merging the
-    daily sketches. No SQL oracle — sketch binaries are
-    implementation-specific; the estimate's accuracy vs exact countDistinct
-    is asserted in tests/test_functions.py."""
+    daily sketches. Sketch binaries and estimates are engine-specific, so
+    the *tolerance verdict* is emitted as data: per period,
+    ``uniques_exact`` (hashable) beside ``within_bound`` = |HLL estimate −
+    exact| ≤ 5% of exact (lgK=12 ⇒ RSE ≈ 1.6%, so the bound holds with
+    3× margin); the DuckDB oracle recomputes the exact counts and expects
+    TRUE. The exact countDistinct exists here only as the gate — the
+    incremental path in production is sketch-only."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-        .select(F.col("w.start").alias("window_start"), "sk")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(F.col("w.start").alias("window_start"), "sk", "exact")
         .persist()
     )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+        <= 0.05 * F.col("exact")
+    ).alias("within_bound")
     per_day = daily.select(
         F.date_format("window_start", "yyyy-MM-dd").alias("period"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("uniques_est"),
+        F.col("exact").alias("uniques_exact"),
+        ok,
     )
-    month = daily.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("month").alias("period"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("uniques_est"),
+    month = (
+        daily.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact")))
+        .select(F.lit("month").alias("period"), F.col("exact").alias("uniques_exact"), ok)
     )
     return per_day.unionByName(month)
+
+
+_DAU_HLL_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS period,
+  COUNT(DISTINCT user_id) AS uniques_exact, TRUE AS within_bound
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'month', COUNT(DISTINCT user_id), TRUE FROM events
+"""
 
 
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5342,7 +5466,9 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank_topk": _MMR_ORACLE,
         "rag_prompts": _RAG_PROMPTS_ORACLE,
         "rag_answers": _RAG_ANSWERS_ORACLE,
-        # multimodal_features: rows-only (UDF feature extraction, non-SQL).
-        # rag_answers_hybrid: rows-only (RRF leg shares the BM25/hybrid
-        # oracles' machinery; covered by hybrid_rrf_topk + rag_answers).
+        "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
+        "incremental_dau_hll": _DAU_HLL_ORACLE,
+        "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
+        # multimodal_features: rows-only (UDF feature extraction — the
+        # deterministic fake codec is a declared stub, not a semantic).
     }
