@@ -419,13 +419,61 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold, id_a < id_b.
 
-    ``exact`` scores all pairs with the JVM cosine expression (fine to ~1e5
-    rows / use within a blocking key); ``lsh`` buckets by SRP signature
-    first so only colliding pairs are scored — the 100 TB path."""
+    ``exact`` broadcasts the (ids, float32 matrix) once and scores each
+    partition's rows against it with one float64 NumPy matmul — the same
+    precision ladder as the top-k join (fine to ~1e5 rows / use within a
+    blocking key; a per-pair Catalyst cosine on a crossJoin evaluates the
+    array expression O(n²) times and is ~50× slower at 5k rows). ``lsh``
+    buckets by SRP signature first so only colliding pairs are scored —
+    the 100 TB path."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if method == "exact":
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import _collect_matrix
+
+        spark = df.sparkSession
+        c_ids, c_mat = _collect_matrix(df, id_col, vec_col)
+        c_norm = np.linalg.norm(c_mat.astype(np.float64), axis=1)
+        c_norm[c_norm == 0] = 1.0
+        bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+        out_schema = StructType(
+            [
+                StructField("id_a", df.schema[id_col].dataType),
+                StructField("id_b", df.schema[id_col].dataType),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            ids, mat, norms = bc.value
+            if mat.size == 0:
+                return
+            matT = mat.T.astype(np.float64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                S = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                s_norm = np.linalg.norm(S, axis=1)
+                s_norm[s_norm == 0] = 1.0
+                cos = np.round((S @ matT) / s_norm[:, None] / norms[None, :], 6)
+                s_ids = pdf[id_col].to_numpy()
+                # ordered pairs only (id_a < id_b) and above threshold
+                keep = (cos >= threshold) & (s_ids[:, None] < ids[None, :])
+                ra, rb = np.nonzero(keep)
+                if len(ra):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": s_ids[ra],
+                            "id_b": ids[rb],
+                            "cosine": cos[ra, rb],
+                        }
+                    )
+
+        return df.select(id_col, vec_col).mapInPandas(score, out_schema)
     elif method == "lsh":
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import srp_band_hashes
 
