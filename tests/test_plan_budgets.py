@@ -27,7 +27,21 @@ BUDGETS = {
     "retrieval_recall_quantized": 1,  # both rank windows + final agg share one query-id exchange
     "bpe_merge_candidates": 2,      # word count + pair count (rank window is alphabet²-tiny)
     "events_window_distinct_users": 2,  # countDistinct two-phase expansion
-    "training_set_selection": 3,    # fingerprint window + hit count + its distinct
+    # NOTE on the three spread-repartition pipelines below: the counter
+    # tallies Exchange lines in the PRINTED tree, and a persisted subtree
+    # (the shared shingle table) prints its repartition once per consuming
+    # branch while executing once — so the printed count overstates the
+    # executed shuffles. Budgets record the printed count; the scaling
+    # argument is that each repartition moves (id, text/shingles) exactly
+    # once at execution time.
+    "training_set_selection": 5,    # spread repartition (×2 branches) +
+                                    # fingerprint window + hit count + distinct
+    "embedding_near_dups": 0,       # broadcast-matmul mapInPandas — zero shuffle
+    "minhash_lsh_dups": 8,          # persisted-shingle repartition printed ×3
+                                    # branches + band-bucket join + candidate
+                                    # dedup + two verify-side joins
+    "benchmark_contamination": 6,   # persisted-shingle repartition printed ×3
+                                    # branches + bench distinct + hit count
 }
 
 
