@@ -185,6 +185,92 @@ def bm25_search(
     )
 
 
+def save_bm25_index(
+    docs: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the BM25 index as a managed Parquet table bucketed by term
+    (plus a 1-row ``<name>_stats`` side table with n/avgdl/k1/b).
+
+    The reference's corpus is ALWAYS-indexed (MongoDB Atlas
+    ``vector_index``, ``README.md:370-382``); this is the keyword-leg
+    analog of that index lifecycle (IVF/PQ have the vector-leg versions).
+    Build cost — tokenize + the (doc, term) shuffle — is paid ONCE at
+    write; every query batch afterwards skips it entirely. Bucketing by
+    term gives query-time **bucket pruning**: a search touching t terms
+    reads only the buckets those terms hash into, not the whole postings
+    table (at 100 TB the postings are corpus-sized; the pruned scan is
+    vocabulary-selective)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.bucketed import write_bucketed
+
+    postings = bm25_postings(docs, id_col, text_col)
+    stats = bm25_doc_stats(docs, text_col)
+    impacts = bm25_impacts(postings, k1=k1, b=b, doc_stats=stats)
+    write_bucketed(impacts, table_name, ["term"], n_buckets=n_buckets)
+    (
+        stats.withColumn("k1", F.lit(k1))
+        .withColumn("b", F.lit(b))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_name}_stats")
+    )
+
+
+def load_bm25_index(spark, table_name: str) -> tuple[DataFrame, DataFrame]:
+    """(impacts, stats) for a saved index."""
+    return spark.table(table_name), spark.table(f"{table_name}_stats")
+
+
+def bm25_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 search against a :func:`save_bm25_index` table —
+    identical output contract (and exact totals, hence identical ranking)
+    to :func:`bm25_search`, with zero index-build work at query time.
+
+    The query term set is collected (queries are batch-bounded by
+    contract — the RAG micro-batch shape) and pushed as an ``IN`` filter
+    on the bucketed term column, so the scan prunes to the buckets
+    containing query terms before the broadcast join."""
+    impacts = spark.table(table_name)
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
+    )
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    pruned = impacts.filter(F.col("term").isin(terms))
+    scored = (
+        pruned.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

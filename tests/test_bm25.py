@@ -95,3 +95,35 @@ def test_query_with_no_matching_terms(toy_docs):
         [(9, "zzz qqq unseen tokens")], ["query_id", "query_text"]
     )
     assert bm25_search(toy_docs, queries, k=5).count() == 0
+
+
+def test_saved_index_search_matches_live(spark, sf_smoke):
+    """save_bm25_index → bm25_search_indexed reproduces bm25_search exactly
+    (same integer totals ⇒ same ranking), skips the index build at query
+    time, and the bucketed term scan actually prunes buckets."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+        bm25_search_indexed,
+        save_bm25_index,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    live = bm25_search(docs, queries, k=10).toPandas()
+    save_bm25_index(docs, "bm25_idx_test", n_buckets=8)
+    try:
+        indexed_df = bm25_search_indexed(spark, "bm25_idx_test", queries, k=10)
+        # bucket pruning must reach the scan (SelectedBucketsCount in plan)
+        assert "SelectedBucketsCount" in formatted_plan(indexed_df)
+        indexed = indexed_df.toPandas()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_test_stats")
+    key = ["query_id", "doc_id", "score", "rank"]
+    a = live[key].sort_values(key).reset_index(drop=True)
+    b = indexed[key].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
