@@ -173,6 +173,122 @@ def _sink_has_batches(sink_dir: str) -> bool:
     return bool(glob.glob(os.path.join(sink_dir, "_batch=*", "_SUCCESS")))
 
 
+def near_dedup_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous INSERT that drops NEAR-duplicate documents — the
+    streaming leg of the MinHash-LSH dedup family (the exact-key version
+    is :func:`dedup_insert`).
+
+    Per micro-batch:
+
+    1. signatures: shuffle-free MinHash over the batch
+       (``operators/dedup.minhash_signatures``);
+    2. within-batch: banded LSH candidates → exact-Jaccard verify → a row
+       drops if it has a ≥ threshold partner with a smaller id (greedy
+       min-id survivor, deterministic at any parallelism);
+    3. vs sink: incoming band-bucket hashes join the landed rows' stored
+       signatures' buckets; candidate pairs verify with exact Jaccard on
+       the stored text — an incoming row drops on any ≥ threshold match;
+    4. survivors land WITH their ``__minhash`` column, so step 3 never
+       recomputes signatures over history.
+
+    Like ``dedup_insert``, the seen-state lives in the sink (restart-safe,
+    unbounded without watermark state); reading it back per batch is the
+    no-extra-infrastructure form — at scale the landed signatures are a
+    compacted table bucketed by band hash, making step 3 a bucket-pruned
+    join instead of a sink scan. Candidate volume is banded-LSH-bounded
+    exactly as in batch; document bodies never join until a candidate
+    pair exists."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    write_batch = idempotent_batch_writer(sink_dir)
+
+    def _band_buckets(sig_col):
+        rows = num_hashes // bands
+        return F.array(
+            *[
+                F.xxhash64(F.slice(sig_col, b * rows + 1, rows), F.lit(b))
+                for b in range(bands)
+            ]
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df.select(id_col, text_col),
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        )
+        keyed = batch_df.join(sigs.withColumnRenamed("minhash", "__minhash"), id_col)
+        # (2) within-batch near-dedup: min-id survivor per verified pair
+        cands = minhash_lsh_candidates(
+            sigs, id_col, bands=bands, num_hashes=num_hashes, with_estimate=False
+        )
+        dups = ngram_jaccard_pairs(
+            batch_df, id_col, text_col,
+            shingle_n=shingle_n, threshold=threshold, candidates=cands,
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        keyed = keyed.join(dups, id_col, "left_anti")
+        # (3) vs already-landed rows: bucket join on band hashes, exact verify
+        if _sink_has_batches(sink_dir):
+            landed = read_sink(spark, sink_dir)
+            inc = keyed.select(
+                F.col(id_col).alias("id_b"),
+                F.col(text_col).alias("__text_b"),
+                F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
+            )
+            old = landed.select(
+                F.col(id_col).alias("id_a"),
+                F.col(text_col).alias("__text_a"),
+                F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
+            )
+            pairs = (
+                old.join(inc, "__bucket")
+                .select("id_a", "__text_a", "id_b", "__text_b")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            both = pairs.select(
+                F.col("id_a").alias(id_col), F.col("__text_a").alias(text_col)
+            ).unionByName(
+                pairs.select(
+                    F.col("id_b").alias(id_col), F.col("__text_b").alias(text_col)
+                )
+            ).dropDuplicates([id_col])
+            hits = ngram_jaccard_pairs(
+                both, id_col, text_col,
+                shingle_n=shingle_n, threshold=threshold,
+                candidates=pairs.select("id_a", "id_b"),
+            ).select(F.col("id_b").alias(id_col)).distinct()
+            keyed = keyed.join(hits, id_col, "left_anti")
+        write_batch(keyed, epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -443,3 +443,57 @@ def test_stateful_transition_steps_match_batch_lag(spark, tmp_path):
         .n.to_dict()
     )
     assert got == batch
+
+
+def test_near_dedup_insert_drops_within_and_across_batches(spark, tmp_path):
+    """Streaming MinHash near-dedup: a near-copy in the same micro-batch
+    and a near-copy of an already-landed doc both get dropped; distinct
+    docs land. Replay of a committed batch stays a no-op."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import near_dedup_insert
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    other = (
+        "spark executes declarative plans through catalyst producing "
+        "vectorized stages that shuffle partitioned data across the cluster"
+    )
+    third = (
+        "schema registries attach late bound data contracts to kafka "
+        "topics so raw bytes decode into typed streaming tables"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    # batch file 1 (part files land directly in src — the file source does
+    # not recurse into nested directories): doc 3 near-copies doc 1
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, base.replace("lazy", "sleepy"))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "ndsink")
+    ckpt = str(tmp_path / "ndckpt")
+    q = near_dedup_insert(
+        stream, sink, ckpt, id_col="doc_id", text_col="text",
+        threshold=0.5, trigger_once=True,
+    )
+    _drain(q)
+    landed1 = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed1 == {1, 2}  # 3 dropped within its batch
+    # batch file 2: doc 4 near-copies the landed doc 1; doc 5 is new
+    spark.createDataFrame(
+        [(4, base.replace("quick", "swift")), (5, third)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = near_dedup_insert(
+        stream, sink, ckpt, id_col="doc_id", text_col="text",
+        threshold=0.5, trigger_once=True,
+    )
+    _drain(q)
+    out = read_sink(spark, sink)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 5}  # 4 dropped vs sink
+    # signatures landed alongside the rows (history never re-hashed)
+    assert "__minhash" in out.columns
