@@ -38,6 +38,8 @@ HEADLINE = [
     "vec_topk_broadcast",
     "vec_topk_shuffle",
     "vec_cosine_topk",
+    "vec_quantized_rescore_topk",
+    "vec_topk_ivf",
     "dedup_exact_groups",
     "minhash_lsh_dups",
     "bm25_keyword_topk",

@@ -342,3 +342,50 @@ def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     partition column is internal and dropped)."""
     df = spark.read.option("basePath", sink_dir).parquet(os.path.join(sink_dir, "_batch=*"))
     return df.drop("_batch")
+
+
+def compact_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    keep_batches: int = 1,
+    target_partitions: int | None = None,
+) -> int:
+    """Fold committed ``_batch=*`` dirs into one compacted base batch.
+
+    A long-running ``foreachBatch`` sink accumulates one directory per
+    micro-batch; every ``read_sink`` (and therefore every dedup
+    anti-join / near-dedup signature probe) then lists and reads
+    thousands of small files — the classic small-files decay. Compaction
+    rewrites all committed batches as a single ``_batch=0`` (optionally
+    repartitioned), preserving idempotent-replay semantics: epochs
+    re-delivered after compaction still skip (their committed dirs are
+    gone, but the checkpoint is what drives re-delivery, and re-written
+    epochs target NEW batch ids above the compacted one — the data itself
+    survives in batch 0). Run it from a maintenance job, not the hot
+    path. Returns the number of batch dirs folded.
+
+    ``keep_batches`` leaves the most recent N batch dirs uncompacted so a
+    concurrently-running query's in-flight reads are not pulled out from
+    under it (batch dirs are immutable once committed)."""
+    import glob
+    import shutil
+
+    dirs = sorted(
+        (d for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
+         if os.path.exists(os.path.join(d, "_SUCCESS"))),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    to_fold = dirs[: max(0, len(dirs) - keep_batches)] if keep_batches else dirs
+    if len(to_fold) < 2:
+        return 0
+    df = spark.read.parquet(*to_fold)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    tmp = os.path.join(sink_dir, "_compact_tmp")
+    df.write.mode("overwrite").parquet(tmp)
+    for d in to_fold:
+        shutil.rmtree(d)
+    base = os.path.join(sink_dir, f"_batch={int(to_fold[0].rsplit('=', 1)[1])}")
+    os.rename(tmp, base)
+    return len(to_fold)

@@ -497,3 +497,23 @@ def test_near_dedup_insert_drops_within_and_across_batches(spark, tmp_path):
     assert {r.doc_id for r in out.collect()} == {1, 2, 5}  # 4 dropped vs sink
     # signatures landed alongside the rows (history never re-hashed)
     assert "__minhash" in out.columns
+
+
+def test_compact_sink_folds_batches(spark, tmp_path):
+    """compact_sink folds committed batch dirs into one base batch with
+    identical data; keep_batches leaves the newest dirs untouched."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import compact_sink
+
+    sink = str(tmp_path / "csink")
+    writer = idempotent_batch_writer(sink)
+    for epoch in range(5):
+        writer(spark.range(epoch * 10, epoch * 10 + 10).toDF("id"), epoch)
+    before = sorted(r.id for r in read_sink(spark, sink).collect())
+    folded = compact_sink(spark, sink, keep_batches=1, target_partitions=2)
+    assert folded == 4  # batches 0-3 folded, batch 4 kept
+    dirs = sorted(glob.glob(os.path.join(sink, "_batch=*")))
+    assert [os.path.basename(d) for d in dirs] == ["_batch=0", "_batch=4"]
+    after = sorted(r.id for r in read_sink(spark, sink).collect())
+    assert after == before == list(range(50))
+    # idempotent: nothing left to fold under keep_batches=1
+    assert compact_sink(spark, sink, keep_batches=1) == 0
