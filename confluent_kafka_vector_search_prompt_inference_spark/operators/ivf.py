@@ -97,6 +97,46 @@ def save_ivf_index(
     ).parquet(os.path.join(path, "centroids"))
 
 
+def ivf_append(
+    new_rows: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "vector",
+    cluster_col: str = "ivf_cluster",
+) -> None:
+    """Incrementally add vectors to a saved IVF index WITHOUT retraining.
+
+    The reference's corpus is continuously inserted into and its external
+    index auto-updates (``README.md:370-382`` — Atlas indexes the
+    collection as products land); this is that lifecycle for the IVF
+    index: new vectors are assigned to their nearest existing centroid
+    (the same Arrow-batched assignment the probe side uses, n_probe=1)
+    and appended into the cluster's partition directory. Search code is
+    unchanged — the next ``load_ivf_index`` sees the union, and partition
+    pruning still holds because appends land inside ``cluster=<id>``
+    directories.
+
+    Centroids are frozen, so recall can drift as the data distribution
+    moves (new mass far from every centroid concentrates in its nearest
+    cluster); monitor per-cluster row-count skew and rebuild with
+    :func:`build_ivf_index` when it degrades — the standard IVF
+    maintenance trade, identical to FAISS's add-vs-train split."""
+    spark = new_rows.sparkSession
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    centroids = np.asarray([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+    assign = _nearest_clusters_udf(centroids, n_probe=1)
+    assigned = new_rows.withColumn(
+        cluster_col, F.element_at(assign(F.col(vec_col)), 1)
+    )
+    assigned.write.partitionBy(cluster_col).mode("append").parquet(
+        os.path.join(path, "corpus")
+    )
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
     """(partition-pruned corpus DataFrame, centroid matrix) from disk."""
     corpus = spark.read.parquet(os.path.join(path, "corpus"))

@@ -98,3 +98,48 @@ def test_persisted_index_roundtrip_and_pruning(spark, embeddings, ivf, tmp_path)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [dynamic" in plan, plan
     disk_pd = disk.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     assert mem[["qid", "cid", "rank"]].equals(disk_pd[["qid", "cid", "rank"]])
+
+
+def test_ivf_append_without_retraining(spark, embeddings, ivf, tmp_path):
+    """ivf_append assigns new vectors to existing clusters and appends into
+    the partitioned layout: an appended copy of a corpus vector becomes
+    findable by the unchanged search code, centroids stay frozen, and the
+    append lands inside cluster partition directories."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        ivf_append,
+        load_ivf_index,
+        save_ivf_index,
+        topk_ivf,
+    )
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(indexed, centroids, path)
+    # append exact copies of vectors 0-9 under new ids 100000+
+    new_rows = embeddings.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("cid"), F.col("embedding").alias("vector")
+    )
+    ivf_append(new_rows, path)
+    loaded_corpus, loaded_centroids = load_ivf_index(spark, path)
+    assert (loaded_centroids == centroids).all()  # frozen
+    assert loaded_corpus.count() == indexed.count() + 10
+    # appended files live inside cluster=<id> partition dirs (pruning holds)
+    top = os.listdir(os.path.join(path, "corpus"))
+    assert all(
+        e.startswith("ivf_cluster=") or e.startswith("_") or e.startswith(".")
+        for e in top
+    )
+    # a query identical to an appended vector finds it at rank 1 or 2
+    # (ties with its original copy break by id: original wins rank 1)
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_ivf(
+        q, loaded_corpus, loaded_centroids, k=2,
+        query_id="qid", corpus_id="cid", metric="cosine", n_probe=1,
+    ).toPandas()
+    for qid, grp in out.groupby("qid"):
+        ids = set(grp.cid)
+        assert qid in ids and qid + 100000 in ids
