@@ -231,6 +231,35 @@ def save_pq_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
 
 
+def pq_append(new_rows: DataFrame, path: str, *, vec_col: str = "vector") -> None:
+    """Incrementally add vectors to a saved PQ index WITHOUT retraining.
+
+    New vectors are encoded with the FROZEN codebooks (one Arrow pass)
+    and appended to the corpus parquet; search code is untouched — the
+    same add-vs-train split as :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.
+    ivf.ivf_append`, matching the reference's continuously-inserted,
+    always-indexed corpus. Quantization error can grow as the data
+    distribution drifts from the training sample; rebuild codebooks with
+    :func:`train_pq_codebooks` when ADC recall degrades."""
+    import os
+
+    spark = new_rows.sparkSession
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("segment", "code")
+        .collect()
+    )
+    m = max(r.segment for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    sub = len(rows[0].centroid)
+    books = np.empty((m, k, sub))
+    for r in rows:
+        books[r.segment, r.code] = np.asarray(r.centroid, dtype=np.float64)
+    pq_encode(new_rows, books, vec_col=vec_col).write.mode("append").parquet(
+        os.path.join(path, "corpus")
+    )
+
+
 def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """(encoded corpus DataFrame, (m, k, d/m) codebook tensor) from disk."""
     import os

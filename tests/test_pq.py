@@ -140,3 +140,36 @@ def test_pq_index_roundtrip_preserves_search(spark, embeddings, pq_setup, tmp_pa
         fresh.sort_values(key).reset_index(drop=True)[["qid", "cid", "rank"]]
         .equals(loaded.sort_values(key).reset_index(drop=True)[["qid", "cid", "rank"]])
     )
+
+
+def test_pq_append_without_retraining(spark, embeddings, pq_setup, tmp_path):
+    """pq_append encodes new vectors with the frozen codebooks and appends
+    them to the saved corpus: codebooks unchanged, counts grow, and an
+    appended exact copy scores identically to its original under ADC
+    (same codes ⇒ same LUT sums)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import (
+        load_pq_index,
+        pq_append,
+        save_pq_index,
+    )
+
+    _, books, encoded = pq_setup
+    path = str(tmp_path / "pq_index")
+    save_pq_index(encoded, books, path)
+    new_rows = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("cid"), F.col("embedding").alias("vector")
+    )
+    pq_append(new_rows, path)
+    corpus2, books2 = load_pq_index(spark, path)
+    assert np.allclose(books2, books)  # frozen
+    assert corpus2.count() == encoded.count() + 5
+    # identical vector ⇒ identical codes ⇒ identical ADC score: both copies
+    # appear in a top-k wide enough to hold the tie
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    out = topk_pq(q, corpus2, books2, k=3, query_id="qid", corpus_id="cid").toPandas()
+    for qid, grp in out.groupby("qid"):
+        both = grp[grp.cid.isin([qid, qid + 100000])]
+        assert len(both) == 2
+        assert both.score.nunique() == 1

@@ -517,3 +517,41 @@ def test_compact_sink_folds_batches(spark, tmp_path):
     assert after == before == list(range(50))
     # idempotent: nothing left to fold under keep_batches=1
     assert compact_sink(spark, sink, keep_batches=1) == 0
+
+
+def test_streaming_hybrid_rag_matches_batch(spark, tmp_path, docs):
+    """The hybrid-retrieval pipeline (vector ⊕ BM25, RRF-fused) runs
+    unchanged under foreachBatch and lands the same answers the batch
+    path produces — the reference's continuous statements with the
+    engine's extended retrieval."""
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=16))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    pipe = RagPipeline(registry, k=2, retrieval="hybrid", strategy="broadcast_corpus")
+    corpus = registry.ml_predict(
+        docs.limit(50).select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        "vector_encoding",
+        "content",
+    ).cache()
+
+    questions = docs.limit(4).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("string").alias("sessionid"),
+    )
+    expected = {
+        (r.sessionid, r.json_response)
+        for r in pipe.run_batch(questions, corpus).collect()
+    }
+
+    src = str(tmp_path / "hqsrc")
+    questions.repartition(2).write.parquet(src)
+    stream = file_stream_reader(spark, src, questions.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "hanswers")
+    q = continuous_insert(
+        stream, sink, str(tmp_path / "hckpt"),
+        transform=pipe.streaming_transform(corpus), trigger_once=True,
+    )
+    _drain(q)
+    got = {(r.sessionid, r.json_response) for r in read_sink(spark, sink).collect()}
+    assert got == expected
