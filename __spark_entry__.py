@@ -1582,7 +1582,15 @@ FROM documents WHERE doc_id < 50
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → mapInPandas feature
-    extraction (deterministic fake decode — SURVEY.md §2.11). No SQL oracle."""
+    extraction (SURVEY.md §2.11).
+
+    The PLUMBING surface is hard-oracled: uri/mime construction, the
+    byte count the Arrow batches carried, and the declared feature
+    dimensionality are all deterministic and recomputed by the DuckDB
+    oracle — a broken batch shape, schema, or byte path turns the row
+    red. The feature VECTOR's values are the declared fake (md5-seeded
+    RNG standing in for absent codecs) and stay out of the hash; their
+    determinism and shape are pytest-covered (tests/test_sources.py)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.struct(
@@ -1591,7 +1599,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").cast("binary").alias("bytes"),
         ).alias("media")
     )
-    return with_fake_image_features(media)
+    return with_fake_image_features(media).select(
+        "uri", "mime", "n_bytes", F.size("features").alias("feat_dim")
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT 'doc://' || doc_id AS uri, 'text/plain' AS mime,
+  CAST(length(text) AS BIGINT) AS n_bytes, 32 AS feat_dim
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5483,6 +5500,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
-        # multimodal_features: rows-only (UDF feature extraction — the
-        # deterministic fake codec is a declared stub, not a semantic).
+        # multimodal plumbing surface (uri/mime/bytes/dim) is hard-oracled;
+        # the fake feature values themselves are pytest-covered only.
+        "multimodal_features": _MULTIMODAL_ORACLE,
     }
