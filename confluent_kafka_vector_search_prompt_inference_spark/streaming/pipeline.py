@@ -367,22 +367,46 @@ def compact_sink(
 
     ``keep_batches`` leaves the most recent N batch dirs uncompacted so a
     concurrently-running query's in-flight reads are not pulled out from
-    under it (batch dirs are immutable once committed)."""
+    under it (batch dirs are immutable once committed).
+
+    Crash safety: the fold order is write-tmp → delete-folded → rename,
+    which can never surface DUPLICATE rows (fatal for the dedup sinks);
+    the one crash window (between delete and rename) leaves the folded
+    data committed-but-invisible in ``_compact_tmp``. That state is
+    detected on the next call and recovered by completing the rename —
+    ``_SUCCESS`` inside tmp plus zero overlap risk (its source dirs are
+    gone) make the completion unambiguous."""
     import glob
     import shutil
 
-    dirs = sorted(
-        (d for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
-         if os.path.exists(os.path.join(d, "_SUCCESS"))),
-        key=lambda d: int(d.rsplit("=", 1)[1]),
-    )
+    tmp = os.path.join(sink_dir, "_compact_tmp")
+
+    def _committed_dirs() -> list[str]:
+        return sorted(
+            (d for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
+             if os.path.exists(os.path.join(d, "_SUCCESS"))),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
+        )
+
+    if os.path.exists(tmp):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            # crashed after deleting the folded dirs: finish the rename into
+            # a batch id below every surviving committed dir
+            existing = _committed_dirs()
+            low = min(
+                (int(d.rsplit("=", 1)[1]) for d in existing), default=1
+            )
+            os.rename(tmp, os.path.join(sink_dir, f"_batch={low - 1}"))
+        else:
+            shutil.rmtree(tmp)  # failed mid-write: tmp is garbage
+
+    dirs = _committed_dirs()
     to_fold = dirs[: max(0, len(dirs) - keep_batches)] if keep_batches else dirs
     if len(to_fold) < 2:
         return 0
     df = spark.read.parquet(*to_fold)
     if target_partitions:
         df = df.repartition(target_partitions)
-    tmp = os.path.join(sink_dir, "_compact_tmp")
     df.write.mode("overwrite").parquet(tmp)
     for d in to_fold:
         shutil.rmtree(d)

@@ -555,3 +555,32 @@ def test_streaming_hybrid_rag_matches_batch(spark, tmp_path, docs):
     _drain(q)
     got = {(r.sessionid, r.json_response) for r in read_sink(spark, sink).collect()}
     assert got == expected
+
+
+def test_compact_sink_recovers_crashed_fold(spark, tmp_path):
+    """A compaction that crashed between deleting the folded dirs and the
+    final rename leaves the data committed-but-invisible in _compact_tmp;
+    the next call completes the rename (no duplicates, no loss)."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import compact_sink
+
+    sink = str(tmp_path / "crsink")
+    writer = idempotent_batch_writer(sink)
+    for epoch in range(3):
+        writer(spark.range(epoch * 10, epoch * 10 + 10).toDF("id"), epoch)
+    # simulate the crash window: batches 0-1 folded into tmp (with _SUCCESS),
+    # their dirs already gone, rename never happened
+    spark.read.parquet(
+        os.path.join(sink, "_batch=0"), os.path.join(sink, "_batch=1")
+    ).write.parquet(os.path.join(sink, "_compact_tmp"))
+    shutil.rmtree(os.path.join(sink, "_batch=0"))
+    shutil.rmtree(os.path.join(sink, "_batch=1"))
+    # recovery happens on the next call; nothing further to fold afterwards
+    assert compact_sink(spark, sink, keep_batches=1) == 0
+    assert not os.path.exists(os.path.join(sink, "_compact_tmp"))
+    assert sorted(r.id for r in read_sink(spark, sink).collect()) == list(range(30))
+    # a half-written tmp (no _SUCCESS) is just discarded
+    os.makedirs(os.path.join(sink, "_compact_tmp"))
+    assert compact_sink(spark, sink, keep_batches=1) == 0
+    assert not os.path.exists(os.path.join(sink, "_compact_tmp"))
