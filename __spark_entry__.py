@@ -66,6 +66,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
         # raw INT64 (nanosAsLong); convert to a micro-precision timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the session timezone: the timestamp_ntz cast below AND the
+        # date_format/window alignment of every event-time query interpret
+        # wall-clock values through spark.sql.session.timeZone, while the
+        # DuckDB oracles bucket naive timestamps — a non-UTC driver would
+        # shift events across day boundaries and redden those rows.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -2547,7 +2553,10 @@ docvec AS (
     CAST(s / sqrt(SUM(s*s) OVER (PARTITION BY doc_id)) AS REAL) AS e
   FROM docsum)"""
 
-_RAG_PROMPTS_ORACLE = "WITH " + _RAG_EMBED_CTE + r""",
+# Shared retrieval base: embed CTEs + top-3 scoring + products packing +
+# the question projection, ending in a ``base`` CTE both the prompts and
+# answers oracles select from (explicit composition — no string surgery).
+_RAG_BASE_CTE = "WITH " + _RAG_EMBED_CTE + r""",
 scores AS (
   SELECT qv.doc_id AS qid, cv.doc_id AS pid,
     SUM(CAST(qv.e AS DOUBLE) * CAST(cv.e AS DOUBLE)) AS score
@@ -2562,26 +2571,25 @@ prods AS (
     '[' || string_agg(to_json(struct_pack(content := d.text)), ',' ORDER BY r.rnk) || ']' AS products
   FROM ranked r JOIN docs d ON d.doc_id = r.pid
   WHERE r.rnk <= 3
-  GROUP BY r.qid)
-SELECT 'user' AS role, q.text AS content,
-  'session-' || q.doc_id AS sessionid,
-  CAST(q.doc_id AS VARCHAR) AS question_id,
-  p.products AS products
-FROM docs q JOIN prods p ON p.qid = q.doc_id
-WHERE q.doc_id < 20
+  GROUP BY r.qid),
+base AS (
+  SELECT 'user' AS role, q.text AS content,
+    'session-' || q.doc_id AS sessionid,
+    CAST(q.doc_id AS VARCHAR) AS question_id,
+    p.products AS products
+  FROM docs q JOIN prods p ON p.qid = q.doc_id
+  WHERE q.doc_id < 20)
 """
 
-_RAG_ANSWERS_HEAD, _RAG_ANSWERS_TAIL = _RAG_PROMPTS_ORACLE.rsplit(
-    "SELECT 'user' AS role", 1
+_RAG_PROMPTS_ORACLE = (
+    _RAG_BASE_CTE
+    + "SELECT role, content, sessionid, question_id, products FROM base"
 )
+
 # TemplateLLM parity: prompt = json_object(prompt=content, products=<json>)
 # (functions/json_fns.py), response = fixed template around md5(prompt)[:12]
 # and len(prompt) (models/providers.py TemplateLLM.complete_batch).
-_RAG_ANSWERS_ORACLE = (
-    _RAG_ANSWERS_HEAD
-    + ", base AS (SELECT 'user' AS role"
-    + _RAG_ANSWERS_TAIL.rstrip()
-    + r""")
+_RAG_ANSWER_SELECT = r"""
 SELECT role, content, sessionid,
   '{"role":"assistant","content":"[template-llm:'
     || substr(md5(to_json(struct_pack(prompt := content, products := products))), 1, 12)
@@ -2590,7 +2598,8 @@ SELECT role, content, sessionid,
     || ' chars"}' AS json_response
 FROM base
 """
-)
+
+_RAG_ANSWERS_ORACLE = _RAG_BASE_CTE + _RAG_ANSWER_SELECT
 
 # Shared BM25 CTE chain (tokenize → postings → idf/impacts → query-term
 # join → exact BIGINT scores). Mirrors operators/bm25.py expression for
@@ -2679,14 +2688,8 @@ base AS (
     p.products AS products
   FROM docs q JOIN prods p ON p.query_id = q.doc_id
   WHERE q.doc_id < 20)
-SELECT role, content, sessionid,
-  '{"role":"assistant","content":"[template-llm:'
-    || substr(md5(to_json(struct_pack(prompt := content, products := products))), 1, 12)
-    || '] You are a friendly shopping assistant: answering from prompt of '
-    || length(to_json(struct_pack(prompt := content, products := products)))
-    || ' chars"}' AS json_response
-FROM base
 """
+    + _RAG_ANSWER_SELECT
 )
 
 
@@ -5358,7 +5361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi_pairs": term_pmi_pairs,
         "hard_negative_mining": hard_negative_mining,
         "subsequence_similarity_search": subsequence_similarity_search,
-        "vec_pq_topk": vec_pq_topk,
         "data_quality_checks": data_quality_checks,
         "trending_parts_monthly": trending_parts_monthly,
         "events_forward_fill": events_forward_fill,

@@ -45,8 +45,12 @@ def connected_components(
     # one task on small graphs and thousands of tasks at the 100 TB tier.
     # The count is free — sym was just materialized by the checkpoint.
     n_edges = sym.count()
-    n_part = max(1, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
-    sym = sym.repartition(n_part, "b").localCheckpoint(eager=True)
+    cur_parts = sym.rdd.getNumPartitions()
+    n_part = max(1, min(cur_parts, n_edges // 100_000 + 1))
+    if n_part != cur_parts:
+        # only re-shuffle + re-materialize when the width actually changes;
+        # an unconditional repartition would double-copy the edge set
+        sym = sym.repartition(n_part, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

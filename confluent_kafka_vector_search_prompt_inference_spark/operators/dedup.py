@@ -434,6 +434,21 @@ def embedding_near_duplicates(
         from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import _collect_matrix
 
         spark = df.sparkSession
+        # NULL / wrong-dimension vectors scored NULL (and were filtered) in
+        # the per-pair expression form; the matmul form must not crash on
+        # them — drop them up front on BOTH sides instead (dim = first
+        # non-null row's length; a one-partition probe job)
+        probe = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("__d"))
+            .first()
+        )
+        if probe is None:
+            df = df.limit(0)
+        else:
+            df = df.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) == probe["__d"])
+            )
         c_ids, c_mat = _collect_matrix(df, id_col, vec_col)
         c_norm = np.linalg.norm(c_mat.astype(np.float64), axis=1)
         c_norm[c_norm == 0] = 1.0

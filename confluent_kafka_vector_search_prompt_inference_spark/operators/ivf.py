@@ -132,9 +132,23 @@ def ivf_append(
     assigned = new_rows.withColumn(
         cluster_col, F.element_at(assign(F.col(vec_col)), 1)
     )
-    assigned.write.partitionBy(cluster_col).mode("append").parquet(
-        os.path.join(path, "corpus")
-    )
+    # analysis-time schema check: mode('append') would happily land
+    # differently-shaped files, and the plain read that follows would pick
+    # ONE footer's schema — appended ids silently nulling out at search
+    # time. Fail here instead.
+    existing = spark.read.parquet(os.path.join(path, "corpus")).schema
+    got = {f.name: f.dataType for f in assigned.schema.fields}
+    want = {f.name: f.dataType for f in existing.fields}
+    if got != want:
+        raise ValueError(
+            f"ivf_append schema mismatch: index corpus has "
+            f"{sorted((n, t.simpleString()) for n, t in want.items())}, "
+            f"append would write "
+            f"{sorted((n, t.simpleString()) for n, t in got.items())}"
+        )
+    assigned.select(*[f.name for f in existing.fields]).write.partitionBy(
+        cluster_col
+    ).mode("append").parquet(os.path.join(path, "corpus"))
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:

@@ -255,7 +255,20 @@ def pq_append(new_rows: DataFrame, path: str, *, vec_col: str = "vector") -> Non
     books = np.empty((m, k, sub))
     for r in rows:
         books[r.segment, r.code] = np.asarray(r.centroid, dtype=np.float64)
-    pq_encode(new_rows, books, vec_col=vec_col).write.mode("append").parquet(
+    encoded = pq_encode(new_rows, books, vec_col=vec_col)
+    # analysis-time schema check — see ivf_append: a silent append of a
+    # different shape corrupts later plain (non-mergeSchema) reads
+    existing = spark.read.parquet(os.path.join(path, "corpus")).schema
+    got = {f.name: f.dataType for f in encoded.schema.fields}
+    want = {f.name: f.dataType for f in existing.fields}
+    if got != want:
+        raise ValueError(
+            f"pq_append schema mismatch: index corpus has "
+            f"{sorted((n, t.simpleString()) for n, t in want.items())}, "
+            f"append would write "
+            f"{sorted((n, t.simpleString()) for n, t in got.items())}"
+        )
+    encoded.select(*[f.name for f in existing.fields]).write.mode("append").parquet(
         os.path.join(path, "corpus")
     )
 

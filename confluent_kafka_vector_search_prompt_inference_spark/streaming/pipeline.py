@@ -230,22 +230,28 @@ def near_dedup_insert(
         )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
         spark = batch_df.sparkSession
+        # shingles feed the signature stage AND both exact-verify sides;
+        # signatures feed the landed-rows join AND the candidate stage —
+        # persist both for the batch (released in finally) so each
+        # per-row-heavy stage runs once, mirroring the batch-side pipeline
+        # (__spark_entry__.minhash_lsh_dups)
+        sh = batch_df.select(
+            id_col, text_col, word_shingles(text_col, shingle_n).alias("__sh")
+        ).persist()
         sigs = minhash_signatures(
-            batch_df.select(id_col, text_col),
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            shingle_n=shingle_n,
-        )
+            sh, id_col, None, num_hashes=num_hashes, shingle_col="__sh"
+        ).persist()
         keyed = batch_df.join(sigs.withColumnRenamed("minhash", "__minhash"), id_col)
         # (2) within-batch near-dedup: min-id survivor per verified pair
         cands = minhash_lsh_candidates(
             sigs, id_col, bands=bands, num_hashes=num_hashes, with_estimate=False
         )
         dups = ngram_jaccard_pairs(
-            batch_df, id_col, text_col,
-            shingle_n=shingle_n, threshold=threshold, candidates=cands,
+            sh, id_col, None,
+            threshold=threshold, candidates=cands, shingle_col="__sh",
         ).select(F.col("id_b").alias(id_col)).distinct()
         keyed = keyed.join(dups, id_col, "left_anti")
         # (3) vs already-landed rows: bucket join on band hashes, exact verify
@@ -279,7 +285,11 @@ def near_dedup_insert(
                 candidates=pairs.select("id_a", "id_b"),
             ).select(F.col("id_b").alias(id_col)).distinct()
             keyed = keyed.join(hits, id_col, "left_anti")
-        write_batch(keyed, epoch_id)
+        try:
+            write_batch(keyed, epoch_id)
+        finally:
+            sigs.unpersist()
+            sh.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -367,19 +377,31 @@ def compact_sink(
 
     ``keep_batches`` leaves the most recent N batch dirs uncompacted so a
     concurrently-running query's in-flight reads are not pulled out from
-    under it (batch dirs are immutable once committed).
+    under it (batch dirs are immutable once committed). It must be ≥ 1:
+    folding the NEWEST committed dir would break idempotent replay — a
+    crash after the sink commit but before the streaming checkpoint
+    commit re-delivers that epoch, and the writer would re-create the
+    (now folded) ``_batch=<epoch>`` dir, duplicating its rows.
 
-    Crash safety: the fold order is write-tmp → delete-folded → rename,
-    which can never surface DUPLICATE rows (fatal for the dedup sinks);
-    the one crash window (between delete and rename) leaves the folded
-    data committed-but-invisible in ``_compact_tmp``. That state is
-    detected on the next call and recovered by completing the rename —
-    ``_SUCCESS`` inside tmp plus zero overlap risk (its source dirs are
-    gone) make the completion unambiguous."""
+    Crash safety: before any deletion, the list of folded dirs is written
+    as a MANIFEST inside tmp; the fold order is write-tmp(+manifest) →
+    delete-folded → rename. A crash anywhere leaves a recoverable state
+    the next call completes: manifest-listed survivors are deleted first,
+    then the rename finishes — so folded rows can never appear twice and
+    are never lost (they live in tmp until the rename)."""
     import glob
+    import json
     import shutil
 
+    if keep_batches < 1:
+        raise ValueError(
+            "keep_batches must be >= 1: the newest committed batch dir must "
+            "survive so idempotent replay of a checkpoint-uncommitted epoch "
+            "stays a no-op"
+        )
+
     tmp = os.path.join(sink_dir, "_compact_tmp")
+    manifest_path = os.path.join(tmp, "_fold_manifest.json")
 
     def _committed_dirs() -> list[str]:
         return sorted(
@@ -388,28 +410,37 @@ def compact_sink(
             key=lambda d: int(d.rsplit("=", 1)[1]),
         )
 
+    def _finish_fold(folded_names: list[str]) -> None:
+        # delete any folded source dirs that still exist, then publish tmp
+        for name in folded_names:
+            d = os.path.join(sink_dir, name)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        base_id = min(int(n.rsplit("=", 1)[1]) for n in folded_names)
+        os.remove(manifest_path)
+        os.rename(tmp, os.path.join(sink_dir, f"_batch={base_id}"))
+
     if os.path.exists(tmp):
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            # crashed after deleting the folded dirs: finish the rename into
-            # a batch id below every surviving committed dir
-            existing = _committed_dirs()
-            low = min(
-                (int(d.rsplit("=", 1)[1]) for d in existing), default=1
-            )
-            os.rename(tmp, os.path.join(sink_dir, f"_batch={low - 1}"))
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
+            manifest_path
+        ):
+            # crashed mid-fold: the manifest says exactly which dirs were
+            # folded into tmp — finish their deletion and the rename
+            with open(manifest_path) as fh:
+                _finish_fold(json.load(fh))
         else:
             shutil.rmtree(tmp)  # failed mid-write: tmp is garbage
 
     dirs = _committed_dirs()
-    to_fold = dirs[: max(0, len(dirs) - keep_batches)] if keep_batches else dirs
+    to_fold = dirs[: max(0, len(dirs) - keep_batches)]
     if len(to_fold) < 2:
         return 0
     df = spark.read.parquet(*to_fold)
     if target_partitions:
         df = df.repartition(target_partitions)
     df.write.mode("overwrite").parquet(tmp)
-    for d in to_fold:
-        shutil.rmtree(d)
-    base = os.path.join(sink_dir, f"_batch={int(to_fold[0].rsplit('=', 1)[1])}")
-    os.rename(tmp, base)
+    folded_names = [os.path.basename(d) for d in to_fold]
+    with open(manifest_path, "w") as fh:
+        json.dump(folded_names, fh)
+    _finish_fold(folded_names)
     return len(to_fold)

@@ -143,3 +143,19 @@ def test_ivf_append_without_retraining(spark, embeddings, ivf, tmp_path):
     for qid, grp in out.groupby("qid"):
         ids = set(grp.cid)
         assert qid in ids and qid + 100000 in ids
+
+
+def test_ivf_append_rejects_schema_mismatch(spark, embeddings, ivf, tmp_path):
+    import pytest as _pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import ivf_append, save_ivf_index
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(indexed, centroids, path)
+    wrong = embeddings.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000).alias("other_id"),  # wrong id column name
+        F.col("embedding").alias("vector"),
+    )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        ivf_append(wrong, path)

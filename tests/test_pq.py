@@ -173,3 +173,19 @@ def test_pq_append_without_retraining(spark, embeddings, pq_setup, tmp_path):
         both = grp[grp.cid.isin([qid, qid + 100000])]
         assert len(both) == 2
         assert both.score.nunique() == 1
+
+
+def test_pq_append_rejects_schema_mismatch(spark, embeddings, pq_setup, tmp_path):
+    import pytest as _pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import pq_append, save_pq_index
+
+    _, books, encoded = pq_setup
+    path = str(tmp_path / "pq_index")
+    save_pq_index(encoded, books, path)
+    wrong = embeddings.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000).alias("other_id"),
+        F.col("embedding").alias("vector"),
+    )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        pq_append(wrong, path)

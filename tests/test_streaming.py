@@ -558,10 +558,14 @@ def test_streaming_hybrid_rag_matches_batch(spark, tmp_path, docs):
 
 
 def test_compact_sink_recovers_crashed_fold(spark, tmp_path):
-    """A compaction that crashed between deleting the folded dirs and the
-    final rename leaves the data committed-but-invisible in _compact_tmp;
-    the next call completes the rename (no duplicates, no loss)."""
+    """A compaction that crashed PART-WAY through deleting the folded dirs
+    (the worst window: tmp published, some sources deleted, some not) is
+    completed by the next call via the fold manifest — no duplicates, no
+    loss. keep_batches=0 is rejected (it would break idempotent replay)."""
+    import json
     import shutil
+
+    import pytest as _pytest
 
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import compact_sink
 
@@ -569,18 +573,27 @@ def test_compact_sink_recovers_crashed_fold(spark, tmp_path):
     writer = idempotent_batch_writer(sink)
     for epoch in range(3):
         writer(spark.range(epoch * 10, epoch * 10 + 10).toDF("id"), epoch)
-    # simulate the crash window: batches 0-1 folded into tmp (with _SUCCESS),
-    # their dirs already gone, rename never happened
+    # simulate the crash: batches 0-1 folded into tmp (with _SUCCESS and the
+    # manifest), _batch=0 already deleted, _batch=1 STILL PRESENT
+    tmp = os.path.join(sink, "_compact_tmp")
     spark.read.parquet(
         os.path.join(sink, "_batch=0"), os.path.join(sink, "_batch=1")
-    ).write.parquet(os.path.join(sink, "_compact_tmp"))
+    ).write.parquet(tmp)
+    with open(os.path.join(tmp, "_fold_manifest.json"), "w") as fh:
+        json.dump(["_batch=0", "_batch=1"], fh)
     shutil.rmtree(os.path.join(sink, "_batch=0"))
-    shutil.rmtree(os.path.join(sink, "_batch=1"))
-    # recovery happens on the next call; nothing further to fold afterwards
+    # recovery deletes the surviving folded dir before the rename, so the
+    # surviving dir's rows cannot appear twice
     assert compact_sink(spark, sink, keep_batches=1) == 0
-    assert not os.path.exists(os.path.join(sink, "_compact_tmp"))
+    assert not os.path.exists(tmp)
+    assert sorted(os.path.basename(d) for d in glob.glob(os.path.join(sink, "_batch=*"))) == [
+        "_batch=0", "_batch=2",
+    ]
     assert sorted(r.id for r in read_sink(spark, sink).collect()) == list(range(30))
-    # a half-written tmp (no _SUCCESS) is just discarded
-    os.makedirs(os.path.join(sink, "_compact_tmp"))
+    # a half-written tmp (no _SUCCESS/manifest) is just discarded
+    os.makedirs(tmp)
     assert compact_sink(spark, sink, keep_batches=1) == 0
-    assert not os.path.exists(os.path.join(sink, "_compact_tmp"))
+    assert not os.path.exists(tmp)
+    # folding the newest committed dir is refused outright
+    with _pytest.raises(ValueError, match="keep_batches"):
+        compact_sink(spark, sink, keep_batches=0)
