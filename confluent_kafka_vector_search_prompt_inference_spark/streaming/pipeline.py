@@ -411,14 +411,19 @@ def compact_sink(
         )
 
     def _finish_fold(folded_names: list[str]) -> None:
-        # delete any folded source dirs that still exist, then publish tmp
+        # delete any folded source dirs that still exist, then publish tmp.
+        # The manifest rides along through the rename (underscore-prefixed
+        # files are invisible to Spark's parquet reader) — removing it
+        # BEFORE the rename would open a crash window where tmp looks like
+        # a failed write and gets discarded with the folded data inside.
         for name in folded_names:
             d = os.path.join(sink_dir, name)
             if os.path.exists(d):
                 shutil.rmtree(d)
         base_id = min(int(n.rsplit("=", 1)[1]) for n in folded_names)
-        os.remove(manifest_path)
-        os.rename(tmp, os.path.join(sink_dir, f"_batch={base_id}"))
+        base = os.path.join(sink_dir, f"_batch={base_id}")
+        os.rename(tmp, base)
+        os.remove(os.path.join(base, "_fold_manifest.json"))  # cosmetic
 
     if os.path.exists(tmp):
         if os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
