@@ -43,6 +43,13 @@ class RagPipeline:
     #: (vector ⊕ BM25 keyword legs fused by reciprocal rank — the
     #: engine's extension; same output schema either way).
     retrieval: str = "vector"
+    #: Optional saved BM25 index table name (``operators.bm25.
+    #: save_bm25_index``). When set, the hybrid keyword leg searches the
+    #: persisted term-bucketed index (bucket-pruned scan, zero per-batch
+    #: postings build) instead of rebuilding postings from the corpus —
+    #: the steady-state streaming shape: the corpus and its index are
+    #: maintained by the ingest side; query batches only read.
+    keyword_index: str | None = None
 
     def _ensure_id(self, questions: DataFrame) -> DataFrame:
         """Questions need a stable unique id for the top-k join; derive one
@@ -106,7 +113,11 @@ class RagPipeline:
         """Hybrid retrieval: vector and BM25 keyword top-pool legs fused by
         reciprocal rank, cut to k — catches lexical matches the embedding
         misses and vice versa. Pool = max(4k, 20) per leg before fusion."""
-        from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search, rrf_fuse
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+            bm25_search,
+            bm25_search_indexed,
+            rrf_fuse,
+        )
 
         pool = max(self.k * 4, 20)
         vec = topk_similarity_join(
@@ -119,14 +130,20 @@ class RagPipeline:
             F.col("product_id").alias("doc_id"),
             "rank",
         )
-        kw = bm25_search(
-            corpus.select(F.col("product_id").alias("doc_id"), F.col("content").alias("text")),
-            questions_vec.select(
-                F.col(self.question_id).alias("query_id"),
-                F.col("content").alias("query_text"),
-            ),
-            k=pool,
+        kw_queries = questions_vec.select(
+            F.col(self.question_id).alias("query_id"),
+            F.col("content").alias("query_text"),
         )
+        if self.keyword_index is not None:
+            kw = bm25_search_indexed(
+                questions_vec.sparkSession, self.keyword_index, kw_queries, k=pool
+            )
+        else:
+            kw = bm25_search(
+                corpus.select(F.col("product_id").alias("doc_id"), F.col("content").alias("text")),
+                kw_queries,
+                k=pool,
+            )
         fused = rrf_fuse(kw, vec, k=self.k)
         return fused.select(
             F.col("query_id").alias(self.question_id),

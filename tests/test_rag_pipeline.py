@@ -107,3 +107,35 @@ def test_hybrid_retrieval_mode(pipe, questions, corpus):
     answers = hybrid.run_batch(questions, corpus)
     assert answers.columns == ["role", "content", "sessionid", "json_response"]
     assert answers.count() == 3
+
+
+def test_hybrid_rag_with_persisted_keyword_index(spark, pipe, questions, corpus):
+    """RagPipeline(keyword_index=...) searches the saved term-bucketed BM25
+    index for its keyword leg and produces answers identical to the live
+    (postings-rebuilt-per-call) hybrid path — the steady-state streaming
+    shape where query batches never rebuild the index."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import save_bm25_index
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    live = RagPipeline(pipe.registry, k=2, retrieval="hybrid", strategy="broadcast_corpus")
+    expected = {
+        (r.sessionid, r.json_response)
+        for r in live.run_batch(questions, corpus).collect()
+    }
+    save_bm25_index(
+        corpus.select(F.col("product_id").alias("doc_id"), F.col("content").alias("text")),
+        "rag_kw_idx_test",
+    )
+    try:
+        indexed = RagPipeline(
+            pipe.registry, k=2, retrieval="hybrid", strategy="broadcast_corpus",
+            keyword_index="rag_kw_idx_test",
+        )
+        got = {
+            (r.sessionid, r.json_response)
+            for r in indexed.run_batch(questions, corpus).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rag_kw_idx_test")
+        spark.sql("DROP TABLE IF EXISTS rag_kw_idx_test_stats")
+    assert got == expected
