@@ -52,3 +52,143 @@ def test_topk_strategies_agree_random(spark, n_corpus, k):
         ).toPandas()
         results[strategy] = sorted(zip(out.qid, out.cid, out["rank"]))
     assert results["broadcast_corpus"] == results["broadcast_queries"] == results["shuffle"]
+
+
+# ---------------------------------------------------------------------------
+# round-3 surfaces: schema evolution lattice, MinHash/LSH containment,
+# near-dup matmul-vs-expression agreement
+# ---------------------------------------------------------------------------
+
+_types = st.sampled_from(["string", "bigint", "double"])
+_names = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=5,
+    unique=True,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_names, st.data())
+def test_evolve_sink_schema_lattice(names, data):
+    """evolve_sink_schema is exactly the add-only lattice: query ⊇ sink with
+    equal types on the intersection → union in sink-then-query order;
+    any drop or retype → SinkSchemaMismatch."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    from confluent_kafka_vector_search_prompt_inference_spark.catalog import (
+        SinkSchemaMismatch,
+        evolve_sink_schema,
+    )
+
+    types = {n: data.draw(_types, label=f"type_{n}") for n in names}
+    n_sink = data.draw(st.integers(1, len(names)), label="n_sink")
+    sink_names = names[:n_sink]
+    sink = StructType(
+        [StructField(n, _parse_datatype_string(types[n])) for n in sink_names]
+    )
+    mutate = data.draw(st.sampled_from(["widen", "drop", "retype"]), label="mutate")
+    if mutate == "widen":
+        query = StructType(
+            [StructField(n, _parse_datatype_string(types[n])) for n in names]
+        )
+        out = evolve_sink_schema(sink, query)
+        assert [f.name for f in out.fields] == sink_names + names[n_sink:]
+        # idempotent: evolving again with the same query is a no-op shape
+        assert [f.name for f in evolve_sink_schema(out, query).fields] == [
+            f.name for f in out.fields
+        ]
+    elif mutate == "drop":
+        query = StructType(sink.fields[:-1])
+        if len(sink.fields) == 1:
+            query = StructType([])
+        with pytest.raises(SinkSchemaMismatch):
+            evolve_sink_schema(sink, query)
+    else:
+        flipped = {"string": "bigint", "bigint": "double", "double": "string"}
+        query = StructType(
+            [
+                StructField(
+                    f.name, _parse_datatype_string(flipped[f.dataType.simpleString()])
+                )
+                for f in sink.fields
+            ]
+        )
+        with pytest.raises(SinkSchemaMismatch):
+            evolve_sink_schema(sink, query)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_minhash_verified_pairs_subset_of_exact(spark, seed):
+    """For random near-dup corpora: the LSH-gated verified pair set is
+    always a SUBSET of the exact Jaccard >= tau pair set (verification can
+    only remove), and every planted exact copy is recovered (identical
+    shingle sets collide in every band)."""
+    import numpy as np
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(12):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), size=12)]
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # planted exact copies
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", bands=16, num_hashes=64, with_estimate=False
+    )
+    gated = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cands
+    ).toPandas()
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).toPandas()
+    g = set(zip(gated.id_a, gated.id_b))
+    e = set(zip(exact.id_a, exact.id_b))
+    assert g <= e
+    assert {(i, 100 + i) for i in range(3)} <= g
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_embedding_near_dup_matmul_matches_expression(spark, seed):
+    """The broadcast-matmul exact scorer agrees with a per-pair expression
+    recomputation on random corpora (incl. a NULL row, which both drop)."""
+    import numpy as np
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(15)
+    ]
+    rows.append((100, rows[0][1]))  # exact duplicate pair (0, 100)
+    rows.append((200, None))  # NULL vector must be dropped, not crash
+    df = spark.createDataFrame(rows, "vec_id bigint, vector array<float>")
+    got = embedding_near_duplicates(
+        df, "vec_id", "vector", threshold=0.3, method="exact"
+    ).toPandas()
+    # independent recomputation with plain python
+    import math
+
+    vecs = {i: v for i, v in rows if v is not None}
+    expect = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                va = np.asarray(vecs[a], dtype=np.float32).astype(np.float64)
+                vb = np.asarray(vecs[b], dtype=np.float32).astype(np.float64)
+                na = float(np.linalg.norm(va)) or 1.0
+                nb = float(np.linalg.norm(vb)) or 1.0
+                if round(float(va @ vb) / (na * nb), 6) >= 0.3:
+                    expect.add((a, b))
+    assert set(zip(got.id_a, got.id_b)) == expect
+    assert (0, 100) in expect
