@@ -2601,6 +2601,71 @@ FROM base
 
 _RAG_ANSWERS_ORACLE = _RAG_BASE_CTE + _RAG_ANSWER_SELECT
 
+def late_interaction_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval (§2.11): one
+    vector per TOKEN; score(q,d) = Σ over query tokens of the max dot
+    against the document's token vectors — multi-aspect queries aren't
+    averaged away as in single-vector search. Token vectors come from the
+    deterministic HashingEmbedder applied per vocabulary entry (a
+    vocabulary-sized model call), so the whole stage is re-expressed in
+    the DuckDB oracle: same md5 token vectors (double-normalized — the
+    embedder re-normalizes its single-token pool), float32 cast, DOUBLE
+    dots, (score DESC, doc ASC) ties. Queries are docs 0-4 against the
+    full corpus, top-10."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.late_interaction import late_interaction_topk
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    vocab = toks.select("token").distinct().withColumn("content", F.col("token"))
+    token_vectors = registry.ml_predict(vocab, "vector_encoding", "content").select(
+        "token", "vector"
+    )
+    qtoks = toks.filter(F.col("doc_id") < 5).withColumnRenamed("doc_id", "query_id")
+    return late_interaction_topk(
+        toks, qtoks, token_vectors, k=10, metric="dot"
+    )
+
+
+_LATE_INTERACTION_ORACLE = (
+    "WITH "
+    + _RAG_EMBED_CTE
+    + r""",
+tv AS (
+  SELECT t, dim,
+    CAST(u / sqrt(SUM(u*u) OVER (PARTITION BY t)) AS REAL) AS e
+  FROM tokvec),
+qt AS (SELECT DISTINCT doc_id AS qid, t FROM tok WHERE doc_id < 5),
+dtk AS (SELECT DISTINCT doc_id AS did, t FROM tok),
+block AS (
+  SELECT q.qid, q.t AS qtok, b.t AS dtok,
+    SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)) AS s
+  FROM qt q
+  JOIN tv a ON a.t = q.t
+  JOIN tv b ON a.dim = b.dim
+  GROUP BY 1, 2, 3),
+maxsim AS (
+  SELECT b.qid, d.did, b.qtok, MAX(b.s) AS m
+  FROM dtk d JOIN block b ON b.dtok = d.t
+  GROUP BY 1, 2, 3),
+scored AS (SELECT qid, did, ROUND(SUM(m), 6) AS score FROM maxsim GROUP BY 1, 2),
+ranked AS (
+  SELECT qid AS query_id, did AS doc_id, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, did ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
 # Shared BM25 CTE chain (tokenize → postings → idf/impacts → query-term
 # join → exact BIGINT scores). Mirrors operators/bm25.py expression for
 # expression; the fixed-point round makes the two engines' sums identical.
@@ -5333,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
         "text_repetition": text_repetition,
+        "late_interaction_maxsim_topk": late_interaction_maxsim_topk,
         "benchmark_contamination": benchmark_contamination,
         "sequence_packing": sequence_packing,
         "vocab_top_terms": vocab_top_terms,
@@ -5497,6 +5563,7 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard oracle doubles as the LSH recall gate.
         "minhash_lsh_dups": _JACCARD_ORACLE,
         "mmr_rerank_topk": _MMR_ORACLE,
+        "late_interaction_maxsim_topk": _LATE_INTERACTION_ORACLE,
         "rag_prompts": _RAG_PROMPTS_ORACLE,
         "rag_answers": _RAG_ANSWERS_ORACLE,
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
