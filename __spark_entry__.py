@@ -2407,8 +2407,11 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs, "doc_id").orderBy("id")
 
 
-_DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE
+# Shared recursive-CTE chain: exact Jaccard >= 0.5 pairs -> undirected
+# edges -> transitive reach -> min-label components (ends at
+# ``comp(node, component)``). Composed explicitly by the cluster
+# oracles below.
+_DEDUP_COMP_CTE = f"""WITH RECURSIVE
 toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
 sh AS (SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -2428,13 +2431,84 @@ reach AS (
   SELECT a AS node, a AS lab FROM edges
   UNION
   SELECT e.b AS node, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.node),
-comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)"""
+
+_DEDUP_CLUSTERS_ORACLE = (
+    _DEDUP_COMP_CTE
+    + """
 SELECT d.doc_id AS id,
   COALESCE(c.component, d.doc_id) AS canonical_id,
   COALESCE(c.component, d.doc_id) <> d.doc_id AS is_duplicate
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY id
 """
+)
+
+
+def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution (§2.11 curation last
+    mile): production dedup keeps the BEST member of each near-dup
+    cluster, not the min-id — same LSH-gated pairs → connected
+    components as ``dedup_cluster_assignments``, then the survivor is
+    the member with the highest quality score (ties → min id). One rank
+    window over the cluster key after the CC labels; the quality column
+    is a single-scan Catalyst expression. Oracled end-to-end (recursive
+    CTE components + the quality formula + the same rank)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("__sh")).persist()
+    sigs = minhash_signatures(sh, "doc_id", None, num_hashes=64, shingle_col="__sh")
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", bands=16, num_hashes=64, with_estimate=False
+    )
+    pairs = ngram_jaccard_pairs(
+        sh, "doc_id", None, threshold=0.5, candidates=cands, shingle_col="__sh"
+    )
+    comp = dedup_clusters(pairs, docs, "doc_id")
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        comp.select("id", F.col("canonical_id").alias("cluster_id"))
+        .join(q, "id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .orderBy("id")
+    )
+
+
+_DEDUP_BEST_ORACLE = (
+    _DEDUP_COMP_CTE
+    + f""",
+qual AS (
+  SELECT doc_id,
+    len({_SQL_WORDS}) AS n_words,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr
+  FROM documents),
+scoredq AS (
+  SELECT doc_id,
+    ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+          + LEAST(sr / 0.1, 1.0) * 0.4
+          + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+  FROM qual),
+assigned AS (
+  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+rk AS (
+  SELECT a.id, a.cluster_id, s.quality,
+    ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                       ORDER BY s.quality DESC, a.id ASC) AS rn
+  FROM assigned a JOIN scoredq s ON s.doc_id = a.id)
+SELECT id, cluster_id, quality, rn = 1 AS keep FROM rk ORDER BY id
+"""
+)
 
 
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5373,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_all": set_except_all,
         "stratified_hash_sample": stratified_hash_sample,
         "dedup_cluster_assignments": dedup_cluster_assignments,
+        "dedup_cluster_best_representative": dedup_cluster_best_representative,
         "q7_nation_volume": q7_nation_volume,
         "q16_supplier_counts": q16_supplier_counts,
         "q8_market_share": q8_market_share,
@@ -5564,6 +5639,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dups": _JACCARD_ORACLE,
         "mmr_rerank_topk": _MMR_ORACLE,
         "late_interaction_maxsim_topk": _LATE_INTERACTION_ORACLE,
+        "dedup_cluster_best_representative": _DEDUP_BEST_ORACLE,
         "rag_prompts": _RAG_PROMPTS_ORACLE,
         "rag_answers": _RAG_ANSWERS_ORACLE,
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
