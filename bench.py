@@ -44,6 +44,7 @@ HEADLINE = [
     "minhash_lsh_dups",
     "bm25_keyword_topk",
     "hybrid_rrf_topk",
+    "late_interaction_maxsim_topk",
     "text_quality",
     "rag_answers",
     # LLM-pipeline heavies: regressions in the extension surface must be
