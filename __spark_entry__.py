@@ -2690,7 +2690,9 @@ def late_interaction_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     registry = ModelRegistry()
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
-    docs = _t(spark, sf_dir, "documents")
+    # repartition before the explode: the small-SF parquet is one split and
+    # the token fan-out (plus the downstream block join) must start wide
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(

@@ -40,10 +40,12 @@ BUDGETS = {
     "minhash_lsh_dups": 8,          # persisted-shingle repartition printed ×3
                                     # branches + band-bucket join + candidate
                                     # dedup + two verify-side joins
-    "late_interaction_maxsim_topk": 5,  # vocab distinct + token-vector UDF
-                                    # exchange + maxsim partial-agg + doc
-                                    # sum + rank window; the dense
-                                    # query-token×vocab block broadcasts
+    "late_interaction_maxsim_topk": 7,  # spread repartition (printed per
+                                    # branch) + vocab distinct + token-
+                                    # vector UDF exchange + maxsim partial-
+                                    # agg + doc sum + rank window; the
+                                    # dense query-token×vocab block
+                                    # broadcasts
     "benchmark_contamination": 6,   # persisted-shingle repartition printed ×3
                                     # branches + bench distinct + hit count
 }
