@@ -5152,11 +5152,24 @@ def subsequence_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame
         wins.crossJoin(F.broadcast(q.filter(F.col("qsd") > 0)))
         .select("user_id", "start", F.expr(dist_expr).alias("dist"))
     )
-    wr = Window.orderBy(F.asc("dist"), F.asc("user_id"), F.asc("start"))
+    # Global top-20 via orderBy+limit -> TakeOrderedAndProject: each task
+    # keeps a 20-row heap and the driver merges 20-row lists, so the
+    # corpus-sized candidate set never funnels through one task (an
+    # unpartitioned row_number window would). rank is then derived over
+    # the 20 survivors only — collect_list/array_sort/posexplode on a
+    # k-bounded set, so no WindowExec and no single-partition stage ever
+    # sees corpus-sized data.
+    top = d.orderBy(F.asc("dist"), F.asc("user_id"), F.asc("start")).limit(20)
     return (
-        d.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "user_id", "start", "dist")
+        top.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dist", "user_id", "start"))).alias("a"))
+        .select(F.posexplode("a").alias("i", "r"))
+        .select(
+            (F.col("i") + F.lit(1)).alias("rank"),
+            F.col("r.user_id").alias("user_id"),
+            F.col("r.start").alias("start"),
+            F.col("r.dist").alias("dist"),
+        )
     )
 
 

@@ -48,6 +48,11 @@ BUDGETS = {
                                     # broadcasts
     "benchmark_contamination": 6,   # persisted-shingle repartition printed ×3
                                     # branches + bench distinct + hit count
+    "subsequence_similarity_search": 3,  # persisted-series exchange printed
+                                    # ×2 branches + rank agg over the
+                                    # 20-row TakeOrderedAndProject output;
+                                    # no WindowExec, no corpus-sized
+                                    # single-partition stage
 }
 
 

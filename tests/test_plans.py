@@ -176,3 +176,14 @@ def test_bloom_filter_join_pruning(spark, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", app_thresh
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_subsequence_topk_is_take_ordered(spark, sf_correct):
+    """The global top-20 must compile to TakeOrderedAndProject (per-task
+    20-row heaps, driver merges 20-row lists) — never a WindowExec with an
+    empty partition spec, which funnels the corpus-sized candidate set
+    through one task (the round-3 scale-killer)."""
+    df = entry.queries()["subsequence_similarity_search"](spark, sf_correct)
+    tree = formatted_plan(df)
+    assert "TakeOrderedAndProject" in tree
+    assert "Window" not in tree.split("(1) Scan")[0]
