@@ -235,22 +235,35 @@ def bm25_search_indexed(
     query_id: str = "query_id",
     query_text: str = "query_text",
     k: int = 10,
+    max_inlined_terms: int = 10_000,
 ) -> DataFrame:
     """Top-k BM25 search against a :func:`save_bm25_index` table —
     identical output contract (and exact totals, hence identical ranking)
     to :func:`bm25_search`, with zero index-build work at query time.
 
-    The query term set is collected (queries are batch-bounded by
-    contract — the RAG micro-batch shape) and pushed as an ``IN`` filter
-    on the bucketed term column, so the scan prunes to the buckets
-    containing query terms before the broadcast join."""
+    Query batches are small by contract (the RAG micro-batch shape), so
+    the distinct term set is collected and pushed as an ``IN`` filter on
+    the bucketed term column — that literal is what buys bucket/file
+    pruning at the scan. The collection is capped at
+    ``max_inlined_terms`` (driver-memory and plan-size guard, this
+    function sits on the streaming hot path via RagPipeline): an
+    over-cap batch degrades gracefully to a broadcast semi join on the
+    distinct-term DataFrame — same rows, full postings scan instead of a
+    pruned one, and no driver blow-up."""
     impacts = spark.table(table_name)
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
     )
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-    pruned = impacts.filter(F.col("term").isin(terms))
+    distinct_terms = qterms.select("term").distinct()
+    # take(cap+1): if it comes back over the cap we do NOT have the full
+    # term set — fall back to the join; at/under the cap the set is
+    # complete and safe to inline.
+    head = distinct_terms.take(max_inlined_terms + 1)
+    if len(head) <= max_inlined_terms:
+        pruned = impacts.filter(F.col("term").isin([r["term"] for r in head]))
+    else:
+        pruned = impacts.join(F.broadcast(distinct_terms), "term", "left_semi")
     scored = (
         pruned.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")

@@ -46,7 +46,12 @@ def connected_components(
     # The count is free — sym was just materialized by the checkpoint.
     n_edges = sym.count()
     cur_parts = sym.rdd.getNumPartitions()
-    n_part = max(1, min(cur_parts, n_edges // 100_000 + 1))
+    # Sized by the edge count ALONE — deliberately allowed to exceed the
+    # incoming partition count, so a huge edge set arriving through a
+    # coalesced upstream (few fat partitions) still fans out to thousands
+    # of tasks per label round. The cap is a runaway guard, not a clamp to
+    # current parallelism.
+    n_part = max(1, min(100_000, n_edges // 100_000 + 1))
     if n_part != cur_parts:
         # only re-shuffle + re-materialize when the width actually changes;
         # an unconditional repartition would double-copy the edge set

@@ -257,6 +257,19 @@ def near_dedup_insert(
         # (3) vs already-landed rows: bucket join on band hashes, exact verify
         if _sink_has_batches(sink_dir):
             landed = read_sink(spark, sink_dir)
+            if "__minhash" not in landed.columns:
+                # A sink previously populated by dedup_insert /
+                # continuous_insert (same _batch=* layout) has no stored
+                # signatures; joining against it would fail mid-stream with
+                # an opaque unresolved-column error. Fail fast with the
+                # contract instead — near_dedup_insert owns its sink.
+                raise ValueError(
+                    f"near_dedup_insert sink {sink_dir!r} contains landed rows "
+                    "without a __minhash column (written by a different sink "
+                    "writer?). Point near_dedup_insert at its own sink dir, or "
+                    "backfill signatures with operators.dedup.minhash_signatures "
+                    "before resuming."
+                )
             inc = keyed.select(
                 F.col(id_col).alias("id_b"),
                 F.col(text_col).alias("__text_b"),
@@ -349,8 +362,15 @@ def statement_phase(query: StreamingQuery) -> str:
 
 def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Read an idempotent sink back as one table (the ``_batch`` bookkeeping
-    partition column is internal and dropped)."""
-    df = spark.read.option("basePath", sink_dir).parquet(os.path.join(sink_dir, "_batch=*"))
+    partition column is internal and dropped). ``mergeSchema`` because an
+    evolved sink's batch dirs carry heterogeneous (add-only widened)
+    schemas — a single-footer read would silently null columns that only
+    newer batches carry."""
+    df = (
+        spark.read.option("basePath", sink_dir)
+        .option("mergeSchema", "true")
+        .parquet(os.path.join(sink_dir, "_batch=*"))
+    )
     return df.drop("_batch")
 
 
@@ -440,7 +460,13 @@ def compact_sink(
     to_fold = dirs[: max(0, len(dirs) - keep_batches)]
     if len(to_fold) < 2:
         return 0
-    df = spark.read.parquet(*to_fold)
+    # mergeSchema: an evolved sink (Catalog.insert_into(evolve=True)) holds
+    # batch dirs with heterogeneous (add-only widened) schemas. A plain
+    # read would take one footer's schema and silently null/drop columns
+    # present only in other batches — then the destructive rewrite would
+    # lose them permanently. The union schema is what read_sink consumers
+    # see, so it is what compaction must preserve.
+    df = spark.read.option("mergeSchema", "true").parquet(*to_fold)
     if target_partitions:
         df = df.repartition(target_partitions)
     df.write.mode("overwrite").parquet(tmp)

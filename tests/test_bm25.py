@@ -127,3 +127,34 @@ def test_saved_index_search_matches_live(spark, sf_smoke):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_indexed_search_term_cap_falls_back_to_semi_join(spark, sf_smoke):
+    """Over max_inlined_terms the indexed search must not inline a huge
+    IN-literal (driver/plan guard on the streaming hot path): it degrades
+    to a broadcast semi join with identical results."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+        bm25_search_indexed,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    save_bm25_index(docs, "bm25_idx_cap_test", n_buckets=8)
+    try:
+        inlined = bm25_search_indexed(spark, "bm25_idx_cap_test", queries, k=10).toPandas()
+        joined = bm25_search_indexed(
+            spark, "bm25_idx_cap_test", queries, k=10, max_inlined_terms=1
+        ).toPandas()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_cap_test")
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_cap_test_stats")
+    key = ["query_id", "doc_id", "score", "rank"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        inlined[key].sort_values(key).reset_index(drop=True),
+        joined[key].sort_values(key).reset_index(drop=True),
+    )

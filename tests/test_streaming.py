@@ -597,3 +597,57 @@ def test_compact_sink_recovers_crashed_fold(spark, tmp_path):
     # folding the newest committed dir is refused outright
     with _pytest.raises(ValueError, match="keep_batches"):
         compact_sink(spark, sink, keep_batches=0)
+
+
+def test_compact_sink_preserves_evolved_union_schema(spark, tmp_path):
+    """An evolved sink holds batch dirs with heterogeneous (add-only)
+    schemas. Compaction is destructive — it must read with mergeSchema so
+    columns present in only some batches survive the fold instead of
+    being silently dropped with their source dirs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import compact_sink
+
+    sink = str(tmp_path / "evsink")
+    writer = idempotent_batch_writer(sink)
+    writer(spark.createDataFrame([(1, "a")], ["id", "x"]), 0)
+    writer(spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]), 1)
+    writer(spark.createDataFrame([(3, "c", 1.5)], ["id", "x", "score"]), 2)
+    folded = compact_sink(spark, sink, keep_batches=1)
+    assert folded == 2
+    out = read_sink(spark, sink).toPandas().sort_values("id").reset_index(drop=True)
+    assert set(out.columns) == {"id", "x", "score"}
+    assert list(out["id"]) == [1, 2, 3]
+    import math
+
+    assert math.isnan(out["score"][0]) or out["score"][0] is None
+    assert out["score"][1] == 9.5
+
+
+def test_near_dedup_insert_rejects_foreign_sink(spark, tmp_path):
+    """Pointing near_dedup_insert at a sink populated by a writer that did
+    not land __minhash signatures must fail fast with a clear contract
+    error, not an opaque unresolved-column AnalysisException."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import near_dedup_insert
+
+    sink = str(tmp_path / "foreignsink")
+    # landed by a plain continuous_insert: no __minhash column
+    idempotent_batch_writer(sink)(
+        spark.createDataFrame([(1, "already landed text")], ["doc_id", "text"]), 0
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame([(2, "incoming new text")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = file_stream_reader(spark, src, schema)
+    q = near_dedup_insert(
+        stream, sink, str(tmp_path / "fckpt"),
+        id_col="doc_id", text_col="text", trigger_once=True,
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException, match="__minhash"):
+        q.awaitTermination(120)
