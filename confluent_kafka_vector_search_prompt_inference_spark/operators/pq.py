@@ -57,8 +57,21 @@ def train_pq_codebooks(
     milliseconds, where distributing m k-means jobs pays Spark job
     overhead ×m for no quality gain. (This mirrors how IVF/PQ indexes
     are trained in production vector stores.) Small corpora shrink k to
-    the sample size so every centroid is occupied."""
-    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    the sample size so every centroid is occupied.
+
+    The sample is the ``sample_rows`` vectors with the smallest content
+    hash (``orderBy(xxhash64(vec)).limit(n)`` — per-partition top-n
+    heaps, one scan). A bare ``limit`` would take the first file's
+    prefix: at scale that is one partition's potentially time- or
+    key-correlated rows, silently degrading ADC recall corpus-wide.
+    Bottom-n-by-hash is uniform in content and *order-invariant* — the
+    same corpus in any physical row order trains identical codebooks."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .collect()
+    )
     X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
     n, d = X.shape
     if d % m != 0:

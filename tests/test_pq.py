@@ -189,3 +189,18 @@ def test_pq_append_rejects_schema_mismatch(spark, embeddings, pq_setup, tmp_path
     )
     with _pytest.raises(ValueError, match="schema mismatch"):
         pq_append(wrong, path)
+
+
+def test_codebook_training_is_order_invariant(spark, sf_smoke):
+    """Codebooks must not depend on physical row order: a skew-sorted
+    corpus (the at-scale failure mode of prefix sampling — one partition's
+    correlated rows) trains byte-identical codebooks to a shuffled one,
+    because the sample is bottom-n by content hash."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").alias("vector")
+    )
+    skew_sorted = emb.orderBy("label", "vec_id").coalesce(2)
+    shuffled = emb.orderBy(F.xxhash64("vec_id")).repartition(8)
+    b1 = train_pq_codebooks(skew_sorted, "vector", m=4, sample_rows=200)
+    b2 = train_pq_codebooks(shuffled, "vector", m=4, sample_rows=200)
+    assert np.array_equal(b1, b2)
