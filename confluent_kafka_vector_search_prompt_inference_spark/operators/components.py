@@ -11,16 +11,89 @@ and convergence is detected with a cheap changed-row count. Duplicate
 graphs are near-cliques (diameter ≤ 2-3 in practice), so 3-4 iterations
 close them; ``max_iterations`` bounds adversarial chains. Lineage is
 truncated with ``localCheckpoint`` each round so the plan stays flat over
-iterations (no exponential re-execution at scale). For graphs with long
-path components at the 100 TB tier, swap the propagation loop for the
-large-star/small-star variant — the per-iteration building blocks
-(join + groupBy-min) are the same.
+iterations (no exponential re-execution at scale). Duplicate graphs are
+near-cliques, so min-label closes them in 3-4 rounds; for long PATH
+components (diameter Θ(n), where min-label needs Θ(n) rounds) the
+``algorithm="star"`` variant implements alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): each phase is one window-min over the node's
+neighborhood, and the edge set contracts toward star forests in
+O(log n) alternations regardless of diameter. ``algorithm="auto"``
+(the default) runs min-label and hands the still-changing label set to
+the star variant once the propagation round budget is exhausted.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (a > b) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor v to
+    min(Γ(u) ∪ {u}). One shuffle (window over node id)."""
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w = Window.partitionBy("a")
+    withm = sym.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
+    return _canonical(
+        withm.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Edges oriented larger→smaller; for every node u: connect each
+    (≤ u) neighbor — and u itself — to min(Γ⁻(u)). One shuffle."""
+    w = Window.partitionBy("a")
+    withm = canon.withColumn("m", F.min("b").over(w))
+    nbrs = withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfs = withm.select("a", F.col("m").alias("b"))
+    return _canonical(nbrs.unionByName(selfs))
+
+
+def _star_components(canon: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternate large-star/small-star until the canonical edge set is
+    stable — at the fixed point every edge is (node, component-min), so
+    labels read straight off the edges. Converges in O(log n)
+    alternations even on diameter-Θ(n) path graphs, where min-label
+    propagation needs Θ(n) rounds."""
+    nodes = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = canon.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # star forests are a fixed point of both phases, so "unchanged
+        # edge set" is exactly convergence; sizes first (cheap), then a
+        # one-sided subtract (both sets are distinct + equal-sized).
+        if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    parents = cur.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component")
+    )
+    return (
+        nodes.join(parents, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
 
 
 def connected_components(
@@ -28,10 +101,25 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    algorithm: str = "auto",
+    label_round_budget: int = 6,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = min node id reachable
     over the undirected edge set. Each iteration shuffles (node, label)
-    pairs only — never payload columns."""
+    pairs only — never payload columns.
+
+    ``algorithm``: ``"label"`` = min-label propagation (optimal on the
+    near-clique graphs dedup produces), ``"star"`` = alternating
+    large-star/small-star (O(log n) rounds on any diameter), ``"auto"`` =
+    min-label first, escalating to star if labels still change after
+    ``label_round_budget`` rounds (an adversarial long-path graph)."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return _star_components(
+            _canonical(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))),
+            max_iterations,
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -62,7 +150,13 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    rounds = (
+        min(max_iterations, label_round_budget)
+        if algorithm == "auto"
+        else max_iterations
+    )
+    n_changed = 0
+    for _ in range(rounds):
         # min label among each node's neighbors
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -82,6 +176,18 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if algorithm == "auto" and n_changed > 0:
+        # Labels still moving after the budget: the graph has long paths
+        # (min-label needs Θ(diameter) rounds). Escalate to the star
+        # algorithm, seeding it with the partial labels as extra edges —
+        # (node, label) is a proven reachability fact, so the union has
+        # identical components and the head start carries over.
+        seed = labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("a"), F.col("component").alias("b")
+        )
+        return _star_components(
+            _canonical(sym.unionByName(seed)), max_iterations
+        )
     return labels
 
 

@@ -76,3 +76,83 @@ def test_dedup_clusters_singletons_kept(spark):
     out = {r.id: (r.canonical_id, r.is_duplicate)
            for r in dedup_clusters(pairs, ids, "doc_id").collect()}
     assert out == {1: (1, False), 3: (3, False), 5: (3, True)}
+
+
+def _star_cc(spark, edges):
+    return connected_components(edges, algorithm="star")
+
+
+def _ground_truth_components(pairs, n_nodes):
+    # independent union-find oracle
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonical labels
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_star_components_path_graph_converges_in_log_rounds(spark):
+    """A 50-node path is the min-label worst case (Θ(n) rounds); the
+    star algorithm must close it within an O(log n) iteration budget."""
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, algorithm="star", max_iterations=8).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_star_equals_label_on_random_graphs(spark):
+    """Property: star and min-label produce identical (node, component)
+    maps, both matching a union-find oracle, across random graph shapes."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        m = rng.randint(0, n * 2)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        star = {
+            r.node: r.component
+            for r in connected_components(edges, algorithm="star").collect()
+        }
+        label = {
+            r.node: r.component
+            for r in connected_components(edges, algorithm="label").collect()
+        }
+        truth = _ground_truth_components(pairs, n)
+        touched = {x for p in pairs for x in p}
+        want = {x: truth[x] for x in touched}
+        assert star == label == want, f"trial {trial} diverged"
+
+
+def test_auto_escalates_to_star_on_long_path(spark):
+    """algorithm='auto' with a tight label budget must still return exact
+    components on a path longer than the budget — via star escalation."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            edges, algorithm="auto", label_round_budget=3, max_iterations=10
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
