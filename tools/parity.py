@@ -68,6 +68,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            entrymod.release_persisted()
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -91,6 +92,10 @@ def main() -> int:
             print(f"FAIL {name}: {status}")
         else:
             print(f"ok   {name}: {len(a)} rows exact-match ({time.time()-t0:.1f}s)")
+        # leak discipline: no net-new persisted RDDs after the sweep —
+        # every query runs cold, and cross-query cache luck can't mask a
+        # perf regression
+        entrymod.release_persisted()
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
