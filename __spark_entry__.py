@@ -57,7 +57,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.components i
 from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
 from confluent_kafka_vector_search_prompt_inference_spark.operators.skew import salted_join
 from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
-from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
+from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_image_features
 from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
 
 
@@ -1622,33 +1622,123 @@ FROM documents WHERE doc_id < 50
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary media column → mapInPandas feature
-    extraction (SURVEY.md §2.11).
+    """Multimodal decode, END-TO-END REAL (SURVEY.md §2.11): per document
+    a deterministic 8×8 grayscale image (pixel i = (doc_id·31 + i) mod
+    256) is PNG-ENCODED (stdlib codec: zlib + scanline filters), carried
+    as a binary media column, then DECODED back and feature-extracted
+    over the actual pixels inside ``mapInPandas``.
 
-    The PLUMBING surface is hard-oracled: uri/mime construction, the
-    byte count the Arrow batches carried, and the declared feature
-    dimensionality are all deterministic and recomputed by the DuckDB
-    oracle — a broken batch shape, schema, or byte path turns the row
-    red. The feature VECTOR's values are the declared fake (md5-seeded
-    RNG standing in for absent codecs) and stay out of the hash; their
-    determinism and shape are pytest-covered (tests/test_sources.py)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.concat(F.lit("doc://"), F.col("doc_id")).alias("uri"),
-            F.col("text").cast("binary").alias("bytes"),
-        ).alias("media")
-    )
-    return with_fake_image_features(media).select(
-        "uri", "mime", "n_bytes", F.size("features").alias("feat_dim")
+    The oracle is hard: width/height/channels/feat_dim and the pixel
+    mean/min/max are recomputed closed-form by DuckDB from doc_id — any
+    bug anywhere in the encoder, the decoder (unfiltering, chunk
+    parsing), the Arrow byte path, or the feature math turns rows red.
+    PNG's compressed byte length is the one non-SQL-expressible value,
+    so n_bytes stays out of the projection (codec round-trip bytes are
+    pytest-covered in tests/test_sources.py)."""
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import png_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                px = ((int(d) * 31 + np.arange(64)) % 256).astype(np.uint8).reshape(8, 8)
+                media.append(
+                    {"mime": "image/png", "uri": f"img://{int(d)}", "bytes": png_encode(px)}
+                )
+            yield pd.DataFrame({"media": media})
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import MULTIMODAL_SCHEMA
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    media_df = docs.mapInPandas(gen, _ST([_SF("media", MULTIMODAL_SCHEMA)]))
+    f = with_image_features(media_df)
+    return f.select(
+        "uri",
+        "mime",
+        F.col("features")[0].cast("int").alias("height"),
+        F.col("features")[1].cast("int").alias("width"),
+        F.col("features")[2].cast("int").alias("channels"),
+        F.size("features").alias("feat_dim"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("px_mean"),
+        F.col("features")[5].cast("int").alias("px_min"),
+        F.col("features")[6].cast("int").alias("px_max"),
     )
 
 
 _MULTIMODAL_ORACLE = """
-SELECT 'doc://' || doc_id AS uri, 'text/plain' AS mime,
-  CAST(length(text) AS BIGINT) AS n_bytes, 32 AS feat_dim
-FROM documents
+WITH px AS (
+  SELECT doc_id, list_transform(range(0, 64), i -> (doc_id * 31 + i) % 256) AS p
+  FROM documents)
+SELECT 'img://' || doc_id AS uri, 'image/png' AS mime,
+  8 AS height, 8 AS width, 1 AS channels, 32 AS feat_dim,
+  ROUND(CAST(CAST(list_avg(p) AS REAL) AS DOUBLE), 6) AS px_mean,
+  CAST(list_min(p) AS INTEGER) AS px_min,
+  CAST(list_max(p) AS INTEGER) AS px_max
+FROM px
+"""
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV PCM round trip, end-to-end real (SURVEY.md §2.11 audio leg):
+    per document a deterministic 100-sample int16 signal
+    (sample i = ((doc_id·7 + i·13) mod 2003) − 1001) is encoded to WAV
+    bytes with the stdlib codec, carried as a binary column, decoded
+    back inside ``mapInPandas``, and summarized. Every output value is
+    recomputed closed-form by DuckDB from doc_id, so a broken RIFF
+    header, sample width, or byte order turns rows red."""
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import wav_encode
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_audio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = (
+        "doc_id bigint, sample_rate int, n_samples int, n_channels int, "
+        "s_mean double, s_min int, s_max int"
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                s = (((int(d) * 7 + np.arange(100) * 13) % 2003) - 1001).astype(np.int16)
+                decoded, rate = decode_audio(wav_encode(s, 8000))
+                rows.append(
+                    (
+                        int(d), rate, decoded.shape[0], decoded.shape[1],
+                        round(float(decoded.mean()), 6),
+                        int(decoded.min()), int(decoded.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_channels",
+                    "s_mean", "s_min", "s_max",
+                ],
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+_AUDIO_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(range(0, 100), i -> (doc_id * 7 + i * 13) % 2003 - 1001) AS v
+  FROM documents)
+SELECT doc_id, 8000 AS sample_rate, 100 AS n_samples, 1 AS n_channels,
+  ROUND(list_avg(v), 6) AS s_mean,
+  CAST(list_min(v) AS INTEGER) AS s_min,
+  CAST(list_max(v) AS INTEGER) AS s_max
+FROM s
 """
 
 
@@ -5565,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": events_value_histogram,
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
+        "audio_decode_stats": audio_decode_stats,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -5701,7 +5792,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
-        # multimodal plumbing surface (uri/mime/bytes/dim) is hard-oracled;
-        # the fake feature values themselves are pytest-covered only.
+        # real codec round trips: encode → decode → pixel/sample stats,
+        # recomputed closed-form by DuckDB from doc_id
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "audio_decode_stats": _AUDIO_ORACLE,
     }

@@ -12,9 +12,11 @@ from confluent_kafka_vector_search_prompt_inference_spark.sources.registry impor
 from confluent_kafka_vector_search_prompt_inference_spark.sources.kafka import kafka_reader, kafka_stream_reader
 from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import (
     MULTIMODAL_SCHEMA,
+    decode_audio,
+    decode_image,
     read_binary_dir,
-    with_fake_image_features,
-    decode_image_stub,
+    resize_image,
+    with_image_features,
 )
 
 __all__ = [
@@ -24,6 +26,8 @@ __all__ = [
     "kafka_stream_reader",
     "MULTIMODAL_SCHEMA",
     "read_binary_dir",
-    "with_fake_image_features",
-    "decode_image_stub",
+    "decode_image",
+    "decode_audio",
+    "resize_image",
+    "with_image_features",
 ]

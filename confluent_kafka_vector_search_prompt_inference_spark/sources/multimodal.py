@@ -5,18 +5,19 @@ text-only. Convention: a multimodal value is ``STRUCT<mime STRING, uri
 STRING, bytes BINARY>``; blob ingestion uses Spark's ``binaryFile`` source
 (scan parallelism and predicate pushdown on path/length for free).
 
-The decode step (real JPEG/WAV decoding) needs codec libraries this
-container does not ship, so it is STUBBED: :func:`decode_image_stub` raises
-``NotImplementedError`` while :func:`with_fake_image_features` provides a
-deterministic fake with the REAL Spark plumbing — ``mapInPandas`` over
-Arrow batches, bounded batch size, typed output schema — so the 100 TB
-execution shape (pure map, no shuffle, Python only at the codec boundary)
-is in place and tested; swapping in Pillow/librosa is a one-function change.
+The decode step is REAL: PNG decodes via the stdlib codec in
+``sources/codecs.py`` (zlib + NumPy unfiltering, all five scanline
+filters) and WAV PCM via the stdlib ``wave`` module — no Pillow/librosa
+required. Feature extraction (:func:`with_image_features`) computes
+statistics over actual decoded pixels inside ``mapInPandas`` over Arrow
+batches — bounded batch size, typed output schema, pure map with no
+shuffle, Python only at the codec boundary — the exact 100 TB execution
+shape a Pillow-backed decoder would use. JPEG (lossy DCT) stays out of
+scope and raises with a clear message.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -73,24 +74,53 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
-def decode_image_stub(data: bytes) -> "np.ndarray":
-    """Real image decode — requires a codec library absent from this
-    container. Plumbing above is real; swap this stub for Pillow:
-    ``np.asarray(PIL.Image.open(io.BytesIO(data)))``."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use with_fake_image_features() for the deterministic test path"
-    )
+def decode_image(data: bytes) -> "np.ndarray":
+    """Decode image bytes → ``(H, W, C)`` uint8 pixels. PNG is decoded
+    for real (stdlib codec, ``codecs.png_decode``); JPEG's lossy DCT
+    pipeline is out of scope and raises with a clear message."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import _PNG_SIG, png_decode
+
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode (lossy DCT) is out of scope for the stdlib codec; "
+            "re-encode as PNG or plug a JPEG library into decode_image"
+        )
+    raise ValueError("unrecognized image format (expected PNG)")
 
 
-def _fake_features(data: bytes | None) -> list[float]:
-    """Deterministic stand-in feature extractor: md5-seeded float vector.
-    Same bytes → same features, so downstream joins/dedup are testable."""
-    if data is None:
-        data = b""
-    h = hashlib.md5(data).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return [float(x) for x in rng.standard_normal(IMAGE_FEATURE_DIM).astype(np.float32)]
+def decode_audio(data: bytes) -> tuple["np.ndarray", int]:
+    """Decode WAV PCM bytes → ``((n, channels) int16 array, sample_rate)``."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import wav_decode
+
+    return wav_decode(data)
+
+
+def _image_features(data: bytes | None) -> list[float]:
+    """Deterministic 32-dim feature vector over REAL decoded pixels:
+
+    ``[h, w, c, lum_mean, lum_std, lum_min, lum_max,
+    16 × (4×4 grid-block luminance means), 4 × channel means (0-padded),
+    lum p10/p25/p50/p75/p90]``
+
+    Luminance = per-pixel mean across channels. Everything is closed-form
+    arithmetic over the pixel array, so a SQL oracle can recompute any of
+    it for synthetic images."""
+    px = decode_image(data or b"").astype(np.float64)
+    h, w, c = px.shape
+    lum = px.mean(axis=2)
+    feats = [float(h), float(w), float(c),
+             float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max())]
+    for iy in range(4):
+        for ix in range(4):
+            ylo, yhi = (iy * h) // 4, max(((iy + 1) * h) // 4, (iy * h) // 4 + 1)
+            xlo, xhi = (ix * w) // 4, max(((ix + 1) * w) // 4, (ix * w) // 4 + 1)
+            feats.append(float(lum[ylo:yhi, xlo:xhi].mean()))
+    for ch in range(4):
+        feats.append(float(px[:, :, ch].mean()) if ch < c else 0.0)
+    feats.extend(float(q) for q in np.quantile(lum, [0.1, 0.25, 0.5, 0.75, 0.9]))
+    return [float(np.float32(f)) for f in feats]
 
 
 _FRAME_SCHEMA = StructType(
@@ -103,43 +133,58 @@ _FRAME_SCHEMA = StructType(
 
 
 def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> DataFrame:
-    """Sample N frames per video/audio blob: one input row → N output rows.
+    """Sample N frames per audio/video blob: one input row → N output rows.
 
-    Real frame extraction needs codec libraries absent here; the fake
-    slices the raw bytes into N deterministic chunks, keeping the
-    production execution shape — ``mapInPandas`` fan-out (bounded memory:
-    one blob decoded at a time per batch, rows yielded incrementally),
-    typed output, no shuffle. Swap the chunker for PyAV/ffmpeg."""
+    ``audio/wav`` blobs are REALLY decoded (stdlib codec): the sample
+    stream splits into N contiguous segments, each re-encoded as a
+    standalone playable WAV. Video codecs are genuinely absent, so video
+    (and unknown) blobs fall back to deterministic raw-byte chunks — the
+    production execution shape is identical either way: ``mapInPandas``
+    fan-out (bounded memory: one blob decoded at a time per batch),
+    typed output, no shuffle. Swap the video branch for PyAV/ffmpeg."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import wav_decode, wav_encode
+
         for pdf in batches:
             uris, idxs, frames = [], [], []
             for m in pdf[media_col]:
                 data = m["bytes"] or b""
-                step = max(len(data) // n_frames, 1)
-                for i in range(n_frames):
-                    uris.append(m["uri"])
-                    idxs.append(i)
-                    frames.append(data[i * step : (i + 1) * step])
+                if m["mime"] == "audio/wav":
+                    samples, rate = wav_decode(bytes(data))
+                    n = samples.shape[0]
+                    step = max(n // n_frames, 1)
+                    for i in range(n_frames):
+                        seg = samples[i * step : (i + 1) * step]
+                        uris.append(m["uri"])
+                        idxs.append(i)
+                        frames.append(wav_encode(seg, rate) if len(seg) else b"")
+                else:
+                    step = max(len(data) // n_frames, 1)
+                    for i in range(n_frames):
+                        uris.append(m["uri"])
+                        idxs.append(i)
+                        frames.append(data[i * step : (i + 1) * step])
             yield pd.DataFrame({"uri": uris, "frame_idx": idxs, "frame_bytes": frames})
 
     return df.mapInPandas(sample, schema=_FRAME_SCHEMA)
 
 
-def resize_image_stub(data: bytes, width: int, height: int) -> bytes:
-    """Real resize — requires Pillow; see :func:`decode_image_stub`."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; the Spark-side "
-        "plumbing (frame_sample / with_fake_image_features) is real"
-    )
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Resize image bytes: real decode → nearest-neighbor resample (pure
+    integer index math, platform-deterministic) → PNG re-encode."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import png_encode, resize_nearest
+
+    return png_encode(resize_nearest(decode_image(data), width, height))
 
 
-def with_fake_image_features(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Feature-extract multimodal rows: ``mapInPandas`` over Arrow batches.
+def with_image_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Feature-extract multimodal rows: ``mapInPandas`` over Arrow batches,
+    REAL pixel decode at the codec boundary (see :func:`_image_features`).
 
-    The execution shape is the production one — per-partition streaming over
-    bounded batches, no shuffle, output schema declared up front — only the
-    innermost decode is fake (see module docstring)."""
+    The execution shape is the production one — per-partition streaming
+    over bounded batches, no shuffle, output schema declared up front;
+    the only Python in the plan is the codec itself."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +194,7 @@ def with_fake_image_features(df: DataFrame, media_col: str = "media") -> DataFra
                     "uri": [m["uri"] for m in media],
                     "mime": [m["mime"] for m in media],
                     "n_bytes": [len(m["bytes"] or b"") for m in media],
-                    "features": [_fake_features(m["bytes"]) for m in media],
+                    "features": [_image_features(m["bytes"]) for m in media],
                 }
             )
 

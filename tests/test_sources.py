@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from confluent_kafka_vector_search_prompt_inference_spark.catalog import Catalog
 from confluent_kafka_vector_search_prompt_inference_spark.sources.kafka import kafka_sink_options, to_kafka_shape
-from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_fake_image_features
+from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import with_image_features
 from confluent_kafka_vector_search_prompt_inference_spark.sources.registry import (
     SchemaRegistry,
     decode_json_topic,
@@ -81,23 +81,45 @@ def test_kafka_sink_options():
     }
 
 
-def test_multimodal_features_deterministic(spark):
+def test_multimodal_features_real_pixels(spark):
+    """with_image_features decodes REAL PNG bytes and its stats match an
+    independent NumPy computation over the source pixels."""
+    import numpy as np
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import png_encode
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, size=(5, 5), dtype=np.uint8)
     media = spark.createDataFrame(
-        [(("image/png", "mem://a", b"\x89PNG fake"),), (("image/png", "mem://b", b"other"),)],
+        [
+            (("image/png", "mem://a", bytearray(png_encode(img_a))),),
+            (("image/png", "mem://b", bytearray(png_encode(img_b))),),
+        ],
         "media struct<mime:string,uri:string,bytes:binary>",
     )
-    a = with_fake_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
-    b = with_fake_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
-    assert list(a.n_bytes) == [9, 5]
-    assert all(len(f) == 32 for f in a.features)
-    assert str(a.features.tolist()) == str(b.features.tolist())
+    out = with_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
+    assert all(len(f) == 32 for f in out.features)
+    fa = out.features[0]
+    assert (fa[0], fa[1], fa[2]) == (8.0, 6.0, 3.0)
+    lum = img_a.astype(np.float64).mean(axis=2)
+    assert abs(fa[3] - np.float32(lum.mean())) < 1e-6
+    assert fa[5] == np.float32(lum.min()) and fa[6] == np.float32(lum.max())
+    fb = out.features[1]
+    assert (fb[0], fb[1], fb[2]) == (5.0, 5.0, 1.0)
+    assert abs(fb[3] - np.float32(img_b.mean())) < 1e-6
+    # determinism: same bytes -> same features
+    again = with_image_features(media).toPandas().sort_values("uri").reset_index(drop=True)
+    assert str(out.features.tolist()) == str(again.features.tolist())
 
 
-def test_multimodal_decode_stub_raises():
-    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image_stub
+def test_decode_image_rejects_unknown_formats():
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image
 
+    with pytest.raises(ValueError):
+        decode_image(b"not an image")
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg header")
 
 
 def test_catalog_roundtrip(spark, tmp_path):
@@ -125,3 +147,24 @@ def test_frame_sample_fanout(spark):
     # deterministic: same input → same chunks
     again = frame_sample(media, n_frames=4).collect()
     assert [bytes(f.frame_bytes) for f in frames] == [bytes(f.frame_bytes) for f in again]
+
+
+def test_frame_sample_wav_segments_are_playable(spark):
+    """audio/wav frame sampling decodes for real: each emitted frame is a
+    standalone WAV whose samples are the corresponding source segment."""
+    import numpy as np
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import wav_decode, wav_encode
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import frame_sample
+
+    s = (np.arange(80, dtype=np.int16) * 100) - 4000
+    media = spark.createDataFrame(
+        [(("audio/wav", "mem://a1", bytearray(wav_encode(s, 8000))),)],
+        "media struct<mime:string,uri:string,bytes:binary>",
+    )
+    frames = sorted(frame_sample(media, n_frames=4).collect(), key=lambda r: r.frame_idx)
+    assert len(frames) == 4
+    for i, f in enumerate(frames):
+        seg, rate = wav_decode(bytes(f.frame_bytes))
+        assert rate == 8000
+        assert np.array_equal(seg[:, 0], s[i * 20 : (i + 1) * 20])
