@@ -4860,6 +4860,51 @@ WHERE q.lang_pred = 'en' AND q.quality >= 0.5 AND c.contamination < 0.5
 """
 
 
+def cross_encoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final tier of the retrieval-quality ladder (single-vector → MaxSim
+    → cross-encoder; §2.11 similarity search): BM25 retrieves top-10
+    candidates per query, then an Arrow-batched PAIR scorer
+    (operators/rerank.cross_encoder_rerank) re-scores each (query, doc)
+    text pair jointly and keeps top-5. The deterministic lexical scorer
+    (distinct-word Jaccard) is closed-form, so the ENTIRE two-stage
+    pipeline — BM25 integer impacts, candidate cut, pair scoring, rerank
+    — oracles exactly in SQL; a neural scorer swaps in at the single
+    pandas_udf. Candidates are queries×10 rows, so the model pass is
+    corpus-size-independent — the economic point of a rerank tier."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.rerank import cross_encoder_rerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cands = bm25_search(docs, queries, k=10)
+    return cross_encoder_rerank(
+        cands, queries, docs, k=5
+    ).select("query_id", "doc_id", F.round("ce_score", 6).alias("ce_score"), "ce_rank")
+
+
+_CROSS_ENCODER_ORACLE = f"""
+WITH {_BM25_KW_CTE},
+cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rank <= 10),
+dtoks AS (SELECT doc_id, list_distinct(t) AS tset FROM toks),
+pair AS (
+  SELECT c.query_id, c.doc_id, qt.tset AS tq, dt.tset AS td
+  FROM cand c
+  JOIN dtoks qt ON qt.doc_id = c.query_id
+  JOIN dtoks dt ON dt.doc_id = c.doc_id),
+scored AS (
+  SELECT query_id, doc_id,
+    ROUND(CAST(len(list_intersect(tq, td)) AS DOUBLE)
+          / CAST(len(list_distinct(tq || td)) AS DOUBLE), 6) AS ce_score
+  FROM pair),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY ce_score DESC, doc_id ASC) AS INTEGER) AS ce_rank
+  FROM scored)
+SELECT query_id, doc_id, ce_score, ce_rank FROM ranked WHERE ce_rank <= 5
+"""
+
+
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact cosine top-20 per query, then maximal
     marginal relevance (λ=0.7) picks a top-5 that trades relevance against
@@ -5656,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_outliers": embedding_label_outliers,
         "multimodal_features": multimodal_features,
         "audio_decode_stats": audio_decode_stats,
+        "cross_encoder_rerank_topk": cross_encoder_rerank_topk,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -5796,4 +5842,5 @@ def oracle_sql() -> dict[str, str]:
         # recomputed closed-form by DuckDB from doc_id
         "multimodal_features": _MULTIMODAL_ORACLE,
         "audio_decode_stats": _AUDIO_ORACLE,
+        "cross_encoder_rerank_topk": _CROSS_ENCODER_ORACLE,
     }

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,77 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(_mmr, schema=schema)
+
+
+def lexical_cross_encoder():
+    """Deterministic stand-in for a neural cross-encoder: an Arrow-batched
+    ``pandas_udf`` over the (query_text, doc_text) PAIR — the defining
+    property of the cross-encoder tier: the score is a function of the
+    pair jointly, never of two independently-produced embeddings.
+
+    Score = Jaccard overlap of the distinct normalized word sets,
+    rounded to 6 — engine-portable closed form, so the whole rerank
+    oracles exactly in SQL. Swapping in a real model (e.g. a MiniLM
+    cross-encoder) replaces only this UDF; the batched pair-scoring
+    plumbing is identical."""
+    import re
+
+    from pyspark.sql.types import DoubleType
+
+    def _toks(s: str) -> set:
+        # mirrors the engine's _SQL_WORDS normalization exactly:
+        # lower → collapse whitespace → trim → split on single space
+        return set(re.sub(r"\s+", " ", (s or "").lower()).strip().split(" "))
+
+    @F.pandas_udf(DoubleType())
+    def score(q: pd.Series, d: pd.Series) -> pd.Series:
+        out = np.empty(len(q))
+        for i, (a, b) in enumerate(zip(q, d)):
+            ta, tb = _toks(a), _toks(b)
+            union = len(ta | tb)
+            out[i] = round(len(ta & tb) / union, 6) if union else 0.0
+        return pd.Series(out)
+
+    return score
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    query_text: str = "query_text",
+    doc_text: str = "text",
+    k: int = 5,
+    scorer=None,
+    score_col: str = "ce_score",
+    rank_col: str = "ce_rank",
+) -> DataFrame:
+    """Final tier of the retrieval-quality ladder (single-vector → MaxSim
+    → cross-encoder): re-score a first-stage top-N candidate list with a
+    pair scorer and keep the top-k per query.
+
+    Scale shape: ``candidates`` is already k-bounded per query (queries ×
+    N rows total, corpus-size-independent), so the candidate list plus
+    query texts BROADCAST into one pass over the corpus to attach doc
+    text — the corpus never shuffles, exactly like the broadcast top-k
+    join. The expensive model call runs on queries × N pairs only, which
+    is the entire economic point of a cross-encoder as a *re*-ranker.
+    Ties break on ascending doc id, deterministic at any parallelism."""
+    scorer = scorer or lexical_cross_encoder()
+    cand = candidates.select(query_id, doc_id).join(
+        queries.select(query_id, query_text), query_id
+    )
+    paired = corpus.select(F.col(doc_id), F.col(doc_text).alias("__dtext")).join(
+        F.broadcast(cand), doc_id
+    )
+    scored = paired.select(
+        query_id, doc_id, scorer(F.col(query_text), F.col("__dtext")).alias(score_col)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(doc_id))
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank_col) <= k)
+    )

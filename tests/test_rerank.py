@@ -85,3 +85,61 @@ def test_ranks_are_dense_and_scores_monotone_weakly(toy):
     for _, g in out.groupby("query_id"):
         ranks = sorted(g.mmr_rank)
         assert ranks == list(range(1, len(g) + 1))
+
+
+def test_cross_encoder_rerank_pair_scoring(spark):
+    """The CE tier scores the PAIR: the query's own document gets Jaccard
+    1.0 and rank 1; output is top-k per query with deterministic ties."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.rerank import cross_encoder_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "red shoes for running fast"),
+            (1, "red shoes for walking slow"),
+            (2, "blue hats and winter coats"),
+            (3, "running fast in red shoes"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cands = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 3)], ["query_id", "doc_id"]
+    )
+    out = cross_encoder_rerank(cands, queries, docs, k=3).toPandas()
+    out = out.sort_values("ce_rank").reset_index(drop=True)
+    assert list(out.doc_id)[:2] == [0, 3]  # identical text, then closest pair
+    assert out.ce_score[0] == 1.0
+    assert out.ce_score[1] == 0.666667  # {red,shoes,running,fast} / 6-token union
+    assert len(out) == 3  # k bound holds
+    # rank 1 vs 2 tie broke on ascending doc_id
+    assert out.ce_rank.tolist() == [1, 2, 3]
+    # parallelism invariance
+    again = cross_encoder_rerank(
+        cands.repartition(7), queries, docs.repartition(5), k=3
+    ).toPandas().sort_values("ce_rank").reset_index(drop=True)
+    assert again.doc_id.tolist() == out.doc_id.tolist()
+
+
+def test_cross_encoder_corpus_never_shuffles(spark, sf_smoke):
+    """The candidate list broadcasts into the corpus text-attach join —
+    the corpus side must not exchange."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.rerank import cross_encoder_rerank
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cands = spark.createDataFrame(
+        [(q, d) for q in range(2) for d in range(10)], ["query_id", "doc_id"]
+    )
+    df = cross_encoder_rerank(cands, queries, docs, k=5)
+    tree = formatted_plan(df).split("(1) Scan")[0]
+    # the only data exchange allowed is the final per-query rank window
+    n = sum(
+        1 for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert n <= 1, tree
