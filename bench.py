@@ -93,6 +93,105 @@ EXTRA_ACTIONS = {
     "vec_topk_ivf_probe": _ivf_probe,
 }
 
+# ---------------------------------------------------------------------------
+# Streaming throughput: the reference's statements run FOREVER
+# (continuous INSERT-SELECT); batch timings say nothing about micro-batch
+# latency. Drive the two continuous pipelines over N file-source
+# micro-batches at SF_DIR and report rows/sec plus p50/p95 per-batch
+# trigger latency from the StreamingQuery progress log.
+# ---------------------------------------------------------------------------
+N_STREAM_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "8"))
+
+
+def _progress_stats(query, wall_sec: float, source_rows: int) -> dict:
+    # rows/sec is metered on the KNOWN source row count: a foreachBatch
+    # body that consumes its batch DataFrame more than once (every real
+    # transform does) re-executes the source scan, so the progress log's
+    # numInputRows over-counts actual throughput.
+    import statistics
+
+    prog = [p for p in (query.recentProgress or []) if p.get("numInputRows", 0) > 0]
+    durs = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+    if not durs:
+        return {"batches": 0}
+    return {
+        "batches": len(durs),
+        "rows": source_rows,
+        "rows_per_sec": round(source_rows / wall_sec, 1),
+        "p50_batch_ms": int(statistics.median(durs)),
+        "p95_batch_ms": int(durs[min(len(durs) - 1, int(len(durs) * 0.95))]),
+    }
+
+
+def _streaming_bench(spark) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        continuous_insert,
+        file_stream_reader,
+        near_dedup_insert,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    work = tempfile.mkdtemp(prefix="spark_graft_bench_stream_")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    out: dict[str, dict] = {}
+    try:
+        # --- RAG transform: question micro-batches against a cached corpus
+        registry = ModelRegistry()
+        registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
+        registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+        pipe = RagPipeline(registry, k=3)
+        corpus = registry.ml_predict(
+            docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+            "vector_encoding",
+            "content",
+        ).cache()
+        corpus.count()  # warm: index build cost stays out of the timed loop
+        questions = docs.select(
+            F.lit("user").alias("role"),
+            F.col("text").alias("content"),
+            F.col("doc_id").cast("string").alias("sessionid"),
+        )
+        qsrc = os.path.join(work, "qsrc")
+        questions.repartition(N_STREAM_BATCHES).write.parquet(qsrc)
+        stream = file_stream_reader(spark, qsrc, questions.schema)
+        t0 = time.time()
+        q = continuous_insert(
+            stream,
+            os.path.join(work, "rag_sink"),
+            os.path.join(work, "rag_ckpt"),
+            transform=pipe.streaming_transform(corpus),
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["rag_transform"] = _progress_stats(q, time.time() - t0, n_docs)
+        corpus.unpersist()
+
+        # --- streaming MinHash near-dedup: documents land batch by batch
+        dsrc = os.path.join(work, "dsrc")
+        docs.select("doc_id", "text").repartition(N_STREAM_BATCHES).write.parquet(dsrc)
+        dschema = docs.select("doc_id", "text").schema
+        t0 = time.time()
+        q = near_dedup_insert(
+            file_stream_reader(spark, dsrc, dschema),
+            os.path.join(work, "nd_sink"),
+            os.path.join(work, "nd_ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["near_dedup_insert"] = _progress_stats(q, time.time() - t0, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
 
 def main() -> None:
     spark = get_spark("spark-graft-bench")
@@ -120,6 +219,8 @@ def main() -> None:
     # for anyone embedding main().
     entry.release_persisted()
 
+    streaming = _streaming_bench(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     print(
@@ -129,6 +230,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
