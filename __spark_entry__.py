@@ -5012,15 +5012,21 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector to its nearest anchor (cluster), score cosine pairs ONLY
     within a cluster, and drop every row whose cluster holds a near-dup
     (cosine ≥ 0.99) with a smaller id. Clustering bounds the quadratic —
-    O(Σ|cluster|²) pairs instead of O(n²) — and the per-cluster self-join
-    is a co-located hash join on the cluster id; at 100 TB the cluster id
-    becomes the physical partition key and the pair stage goes
-    partition-local. This oracle-checkable variant uses fixed anchor
-    vectors (first 8 corpus rows) assigned declaratively; the production
-    operator (``operators.dedup.semantic_dedup``) trains k-means centroids
-    instead — same dataflow, pytest-verified. Duplicates are planted
-    (vec_id < 50 copied at +100000) since the synthetic corpus has no
-    natural near-pairs."""
+    O(Σ|cluster|²) pairs instead of O(n²) — and the pair stage runs as
+    blocked BLAS inside each cluster's executor
+    (``operators.dedup.semantic_dropped_ids``), never as a Catalyst
+    self-join exploding |cluster|² rows (SCALECHECK r4 measured the join
+    form at 102s by sf1 — superlinear; the BLAS form is the linear-cost
+    shape); at 100 TB the cluster id becomes the physical partition key
+    and the group stage reads partition-local. This oracle-checkable
+    variant uses fixed anchor vectors (first 8 corpus rows) assigned
+    declaratively; the production operator
+    (``operators.dedup.semantic_dedup``) trains k-means centroids and
+    auto-scales the cluster count so per-cluster size stays constant —
+    same dataflow, pytest-verified. Duplicates are planted (vec_id < 50
+    copied at +100000) since the synthetic corpus has no natural
+    near-pairs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import semantic_dropped_ids
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
@@ -5049,15 +5055,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist so the score+rank subtree runs once, not three times
         .transform(_persist)
     )
-    a = assign.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster")
-    b = assign.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(vec_cosine("va", "vb"), 6) >= 0.99)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+    dropped = semantic_dropped_ids(assign, "vec_id", "v", threshold=0.99)
     return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")
 
 

@@ -513,48 +513,104 @@ def embedding_near_duplicates(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semantic_dropped_ids(
+    indexed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    cluster_col: str = "cluster",
+    block: int = 2048,
+) -> DataFrame:
+    """Within-cluster near-duplicate ids: for each cluster, every row that
+    has a cosine ≥ threshold partner with a SMALLER id (the SemDeDup drop
+    set). One ``groupBy(cluster).applyInPandas`` — the O(|cluster|²·d)
+    pair work runs as blocked float64 BLAS matmuls on the executor that
+    owns the cluster, never as exploded join rows: a 25k-row cluster is
+    ~3·10⁸ pairs, which is one second of matmul but minutes (and a
+    shuffle of pair-rows carrying vectors twice) as a Catalyst
+    self-join. ``block`` bounds the similarity-matrix memory to
+    block × |cluster| doubles. Cosine is rounded HALF_UP to 6 decimals,
+    matching Spark's ``round`` so results are engine-exact."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = indexed.schema[id_col].dataType.simpleString()
+
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        for jlo in range(1, n, block):
+            jhi = min(jlo + block, n)
+            hit = np.zeros(jhi - jlo, dtype=bool)
+            for ilo in range(0, jhi, block):
+                ihi = min(ilo + block, jhi)
+                sim = U[jlo:jhi] @ U[ilo:ihi].T  # (jblock, iblock)
+                # Spark ROUND is half-up (away from zero)
+                sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+                jj = np.arange(jlo, jhi)[:, None]
+                ii = np.arange(ilo, ihi)[None, :]
+                hit |= ((sim >= threshold) & (ii < jj)).any(axis=1)
+            dropped[jlo:jhi] = hit
+        return pd.DataFrame({id_col: pdf[id_col][dropped]})
+
+    return indexed.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
+        _dropped, schema=f"{id_col} {id_type}"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
+    target_cluster_rows: int = 1024,
     seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
-    the embedding corpus into ``n_clusters`` partitions, score cosine pairs
-    ONLY within each cluster, and greedily drop every row whose cluster
-    contains a near-duplicate (cosine ≥ threshold) with a smaller id.
+    the embedding corpus into clusters, score cosine pairs ONLY within
+    each cluster, and greedily drop every row whose cluster contains a
+    near-duplicate (cosine ≥ threshold) with a smaller id.
 
     Returns the surviving rows with their ``cluster`` column attached.
 
-    Scale design: clustering bounds the quadratic — pairwise work is
-    O(Σ |cluster|²) instead of O(n²), and the per-cluster self-join is a
-    hash join on the cluster id, so each cluster's block is co-located on
-    one executor. At 100 TB, ``cluster`` doubles as the physical partition
-    key (same layout the IVF index uses), making the pair stage a
-    partition-local map. Greedy min-id pruning matches connected-components
-    resolution on duplicate cliques and is the standard SemDeDup policy;
-    use :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.components.dedup_clusters` when
+    Scale design, two levers (both found empirically by SCALECHECK —
+    a fixed-k variant scaled quadratically past sf1):
+
+    - ``n_clusters`` defaults to corpus_rows / target_cluster_rows
+      (one count job), so cluster size — and with it the Σ|cluster|²
+      pair budget — stays CONSTANT as the corpus grows: total pair work
+      is n · target_cluster_rows, i.e. linear in n. A fixed k silently
+      degenerates to O(n²/k).
+    - Pair scoring runs as blocked BLAS inside the cluster's executor
+      (:func:`semantic_dropped_ids`), never as a Catalyst self-join
+      exploding |cluster|² rows that carry the vectors twice.
+
+    At 100 TB, ``cluster`` doubles as the physical partition key (same
+    layout the IVF index uses) so the group stage reads partition-local.
+    Greedy min-id pruning matches connected-components resolution on
+    duplicate cliques and is the standard SemDeDup policy; use
+    :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.components.dedup_clusters` when
     chain-transitive resolution is required.
     """
     from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index
 
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(4, min(65_536, -(-n // target_cluster_rows)))
     indexed, _ = build_ivf_index(
         df, vec_col, n_clusters=n_clusters, seed=seed, cluster_col="cluster"
     )
-    a = indexed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
-    )
-    b = indexed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster"
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(vec_cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    dropped = semantic_dropped_ids(
+        indexed, id_col, vec_col, threshold=threshold
     )
     return indexed.join(dropped, id_col, "left_anti")

@@ -32,6 +32,16 @@ _DEFAULTS: dict[str, str] = {
     # bytes-per-core >> maxPartitionBytes, so this floor never binds there.
     "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Join-strategy size estimates start from ON-DISK parquet bytes, but
+    # snappy+dictionary text/array columns decompress ~8-17×: at sf10 a
+    # 59 MB documents file slipped under the 64 MB broadcast threshold
+    # and Catalyst broadcast the corpus-sized shingle table — a ~1 GiB
+    # allocation that killed the JVM (found empirically by SCALECHECK,
+    # round 4). Scaling file estimates by the compression factor keeps
+    # auto-broadcast for genuinely small dimensions while corpus-sized
+    # relations fall back to shuffle joins; explicit broadcast() hints
+    # (every query-bounded side in this engine) are unaffected.
+    "spark.sql.sources.fileCompressionFactor": "8.0",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

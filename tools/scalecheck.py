@@ -1,0 +1,121 @@
+"""Empirical scale validation: run the heavy dedup/retrieval queries up a
+10×/100× data ladder and record observed scaling exponents.
+
+sf0.1 is the driver's bench testdata (5k docs / 2k vectors); sf1 and
+sf10 come from tools/gen_scale_data.py (same distributional shape, 10×
+and 100×). For each query we record wall time per scale factor, the
+log10 time ratio per 10× data step (exponent ≈ 1.0 → linear, ≥ 2 →
+quadratic — a banded/bucketed design that silently degenerated to
+all-pairs), and the number of single-task stages the run scheduled
+(from the status tracker via per-query job groups; k-bounded finals
+legitimately use one task, so the signal is a single-task count that
+GROWS with sf or an exponent blowup, not a nonzero count).
+
+Writes SCALECHECK.json at the repo root.
+
+Usage: python tools/scalecheck.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVIES = [
+    "minhash_lsh_dups",
+    "dedup_cluster_assignments",
+    "semantic_dedup_survivors",
+    "training_set_selection",
+    "late_interaction_maxsim_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
+    "cross_encoder_rerank_topk",
+    "vec_quantized_rescore_topk",
+    "sequence_packing",
+]
+
+SF_DIRS = {
+    "0.1": "/root/testdata/sf0.1",
+    "1": "/root/repo/.scaledata/sf1",
+    "10": "/root/repo/.scaledata/sf10",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from confluent_kafka_vector_search_prompt_inference_spark import get_spark
+
+    names = sys.argv[1:] or HEAVIES
+    spark = get_spark("spark-graft-scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    qs = entry.queries()
+
+    # warm-up: JIT/codegen once so sf0.1 timings aren't first-run noise
+    qs[names[0]](spark, SF_DIRS["0.1"]).write.format("noop").mode("overwrite").save()
+    entry.release_persisted()
+
+    results: dict[str, dict] = {n: {"sec": {}, "single_task_stages": {}} for n in names}
+    for sf, d in SF_DIRS.items():
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            print(f"skipping sf{sf}: {d} missing (run tools/gen_scale_data.py)")
+            continue
+        for name in names:
+            group = f"scalecheck_{name}_{sf}"
+            sc.setJobGroup(group, name)
+            t0 = time.time()
+            try:
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001 — a query that dies at scale IS the finding
+                results[name].setdefault("error", {})[sf] = str(e).splitlines()[0][:300]
+                print(f"sf{sf:>4} {name}: ERROR {str(e).splitlines()[0][:200]}")
+                sc.setJobGroup("", "")
+                entry.release_persisted()
+                continue
+            elapsed = round(time.time() - t0, 2)
+            sc.setJobGroup("", "")
+            entry.release_persisted()
+            st = sc.statusTracker()
+            stage_ids = set()
+            for jid in st.getJobIdsForGroup(group):
+                info = st.getJobInfo(jid)
+                if info:
+                    stage_ids.update(info.stageIds)
+            single = 0
+            for sid in stage_ids:
+                sinfo = st.getStageInfo(sid)
+                if sinfo and sinfo.numTasks == 1:
+                    single += 1
+            results[name]["sec"][sf] = elapsed
+            results[name]["single_task_stages"][sf] = single
+            print(f"sf{sf:>4} {name}: {elapsed}s ({single} single-task stages)")
+
+    for name, r in results.items():
+        s = r["sec"]
+        if "1" in s and "10" in s and s["1"] > 0:
+            r["exponent_1_to_10"] = round(math.log10(max(s["10"], 0.01) / s["1"]), 2)
+        if "0.1" in s and "1" in s and s["0.1"] > 0:
+            r["exponent_01_to_1"] = round(math.log10(max(s["1"], 0.01) / s["0.1"]), 2)
+
+    out = {
+        "ladder": {sf: d for sf, d in SF_DIRS.items()},
+        "note": (
+            "exponent = log10(time ratio) per 10x data step after fixed "
+            "overhead; 1.0=linear, 2.0=quadratic. Low exponents at small "
+            "times are overhead-dominated (floor, not superlinearity)."
+        ),
+        "queries": results,
+    }
+    with open("/root/repo/SCALECHECK.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote SCALECHECK.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
