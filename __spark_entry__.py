@@ -5548,6 +5548,148 @@ SELECT '3_purchase_after_click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM
 """
 
 
+def _vec_corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus restricted by a metadata predicate (label = 2). Exposed so
+    tests/test_plans.py can assert the predicate reaches the parquet scan
+    of the side the broadcast strategy collects."""
+    return _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 10) & (F.col("label") == 2)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+
+
+def vec_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the production 'filtered ANN'
+    shape, reference ``README.md:355-366``'s index + Mongo-style metadata
+    predicate): restrict the corpus to ``label = 2`` BEFORE scoring, then
+    exact top-3 per query. The predicate composes with every strategy —
+    here the filter lands in the parquet scan (PushedFilters, asserted in
+    tests/test_plans.py), so the broadcast matrix is built from the
+    filtered subset only: at 100 TB a selective filter shrinks the
+    broadcast/probe set proportionally, it never post-filters a top-k
+    (which would silently return < k rows)."""
+    q = _vec_queries(spark, sf_dir)
+    c = _vec_corpus_filtered(spark, sf_dir)
+    out = topk_similarity_join(
+        q, c, k=3,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="dot", strategy="broadcast_corpus",
+    )
+    return out.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+_VEC_FILTERED_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10 AND label = 2),
+scored AS (SELECT query_id, neighbor_id,
+             ROUND(list_inner_product(qv, cv), 6) AS score FROM q CROSS JOIN c),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def vec_matryoshka_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (operators/topk_join.py
+    ``matryoshka_rescore_topk``): coarse top-12 on the first 16 of 64
+    dims (4× smaller broadcast matrix), exact full-width rescore of the
+    candidates only — the dimensionality twin of the int8 rescore in
+    ``vec_quantized_rescore_topk``, and they compose at 100 TB (16-dim
+    int8 prefix = 16× smaller broadcast than float32 full-width)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import matryoshka_rescore_topk
+
+    out = matryoshka_rescore_topk(
+        _vec_queries(spark, sf_dir),
+        _vec_corpus(spark, sf_dir),
+        k=3,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        coarse_dims=16, rescore_factor=4, strategy="broadcast_corpus",
+    )
+    return out.select("query_id", "neighbor_id", "score", "rank")
+
+
+_VEC_MATRYOSHKA_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+coarse AS (SELECT query_id, neighbor_id, qv, cv,
+             list_inner_product(qv[1:16], cv[1:16]) AS cscore
+           FROM q CROSS JOIN c),
+cands AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, neighbor_id ASC) AS crank
+          FROM coarse),
+rescored AS (SELECT query_id, neighbor_id,
+               ROUND(list_inner_product(qv, cv), 6) AS score
+             FROM cands WHERE crank <= 12),
+ranked AS (SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM rescored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (operators/sampling.py
+    ``temperature_mix``): rebalance the 5-language corpus to an α=0.5
+    mix at a 50% total budget — the head language ('en', 2.9× the tail)
+    is downsampled hardest, tail languages keep proportionally more. The
+    keep decision is a pure DECIMAL(38) integer comparison on content
+    hashes, so membership is bit-identical across engines and
+    partitionings. Returns the selected rows."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id", budget_frac=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+_DOMAIN_MIX_ORACLE = """
+WITH n AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+sq AS (SELECT lang, n_d, CAST(floor(sqrt(n_d)) AS BIGINT) AS sqn FROM n),
+tot AS (SELECT SUM(sqn) AS s, SUM(n_d) AS total FROM sq)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN sq ON d.lang = sq.lang CROSS JOIN tot
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS DECIMAL(38,0))
+        * CAST(tot.s AS DECIMAL(38,0)) * CAST(sq.n_d AS DECIMAL(38,0))
+    < CAST(CAST(floor(tot.total * 0.5) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(sq.sqn AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))
+"""
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training order (operators/sampling.py
+    ``epoch_shuffle``): epoch-1 permutation of the corpus as (shard, pos)
+    — md5(epoch‖id) assigns the shard and orders within it, so a resumed
+    training job regenerates the identical order with no RNG state, and
+    the only wide operation is a rank window PARTITIONED BY shard (never
+    a global single-partition sort)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5('1#' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+s AS (
+  SELECT doc_id, hh,
+    CAST(('0x' || substring(hh, 1, 8))::UBIGINT % 8 AS INTEGER) AS shard
+  FROM h)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INTEGER) AS pos
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -5700,6 +5842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "audio_decode_stats": audio_decode_stats,
         "cross_encoder_rerank_topk": cross_encoder_rerank_topk,
+        "vec_topk_filtered": vec_topk_filtered,
+        "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
+        "domain_temperature_mix": domain_temperature_mix,
+        "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -5841,4 +5987,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "audio_decode_stats": _AUDIO_ORACLE,
         "cross_encoder_rerank_topk": _CROSS_ENCODER_ORACLE,
+        "vec_topk_filtered": _VEC_FILTERED_ORACLE,
+        "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
+        "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
+        "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -15,7 +15,7 @@ a 100 TB curation pipeline needs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -62,6 +62,102 @@ def dataset_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    *,
+    budget_frac: float = 0.5,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Temperature-weighted (α=0.5) domain mixing — the multilingual /
+    multi-source rebalancing used by large-LM data pipelines (upsample the
+    tail, downsample the head; cf. the α-smoothed sampling of XLM-R /
+    mT5-style training mixes). Returns the selected rows.
+
+    Target share of domain d ∝ ``isqrt(n_d)`` (α=0.5 as an *integer*
+    square root), so a domain with 4× the rows gets only 2× the slots.
+    With a total budget of ``floor(budget_frac · N)`` rows, domain d keeps
+    ``p_d = min(1, budget · isqrt(n_d) / (S · n_d))`` of its rows
+    (``S = Σ isqrt``), decided per row by content hash of ``key``.
+
+    Exactness across engines/partitionings: every quantity stays integral
+    — counts, isqrt, the hash bucket — and the keep decision is the pure
+    DECIMAL(38) integer comparison ``bucket · S · n_d < budget · isqrt_d ·
+    buckets`` (no float accumulation anywhere, so no reduction-order
+    drift; DECIMAL(38) holds the product up to petabyte-scale counts:
+    1e6 · ~5e6 · 1e12 ≈ 5e24 ≪ 1e38).
+
+    Scale shape: one tiny per-domain count aggregate (rows = #domains)
+    broadcast back onto the corpus; the keep decision is a narrow
+    map-side expression. No corpus shuffle, no driver materialization.
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    sqrts = counts.select(
+        "__dom", "__n", F.floor(F.sqrt("__n")).cast("bigint").alias("__sq")
+    )
+    totals = sqrts.agg(
+        F.sum("__sq").alias("__s"), F.sum("__n").alias("__total")
+    )
+    dims = F.broadcast(sqrts.crossJoin(F.broadcast(totals)))
+    budget = F.floor(F.col("__total") * F.lit(budget_frac)).cast("bigint")
+    dec = "decimal(38,0)"
+    keep = (
+        hash_bucket(key, buckets).cast(dec) * F.col("__s").cast(dec) * F.col("__n").cast(dec)
+        < budget.cast(dec) * F.col("__sq").cast(dec) * F.lit(buckets).cast(dec)
+    )
+    return (
+        df.join(dims, df[domain_col] == dims["__dom"])
+        .filter(keep)
+        .drop("__dom", "__n", "__sq", "__s", "__total")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    *,
+    epoch: int,
+    n_shards: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training order for one epoch, as (shard, pos).
+
+    Each row gets an order hash ``h = md5(epoch ‖ key)``; its shard is
+    ``h mod n_shards`` and its position is the rank of ``(h, key)`` within
+    the shard. The global order is ``(shard, pos)`` — exactly how training
+    readers consume sharded corpora (stream shards in order, or one shard
+    per data-loader worker). Different epochs yield independent
+    permutations from the same corpus with NO RNG state to checkpoint: a
+    resumed job regenerates the identical order from (epoch, key) alone.
+
+    Scale shape: the only wide operation is the rank window *partitioned
+    by shard* — never a global single-partition sort. Pick ``n_shards ≈
+    N / desired_shard_rows`` so each window partition is bounded (e.g.
+    1e5 shards at 1e12 rows keeps shards at ~1e7 rows); skew is
+    impossible because shard assignment is a uniform hash.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    c = F.col(key).cast("string")
+    h = F.md5(F.concat(F.lit(f"{epoch}#"), c))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("__h", h)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__h")
+    )
 
 
 def stratified_sample(

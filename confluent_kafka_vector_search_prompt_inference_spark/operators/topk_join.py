@@ -285,6 +285,77 @@ def _topk_numpy_broadcast(
     return result
 
 
+def matryoshka_rescore_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    coarse_dims: int,
+    rescore_factor: int = 4,
+    metric: str = "dot",
+    strategy: str = "broadcast_corpus",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: coarse top-``r·k`` on the first
+    ``coarse_dims`` prefix of each vector, then a full-precision rescore of
+    ONLY those candidates.
+
+    Matryoshka-trained embeddings front-load information into the vector
+    prefix, so a ``d/coarse_dims``× smaller representation preserves
+    neighborhood structure (Kusupati et al., "Matryoshka Representation
+    Learning", NeurIPS 2022). This is the dimensionality twin of the int8
+    ``rescore_factor`` recipe in :func:`topk_similarity_join` — orthogonal
+    levers on the same broadcast budget: int8 shrinks bytes/dim 4×, the
+    prefix shrinks dims (64→16 is another 4×), and they compose.
+
+    Scale shape: the coarse stage broadcasts/streams only the sliced
+    prefix matrix (the full corpus vectors never leave their partitions);
+    the rescore stage broadcasts the |Q|·r·k candidate id list and streams
+    the corpus past it, exactly like the quantized rescore — so the float
+    pass at full width touches r·k rows per query instead of the corpus.
+    """
+    if metric != "dot":
+        raise ValueError("matryoshka_rescore_topk supports metric='dot' only")
+    qs = queries.select(
+        F.col(query_id),
+        F.slice(F.col(query_vec), 1, coarse_dims).alias("__qp"),
+    )
+    cs = corpus.select(
+        F.col(corpus_id),
+        F.slice(F.col(corpus_vec), 1, coarse_dims).alias("__cp"),
+    )
+    cands = topk_similarity_join(
+        qs, cs, k=rescore_factor * k,
+        query_id=query_id, query_vec="__qp",
+        corpus_id=corpus_id, corpus_vec="__cp",
+        metric=metric, strategy=strategy,
+        score_col="__cscore", rank_col="__crank",
+    ).select(query_id, corpus_id)
+    # Re-attach full-width vectors by id: candidate list (+ query vectors)
+    # broadcasts, the corpus is neither shuffled nor broadcast at full width.
+    cands_q = cands.join(
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), query_id
+    )
+    exact = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")).join(
+        F.broadcast(cands_q), corpus_id
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        exact.select(
+            query_id,
+            corpus_id,
+            F.round(vec_dot("__qv", "__cv"), 6).alias(score_col),
+        )
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def _topk_shuffle(
     queries: DataFrame,
     corpus: DataFrame,

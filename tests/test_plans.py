@@ -187,3 +187,14 @@ def test_subsequence_topk_is_take_ordered(spark, sf_correct):
     tree = formatted_plan(df)
     assert "TakeOrderedAndProject" in tree
     assert "Window" not in tree.split("(1) Scan")[0]
+
+
+def test_filtered_vector_search_pushes_label_predicate(spark, sf_correct):
+    """vec_topk_filtered's metadata predicate must reach the parquet scan
+    of the corpus side (the one the broadcast strategy collects): the
+    broadcast matrix is then built from the filtered subset only, so a
+    selective filter shrinks the index set proportionally at 100 TB."""
+    df = entry._vec_corpus_filtered(spark, sf_correct)
+    pf = pushed_filters(df)
+    assert any("label" in f for f in pf), pf
+    assert any("vec_id" in f for f in pf), pf

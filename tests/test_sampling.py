@@ -156,3 +156,100 @@ def test_auto_escalates_to_star_on_long_path(spark):
         ).collect()
     }
     assert comp == {i: 0 for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix / epoch_shuffle
+# ---------------------------------------------------------------------------
+
+def _skewed_domains(spark):
+    rows = (
+        [(i, "head") for i in range(1600)]
+        + [(1600 + i, "mid") for i in range(400)]
+        + [(2000 + i, "tail") for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "k bigint, dom string")
+
+
+def test_temperature_mix_flattens_the_head(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    out = temperature_mix(df, "dom", "k", budget_frac=0.5)
+    kept = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    src = {"head": 1600, "mid": 400, "tail": 100}
+    rates = {d: kept.get(d, 0) / n for d, n in src.items()}
+    # alpha=0.5 keeps proportionally MORE of the tail than the head
+    assert rates["tail"] > rates["mid"] > rates["head"]
+    # total lands near the budget (hash-Bernoulli, not exact allocation)
+    total = sum(kept.values())
+    assert abs(total - 1050) / 1050 < 0.1
+    # head share shrinks toward sqrt-proportionality (1600/2100 = 76% of
+    # rows, but sqrt weights give head 40/(40+20+10) = 57% of the budget)
+    assert kept["head"] / total < 0.65
+
+
+def test_temperature_mix_partition_invariant(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    a = {r.k for r in temperature_mix(df, "dom", "k", budget_frac=0.5).collect()}
+    b = {r.k for r in temperature_mix(df.repartition(13), "dom", "k", budget_frac=0.5).collect()}
+    assert a == b
+
+
+def test_temperature_mix_budget_one_keeps_tail_whole(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    out = temperature_mix(df, "dom", "k", budget_frac=1.0)
+    kept = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # p_tail = min(1, budget*w/n) hits the cap: every tail row survives
+    assert kept["tail"] == 100
+
+
+def test_temperature_mix_bad_budget_rejected(spark):
+    import pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix(spark.range(5), "id", "id", budget_frac=0.0)
+
+
+def test_epoch_shuffle_positions_contiguous_and_deterministic(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = epoch_shuffle(df, "k", epoch=1, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # identical order regardless of input partitioning
+    again = {(r.k, r.shard, r.pos) for r in epoch_shuffle(df.repartition(7), "k", epoch=1, n_shards=8).collect()}
+    assert again == {(r.k, r.shard, r.pos) for r in rows}
+
+
+def test_epoch_shuffle_epochs_are_different_permutations(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    e1 = {r.k: (r.shard, r.pos) for r in epoch_shuffle(df, "k", epoch=1, n_shards=4).collect()}
+    e2 = {r.k: (r.shard, r.pos) for r in epoch_shuffle(df, "k", epoch=2, n_shards=4).collect()}
+    assert set(e1) == set(e2)  # same corpus
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 400  # essentially every row lands elsewhere
+
+
+def test_epoch_shuffle_bad_shards_rejected(spark):
+    import pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import epoch_shuffle
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(spark.range(5), "id", epoch=1, n_shards=0)

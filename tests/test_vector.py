@@ -286,3 +286,94 @@ def test_quantized_strategy_without_rescore_has_high_recall(spark, embeddings, q
         hits += len(set(g.cid) & set(oracle[qid]))
         tot += len(oracle[qid])
     assert hits / tot >= 0.8, hits / tot
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dim rescore + metadata-filtered search
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_full_prefix_recovers_exact_topk(spark, embeddings, qc):
+    """With the full dimensionality as the 'prefix' and a candidate pool
+    covering the corpus, the two-stage result must EQUAL exact top-k —
+    the plumbing invariant (slice/rescore/rank) with no approximation."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import matryoshka_rescore_topk
+
+    q, c = qc
+    dim = len(q.first().vector)
+    exact = topk_similarity_join(
+        q, c, k=3, query_id="qid", corpus_id="cid", strategy="broadcast_corpus"
+    )
+    mrl = matryoshka_rescore_topk(
+        q, c, k=3, query_id="qid", corpus_id="cid",
+        coarse_dims=dim, rescore_factor=4,
+    )
+    e = {(r.qid, r.rank): r.cid for r in exact.collect()}
+    m = {(r.qid, r.rank): r.cid for r in mrl.collect()}
+    assert e == m
+
+
+def test_matryoshka_recall_grows_with_prefix_width(spark, embeddings, qc):
+    """Recall vs exact must grow with coarse_dims. The fixture embeddings
+    are RANDOM (no MRL training), so information is spread uniformly
+    across dims — the worst case for prefix truncation; absolute recall
+    is therefore meaningless here, but the monotone width→recall relation
+    and a sane floor at half-width are structural."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import matryoshka_rescore_topk
+
+    q, c = qc
+    exact = topk_similarity_join(
+        q, c, k=3, query_id="qid", corpus_id="cid", strategy="broadcast_corpus"
+    )
+    e = {(r.qid, r.cid) for r in exact.collect()}
+
+    def recall(dims):
+        m = {
+            (r.qid, r.cid)
+            for r in matryoshka_rescore_topk(
+                q, c, k=3, query_id="qid", corpus_id="cid",
+                coarse_dims=dims, rescore_factor=8,
+            ).collect()
+        }
+        return len(e & m) / len(e)
+
+    r8, r32 = recall(8), recall(32)
+    assert r8 < r32
+    assert r32 >= 0.5
+
+
+def test_matryoshka_cosine_rejected(spark, qc):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import matryoshka_rescore_topk
+
+    q, c = qc
+    with pytest.raises(ValueError):
+        matryoshka_rescore_topk(
+            q, c, k=3, query_id="qid", corpus_id="cid",
+            coarse_dims=8, metric="cosine",
+        )
+
+
+def test_filtered_search_composes_with_ivf(spark, embeddings):
+    """A metadata predicate composes with the IVF index: filtering the
+    indexed corpus before the probe (full probe width) returns exactly
+    the filtered exact top-k — the filter can never starve top-k below k
+    the way post-filtering a k-sized result would."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, topk_ivf
+
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    c = embeddings.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"), "label"
+    )
+    exact = topk_similarity_join(
+        q, c.filter(F.col("label") == 2), k=3,
+        query_id="qid", corpus_id="cid", strategy="broadcast_corpus",
+    )
+    indexed, cents = build_ivf_index(c, "vector", n_clusters=8, seed=42)
+    approx = topk_ivf(
+        q, indexed.filter(F.col("label") == 2), cents, k=3,
+        query_id="qid", corpus_id="cid", metric="dot", n_probe=8,
+    )
+    e = {(r.qid, r.rank): r.cid for r in exact.collect()}
+    a = {(r.qid, r.rank): r.cid for r in approx.collect()}
+    assert e == a
