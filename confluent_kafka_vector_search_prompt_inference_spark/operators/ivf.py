@@ -36,23 +36,38 @@ def build_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    sample_rows: int = 16_384,
     cluster_col: str = "ivf_cluster",
 ) -> tuple[DataFrame, np.ndarray]:
     """Cluster the corpus; returns (corpus + cluster id column, centroids).
 
-    Uses Spark ML KMeans over an ML Vector column (assembled on the fly and
-    dropped). Centroids come back as a small ``(n_clusters, dim)`` float64
-    matrix — they are index *metadata*, shipped to queries via broadcast."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    Train/add split (the FAISS recipe, and the same one
+    ``train_pq_codebooks`` uses): centroids train DRIVER-SIDE on an
+    order-invariant hash sample (bottom-``sample_rows`` by
+    ``xxhash64(vector)`` — per-partition top-n heaps, one scan, identical
+    sample for any physical row order), then the full corpus is assigned
+    in ONE Arrow-batched map pass. Coarse centroids need thousands of
+    representative rows, not the corpus; the previous distributed KMeans
+    paid a full corpus pass per Lloyd iteration (10 scheduled jobs) to
+    learn what the sample teaches in milliseconds — at 100 TB training is
+    constant-cost and indexing is the single assignment scan.
 
-    ml_input = corpus.withColumn("__mlvec", array_to_vector(F.col(vec_col)))
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__mlvec",
-        predictionCol=cluster_col,
-    ).fit(ml_input)
-    indexed = model.transform(ml_input).drop("__mlvec")
-    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    Centroids come back as a small ``(n_clusters, dim)`` float64 matrix —
+    index *metadata*, shipped to queries via broadcast."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._kmeans import kmeans_fit
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    centroids = kmeans_fit(X, n_clusters, seed=seed, max_iter=max_iter)
+    assign = _nearest_clusters_udf(centroids, n_probe=1)
+    indexed = corpus.withColumn(
+        cluster_col, F.element_at(assign(F.col(vec_col)), 1)
+    )
     return indexed, centroids
 
 
@@ -91,10 +106,18 @@ def save_ivf_index(
     indexed_corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(
         os.path.join(path, "corpus")
     )
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, ["cluster_id", "centroid"]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "centroids"))
+    # pandas + explicit schema → Arrow path: a list-of-rows createDataFrame
+    # pickles through 32 Python RDD partitions and pays ~4s of worker
+    # round-trips for an 8-row metadata table.
+    cent_pdf = pd.DataFrame(
+        {
+            "cluster_id": [int(i) for i in range(len(centroids))],
+            "centroid": [[float(x) for x in c] for c in centroids],
+        }
+    )
+    spark.createDataFrame(
+        cent_pdf, schema="cluster_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 def ivf_append(

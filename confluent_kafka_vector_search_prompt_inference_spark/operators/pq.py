@@ -234,14 +234,23 @@ def save_pq_index(
     spark = encoded_corpus.sparkSession
     encoded_corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
     m, k, sub = codebooks.shape
-    rows = [
-        (int(j), int(c), [float(x) for x in codebooks[j, c]])
-        for j in range(m)
-        for c in range(k)
-    ]
-    spark.createDataFrame(rows, ["segment", "code", "centroid"]).coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    # pandas + explicit schema → Arrow path (a list-of-rows createDataFrame
+    # pickles through the Python RDD path: ~4s of worker round-trips for a
+    # metadata-sized table)
+    pdf = pd.DataFrame(
+        {
+            "segment": [int(j) for j in range(m) for _ in range(k)],
+            "code": [int(c) for _ in range(m) for c in range(k)],
+            "centroid": [
+                [float(x) for x in codebooks[j, c]]
+                for j in range(m)
+                for c in range(k)
+            ],
+        }
+    )
+    spark.createDataFrame(
+        pdf, schema="segment int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
 
 
 def pq_append(new_rows: DataFrame, path: str, *, vec_col: str = "vector") -> None:
