@@ -5690,6 +5690,51 @@ FROM s
 """
 
 
+def vec_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval (operators/topk_join.py
+    ``binary_rescore_topk``): Hamming prefilter on 1-bit packed sign
+    signatures (32× smaller than float32 — the memory tier below int8
+    and PQ on the quantization ladder), exact float rescore of the top
+    12 candidates per query. The coarse pass is pure JVM integer ops
+    (XOR + bit_count over packed BIGINT words) in whole-stage codegen;
+    at 100 TB the packed corpus signatures stream partition-local past
+    a broadcast |Q|-row query matrix, and the float corpus is touched
+    only for the r·k candidate ids. Extends the reference's dotProduct
+    vector search (reference README.md:380) like the int8/PQ tiers."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import binary_rescore_topk
+
+    out = binary_rescore_topk(
+        _vec_queries(spark, sf_dir),
+        _vec_corpus(spark, sf_dir),
+        k=3,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        rescore_factor=4,
+    )
+    return out.select("query_id", "neighbor_id", "score", "rank")
+
+
+_VEC_BQ_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+coarse AS (SELECT query_id, neighbor_id, qv, cv,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CASE WHEN (qv[i] > 0) <> (cv[i] > 0) THEN 1 ELSE 0 END)) AS ham
+           FROM q CROSS JOIN c),
+cands AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id ASC) AS crank
+          FROM coarse),
+rescored AS (SELECT query_id, neighbor_id,
+               ROUND(list_inner_product(qv, cv), 6) AS score
+             FROM cands WHERE crank <= 12),
+ranked AS (SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM rescored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -5844,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_encoder_rerank_topk": cross_encoder_rerank_topk,
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
+        "vec_bq_topk": vec_bq_topk,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -5989,6 +6035,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_encoder_rerank_topk": _CROSS_ENCODER_ORACLE,
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
+        "vec_bq_topk": _VEC_BQ_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -107,3 +107,57 @@ def vec_quantized_dot(a_struct: Column | str, b_struct: Column | str) -> Column:
         vec_int_dot(a_struct["q"], b_struct["q"]).cast("double")
         * a_struct["scale"] * b_struct["scale"]
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit binary quantization — the most aggressive point on the quantization
+# ladder (float32 -> int8 -> PQ -> binary). Each dimension keeps only its
+# sign bit, packed 64-per-BIGINT word: a 1536-dim float32 vector (6 KiB)
+# becomes 24 words (192 B), a 32x shrink. Hamming distance between packed
+# signatures (XOR + bit_count, pure JVM integer ops, whole-stage codegen)
+# approximates angular distance (sign-random-projection identity: the
+# expected Hamming fraction equals theta/pi); the production recipe is
+# Hamming prefilter -> exact float rescore of the survivors, same two-stage
+# shape as vec_quantized_rescore_topk. Extends the reference's dotProduct
+# search surface (reference README.md:380) with the memory tier below int8.
+# ---------------------------------------------------------------------------
+
+def vec_quantize_binary(a: Column | str) -> Column:
+    """Pack the sign bits of a vector into ``ARRAY<BIGINT>`` words.
+
+    Bit ``b`` of word ``w`` is 1 iff ``v[64*w + b] > 0`` (strictly
+    positive; zeros and negatives are 0 — the convention the oracle
+    mirrors with ``x > 0``). Dimensions need not be a multiple of 64;
+    trailing bits of the last word are 0.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    d = _as_double(a)
+    n = F.size(d)
+    n_words = F.ceil(n / F.lit(64.0)).cast("int")
+    one = F.lit(1).cast("bigint")
+    return F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(
+                (w * 64 + b < n)
+                & (F.element_at(d, (w * 64 + b + 1).cast("int")) > 0),
+                F.call_function("shiftleft", one, b),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+
+
+def vec_hamming(wa: Column | str, wb: Column | str) -> Column:
+    """Hamming distance between two packed sign-bit signatures
+    (:func:`vec_quantize_binary` outputs): ``sum(bit_count(a XOR b))``.
+    Integer-exact, partition-order-invariant, engine-portable."""
+    wa = F.col(wa) if isinstance(wa, str) else wa
+    wb = F.col(wb) if isinstance(wb, str) else wb
+    return F.aggregate(
+        F.zip_with(wa, wb, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

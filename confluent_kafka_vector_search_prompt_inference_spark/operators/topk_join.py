@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot, vec_cosine
+from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import (
+    vec_dot,
+    vec_cosine,
+    vec_quantize_binary,
+    vec_hamming,
+)
 
 #: hard cap on the LSH candidate pool, mirroring Atlas' numCandidates cap
 #: (reference ``README.md:368``).
@@ -341,6 +346,68 @@ def matryoshka_rescore_topk(
     cands_q = cands.join(
         queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), query_id
     )
+    exact = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")).join(
+        F.broadcast(cands_q), corpus_id
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        exact.select(
+            query_id,
+            corpus_id,
+            F.round(vec_dot("__qv", "__cv"), 6).alias(score_col),
+        )
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def binary_rescore_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    rescore_factor: int = 4,
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Binary-quantized two-stage retrieval: Hamming prefilter on packed
+    sign-bit signatures (:func:`~confluent_kafka_vector_search_prompt_inference_spark.functions.vector.vec_quantize_binary`,
+    1 bit/dim — 32× smaller than float32), then exact full-precision
+    rescore of the top ``rescore_factor·k`` candidates per query.
+
+    The most aggressive point on the quantization ladder (float → int8 →
+    PQ → binary): sign-random-projection theory gives E[hamming/d] =
+    θ/π, so ascending Hamming ranks candidates by angular proximity.
+    Scale shape: the coarse pass broadcasts only the |Q|-row packed
+    query matrix and streams packed corpus signatures (whole-stage
+    codegen: XOR + bit_count, no floats, no Python); the rescore stage
+    broadcasts the |Q|·r·k candidate id list and re-attaches full-width
+    vectors by id — the float corpus is never shuffled or broadcast.
+    Candidate order is integer-exact (hamming, corpus_id), so the
+    result is deterministic and engine-portable.
+    """
+    qs = queries.select(
+        F.col(query_id),
+        F.col(query_vec).alias("__qv"),
+        vec_quantize_binary(query_vec).alias("__qsig"),
+    )
+    cs = corpus.select(
+        F.col(corpus_id), vec_quantize_binary(corpus_vec).alias("__csig")
+    )
+    coarse = F.broadcast(qs.select(query_id, "__qsig")).crossJoin(cs).select(
+        query_id, corpus_id, vec_hamming("__qsig", "__csig").alias("__ham")
+    )
+    wc = Window.partitionBy(query_id).orderBy(F.asc("__ham"), F.asc(corpus_id))
+    cands = (
+        coarse.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= rescore_factor * k)
+        .select(query_id, corpus_id)
+    )
+    cands_q = cands.join(qs.select(query_id, "__qv"), query_id)
     exact = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")).join(
         F.broadcast(cands_q), corpus_id
     )

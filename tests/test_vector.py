@@ -377,3 +377,74 @@ def test_filtered_search_composes_with_ivf(spark, embeddings):
     e = {(r.qid, r.rank): r.cid for r in exact.collect()}
     a = {(r.qid, r.rank): r.cid for r in approx.collect()}
     assert e == a
+
+
+def test_binary_quantize_hamming_matches_naive(spark):
+    """Packed-word Hamming (XOR + bit_count over 64-bit words) equals the
+    per-dimension sign-mismatch count, including non-multiple-of-64 dims
+    (trailing pad bits must not contribute)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_quantize_binary, vec_hamming
+    import random
+
+    random.seed(11)
+    for dim in (3, 64, 70, 130):
+        rows = [
+            (
+                [random.uniform(-1, 1) for _ in range(dim)],
+                [random.uniform(-1, 1) for _ in range(dim)],
+            )
+            for _ in range(10)
+        ]
+        df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+        out = df.select(
+            vec_hamming(vec_quantize_binary("a"), vec_quantize_binary("b")).alias("hp"),
+            F.aggregate(
+                F.zip_with(
+                    "a", "b",
+                    lambda x, y: F.when((x > 0) != (y > 0), F.lit(1).cast("bigint"))
+                    .otherwise(F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("hn"),
+        ).collect()
+        assert all(r.hp == r.hn for r in out), dim
+
+
+def test_binary_quantize_zero_negative_convention(spark):
+    """Zeros and negatives map to 0-bits; strict positives to 1-bits."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_quantize_binary
+
+    df = spark.createDataFrame([([0.0, -1.0, 2.0, 0.5],)], "v array<double>")
+    [r] = df.select(vec_quantize_binary("v").alias("w")).collect()
+    assert r.w == [0b1100]
+
+
+def test_binary_rescore_topk_recall_vs_exact(spark, qc):
+    """On smoke embeddings the Hamming prefilter at rescore_factor=8
+    recalls far above the random-candidate baseline (24 of ~1000 corpus
+    rows ≈ 2% — we require ≥ 45% against exact top-3; unstructured
+    random vectors are the worst case for 1-bit signatures, real
+    embedding corpora cluster and do much better) — and the result is
+    complete: exactly k rows per query, scores from the float rescore."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
+        binary_rescore_topk,
+        topk_similarity_join,
+    )
+
+    q, c = qc
+    exact = topk_similarity_join(
+        q, c, k=3, query_id="qid", corpus_id="cid", strategy="broadcast_corpus"
+    )
+    bq = binary_rescore_topk(
+        q, c, k=3, query_id="qid", corpus_id="cid", rescore_factor=8
+    )
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r.qid, set()).add(r.cid)
+    hits = total = 0
+    for r in bq.collect():
+        total += 1
+        hits += r.cid in e[r.qid]
+    assert total == 3 * len(e)
+    assert hits / total >= 0.45
