@@ -5735,6 +5735,61 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies (operators/sketches.py): build a
+    4×512 sketch over every document token (one groupBy, map-side
+    combine bounds the shuffle at depth×width rows per partition —
+    corpus-size-independent state, the 100 TB vocabulary-monitoring
+    shape), then point-estimate the 20 most frequent terms and report
+    estimate vs truth. The md5-seeded hashes make the sketch
+    bit-identical in any engine, so the oracle recomputes it exactly —
+    including the collision overcounts (est ≥ true always; the width is
+    chosen small enough that collisions actually occur at sf0.01, so
+    the test exercises the interesting case, not just the identity)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term")
+    )
+    sketch = countmin_build(toks, "term", depth=4, width=512)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = countmin_lookup(sketch, top, "term", depth=4, width=512)
+    return est.select(
+        "term", "true_cnt", "est", (F.col("est") - F.col("true_cnt")).alias("overcount")
+    )
+
+
+_COUNTMIN_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d,
+    CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || '#' || term), 1, 8))::UBIGINT % 512 AS INTEGER) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY 1),
+top AS (SELECT term, true_cnt FROM tc ORDER BY true_cnt DESC, term ASC LIMIT 20),
+est AS (
+  SELECT top.term, top.true_cnt, MIN(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS est
+  FROM top CROSS JOIN seeds
+  LEFT JOIN cells c
+    ON c.d = seeds.d
+   AND c.bucket = CAST(('0x' || substring(md5(CAST(seeds.d AS VARCHAR) || '#' || top.term), 1, 8))::UBIGINT % 512 AS INTEGER)
+  GROUP BY 1, 2)
+SELECT term, true_cnt, est, est - true_cnt AS overcount FROM est
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -5890,6 +5945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
+        "countmin_term_freqs": countmin_term_freqs,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6036,6 +6092,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
+        "countmin_term_freqs": _COUNTMIN_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
