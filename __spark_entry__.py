@@ -5790,6 +5790,63 @@ SELECT term, true_cnt, est, est - true_cnt AS overcount FROM est
 """
 
 
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by neighbor vote: label each query embedding
+    with the majority label of its k=5 nearest labeled neighbors (dot
+    product; vote ties broken by smaller label). Pure composition of the
+    existing top-k similarity join (broadcast-query strategy — the
+    labeled corpus streams partition-local) and one k-bounded groupBy:
+    the shuffle carries (query_id, label) pairs, never vectors. The
+    production use is weak-labeling / label propagation over an
+    unlabeled 100 TB corpus from a small labeled seed set."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    nbrs = topk_similarity_join(
+        q, c.select("neighbor_id", "vector"), k=5,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        strategy="broadcast_corpus",
+    )
+    votes = (
+        nbrs.join(F.broadcast(c.select("neighbor_id", "label")), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+_KNN_VOTE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+scored AS (SELECT query_id, neighbor_id, label,
+             ROUND(list_inner_product(qv, cv), 6) AS score
+           FROM q CROSS JOIN c),
+nbrs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+         FROM scored),
+votes AS (SELECT query_id, label, COUNT(*) AS votes FROM nbrs WHERE rnk <= 5 GROUP BY 1, 2),
+best AS (SELECT query_id, label, votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS r
+         FROM votes)
+SELECT query_id, label AS pred_label, votes FROM best WHERE r = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -5946,6 +6003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
         "countmin_term_freqs": countmin_term_freqs,
+        "knn_label_vote": knn_label_vote,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6093,6 +6151,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
+        "knn_label_vote": _KNN_VOTE_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

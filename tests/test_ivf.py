@@ -159,3 +159,115 @@ def test_ivf_append_rejects_schema_mismatch(spark, embeddings, ivf, tmp_path):
     )
     with _pytest.raises(ValueError, match="schema mismatch"):
         ivf_append(wrong, path)
+
+
+def test_ivf_delete_tombstones_and_vacuum(spark, embeddings, ivf, tmp_path):
+    """Deleted ids vanish from search immediately (tombstone anti-join at
+    load), vacuum physically reclaims them while preserving the cluster
+    partitioning, and results are identical before and after vacuum."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        ivf_delete,
+        ivf_vacuum,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_del")
+    save_ivf_index(indexed, centroids, path)
+
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    # a query identical to corpus vector v finds v at rank 1 (n_probe=8 = all)
+    loaded, cents = load_ivf_index(spark, path)
+    before = topk_ivf(
+        q, loaded, cents, k=1, query_id="qid", corpus_id="cid",
+        metric="cosine", n_probe=8,
+    )
+    assert all(r.qid == r.cid for r in before.collect())
+
+    dead = spark.createDataFrame([(i,) for i in range(10)], "cid long")
+    ivf_delete(dead, path)
+    loaded2, cents2 = load_ivf_index(spark, path)
+    after = topk_ivf(
+        q, loaded2, cents2, k=1, query_id="qid", corpus_id="cid",
+        metric="cosine", n_probe=8,
+    ).collect()
+    assert all(r.cid >= 10 for r in after)  # self-hits gone
+    tombstoned = {(r.qid, r.cid) for r in after}
+
+    n = ivf_vacuum(spark, path)
+    assert n == 10
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    loaded3, cents3 = load_ivf_index(spark, path)
+    assert loaded3.filter(F.col("cid") < 10).count() == 0
+    # partition layout preserved
+    assert any(
+        d.startswith("ivf_cluster=")
+        for d in os.listdir(os.path.join(path, "corpus"))
+    )
+    vacuumed = {
+        (r.qid, r.cid)
+        for r in topk_ivf(
+            q, loaded3, cents3, k=1, query_id="qid", corpus_id="cid",
+            metric="cosine", n_probe=8,
+        ).collect()
+    }
+    assert vacuumed == tombstoned
+
+
+def test_ivf_vacuum_crash_recovery(spark, embeddings, ivf, tmp_path):
+    """A vacuum that crashed after publishing corpus_tmp (with _SUCCESS)
+    but before the rename is finished by the next load; an incomplete
+    corpus_tmp is discarded."""
+    import os
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        ivf_delete,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_crash")
+    save_ivf_index(indexed, centroids, path)
+    ivf_delete(
+        spark.createDataFrame([(0,), (1,)], "cid long"), path
+    )
+    # simulate the crash window: complete tmp written, old corpus deleted,
+    # rename + tombstone-clear never happened
+    loaded, _ = load_ivf_index(spark, path)
+    tmp = os.path.join(path, "corpus_tmp")
+    loaded.write.partitionBy("ivf_cluster").mode("overwrite").parquet(tmp)
+    shutil.rmtree(os.path.join(path, "corpus"))
+    recovered, _ = load_ivf_index(spark, path)
+    assert os.path.isdir(os.path.join(path, "corpus"))
+    assert not os.path.isdir(tmp)
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert recovered.filter(F.col("cid") < 2).count() == 0
+
+    # incomplete tmp (no _SUCCESS) is garbage-collected, corpus untouched
+    os.makedirs(os.path.join(tmp, "ivf_cluster=0"))
+    n_before = recovered.count()
+    again, _ = load_ivf_index(spark, path)
+    assert not os.path.isdir(tmp)
+    assert again.count() == n_before
+
+
+def test_ivf_delete_rejects_bad_ids(spark, embeddings, ivf, tmp_path):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import ivf_delete, save_ivf_index
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_guard")
+    save_ivf_index(indexed, centroids, path)
+    with pytest.raises(ValueError, match="exactly one column"):
+        ivf_delete(spark.createDataFrame([(1, 2)], "a long, b long"), path)
+    with pytest.raises(ValueError, match="not in index corpus"):
+        ivf_delete(spark.createDataFrame([(1,)], "nope long"), path)
+    ivf_delete(spark.createDataFrame([(1,)], "cid long"), path)
+    with pytest.raises(ValueError, match="type mismatch"):
+        ivf_delete(spark.createDataFrame([(2,)], "cid int"), path)
