@@ -5847,6 +5847,94 @@ SELECT query_id, label AS pred_label, votes FROM best WHERE r = 1
 """
 
 
+def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained trigram LM quality scoring — the deterministic
+    stand-in for KenLM-perplexity filtering in training-data curation
+    (SURVEY.md §2.11): train trigram/bigram counts on the corpus itself
+    (two ngram-keyed aggregations — the shuffle carries (ngram, count),
+    never documents), then score each document by the mean conditional
+    probability P(w3|w1,w2) = c(w1w2w3)/c(w1w2) of its trigrams, plus a
+    distinct-trigram repetition ratio. Repetitive/templated docs score
+    near 1.0 on cond-p and low on distinct ratio; incoherent outliers
+    score low on cond-p. Per-doc accumulation is DECIMAL(18,6) over
+    round-6 terms, so the sum is exact and partition-order-invariant —
+    the oracle reproduces it bit-for-bit. At 100 TB the ngram count
+    tables are vocabulary-sized, joined by hash on the ngram key; the
+    doc side re-attaches by doc_id without ever shuffling text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("__t"), F.size(toks).alias("__n"))
+
+    def ngrams(n: int) -> Column:
+        return F.when(
+            F.col("__n") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("__t", (i + j).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tri = base.select("doc_id", F.explode(ngrams(3)).alias("tri"))
+    bi = base.select("doc_id", F.explode(ngrams(2)).alias("bi"))
+    tri_counts = tri.groupBy("tri").agg(F.count("*").alias("c_tri"))
+    bi_counts = bi.groupBy("bi").agg(F.count("*").alias("c_bi"))
+    scored = (
+        tri.join(tri_counts, "tri")
+        .withColumn("bi", F.substring_index("tri", " ", 2))
+        .join(bi_counts, "bi")
+        .withColumn(
+            "__p",
+            F.round(F.col("c_tri").cast("double") / F.col("c_bi").cast("double"), 6)
+            .cast("decimal(18,6)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.round(
+                (F.sum("__p").cast("double") / F.count("*")), 6
+            ).alias("avg_cond_p"),
+            F.round(
+                F.count_distinct("tri").cast("double") / F.count("*"), 6
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+_TRIGRAM_LM_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents),
+tri AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t) - 1),
+           i -> struct_pack(tri := t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+                            bip := t[i] || ' ' || t[i+1]))
+    ELSE [] END) AS g
+  FROM base),
+trif AS (SELECT doc_id, g.tri AS tri, g.bip AS bip FROM tri),
+bi AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+    ELSE [] END) AS bi
+  FROM base),
+tc AS (SELECT tri, COUNT(*) AS c_tri FROM trif GROUP BY 1),
+bc AS (SELECT bi, COUNT(*) AS c_bi FROM bi GROUP BY 1),
+scored AS (
+  SELECT trif.doc_id, trif.tri,
+    CAST(ROUND(CAST(tc.c_tri AS DOUBLE) / CAST(bc.c_bi AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM trif JOIN tc USING (tri) JOIN bc ON bc.bi = trif.bip)
+SELECT doc_id,
+  COUNT(*) AS n_tri,
+  ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_cond_p,
+  ROUND(CAST(COUNT(DISTINCT tri) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+FROM scored GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6004,6 +6092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_bq_topk": vec_bq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
+        "trigram_lm_quality": trigram_lm_quality,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6152,6 +6241,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_bq_topk": _VEC_BQ_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
+        "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
