@@ -5935,6 +5935,57 @@ FROM scored GROUP BY 1
 """
 
 
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (operators/sampling.py
+    ``per_group_top_n``): keep at most the 50 highest-quality documents
+    per language — the curation step that stops one over-crawled domain
+    from dominating the training mix. The plan is the skew-safe
+    two-phase top-N (rank within (lang, content-hash salt), keep 50 per
+    salt, re-rank the ≤ 50·16 survivors per lang) — exactly equal to a
+    single per-lang window, but no task ever sees a whole hot domain.
+    Order is total (quality desc, doc_id asc), so the cap is
+    deterministic and the oracle's single-window ROW_NUMBER reproduces
+    it exactly."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import quality_score
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import per_group_top_n
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return per_group_top_n(
+        docs,
+        ["lang"],
+        [F.desc("quality"), F.asc("doc_id")],
+        50,
+        salt_key="doc_id",
+    ).select("lang", "doc_id", "quality", "rank")
+
+
+_DOMAIN_QUOTA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    len({_SQL_WORDS}) AS n_words,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+    ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+          + LEAST(sr / 0.1, 1.0) * 0.4
+          + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+  FROM t),
+r AS (
+  SELECT lang, doc_id, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM q)
+SELECT lang, doc_id, quality, rank FROM r WHERE rank <= 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6093,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
         "trigram_lm_quality": trigram_lm_quality,
+        "domain_quota_cap": domain_quota_cap,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6242,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
+        "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -171,3 +171,45 @@ def stratified_sample(
     driver collect. Fractions are exact in expectation; for exact-count
     sampling, window-rank over ``rand(seed)`` per stratum instead."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def per_group_top_n(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    n: int,
+    *,
+    salt_parts: int = 16,
+    salt_key: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-``n`` rows per group, skew-safe.
+
+    A single ``Window.partitionBy(group)`` funnels every row of a hot
+    group through one task — the classic quota-capping hazard when one
+    domain is 90% of a 100 TB corpus. This computes the identical result
+    in two bounded phases: phase 1 ranks within ``(group, salt)`` (fan-out
+    ``salt_parts``× on the hot key) and keeps ``n`` per salt; phase 2
+    ranks the ≤ ``n·salt_parts`` survivors per group. Any row outside a
+    salt's top-``n`` can't be in the group's top-``n`` (the salt's own
+    top-``n`` all beat it), so the two-phase result is exactly the
+    one-window result, while no task ever sees more than its salt shard
+    (phase 1) or ``n·salt_parts`` rows (phase 2).
+
+    ``order_cols`` must be a total order (include a unique id tiebreak)
+    for determinism. ``salt_key`` (default: first order column) feeds the
+    content-hash salt, keeping phase 1 deterministic under any physical
+    row order.
+    """
+    key = salt_key if salt_key is not None else df.columns[0]
+    salted = df.withColumn("__salt", hash_bucket(key, salt_parts))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    phase1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return phase1.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= n
+    )

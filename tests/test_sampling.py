@@ -253,3 +253,39 @@ def test_epoch_shuffle_bad_shards_rejected(spark):
 
     with pytest.raises(ValueError):
         epoch_shuffle(spark.range(5), "id", epoch=1, n_shards=0)
+
+
+def test_per_group_top_n_equals_single_window(spark):
+    """Two-phase salted top-N is exactly the single-window result,
+    including on a heavily skewed group (90% of rows in one key)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import per_group_top_n
+
+    random.seed(3)
+    rows = [
+        ("hot" if i % 10 else f"g{i % 7}", i, random.random())
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    got = per_group_top_n(
+        df, ["g"], [F.desc("score"), F.asc("id")], 5, salt_key="id"
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("id"))
+    want = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    g = {(r.g, r.id, r.rank) for r in got.collect()}
+    e = {(r.g, r.id, r.rank) for r in want.collect()}
+    assert g == e
+
+
+def test_per_group_top_n_small_groups_complete(spark):
+    """Groups smaller than n keep every row, ranked."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import per_group_top_n
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, id long"
+    )
+    out = per_group_top_n(df, ["g"], [F.asc("id")], 10, salt_key="id")
+    assert out.count() == 3
