@@ -475,3 +475,72 @@ def compact_sink(
         json.dump(folded_names, fh)
     _finish_fold(folded_names)
     return len(to_fold)
+
+
+def sketch_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    term_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous insert that also maintains a count-min sketch of a term
+    column over everything ever landed — the streaming face of
+    ``operators/sketches.py`` (corpus-vocabulary monitoring beside the
+    reference's forever-running INSERT-SELECT, ``README.md:435``).
+
+    Each micro-batch lands twice, both idempotently (skip-if-committed,
+    keyed by the same epoch id): the rows under ``<sink>/_batch=N`` and
+    the batch's ``depth×width``-bounded sketch DELTA under
+    ``<sink>/_sketch/_batch=N``. Deltas instead of read-modify-write on
+    one sketch file is what makes replay safe: a crashed epoch re-runs
+    and each half that already committed is skipped, so no token is ever
+    double-counted. The live sketch is :func:`read_corpus_sketch` —
+    merge-on-read (one bounded groupBy-sum); because count-min cells are
+    additive, delta dirs may be folded by the generic
+    :func:`compact_sink` on the ``_sketch`` dir at any time without
+    changing any estimate.
+    """
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build
+
+    write_rows = idempotent_batch_writer(sink_dir)
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_sketch"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            write_rows(batch_df, epoch_id)
+            write_delta(
+                countmin_build(
+                    batch_df, term_col, depth=depth, width=width,
+                    weight_col=weight_col,
+                ),
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The current count-min sketch of a :func:`sketch_insert` sink:
+    merge-on-read over the committed deltas (``(d, bucket, cnt)``,
+    additive cells). Feed it straight to
+    ``operators.sketches.countmin_lookup``."""
+    from pyspark.sql import functions as F
+
+    deltas = read_sink(spark, os.path.join(sink_dir, "_sketch"))
+    return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))

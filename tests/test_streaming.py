@@ -651,3 +651,90 @@ def test_near_dedup_insert_rejects_foreign_sink(spark, tmp_path):
 
     with pytest.raises(pyspark.errors.StreamingQueryException, match="__minhash"):
         q.awaitTermination(120)
+
+
+def test_sketch_insert_maintains_corpus_sketch(spark, tmp_path, docs):
+    """sketch_insert lands rows AND accumulates a count-min sketch of the
+    term column across micro-batches; the merged sketch equals the sketch
+    built in one shot over everything landed, and replay double-counts
+    nothing."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        read_corpus_sketch,
+        sketch_insert,
+    )
+
+    d = docs.limit(60).select("doc_id", F.lower("text").alias("term"))
+    # stream one word per row for a clean term column
+    terms = d.select(
+        "doc_id", F.explode(F.filter(F.split("term", r"\s+"), lambda t: t != "")).alias("term")
+    )
+    src = str(tmp_path / "src")
+    terms.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, terms.schema, max_files_per_trigger=1)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = sketch_insert(
+        stream, sink, ckpt, term_col="term", depth=4, width=128, trigger_once=True
+    )
+    _drain(q)
+
+    landed = read_sink(spark, sink)
+    assert landed.count() == terms.count()
+    streamed = read_corpus_sketch(spark, sink)
+    oneshot = countmin_build(landed, "term", depth=4, width=128)
+    diff = (
+        streamed.withColumnRenamed("cnt", "cnt_s")
+        .join(oneshot, ["d", "bucket"], "full")
+        .filter(F.coalesce("cnt_s", F.lit(-1)) != F.coalesce("cnt", F.lit(-2)))
+        .count()
+    )
+    assert diff == 0
+
+    # replay: restarting over the same source must not change the sketch
+    q2 = sketch_insert(
+        stream, sink, ckpt, term_col="term", depth=4, width=128, trigger_once=True
+    )
+    _drain(q2)
+    total_before = oneshot.agg(F.sum("cnt")).collect()[0][0]
+    total_after = read_corpus_sketch(spark, sink).agg(F.sum("cnt")).collect()[0][0]
+    assert total_after == total_before
+
+    # estimates over the streamed sketch never undercount the truth
+    true = landed.groupBy("term").agg(F.count("*").alias("true_cnt"))
+    est = countmin_lookup(streamed, true, "term", depth=4, width=128)
+    assert est.filter(F.col("est") < F.col("true_cnt")).count() == 0
+
+
+def test_sketch_deltas_compact_without_changing_estimates(spark, tmp_path, docs):
+    """compact_sink on the _sketch delta dir folds deltas; merge-on-read
+    gives identical cells before and after."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        read_corpus_sketch,
+        sketch_insert,
+    )
+
+    terms = docs.limit(40).select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("term"),
+    )
+    src = str(tmp_path / "src")
+    terms.repartition(4).write.parquet(src)
+    stream = file_stream_reader(spark, src, terms.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = sketch_insert(
+        stream, sink, str(tmp_path / "ckpt"), term_col="term",
+        depth=2, width=64, trigger_once=True,
+    )
+    _drain(q)
+    before = {
+        (r.d, r.bucket): r.cnt for r in read_corpus_sketch(spark, sink).collect()
+    }
+    folded = compact_sink(spark, os.path.join(sink, "_sketch"), keep_batches=1)
+    assert folded >= 1
+    after = {
+        (r.d, r.bucket): r.cnt for r in read_corpus_sketch(spark, sink).collect()
+    }
+    assert before == after
