@@ -5986,6 +5986,61 @@ SELECT lang, doc_id, quality, rank FROM r WHERE rank <= 50
 """
 
 
+def crossdoc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (memorization-risk scoring,
+    the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" signal, re-expressed relationally): for every document, the
+    fraction of its distinct word 5-grams that also occur in at least
+    one OTHER document. Complements `text_repetition` (within-doc) and
+    `benchmark_contamination` (vs a held-out set): this is the
+    corpus-internal cross-doc axis. Plan shape at 100 TB: the only wide
+    exchanges are keyed by the 5-gram (distinct + doc-frequency
+    aggregation) — token-scale rows of (gram, doc_id)/(gram, df),
+    never documents; the per-doc ratio re-attaches by doc_id."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32, "doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
+    ).transform(_persist)
+    # (s, doc_id) is already distinct (word_shingles de-dups per doc), so a
+    # plain COUNT(*) is the doc frequency without a second distinct pass
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup = (
+        sh.join(df_counts.filter(F.col("n_docs") >= 2), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.col("n_spans").cast("double"),
+            6,
+        ).alias("shared_frac"),
+    )
+
+
+_CROSSDOC_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                             i -> array_to_string(t[i:i+4], ' ')))) AS s
+       FROM toks),
+dfc AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY 1),
+dup AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN dfc ON sh.s = dfc.s AND dfc.n_docs >= 2
+        GROUP BY 1)
+SELECT t.doc_id, t.n_spans, COALESCE(d.n_shared, 0) AS n_shared,
+  ROUND(CAST(COALESCE(d.n_shared, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE), 6) AS shared_frac
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6145,6 +6200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": knn_label_vote,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
+        "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6295,6 +6351,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
+        "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -54,6 +54,10 @@ HEADLINE = [
     "dedup_cluster_assignments",
     "training_set_selection",
     "sequence_packing",
+    # round-4 additions: binary-quantized retrieval tier + trigram LM
+    # quality (the heaviest new text op — two ngram aggregations)
+    "vec_bq_topk",
+    "trigram_lm_quality",
 ]
 
 

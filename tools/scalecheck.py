@@ -37,6 +37,10 @@ HEAVIES = [
     "cross_encoder_rerank_topk",
     "vec_quantized_rescore_topk",
     "sequence_packing",
+    "vec_bq_topk",
+    "trigram_lm_quality",
+    "countmin_term_freqs",
+    "domain_quota_cap",
 ]
 
 SF_DIRS = {
