@@ -177,96 +177,51 @@ def ivf_append(
 def ivf_delete(ids: DataFrame, path: str) -> None:
     """Delete vectors from a saved IVF index by id — tombstones, not
     rewrites (the LSM/Iceberg delete shape: at 100 TB a delete batch must
-    not rewrite cluster directories).
+    not rewrite cluster directories; see ``operators/_index_io.py``).
 
     ``ids`` is a one-column DataFrame whose column NAME identifies the
-    corpus id column; the distinct ids land as parquet under
-    ``<path>/tombstones`` and every subsequent :func:`load_ivf_index`
-    anti-joins them out (broadcast — the tombstone set is id-only and
-    deletes-sized, not corpus-sized). Physical reclamation is
-    :func:`ivf_vacuum`'s job; until then search correctness is already
-    delete-aware. Completes the always-indexed lifecycle the reference's
-    external index maintains on its continuously-mutated collection
-    (``README.md:370-382``) alongside :func:`ivf_append`."""
-    if len(ids.columns) != 1:
-        raise ValueError(f"ids must have exactly one column, got {ids.columns}")
-    id_col = ids.columns[0]
-    spark = ids.sparkSession
-    corpus_fields = {
-        f.name: f.dataType
-        for f in spark.read.parquet(os.path.join(path, "corpus")).schema.fields
-    }
-    if id_col not in corpus_fields:
-        raise ValueError(
-            f"id column {id_col!r} not in index corpus columns "
-            f"{sorted(corpus_fields)}"
-        )
-    tomb = os.path.join(path, "tombstones")
-    if os.path.isdir(tomb):
-        got = ids.schema.fields[0].dataType
-        want = spark.read.parquet(tomb).schema.fields[0].dataType
-        if got != want:
-            raise ValueError(
-                f"tombstone id type mismatch: existing {want.simpleString()}, "
-                f"new {got.simpleString()}"
-            )
-    ids.select(id_col).distinct().coalesce(1).write.mode("append").parquet(tomb)
+    corpus id column; every subsequent :func:`load_ivf_index` anti-joins
+    the tombstones out (broadcast — id-only, deletes-sized). Physical
+    reclamation is :func:`ivf_vacuum`'s job; until then search
+    correctness is already delete-aware. Completes the always-indexed
+    lifecycle the reference's external index maintains on its
+    continuously-mutated collection (``README.md:370-382``) alongside
+    :func:`ivf_append`."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import write_tombstones
 
-
-def _recover_vacuum(path: str) -> None:
-    """Finish a vacuum that crashed between deleting the old corpus and
-    publishing the new one (same recovery shape as streaming sink
-    compaction): a complete ``corpus_tmp`` (_SUCCESS present) with no
-    ``corpus`` is published; an incomplete one is garbage."""
-    import shutil
-
-    tmp = os.path.join(path, "corpus_tmp")
-    corpus = os.path.join(path, "corpus")
-    if not os.path.isdir(tmp):
-        return
-    if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not os.path.isdir(corpus):
-        os.rename(tmp, corpus)
-        tomb = os.path.join(path, "tombstones")
-        if os.path.isdir(tomb):
-            shutil.rmtree(tomb)
-    else:
-        shutil.rmtree(tmp)
+    write_tombstones(ids, path)
 
 
 def ivf_vacuum(spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluster") -> int:
     """Physically rewrite the corpus minus tombstones (preserving the
     cluster partitioning) and clear the tombstone set. Returns the number
-    of tombstoned ids reclaimed. Crash-safe: the new corpus is complete
-    under ``corpus_tmp`` before the old one is dropped, and tombstones
-    are removed only after publication — a crash at any point either
-    keeps the old corpus+tombstones (correct via the load-time anti-join)
-    or is finished by :func:`_recover_vacuum`."""
-    import shutil
+    of tombstoned ids reclaimed. Crash-safe — see
+    ``operators/_index_io.vacuum``."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import vacuum
 
-    _recover_vacuum(path)
-    tomb = os.path.join(path, "tombstones")
-    if not os.path.isdir(tomb):
-        return 0
-    n = spark.read.parquet(tomb).distinct().count()
-    corpus, _ = load_ivf_index(spark, path)  # already tombstone-filtered
-    tmp = os.path.join(path, "corpus_tmp")
-    corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(tmp)
-    shutil.rmtree(os.path.join(path, "corpus"))
-    os.rename(tmp, os.path.join(path, "corpus"))
-    shutil.rmtree(tomb)
-    return n
+    return vacuum(
+        spark,
+        path,
+        lambda: load_ivf_index(spark, path)[0],  # already tombstone-filtered
+        lambda df, tmp: df.write.partitionBy(cluster_col)
+        .mode("overwrite")
+        .parquet(tmp),
+    )
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
     """(partition-pruned corpus DataFrame, centroid matrix) from disk.
     Tombstoned ids (:func:`ivf_delete`) are anti-joined out — broadcast,
     id-only — so every reader sees deletes immediately, vacuumed or not."""
-    _recover_vacuum(path)
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    tomb = os.path.join(path, "tombstones")
-    if os.path.isdir(tomb):
-        dead = spark.read.parquet(tomb)
-        corpus = corpus.join(F.broadcast(dead), dead.columns[0], "left_anti")
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import (
+        apply_tombstones,
+        recover_vacuum,
+    )
+
+    recover_vacuum(path)
+    corpus = apply_tombstones(
+        spark, spark.read.parquet(os.path.join(path, "corpus")), path
+    )
     rows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster_id")

@@ -295,11 +295,45 @@ def pq_append(new_rows: DataFrame, path: str, *, vec_col: str = "vector") -> Non
     )
 
 
+def pq_delete(ids: DataFrame, path: str) -> None:
+    """Delete vectors from a saved PQ index by id — same tombstone
+    contract as :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.ivf.ivf_delete`
+    (``operators/_index_io.py``): ids land under ``<path>/tombstones``,
+    :func:`load_pq_index` anti-joins them out immediately,
+    :func:`pq_vacuum` reclaims physically."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import write_tombstones
+
+    write_tombstones(ids, path)
+
+
+def pq_vacuum(spark, path: str) -> int:
+    """Physically rewrite the encoded corpus minus tombstones and clear
+    the tombstone set; crash-safe (``operators/_index_io.vacuum``).
+    Returns the number of tombstoned ids reclaimed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import vacuum
+
+    return vacuum(
+        spark,
+        path,
+        lambda: load_pq_index(spark, path)[0],
+        lambda df, tmp: df.write.mode("overwrite").parquet(tmp),
+    )
+
+
 def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
-    """(encoded corpus DataFrame, (m, k, d/m) codebook tensor) from disk."""
+    """(encoded corpus DataFrame, (m, k, d/m) codebook tensor) from disk.
+    Tombstoned ids (:func:`pq_delete`) are anti-joined out."""
     import os
 
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import (
+        apply_tombstones,
+        recover_vacuum,
+    )
+
+    recover_vacuum(path)
+    corpus = apply_tombstones(
+        spark, spark.read.parquet(os.path.join(path, "corpus")), path
+    )
     rows = (
         spark.read.parquet(os.path.join(path, "codebooks"))
         .orderBy("segment", "code")

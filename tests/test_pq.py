@@ -204,3 +204,48 @@ def test_codebook_training_is_order_invariant(spark, sf_smoke):
     b1 = train_pq_codebooks(skew_sorted, "vector", m=4, sample_rows=200)
     b2 = train_pq_codebooks(shuffled, "vector", m=4, sample_rows=200)
     assert np.array_equal(b1, b2)
+
+
+def test_pq_delete_and_vacuum(spark, embeddings, pq_setup, tmp_path):
+    """Tombstoned ids vanish from loaded-corpus search immediately;
+    vacuum reclaims them physically, clears tombstones, and search
+    results are unchanged by vacuuming."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import (
+        load_pq_index,
+        pq_delete,
+        pq_vacuum,
+        save_pq_index,
+    )
+
+    _, books, encoded = pq_setup
+    path = str(tmp_path / "pq_del")
+    save_pq_index(encoded, books, path)
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    corpus1, books1 = load_pq_index(spark, path)
+    # self-ids are in the corpus (pq_setup encodes the full embeddings set)
+    assert corpus1.filter(F.col("cid") < 5).count() == 5
+    pq_delete(spark.createDataFrame([(i,) for i in range(5)], "cid long"), path)
+    corpus2, books2 = load_pq_index(spark, path)
+    assert corpus2.filter(F.col("cid") < 5).count() == 0
+    before = {
+        (r.qid, r.cid, r.rank)
+        for r in topk_pq(
+            q, corpus2, books2, k=3, query_id="qid", corpus_id="cid"
+        ).collect()
+    }
+    n = pq_vacuum(spark, path)
+    assert n == 5
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    corpus3, books3 = load_pq_index(spark, path)
+    assert corpus3.filter(F.col("cid") < 5).count() == 0
+    after = {
+        (r.qid, r.cid, r.rank)
+        for r in topk_pq(
+            q, corpus3, books3, k=3, query_id="qid", corpus_id="cid"
+        ).collect()
+    }
+    assert before == after
