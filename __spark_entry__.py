@@ -6041,6 +6041,78 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-decile quality gate with EXACT rank semantics
+    (curation: keep each language's best 10%, however its quality
+    distribution is shaped). Instead of an interpolated percentile
+    (engine-dependent) or a corpus-wide rank window (single hot
+    partition per language), the threshold comes from the (lang,
+    quality) VALUE table: count docs per distinct value, running-sum
+    them descending per lang — a window over a value-table-sized input,
+    thousands of rows at 100 TB, never documents — and pick the largest
+    quality where the cumulative count reaches ceil(n/10). Docs then
+    filter by broadcast-joined threshold. Selected = every doc with
+    quality >= threshold (ties included — deterministic, and both
+    engines agree exactly)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    counts = docs.groupBy("lang", "quality").agg(F.count("*").alias("c"))
+    n_per = docs.groupBy("lang").agg(F.ceil(F.count("*") / 10.0).alias("want"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    thr = (
+        cum.join(n_per, "lang")
+        .filter(F.col("cum") >= F.col("want"))
+        .groupBy("lang")
+        .agg(F.max("quality").alias("threshold"))
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select("lang", "doc_id", "quality", "threshold")
+    )
+
+
+_QUALITY_GATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    len({_SQL_WORDS}) AS n_words,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS pr,
+    CASE WHEN len({_SQL_WORDS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len({_SQL_WORDS}) AS DOUBLE) END AS sr
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+    ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+          + LEAST(sr / 0.1, 1.0) * 0.4
+          + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+  FROM t),
+counts AS (SELECT lang, quality, COUNT(*) AS c FROM q GROUP BY 1, 2),
+n_per AS (SELECT lang, CAST(ceil(COUNT(*) / 10.0) AS BIGINT) AS want FROM q GROUP BY 1),
+cum AS (
+  SELECT lang, quality, c,
+    SUM(c) OVER (PARTITION BY lang ORDER BY quality DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts),
+thr AS (
+  SELECT cum.lang, MAX(quality) AS threshold
+  FROM cum JOIN n_per ON cum.lang = n_per.lang
+  WHERE cum.cum >= n_per.want GROUP BY 1)
+SELECT q.lang, q.doc_id, q.quality, thr.threshold
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality >= thr.threshold
+"""
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6201,6 +6273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
+        "quality_percentile_gate": quality_percentile_gate,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6352,6 +6425,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
+        "quality_percentile_gate": _QUALITY_GATE_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

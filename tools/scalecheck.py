@@ -106,6 +106,16 @@ def main() -> int:
         if "0.1" in s and "1" in s and s["0.1"] > 0:
             r["exponent_01_to_1"] = round(math.log10(max(s["1"], 0.01) / s["0.1"]), 2)
 
+    # merge-don't-overwrite: a subset run (query names as argv) must not
+    # drop the ladder results of queries it didn't re-measure
+    prior: dict = {}
+    if os.path.exists("/root/repo/SCALECHECK.json"):
+        try:
+            with open("/root/repo/SCALECHECK.json") as fh:
+                prior = json.load(fh).get("queries", {})
+        except Exception:  # noqa: BLE001 — a corrupt file is replaced
+            prior = {}
+    prior.update(results)
     out = {
         "ladder": {sf: d for sf, d in SF_DIRS.items()},
         "note": (
@@ -113,7 +123,7 @@ def main() -> int:
             "overhead; 1.0=linear, 2.0=quadratic. Low exponents at small "
             "times are overhead-dominated (floor, not superlinearity)."
         ),
-        "queries": results,
+        "queries": prior,
     }
     with open("/root/repo/SCALECHECK.json", "w") as fh:
         json.dump(out, fh, indent=1)
