@@ -1260,34 +1260,15 @@ def vec_quantized_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot) and keeps 4k candidates; stage 2 re-scores ONLY those with
     full-precision vec_dot and emits the final top-k. The expensive float
     pass touches 4k rows per query instead of the whole corpus."""
-    emb = _t(spark, sf_dir, "embeddings")
-    k = 3
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        vec_quantize_int8("embedding").alias("a"),
+    out = topk_similarity_join(
+        _vec_queries(spark, sf_dir),
+        _vec_corpus(spark, sf_dir),
+        k=3,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="dot", strategy="quantized", rescore_factor=4,
     )
-    c = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        vec_quantize_int8("embedding").alias("b"),
-    )
-    coarse = q.crossJoin(c).select(
-        "query_id", "neighbor_id", "qv", "cv",
-        vec_quantized_dot("a", "b").alias("qscore"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
-    cands = coarse.withColumn("crank", F.row_number().over(wq)).filter(
-        F.col("crank") <= 4 * k
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        cands.select(
-            "query_id", "neighbor_id", F.round(vec_dot("qv", "cv"), 6).alias("score")
-        )
-        .withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= k)
-    )
+    return out.select("query_id", "neighbor_id", "score", "rank")
 
 
 _VEC_RESCORE_ORACLE = """
@@ -6113,6 +6094,42 @@ FROM q JOIN thr ON q.lang = thr.lang
 WHERE q.quality >= thr.threshold
 """
 
+def vec_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold (radius) join (operators/topk_join.py
+    ``threshold_similarity_join``): every (query, corpus) pair with
+    cosine ≥ 0.25 — the "all matches above τ" twin of top-k search
+    (entity linkage, alerting, near-neighbor harvesting). No rank
+    window anywhere: the plan is scan → score → filter, embarrassingly
+    parallel, and the exact variant here is what the oracle replays.
+    The scale path is the binary sign-bit prefilter
+    (``prefilter='binary'``, pytest-verified equal to exact at the
+    screening margin): integer Hamming screens pairs before any float
+    touches them."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import threshold_similarity_join
+
+    out = threshold_similarity_join(
+        _vec_queries(spark, sf_dir),
+        _vec_corpus(spark, sf_dir),
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="cosine", threshold=0.25, prefilter=None,
+        score_col="cosine",
+    )
+    return out.select("query_id", "neighbor_id", "cosine")
+
+
+_VEC_THRESHOLD_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+scored AS (SELECT query_id, neighbor_id,
+             ROUND(list_inner_product(qv, cv) / (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(cv, cv))), 6) AS cosine
+           FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.25
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6274,6 +6291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
         "quality_percentile_gate": quality_percentile_gate,
+        "vec_threshold_join": vec_threshold_join,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6426,6 +6444,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
         "quality_percentile_gate": _QUALITY_GATE_ORACLE,
+        "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -423,6 +423,78 @@ def binary_rescore_topk(
     )
 
 
+def threshold_similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    metric: str = "dot",
+    threshold: float,
+    score_col: str = "score",
+    prefilter: str | None = "binary",
+    prefilter_margin: float = 0.25,
+) -> DataFrame:
+    """Radius / similarity-threshold join: every (query, corpus) pair with
+    ``score >= threshold`` — the "all matches above τ" twin of the top-k
+    join (alerting, linkage, near-neighbor harvesting), with no rank
+    window at all: the output is exactly the scored-filtered pairs, so
+    the plan is scan → score → filter, embarrassingly parallel.
+
+    ``prefilter='binary'`` (cosine only) inserts the packed sign-bit
+    Hamming screen ahead of the float score: pairs whose Hamming
+    fraction exceeds ``acos-margin`` are discarded on integer ops alone
+    (sign-random-projection: E[ham/d] = θ/π; the margin keeps the screen
+    conservative on finite dims). The float pass then touches only
+    survivors, and the final filter keeps the result EXACT-minus-recall
+    of the screen — pass ``prefilter=None`` for the fully exact scan,
+    which is what the oracle checks. At 100 TB the screen is the
+    difference between streaming 1-bit signatures and streaming float32.
+    """
+    import math as _math
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).alias("__qv"),
+        *(
+            [vec_quantize_binary(query_vec).alias("__qsig")]
+            if prefilter == "binary"
+            else []
+        ),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec).alias("__cv"),
+        *(
+            [vec_quantize_binary(corpus_vec).alias("__csig")]
+            if prefilter == "binary"
+            else []
+        ),
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if prefilter == "binary":
+        if metric != "cosine":
+            raise ValueError("binary prefilter requires metric='cosine'")
+        # cos θ >= τ ⟺ θ <= acos τ ⟹ E[ham] <= d·θ/π; screen at the
+        # margin-padded bound so finite-dim variance doesn't cost recall
+        theta = _math.acos(max(-1.0, min(1.0, threshold)))
+        frac = min(1.0, theta / _math.pi + prefilter_margin)
+        d = F.size("__qv")
+        pairs = pairs.filter(
+            vec_hamming("__qsig", "__csig") <= (d.cast("double") * F.lit(frac)).cast("bigint")
+        )
+    score = (
+        vec_dot(F.col("__qv"), F.col("__cv"))
+        if metric == "dot"
+        else vec_cosine(F.col("__qv"), F.col("__cv"))
+    )
+    return pairs.select(
+        query_id, corpus_id, F.round(score, 6).alias(score_col)
+    ).filter(F.col(score_col) >= threshold)
+
+
 def _topk_shuffle(
     queries: DataFrame,
     corpus: DataFrame,
@@ -488,10 +560,13 @@ def _topk_quantized(
     # than float32; the full-precision corpus vectors never leave their
     # partitions (rescore re-attaches them by id below).
     c = corpus.select(F.col(corpus_id), vec_quantize_int8(cv).alias("__qb"))
-    coarse = q.crossJoin(F.broadcast(c)).select(
+    # the pair stage carries ids + one integer-derived score ONLY — at
+    # |Q|·|C| rows, a per-pair float array payload dominates the rank
+    # window's shuffle (measured 92s → linear at sf10 when dropped); the
+    # query vector re-attaches by id to the r·k survivors below
+    coarse = q.select(query_id, "__qa").crossJoin(F.broadcast(c)).select(
         query_id,
         corpus_id,
-        "__qv",
         vec_quantized_dot("__qa", "__qb").alias("__qs"),
     )
     wq = Window.partitionBy(query_id).orderBy(F.desc("__qs"), F.asc(corpus_id))
@@ -510,8 +585,10 @@ def _topk_quantized(
             )
             .filter(F.col(rank_col) <= k)
         )
-    cands = coarse.withColumn("__crank", F.row_number().over(wq)).filter(
-        F.col("__crank") <= rescore_factor * k
+    cands = (
+        coarse.withColumn("__crank", F.row_number().over(wq))
+        .filter(F.col("__crank") <= rescore_factor * k)
+        .join(q.select(query_id, "__qv"), query_id)
     )
     # Exact rescore touches candidates only: broadcast the small candidate
     # list (|Q|·r·k ids) and stream the corpus past it — the big side is

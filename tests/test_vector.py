@@ -448,3 +448,35 @@ def test_binary_rescore_topk_recall_vs_exact(spark, qc):
         hits += r.cid in e[r.qid]
     assert total == 3 * len(e)
     assert hits / total >= 0.45
+
+
+def test_threshold_join_binary_prefilter_matches_exact(spark, qc):
+    """The sign-bit Hamming screen at the default margin keeps every pair
+    the exact threshold join returns (conservative screening), and every
+    returned score passes the threshold."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import threshold_similarity_join
+
+    q, c = qc
+    kw = dict(
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric="cosine", threshold=0.2, score_col="cos",
+    )
+    exact = threshold_similarity_join(q, c, prefilter=None, **kw)
+    screened = threshold_similarity_join(q, c, prefilter="binary", **kw)
+    e = {(r.qid, r.cid): r.cos for r in exact.collect()}
+    s = {(r.qid, r.cid): r.cos for r in screened.collect()}
+    assert e  # non-degenerate
+    assert s == e
+    assert all(v >= 0.2 for v in s.values())
+
+
+def test_threshold_join_prefilter_requires_cosine(spark, qc):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import threshold_similarity_join
+
+    q, c = qc
+    with pytest.raises(ValueError, match="cosine"):
+        threshold_similarity_join(
+            q, c, query_id="qid", corpus_id="cid",
+            metric="dot", threshold=0.5, prefilter="binary",
+        ).collect()
