@@ -6130,6 +6130,70 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.25
 """
 
 
+def chunk_meanpool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document embedding via chunk mean-pooling (the multi-vector →
+    single-vector bridge every retrieval pipeline needs for documents
+    longer than the encoder window): chunk each doc into the standard
+    50/40 token windows (`document_chunks`), embed every chunk with the
+    deterministic HashingEmbedder (Arrow-batched `ml_predict` — the
+    chunk rows are what the encoder sees at 100 TB, never whole docs),
+    then mean-pool per (doc, dim). Output is dim-exploded
+    (doc_id, dim, v) with round-6 values — HARD-oracled end to end: the
+    oracle re-chunks, re-hashes (md5 CTE), float32-casts, and re-pools
+    in SQL, so any drift in chunking, the embedder, or the pooling
+    arithmetic turns rows red. Scale shape: one explode + one (doc, dim)
+    aggregation; dim fan-out is the encoder width (32), a constant."""
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    chunks = document_chunks(spark, sf_dir).repartition(32, "doc_id")
+    emb = registry.ml_predict(
+        chunks.select("doc_id", "chunk_id", "chunk_text"),
+        "vector_encoding",
+        "chunk_text",
+    )
+    return (
+        emb.select("doc_id", "chunk_id", F.posexplode("vector").alias("dim", "v"))
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("v"),
+        )
+    )
+
+
+# chunk texts re-tokenize to exactly their token lists (chunks are
+# space-joined whitespace tokens), so the embed CTE hashes the chunk's
+# tokens directly — same md5 pipeline as _RAG_EMBED_CTE but keyed by
+# (doc_id, chunk_id) and with per-chunk (not per-doc) normalization.
+_CHUNK_MEANPOOL_ORACLE = r"""
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t <> '') AS w
+              FROM documents WHERE len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t <> '')) > 0),
+idx AS (
+  SELECT doc_id, w, CAST(i AS INTEGER) AS chunk_id
+  FROM toks, unnest(range(0, CAST(floor((len(w) - 1) / 40) AS BIGINT) + 1)) AS u(i)),
+ch AS (SELECT doc_id, chunk_id, list_slice(w, chunk_id * 40 + 1, chunk_id * 40 + 50) AS chunk FROM idx),
+ctok AS (SELECT doc_id, chunk_id, unnest(chunk) AS t FROM ch),
+vocab AS (SELECT DISTINCT t FROM ctok),
+hash_vals AS (
+  SELECT t, c.counter * 4 + i.i AS dim,
+    (('0x' || substr(md5('spark-graft|' || t || '|' || c.counter), 1 + 8*i.i, 8))::UBIGINT
+      / 2147483648.0) - 1.0 AS v
+  FROM vocab, range(8) c(counter), range(4) i(i)),
+tokvec AS (
+  SELECT t, dim, v / sqrt(sum(v*v) OVER (PARTITION BY t)) AS u FROM hash_vals),
+chsum AS (
+  SELECT doc_id, chunk_id, dim, SUM(u) AS s
+  FROM ctok JOIN tokvec USING (t) GROUP BY 1, 2, 3),
+chvec AS (
+  SELECT doc_id, chunk_id, dim,
+    CAST(s / sqrt(SUM(s*s) OVER (PARTITION BY doc_id, chunk_id)) AS REAL) AS e
+  FROM chsum)
+SELECT doc_id, dim, COUNT(*) AS n_chunks,
+  ROUND(AVG(CAST(e AS DOUBLE)), 6) AS v
+FROM chvec GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6292,6 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
         "quality_percentile_gate": quality_percentile_gate,
         "vec_threshold_join": vec_threshold_join,
+        "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6445,6 +6510,7 @@ def oracle_sql() -> dict[str, str]:
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
         "quality_percentile_gate": _QUALITY_GATE_ORACLE,
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
+        "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
