@@ -53,6 +53,18 @@ BUDGETS = {
                                     # 20-row TakeOrderedAndProject output;
                                     # no WindowExec, no corpus-sized
                                     # single-partition stage
+    "vec_bq_topk": 2,               # Hamming-candidate rank window (ids +
+                                    # integer distance only) + rescore rank;
+                                    # packed query matrix broadcasts
+    "vec_threshold_join": 0,        # scan → score → filter: no window, no
+                                    # shuffle — broadcast queries only
+    "countmin_term_freqs": 2,       # sketch-cell groupBy + true-count
+                                    # groupBy (top-20 is TakeOrdered;
+                                    # lookup side broadcasts)
+    "domain_quota_cap": 2,          # two-phase salted top-N: (lang, salt)
+                                    # window + lang window over ≤ n·salt rows
+    "vec_quantized_rescore_topk": 2,  # coarse rank window carries ids+score
+                                    # only (the r4 fix) + rescore rank
 }
 
 
