@@ -219,9 +219,26 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarra
     )
 
     recover_vacuum(path)
-    corpus = apply_tombstones(
-        spark, spark.read.parquet(os.path.join(path, "corpus")), path
-    )
+    corpus_dir = os.path.join(path, "corpus")
+    import glob as _glob
+
+    if _glob.glob(os.path.join(corpus_dir, "_batch=*", "_SUCCESS")):
+        # streaming layout (streaming/pipeline.ivf_insert): an epoch level
+        # above the cluster level gives idempotent replay; both are
+        # partition columns, so cluster pruning still holds per batch.
+        # Only committed epochs are visible.
+        committed = [
+            os.path.dirname(s)
+            for s in _glob.glob(os.path.join(corpus_dir, "_batch=*", "_SUCCESS"))
+        ]
+        corpus = (
+            spark.read.option("basePath", corpus_dir)
+            .parquet(*committed)
+            .drop("_batch")
+        )
+    else:
+        corpus = spark.read.parquet(corpus_dir)
+    corpus = apply_tombstones(spark, corpus, path)
     rows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster_id")

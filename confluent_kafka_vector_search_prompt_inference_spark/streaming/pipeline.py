@@ -544,3 +544,88 @@ def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
 
     deltas = read_sink(spark, os.path.join(sink_dir, "_sketch"))
     return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def ivf_insert(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "vector",
+    n_clusters: int = 16,
+    seed: int = 42,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuously-inserted, always-indexed vector corpus — the
+    reference's core operating mode (its collection is INSERT-SELECTed
+    forever while the external index auto-updates, ``README.md:370-382``)
+    as a streaming IVF sink.
+
+    First committed micro-batch trains the centroids (hash-sampled
+    k-means, same recipe as ``build_ivf_index``) and freezes them; every
+    batch (including the first) is assigned to its nearest centroid and
+    lands under ``<index>/corpus/_batch=<epoch>/ivf_cluster=<id>/`` —
+    the epoch level gives the idempotent replay contract (a committed
+    epoch is skipped whole), the cluster level keeps partition pruning:
+    a probe reads only the probed cluster directories OF EACH batch.
+    ``load_ivf_index`` reads this layout transparently, so search code,
+    deletes (tombstones), and recall characteristics are identical to a
+    batch-built index; like ``ivf_append``, centroids are frozen, so
+    rebuild when drift degrades recall."""
+    import numpy as np
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        _nearest_clusters_udf,
+        build_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus_dir = os.path.join(index_path, "corpus")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        target = os.path.join(corpus_dir, f"_batch={epoch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replay of a committed epoch
+        spark = batch_df.sparkSession
+        cent_path = os.path.join(index_path, "centroids")
+        if not os.path.exists(cent_path):
+            # first batch: train + persist centroids (and reuse the
+            # assignment build_ivf_index already computed)
+            indexed, centroids = build_ivf_index(
+                batch_df, vec_col, n_clusters=n_clusters, seed=seed
+            )
+            # save_ivf_index would also write the corpus in the flat
+            # layout; here only the centroid table is wanted
+            import pandas as pd
+
+            cent_pdf = pd.DataFrame(
+                {
+                    "cluster_id": [int(i) for i in range(len(centroids))],
+                    "centroid": [[float(x) for x in c] for c in centroids],
+                }
+            )
+            spark.createDataFrame(
+                cent_pdf, schema="cluster_id int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+            assigned = indexed
+        else:
+            rows = (
+                spark.read.parquet(cent_path).orderBy("cluster_id").collect()
+            )
+            centroids = np.asarray(
+                [np.asarray(r.centroid, dtype=np.float64) for r in rows]
+            )
+            assign = _nearest_clusters_udf(centroids, n_probe=1)
+            assigned = batch_df.withColumn(
+                "ivf_cluster", F.element_at(assign(F.col(vec_col)), 1)
+            )
+        assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(target)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

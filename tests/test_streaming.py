@@ -738,3 +738,54 @@ def test_sketch_deltas_compact_without_changing_estimates(spark, tmp_path, docs)
         (r.d, r.bucket): r.cnt for r in read_corpus_sketch(spark, sink).collect()
     }
     assert before == after
+
+
+def test_ivf_insert_streaming_indexed_corpus(spark, tmp_path):
+    """The always-indexed, continuously-inserted lifecycle: a vector
+    stream lands as an IVF index (centroids trained on the first batch,
+    frozen after), load_ivf_index reads the batched layout, search finds
+    planted copies, replay adds nothing, and tombstone deletes apply."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import ivf_delete, load_ivf_index, topk_ivf
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import ivf_insert
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("vector")
+    )
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, emb.schema, max_files_per_trigger=1)
+    idx = str(tmp_path / "ivf")
+    q = ivf_insert(
+        stream, idx, str(tmp_path / "ckpt"),
+        vec_col="vector", n_clusters=8, trigger_once=True,
+    )
+    _drain(q)
+
+    corpus, cents = load_ivf_index(spark, idx)
+    assert corpus.count() == emb.count()
+    assert cents.shape[0] == 8
+    assert "ivf_cluster" in corpus.columns
+
+    queries = emb.filter(F.col("cid") < 20).select(
+        F.col("cid").alias("qid"), "vector"
+    )
+    out = topk_ivf(
+        queries, corpus, cents, k=1, query_id="qid", corpus_id="cid",
+        metric="cosine", n_probe=8,
+    )
+    assert all(r.qid == r.cid for r in out.collect())
+
+    # replay: a second run over the same source must not grow the corpus
+    q2 = ivf_insert(
+        stream, idx, str(tmp_path / "ckpt"),
+        vec_col="vector", n_clusters=8, trigger_once=True,
+    )
+    _drain(q2)
+    corpus2, cents2 = load_ivf_index(spark, idx)
+    assert corpus2.count() == emb.count()
+    assert (cents2 == cents).all()  # frozen
+
+    # tombstone deletes compose with the streaming layout
+    ivf_delete(spark.createDataFrame([(0,), (1,)], "cid long"), idx)
+    corpus3, _ = load_ivf_index(spark, idx)
+    assert corpus3.filter(F.col("cid") < 2).count() == 0
