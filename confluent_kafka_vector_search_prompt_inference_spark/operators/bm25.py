@@ -338,3 +338,148 @@ def rrf_fuse(
             F.coalesce("rank_b", F.lit(0)).cast("int").alias("rank_vector"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-postings index: the APPENDABLE variant. The impact-baked index above
+# is fastest to query but freezes (N, avgdl, df) into every stored number —
+# an append would silently mis-score the whole corpus. Storing raw
+# (doc_id, term, tf, dl) postings instead moves the idf/length arithmetic
+# to query time, where it touches only the PRUNED rows (the query's terms),
+# making appends exact: new docs just add postings + one stats delta row,
+# and every later query scores the union corpus with the true global
+# statistics. The classic Lucene split (segments hold raw postings; scoring
+# statistics resolve at search time), re-expressed relationally.
+# ---------------------------------------------------------------------------
+
+def save_bm25_raw_index(
+    docs: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_buckets: int = 16,
+) -> None:
+    """Persist an appendable BM25 index: term-bucketed raw postings
+    (``<name>``: doc_id, term, tf, dl) + per-batch corpus-stats deltas
+    (``<name>_stats``: n, sum_dl, k1, b). Bucketing by term gives the
+    same query-time bucket pruning as the impact-baked index."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.bucketed import write_bucketed
+
+    postings = bm25_postings(docs, id_col, text_col)
+    write_bucketed(postings, table_name, ["term"], n_buckets=n_buckets)
+    (
+        docs.select(F.size(word_tokens(text_col)).cast("bigint").alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .withColumn("k1", F.lit(k1))
+        .withColumn("b", F.lit(b))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_name}_stats")
+    )
+
+
+def bm25_raw_append(
+    new_docs: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append documents to a raw index EXACTLY: postings for the new docs
+    land in the bucketed table (bucket layout preserved by insertInto),
+    plus one stats-delta row. Every subsequent search scores the union
+    corpus with the true global (N, avgdl, df) — no staleness, unlike
+    any impact-baked design. Caller contract: ids must be new (re-adding
+    an id double-counts it; delete first)."""
+    spark = new_docs.sparkSession
+    postings = bm25_postings(new_docs, id_col, text_col)
+    postings.select("doc_id", "term", "tf", "dl").write.insertInto(table_name)
+    k1b = spark.table(f"{table_name}_stats").select("k1", "b").first()
+    (
+        new_docs.select(F.size(word_tokens(text_col)).cast("bigint").alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .withColumn("k1", F.lit(float(k1b.k1)))
+        .withColumn("b", F.lit(float(k1b.b)))
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(f"{table_name}_stats")
+    )
+
+
+def bm25_search_raw(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    max_inlined_terms: int = 10_000,
+) -> DataFrame:
+    """Top-k search over a raw index — output-identical to
+    :func:`bm25_search` on the same (possibly appended-to) corpus.
+
+    The pruned postings (only the query's terms survive the bucket-pruned
+    scan) carry everything needed: df per term is an exact COUNT over the
+    pruned rows (pruning keeps every posting of a kept term), and (N,
+    avgdl) fold from the stats deltas — a metadata-sized aggregate. The
+    impact expression is the same shape as :func:`bm25_impacts`, so the
+    doubles (and the nano-unit rounding) reproduce bit-for-bit."""
+    postings = spark.table(table_name)
+    st = (
+        spark.table(f"{table_name}_stats")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("sum_dl").cast("double") / F.sum("n")).alias("avgdl"),
+            F.first("k1").alias("k1"),
+            F.first("b").alias("b"),
+        )
+        .first()
+    )
+    n_total, avgdl, k1, b = int(st.n), float(st.avgdl), float(st.k1), float(st.b)
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
+    )
+    distinct_terms = qterms.select("term").distinct()
+    head = distinct_terms.take(max_inlined_terms + 1)
+    if len(head) <= max_inlined_terms:
+        pruned = postings.filter(F.col("term").isin([r["term"] for r in head]))
+    else:
+        pruned = postings.join(F.broadcast(distinct_terms), "term", "left_semi")
+    dfreq = pruned.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.lit(n_total) - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_term = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    norm = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    impacts = pruned.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(idf * tf_term / norm * F.lit(_SCALE)).cast("bigint").alias("impact_n"),
+    )
+    scored = (
+        impacts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
+            "rank",
+        )
+    )

@@ -158,3 +158,40 @@ def test_indexed_search_term_cap_falls_back_to_semi_join(spark, sf_smoke):
         inlined[key].sort_values(key).reset_index(drop=True),
         joined[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_raw_index_append_is_exact(spark, sf_smoke):
+    """The raw-postings index scores exactly like bm25_search over the
+    union corpus AFTER an append — the property the impact-baked index
+    cannot have (its stored numbers freeze N/avgdl/df at build time)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+        bm25_raw_append,
+        bm25_search,
+        bm25_search_raw,
+        save_bm25_raw_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    save_bm25_raw_index(first, "bm25_raw_test", n_buckets=8)
+    try:
+        bm25_raw_append(second, "bm25_raw_test")
+        got = bm25_search_raw(spark, "bm25_raw_test", queries, k=10).toPandas()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_raw_test")
+        spark.sql("DROP TABLE IF EXISTS bm25_raw_test_stats")
+    want = bm25_search(
+        docs, queries, id_col="doc_id", text_col="text",
+        query_id="query_id", query_text="query_text", k=10,
+    ).toPandas()
+    key = ["query_id", "doc_id", "score", "rank"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
