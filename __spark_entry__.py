@@ -6194,6 +6194,37 @@ FROM chvec GROUP BY 1, 2
 """
 
 
+def bm25_raw_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the APPENDABLE raw-postings index (operators/bm25.py
+    ``save_bm25_raw_index``/``bm25_raw_append``/``bm25_search_raw``):
+    half the corpus builds the index, the other half is APPENDED, and
+    the search must score the union with the true global (N, avgdl, df)
+    — the Lucene-style segments-hold-postings design where scoring
+    statistics resolve at query time, which is what makes incremental
+    keyword indexing exact rather than stale. The oracle is the plain
+    whole-corpus BM25 SQL: any staleness in the appended statistics
+    turns rows red."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+        bm25_raw_append,
+        bm25_search_raw,
+        save_bm25_raw_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    name = "bm25_raw_entry_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+    save_bm25_raw_index(docs.filter(F.col("doc_id") % 2 == 0), name, n_buckets=8)
+    bm25_raw_append(docs.filter(F.col("doc_id") % 2 == 1), name)
+    return bm25_search_raw(spark, name, queries, k=10)
+
+
+_BM25_RAW_ORACLE = _BM25_ORACLE
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6357,6 +6388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_gate": quality_percentile_gate,
         "vec_threshold_join": vec_threshold_join,
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
+        "bm25_raw_index_topk": bm25_raw_index_topk,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6511,6 +6543,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_gate": _QUALITY_GATE_ORACLE,
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,
+        "bm25_raw_index_topk": _BM25_RAW_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
