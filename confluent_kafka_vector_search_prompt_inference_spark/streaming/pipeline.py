@@ -629,3 +629,102 @@ def ivf_insert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def agg_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuously-maintained aggregate (materialized-view maintenance,
+    the Timescale-continuous-aggregate / Flink-materialized-view shape —
+    generalizes ``sketch_insert``, whose count-min cells are one instance
+    of mergeable partials): each micro-batch lands its PARTIAL aggregate
+    under the idempotent ``_batch=<epoch>`` contract, and readers fold
+    partials with :func:`read_agg`.
+
+    ``agg_exprs`` maps output column → merge function name, restricted to
+    decomposable aggregates (``sum``, ``count``, ``min``, ``max``) whose
+    merge is the function itself (count partials merge by SUM). The
+    caller expresses the batch-level aggregate; e.g.::
+
+        agg_insert(stream, sink, ckpt,
+                   group_cols=["event_type"],
+                   agg_exprs={"n": "count", "total": "sum(value)"})
+
+    Replay safety is the epoch contract (a committed partial is skipped
+    whole); state per batch is one row per touched group — at 100 TB the
+    sink holds per-epoch group partials, folded on read or compacted by
+    ``compact_sink`` + re-fold (cells are additive, same argument as the
+    sketch deltas). For bit-exact float sums across refolds, aggregate
+    integer units (cents/nanos — the repo-wide exactness convention);
+    a DOUBLE sum's partial-merge order is batch-layout-dependent."""
+    from pyspark.sql import functions as F
+
+    write_batch = idempotent_batch_writer(sink_dir)
+
+    def _agg_col(spec: str, out: str):
+        if spec == "count":
+            return F.count("*").alias(out)
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        col = F.col(arg)
+        if fn == "sum":
+            return F.sum(col).alias(out)
+        if fn == "min":
+            return F.min(col).alias(out)
+        if fn == "max":
+            return F.max(col).alias(out)
+        raise ValueError(
+            f"agg_insert supports count/sum/min/max (decomposable with "
+            f"self-merge), got {spec!r}"
+        )
+
+    merge_plan = {
+        out: ("sum" if spec == "count" or spec.startswith("sum") else spec.split("(")[0])
+        for out, spec in agg_exprs.items()
+    }
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy(*group_cols).agg(
+            *[_agg_col(spec, out) for out, spec in agg_exprs.items()]
+        )
+        write_batch(partial, epoch_id)
+
+    q = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    started = q.start()
+    # stash the merge plan for read_agg (sidecar metadata, engine-readable)
+    os.makedirs(sink_dir, exist_ok=True)
+    with open(os.path.join(sink_dir, "_merge_plan.json"), "w") as fh:
+        import json
+
+        json.dump({"group_cols": group_cols, "merge": merge_plan}, fh)
+    return started
+
+
+def read_agg(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The current aggregate of an :func:`agg_insert` sink: fold the
+    per-epoch partials with each column's merge function (count→sum,
+    sum→sum, min→min, max→max, per the sidecar merge plan)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(sink_dir, "_merge_plan.json")) as fh:
+        plan = json.load(fh)
+    partials = read_sink(spark, sink_dir)
+    merged = partials.groupBy(*plan["group_cols"]).agg(
+        *[
+            getattr(F, fn)(out).alias(out)
+            for out, fn in plan["merge"].items()
+        ]
+    )
+    return merged

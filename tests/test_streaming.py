@@ -789,3 +789,71 @@ def test_ivf_insert_streaming_indexed_corpus(spark, tmp_path):
     ivf_delete(spark.createDataFrame([(0,), (1,)], "cid long"), idx)
     corpus3, _ = load_ivf_index(spark, idx)
     assert corpus3.filter(F.col("cid") < 2).count() == 0
+
+
+def test_agg_insert_folds_to_batch_aggregate(spark, tmp_path, events_dir):
+    """The continuously-maintained aggregate equals the one-shot batch
+    aggregate over everything streamed, for count/sum/min/max; replay
+    changes nothing."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import agg_insert, read_agg
+
+    src, schema, _ = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "aggsink")
+    q = agg_insert(
+        stream, sink, str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+        agg_exprs={
+            "n": "count",
+            "total": "sum(value)",
+            "vmin": "min(value)",
+            "vmax": "max(value)",
+        },
+        trigger_once=True,
+    )
+    _drain(q)
+    got = {
+        r.event_type: (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in read_agg(spark, sink).collect()
+    }
+    ev = spark.read.parquet(src)
+    want = {
+        r.event_type: (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    q2 = agg_insert(
+        stream, sink, str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+        agg_exprs={"n": "count", "total": "sum(value)", "vmin": "min(value)", "vmax": "max(value)"},
+        trigger_once=True,
+    )
+    _drain(q2)
+    again = {
+        r.event_type: (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in read_agg(spark, sink).collect()
+    }
+    assert again == want
+
+
+def test_agg_insert_rejects_nondecomposable(spark, tmp_path, events_dir):
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import agg_insert
+
+    src, schema, _ = events_dir
+    stream = file_stream_reader(spark, src, schema, max_files_per_trigger=3)
+    q = agg_insert(
+        stream, str(tmp_path / "s"), str(tmp_path / "c"),
+        group_cols=["event_type"], agg_exprs={"bad": "avg(value)"},
+        trigger_once=True,
+    )
+    with pytest.raises(Exception, match="decomposable|avg"):
+        q.awaitTermination(60)
+        raise RuntimeError("expected stream failure for avg")
