@@ -6225,6 +6225,41 @@ def bm25_raw_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_RAW_ORACLE = _BM25_ORACLE
 
 
+def user_event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-to-text sequence assembly (the step that turns event streams
+    into LLM training sequences — session transcripts, agent traces,
+    clickstream narratives): one ordered transcript string per user,
+    events sorted by (ts, event_id). One groupBy(user) shuffle; the sort
+    happens IN-ROW on the collected struct array (array_sort orders by
+    struct fields left-to-right), so there is no window, no secondary
+    shuffle, and the result is deterministic at any parallelism. Memory
+    bound is the per-user sequence (chunk long sessions upstream with
+    the 50/40 token chunker at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                " -> ",
+            ).alias("transcript"),
+        )
+    )
+
+
+_EVENT_TRANSCRIPTS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+  string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS transcript
+FROM events GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6389,6 +6424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_threshold_join": vec_threshold_join,
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
         "bm25_raw_index_topk": bm25_raw_index_topk,
+        "user_event_transcripts": user_event_transcripts,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6544,6 +6580,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,
         "bm25_raw_index_topk": _BM25_RAW_ORACLE,
+        "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
