@@ -6260,6 +6260,80 @@ FROM events GROUP BY 1
 """
 
 
+def contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-batch assembly on top of the mined hard
+    negatives: one example per query — (anchor, positive, the qrank-
+    ordered negative list) — assigned to a deterministic training batch
+    by content hash (md5('cb#'‖query_id) % 4) with a position from the
+    same hash order, so a resumed trainer regenerates identical batches
+    with no RNG state (the epoch_shuffle contract applied to example
+    assembly). Negative lists collect IN-ROW (array from a k-bounded
+    group), the batch window ranks hash-sized rows — nothing
+    corpus-sized moves."""
+    mined = hard_negative_mining(spark, sf_dir)
+    ex = (
+        mined.groupBy("query_id", "gold_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qrank", "negative_id"))),
+                    lambda x: x["negative_id"].cast("string"),
+                ),
+                ",",
+            ).alias("negative_ids"),
+            F.count("*").alias("n_negatives"),
+        )
+        .withColumn("__h", F.md5(F.concat(F.lit("cb#"), F.col("query_id").cast("string"))))
+        .withColumn(
+            "batch_id",
+            (F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint") % 4).cast("int"),
+        )
+    )
+    wb = Window.partitionBy("batch_id").orderBy("__h", "query_id")
+    return ex.withColumn(
+        "pos_in_batch", F.row_number().over(wb).cast("int")
+    ).select("batch_id", "pos_in_batch", "query_id", "gold_id", "negative_ids", "n_negatives")
+
+
+_CONTRASTIVE_BATCHES_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+qs AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, q AS qq FROM qz WHERE vec_id < 10),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cscale, q AS cq FROM qz WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_inner_product(qv, cv), 6) AS escore,
+    ROUND(list_inner_product(qq, cq) * qscale * cscale, 6) AS qscore
+  FROM qs CROSS JOIN cs),
+ranked AS (
+  SELECT query_id, neighbor_id, qscore,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY escore DESC, neighbor_id ASC) AS erank,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) AS INTEGER) AS qrank
+  FROM scored),
+gold AS (SELECT query_id, neighbor_id AS gold_id FROM ranked WHERE erank = 1),
+mined AS (
+  SELECT r.query_id, g.gold_id, r.neighbor_id AS negative_id, r.qrank
+  FROM ranked r JOIN gold g ON r.query_id = g.query_id
+  WHERE r.neighbor_id <> g.gold_id AND r.qrank <= 6),
+ex AS (
+  SELECT query_id, gold_id,
+    string_agg(CAST(negative_id AS VARCHAR), ',' ORDER BY qrank) AS negative_ids,
+    COUNT(*) AS n_negatives,
+    md5('cb#' || CAST(query_id AS VARCHAR)) AS h
+  FROM mined GROUP BY 1, 2),
+wb AS (
+  SELECT *, CAST(('0x' || substring(h, 1, 8))::UBIGINT % 4 AS INTEGER) AS batch_id FROM ex)
+SELECT batch_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY h, query_id) AS INTEGER) AS pos_in_batch,
+  query_id, gold_id, negative_ids, n_negatives
+FROM wb
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6425,6 +6499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
         "bm25_raw_index_topk": bm25_raw_index_topk,
         "user_event_transcripts": user_event_transcripts,
+        "contrastive_batches": contrastive_batches,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6581,6 +6656,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,
         "bm25_raw_index_topk": _BM25_RAW_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
+        "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
