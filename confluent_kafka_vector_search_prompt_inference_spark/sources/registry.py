@@ -149,3 +149,40 @@ def decode_json_topic(df: DataFrame, registry: SchemaRegistry, topic: str) -> Da
     parsed = df.withColumn("__data", F.from_json(payload.cast("string"), schema))
     keep = ["key"] if "key" in df.columns else []
     return parsed.select(*keep, "__data.*")
+
+
+def encode_json_topic(
+    df: DataFrame,
+    registry: SchemaRegistry,
+    topic: str,
+    *,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Typed columns → Kafka-shaped frame: the PRODUCER side of the wire
+    contract :func:`decode_json_topic` consumes (Confluent JSON_SR
+    framing: magic ``0x00`` + 4-byte big-endian schema id + compact JSON
+    UTF-8). The registry's current version for the topic stamps the
+    header, so consumers resolve the exact contract each record was
+    written under. Pure Catalyst: the 5-byte header is a binary literal,
+    the payload is ``to_json`` over the contract's columns — fuses into
+    the producing stage, no UDF, streaming-safe (use with
+    ``writeStream.format('kafka')`` by aliasing to ``key``/``value``).
+
+    Output: ``key BINARY`` (if ``key_col``) and ``value BINARY``; columns
+    beyond the registered contract are rejected rather than silently
+    dropped."""
+    schema = registry.latest(topic)
+    schema_id = registry.version(topic)
+    contract_cols = [f.name for f in schema.fields]
+    missing = [c for c in contract_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"encode_json_topic: missing contract columns {missing}")
+    header = F.lit(b"\x00" + int(schema_id).to_bytes(4, "big"))
+    value = F.concat(
+        header,
+        F.to_json(F.struct(*[F.col(c) for c in contract_cols])).cast("binary"),
+    )
+    out = [value.alias("value")]
+    if key_col is not None:
+        out.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    return df.select(*out)

@@ -171,3 +171,59 @@ def test_corrupt_payload_decodes_null_not_crash(spark):
     )
     rows = decode_json_topic(df, reg, "t").collect()
     assert len(rows) == 2 and all(r.a is None for r in rows)
+
+
+def test_encode_decode_roundtrip(spark):
+    """Producer-side framing: encode_json_topic writes the exact JSON_SR
+    frame decode_json_topic consumes — full typed → wire → typed
+    round trip, header byte-checked."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.registry import (
+        SchemaRegistry,
+        decode_json_topic,
+        encode_json_topic,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        "orders_out",
+        {
+            "type": "object",
+            "properties": {
+                "order_id": {"type": "integer"},
+                "item": {"type": "string"},
+                "qty": {"type": "integer"},
+            },
+        },
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "widget", 3), (2, "gadget", 5)]
+    df = spark.createDataFrame(rows, "order_id long, item string, qty long").withColumn(
+        "k", F.col("order_id").cast("string")
+    )
+    wire = encode_json_topic(df, reg, "orders_out", key_col="k")
+    frames = wire.collect()
+    sid = reg.version("orders_out")
+    for r in frames:
+        assert r.value[0] == 0
+        assert int.from_bytes(r.value[1:5], "big") == sid
+        assert r.value[5:6] == b"{"  # compact JSON payload
+    decoded = decode_json_topic(wire, reg, "orders_out")
+    got = {(r.order_id, r.item, r.qty) for r in decoded.collect()}
+    assert got == set(rows)
+
+
+def test_encode_rejects_missing_contract_columns(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.registry import (
+        SchemaRegistry,
+        encode_json_topic,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        "t_out",
+        {"type": "object", "properties": {"a": {"type": "integer"}, "b": {"type": "string"}}},
+    )
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="missing contract columns"):
+        encode_json_topic(df, reg, "t_out")
