@@ -40,3 +40,55 @@ def test_clustered_write_rejects_empty_cols(spark, tmp_path):
     df = spark.range(10)
     with pytest.raises(ValueError):
         clustered_write(df, str(tmp_path / "x"), [])
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order keeps BOTH columns row-group-clustered: against the
+    x-clustered baseline (which leaves y unclustered), the Morton layout
+    has materially tighter y ranges while keeping x far tighter than a
+    random layout."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.layout import zorder_write
+
+    random.seed(5)
+    rows = [(random.uniform(0, 1000), random.uniform(0, 1000)) for _ in range(60000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    xclust = str(tmp_path / "xclust")
+    clustered_write(df, xclust, ["x"], num_files=8, max_records_per_file=4000)
+    zpath = str(tmp_path / "z")
+    zorder_write(df, zpath, "x", "y", num_files=8)
+
+    x_over_xc = clustering_overlap(row_group_ranges(xclust, "x"))
+    y_over_xc = clustering_overlap(row_group_ranges(xclust, "y"))
+    x_over_z = clustering_overlap(row_group_ranges(zpath, "x"))
+    y_over_z = clustering_overlap(row_group_ranges(zpath, "y"))
+
+    # x-clustering: x tight, y hopeless
+    assert x_over_xc < 0.25, x_over_xc
+    assert y_over_xc > 0.9, y_over_xc
+    # z-order: both dimensions materially clustered
+    assert x_over_z < 0.7, x_over_z
+    assert y_over_z < 0.7, y_over_z
+    assert spark.read.parquet(zpath).count() == 60000
+
+
+def test_zorder_value_locality(spark):
+    """Nearby 2D points get nearby Morton keys; distant points do not
+    collide into the same low range (sanity on the bit interleave)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (500.0, 500.0), (1000.0, 1000.0)], "x double, y double"
+    )
+    z = zorder_value(
+        F.col("x"), F.col("y"), x_min=0, x_max=1000, y_min=0, y_max=1000, bits=8
+    )
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    assert vals[0] < vals[1] < vals[2]
+    assert vals[2] == 2**16 - 1  # both dims max out all 8 bits
