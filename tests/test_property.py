@@ -192,3 +192,100 @@ def test_embedding_near_dup_matmul_matches_expression(spark, seed):
                     expect.add((a, b))
     assert set(zip(got.id_a, got.id_b)) == expect
     assert (0, 100) in expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1, max_size=60,
+    )
+)
+def test_countmin_never_undercounts_random_multisets(spark, terms):
+    """For ANY multiset of terms, every point estimate >= the true count
+    (collisions only add) and the sketch stays within depth×width cells."""
+    from collections import Counter
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sketch = countmin_build(df, "term", depth=3, width=8)
+    q = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    est = {
+        r.term: r.est
+        for r in countmin_lookup(sketch, q, "term", depth=3, width=8).collect()
+    }
+    true = Counter(terms)
+    assert all(est[t] >= c for t, c in true.items())
+    assert sketch.count() <= 3 * 8
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_per_group_top_n_window_equivalence_random(spark, seed):
+    """Salted two-phase top-N == single-window top-N on random data with
+    random group skew."""
+    import random
+
+    from pyspark.sql import Window
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import per_group_top_n
+
+    rng = random.Random(seed)
+    n_groups = rng.randint(1, 5)
+    rows = [
+        (f"g{rng.randint(0, n_groups - 1)}", i, rng.random())
+        for i in range(rng.randint(1, 300))
+    ]
+    n = rng.randint(1, 8)
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r.g, r.id, r.rank)
+        for r in per_group_top_n(
+            df, ["g"], [F.desc("v"), F.asc("id")], n,
+            salt_key="id", salt_parts=rng.choice([2, 4, 16]),
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        (r.g, r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_packed_hamming_equals_naive_random(spark, seed):
+    """vec_hamming over packed signatures == per-dimension sign-mismatch
+    count for random dims (incl. non-multiples of 64) and values
+    (incl. exact zeros, which must pack as 0-bits)."""
+    import random
+
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_hamming, vec_quantize_binary
+
+    rng = random.Random(seed)
+    dim = rng.randint(1, 150)
+    rows = [
+        (
+            [rng.choice([0.0, rng.uniform(-1, 1)]) for _ in range(dim)],
+            [rng.choice([0.0, rng.uniform(-1, 1)]) for _ in range(dim)],
+        )
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        vec_hamming(vec_quantize_binary("a"), vec_quantize_binary("b")).alias("hp"),
+        F.aggregate(
+            F.zip_with(
+                "a", "b",
+                lambda x, y: F.when((x > 0) != (y > 0), F.lit(1).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("hn"),
+    ).collect()
+    assert all(r.hp == r.hn for r in out)
