@@ -41,6 +41,10 @@ HEAVIES = [
     "trigram_lm_quality",
     "countmin_term_freqs",
     "domain_quota_cap",
+    "crossdoc_duplicate_spans",
+    "quality_percentile_gate",
+    # user_event_transcripts excluded: the sf1/sf10 generator emits only
+    # documents + embeddings (no events table)
 ]
 
 SF_DIRS = {
