@@ -192,6 +192,51 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["near_dedup_insert"] = _progress_stats(q, time.time() - t0, n_docs)
+
+        # --- streaming IVF sink: embeddings land continuously-indexed
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import ivf_insert
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("vector")
+        )
+        n_vec = emb.count()
+        vsrc = os.path.join(work, "vsrc")
+        emb.repartition(N_STREAM_BATCHES).write.parquet(vsrc)
+        t0 = time.time()
+        q = ivf_insert(
+            file_stream_reader(spark, vsrc, emb.schema),
+            os.path.join(work, "ivf_idx"),
+            os.path.join(work, "ivf_ckpt"),
+            vec_col="vector",
+            n_clusters=16,
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["ivf_insert"] = _progress_stats(q, time.time() - t0, n_vec)
+
+        # --- streaming corpus sketch: token-frequency monitoring beside
+        # the insert (count-min deltas per epoch)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import sketch_insert
+
+        terms = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("term"),
+        )
+        n_terms = terms.count()
+        tsrc = os.path.join(work, "tsrc")
+        terms.repartition(N_STREAM_BATCHES).write.parquet(tsrc)
+        t0 = time.time()
+        q = sketch_insert(
+            file_stream_reader(spark, tsrc, terms.schema),
+            os.path.join(work, "sk_sink"),
+            os.path.join(work, "sk_ckpt"),
+            term_col="term",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["sketch_insert"] = _progress_stats(q, time.time() - t0, n_terms)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
