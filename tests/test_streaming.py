@@ -857,3 +857,55 @@ def test_agg_insert_rejects_nondecomposable(spark, tmp_path, events_dir):
     with pytest.raises(Exception, match="decomposable|avg"):
         q.awaitTermination(60)
         raise RuntimeError("expected stream failure for avg")
+
+
+def test_sketch_insert_heals_partial_epoch(spark, tmp_path, docs):
+    """Crash window between the two writes of one epoch: if the rows
+    committed but the sketch delta didn't (or vice versa), the replay
+    writes ONLY the missing half — no token double-counts, no row
+    duplicates."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        read_corpus_sketch,
+        sketch_insert,
+    )
+
+    terms = docs.limit(30).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    src = str(tmp_path / "src")
+    terms.repartition(2).write.parquet(src)
+    stream = file_stream_reader(spark, src, terms.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = sketch_insert(
+        stream, sink, ckpt, term_col="term", depth=2, width=64, trigger_once=True
+    )
+    _drain(q)
+
+    # simulate the crash: epoch 0's sketch delta vanishes after the rows
+    # committed (delete it + the streaming checkpoint commit so the epoch
+    # re-runs)
+    shutil.rmtree(os.path.join(sink, "_sketch", "_batch=0"))
+    shutil.rmtree(ckpt)
+    rows_before = read_sink(spark, sink).count()
+    q2 = sketch_insert(
+        stream, sink, str(tmp_path / "ckpt2"), term_col="term",
+        depth=2, width=64, trigger_once=True,
+    )
+    _drain(q2)
+    assert read_sink(spark, sink).count() == rows_before  # rows not duplicated
+    healed = read_corpus_sketch(spark, sink)
+    oneshot = countmin_build(read_sink(spark, sink), "term", depth=2, width=64)
+    diff = (
+        healed.withColumnRenamed("cnt", "c1")
+        .join(oneshot, ["d", "bucket"], "full")
+        .filter(F.coalesce("c1", F.lit(-1)) != F.coalesce("cnt", F.lit(-2)))
+        .count()
+    )
+    assert diff == 0
