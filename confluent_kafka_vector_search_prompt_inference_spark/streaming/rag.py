@@ -50,6 +50,14 @@ class RagPipeline:
     #: the steady-state streaming shape: the corpus and its index are
     #: maintained by the ingest side; query batches only read.
     keyword_index: str | None = None
+    #: Optional saved IVF index path (``operators.ivf.save_ivf_index`` /
+    #: the streaming ``ivf_insert`` sink). When set, the vector leg probes
+    #: the PERSISTED index (cluster-pruned scan, ``n_probe`` clusters per
+    #: query) instead of scoring a passed-in corpus — the steady-state
+    #: pairing with the always-indexed ingest side; ``corpus`` may then be
+    #: omitted, and product content comes from the index rows themselves.
+    vector_index: str | None = None
+    n_probe: int = 4
 
     def _ensure_id(self, questions: DataFrame) -> DataFrame:
         """Questions need a stable unique id for the top-k join; derive one
@@ -71,11 +79,30 @@ class RagPipeline:
         keep = [c for c in ("role", "content", "sessionid", self.question_id) if c in embedded.columns]
         return embedded.select(*keep, "vector")
 
-    def search_prompts(self, questions_vec: DataFrame, corpus: DataFrame) -> DataFrame:
+    def search_prompts(self, questions_vec: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
         """Stage 2 → ``user_prompts`` (``README.md:438-446``): top-k corpus
         rows per question, packed as ``products ARRAY<STRUCT<content>>``
         ordered by similarity rank (``README.md:413-421``)."""
-        if self.retrieval == "hybrid":
+        if self.vector_index is not None:
+            if self.retrieval == "hybrid":
+                raise ValueError(
+                    "vector_index currently pairs with retrieval='vector' "
+                    "(the hybrid keyword leg has its own keyword_index)"
+                )
+            from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index, topk_ivf
+
+            spark = questions_vec.sparkSession
+            indexed, cents = load_ivf_index(spark, self.vector_index)
+            hits = topk_ivf(
+                questions_vec, indexed, cents, self.k,
+                query_id=self.question_id, query_vec="vector",
+                corpus_id="product_id", corpus_vec="vector",
+                metric="dot", n_probe=self.n_probe,
+            )
+            corpus = indexed
+        elif corpus is None:
+            raise ValueError("corpus is required unless vector_index is set")
+        elif self.retrieval == "hybrid":
             hits = self._hybrid_hits(questions_vec, corpus)
         else:
             hits = topk_similarity_join(
@@ -166,13 +193,13 @@ class RagPipeline:
         answered = self.registry.ml_predict(with_prompt, self.llm_model, "__prompt")
         return answered.select("role", "content", "sessionid", "json_response")
 
-    def run_batch(self, questions: DataFrame, corpus: DataFrame) -> DataFrame:
+    def run_batch(self, questions: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
         """Full pipeline: questions → embedded → retrieved → answered."""
         vec = self.embed_questions(questions)
         prompts = self.search_prompts(vec, corpus)
         return self.answer_prompts(prompts)
 
-    def streaming_transform(self, corpus: DataFrame):
+    def streaming_transform(self, corpus: DataFrame | None = None):
         """Per-micro-batch transform for ``foreachBatch`` — identical logic
         to :meth:`run_batch`, reproducing the reference's three continuous
         statements as one restart-safe streaming job."""

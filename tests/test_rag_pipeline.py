@@ -139,3 +139,56 @@ def test_hybrid_rag_with_persisted_keyword_index(spark, pipe, questions, corpus)
         spark.sql("DROP TABLE IF EXISTS rag_kw_idx_test")
         spark.sql("DROP TABLE IF EXISTS rag_kw_idx_test_stats")
     assert got == expected
+
+
+def test_rag_over_persisted_ivf_index(spark, tmp_path):
+    """RagPipeline(vector_index=...) retrieves from the saved IVF index —
+    no corpus argument anywhere — and at full probe width returns exactly
+    what the in-memory broadcast pipeline returns (same products, same
+    order), pairing the query side with the always-indexed ingest side."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, save_ivf_index
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = registry.ml_predict(
+        docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        "vector_encoding",
+        "content",
+    )
+    idx = str(tmp_path / "ivf")
+    indexed, cents = build_ivf_index(corpus, "vector", n_clusters=8, seed=42)
+    save_ivf_index(indexed, cents, idx)
+
+    questions = docs.filter(F.col("doc_id") < 5).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.concat(F.lit("s-"), F.col("doc_id")).alias("sessionid"),
+    )
+    plain = RagPipeline(registry, k=3, strategy="broadcast_corpus")
+    via_index = RagPipeline(registry, k=3, vector_index=idx, n_probe=8)
+
+    want = {
+        r.sessionid: [p.content for p in r.products]
+        for r in plain.search_prompts(
+            plain.embed_questions(questions), corpus
+        ).collect()
+    }
+    got = {
+        r.sessionid: [p.content for p in r.products]
+        for r in via_index.search_prompts(
+            via_index.embed_questions(questions)
+        ).collect()
+    }
+    assert got == want
+
+    answers = via_index.run_batch(questions)
+    assert answers.count() == 5
+
+    with pytest.raises(ValueError, match="corpus is required"):
+        plain.search_prompts(plain.embed_questions(questions))
