@@ -209,6 +209,49 @@ def ivf_vacuum(spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluste
     )
 
 
+def ivf_compact(spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluster") -> None:
+    """Fold a streaming-layout corpus (``_batch=N/cluster=M`` dirs from
+    ``streaming.pipeline.ivf_insert``) — or a heavily-appended flat one —
+    into a single flat cluster-partitioned layout, applying any pending
+    tombstones along the way. Bounded file counts are what keep scan
+    planning cheap after months of micro-batch appends; same
+    crash-safety as vacuum (publish-then-clear via ``corpus_tmp``)."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import recover_vacuum
+
+    recover_vacuum(path)
+    corpus, _ = load_ivf_index(spark, path)  # batched-layout + tombstone aware
+    tmp = os.path.join(path, "corpus_tmp")
+    corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(tmp)
+    shutil.rmtree(os.path.join(path, "corpus"))
+    os.rename(tmp, os.path.join(path, "corpus"))
+    tomb = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb)
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cluster health of a saved index: row count, share of the
+    corpus, and the skew ratio vs a balanced split — the monitoring
+    signal the frozen-centroid append/insert lifecycle needs (rebuild
+    with :func:`build_ivf_index` when drifted mass piles into few
+    clusters; see ``ivf_append``'s docstring). Metadata-cheap: one
+    count per cluster over the partition-pruned layout."""
+    corpus, centroids = load_ivf_index(spark, path)
+    n_clusters = len(centroids)
+    counts = corpus.groupBy("ivf_cluster").agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows")).first()[0] or 1
+    return counts.select(
+        "ivf_cluster",
+        "n_rows",
+        F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("share"),
+        F.round(
+            F.col("n_rows") / F.lit(float(total) / n_clusters), 3
+        ).alias("skew_vs_balanced"),
+    )
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
     """(partition-pruned corpus DataFrame, centroid matrix) from disk.
     Tombstoned ids (:func:`ivf_delete`) are anti-joined out — broadcast,

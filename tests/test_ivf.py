@@ -271,3 +271,52 @@ def test_ivf_delete_rejects_bad_ids(spark, embeddings, ivf, tmp_path):
     ivf_delete(spark.createDataFrame([(1,)], "cid long"), path)
     with pytest.raises(ValueError, match="type mismatch"):
         ivf_delete(spark.createDataFrame([(2,)], "cid int"), path)
+
+
+def test_ivf_compact_and_stats_streaming_layout(spark, embeddings, ivf, tmp_path):
+    """ivf_compact folds the streaming _batch layout into the flat
+    cluster layout with identical content; ivf_index_stats reports
+    per-cluster counts that sum to the corpus."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        ivf_compact,
+        ivf_delete,
+        ivf_index_stats,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ivf_c")
+    save_ivf_index(indexed, centroids, path)
+    # fabricate a streaming-ish layout: move the flat corpus under _batch=0
+    # and write a second committed batch
+    cdir = os.path.join(path, "corpus")
+    import shutil
+
+    tmp0 = os.path.join(path, "b0")
+    os.rename(cdir, tmp0)
+    os.makedirs(cdir)
+    os.rename(tmp0, os.path.join(cdir, "_batch=0"))
+    open(os.path.join(cdir, "_batch=0", "_SUCCESS"), "w").close()
+    extra = indexed.filter(F.col("cid") < 5).withColumn(
+        "cid", F.col("cid") + 500000
+    )
+    extra.write.partitionBy("ivf_cluster").parquet(os.path.join(cdir, "_batch=1"))
+
+    n_before = load_ivf_index(spark, path)[0].count()
+    assert n_before == indexed.count() + 5
+
+    ivf_delete(spark.createDataFrame([(500000,)], "cid long"), path)
+    ivf_compact(spark, path)
+    assert not any(d.startswith("_batch=") for d in os.listdir(cdir))
+    assert any(d.startswith("ivf_cluster=") for d in os.listdir(cdir))
+    loaded, _ = load_ivf_index(spark, path)
+    assert loaded.count() == n_before - 1  # tombstone applied in the fold
+    assert loaded.filter(F.col("cid") == 500000).count() == 0
+
+    stats = ivf_index_stats(spark, path)
+    rows = stats.collect()
+    assert sum(r.n_rows for r in rows) == n_before - 1
+    assert all(abs(r.share - r.n_rows / (n_before - 1)) < 1e-5 for r in rows)
