@@ -6334,6 +6334,46 @@ FROM wb
 """
 
 
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script/charset profiling (functions/text.py ``char_class_ratio``):
+    per-document character-class mix — Latin letters, digits,
+    whitespace, punctuation, other — the router in multilingual
+    curation (script decides which language-specific stages run, and
+    digits/other-heavy mixes flag boilerplate, tables, and binary
+    spill). One scan, five regexp_replace length-diffs, no shuffle at
+    all; exact ratios, round-6."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import char_class_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(char_class_ratio(F.col("text"), "[A-Za-z]"), 6).alias("latin_ratio"),
+        F.round(char_class_ratio(F.col("text"), "[0-9]"), 6).alias("digit_ratio"),
+        F.round(char_class_ratio(F.col("text"), r"\s"), 6).alias("space_ratio"),
+        F.round(char_class_ratio(F.col("text"), r"[^A-Za-z0-9\s]"), 6).alias("other_ratio"),
+    )
+
+
+_SCRIPT_PROFILE_ORACLE = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    ROUND(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE), 6) END AS latin_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE), 6) END AS digit_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    ROUND(CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE), 6) END AS space_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    ROUND(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE), 6) END AS other_ratio
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6500,6 +6540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_raw_index_topk": bm25_raw_index_topk,
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
+        "text_script_profile": text_script_profile,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6657,6 +6698,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_raw_index_topk": _BM25_RAW_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
+        "text_script_profile": _SCRIPT_PROFILE_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -113,3 +113,17 @@ def doc_fingerprint(text: Column | str) -> Column:
     document bodies → small shuffle rows).
     """
     return F.md5(normalized_text(text))
+
+
+def char_class_ratio(text: Column | str, char_class: str) -> Column:
+    """Fraction of characters matching a regex character class (0 for
+    empty strings). The building block for script/charset profiling:
+    multilingual curation routes documents by script mix (Latin vs CJK vs
+    Cyrillic vs digits-heavy boilerplate) before language-specific
+    stages. Pure Catalyst — length difference after regexp_replace."""
+    t = _c(text)
+    n = F.length(t)
+    hit = n - F.length(F.regexp_replace(t, char_class, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hit.cast("double") / n.cast("double")
+    )

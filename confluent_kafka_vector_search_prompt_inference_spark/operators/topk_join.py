@@ -122,6 +122,16 @@ def topk_similarity_join(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
             metric, score_col, rank_col, rescore_factor,
         )
+    if strategy == "binary":
+        if metric != "dot":
+            raise ValueError("strategy='binary' supports metric='dot' only")
+        return binary_rescore_topk(
+            queries, corpus, k,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            rescore_factor=rescore_factor or 4,
+            score_col=score_col, rank_col=rank_col,
+        )
     if strategy == "lsh":
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import topk_lsh
 
