@@ -6374,6 +6374,104 @@ FROM documents
 """
 
 
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis importance over the co-purchase graph (PageRank, 3
+    fixed power iterations, damping 0.85) — the authority signal a
+    curation pipeline uses to pick canonical items/documents among
+    near-duplicates. Distributed-deterministic by construction: each
+    iteration's neighbor contributions round to 9 decimals and sum as
+    DECIMAL(28,9) (exact, partition-order-invariant), so the oracle's
+    unrolled CTEs reproduce every rank bit-for-bit — the same fixed-point
+    discipline as the engine's cents/nano conventions. Per iteration:
+    one edge join + one DECIMAL aggregate; edges are reused (persisted),
+    and at 100 TB the only wide op is the (node)-keyed contribution
+    shuffle."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .transform(_persist)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("deg"), 9)
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = deg.select(F.col("src").alias("node")).join(summed, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(0.15)
+                + F.lit(0.85) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    return pr.select(F.col("node").alias("part_id"), F.round("pr", 6).alias("pagerank"))
+
+
+_PAGERANK_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+pr0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
+it1 AS (
+  SELECT d.src AS node,
+    ROUND(0.15 + 0.85 * CAST(COALESCE(SUM(CAST(ROUND(p.pr / dd.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+  FROM deg d
+  LEFT JOIN edges e ON e.dst = d.src
+  LEFT JOIN pr0 p ON p.node = e.src
+  LEFT JOIN deg dd ON dd.src = e.src
+  GROUP BY 1),
+it2 AS (
+  SELECT d.src AS node,
+    ROUND(0.15 + 0.85 * CAST(COALESCE(SUM(CAST(ROUND(p.pr / dd.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+  FROM deg d
+  LEFT JOIN edges e ON e.dst = d.src
+  LEFT JOIN it1 p ON p.node = e.src
+  LEFT JOIN deg dd ON dd.src = e.src
+  GROUP BY 1),
+it3 AS (
+  SELECT d.src AS node,
+    ROUND(0.15 + 0.85 * CAST(COALESCE(SUM(CAST(ROUND(p.pr / dd.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+  FROM deg d
+  LEFT JOIN edges e ON e.dst = d.src
+  LEFT JOIN it2 p ON p.node = e.src
+  LEFT JOIN deg dd ON dd.src = e.src
+  GROUP BY 1)
+SELECT node AS part_id, ROUND(pr, 6) AS pagerank FROM it3
+"""
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6541,6 +6639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
+        "part_pagerank": part_pagerank,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6699,6 +6798,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,
+        "part_pagerank": _PAGERANK_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
