@@ -6217,6 +6217,16 @@ def bm25_raw_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "bm25_raw_entry_idx"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+    # an in-memory catalog forgets managed tables between sessions but
+    # their warehouse directories persist — saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Clear any orphaned locations explicitly.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (name, f"{name}_stats"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     save_bm25_raw_index(docs.filter(F.col("doc_id") % 2 == 0), name, n_buckets=8)
     bm25_raw_append(docs.filter(F.col("doc_id") % 2 == 1), name)
     return bm25_search_raw(spark, name, queries, k=10)
