@@ -320,6 +320,33 @@ def pq_vacuum(spark, path: str) -> int:
     )
 
 
+def pq_index_stats(spark, path: str) -> DataFrame:
+    """Per-segment codebook utilization of a saved PQ index: distinct
+    codes in use (of k=256) and the Shannon entropy of the code
+    distribution in bits — the drift signal the frozen-codebook
+    append lifecycle needs (entropy well below log2(codes_used) or
+    utilization collapsing toward a few codes means the data has moved
+    off the training sample: rebuild with train_pq_codebooks). One
+    explode + one (segment, code) aggregation over SMALLINT codes."""
+    from pyspark.sql import functions as F
+
+    corpus, books = load_pq_index(spark, path)
+    m = books.shape[0]
+    codes = corpus.select(F.posexplode("pq_codes").alias("segment", "code"))
+    dist = codes.groupBy("segment", "code").agg(F.count("*").alias("n"))
+    tot = dist.groupBy("segment").agg(F.sum("n").alias("tot"))
+    ent = (
+        dist.join(tot, "segment")
+        .withColumn("p", F.col("n") / F.col("tot"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("codes_used"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 4).alias("entropy_bits"),
+        )
+    )
+    return ent.withColumn("codes_total", F.lit(int(books.shape[1])))
+
+
 def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """(encoded corpus DataFrame, (m, k, d/m) codebook tensor) from disk.
     Tombstoned ids (:func:`pq_delete`) are anti-joined out."""

@@ -249,3 +249,21 @@ def test_pq_delete_and_vacuum(spark, embeddings, pq_setup, tmp_path):
         ).collect()
     }
     assert before == after
+
+
+def test_pq_index_stats_utilization(spark, embeddings, pq_setup, tmp_path):
+    """Stats report per-segment code utilization: counts bounded by k,
+    entropy positive for a spread distribution, one row per segment."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.pq import pq_index_stats, save_pq_index
+
+    _, books, encoded = pq_setup
+    path = str(tmp_path / "pq_stats")
+    save_pq_index(encoded, books, path)
+    rows = pq_index_stats(spark, path).collect()
+    assert len(rows) == books.shape[0]
+    for r in rows:
+        assert 1 <= r.codes_used <= r.codes_total
+        assert r.entropy_bits >= 0.0
+        import math
+
+        assert r.entropy_bits <= math.log2(r.codes_total) + 1e-6
