@@ -43,8 +43,10 @@ HEAVIES = [
     "domain_quota_cap",
     "crossdoc_duplicate_spans",
     "quality_percentile_gate",
-    # user_event_transcripts excluded: the sf1/sf10 generator emits only
-    # documents + embeddings (no events table)
+    "chunk_meanpool_embeddings",
+    "bm25_raw_index_topk",
+    # user_event_transcripts and part_pagerank excluded: the sf1/sf10
+    # generator emits only documents + embeddings (no events/lineitem)
 ]
 
 SF_DIRS = {
