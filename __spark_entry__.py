@@ -6482,6 +6482,59 @@ it3 AS (
 SELECT node AS part_id, ROUND(pr, 6) AS pagerank FROM it3
 """
 
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of ``l_extendedprice`` (8 buckets) —
+    the statistic behind range-partition planning, skew detection, and
+    CBO selectivity at 100 TB. Same scale shape as the percentile gate:
+    one (value, count) aggregation, a running sum over the VALUE table
+    (bounded by distinct values, not rows), bucket = floor(cum/depth)
+    capped to the last bucket — exact rank semantics, no interpolated
+    percentile to disagree between engines. Emits per-bucket row count
+    and min/max bounds; bucket populations differ only where a single
+    repeated value straddles a boundary (the exact-histogram contract)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_extendedprice").agg(F.count("*").alias("c"))
+    total = li.count()
+    depth = total / 8.0
+    # two-phase exact running sum over the value table — NOT an
+    # unpartitioned window (the single-task cumsum scale-killer)
+    cum = scalable_cumsum(vals, "l_extendedprice", "c", out_col="cum")
+    bucketed = cum.withColumn(
+        "bucket",
+        F.least(
+            F.lit(7),
+            F.floor((F.col("cum") - F.col("c")) / F.lit(depth)).cast("int"),
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+_EQUI_DEPTH_ORACLE = """
+WITH vals AS (SELECT l_extendedprice, COUNT(*) AS c FROM lineitem GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM lineitem),
+cum AS (
+  SELECT l_extendedprice, c,
+    SUM(c) OVER (ORDER BY l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals),
+b AS (
+  SELECT l_extendedprice, c,
+    LEAST(7, CAST(floor((cum - c) / (tot.n / 8.0)) AS INTEGER)) AS bucket
+  FROM cum CROSS JOIN tot)
+SELECT bucket, SUM(c) AS n_rows, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM b GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6650,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
         "part_pagerank": part_pagerank,
+        "equi_depth_histogram": equi_depth_histogram,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6809,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,
         "part_pagerank": _PAGERANK_ORACLE,
+        "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

@@ -213,3 +213,55 @@ def per_group_top_n(
     return phase1.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= n
     )
+
+
+def scalable_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Global running sum WITHOUT a single-partition window.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row
+    through one task — the classic cumulative-sum scale-killer. This is
+    the two-phase exact equivalent: range-partition by the order column
+    (partition i holds strictly smaller keys than partition i+1), local
+    running sums per partition, then add each partition's prefix offset
+    (one metadata-sized collect of per-partition totals). Identical to
+    the one-window result whenever ``order_col`` values are unique per
+    row (range boundaries then can't split an order position — dedupe to
+    a value table first, which is also what bounds the input size).
+    """
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    d = df.repartitionByRange(n_parts, F.col(order_col).asc())
+    d = d.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # localCheckpoint (not persist): materializes once so the partition
+    # ids seen by the totals collect and by the downstream plan are the
+    # SAME physical partitioning, breaks lineage, and is reclaimed by the
+    # ContextCleaner when the frame goes out of scope — no unpersist
+    # bookkeeping forced on callers.
+    d = d.withColumn("__local", F.sum(value_col).over(w)).localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in d.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    out = d.withColumn(
+        out_col, F.col("__local") + F.coalesce(omap[F.col("__pid")], F.lit(0))
+    ).drop("__pid", "__local")
+    return out

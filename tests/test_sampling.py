@@ -289,3 +289,25 @@ def test_per_group_top_n_small_groups_complete(spark):
     )
     out = per_group_top_n(df, ["g"], [F.asc("id")], 10, salt_key="id")
     assert out.count() == 3
+
+
+def test_scalable_cumsum_equals_single_window(spark):
+    """Two-phase range-partitioned cumsum == the unpartitioned-window
+    cumsum on unique keys, across partition counts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    random.seed(9)
+    rows = [(float(k), random.randint(1, 9)) for k in random.sample(range(10000), 500)]
+    df = spark.createDataFrame(rows, "k double, c long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("c").over(w)).collect()}
+    for parts in (1, 4, 32):
+        got = {
+            r.k: r.cum
+            for r in scalable_cumsum(df, "k", "c", n_parts=parts).collect()
+        }
+        assert got == want, parts
