@@ -614,3 +614,115 @@ def semantic_dedup(
         indexed, id_col, vec_col, threshold=threshold
     )
     return indexed.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the storage-dedup modality: chunk
+# boundaries are picked by the CONTENT (a gear rolling hash hitting a mask),
+# not by position, so an insertion early in a document shifts only the one
+# chunk it lands in; every later chunk re-aligns and its hash still matches
+# the store. Fixed-size chunking loses all alignment after one edit; this is
+# why every dedup store (restic/borg/LBFS-lineage) chunks by content. In an
+# LLM-corpus pipeline CDC chunk hashes approximate exact-substring dedup at
+# sub-document granularity: shared boilerplate between revisions collapses
+# to shared chunk fingerprints.
+# ---------------------------------------------------------------------------
+
+_GEAR_SEED = 0x9E3779B97F4A7C15
+
+
+def _gear_table() -> list[int]:
+    """256 deterministic 64-bit gear values (splitmix64 over the byte)."""
+    out = []
+    for b in range(256):
+        z = (b * _GEAR_SEED + 0x632BE59BD9B4E019) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        out.append(z ^ (z >> 31))
+    return out
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    mask_bits: int = 6,
+    min_len: int = 16,
+    max_len: int = 256,
+) -> DataFrame:
+    """Content-defined chunks of each document's UTF-8 text.
+
+    Returns ``(id, chunk_no, start, length, chunk_hash)`` where a
+    boundary is declared when the gear hash's low ``mask_bits`` bits are
+    zero (expected chunk length 2^mask_bits), clamped to
+    [min_len, max_len]. The rolling hash is inherently sequential per
+    document, so this is an Arrow-batched ``mapInPandas`` (one pass per
+    document, no shuffle at all — the embarrassingly-parallel shape);
+    chunk hashes are md5 of the chunk bytes, so identical substrings
+    anywhere in the corpus produce identical fingerprints for the
+    downstream exact-dedup groupBy.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    gear = _gear_table()
+    mask = (1 << mask_bits) - 1
+    id_field = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_field),
+            StructField("chunk_no", IntegerType()),
+            StructField("start", LongType()),
+            StructField("length", LongType()),
+            StructField("chunk_hash", StringType()),
+        ]
+    )
+
+    def chunk_one(text: str):
+        data = text.encode("utf-8")
+        n = len(data)
+        chunks = []
+        start = 0
+        h = 0
+        i = 0
+        while i < n:
+            h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
+            length = i - start + 1
+            if (length >= min_len and (h & mask) == 0) or length >= max_len or i == n - 1:
+                chunks.append((start, length, hashlib.md5(data[start : i + 1]).hexdigest()))
+                start = i + 1
+                h = 0
+            i += 1
+        return chunks
+
+    def run(batches):
+        for pdf in batches:
+            ids, nos, starts, lens, hashes = [], [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                for no, (s, ln, hx) in enumerate(chunk_one(text or "")):
+                    ids.append(rid)
+                    nos.append(no)
+                    starts.append(s)
+                    lens.append(ln)
+                    hashes.append(hx)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "chunk_no": nos,
+                    "start": starts,
+                    "length": lens,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

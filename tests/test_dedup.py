@@ -125,3 +125,43 @@ def test_semantic_dedup_drops_planted_copies_keeps_originals(embeddings):
     assert set(range(20)) <= kept and len(kept) == n_base
     # survivors carry their cluster assignment
     assert "cluster" in survivors.columns
+
+
+def test_cdc_chunks_shift_resilient(spark):
+    """The CDC property fixed-size chunking lacks: inserting a prefix
+    changes only the chunk(s) around the edit — most chunk hashes of the
+    original document reappear in the edited copy at shifted offsets."""
+    import random
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import cdc_chunks
+
+    random.seed(13)
+    body = "".join(random.choice("abcdefgh ") for _ in range(4000))
+    edited = "INSERTED PREFIX >>> " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, "doc_id", "text").collect()
+    h1 = [r.chunk_hash for r in out if r.id == 1]
+    h2 = {r.chunk_hash for r in out if r.id == 2}
+    shared = sum(1 for h in h1 if h in h2)
+    assert shared / len(h1) >= 0.8, f"only {shared}/{len(h1)} chunks survive the edit"
+    # coverage: chunks tile each document exactly
+    for rid, text in ((1, body), (2, edited)):
+        rows = sorted((r for r in out if r.id == rid), key=lambda r: r.start)
+        assert rows[0].start == 0
+        assert sum(r.length for r in rows) == len(text.encode())
+        for a, b in zip(rows, rows[1:]):
+            assert b.start == a.start + a.length
+    # length clamps hold
+    assert all(16 <= r.length <= 256 or r.start + r.length in
+               (len(body.encode()), len(edited.encode())) for r in out)
+
+
+def test_cdc_chunks_deterministic_across_partitionings(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    a = {tuple(r) for r in cdc_chunks(docs.repartition(1), "doc_id", "text").collect()}
+    b = {tuple(r) for r in cdc_chunks(docs.repartition(13), "doc_id", "text").collect()}
+    assert a == b
