@@ -180,6 +180,31 @@ class EngineSession:
             assert df is not None
             self.catalog.insert_into(m.group("sink"), df)
             return None
+        if statement.strip().upper() == "SHOW MODELS":
+            # one row per registered model (the statement-surface pair of
+            # DESCRIBE MODEL; mirrors the reference UI's model listing)
+            rows = [
+                (
+                    name,
+                    versions[self.registry.defaults[name]].task,
+                    len(versions),
+                    self.registry.defaults[name],
+                )
+                for name, versions in sorted(self.registry.models.items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, task string, versions int, default_version int"
+            )
+        if m := re.match(r"(?is)^\s*EXPLAIN\s+(?P<body>.+)$", statement):
+            # rewrite laterals exactly as the real execution path would,
+            # then surface Spark's formatted physical plan as a row — the
+            # operator a reference user reaches for before running a new
+            # continuous statement against a 100 TB topic
+            from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+            df = self.sql(m.group("body"))
+            assert df is not None
+            return self.spark.createDataFrame([(formatted_plan(df),)], "plan string")
         return self.spark.sql(self._rewrite_query(statement))
 
     # -- statement handlers -------------------------------------------------

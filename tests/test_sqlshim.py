@@ -315,3 +315,23 @@ def test_text_search_lateral(spark, engine):
     assert "girl" in girl[0].content
     mens = rows["mens formal shoes in medium"]
     assert "mens" in mens[0].content
+
+
+def test_show_models_and_explain(spark, engine):
+    """SHOW MODELS lists the registry; EXPLAIN surfaces the physical plan
+    of a (lateral-rewritten) statement as a row — the pre-flight check a
+    user runs before launching a continuous statement."""
+    engine.sql(
+        "CREATE MODEL `retail_assistant` INPUT (`prompt` STRING) "
+        "OUTPUT (`json_response` STRING) "
+        "WITH ('task'='text_generation', 'provider'='local')"
+    )
+    models = {r.name: (r.task, r.versions) for r in engine.sql("SHOW MODELS").collect()}
+    assert models["vector_encoding"] == ("embedding", 1)
+    assert models["retail_assistant"] == ("text_generation", 1)
+
+    [row] = engine.sql(
+        "EXPLAIN SELECT `content`, `vector` "
+        "FROM user_questions, LATERAL TABLE(ml_predict('vector_encoding', content))"
+    ).collect()
+    assert "Physical Plan" in row.plan or "(1)" in row.plan
