@@ -4533,10 +4533,22 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("left_sym", "right_sym").agg(
         F.sum("freq").alias("pair_count")
     )
-    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    # TakeOrderedAndProject (per-partition partial top-32, 32-row merge)
+    # instead of a global row_number window: the pair table is alphabet²-
+    # tiny so the window was harmless, but this removes the engine's last
+    # "No Partition Defined" plan entirely — rank derives from the sorted
+    # 32-row result with an in-driver-free second pass over 32 rows.
+    top = counts.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    ).limit(32)
+    # GlobalLimit leaves the ≤32 rows in ONE partition, so a window keyed
+    # by spark_partition_id ranks them globally without the unpartitioned-
+    # window plan (a lit() key would be constant-folded away again).
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 32)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "left_sym", "right_sym", "pair_count")
     )
 
