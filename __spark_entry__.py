@@ -6547,6 +6547,114 @@ FROM b GROUP BY 1
 """
 
 
+def retrieval_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of int8-quantized retrieval vs the exact ranking — the
+    graded companion of ``retrieval_recall_quantized`` (recall counts
+    hits; nDCG weighs WHERE they landed). Graded relevance derives from
+    the exact leg (gain 3 for the exact top-1, 2 for ranks 2-3, 1 for
+    4-10, 0 beyond); DCG terms gain/log2(pos+1) round to 6 decimals and
+    sum as DECIMAL — partition-order-invariant, so both the per-position
+    discounts and the final ratio reproduce exactly in the oracle. Same
+    single-exchange two-window plan as the recall query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_quantize_int8("embedding").alias("a"),
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        vec_quantize_int8("embedding").alias("b"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(vec_dot("qv", "cv"), 6).alias("escore"),
+        F.round(vec_quantized_dot("a", "b"), 6).alias("qscore"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("escore"), F.asc("neighbor_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    gain = (
+        F.when(F.col("erank") == 1, 3)
+        .when(F.col("erank") <= 3, 2)
+        .when(F.col("erank") <= 10, 1)
+        .otherwise(0)
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(we).alias("erank"),
+        F.row_number().over(wq).alias("qrank"),
+    ).withColumn("gain", gain)
+    dcg_term = F.when(
+        F.col("qrank") <= 10,
+        F.round(
+            F.col("gain").cast("double") / F.log2(F.col("qrank").cast("double") + 1.0), 6
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    idcg_term = F.when(
+        F.col("erank") <= 10,
+        F.round(
+            F.col("gain").cast("double") / F.log2(F.col("erank").cast("double") + 1.0), 6
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(dcg_term).alias("dcg_raw"),
+            F.sum(idcg_term).alias("idcg_raw"),
+        )
+        .select(
+            "query_id",
+            F.round(F.col("dcg_raw").cast("double"), 6).alias("dcg"),
+            F.round(F.col("idcg_raw").cast("double"), 6).alias("idcg"),
+            F.round(
+                F.col("dcg_raw").cast("double") / F.col("idcg_raw").cast("double"), 6
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
+_RETRIEVAL_NDCG_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+       FROM s),
+qs AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, q AS qq FROM qz WHERE vec_id < 20),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cscale, q AS cq FROM qz WHERE vec_id >= 20),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_inner_product(qv, cv), 6) AS escore,
+    ROUND(list_inner_product(qq, cq) * qscale * cscale, 6) AS qscore
+  FROM qs CROSS JOIN cs),
+ranked AS (
+  SELECT query_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY escore DESC, neighbor_id ASC) AS erank,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) AS qrank
+  FROM scored),
+g AS (
+  SELECT query_id, erank, qrank,
+    CASE WHEN erank = 1 THEN 3 WHEN erank <= 3 THEN 2 WHEN erank <= 10 THEN 1 ELSE 0 END AS gain
+  FROM ranked),
+terms AS (
+  SELECT query_id,
+    CASE WHEN qrank <= 10
+      THEN CAST(ROUND(CAST(gain AS DOUBLE) / log2(CAST(qrank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END AS dcg_t,
+    CASE WHEN erank <= 10
+      THEN CAST(ROUND(CAST(gain AS DOUBLE) / log2(CAST(erank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END AS idcg_t
+  FROM g)
+SELECT query_id,
+  ROUND(CAST(SUM(dcg_t) AS DOUBLE), 6) AS dcg,
+  ROUND(CAST(SUM(idcg_t) AS DOUBLE), 6) AS idcg,
+  ROUND(CAST(SUM(dcg_t) AS DOUBLE) / CAST(SUM(idcg_t) AS DOUBLE), 6) AS ndcg_at_10
+FROM terms GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6716,6 +6824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": text_script_profile,
         "part_pagerank": part_pagerank,
         "equi_depth_histogram": equi_depth_histogram,
+        "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6876,6 +6985,7 @@ def oracle_sql() -> dict[str, str]:
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,
         "part_pagerank": _PAGERANK_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
+        "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
