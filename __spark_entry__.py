@@ -2330,7 +2330,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(sec)
-        .rangeBetween(-3600, -1)
+        .rangeBetween(-86400, -1)
     )
     return ev.select(
         "event_id",
@@ -6655,6 +6655,80 @@ FROM terms GROUP BY 1
 """
 
 
+def events_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection: flag events whose value is
+    ≥ 2σ from the mean of the same user's TRAILING 24-hour window (the
+    point-anomaly detector every metrics pipeline runs). The window
+    frame is event-time rangeBetween(-86400s, -1s) partitioned by user —
+    keyed shuffle only, frames never cross users. Moments come from
+    exact integer sums (cents and cents², BIGINT) so mean/σ are
+    bit-identical in any engine at any partitioning; windows with < 5
+    prior events abstain (null z) rather than fire on noise."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(
+        "event_id", "user_id", "ts", "value", cents.alias("__c"),
+        F.unix_timestamp("ts").alias("__sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-86400, -1)
+    )
+    stats = base.select(
+        "event_id", "user_id", "ts", "value",
+        F.count("__c").over(w).alias("n_prior"),
+        F.sum("__c").over(w).alias("s1"),
+        F.sum(F.col("__c") * F.col("__c")).over(w).alias("s2"),
+        "__c",
+    )
+    mean = F.col("s1").cast("double") / F.col("n_prior")
+    var = (
+        F.col("s2").cast("double") / F.col("n_prior") - mean * mean
+    )
+    z = F.when(
+        (F.col("n_prior") >= 5) & (var > 0),
+        F.round((F.col("__c").cast("double") - mean) / F.sqrt(var), 6),
+    )
+    return (
+        stats.withColumn("z", z)
+        .filter(F.abs("z") >= 2.0)
+        .select(
+            "event_id", "user_id", "value", "n_prior", "z",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+_ROLLING_ANOMALY_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+    CAST(round(value * 100) AS BIGINT) AS c,
+    CAST(epoch(ts) AS BIGINT) AS sec
+  FROM events),
+stats AS (
+  SELECT event_id, user_id, ts, value, c,
+    COUNT(c) OVER w AS n_prior,
+    SUM(c) OVER w AS s1,
+    SUM(c * c) OVER w AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)),
+scored AS (
+  SELECT event_id, user_id, ts, value, n_prior,
+    CASE WHEN n_prior >= 5
+           AND (CAST(s2 AS DOUBLE) / n_prior
+                - (CAST(s1 AS DOUBLE) / n_prior) * (CAST(s1 AS DOUBLE) / n_prior)) > 0
+      THEN ROUND((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n_prior)
+                 / sqrt(CAST(s2 AS DOUBLE) / n_prior
+                        - (CAST(s1 AS DOUBLE) / n_prior) * (CAST(s1 AS DOUBLE) / n_prior)), 6)
+      ELSE NULL END AS z
+  FROM stats)
+SELECT event_id, user_id, value, n_prior, z,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM scored WHERE abs(z) >= 2.0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6825,6 +6899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": part_pagerank,
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
+        "events_rolling_anomalies": events_rolling_anomalies,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -6986,6 +7061,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _PAGERANK_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
+        "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
