@@ -217,3 +217,58 @@ def check_sink_schema(sink: StructType, query: StructType, sink_name: str = "sin
                 f"at column '{col}': query={query_cols[col].simpleString()} "
                 f"sink={sink_type.simpleString()}"
             )
+
+
+def forget(
+    catalog: Catalog,
+    key_col: str,
+    ids: DataFrame,
+    *,
+    tables: list[str] | None = None,
+    dry_run: bool = False,
+) -> dict[str, int]:
+    """Right-to-be-forgotten cascade: remove every row whose ``key_col``
+    is in ``ids`` from every catalog table that carries that column —
+    the erasure primitive a training-data platform owes its users
+    (GDPR/CCPA deletion requests propagated through raw, derived, and
+    sink tables in one operation).
+
+    Returns table → rows removed (or rows THAT WOULD be removed with
+    ``dry_run=True`` — audit-before-erase). Mechanics per table: the
+    deletion set is id-only and broadcast into a left-anti join, the
+    survivors rewrite to ``<path>.__forget_tmp`` FIRST, and the swap is
+    rename-based with the same publish-before-delete ordering as index
+    vacuum — a crash leaves either the old data (re-run the request) or
+    the new (done), never a half-table. At 100 TB the rewrite is the
+    unavoidable cost of physical erasure on immutable files; route
+    frequent deletes through tombstones (``operators/_index_io``) and
+    fold them into the periodic compaction instead, reserving this for
+    the legal-erasure deadline.
+    """
+    import shutil
+
+    if len(ids.columns) != 1:
+        raise ValueError(f"ids must have exactly one column, got {ids.columns}")
+    from pyspark.sql import functions as F
+
+    dead = ids.withColumnRenamed(ids.columns[0], key_col).distinct()
+    removed: dict[str, int] = {}
+    names = tables if tables is not None else sorted(catalog.paths)
+    for name in names:
+        df = catalog.table(name)
+        if key_col not in df.columns:
+            continue
+        n = df.join(F.broadcast(dead), key_col, "left_semi").count()
+        removed[name] = n
+        if dry_run or n == 0:
+            continue
+        path = catalog.paths[name]
+        tmp = path + ".__forget_tmp"
+        survivors = df.join(F.broadcast(dead), key_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(tmp)
+        old = path + ".__forget_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    return removed
