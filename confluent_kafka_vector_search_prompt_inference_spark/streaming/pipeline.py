@@ -728,3 +728,47 @@ def read_agg(spark: SparkSession, sink_dir: str) -> DataFrame:
         ]
     )
     return merged
+
+
+def read_sink_increment(
+    spark: SparkSession, sink_dir: str, state_path: str
+) -> tuple[DataFrame | None, "Callable[[], None]"]:
+    """Incremental consumption of an idempotent sink — the chained-ETL
+    reader: returns (rows of every committed ``_batch=`` epoch NOT yet
+    acknowledged, commit callback). Call the callback only after the
+    downstream write has itself committed; the high-watermark then
+    advances atomically (write-tmp + rename), so a crash between read
+    and commit re-delivers the same epochs — at-least-once delivery
+    that becomes exactly-once when the downstream is itself an
+    idempotent epoch-keyed sink (the engine's standard sink contract).
+    Returns (None, no-op) when nothing new is committed.
+    """
+    import glob
+    import json
+
+    done = -1
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            done = json.load(fh)["max_epoch"]
+    committed = sorted(
+        int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        for p in glob.glob(os.path.join(sink_dir, "_batch=*", "_SUCCESS"))
+    )
+    new = [e for e in committed if e > done]
+    if not new:
+        return None, lambda: None
+    df = (
+        spark.read.option("basePath", sink_dir)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(sink_dir, f"_batch={e}") for e in new])
+        .drop("_batch")
+    )
+    hi = max(new)
+
+    def commit() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"max_epoch": hi}, fh)
+        os.replace(tmp, state_path)
+
+    return df, commit
