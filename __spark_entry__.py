@@ -6729,6 +6729,82 @@ FROM scored WHERE abs(z) >= 2.0
 """
 
 
+def semantic_pair_chamfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chamfer (symmetric mean-max) multi-vector scoring of candidate doc
+    pairs (operators/late_interaction.py ``chamfer_pair_scores``) — the
+    semantic near-dup VERIFIER: every token of each doc matches its best
+    counterpart in the other, so paraphrase pairs with low n-gram
+    Jaccard still score high. Candidates here are a fixed probe set
+    (docs i ↔ i+200, plus the 0↔0 identity pair as the calibration
+    anchor); in the dedup pipeline they come from LSH banding. Token
+    vectors are the HashingEmbedder vocabulary table, so the oracle
+    replays the whole stage: md5 token vectors (double-normalized),
+    round-6 sims, max per token, DECIMAL mean, symmetric average."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.late_interaction import chamfer_pair_scores
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    vocab = toks.select("token").distinct().withColumn("content", F.col("token"))
+    token_vectors = registry.ml_predict(vocab, "vector_encoding", "content").select(
+        "token", "vector"
+    )
+    pairs = spark.range(10).select(
+        F.col("id").alias("id_a"), (F.col("id") + 200).alias("id_b")
+    ).unionByName(
+        spark.range(1).select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return chamfer_pair_scores(pairs, toks, token_vectors)
+
+
+_CHAMFER_ORACLE = (
+    "WITH "
+    + _RAG_EMBED_CTE
+    + r""",
+tv AS (
+  SELECT t, dim,
+    CAST(u / sqrt(SUM(u*u) OVER (PARTITION BY t)) AS REAL) AS e
+  FROM tokvec),
+pairs AS (
+  SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 200 AS BIGINT) AS id_b FROM range(10) r(i)
+  UNION ALL SELECT 0, 0),
+dtk AS (SELECT DISTINCT doc_id, t FROM tok),
+ta AS (SELECT p.id_a, p.id_b, d.t AS tok_a FROM pairs p JOIN dtk d ON d.doc_id = p.id_a),
+tb AS (SELECT p.id_a, p.id_b, d.t AS tok_b FROM pairs p JOIN dtk d ON d.doc_id = p.id_b),
+tt AS (SELECT ta.id_a, ta.id_b, ta.tok_a, tb.tok_b
+       FROM ta JOIN tb ON ta.id_a = tb.id_a AND ta.id_b = tb.id_b),
+needed AS (SELECT DISTINCT tok_a, tok_b FROM tt),
+sims AS (
+  SELECT n.tok_a, n.tok_b,
+    ROUND(SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)), 6) AS s
+  FROM needed n
+  JOIN tv a ON a.t = n.tok_a
+  JOIN tv b ON b.t = n.tok_b AND b.dim = a.dim
+  GROUP BY 1, 2),
+scored AS (SELECT tt.id_a, tt.id_b, tt.tok_a, tt.tok_b, sims.s
+           FROM tt JOIN sims ON sims.tok_a = tt.tok_a AND sims.tok_b = tt.tok_b),
+amax AS (SELECT id_a, id_b, tok_a, MAX(s) AS m FROM scored GROUP BY 1, 2, 3),
+am AS (SELECT id_a, id_b,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS am
+       FROM amax GROUP BY 1, 2),
+bmax AS (SELECT id_a, id_b, tok_b, MAX(s) AS m FROM scored GROUP BY 1, 2, 3),
+bm AS (SELECT id_a, id_b,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bm
+       FROM bmax GROUP BY 1, 2)
+SELECT am.id_a, am.id_b, ROUND((am.am + bm.bm) / 2.0, 6) AS chamfer
+FROM am JOIN bm ON am.id_a = bm.id_a AND am.id_b = bm.id_b
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6900,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
+        "semantic_pair_chamfer": semantic_pair_chamfer,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7062,6 +7139,7 @@ def oracle_sql() -> dict[str, str]:
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
+        "semantic_pair_chamfer": _CHAMFER_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }

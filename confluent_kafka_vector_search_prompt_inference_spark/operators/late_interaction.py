@@ -93,3 +93,73 @@ def late_interaction_topk(
             "rank",
         )
     )
+
+
+def chamfer_pair_scores(
+    pairs: DataFrame,
+    doc_tokens: DataFrame,
+    token_vectors: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    doc_id: str = "doc_id",
+    token_col: str = "token",
+    vec_col: str = "vector",
+    score_col: str = "chamfer",
+) -> DataFrame:
+    """Symmetric chamfer similarity for CANDIDATE document pairs:
+
+        0.5 · ( mean_{t∈A} max_{u∈B} sim(t,u) + mean_{u∈B} max_{t∈A} sim(t,u) )
+
+    — the multi-vector verifier for semantic near-dup candidates: where
+    n-gram Jaccard verifies SURFACE overlap and single-vector cosine
+    compares pooled summaries, chamfer matches every token of each doc
+    to its best counterpart, so paraphrases with low lexical overlap
+    still score high. MaxSim's doc-pair twin (same token-vector table).
+
+    Scale shape: strictly pair-driven — token work is bounded by the
+    candidate pairs' token products (candidates come from LSH/banding
+    upstream, never all-pairs); the distinct needed (token, token) sims
+    compute ONCE across all pairs and join back by token id. Means are
+    DECIMAL sums of round-6 maxes over distinct tokens — deterministic
+    at any parallelism, exactly reproducible in SQL.
+    """
+    toks = doc_tokens.select(F.col(doc_id), F.col(token_col)).distinct()
+    ta = pairs.join(
+        toks.withColumnRenamed(doc_id, id_a).withColumnRenamed(token_col, "__ta"),
+        id_a,
+    )
+    tb = pairs.join(
+        toks.withColumnRenamed(doc_id, id_b).withColumnRenamed(token_col, "__tb"),
+        id_b,
+    )
+    tt = ta.join(tb, [id_a, id_b])
+    needed = tt.select("__ta", "__tb").distinct()
+    tv_a = token_vectors.select(
+        F.col(token_col).alias("__ta"), F.col(vec_col).alias("__va")
+    )
+    tv_b = token_vectors.select(
+        F.col(token_col).alias("__tb"), F.col(vec_col).alias("__vb")
+    )
+    sims = (
+        needed.join(tv_a, "__ta")
+        .join(tv_b, "__tb")
+        .select("__ta", "__tb", F.round(vec_dot("__va", "__vb"), 6).alias("__s"))
+    )
+    scored = tt.join(sims, ["__ta", "__tb"])
+
+    def side_mean(tok: str, out: str) -> DataFrame:
+        mx = scored.groupBy(id_a, id_b, tok).agg(F.max("__s").alias("m"))
+        return mx.groupBy(id_a, id_b).agg(
+            (
+                F.sum(F.col("m").cast("decimal(18,6)")).cast("double") / F.count("*")
+            ).alias(out)
+        )
+
+    am = side_mean("__ta", "__am")
+    bm = side_mean("__tb", "__bm")
+    return am.join(bm, [id_a, id_b]).select(
+        id_a,
+        id_b,
+        F.round((F.col("__am") + F.col("__bm")) / 2.0, 6).alias(score_col),
+    )
