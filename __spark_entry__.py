@@ -2330,7 +2330,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(sec)
-        .rangeBetween(-86400, -1)
+        .rangeBetween(-3600, -1)
     )
     return ev.select(
         "event_id",
