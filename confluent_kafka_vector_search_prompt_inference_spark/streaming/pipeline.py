@@ -55,6 +55,8 @@ def continuous_insert(
     checkpoint_dir: str,
     *,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    validate=None,
+    dead_letter_dir: str | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """The reference's continuous ``INSERT INTO sink SELECT ...`` shape
@@ -66,10 +68,36 @@ def continuous_insert(
     batch DataFrame), so it may use arbitrary batch operators — joins,
     aggregations, the full RAG pipeline — without streaming-mode
     restrictions; this is exactly how Flink's unbounded INSERT-SELECT
-    statements are reproduced micro-batch-wise."""
+    statements are reproduced micro-batch-wise.
+
+    ``validate`` (a boolean Column over the PRE-transform rows) routes
+    failing rows to ``dead_letter_dir`` — its own idempotent epoch-keyed
+    sink — instead of poisoning the batch: the DLQ pattern every
+    production topic consumer runs (rows decode to NULL rather than
+    crash per the wire contract; validation is where they get
+    quarantined with replayability). Both sinks commit under the same
+    epoch id, so replay is a no-op on each independently."""
     write_batch = idempotent_batch_writer(sink_dir)
+    write_dead = (
+        idempotent_batch_writer(dead_letter_dir) if dead_letter_dir else None
+    )
+    if validate is not None and write_dead is None:
+        raise ValueError("validate requires dead_letter_dir")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if validate is not None:
+            from pyspark.sql import functions as F
+
+            batch_df = batch_df.persist()
+            try:
+                ok = batch_df.filter(validate)
+                bad = batch_df.filter(~F.coalesce(validate, F.lit(False)))
+                write_dead(bad, epoch_id)
+                batch_df_out = transform(ok) if transform is not None else ok
+                write_batch(batch_df_out, epoch_id)
+            finally:
+                batch_df.unpersist()
+            return
         if transform is not None:
             batch_df = transform(batch_df)
         write_batch(batch_df, epoch_id)

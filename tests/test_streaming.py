@@ -948,3 +948,53 @@ def test_read_sink_increment_delivers_each_epoch_once(spark, tmp_path, events_di
     df4, _ = read_sink_increment(spark, sink, state)
     assert df4 is None
     assert n1 == n  # first read saw everything the stream landed
+
+
+def test_continuous_insert_dead_letter_routing(spark, tmp_path, events_dir):
+    """Rows failing validation land in the DLQ sink (replayable, same
+    epoch contract); valid rows flow through the transform to the main
+    sink; nothing is lost and nothing is duplicated on replay."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import continuous_insert, read_sink
+
+    src, schema, n = events_dir
+    sink = str(tmp_path / "sink")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    ok_pred = F.col("value") >= 0
+    q = continuous_insert(
+        file_stream_reader(spark, src, schema, max_files_per_trigger=1),
+        sink, ckpt,
+        transform=lambda df: df.select("event_id", "user_id", "value"),
+        validate=ok_pred,
+        dead_letter_dir=dlq,
+        trigger_once=True,
+    )
+    _drain(q)
+    ev = spark.read.parquet(src)
+    n_bad = ev.filter(~F.coalesce(ok_pred, F.lit(False))).count()
+    good = read_sink(spark, sink)
+    assert good.count() == n - n_bad
+    assert set(good.columns) == {"event_id", "user_id", "value"}
+    if n_bad:
+        bad = read_sink(spark, dlq)
+        assert bad.count() == n_bad
+        assert set(bad.columns) == set(ev.columns)  # DLQ keeps raw rows
+
+    # replay: neither sink grows
+    q2 = continuous_insert(
+        file_stream_reader(spark, src, schema, max_files_per_trigger=1),
+        sink, ckpt,
+        transform=lambda df: df.select("event_id", "user_id", "value"),
+        validate=ok_pred,
+        dead_letter_dir=dlq,
+        trigger_once=True,
+    )
+    _drain(q2)
+    assert read_sink(spark, sink).count() == n - n_bad
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dead_letter_dir"):
+        continuous_insert(
+            file_stream_reader(spark, src, schema), sink, ckpt, validate=ok_pred
+        )
