@@ -800,3 +800,28 @@ def read_sink_increment(
         os.replace(tmp, state_path)
 
     return df, commit
+
+
+def sink_profile_by_epoch(
+    spark: SparkSession, sink_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-epoch data-quality profile of an idempotent sink: for each
+    committed ``_batch`` and each (selected) column — row count, null
+    count, approx distinct — the trend table a drift monitor alerts on
+    (a feed that suddenly ships 90% nulls shows up as one bad epoch row,
+    not a corpus-wide mystery). One aggregation keyed by the epoch
+    partition column; approx_count_distinct keeps the state sketch-sized
+    at any scale."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("basePath", sink_dir)
+        .option("mergeSchema", "true")
+        .parquet(os.path.join(sink_dir, "_batch=*"))
+    )
+    cols = columns or [c for c in df.columns if c != "_batch"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+    return df.groupBy(F.col("_batch").alias("epoch")).agg(*aggs)

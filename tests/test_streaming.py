@@ -998,3 +998,22 @@ def test_continuous_insert_dead_letter_routing(spark, tmp_path, events_dir):
         continuous_insert(
             file_stream_reader(spark, src, schema), sink, ckpt, validate=ok_pred
         )
+
+
+def test_sink_profile_by_epoch(spark, tmp_path, events_dir):
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import sink_profile_by_epoch
+
+    src, schema, n = events_dir
+    sink = str(tmp_path / "sink")
+    q = continuous_insert(
+        file_stream_reader(spark, src, schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    _drain(q)
+    prof = sink_profile_by_epoch(spark, sink, columns=["user_id", "value"])
+    rows = prof.collect()
+    assert len(rows) == 3  # three micro-batches
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert r["user_id__nulls"] == 0
+        assert r["user_id__ndv"] > 0
