@@ -225,6 +225,7 @@ def forget(
     ids: DataFrame,
     *,
     tables: list[str] | None = None,
+    index_paths: list[str] | None = None,
     dry_run: bool = False,
 ) -> dict[str, int]:
     """Right-to-be-forgotten cascade: remove every row whose ``key_col``
@@ -271,4 +272,16 @@ def forget(
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
+    # persisted vector indexes hold COPIES of the data (embeddings keyed
+    # by id) — erasure that skips them is not erasure. Tombstone each
+    # index (search excludes immediately); physical reclamation is the
+    # owner's vacuum/compact cycle, which the tombstones survive into.
+    for ipath in index_paths or []:
+        dead_ids = ids.withColumnRenamed(ids.columns[0], key_col).distinct()
+        n = dead_ids.count()
+        removed[f"index:{ipath}"] = n
+        if not dry_run and n:
+            from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import write_tombstones
+
+            write_tombstones(dead_ids, ipath)
     return removed

@@ -46,3 +46,29 @@ def test_forget_cascades_only_matching_tables(spark, cat):
 def test_forget_rejects_multi_column_ids(spark, cat):
     with pytest.raises(ValueError, match="exactly one column"):
         forget(cat, "user_id", spark.createDataFrame([(1, 2)], "a long, b long"))
+
+
+def test_forget_tombstones_vector_indexes(spark, cat, tmp_path):
+    """Erasure propagates into persisted vector indexes: forgotten ids
+    are tombstoned so searches exclude them immediately, and a vacuum
+    reclaims them physically."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_vacuum,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("vector")
+    )
+    indexed, cents = build_ivf_index(emb, "vector", n_clusters=4, seed=1)
+    idx = str(tmp_path / "emb_idx")
+    save_ivf_index(indexed, cents, idx)
+
+    ids = spark.createDataFrame([(1,), (3,)], "uid long")
+    removed = forget(cat, "user_id", ids, index_paths=[idx])
+    assert removed[f"index:{idx}"] == 2
+    loaded, _ = load_ivf_index(spark, idx)
+    assert loaded.filter(F.col("user_id").isin(1, 3)).count() == 0
+    assert ivf_vacuum(spark, idx) == 2
