@@ -141,3 +141,74 @@ def zorder_write(
         else zdf.repartitionByRange("__z")
     )
     out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+
+
+def zorder_value_n(cols, bounds, *, bits: int = 16):
+    """N-column Morton key: each column min-max normalizes to ``bits``
+    bits, then bits interleave round-robin (bit b of column j lands at
+    position ``b * n + j``). ``bounds`` is [(min, max), ...] per column.
+    Generalizes :func:`zorder_value` (the 2-column case) for layouts
+    where three or more predicates need row-group locality; total key
+    width is ``bits × n`` and must stay ≤ 63 for BIGINT (bits=16 → up to
+    3 columns; drop to bits=12 for 5)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a BIGINT key")
+
+    def norm(c, lo, hi):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            return F.lit(0).cast("bigint")
+        scaled = (
+            (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(2**bits - 1))
+        )
+        return F.least(
+            F.lit(2**bits - 1).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"), F.round(scaled).cast("bigint")),
+        )
+
+    normed = [norm(c, lo, hi) for c, (lo, hi) in zip(cols, bounds)]
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, xb in enumerate(normed):
+            z = z + F.shiftleft(
+                F.shiftright(xb, b).bitwiseAND(F.lit(1)), b * n + j
+            )
+    return z
+
+
+def zorder_write_n(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    num_files: int | None = None,
+    bits: int | None = None,
+) -> None:
+    """N-column :func:`zorder_write` (one min/max stats pass, one range
+    shuffle). ``bits`` defaults to the widest per-column budget that fits
+    a BIGINT key."""
+    from pyspark.sql import functions as F
+
+    n = len(cluster_cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use clustered_write for 1)")
+    b = bits or (63 // n)
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+    st = df.agg(*aggs).first()
+    z = zorder_value_n(
+        [df[c] for c in cluster_cols],
+        [(st[f"{c}__lo"], st[f"{c}__hi"]) for c in cluster_cols],
+        bits=b,
+    )
+    zdf = df.withColumn("__z", z)
+    out = (
+        zdf.repartitionByRange(num_files, "__z")
+        if num_files
+        else zdf.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)

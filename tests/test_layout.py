@@ -92,3 +92,34 @@ def test_zorder_value_locality(spark):
     vals = [r.z for r in df.select(z.alias("z")).collect()]
     assert vals[0] < vals[1] < vals[2]
     assert vals[2] == 2**16 - 1  # both dims max out all 8 bits
+
+
+def test_zorder_n_three_columns_all_clustered(spark, tmp_path):
+    import random
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.layout import zorder_write_n
+
+    random.seed(21)
+    rows = [
+        (random.uniform(0, 100), random.uniform(0, 100), random.uniform(0, 100))
+        for _ in range(60000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    p = str(tmp_path / "z3")
+    zorder_write_n(df, p, ["x", "y", "z"], num_files=8)
+    for c in ("x", "y", "z"):
+        ov = clustering_overlap(row_group_ranges(p, c))
+        assert ov < 0.85, (c, ov)
+    assert spark.read.parquet(p).count() == 60000
+
+
+def test_zorder_n_guards(spark, tmp_path):
+    import pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.layout import zorder_value_n, zorder_write_n
+
+    df = spark.range(10).selectExpr("id x", "id y")
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_write_n(df, str(tmp_path / "a"), ["x"])
+    with pytest.raises(ValueError, match="BIGINT"):
+        zorder_value_n([df["x"]] * 5, [(0, 1)] * 5, bits=16)
