@@ -6805,6 +6805,101 @@ FROM am JOIN bm ON am.id_a = bm.id_a AND am.id_b = bm.id_b
 )
 
 
+def _metric_quintile(vals: DataFrame, metric: str, n_total: int) -> DataFrame:
+    """Exact rank-based quintile per distinct metric value (the
+    equi-depth-histogram bucketing applied to a (value, count) table via
+    the two-phase scalable cumsum — no unpartitioned window)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    cum = scalable_cumsum(vals, metric, "c", out_col="cum")
+    depth = n_total / 5.0
+    return cum.select(
+        metric,
+        F.least(
+            F.lit(4), F.floor((F.col("cum") - F.col("c")) / F.lit(depth)).cast("int")
+        ).alias("q"),
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation with EXACT rank semantics: recency
+    (days since last order, relative to the corpus max date), frequency
+    (order count), monetary (exact total cents) each quintile-bucketed
+    by the same value-table cumsum the equi-depth histogram uses — no
+    interpolated ntile, no unpartitioned window, identical buckets in
+    any engine. Scores follow the RFM convention (5 best: recent,
+    frequent, high-spend); segment = concat of the three digits. The
+    whole query is three value-table cumsums plus broadcast joins back
+    onto the customer metric table."""
+    ords = _t(spark, sf_dir, "orders")
+    maxd = ords.agg(F.max("o_orderdate")).first()[0]
+    cust = ords.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max("o_orderdate")).cast("bigint").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("monetary_cents"),
+    )
+    n_total = cust.count()
+    out = cust
+    for metric, best_high in (
+        ("recency_days", False),
+        ("frequency", True),
+        ("monetary_cents", True),
+    ):
+        vals = cust.groupBy(metric).agg(F.count("*").alias("c"))
+        qt = _metric_quintile(vals, metric, n_total)
+        score = (F.col("q") + 1) if best_high else (F.lit(5) - F.col("q"))
+        out = out.join(
+            F.broadcast(qt.select(metric, score.alias(f"{metric}_score"))), metric
+        )
+    return out.select(
+        "o_custkey",
+        "recency_days", "frequency", "monetary_cents",
+        F.col("recency_days_score").alias("r_score"),
+        F.col("frequency_score").alias("f_score"),
+        F.col("monetary_cents_score").alias("m_score"),
+        F.concat(
+            F.col("recency_days_score"), F.col("frequency_score"), F.col("monetary_cents_score")
+        ).alias("segment"),
+    )
+
+
+_RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+cust AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', MAX(o_orderdate), maxd.d) AS BIGINT) AS recency_days,
+    COUNT(*) AS frequency,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders CROSS JOIN maxd GROUP BY 1, maxd.d),
+n AS (SELECT COUNT(*) AS n_total FROM cust),
+rq AS (
+  SELECT recency_days, LEAST(4, CAST(floor((cum - c) / (n.n_total / 5.0)) AS INTEGER)) AS q
+  FROM (SELECT recency_days, COUNT(*) AS c,
+          SUM(COUNT(*)) OVER (ORDER BY recency_days
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cust GROUP BY 1) CROSS JOIN n),
+fq AS (
+  SELECT frequency, LEAST(4, CAST(floor((cum - c) / (n.n_total / 5.0)) AS INTEGER)) AS q
+  FROM (SELECT frequency, COUNT(*) AS c,
+          SUM(COUNT(*)) OVER (ORDER BY frequency
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cust GROUP BY 1) CROSS JOIN n),
+mq AS (
+  SELECT monetary_cents, LEAST(4, CAST(floor((cum - c) / (n.n_total / 5.0)) AS INTEGER)) AS q
+  FROM (SELECT monetary_cents, COUNT(*) AS c,
+          SUM(COUNT(*)) OVER (ORDER BY monetary_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cust GROUP BY 1) CROSS JOIN n)
+SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
+  5 - rq.q AS r_score, fq.q + 1 AS f_score, mq.q + 1 AS m_score,
+  CAST(5 - rq.q AS VARCHAR) || CAST(fq.q + 1 AS VARCHAR) || CAST(mq.q + 1 AS VARCHAR) AS segment
+FROM cust c
+JOIN rq ON c.recency_days = rq.recency_days
+JOIN fq ON c.frequency = fq.frequency
+JOIN mq ON c.monetary_cents = mq.monetary_cents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -6977,6 +7072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
         "semantic_pair_chamfer": semantic_pair_chamfer,
+        "customer_rfm_segments": customer_rfm_segments,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7140,6 +7236,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
         "semantic_pair_chamfer": _CHAMFER_ORACLE,
+        "customer_rfm_segments": _RFM_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
