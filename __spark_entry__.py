@@ -6900,6 +6900,64 @@ JOIN mq ON c.monetary_cents = mq.monetary_cents
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucket into the week of their first
+    event; each later week's retention is the fraction of the cohort
+    still active — the standard growth-analytics triangle. Three keyed
+    aggregations (first-event per user, distinct user-weeks, cohort
+    join) — every shuffle is on user or (cohort, week) keys; the ratio
+    is an exact integer division rounded to 6. Week buckets are computed
+    as date_trunc('week') strings so the output is date-typed-free
+    (engine-portable per the repo's DATE-column convention)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    uw = ev.select("user_id", wk.alias("week")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    joined = uw.join(first, "user_id").withColumn(
+        "weeks_since",
+        (
+            F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+        ).cast("int"),
+    )
+    active = joined.groupBy("cohort_week", "weeks_since").agg(
+        F.count("*").alias("active_users")
+    )
+    return (
+        active.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+_COHORT_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM first GROUP BY 1),
+joined AS (
+  SELECT uw.user_id, f.cohort_week,
+    CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(uw.week AS DATE)) / 7 AS INTEGER) AS weeks_since
+  FROM uw JOIN first f ON uw.user_id = f.user_id),
+active AS (
+  SELECT cohort_week, weeks_since, COUNT(*) AS active_users
+  FROM joined GROUP BY 1, 2)
+SELECT a.cohort_week, a.weeks_since, a.active_users, s.cohort_users,
+  ROUND(CAST(a.active_users AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7073,6 +7131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_anomalies": events_rolling_anomalies,
         "semantic_pair_chamfer": semantic_pair_chamfer,
         "customer_rfm_segments": customer_rfm_segments,
+        "cohort_retention": cohort_retention,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7237,6 +7296,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
         "semantic_pair_chamfer": _CHAMFER_ORACLE,
         "customer_rfm_segments": _RFM_ORACLE,
+        "cohort_retention": _COHORT_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
