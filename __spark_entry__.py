@@ -6958,6 +6958,55 @@ FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
 
 
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document structure profiling: sentences per doc, mean sentence
+    length in words (round-6 over exact integer sums), and the longest
+    sentence's word count — the structural half of quality filtering
+    (walls of unpunctuated text and staccato fragment spam both show up
+    here before any model sees them). Sentence split is a pure regex on
+    [.!?] runs; all stats are in-row higher-order array math — one scan,
+    zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    wc = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda t: t != "")).cast("bigint"),
+    )
+    n = F.size(sents)
+    total = F.aggregate(wc, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        F.when(n > 0, F.round(total.cast("double") / n, 6)).alias("mean_sentence_words"),
+        F.when(n > 0, F.array_max(wc)).alias("max_sentence_words"),
+    )
+
+
+_SENTENCE_STATS_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                x -> x <> '') AS sents
+  FROM documents),
+w AS (
+  SELECT doc_id, sents,
+    list_transform(sents,
+      x -> CAST(len(list_filter(string_split_regex(x, '\\s+'), t -> t <> '')) AS BIGINT)) AS wc
+  FROM s)
+SELECT doc_id,
+  CAST(len(sents) AS BIGINT) AS n_sentences,
+  CASE WHEN len(sents) > 0
+    THEN ROUND(CAST(list_sum(wc) AS DOUBLE) / len(sents), 6) END AS mean_sentence_words,
+  CASE WHEN len(sents) > 0 THEN list_max(wc) END AS max_sentence_words
+FROM w
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7132,6 +7181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_pair_chamfer": semantic_pair_chamfer,
         "customer_rfm_segments": customer_rfm_segments,
         "cohort_retention": cohort_retention,
+        "text_sentence_stats": text_sentence_stats,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7297,6 +7347,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_pair_chamfer": _CHAMFER_ORACLE,
         "customer_rfm_segments": _RFM_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
+        "text_sentence_stats": _SENTENCE_STATS_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
