@@ -7007,6 +7007,124 @@ FROM w
 """
 
 
+def _embed_cte(dim: int, prefix: str) -> str:
+    """HashingEmbedder re-expressed in SQL at an arbitrary dim (the
+    ``_RAG_EMBED_CTE`` pattern parameterized — dim/4 md5 counters),
+    with CTE names prefixed so two models coexist in one query."""
+    counters = dim // 4
+    return rf"""{prefix}hash AS (
+  SELECT t, c.counter * 4 + i.i AS dim,
+    (('0x' || substr(md5('spark-graft|' || t || '|' || c.counter), 1 + 8*i.i, 8))::UBIGINT
+      / 2147483648.0) - 1.0 AS v
+  FROM vocab, range({counters}) c(counter), range(4) i(i)),
+{prefix}tok AS (
+  SELECT t, dim, v / sqrt(sum(v*v) OVER (PARTITION BY t)) AS u FROM {prefix}hash),
+{prefix}sum AS (
+  SELECT doc_id, dim, SUM(u) AS s FROM tok JOIN {prefix}tok USING (t) GROUP BY doc_id, dim),
+{prefix}vec AS (
+  SELECT doc_id, dim,
+    CAST(s / sqrt(SUM(s*s) OVER (PARTITION BY doc_id)) AS REAL) AS e
+  FROM {prefix}sum)"""
+
+
+def model_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-lifecycle evaluation (M5/M6 surface under a hard oracle):
+    register embedder v1 (dim 32), evolve to v2 (dim 64), ALTER the
+    default, then measure per-query top-10 retrieval drift between the
+    pinned versions (`model$1` vs `model$2`) — overlap count and Jaccard
+    of the result sets. This is the pre-rollout check before an ALTER
+    MODEL default_version ships to the continuous pipeline: quantify how
+    much the new encoder reshuffles retrieval. Both versions are the
+    deterministic hashing embedder, so the ENTIRE comparison — two
+    embedding passes at different dims, two rankings, the set overlap —
+    re-expresses in SQL and must match exactly."""
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
+    registry.alter_default("vector_encoding", 2)  # M6: new default
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+    def leg(ref: str) -> DataFrame:
+        emb = registry.ml_predict(docs, ref, "content")
+        q = emb.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"), "vector"
+        )
+        c = emb.filter(F.col("doc_id") >= 10).select(
+            F.col("doc_id").alias("neighbor_id"), "vector"
+        )
+        return topk_similarity_join(
+            q, c, k=10,
+            query_id="query_id", query_vec="vector",
+            corpus_id="neighbor_id", corpus_vec="vector",
+            metric="dot", strategy="broadcast_corpus",
+        ).select("query_id", "neighbor_id")
+
+    a, b = leg("vector_encoding$1"), leg("vector_encoding$2")
+    both = a.join(b, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("overlap")
+    )
+    return (
+        a.groupBy("query_id").agg(F.count("*").alias("k"))
+        .join(both, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)).cast("double")
+                / (F.lit(20) - F.coalesce("overlap", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_MODEL_DRIFT_ORACLE = (
+    r"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+  FROM docs),
+vocab AS (SELECT DISTINCT t FROM tok),
+"""
+    + _embed_cte(32, "v1")
+    + ",\n"
+    + _embed_cte(64, "v2")
+    + r""",
+s1 AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+    SUM(CAST(q.e AS DOUBLE) * CAST(c.e AS DOUBLE)) AS score
+  FROM v1vec q JOIN v1vec c USING (dim)
+  WHERE q.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
+r1 AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM s1),
+s2 AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+    SUM(CAST(q.e AS DOUBLE) * CAST(c.e AS DOUBLE)) AS score
+  FROM v2vec q JOIN v2vec c USING (dim)
+  WHERE q.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
+r2 AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM s2),
+ov AS (
+  SELECT a.query_id, COUNT(*) AS overlap
+  FROM (SELECT query_id, neighbor_id FROM r1 WHERE rnk <= 10) a
+  JOIN (SELECT query_id, neighbor_id FROM r2 WHERE rnk <= 10) b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+  CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+  ROUND(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / (20 - COALESCE(ov.overlap, 0)), 6) AS jaccard
+FROM (SELECT DISTINCT query_id FROM r1) q
+LEFT JOIN ov ON ov.query_id = q.query_id
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7182,6 +7300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": customer_rfm_segments,
         "cohort_retention": cohort_retention,
         "text_sentence_stats": text_sentence_stats,
+        "model_version_drift": model_version_drift,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7348,6 +7467,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": _RFM_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "text_sentence_stats": _SENTENCE_STATS_ORACLE,
+        "model_version_drift": _MODEL_DRIFT_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
