@@ -7125,6 +7125,67 @@ LEFT JOIN ov ON ov.query_id = q.query_id
 )
 
 
+def split_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix diversity audit: per content-hash split
+    (train/val/test via ``dataset_split``), the language-share Gini-
+    Simpson index 1 − Σ pᵢ² and Shannon entropy — the one-row-per-split
+    check that a deterministic split didn't skew the language mix (it
+    can't bias by construction, and this is the metric that PROVES it
+    per corpus). Shares are exact integer ratios; entropy terms round to
+    6 and sum as DECIMAL, so the audit reproduces bit-for-bit."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sp = dataset_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = sp.groupBy("split", "lang").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("split").agg(F.sum("c").alias("n"))
+    p = counts.join(totals, "split").withColumn(
+        "p", F.col("c").cast("double") / F.col("n")
+    )
+    return (
+        p.groupBy("split")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(
+                    F.round(F.col("p") * F.col("p"), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("gini_simpson"),
+            F.round(
+                -F.sum(
+                    F.round(F.col("p") * F.log2("p"), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+_DIVERSITY_ORACLE = """
+WITH sp AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 < 800000 THEN 'train'
+      WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 < 900000 THEN 'val'
+      ELSE 'test' END AS split
+  FROM documents),
+counts AS (SELECT split, lang, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+totals AS (SELECT split, SUM(c) AS n FROM counts GROUP BY 1),
+p AS (SELECT counts.split, counts.c, totals.n,
+        CAST(counts.c AS DOUBLE) / totals.n AS p
+      FROM counts JOIN totals ON counts.split = totals.split)
+SELECT split,
+  CAST(MIN(n) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_langs,
+  ROUND(1.0 - CAST(SUM(CAST(ROUND(p * p, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS gini_simpson,
+  ROUND(-CAST(SUM(CAST(ROUND(p * log2(p), 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy_bits
+FROM p GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7301,6 +7362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": cohort_retention,
         "text_sentence_stats": text_sentence_stats,
         "model_version_drift": model_version_drift,
+        "split_diversity_index": split_diversity_index,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7468,6 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_ORACLE,
         "text_sentence_stats": _SENTENCE_STATS_ORACLE,
         "model_version_drift": _MODEL_DRIFT_ORACLE,
+        "split_diversity_index": _DIVERSITY_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
