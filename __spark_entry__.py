@@ -7186,6 +7186,64 @@ FROM p GROUP BY 1
 """
 
 
+_INJECTION_PATTERNS = [
+    ("override", r"(?i)ignore (all )?(previous|prior|above) (instructions|prompts)"),
+    ("exfil", r"(?i)(reveal|print|show).{0,40}(system prompt|api.?key|password)"),
+    ("roleplay", r"(?i)you are (now|no longer)\b"),
+    ("encoding", r"(?i)base64|rot13"),
+]
+
+
+def prompt_injection_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-safety scan: flag documents whose text matches prompt-
+    injection heuristics (instruction overrides, secret-exfiltration
+    asks, role hijacks, encoding smuggles) BEFORE they enter the
+    retrieval corpus — the reference's pipeline stuffs retrieved product
+    text straight into the LLM prompt (``README.md:726-730``), which is
+    exactly the injection surface. Pure JVM regexes, one scan, zero
+    shuffles beyond the final per-category count; swap the heuristic
+    list for a learned classifier behind the same column contract."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        F.length("text").alias("__len"),
+        *[
+            (F.regexp_count("text", F.lit(pat)) > 0).alias(name)
+            for name, pat in _INJECTION_PATTERNS
+        ],
+    )
+    # audit-report shape: one row per category with its hit count over
+    # the scanned corpus — a clean corpus yields VERIFIED zeros (the
+    # audit's passing state), never an empty, unfalsifiable result
+    per_cat = [
+        flags.agg(
+            F.lit(name).alias("category"),
+            F.count("*").alias("n_docs_scanned"),
+            F.sum(F.col(name).cast("long")).alias("n_flagged"),
+        )
+        for name, _ in _INJECTION_PATTERNS
+    ]
+    out = per_cat[0]
+    for df in per_cat[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+_INJECTION_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+    regexp_matches(text, 'ignore (all )?(previous|prior|above) (instructions|prompts)', 'i') AS override,
+    regexp_matches(text, '(reveal|print|show).{0,40}(system prompt|api.?key|password)', 'i') AS exfil,
+    regexp_matches(text, 'you are (now|no longer)\\b', 'i') AS roleplay,
+    regexp_matches(text, 'base64|rot13', 'i') AS encoding
+  FROM documents)
+SELECT 'override' AS category, COUNT(*) AS n_docs_scanned, SUM(CAST(override AS BIGINT)) AS n_flagged FROM f
+UNION ALL SELECT 'exfil', COUNT(*), SUM(CAST(exfil AS BIGINT)) FROM f
+UNION ALL SELECT 'roleplay', COUNT(*), SUM(CAST(roleplay AS BIGINT)) FROM f
+UNION ALL SELECT 'encoding', COUNT(*), SUM(CAST(encoding AS BIGINT)) FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7363,6 +7421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentence_stats": text_sentence_stats,
         "model_version_drift": model_version_drift,
         "split_diversity_index": split_diversity_index,
+        "prompt_injection_flags": prompt_injection_flags,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7531,6 +7590,7 @@ def oracle_sql() -> dict[str, str]:
         "text_sentence_stats": _SENTENCE_STATS_ORACLE,
         "model_version_drift": _MODEL_DRIFT_ORACLE,
         "split_diversity_index": _DIVERSITY_ORACLE,
+        "prompt_injection_flags": _INJECTION_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
