@@ -7206,7 +7206,6 @@ def prompt_injection_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     flags = docs.select(
         "doc_id",
-        F.length("text").alias("__len"),
         *[
             (F.regexp_count("text", F.lit(pat)) > 0).alias(name)
             for name, pat in _INJECTION_PATTERNS
