@@ -45,8 +45,12 @@ HEAVIES = [
     "quality_percentile_gate",
     "chunk_meanpool_embeddings",
     "bm25_raw_index_topk",
-    # user_event_transcripts and part_pagerank excluded: the sf1/sf10
-    # generator emits only documents + embeddings (no events/lineitem)
+    # relational heavies (the generator now emits events/orders/lineitem)
+    "part_pagerank",
+    "user_event_transcripts",
+    "customer_rfm_segments",
+    "events_rolling_anomalies",
+    "cohort_retention",
 ]
 
 SF_DIRS = {
