@@ -102,6 +102,8 @@ def topk_similarity_join(
         strategy = _pick_strategy(queries, corpus, exact_only=exact_only)
         if strategy == "quantized" and rescore_factor is None:
             rescore_factor = 4  # auto mode keeps the result exact-after-rescore
+        if strategy == "binary" and metric != "dot":
+            strategy = "lsh"  # the sign-bit screen is a dot-product identity
     if strategy == "broadcast_corpus":
         return _topk_numpy_broadcast(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
@@ -158,9 +160,11 @@ def _pick_strategy(queries: DataFrame, corpus: DataFrame, *, exact_only: bool = 
     eager ``.count()`` probe re-ran the full upstream lineage twice just to
     pick a path). Prefer broadcasting the corpus (keeps query payload
     columns on their original partitions); past both exact broadcast
-    budgets, escalate to the int8-quantized broadcast (4× smaller, exact
-    after rescore) and finally banded LSH — the reference engine likewise
-    switches to its ANN index rather than scanning (``README.md:355-366``)."""
+    budgets, escalate down the quantization ladder — int8 broadcast (4×
+    smaller, exact after rescore), then 1-bit sign signatures (32×
+    smaller; Hamming screen + exact rescore), finally banded LSH — the
+    reference engine likewise switches to its ANN index rather than
+    scanning (``README.md:355-366``)."""
     c_bytes = _plan_size_bytes(corpus)
     if c_bytes <= _BROADCAST_BUDGET_BYTES:
         return "broadcast_corpus"
@@ -171,6 +175,8 @@ def _pick_strategy(queries: DataFrame, corpus: DataFrame, *, exact_only: bool = 
         return "shuffle"
     if c_bytes // 4 <= _BROADCAST_BUDGET_BYTES:
         return "quantized"
+    if c_bytes // 32 <= _BROADCAST_BUDGET_BYTES:
+        return "binary"
     return "lsh"
 
 

@@ -107,19 +107,30 @@ def test_auto_picker_launches_no_jobs(spark, qc, monkeypatch):
 
 
 def test_auto_escalates_to_ann_past_budgets(spark, qc, monkeypatch):
-    """Past both exact broadcast budgets auto escalates quantized → lsh
-    (mirroring the reference's always-indexed search, README.md:355-366);
-    exact_only caps the escalation at shuffle."""
+    """Past both exact broadcast budgets auto walks the quantization
+    ladder quantized → binary → lsh (mirroring the reference's
+    always-indexed search, README.md:355-366); exact_only caps the
+    escalation at shuffle."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators import topk_join as tj
 
     q, c = qc
     monkeypatch.setattr(tj, "_BROADCAST_BUDGET_BYTES", 0)
     assert tj._pick_strategy(q, c) == "lsh"
     assert tj._pick_strategy(q, c, exact_only=True) == "shuffle"
-    # budget window that fits the int8 codes but not the float32 matrix
     cb = tj._plan_size_bytes(c)
+    # budget window that fits the int8 codes but not the float32 matrix
     monkeypatch.setattr(tj, "_BROADCAST_BUDGET_BYTES", cb // 4)
     assert tj._pick_strategy(c, c) == "quantized"
+    # window that fits only the 1-bit signatures
+    monkeypatch.setattr(tj, "_BROADCAST_BUDGET_BYTES", cb // 32)
+    assert tj._pick_strategy(c, c) == "binary"
+    # cosine cannot use the sign-bit screen: auto falls through to lsh
+    out = topk_similarity_join(
+        q, c, k=1, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", metric="cosine",
+        strategy="auto", num_candidates=50,
+    )
+    assert out.count() > 0
 
 
 def test_auto_ann_switchover_still_answers(spark, embeddings, qc, monkeypatch):
