@@ -1017,3 +1017,46 @@ def test_sink_profile_by_epoch(spark, tmp_path, events_dir):
     for r in rows:
         assert r["user_id__nulls"] == 0
         assert r["user_id__ndv"] > 0
+
+
+def test_chained_pipelines_exactly_once(spark, tmp_path, events_dir):
+    """Two-stage chain: stage 1 is a continuous insert; stage 2 consumes
+    incrementally (read_sink_increment) and lands into its OWN idempotent
+    epoch sink. A crash between stage-2's write and its ack re-delivers,
+    and the idempotent downstream write turns the at-least-once delivery
+    into exactly-once — no row lost, none duplicated."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        idempotent_batch_writer,
+        read_sink_increment,
+    )
+
+    src, schema, n = events_dir
+    s1 = str(tmp_path / "stage1")
+    s2 = str(tmp_path / "stage2")
+    state = str(tmp_path / "consume.json")
+    q = continuous_insert(
+        file_stream_reader(spark, src, schema, max_files_per_trigger=1),
+        s1, str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    _drain(q)
+
+    write2 = idempotent_batch_writer(s2)
+
+    def stage2_once(epoch: int, ack: bool) -> None:
+        df, commit = read_sink_increment(spark, s1, state)
+        if df is None:
+            return
+        write2(df.select("event_id", "user_id"), epoch)
+        if ack:
+            commit()
+
+    # first attempt writes downstream but CRASHES before the ack
+    stage2_once(epoch=0, ack=False)
+    # retry: same epochs re-delivered; idempotent write skips; ack lands
+    stage2_once(epoch=0, ack=True)
+    out = read_sink(spark, s2)
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+    # nothing left to consume
+    df, _ = read_sink_increment(spark, s1, state)
+    assert df is None
