@@ -163,3 +163,15 @@ def chamfer_pair_scores(
         id_b,
         F.round((F.col("__am") + F.col("__bm")) / 2.0, 6).alias(score_col),
     )
+
+
+def save_token_vectors(token_vectors: DataFrame, path: str) -> None:
+    """Persist the vocabulary token-vector table — the late-interaction
+    tier's 'index' (vocabulary-sized, not corpus-sized: Zipf bounds it).
+    Embed the vocabulary once at ingest; every query batch afterwards
+    loads metadata-cheap vectors instead of re-running the encoder."""
+    token_vectors.write.mode("overwrite").parquet(path)
+
+
+def load_token_vectors(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
