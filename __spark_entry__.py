@@ -7243,6 +7243,58 @@ UNION ALL SELECT 'encoding', COUNT(*), SUM(CAST(encoding AS BIGINT)) FROM f
 """
 
 
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user: Σ value · 0.5^days_ago
+    (half-life = 1 day, relative to the corpus max timestamp) — the
+    decayed-sum feature every ranking/churn model wants, usually
+    approximated; here it is EXACT: 0.5^k is a power of two, so every
+    weight is exactly representable, each term rounds to 6 decimals,
+    and the DECIMAL sum is partition-order-invariant. One user-keyed
+    aggregation; no window, no state."""
+    ev = _t(spark, sf_dir, "events")
+    max_sec = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    # integer day buckets from epoch seconds (timezone-free), decay
+    # floored at k=40 (0.5^40 ≈ 1e-12 — beyond any 6-decimal effect).
+    # The whole sum is INTEGER: cents · 2^(40−k) accumulates exactly in
+    # DECIMAL(38,0); the single final division by 100·2^40 is a
+    # power-of-two scale (correctly rounded IEEE, identical in any
+    # engine) — no per-term double ROUND whose half-boundary behavior
+    # differs between engines.
+    days_ago = F.least(
+        F.lit(40),
+        F.floor((F.lit(int(max_sec)) - F.unix_timestamp("ts")) / 86400),
+    )
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    weight = F.pow(F.lit(2.0), (F.lit(40) - days_ago).cast("double")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(cents * weight).cast("double") / F.lit(100.0 * float(2**40)),
+                6,
+            ).alias("decayed_value"),
+        )
+    )
+
+
+_DECAYED_VALUE_ORACLE = """
+WITH m AS (SELECT MAX(CAST(epoch(ts) AS BIGINT)) AS s FROM events),
+t AS (
+  SELECT user_id,
+    CAST(round(value * 100) AS DECIMAL(38,0))
+      * CAST(power(2.0, CAST(40 - LEAST(40,
+          CAST(floor((m.s - CAST(epoch(ts) AS BIGINT)) / 86400.0) AS BIGINT)) AS DOUBLE))
+        AS DECIMAL(38,0)) AS term
+  FROM events CROSS JOIN m)
+SELECT user_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(term) AS DOUBLE) / (100.0 * 1099511627776.0), 6) AS decayed_value
+FROM t GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -7421,6 +7473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_version_drift": model_version_drift,
         "split_diversity_index": split_diversity_index,
         "prompt_injection_flags": prompt_injection_flags,
+        "user_decayed_value": user_decayed_value,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         # RAG (§3)
@@ -7590,6 +7643,7 @@ def oracle_sql() -> dict[str, str]:
         "model_version_drift": _MODEL_DRIFT_ORACLE,
         "split_diversity_index": _DIVERSITY_ORACLE,
         "prompt_injection_flags": _INJECTION_ORACLE,
+        "user_decayed_value": _DECAYED_VALUE_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
     }
