@@ -58,6 +58,12 @@ HEADLINE = [
     # quality (the heaviest new text op — two ngram aggregations)
     "vec_bq_topk",
     "trigram_lm_quality",
+    # round-4 second wave: cross-doc span dedup, the count-min sketch
+    # build, and the graph + segmentation heavies
+    "crossdoc_duplicate_spans",
+    "countmin_term_freqs",
+    "part_pagerank",
+    "customer_rfm_segments",
 ]
 
 
