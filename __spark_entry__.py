@@ -3305,6 +3305,86 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (§2.11 similarity search — the billion-vector
+    FAISS ``IVFADC`` shape): coarse k-means prunes WHICH clusters are
+    scanned, residual product quantization shrinks WHAT is scanned to m
+    one-byte codes, and ``q·x = q·c + ADC(residual)`` scores a probed row
+    with one coarse term plus m LUT gather-adds. On the saved index the
+    probe set is a partition filter on the cluster directory key
+    (plan-asserted in tests/test_ivfpq.py), so pruned clusters never leave
+    storage. Verdict columns (codebooks are engine-specific k-means):
+
+    - ``full_rescore_exact``: with every cluster probed and the candidate
+      width opened to the corpus, exact rescoring of the ADC candidates
+      must EQUAL the exact top-10 — a deterministic invariant of the
+      assign/encode/ADC/rescore plumbing.
+    - ``recall_ok`` / ``agg_recall_ok``: at n_probe=2 of 8 clusters and
+      width 50, per-query recall@10 ≥ 2 and aggregate recall ≥ 40% —
+      real margin under the near-uniform fixture embeddings (PQ's worst
+      case); tighter curves in tests/test_ivfpq.py."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import build_ivfpq_index, topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    encoded, centroids, books = build_ivfpq_index(
+        corpus, n_clusters=8, m=8, k=32, sample_rows=1000, max_iter=5
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    exact = topk_similarity_join(
+        q, corpus, k=10,
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric="dot", strategy="broadcast_corpus",
+    ).select("qid", "cid")
+    qv = q.select("qid", F.col("vector").alias("__qv"))
+
+    def _two_stage(n_probe: int, adc_k: int, alias: str) -> DataFrame:
+        cand = topk_ivfpq(
+            q, encoded, centroids, books, k=adc_k,
+            query_id="qid", corpus_id="cid", n_probe=n_probe,
+        ).select("qid", "cid")
+        w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("cid"))
+        final = (
+            cand.join(corpus, "cid")
+            .join(F.broadcast(qv), "qid")
+            .select("qid", "cid", vec_dot("__qv", "vector").alias("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 10)
+        )
+        return (
+            exact.join(final, ["qid", "cid"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    n_corpus = corpus.count()
+    full = _two_stage(8, int(n_corpus), "__nf")
+    part = _two_stage(2, 50, "__np")
+    total = part.agg(F.sum("__np").alias("__t"))
+    return (
+        q.select("qid")
+        .join(full, "qid", "left")
+        .join(part, "qid", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "qid",
+            (F.coalesce(F.col("__nf"), F.lit(0)) == 10).alias("full_rescore_exact"),
+            (F.coalesce(F.col("__np"), F.lit(0)) >= 2).alias("recall_ok"),
+            (F.coalesce(F.col("__t"), F.lit(0)) >= 20).alias("agg_recall_ok"),
+        )
+    )
+
+
+_IVFPQ_RECALL_ORACLE = """
+SELECT vec_id AS qid, TRUE AS full_rescore_exact, TRUE AS recall_ok,
+  TRUE AS agg_recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` surface (§2.10): per-label centroid
     distance + z-score outlier flagging over the embeddings table.
@@ -7450,6 +7530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
+        "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
         "trigram_lm_quality": trigram_lm_quality,
@@ -7620,6 +7701,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
+        "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
