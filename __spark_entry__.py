@@ -4792,6 +4792,66 @@ SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY 1
 """
 
 
+def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting + local clustering coefficient
+    over the co-purchase graph (edges = part pairs bought together in
+    ≥ 2 orders) — the community-density primitive next to BFS/PageRank in
+    the graph family. Orientation from the lower-(degree, id) endpoint
+    bounds every out-degree by O(√m), so the wedge self-join never
+    quadratics on hub parts (Suri & Vassilvitskii, WWW 2011; see
+    operators/graph.py). HARD ORACLE: the triangle set is
+    orientation-independent, so DuckDB enumerates a<b<c triangles with
+    two plain joins and must match exactly — node, degree, triangle
+    count, and the small-integer-ratio clustering coefficient."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.graph import triangle_counts
+
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    )
+    return triangle_counts(pairs).orderBy("node")
+
+
+_TRIANGLE_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.src = e1.dst
+  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs)
+  GROUP BY 1),
+per AS (
+  SELECT node, COUNT(*) AS tri_cnt FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY 1)
+SELECT p.node, d.degree, p.tri_cnt,
+  ROUND(2.0 * p.tri_cnt / (d.degree * (d.degree - 1.0)), 6) AS clustering
+FROM per p JOIN deg d USING (node)
+ORDER BY p.node
+"""
+
+
 def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation under event-time windows: daily active users
     (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
@@ -7544,6 +7604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
         "part_pagerank": part_pagerank,
+        "part_triangle_counts": part_triangle_counts,
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
@@ -7715,6 +7776,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,
         "part_pagerank": _PAGERANK_ORACLE,
+        "part_triangle_counts": _TRIANGLE_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
