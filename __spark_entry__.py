@@ -51,7 +51,13 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import
     simhash_near_duplicates,
     simhash_signatures,
 )
-from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_postings, bm25_search, rrf_fuse
+from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+    bm25_postings,
+    bm25_search,
+    conjunctive_search,
+    phrase_search,
+    rrf_fuse,
+)
 from confluent_kafka_vector_search_prompt_inference_spark.operators.packing import pack_sequences
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
 from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dataset_split, hash_bucket
@@ -3736,6 +3742,112 @@ WITH {_BM25_KW_CTE}
 SELECT query_id, doc_id,
   ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
 FROM kw_ranked WHERE rank <= 10
+"""
+
+
+def conjunctive_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics keyword search (§2.11, keyword-leg precision mode):
+    the distinct terms among docs 0–4's first three tokens as conjunctive
+    queries — only documents containing ALL of them survive, ranked by
+    exact nano-unit BM25. (Slice-then-distinct: the query term SET is
+    order-insensitive, so DuckDB's unordered ``list_distinct`` still
+    mirrors it exactly.) The intersection filter is one COUNT(*) == n_terms
+    check on the disjunctive plan (postings are distinct per (doc, term)),
+    and candidates shrink to the rarest term's postings list, so longer
+    conjunctive queries get cheaper — see operators/bm25.py
+    ``conjunctive_search``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(word_tokens("text"), 1, 3), " ").alias("query_text"),
+    )
+    return conjunctive_search(docs, queries, k=10)
+
+
+# Same impact formula as _bm25_kw_cte (k1=1.2, b=0.75, nano-unit BIGINT
+# impacts) with a 3-term conjunctive query set and the COUNT == n_terms
+# intersection filter.
+_CONJUNCTIVE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+impact AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(
+      ln(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+      * 1000000000.0) AS BIGINT) AS impact_n
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(t, 1, 3)) AS qt
+      FROM toks WHERE doc_id < 5),
+qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+qn AS (SELECT query_id, len(qt) AS n_terms FROM q),
+scored AS (
+  SELECT qt.query_id, i.doc_id, SUM(i.impact_n) AS score_n, COUNT(*) AS n_hit
+  FROM qterms qt JOIN impact i USING (term) GROUP BY 1, 2),
+conj AS (
+  SELECT s.query_id, s.doc_id, s.score_n
+  FROM scored s JOIN qn USING (query_id) WHERE s.n_hit = qn.n_terms),
+ranked AS (
+  SELECT query_id, doc_id, score_n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY score_n DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM conj)
+SELECT query_id, doc_id,
+  ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a positional inverted index (§2.11):
+    docs 0–4's first three tokens as phrases, matched CONSECUTIVELY via
+    the anchor trick — a posting (doc, term, pos) matching phrase offset
+    ``off`` votes for anchor ``pos − off``; an anchor with votes from all
+    phrase offsets is a complete match. Ranked by occurrence count. Only
+    phrase-term postings enter the broadcast join and only (ids, anchor)
+    tuples shuffle — see operators/bm25.py ``phrase_search``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(word_tokens("text"), 1, 3), " ").alias("query_text"),
+    )
+    return phrase_search(docs, queries, k=10)
+
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term,
+          CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos FROM toks),
+q AS (SELECT doc_id AS query_id, list_slice(t, 1, 3) AS ph
+      FROM toks WHERE doc_id < 5),
+qtok AS (SELECT query_id, unnest(ph) AS term,
+           CAST(generate_subscripts(ph, 1) - 1 AS BIGINT) AS off FROM q),
+qlen AS (SELECT query_id, len(ph) AS plen FROM q),
+anch AS (
+  SELECT qt.query_id, p.doc_id, p.pos - qt.off AS anchor, qt.off
+  FROM pos p JOIN qtok qt USING (term) WHERE p.pos - qt.off >= 0),
+complete AS (
+  SELECT query_id, doc_id, anchor, COUNT(DISTINCT off) AS hits
+  FROM anch GROUP BY 1, 2, 3),
+m AS (
+  SELECT c.query_id, c.doc_id, COUNT(*) AS n_matches
+  FROM complete c JOIN qlen l USING (query_id)
+  WHERE c.hits = l.plen GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, n_matches,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY n_matches DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM m)
+SELECT query_id, doc_id, n_matches, rank FROM ranked WHERE rank <= 10
 """
 
 
@@ -7600,6 +7712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_threshold_join": vec_threshold_join,
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
         "bm25_raw_index_topk": bm25_raw_index_topk,
+        "conjunctive_keyword_topk": conjunctive_keyword_topk,
+        "phrase_search_topk": phrase_search_topk,
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
@@ -7772,6 +7886,8 @@ def oracle_sql() -> dict[str, str]:
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,
         "bm25_raw_index_topk": _BM25_RAW_ORACLE,
+        "conjunctive_keyword_topk": _CONJUNCTIVE_ORACLE,
+        "phrase_search_topk": _PHRASE_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,

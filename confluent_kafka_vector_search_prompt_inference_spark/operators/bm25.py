@@ -483,3 +483,137 @@ def bm25_search_raw(
             "rank",
         )
     )
+
+
+def conjunctive_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    persist_postings: bool = True,
+) -> DataFrame:
+    """AND-semantics keyword search: only documents containing EVERY
+    distinct query term are candidates, ranked by their BM25 score —
+    ``(query_id, doc_id, score, rank)``.
+
+    Disjunctive BM25 (``bm25_search``) floods candidates through any
+    single matching term; conjunctive search is the precision mode every
+    search engine pairs with it (intersection of postings lists). The
+    Spark shape adds ONE aggregate column to the disjunctive plan: the
+    per-(query, doc) term-hit count, filtered against the query's
+    distinct-term count before ranking. Because postings hold one row per
+    distinct (doc, term), ``COUNT(*)`` IS the distinct-hit count — no
+    countDistinct shuffle. Selectivity note for 100 TB: the candidate set
+    after the HAVING filter is the rarest term's postings list at most,
+    so conjunctive queries get CHEAPER as they grow longer — the opposite
+    of the disjunctive flood.
+    """
+    postings = bm25_postings(docs, id_col, text_col)
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    impacts = bm25_impacts(
+        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
+    )
+    qt = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
+    )
+    qn = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.size(F.array_distinct(word_tokens(query_text))).cast("bigint").alias("__n_terms"),
+    )
+    scored = (
+        impacts.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n"), F.count("*").alias("__n_hit"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("__n_hit") == F.col("__n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index: ``(doc_id, term, pos)`` with 0-based
+    token positions — the index phrase and proximity queries need."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("toks")
+    )
+    return toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).select("doc_id", "term", F.col("pos").cast("bigint").alias("pos"))
+
+
+def phrase_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search over a positional index: documents containing
+    the query's token sequence CONSECUTIVELY, ranked by occurrence count
+    — ``(query_id, doc_id, n_matches, rank)``.
+
+    The classic anchor trick makes this pure dataflow: a posting
+    ``(doc, term, pos)`` matching phrase offset ``off`` votes for anchor
+    ``pos − off``; an anchor collecting votes from ALL ``len(phrase)``
+    distinct offsets is a complete consecutive match starting there.
+    One broadcast join (phrase terms are tiny) + one count-distinct per
+    (query, doc, anchor) + one count per (query, doc) — postings for
+    non-phrase terms never enter the join, and nothing shuffles except
+    (ids, anchor) tuples. Repeated terms in the phrase are handled by
+    counting distinct offsets, not distinct terms.
+    """
+    pos = positional_postings(docs, id_col, text_col)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), word_tokens(query_text).alias("__ph")
+    )
+    qtok = q.select(
+        "query_id", F.posexplode("__ph").alias("off", "term")
+    ).select("query_id", "term", F.col("off").cast("bigint").alias("off"))
+    qlen = q.select("query_id", F.size("__ph").cast("bigint").alias("__plen"))
+    anchored = (
+        pos.join(F.broadcast(qtok), "term")
+        .select(
+            "query_id", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"), "off"
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    complete = (
+        anchored.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.countDistinct("off").alias("__hits"))
+        .join(F.broadcast(qlen), "query_id")
+        .filter(F.col("__hits") == F.col("__plen"))
+    )
+    matches = complete.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_matches")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matches.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_matches", "rank")
+    )

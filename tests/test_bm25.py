@@ -195,3 +195,82 @@ def test_raw_index_append_is_exact(spark, sf_smoke):
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True),
     )
+
+
+# --- conjunctive + phrase search ---------------------------------------
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown dog"),
+        (3, "quick brown the fox"),        # all terms, different order
+        (4, "the brown dog sleeps"),       # missing 'quick'
+        (5, "quick the quick brown fox the quick brown"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_conjunctive_requires_all_terms(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import conjunctive_search
+
+    docs = _mini_docs(spark)
+    q = spark.createDataFrame(
+        [(100, "the quick brown")], "query_id bigint, query_text string"
+    )
+    got = conjunctive_search(docs, q, k=10).toPandas()
+    # docs 1, 2, 3, 5 contain all three terms; 4 lacks 'quick'
+    assert set(got.doc_id) == {1, 2, 3, 5}
+    assert (got.query_id == 100).all()
+
+
+def test_conjunctive_subset_of_disjunctive(spark, docs):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_search, conjunctive_search
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    conj = conjunctive_search(d, q, k=1000).toPandas()
+    disj = bm25_search(d, q, k=100000).toPandas()
+    conj_pairs = set(zip(conj.query_id, conj.doc_id))
+    disj_pairs = set(zip(disj.query_id, disj.doc_id))
+    assert conj_pairs <= disj_pairs
+    # scores agree where both match (same impacts, just filtered)
+    merged = conj.merge(disj, on=["query_id", "doc_id"], suffixes=("_c", "_d"))
+    assert (merged.score_c == merged.score_d).all()
+    # self-match: a doc always contains all of its own terms
+    assert all((int(i), int(i)) in conj_pairs for i in (0, 1, 2))
+
+
+def test_phrase_consecutive_only(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import phrase_search
+
+    docs = _mini_docs(spark)
+    q = spark.createDataFrame(
+        [(100, "quick brown fox")], "query_id bigint, query_text string"
+    )
+    got = phrase_search(docs, q, k=10).toPandas()
+    # doc 1 has it once; doc 3 has 'quick brown the fox' (NOT consecutive);
+    # doc 5 has exactly one consecutive occurrence ('... the quick brown fox ...'?
+    # no — 'quick the quick brown fox the quick brown': positions of
+    # 'quick brown fox' = tokens 2,3,4 → one match)
+    assert dict(zip(got.doc_id, got.n_matches)) == {1: 1, 5: 1}
+
+
+def test_phrase_repeated_term_and_counts(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 'a b a' at anchors 0 and 2 -> 2 matches
+            (2, "a b b a"),
+            (3, "b a b a b"),   # 'a b a' at anchor 1 -> 1 match
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(9, "a b a")], "query_id bigint, query_text string")
+    got = phrase_search(docs, q, k=10).toPandas()
+    assert dict(zip(got.doc_id, got.n_matches)) == {1: 2, 3: 1}
+    assert list(got.sort_values("rank").doc_id) == [1, 3]
