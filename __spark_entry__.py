@@ -57,6 +57,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import 
     conjunctive_search,
     phrase_search,
     rrf_fuse,
+    tfidf_cosine_search,
 )
 from confluent_kafka_vector_search_prompt_inference_spark.operators.packing import pack_sequences
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import dedup_clusters
@@ -3803,6 +3804,56 @@ ranked AS (
   FROM conj)
 SELECT query_id, doc_id,
   ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval (§2.11, the third keyword scoring function
+    next to raw-TF and BM25): docs 0–4 as queries, weights ``tf·ln(N/df)``
+    quantized to 1e5 integer units so the numerator (sum of weight
+    products over shared terms) and both norms (sums of weight squares)
+    are exact BIGINT totals — identical at any parallelism and in any
+    engine; the final ``num/(√qn·√dn)`` is one deterministic IEEE double
+    expression. See operators/bm25.py ``tfidf_cosine_search``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return tfidf_cosine_search(docs, queries, k=10)
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(CAST(tf.tf AS DOUBLE)
+      * ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)) * 100000.0) AS BIGINT) AS wn
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN nd),
+dnorm AS (SELECT doc_id, SUM(wn * wn) AS dn2 FROM w GROUP BY 1),
+qw AS (SELECT doc_id AS query_id, term, wn AS qwn FROM w WHERE doc_id < 5),
+qnorm AS (SELECT query_id, SUM(qwn * qwn) AS qn2 FROM qw GROUP BY 1),
+num AS (
+  SELECT q.query_id, w.doc_id, SUM(w.wn * q.qwn) AS num_n
+  FROM w JOIN qw q USING (term) GROUP BY 1, 2),
+scored AS (
+  SELECT n.query_id, n.doc_id,
+    CAST(n.num_n AS DOUBLE)
+      / (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(dn.dn2 AS DOUBLE))) AS c
+  FROM num n
+  JOIN qnorm qn USING (query_id)
+  JOIN dnorm dn USING (doc_id)
+  WHERE qn.qn2 > 0 AND dn.dn2 > 0),
+ranked AS (
+  SELECT query_id, doc_id, c,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY c DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, doc_id, ROUND(c, 6) AS score, rank
 FROM ranked WHERE rank <= 10
 """
 
@@ -7714,6 +7765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_raw_index_topk": bm25_raw_index_topk,
         "conjunctive_keyword_topk": conjunctive_keyword_topk,
         "phrase_search_topk": phrase_search_topk,
+        "tfidf_cosine_topk": tfidf_cosine_topk,
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
@@ -7888,6 +7940,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_raw_index_topk": _BM25_RAW_ORACLE,
         "conjunctive_keyword_topk": _CONJUNCTIVE_ORACLE,
         "phrase_search_topk": _PHRASE_ORACLE,
+        "tfidf_cosine_topk": _TFIDF_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,

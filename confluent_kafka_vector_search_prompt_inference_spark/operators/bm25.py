@@ -617,3 +617,107 @@ def phrase_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_matches", "rank")
     )
+
+
+#: TF-IDF weights quantize at 1e5 so BIGINT sums of weight PRODUCTS
+#: (numerator) and SQUARES (norms) stay far from overflow: w ≈ tf·idf ≤
+#: ~50 → wn ≤ 5e6, wn² ≤ 2.5e13, and thousand-term sums sit ~1e17 <
+#: 2^63. The quantization defines the scoring function (both engines
+#: compute identical integers), not a lossy approximation of it.
+_TFIDF_SCALE = 1e5
+
+
+def tfidf_cosine_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    persist_postings: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF cosine retrieval: ``(query_id, doc_id, score, rank)``.
+
+    The third keyword scoring function next to raw-TF and BM25: weight
+    ``w(d,t) = tf · ln(N/df)``, score = cosine between the sparse weight
+    vectors. Every sum is a BIGINT total of quantized units — the
+    numerator sums quantized-weight products over shared terms, each norm
+    sums quantized-weight squares — so partial aggregation at any
+    parallelism (or any engine) reproduces identical totals; the final
+    ``num / (√qn · √dn)`` is one deterministic double expression.
+    Sparse-dot shape: only shared-term postings enter the broadcast join,
+    doc norms are one groupBy over the postings, and nothing per-document
+    reaches the driver.
+    """
+    postings = bm25_postings(docs, id_col, text_col)
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    weights = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * F.lit(_TFIDF_SCALE)
+            ).cast("bigint").alias("wn"),
+        )
+    )
+    dnorm = weights.groupBy("doc_id").agg(
+        F.sum(F.col("wn") * F.col("wn")).alias("dn2")
+    )
+
+    # Query-side weights reuse the CORPUS idf (the standard IR setup).
+    qtf = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(word_tokens(query_text)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    qw = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.col("qtf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * F.lit(_TFIDF_SCALE)
+            ).cast("bigint").alias("qwn"),
+        )
+    )
+    qnorm = qw.groupBy("query_id").agg(F.sum(F.col("qwn") * F.col("qwn")).alias("qn2"))
+
+    num = (
+        weights.join(F.broadcast(qw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wn") * F.col("qwn")).alias("num_n"))
+    )
+    scored = (
+        num.join(F.broadcast(qnorm), "query_id")
+        .join(dnorm, "doc_id")
+        .filter((F.col("qn2") > 0) & (F.col("dn2") > 0))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("num_n").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("dn2").cast("double")))
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("__cos", 6).alias("score"), "rank")
+    )

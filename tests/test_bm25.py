@@ -274,3 +274,19 @@ def test_phrase_repeated_term_and_counts(spark):
     got = phrase_search(docs, q, k=10).toPandas()
     assert dict(zip(got.doc_id, got.n_matches)) == {1: 2, 3: 1}
     assert list(got.sort_values("rank").doc_id) == [1, 3]
+
+
+def test_tfidf_cosine_self_match_top(spark, docs):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import tfidf_cosine_search
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    got = tfidf_cosine_search(d, q, k=3).toPandas()
+    top1 = got[got["rank"] == 1]
+    # a document is its own cosine-1.0 nearest neighbor
+    assert (top1.query_id == top1.doc_id).all()
+    assert (top1.score == 1.0).all()
+    assert (got.score <= 1.0 + 1e-9).all() and (got.score >= -1.0 - 1e-9).all()
