@@ -5015,6 +5015,57 @@ ORDER BY p.node
 """
 
 
+def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join (§2.11 adjacent — the
+    record-linkage step every catalog/CRM consolidation pipeline runs):
+    part names within levenshtein ≤ 2 of each other, candidates blocked
+    on each record's 2 rarest tokens so no stage is all-pairs (see
+    operators/fuzzy.py). HARD ORACLE: blocking keys (ties on token text)
+    and the edit-distance verify are both deterministic, so DuckDB
+    reproduces the pair set exactly."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.fuzzy import blocked_levenshtein_self_join
+
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 600).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        blocked_levenshtein_self_join(
+            parts, id_col="p_partkey", text_col="p_name", max_dist=2, keys_per_record=2
+        )
+        .filter(F.col("dist") > 0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_FUZZY_ORACLE = """
+WITH recs AS (
+  SELECT p_partkey AS id, p_name AS name,
+    trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS norm
+  FROM part WHERE p_partkey < 600),
+toks AS (
+  SELECT id, unnest(list_distinct(string_split(norm, ' '))) AS token FROM recs),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1),
+keys AS (
+  SELECT id, token FROM (
+    SELECT t.id, t.token,
+      ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df ASC, t.token ASC) AS r
+    FROM toks t JOIN dfreq d USING (token))
+  WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b USING (token) WHERE a.id < b.id),
+verified AS (
+  SELECT c.id_a, c.id_b, ra.name AS name_a, rb.name AS name_b,
+    CAST(levenshtein(ra.name, rb.name) AS INTEGER) AS dist
+  FROM cand c
+  JOIN recs ra ON ra.id = c.id_a
+  JOIN recs rb ON rb.id = c.id_b)
+SELECT id_a, id_b, name_a, name_b, dist
+FROM verified WHERE dist <= 2 AND dist > 0
+ORDER BY id_a, id_b
+"""
+
+
 def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation under event-time windows: daily active users
     (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
@@ -7771,6 +7822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": text_script_profile,
         "part_pagerank": part_pagerank,
         "part_triangle_counts": part_triangle_counts,
+        "part_name_near_matches": part_name_near_matches,
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
@@ -7946,6 +7998,7 @@ def oracle_sql() -> dict[str, str]:
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,
         "part_pagerank": _PAGERANK_ORACLE,
         "part_triangle_counts": _TRIANGLE_ORACLE,
+        "part_name_near_matches": _FUZZY_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,
