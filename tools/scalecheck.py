@@ -51,6 +51,11 @@ HEAVIES = [
     "customer_rfm_segments",
     "events_rolling_anomalies",
     "cohort_retention",
+    # round-4 third wave: graph + keyword-retrieval additions
+    "part_triangle_counts",
+    "tfidf_cosine_topk",
+    "conjunctive_keyword_topk",
+    "phrase_search_topk",
 ]
 
 SF_DIRS = {
