@@ -1537,6 +1537,52 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def mutual_knn_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors over the embeddings (§2.11 semantic
+    dedup): pairs where EACH vector sits in the other's cosine top-10 —
+    the hub-suppression filter one-directional kNN candidates need (a hub
+    appears in thousands of top-k lists without being near any of them).
+    One top-k similarity join + a self-equi-join of its k-bounded output
+    on the swapped key pair (O(n·k), no second scoring pass) — see
+    operators/dedup.py ``mutual_knn_pairs``. HARD ORACLE: scores round to
+    6 before ranking on both engines, ties break on ascending id. The
+    entry scores through the Catalyst ``shuffle`` strategy, whose
+    sequential zip_with sum matches DuckDB's list_inner_product order
+    bit-for-bit; the NumPy broadcast strategies are recall-identical but
+    pairwise-sum, so ~3% of scores land one ulp across a 1e-6 rounding
+    boundary — the strategy knob exists precisely so callers pick
+    exactness contract vs throughput."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import mutual_knn_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(
+        emb, "vec_id", "embedding", k=10, metric="cosine", strategy="shuffle"
+    ).orderBy("id_a", "id_b")
+
+
+_MUTUAL_KNN_ORACLE = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+    ROUND(list_inner_product(a.e, b.e)
+      / (SQRT(list_inner_product(a.e, a.e)) * SQRT(list_inner_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       ORDER BY score DESC, cid ASC) AS INTEGER) AS nn_rank
+  FROM scored),
+topk AS (SELECT * FROM ranked WHERE nn_rank <= 10),
+fwd AS (SELECT qid AS id_a, cid AS id_b, score, nn_rank AS rank_ab
+        FROM topk WHERE qid < cid),
+rev AS (SELECT cid AS id_a, qid AS id_b, nn_rank AS rank_ba
+        FROM topk WHERE cid < qid)
+SELECT f.id_a, f.id_b, f.score, f.rank_ab, r.rank_ba
+FROM fwd f JOIN rev r USING (id_a, id_b)
+ORDER BY id_a, id_b
+"""
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — the 100 TB dedup
     path (signatures: shuffle-free; candidates: bucket hash join). The
@@ -7823,6 +7869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": part_pagerank,
         "part_triangle_counts": part_triangle_counts,
         "part_name_near_matches": part_name_near_matches,
+        "mutual_knn_dup_pairs": mutual_knn_dup_pairs,
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
@@ -7999,6 +8046,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _PAGERANK_ORACLE,
         "part_triangle_counts": _TRIANGLE_ORACLE,
         "part_name_near_matches": _FUZZY_ORACLE,
+        "mutual_knn_dup_pairs": _MUTUAL_KNN_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,

@@ -726,3 +726,60 @@ def cdc_chunks(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    strategy: str = "broadcast_corpus",
+) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs ``(id_a, id_b, score, rank_ab,
+    rank_ba)`` where each vector appears in the OTHER's top-k (id_a <
+    id_b, self-matches excluded).
+
+    One-directional kNN candidates are asymmetric — a hub vector appears
+    in thousands of top-k lists without being near any of them; requiring
+    reciprocity is the standard hub-suppression filter for semantic-dedup
+    candidate pairs (and the building block of reciprocal-neighbor
+    re-ranking in retrieval). Built as ONE top-k similarity join (every
+    vector as query, any physical ``strategy`` the scale calls for —
+    broadcast / shuffle / LSH / IVF) followed by a self-equi-join of the
+    k-bounded result with itself on the swapped key pair: the reciprocity
+    check costs O(n·k) rows, never a second scoring pass.
+    """
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    corpus = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vector"))
+    queries = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vector"))
+    # k+1 then drop self-matches: a vector is always its own top-1
+    topk = topk_similarity_join(
+        queries, corpus, k=k + 1,
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric=metric, strategy=strategy,
+    ).filter(F.col("qid") != F.col("cid"))
+    # JVM round-6 BEFORE re-ranking: the NumPy strategies emit raw
+    # doubles, and ranking on rounded scores (ties → ascending id) is the
+    # cross-engine-reproducible contract every vec oracle pins.
+    topk = topk.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    topk = (
+        topk.withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("nn_rank") <= k)
+        .select("qid", "cid", "score", "nn_rank")
+    )
+    fwd = topk.select(
+        F.col("qid").alias("id_a"), F.col("cid").alias("id_b"),
+        F.col("score").alias("score"), F.col("nn_rank").alias("rank_ab"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = topk.select(
+        F.col("cid").alias("id_a"), F.col("qid").alias("id_b"),
+        F.col("nn_rank").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "score", "rank_ab", "rank_ba"
+    )

@@ -165,3 +165,51 @@ def test_cdc_chunks_deterministic_across_partitionings(spark):
     a = {tuple(r) for r in cdc_chunks(docs.repartition(1), "doc_id", "text").collect()}
     b = {tuple(r) for r in cdc_chunks(docs.repartition(13), "doc_id", "text").collect()}
     assert a == b
+
+
+def test_mutual_knn_pairs_reciprocity_and_hub_suppression(spark):
+    import numpy as np
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import mutual_knn_pairs
+
+    rng = np.random.default_rng(7)
+    # two tight clusters + one "hub" vector near the global mean: the hub
+    # shows up in many top-k lists, but its own top-k is cluster members
+    # that don't reciprocate at small k
+    a = rng.normal(0, 0.05, (6, 8)) + np.array([1.0] * 8)
+    b = rng.normal(0, 0.05, (6, 8)) + np.array([-1.0] * 8)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = mutual_knn_pairs(
+        df, "vec_id", "embedding", k=3, metric="cosine", strategy="shuffle"
+    ).toPandas()
+    assert (out.id_a < out.id_b).all()
+    # reciprocity: every pair is in both directions' top-3
+    assert (out.rank_ab <= 3).all() and (out.rank_ba <= 3).all()
+    # pairs stay within a cluster (cross-cluster cosine is ~-1)
+    assert not ((out.id_a < 6) & (out.id_b >= 6)).any()
+
+
+def test_mutual_knn_subset_of_one_directional(spark, embeddings):
+    from pyspark.sql import functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import mutual_knn_pairs
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = embeddings.limit(100)
+    mutual = mutual_knn_pairs(
+        emb, "vec_id", "embedding", k=5, metric="cosine", strategy="shuffle"
+    ).toPandas()
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("vector"))
+    queries = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vector"))
+    oneway = (
+        topk_similarity_join(
+            queries, corpus, k=6,
+            query_id="qid", query_vec="vector",
+            corpus_id="cid", corpus_vec="vector",
+            metric="cosine", strategy="shuffle",
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .toPandas()
+    )
+    ow = set(zip(oneway.qid, oneway.cid))
+    for r in mutual.itertuples():
+        assert (r.id_a, r.id_b) in ow and (r.id_b, r.id_a) in ow
