@@ -55,6 +55,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import 
     bm25_postings,
     bm25_search,
     conjunctive_search,
+    bm25_prf_search,
     phrase_search,
     rrf_fuse,
     tfidf_cosine_search,
@@ -3791,6 +3792,36 @@ SELECT query_id, doc_id,
 FROM kw_ranked WHERE rank <= 10
 """
 
+# PRF two-pass: feedback top-5 from the pass-1 ranking, expansion terms
+# by summed integer impacts (ties on term text, originals excluded),
+# pass-2 scoring over originals ∪ expansion — mirrors
+# operators/bm25.bm25_prf_search stage for stage.
+_PRF_ORACLE = f"""
+WITH {_BM25_KW_CTE},
+fb AS (SELECT query_id, doc_id FROM kw_ranked WHERE rank <= 5),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT f.query_id, i.term, SUM(i.impact_n) AS fb_n,
+      ROW_NUMBER() OVER (PARTITION BY f.query_id
+        ORDER BY SUM(i.impact_n) DESC, i.term ASC) AS r
+    FROM fb f JOIN impact i USING (doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                      WHERE q.query_id = f.query_id AND q.term = i.term)
+    GROUP BY f.query_id, i.term)
+  WHERE r <= 3),
+q2 AS (SELECT query_id, term FROM qterms
+       UNION ALL SELECT query_id, term FROM expn),
+s2 AS (SELECT q.query_id, i.doc_id, SUM(i.impact_n) AS score_n
+       FROM q2 q JOIN impact i USING (term) GROUP BY 1, 2),
+r2 AS (SELECT query_id, doc_id, score_n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_n DESC, doc_id ASC) AS INTEGER) AS rank
+       FROM s2)
+SELECT query_id, doc_id,
+  ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
+FROM r2 WHERE rank <= 10
+"""
+
 
 def conjunctive_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-semantics keyword search (§2.11, keyword-leg precision mode):
@@ -3852,6 +3883,21 @@ SELECT query_id, doc_id,
   ROUND(CAST(score_n AS DOUBLE) / 1000000000.0, 6) AS score, rank
 FROM ranked WHERE rank <= 10
 """
+
+
+def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (§2.11 — the RM3-style query
+    expansion loop): BM25 top-5 feedback docs per query → mine the 3
+    strongest expansion terms (summed integer impacts, already
+    idf-weighted, original terms excluded, ties on term text) →
+    re-retrieve with the expanded term set. Every stage ranks on exact
+    BIGINT totals, so the full two-pass loop is reproduced in DuckDB SQL
+    — see operators/bm25.py ``bm25_prf_search``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_prf_search(docs, queries, k=10, fb_docs=5, fb_terms=3)
 
 
 def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7863,6 +7909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_keyword_topk": conjunctive_keyword_topk,
         "phrase_search_topk": phrase_search_topk,
         "tfidf_cosine_topk": tfidf_cosine_topk,
+        "bm25_prf_topk": bm25_prf_topk,
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
@@ -8040,6 +8087,7 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_keyword_topk": _CONJUNCTIVE_ORACLE,
         "phrase_search_topk": _PHRASE_ORACLE,
         "tfidf_cosine_topk": _TFIDF_ORACLE,
+        "bm25_prf_topk": _PRF_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,

@@ -721,3 +721,89 @@ def tfidf_cosine_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.round("__cos", 6).alias("score"), "rank")
     )
+
+
+def bm25_prf_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (the RM3-style two-pass loop):
+    retrieve top-``fb_docs`` per query, mine the ``fb_terms`` strongest
+    expansion terms from them, re-retrieve with the expanded term set —
+    ``(query_id, doc_id, score, rank)``.
+
+    Expansion term strength = the SUM of a term's integer BM25 impacts
+    across the feedback docs (already idf-weighted, so stopwords
+    self-suppress), ties on ascending term text; original query terms are
+    excluded. Every stage ranks on exact BIGINT totals, so the full
+    two-pass loop is deterministic at any parallelism and reproducible in
+    SQL.
+
+    Scale shape: ONE postings/impacts build feeds both passes (persisted
+    MEMORY_AND_DISK); the feedback set is k-bounded (queries × fb_docs
+    rows, broadcast); expansion mining joins impacts against that tiny
+    set; pass 2 is the standard broadcast-terms scoring join with
+    |q_terms| + fb_terms terms per query.
+    """
+    postings = bm25_postings(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    impacts = bm25_impacts(
+        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
+    )
+
+    def _rank_topk(scored: DataFrame, kk: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_n").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= kk)
+        )
+
+    pass1 = _rank_topk(
+        impacts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n")),
+        fb_docs,
+    ).select("query_id", "doc_id")
+
+    exp_w = Window.partitionBy("query_id").orderBy(
+        F.col("fb_n").desc(), F.col("term").asc()
+    )
+    expansion = (
+        impacts.join(F.broadcast(pass1), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("impact_n").alias("fb_n"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+        .withColumn("__r", F.row_number().over(exp_w))
+        .filter(F.col("__r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    q2 = qterms.unionByName(expansion)
+    final = _rank_topk(
+        impacts.join(F.broadcast(q2), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact_n").alias("score_n")),
+        k,
+    )
+    return final.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
+        "rank",
+    )

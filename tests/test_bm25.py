@@ -290,3 +290,51 @@ def test_tfidf_cosine_self_match_top(spark, docs):
     assert (top1.query_id == top1.doc_id).all()
     assert (top1.score == 1.0).all()
     assert (got.score <= 1.0 + 1e-9).all() and (got.score >= -1.0 - 1e-9).all()
+
+
+def test_prf_expands_and_stays_deterministic(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_prf_search, bm25_search
+
+    # 'photovoltaic' appears in BOTH feedback docs (impacts sum across
+    # them), so it outranks each doc's singleton terms in the expansion
+    rows = [
+        (1, "solar panels photovoltaic power"),
+        (2, "solar panels photovoltaic energy"),
+        (3, "photovoltaic installation"),
+        (4, "wind power energy"),
+        (5, "history of railways"),
+        (6, "cooking recipes today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(9, "solar panels")], "query_id bigint, query_text string"
+    )
+    base = bm25_search(docs, q, k=6).toPandas()
+    prf = bm25_prf_search(docs, q, k=6, fb_docs=2, fb_terms=1).toPandas()
+    # expansion mines 'photovoltaic' from docs 1-2, so doc 3 (no
+    # original term) becomes reachable
+    assert 3 not in set(base.doc_id)
+    assert 3 in set(prf.doc_id)
+    # determinism across invocations
+    prf2 = bm25_prf_search(docs, q, k=6, fb_docs=2, fb_terms=1).toPandas()
+    assert prf.sort_values(["query_id", "rank"]).values.tolist() == \
+        prf2.sort_values(["query_id", "rank"]).values.tolist()
+
+
+def test_prf_no_expansion_equals_base(spark, docs):
+    from pyspark.sql import functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import bm25_prf_search, bm25_search
+
+    d = docs.select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    base = bm25_search(d, q, k=5).toPandas()
+    prf = bm25_prf_search(d, q, k=5, fb_docs=3, fb_terms=0).toPandas()
+    key = ["query_id", "doc_id", "score", "rank"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        base[key].sort_values(key).reset_index(drop=True),
+        prf[key].sort_values(key).reset_index(drop=True),
+    )
