@@ -65,6 +65,26 @@ BUDGETS = {
                                     # window + lang window over ≤ n·salt rows
     "vec_quantized_rescore_topk": 2,  # coarse rank window carries ids+score
                                     # only (the r4 fix) + rescore rank
+    # Fourth-wave additions. Printed counts again overstate execution for
+    # persisted/checkpointed subtrees (postings / edge tables print once
+    # per consuming branch, execute once).
+    "part_triangle_counts": 13,     # pair-build + degree agg print per
+                                    # branch; executed: pair shuffle,
+                                    # degrees, orientation joins, wedge
+                                    # join, closure join, per-node agg
+    "tfidf_cosine_topk": 32,        # persisted postings print ×(dnorm,
+                                    # num, dfreq) branches; executed: tf
+                                    # agg, df agg, norm aggs, num agg, rank
+    "conjunctive_keyword_topk": 8,  # same postings plan as BM25 + one
+                                    # n_hit broadcast join (no extra
+                                    # exchange vs disjunctive)
+    "phrase_search_topk": 4,        # positional explode + anchor agg +
+                                    # match agg + rank window
+    "bm25_prf_topk": 20,            # persisted impacts print ×(pass1,
+                                    # expansion, pass2) branches; executed
+                                    # once + three k-bounded rank windows
+    "part_name_near_matches": 5,    # token df agg + key-rank window +
+                                    # candidate join + distinct + verify
 }
 
 
