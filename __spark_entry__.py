@@ -6877,11 +6877,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_persist)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree rides the edge table (persisted once) so each power
+    # iteration pays ONE join instead of edges⋈pr⋈deg
+    ed = edges.join(deg, "src").transform(_persist)
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(3):
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
+            ed.join(pr, ed.src == pr.node)
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("pr") / F.col("deg"), 9)
