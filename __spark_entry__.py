@@ -57,6 +57,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import 
     conjunctive_search,
     bm25_prf_search,
     phrase_search,
+    proximity_search,
     rrf_fuse,
     tfidf_cosine_search,
 )
@@ -3994,6 +3995,48 @@ SELECT query_id, doc_id, n_matches, rank FROM ranked WHERE rank <= 10
 """
 
 
+def proximity_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-operator proximity search (§2.11, positional-index family
+    with phrase search): docs 0–4's 1st and 4th tokens as term pairs,
+    documents ranked by the minimum token distance between any
+    occurrence pair. Only the two terms' postings join (tf(t1)·tf(t2)
+    pairs per doc — in-document-bounded, corpus-size-independent); see
+    operators/bm25.py ``proximity_search``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), word_tokens("text").alias("__w")
+    )
+    queries = toks.filter(F.size("__w") >= 4).select(
+        "query_id",
+        F.element_at("__w", 1).alias("term1"),
+        F.element_at("__w", 4).alias("term2"),
+    )
+    return proximity_search(docs, queries, k=10, max_span=20)
+
+
+_PROXIMITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term,
+          CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos FROM toks),
+q AS (SELECT doc_id AS query_id, t[1] AS term1, t[4] AS term2
+      FROM toks WHERE doc_id < 5 AND len(t) >= 4 AND t[1] <> t[4]),
+p1 AS (SELECT q.query_id, p.doc_id, p.pos AS p1
+       FROM pos p JOIN q ON p.term = q.term1),
+p2 AS (SELECT q.query_id, p.doc_id, p.pos AS p2
+       FROM pos p JOIN q ON p.term = q.term2),
+spans AS (
+  SELECT a.query_id, a.doc_id, MIN(ABS(a.p1 - b.p2)) AS min_span
+  FROM p1 a JOIN p2 b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, min_span,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY min_span ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM spans WHERE min_span <= 20)
+SELECT query_id, doc_id, min_span, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (§2.11): BM25 keyword top-20 fused with cosine
     vector top-20 by reciprocal-rank fusion, final top-10 per query.
@@ -7912,6 +7955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_topk": phrase_search_topk,
         "tfidf_cosine_topk": tfidf_cosine_topk,
         "bm25_prf_topk": bm25_prf_topk,
+        "proximity_near_topk": proximity_near_topk,
         "user_event_transcripts": user_event_transcripts,
         "contrastive_batches": contrastive_batches,
         "text_script_profile": text_script_profile,
@@ -8090,6 +8134,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_topk": _PHRASE_ORACLE,
         "tfidf_cosine_topk": _TFIDF_ORACLE,
         "bm25_prf_topk": _PRF_ORACLE,
+        "proximity_near_topk": _PROXIMITY_ORACLE,
         "user_event_transcripts": _EVENT_TRANSCRIPTS_ORACLE,
         "contrastive_batches": _CONTRASTIVE_BATCHES_ORACLE,
         "text_script_profile": _SCRIPT_PROFILE_ORACLE,

@@ -807,3 +807,54 @@ def bm25_prf_search(
         F.round(F.col("score_n").cast("double") / F.lit(_SCALE), 6).alias("score"),
         "rank",
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    term1: str = "term1",
+    term2: str = "term2",
+    k: int = 10,
+    max_span: int | None = None,
+) -> DataFrame:
+    """NEAR-operator search over the positional index: documents
+    containing BOTH query terms, ranked by the minimum token distance
+    between any occurrence pair — ``(query_id, doc_id, min_span, rank)``
+    (span ties → ascending doc id; ``max_span`` optionally filters).
+
+    The span join touches only the two query terms' postings (broadcast
+    term list → postings hash join), so candidate pairs per document are
+    tf(t1)·tf(t2) — bounded by in-document term frequency, never by
+    corpus size; the per-(query, doc) MIN aggregate is partial map-side.
+    Degenerate same-term queries are excluded (a term is trivially
+    NEAR itself).
+    """
+    pos = positional_postings(docs, id_col, text_col)
+    q = queries.filter(F.col(term1) != F.col(term2))
+    p1 = pos.join(
+        F.broadcast(q.select(F.col(query_id).alias("query_id"), F.col(term1).alias("term"))),
+        "term",
+    ).select("query_id", "doc_id", F.col("pos").alias("__p1"))
+    p2 = pos.join(
+        F.broadcast(q.select(F.col(query_id).alias("query_id"), F.col(term2).alias("term"))),
+        "term",
+    ).select("query_id", "doc_id", F.col("pos").alias("__p2"))
+    spans = (
+        p1.join(p2, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.min(F.abs(F.col("__p1") - F.col("__p2"))).alias("min_span"))
+    )
+    if max_span is not None:
+        spans = spans.filter(F.col("min_span") <= max_span)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("min_span").asc(), F.col("doc_id").asc()
+    )
+    return (
+        spans.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "min_span", "rank")
+    )

@@ -338,3 +338,33 @@ def test_prf_no_expansion_equals_base(spark, docs):
         base[key].sort_values(key).reset_index(drop=True),
         prf[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_proximity_min_span_semantics(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x y z beta"),          # span 4
+            (2, "alpha beta somewhere"),       # span 1
+            (3, "beta then later alpha"),      # span 3 (order-insensitive)
+            (4, "alpha only here"),            # missing beta
+            (5, "x alpha y beta alpha"),       # spans |1-3|=2, |4-3|=1 -> 1
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [(9, "alpha", "beta")], "query_id bigint, term1 string, term2 string"
+    )
+    got = proximity_search(docs, q, k=10).toPandas()
+    assert dict(zip(got.doc_id, got.min_span)) == {1: 4, 2: 1, 3: 3, 5: 1}
+    # rank: span asc, doc asc -> 2, 5, 3, 1
+    assert list(got.sort_values("rank").doc_id) == [2, 5, 3, 1]
+    # max_span filter
+    tight = proximity_search(docs, q, k=10, max_span=2).toPandas()
+    assert set(tight.doc_id) == {2, 5}
+    # same-term queries are excluded
+    qq = spark.createDataFrame(
+        [(8, "alpha", "alpha")], "query_id bigint, term1 string, term2 string"
+    )
+    assert proximity_search(docs, qq, k=10).count() == 0
