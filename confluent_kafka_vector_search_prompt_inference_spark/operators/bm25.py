@@ -586,6 +586,14 @@ def phrase_search(
     counting distinct offsets, not distinct terms.
     """
     pos = positional_postings(docs, id_col, text_col)
+    return _phrase_from_positions(pos, queries, query_id, query_text, k)
+
+
+def _phrase_from_positions(
+    pos: DataFrame, queries: DataFrame, query_id: str, query_text: str, k: int
+) -> DataFrame:
+    """Anchor-trick phrase matching over a ``(doc_id, term, pos)`` table
+    (live or persisted — see :func:`phrase_search_indexed`)."""
     q = queries.select(
         F.col(query_id).alias("query_id"), word_tokens(query_text).alias("__ph")
     )
@@ -834,6 +842,18 @@ def proximity_search(
     NEAR itself).
     """
     pos = positional_postings(docs, id_col, text_col)
+    return _proximity_from_positions(pos, queries, query_id, term1, term2, k, max_span)
+
+
+def _proximity_from_positions(
+    pos: DataFrame,
+    queries: DataFrame,
+    query_id: str,
+    term1: str,
+    term2: str,
+    k: int,
+    max_span: int | None,
+) -> DataFrame:
     q = queries.filter(F.col(term1) != F.col(term2))
     p1 = pos.join(
         F.broadcast(q.select(F.col(query_id).alias("query_id"), F.col(term1).alias("term"))),
@@ -858,3 +878,91 @@ def proximity_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "min_span", "rank")
     )
+
+
+def save_positional_index(
+    docs: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the positional inverted index as a term-bucketed table —
+    the index-lifecycle step for phrase/proximity (same contract as
+    :func:`save_bm25_raw_index` for BM25): tokenize once at write time,
+    every later phrase/NEAR query scans only the buckets its terms hash
+    into. Positions are absolute per document, so appends never go stale
+    (positional matching has no corpus-global statistics at all)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.bucketed import write_bucketed
+
+    pos = positional_postings(docs, id_col, text_col)
+    write_bucketed(pos, table_name, ["term"], n_buckets=n_buckets)
+
+
+def positional_append(
+    new_docs: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append documents' positions to a saved positional index (bucket
+    layout preserved by insertInto). Caller contract: ids must be new."""
+    pos = positional_postings(new_docs, id_col, text_col)
+    pos.select("doc_id", "term", "pos").write.insertInto(table_name)
+
+
+def _pruned_positions(
+    spark, table_name: str, term_df: DataFrame, max_inlined_terms: int
+) -> DataFrame:
+    """Bucket-pruned scan of a positional index: the query batch's
+    distinct terms inline as an IN literal (bucket/file pruning at the
+    scan) with the same over-cap broadcast-semi-join fallback as
+    :func:`bm25_search_indexed`."""
+    pos = spark.table(table_name)
+    distinct_terms = term_df.select("term").distinct()
+    head = distinct_terms.take(max_inlined_terms + 1)
+    if len(head) <= max_inlined_terms:
+        return pos.filter(F.col("term").isin([r["term"] for r in head]))
+    return pos.join(F.broadcast(distinct_terms), "term", "left_semi")
+
+
+def phrase_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    max_inlined_terms: int = 10_000,
+) -> DataFrame:
+    """:func:`phrase_search` against a :func:`save_positional_index`
+    table — identical output contract, zero tokenize/index work at query
+    time, and the phrase's terms prune the bucketed scan."""
+    qterms = queries.select(
+        F.explode(F.array_distinct(word_tokens(query_text))).alias("term")
+    )
+    pos = _pruned_positions(spark, table_name, qterms, max_inlined_terms)
+    return _phrase_from_positions(pos, queries, query_id, query_text, k)
+
+
+def proximity_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    term1: str = "term1",
+    term2: str = "term2",
+    k: int = 10,
+    max_span: int | None = None,
+    max_inlined_terms: int = 10_000,
+) -> DataFrame:
+    """:func:`proximity_search` against a saved positional index."""
+    qterms = queries.select(F.col(term1).alias("term")).unionByName(
+        queries.select(F.col(term2).alias("term"))
+    )
+    pos = _pruned_positions(spark, table_name, qterms, max_inlined_terms)
+    return _proximity_from_positions(pos, queries, query_id, term1, term2, k, max_span)

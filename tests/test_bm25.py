@@ -368,3 +368,51 @@ def test_proximity_min_span_semantics(spark):
         [(8, "alpha", "alpha")], "query_id bigint, term1 string, term2 string"
     )
     assert proximity_search(docs, qq, k=10).count() == 0
+
+
+def test_positional_index_phrase_and_proximity_match_live(spark, sf_smoke):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_append,
+        proximity_search,
+        proximity_search_indexed,
+        save_positional_index,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    pq = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 1, 3), " ").alias("query_text"),
+    )
+    nq = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.element_at(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 1).alias("term1"),
+        F.element_at(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 4).alias("term2"),
+    )
+    save_positional_index(first, "pos_idx_test", n_buckets=8)
+    try:
+        positional_append(second, "pos_idx_test")
+        ph_idx_df = phrase_search_indexed(spark, "pos_idx_test", pq, k=10)
+        assert "SelectedBucketsCount" in formatted_plan(ph_idx_df)
+        ph_idx = ph_idx_df.toPandas()
+        nr_idx = proximity_search_indexed(
+            spark, "pos_idx_test", nq, k=10, max_span=20
+        ).toPandas()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pos_idx_test")
+    ph_live = phrase_search(docs, pq, k=10).toPandas()
+    nr_live = proximity_search(docs, nq, k=10, max_span=20).toPandas()
+    import pandas as pd
+
+    for got, want, key in [
+        (ph_idx, ph_live, ["query_id", "doc_id", "n_matches", "rank"]),
+        (nr_idx, nr_live, ["query_id", "doc_id", "min_span", "rank"]),
+    ]:
+        pd.testing.assert_frame_equal(
+            got[key].sort_values(key).reset_index(drop=True),
+            want[key].sort_values(key).reset_index(drop=True),
+        )
