@@ -56,6 +56,7 @@ HEAVIES = [
     "tfidf_cosine_topk",
     "conjunctive_keyword_topk",
     "phrase_search_topk",
+    "bm25_prf_topk",
 ]
 
 SF_DIRS = {
