@@ -5201,6 +5201,56 @@ ORDER BY id_a, id_b
 """
 
 
+def part_name_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (the complementary blocking
+    to rarest-token in `part_name_near_matches`): global rank of distinct
+    normalized names via the range-partitioned two-phase cumsum (NO
+    unpartitioned window), candidates = keys within 3 rank positions (an
+    equi join on exploded target ranks), levenshtein ≤ 3 verify. Catches
+    prefix-similar names that share no token. HARD ORACLE: key ranks are
+    a deterministic function of the sort order, so DuckDB's ROW_NUMBER
+    band join reproduces the pair set exactly."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.fuzzy import sorted_neighborhood_self_join
+
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 600).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        sorted_neighborhood_self_join(
+            parts, id_col="p_partkey", text_col="p_name", window=3, max_dist=3
+        )
+        .filter(F.col("dist") > 0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SORTED_NEIGHBORS_ORACLE = """
+WITH recs AS (
+  SELECT p_partkey AS id, p_name AS name,
+    trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS key
+  FROM part WHERE p_partkey < 600),
+ranked AS (
+  SELECT key, CAST(ROW_NUMBER() OVER (ORDER BY key ASC) AS BIGINT) AS r
+  FROM (SELECT DISTINCT key FROM recs)),
+key_pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM ranked a JOIN ranked b ON b.r BETWEEN a.r AND a.r + 3),
+pairs AS (
+  SELECT DISTINCT
+    LEAST(ra.id, rb.id) AS id_a, GREATEST(ra.id, rb.id) AS id_b,
+    CASE WHEN ra.id < rb.id THEN ra.name ELSE rb.name END AS name_a,
+    CASE WHEN ra.id < rb.id THEN rb.name ELSE ra.name END AS name_b,
+    CAST(levenshtein(ra.name, rb.name) AS INTEGER) AS dist
+  FROM key_pairs kp
+  JOIN recs ra ON ra.key = kp.key_a
+  JOIN recs rb ON rb.key = kp.key_b
+  WHERE ra.id <> rb.id)
+SELECT id_a, id_b, name_a, name_b, dist
+FROM pairs WHERE dist <= 3 AND dist > 0
+ORDER BY id_a, id_b
+"""
+
+
 def events_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation under event-time windows: daily active users
     (exact countDistinct) plus events-per-user, per tumbling day. Catalyst
@@ -7963,6 +8013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangle_counts": part_triangle_counts,
         "part_name_near_matches": part_name_near_matches,
         "mutual_knn_dup_pairs": mutual_knn_dup_pairs,
+        "part_name_sorted_neighbors": part_name_sorted_neighbors,
         "equi_depth_histogram": equi_depth_histogram,
         "retrieval_ndcg_quantized": retrieval_ndcg_quantized,
         "events_rolling_anomalies": events_rolling_anomalies,
@@ -8142,6 +8193,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangle_counts": _TRIANGLE_ORACLE,
         "part_name_near_matches": _FUZZY_ORACLE,
         "mutual_knn_dup_pairs": _MUTUAL_KNN_ORACLE,
+        "part_name_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
         "equi_depth_histogram": _EQUI_DEPTH_ORACLE,
         "retrieval_ndcg_quantized": _RETRIEVAL_NDCG_ORACLE,
         "events_rolling_anomalies": _ROLLING_ANOMALY_ORACLE,

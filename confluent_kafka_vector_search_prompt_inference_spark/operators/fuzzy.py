@@ -85,3 +85,82 @@ def blocked_levenshtein_self_join(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def sorted_neighborhood_self_join(
+    records: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood ER (Hernández & Stolfo's merge/purge): rank
+    the DISTINCT normalized keys globally, compare records whose keys sit
+    within ``window`` rank positions, verify with ``levenshtein ≤
+    max_dist`` — ``(id_a, id_b, name_a, name_b, dist)``, ``id_a < id_b``.
+
+    The complementary blocking to rarest-token (:func:`blocked_levenshtein_self_join`):
+    token blocking needs a SHARED token; the sorted neighborhood catches
+    prefix-similar strings that share none. Candidates are |keys| ·
+    window pairs — linear, never all-pairs.
+
+    No global window anywhere: the global key rank comes from
+    ``scalable_cumsum`` (range-partitioned two-phase running count), and
+    the rank-band join is an EQUI join — each key explodes to its
+    ``window`` forward target ranks (a ``sequence`` literal, w rows per
+    key) instead of a non-equi range join. Same-key record groups
+    (identical normalization) pair within rank distance zero.
+    """
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import normalized_text
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    recs = records.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__name"),
+        normalized_text(text_col).alias("__key"),
+    )
+    keys = recs.select("__key").distinct().withColumn("__one", F.lit(1))
+    ranked = scalable_cumsum(keys, "__key", "__one", out_col="__rank").select(
+        "__key", "__rank"
+    )
+    # forward band: key at rank r targets ranks r..r+window (r itself
+    # pairs same-key record groups); equi join on the target rank
+    targets = ranked.select(
+        F.col("__key").alias("key_a"),
+        F.col("__rank").alias("rank_a"),
+        F.explode(
+            F.sequence(F.col("__rank"), F.col("__rank") + F.lit(window))
+        ).alias("__rank"),
+    )
+    key_pairs = targets.join(ranked, "__rank").select(
+        "key_a", F.col("__key").alias("key_b")
+    )
+    ra = recs.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"),
+        F.col("__key").alias("key_a"),
+    )
+    rb = recs.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"),
+        F.col("__key").alias("key_b"),
+    )
+    # each unordered KEY pair appears once (forward band), so the RECORD
+    # pair must be id-normalized with least/greatest — an id_a < id_b
+    # filter would drop cross-key pairs whose ids order against the keys
+    a_first = F.col("id_a") < F.col("id_b")
+    return (
+        key_pairs.join(ra, "key_a")
+        .join(rb, "key_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("id_a", "id_b").alias("id_a_n"),
+            F.greatest("id_a", "id_b").alias("id_b_n"),
+            F.when(a_first, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a_n"),
+            F.when(a_first, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b_n"),
+            "dist",
+        )
+        .toDF("id_a", "id_b", "name_a", "name_b", "dist")
+        .distinct()
+    )
