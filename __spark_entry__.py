@@ -6361,6 +6361,124 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (§2.11 eval family, next to retrieval
+    recall/nDCG): per-label precision / recall / F1 of the k-NN label
+    vote over a 100-query held-out slice vs its true labels. Counts are
+    exact integers from two broadcast-joined aggregates (confusion cells
+    never materialize a matrix — just (label, tp/fp/fn) tallies); ratios
+    round to 6. The entry scores through the Catalyst shuffle strategy so
+    neighbor ranking is bit-reproducible in the SQL oracle (same contract
+    note as mutual_knn_dup_pairs)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    nbrs = topk_similarity_join(
+        q, c.select("neighbor_id", "vector"), k=5,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        strategy="shuffle",
+    )
+    votes = (
+        nbrs.join(F.broadcast(c.select("neighbor_id", "label")), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    preds = (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    joined = preds.join(truth, "query_id")
+    per_label = joined.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    pred_counts = joined.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count("*").alias("n_pred")
+    )
+    z = F.lit(0.0)
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(z)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(z)
+    return (
+        per_label.join(pred_counts, "label", "full")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn(
+            "f1",
+            F.round(
+                F.when(
+                    (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+                ).otherwise(z),
+                6,
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_KNN_EVAL_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 100),
+c AS (SELECT vec_id AS neighbor_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 100),
+scored AS (SELECT query_id, neighbor_id, label,
+             ROUND(list_inner_product(qv, cv), 6) AS score
+           FROM q CROSS JOIN c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS r
+           FROM scored),
+votes AS (SELECT query_id, label, COUNT(*) AS v
+          FROM ranked WHERE r <= 5 GROUP BY 1, 2),
+preds AS (SELECT query_id, label AS pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY v DESC, label ASC) AS pr FROM votes)
+          WHERE pr = 1),
+joined AS (SELECT p.query_id, p.pred_label, q.true_label
+           FROM preds p JOIN q USING (query_id)),
+per_label AS (SELECT true_label AS label, COUNT(*) AS n_true,
+                SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tp
+              FROM joined GROUP BY 1),
+pred_counts AS (SELECT pred_label AS label, COUNT(*) AS n_pred
+                FROM joined GROUP BY 1),
+m AS (SELECT COALESCE(pl.label, pc.label) AS label,
+        COALESCE(pl.n_true, 0) AS n_true,
+        COALESCE(pc.n_pred, 0) AS n_pred,
+        COALESCE(pl.tp, 0) AS tp
+      FROM per_label pl FULL JOIN pred_counts pc ON pl.label = pc.label),
+r AS (SELECT label, n_true, n_pred, tp,
+        CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+        CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END AS rc
+      FROM m)
+SELECT label, n_true, n_pred, tp,
+  ROUND(p, 6) AS precision, ROUND(rc, 6) AS recall,
+  ROUND(CASE WHEN p + rc > 0 THEN 2.0 * p * rc / (p + rc) ELSE 0.0 END, 6) AS f1
+FROM r ORDER BY label
+"""
+
+
 _KNN_VOTE_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -7994,6 +8112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
+        "knn_label_eval": knn_label_eval,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
@@ -8174,6 +8293,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
+        "knn_label_eval": _KNN_EVAL_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,

@@ -289,3 +289,20 @@ def test_packed_hamming_equals_naive_random(spark, seed):
         ).alias("hn"),
     ).collect()
     assert all(r.hp == r.hn for r in out)
+
+
+def test_knn_label_eval_invariants(spark, sf_correct):
+    """Aggregate invariants of the classifier-eval query: tp bounded by
+    both marginals, micro-averaged tp total ≤ n queries, counts sum
+    consistently."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["knn_label_eval"](spark, sf_correct).toPandas()
+    assert (out.tp <= out.n_true).all() and (out.tp <= out.n_pred).all()
+    assert out.n_true.sum() == out.n_pred.sum() == 100
+    assert ((out.precision >= 0) & (out.precision <= 1)).all()
+    assert ((out.recall >= 0) & (out.recall <= 1)).all()
+    assert ((out.f1 >= 0) & (out.f1 <= 1)).all()
+    # F1 is 0 exactly when precision+recall is 0
+    zero = out[(out.precision + out.recall) == 0]
+    assert (zero.f1 == 0).all()
