@@ -825,3 +825,67 @@ def sink_profile_by_epoch(
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
         aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
     return df.groupBy(F.col("_batch").alias("epoch")).agg(*aggs)
+
+
+def positional_index_insert(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuously-maintained positional inverted index — the phrase/NEAR
+    leg of the always-indexed lifecycle (vector leg: :func:`ivf_insert`;
+    keyword-stats leg: ``RagPipeline.keyword_index``). Each micro-batch
+    tokenizes ONCE and lands its ``(doc_id, term, pos)`` postings in an
+    idempotent ``_batch=<epoch>`` sink; positions are absolute per
+    document, so — like :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.bm25.positional_append`
+    — committed epochs can never go stale and replay is a whole-epoch
+    no-op. Query via :func:`phrase_search_streamed` /
+    :func:`proximity_search_streamed`."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import positional_postings
+
+    return continuous_insert(
+        stream_df,
+        index_dir,
+        checkpoint_dir,
+        transform=lambda b: positional_postings(b, id_col, text_col),
+        trigger_once=trigger_once,
+    )
+
+
+def phrase_search_streamed(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search over a streamed positional index (committed
+    epochs only; same output contract as ``phrase_search``)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import _phrase_from_positions
+
+    pos = read_sink(spark, index_dir)
+    return _phrase_from_positions(pos, queries, query_id, query_text, k)
+
+
+def proximity_search_streamed(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    term1: str = "term1",
+    term2: str = "term2",
+    k: int = 10,
+    max_span: int | None = None,
+) -> DataFrame:
+    """NEAR search over a streamed positional index."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import _proximity_from_positions
+
+    pos = read_sink(spark, index_dir)
+    return _proximity_from_positions(pos, queries, query_id, term1, term2, k, max_span)

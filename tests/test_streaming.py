@@ -1060,3 +1060,58 @@ def test_chained_pipelines_exactly_once(spark, tmp_path, events_dir):
     # nothing left to consume
     df, _ = read_sink_increment(spark, s1, state)
     assert df is None
+
+
+def test_streaming_positional_index_phrase_matches_batch(spark, tmp_path, docs):
+    """Documents land batch by batch into the positional index; phrase +
+    NEAR search over the committed epochs equal the batch operators over
+    the full corpus."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.bm25 import phrase_search, proximity_search
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        phrase_search_streamed,
+        positional_index_insert,
+        proximity_search_streamed,
+    )
+
+    corpus = docs.select("doc_id", "text").limit(200)
+    src = str(tmp_path / "pdocs")
+    corpus.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+    stream = file_stream_reader(
+        spark, src, corpus.schema, max_files_per_trigger=1
+    )
+    idx = str(tmp_path / "posidx")
+    q = positional_index_insert(
+        stream, idx, str(tmp_path / "posckpt"), trigger_once=True
+    )
+    _drain(q)
+    import glob as g
+    assert len(g.glob(os.path.join(idx, "_batch=*", "_SUCCESS"))) >= 2
+
+    pq = corpus.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 1, 3),
+            " ",
+        ).alias("query_text"),
+    )
+    got = phrase_search_streamed(spark, idx, pq, k=10).toPandas()
+    want = phrase_search(corpus, pq, k=10).toPandas()
+    key = ["query_id", "doc_id", "n_matches", "rank"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
+
+    nq = corpus.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.element_at(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 1).alias("term1"),
+        F.element_at(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "), 4).alias("term2"),
+    )
+    got_n = proximity_search_streamed(spark, idx, nq, k=10, max_span=20).toPandas()
+    want_n = proximity_search(corpus, nq, k=10, max_span=20).toPandas()
+    keyn = ["query_id", "doc_id", "min_span", "rank"]
+    pd.testing.assert_frame_equal(
+        got_n[keyn].sort_values(keyn).reset_index(drop=True),
+        want_n[keyn].sort_values(keyn).reset_index(drop=True),
+    )
