@@ -6437,6 +6437,97 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_vote_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration (reliability diagram, eval family): bucket the
+    kNN vote's confidence (winning votes / k) and compare it with the
+    bucket's observed accuracy — the calibration gap drives
+    abstain/escalate thresholds in weak-labeling pipelines. Exact integer
+    tallies per vote level; accuracy and gap round to 6."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    nbrs = topk_similarity_join(
+        q, c.select("neighbor_id", "vector"), k=5,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        strategy="shuffle",
+    )
+    votes = (
+        nbrs.join(F.broadcast(c.select("neighbor_id", "label")), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    preds = (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    conf = F.col("votes").cast("double") / F.lit(5.0)
+    acc = F.avg(
+        F.when(F.col("pred_label") == F.col("true_label"), 1.0).otherwise(0.0)
+    )
+    return (
+        preds.join(truth, "query_id")
+        .groupBy("votes")
+        .agg(
+            F.count("*").alias("n"),
+            acc.alias("__raw_acc"),  # round AFTER the gap subtraction,
+            # mirroring the oracle — rounding first can flip the 6th
+            # decimal of the difference
+        )
+        .withColumn("confidence", F.round(F.col("votes").cast("double") / 5.0, 6))
+        .withColumn("accuracy", F.round("__raw_acc", 6))
+        .withColumn(
+            "gap",
+            F.round(F.col("__raw_acc") - F.col("votes").cast("double") / 5.0, 6),
+        )
+        .select("votes", "n", "confidence", "accuracy", "gap")
+        .orderBy("votes")
+    )
+
+
+_KNN_CALIBRATION_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 100),
+c AS (SELECT vec_id AS neighbor_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 100),
+scored AS (SELECT query_id, neighbor_id, label,
+             ROUND(list_inner_product(qv, cv), 6) AS score
+           FROM q CROSS JOIN c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS r
+           FROM scored),
+votes AS (SELECT query_id, label, COUNT(*) AS v
+          FROM ranked WHERE r <= 5 GROUP BY 1, 2),
+preds AS (SELECT query_id, label AS pred_label, v AS votes FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY v DESC, label ASC) AS pr FROM votes)
+          WHERE pr = 1),
+joined AS (SELECT p.votes, p.pred_label, q.true_label
+           FROM preds p JOIN q USING (query_id))
+SELECT votes, COUNT(*) AS n,
+  ROUND(CAST(votes AS DOUBLE) / 5.0, 6) AS confidence,
+  ROUND(AVG(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+  ROUND(AVG(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0.0 END)
+        - CAST(votes AS DOUBLE) / 5.0, 6) AS gap
+FROM joined GROUP BY votes ORDER BY votes
+"""
+
+
 _KNN_EVAL_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, label AS true_label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -8113,6 +8204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
         "knn_label_eval": knn_label_eval,
+        "knn_vote_calibration": knn_vote_calibration,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
@@ -8294,6 +8386,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "knn_label_eval": _KNN_EVAL_ORACLE,
+        "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,

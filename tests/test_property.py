@@ -306,3 +306,14 @@ def test_knn_label_eval_invariants(spark, sf_correct):
     # F1 is 0 exactly when precision+recall is 0
     zero = out[(out.precision + out.recall) == 0]
     assert (zero.f1 == 0).all()
+
+
+def test_knn_vote_calibration_invariants(spark, sf_correct):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["knn_vote_calibration"](spark, sf_correct).toPandas()
+    assert out.n.sum() == 100
+    assert set(out.votes) <= {1, 2, 3, 4, 5}
+    assert ((out.accuracy >= 0) & (out.accuracy <= 1)).all()
+    # gap == accuracy - confidence (to rounding grain)
+    assert ((out.gap - (out.accuracy - out.confidence)).abs() < 2e-6).all()
