@@ -331,3 +331,49 @@ def topk_ivfpq(
         .filter(F.col(rank_col) <= k)
         .select(query_id, corpus_id, F.round(score_col, 6).alias(score_col), rank_col)
     )
+
+
+def ivfpq_append(
+    new_rows: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "vector",
+    cluster_col: str = "ivf_cluster",
+) -> None:
+    """Incrementally add vectors to a saved IVF-PQ index WITHOUT
+    retraining — the add-vs-train split both component indexes already
+    honor (:func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.ivf.ivf_append`,
+    :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.pq.pq_append`): new vectors are assigned
+    and residual-encoded in ONE Arrow pass against the frozen
+    centroids/codebooks and appended into their cluster's partition
+    directory, so probe-side partition pruning keeps holding. Frozen
+    quantizers drift as the distribution moves — monitor per-cluster
+    skew / code utilization and rebuild with :func:`build_ivfpq_index`,
+    the same maintenance trade as FAISS.
+
+    Analysis-time schema guard: ``mode('append')`` would happily land
+    differently-shaped files and a later single-footer read would
+    silently null them out — fail loudly here instead."""
+    spark = new_rows.sparkSession
+    _corpus, centroids, codebooks = load_ivfpq_index(spark, path)
+    encoded = new_rows.withColumn(
+        "__assigned", _assign_encode_udf(centroids, codebooks)(F.col(vec_col))
+    )
+    encoded = (
+        encoded.withColumn(cluster_col, F.col("__assigned").getField("cluster"))
+        .withColumn("pq_codes", F.col("__assigned").getField("codes"))
+        .drop("__assigned")
+    )
+    existing = spark.read.parquet(os.path.join(path, "corpus")).schema
+    got = {f.name: f.dataType for f in encoded.schema.fields}
+    want = {f.name: f.dataType for f in existing.fields}
+    if got != want:
+        raise ValueError(
+            f"ivfpq_append schema mismatch: index corpus has "
+            f"{sorted((n, t.simpleString()) for n, t in want.items())}, "
+            f"append would write "
+            f"{sorted((n, t.simpleString()) for n, t in got.items())}"
+        )
+    encoded.select(*[f.name for f in existing.fields]).write.partitionBy(
+        cluster_col
+    ).mode("append").parquet(os.path.join(path, "corpus"))

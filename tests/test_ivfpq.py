@@ -115,3 +115,40 @@ def test_save_load_roundtrip_and_pruned_scan(spark, embeddings, ivfpq_setup, tmp
     # probe filter reaches the scan as a partition filter on the saved index
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+
+def test_ivfpq_append_extends_search(spark, embeddings, ivfpq_setup, tmp_path):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import ivfpq_append
+
+    corpus, encoded, centroids, books = ivfpq_setup
+    path = str(tmp_path / "ivfpq_app")
+    first = encoded.filter(F.col("cid") % 2 == 0)
+    save_ivfpq_index(first, centroids, books, path)
+    second = corpus.filter(F.col("cid") % 2 == 1)
+    ivfpq_append(second, path)
+    corpus2, cent2, books2 = load_ivfpq_index(spark, path)
+    assert corpus2.count() == corpus.count()
+    q = _queries(embeddings, n=5)
+    appended = topk_ivfpq(
+        q, corpus2, cent2, books2, k=5,
+        query_id="qid", corpus_id="cid", n_probe=8,
+    )
+    whole = topk_ivfpq(
+        q, encoded, centroids, books, k=5,
+        query_id="qid", corpus_id="cid", n_probe=8,
+    )
+    assert sorted(map(tuple, appended.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_ivfpq_append_schema_guard(spark, ivfpq_setup, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import ivfpq_append
+
+    corpus, encoded, centroids, books = ivfpq_setup
+    path = str(tmp_path / "ivfpq_guard")
+    save_ivfpq_index(encoded, centroids, books, path)
+    bad = corpus.withColumn("extra", _F.lit(1))
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        ivfpq_append(bad, path)
