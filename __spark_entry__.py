@@ -6498,6 +6498,118 @@ def knn_vote_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro/macro evaluation summary (1 row): micro-F1 (= accuracy for
+    single-label multiclass) plus macro-averaged precision/recall/F1 over
+    the labels present in the truth slice (truth-only labels score 0
+    precision when never predicted — the standard sklearn convention).
+    Per-label ratios stay UNROUNDED until the macro average, then round
+    to 6 — mirrored exactly in the oracle."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    nbrs = topk_similarity_join(
+        q, c.select("neighbor_id", "vector"), k=5,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        strategy="shuffle",
+    )
+    votes = (
+        nbrs.join(F.broadcast(c.select("neighbor_id", "label")), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    preds = (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    joined = preds.join(truth, "query_id")
+    per_true = joined.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    per_pred = joined.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count("*").alias("n_pred")
+    )
+    z = F.lit(0.0)
+    lab = per_true.join(per_pred, "label", "left").select(
+        "label",
+        "n_true",
+        "tp",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(z)
+    r = F.col("tp") / F.col("n_true")
+    f1 = F.when((p + r) > 0, F.lit(2.0) * p * r / (p + r)).otherwise(z)
+    per = lab.select("label", "tp", p.alias("__p"), r.alias("__r"), f1.alias("__f"))
+    return per.agg(
+        F.count("*").alias("n_labels"),
+        F.round(F.sum("tp").cast("double") / F.lit(100.0), 6).alias("micro_f1"),
+        F.round(F.avg("__p"), 6).alias("macro_precision"),
+        F.round(F.avg("__r"), 6).alias("macro_recall"),
+        F.round(F.avg("__f"), 6).alias("macro_f1"),
+    )
+
+
+_KNN_SUMMARY_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 100),
+c AS (SELECT vec_id AS neighbor_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 100),
+scored AS (SELECT query_id, neighbor_id, label,
+             ROUND(list_inner_product(qv, cv), 6) AS score
+           FROM q CROSS JOIN c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS r
+           FROM scored),
+votes AS (SELECT query_id, label, COUNT(*) AS v
+          FROM ranked WHERE r <= 5 GROUP BY 1, 2),
+preds AS (SELECT query_id, label AS pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY v DESC, label ASC) AS pr FROM votes)
+          WHERE pr = 1),
+joined AS (SELECT p.query_id, p.pred_label, q.true_label
+           FROM preds p JOIN q USING (query_id)),
+per_true AS (SELECT true_label AS label, COUNT(*) AS n_true,
+               SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tp
+             FROM joined GROUP BY 1),
+per_pred AS (SELECT pred_label AS label, COUNT(*) AS n_pred
+             FROM joined GROUP BY 1),
+lab AS (SELECT pt.label, pt.n_true, pt.tp, COALESCE(pp.n_pred, 0) AS n_pred
+        FROM per_true pt LEFT JOIN per_pred pp USING (label)),
+per AS (SELECT label, tp,
+          CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+          CAST(tp AS DOUBLE) / n_true AS r
+        FROM lab),
+per2 AS (SELECT label, tp, p, r,
+           CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f
+         FROM per)
+SELECT COUNT(*) AS n_labels,
+  ROUND(CAST(SUM(tp) AS DOUBLE) / 100.0, 6) AS micro_f1,
+  ROUND(AVG(p), 6) AS macro_precision,
+  ROUND(AVG(r), 6) AS macro_recall,
+  ROUND(AVG(f), 6) AS macro_f1
+FROM per2
+"""
+
+
 _KNN_CALIBRATION_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, label AS true_label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -8205,6 +8317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": knn_label_vote,
         "knn_label_eval": knn_label_eval,
         "knn_vote_calibration": knn_vote_calibration,
+        "knn_eval_summary": knn_eval_summary,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
@@ -8387,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "knn_label_eval": _KNN_EVAL_ORACLE,
         "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,
+        "knn_eval_summary": _KNN_SUMMARY_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,

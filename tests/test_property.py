@@ -317,3 +317,16 @@ def test_knn_vote_calibration_invariants(spark, sf_correct):
     assert ((out.accuracy >= 0) & (out.accuracy <= 1)).all()
     # gap == accuracy - confidence (to rounding grain)
     assert ((out.gap - (out.accuracy - out.confidence)).abs() < 2e-6).all()
+
+
+def test_knn_eval_summary_consistent_with_per_label(spark, sf_correct):
+    """The 1-row summary must be derivable from the per-label table."""
+    import __spark_entry__ as entry
+
+    per = entry.queries()["knn_label_eval"](spark, sf_correct).toPandas()
+    s = entry.queries()["knn_eval_summary"](spark, sf_correct).toPandas().iloc[0]
+    truth_side = per[per.n_true > 0]
+    assert s.n_labels == len(truth_side)
+    assert abs(s.micro_f1 - truth_side.tp.sum() / 100.0) < 2e-6
+    # macro recall from the per-label table (unrounded source, 1e-6 grain)
+    assert abs(s.macro_recall - (truth_side.tp / truth_side.n_true).mean()) < 2e-6
