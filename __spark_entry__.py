@@ -6437,6 +6437,59 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration Gini coefficient (1 row) — the inequality
+    audit run on customer value and on training-data domain balance
+    alike. Exact integer pipeline end to end: per-customer totals in
+    BIGINT cents, a GLOBAL ascending rank from the range-partitioned
+    two-phase cumsum (composite order key ``cents·10⁷ + custkey`` makes
+    ranks unique and deterministic — NO unpartitioned window), and the
+    classic ``G = 2·Σ(i·vᵢ) / (n·Σv) − (n+1)/n`` identity whose numerator
+    sums i·vᵢ as exact BIGINTs; only the final division is floating
+    point, rounded to 6."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("v"))
+        .select(
+            "v",
+            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
+            F.lit(1).alias("__one"),
+        )
+    )
+    ranked = scalable_cumsum(spend, "__ord", "__one", out_col="__i")
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("v").alias("total_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("__i") * F.col("v")).cast("double")
+            / (F.count("*").cast("double") * F.sum("v").cast("double"))
+            - (F.count("*") + F.lit(1)).cast("double") / F.count("*").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (
+    ORDER BY v * 10000000 + o_custkey ASC) AS i
+  FROM spend)
+SELECT COUNT(*) AS n_customers, SUM(v) AS total_cents,
+  ROUND(2.0 * CAST(SUM(i * v) AS DOUBLE)
+        / (COUNT(*) * CAST(SUM(v) AS DOUBLE))
+        - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
 def knn_vote_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model calibration (reliability diagram, eval family): bucket the
     kNN vote's confidence (winning votes / k) and compare it with the
@@ -8318,6 +8371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_eval": knn_label_eval,
         "knn_vote_calibration": knn_vote_calibration,
         "knn_eval_summary": knn_eval_summary,
+        "customer_spend_gini": customer_spend_gini,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
@@ -8501,6 +8555,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_eval": _KNN_EVAL_ORACLE,
         "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,
         "knn_eval_summary": _KNN_SUMMARY_ORACLE,
+        "customer_spend_gini": _GINI_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,

@@ -330,3 +330,32 @@ def test_knn_eval_summary_consistent_with_per_label(spark, sf_correct):
     assert abs(s.micro_f1 - truth_side.tp.sum() / 100.0) < 2e-6
     # macro recall from the per-label table (unrounded source, 1e-6 grain)
     assert abs(s.macro_recall - (truth_side.tp / truth_side.n_true).mean()) < 2e-6
+
+
+def test_gini_bounds_and_known_cases(spark):
+    """Both Gini limits on synthetic spend: perfectly equal values give
+    exactly 0; a single holder of everything approaches (n-1)/n."""
+    from pyspark.sql import functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    def gini(rows):
+        df = spark.createDataFrame(rows, "o_custkey bigint, v bigint").select(
+            "v",
+            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
+            F.lit(1).alias("__one"),
+        )
+        r = scalable_cumsum(df, "__ord", "__one", out_col="__i")
+        out = r.agg(
+            (
+                F.lit(2.0) * F.sum(F.col("__i") * F.col("v")).cast("double")
+                / (F.count("*").cast("double") * F.sum("v").cast("double"))
+                - (F.count("*") + F.lit(1)).cast("double") / F.count("*").cast("double")
+            ).alias("g")
+        ).first()
+        return out.g
+
+    # perfectly equal: G == 0 exactly
+    assert abs(gini([(i, 100) for i in range(10)])) < 1e-12
+    # one customer holds everything: G -> (n-1)/n = 0.9
+    g = gini([(i, 1) for i in range(9)] + [(9, 10_000_000)])
+    assert 0.88 < g < 0.9
