@@ -6490,6 +6490,78 @@ FROM ranked
 """
 
 
+def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles (the Gini's companion table): customers
+    ranked ascending by spend, cut into ten equal-count bins, each with
+    its exact BIGINT cents total and the cumulative share of all spend up
+    through that decile. Rank AND running spend both come from the
+    range-partitioned two-phase cumsum over the same composite order key
+    (no unpartitioned window); shares round to 6 after one float
+    division."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("v"))
+        .select(
+            "v",
+            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
+            F.lit(1).alias("__one"),
+        )
+    )
+    ranked = scalable_cumsum(spend, "__ord", "__one", out_col="__i")
+    totals = ranked.agg(
+        F.count("*").alias("__n"), F.sum("v").alias("__tot")
+    )
+    decile = F.ceil(F.col("__i") * 10 / F.col("__n")).cast("int")
+    per = (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("v").alias("decile_cents"),
+            F.first("__tot").alias("__tot"),
+        )
+    )
+    # cumulative share over 10 rows — decile-sized, a plain window is fine
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn(
+            "cum_share",
+            F.round(
+                F.sum("decile_cents").over(wd).cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ),
+        )
+        .select("decile", "n_customers", "decile_cents", "cum_share")
+        .orderBy("decile")
+    )
+
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (
+    ORDER BY v * 10000000 + o_custkey ASC) AS i,
+    COUNT(*) OVER () AS n, SUM(v) OVER () AS tot
+  FROM spend),
+per AS (
+  SELECT CAST(CEIL(i * 10.0 / n) AS INTEGER) AS decile,
+    COUNT(*) AS n_customers, SUM(v) AS decile_cents, ANY_VALUE(tot) AS tot
+  FROM ranked GROUP BY 1)
+SELECT decile, n_customers, decile_cents,
+  ROUND(CAST(SUM(decile_cents) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(tot AS DOUBLE), 6) AS cum_share
+FROM per ORDER BY decile
+"""
+
+
 def knn_vote_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model calibration (reliability diagram, eval family): bucket the
     kNN vote's confidence (winning votes / k) and compare it with the
@@ -8372,6 +8444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vote_calibration": knn_vote_calibration,
         "knn_eval_summary": knn_eval_summary,
         "customer_spend_gini": customer_spend_gini,
+        "customer_spend_lorenz": customer_spend_lorenz,
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
@@ -8556,6 +8629,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,
         "knn_eval_summary": _KNN_SUMMARY_ORACLE,
         "customer_spend_gini": _GINI_ORACLE,
+        "customer_spend_lorenz": _LORENZ_ORACLE,
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,

@@ -359,3 +359,17 @@ def test_gini_bounds_and_known_cases(spark):
     # one customer holds everything: G -> (n-1)/n = 0.9
     g = gini([(i, 1) for i in range(9)] + [(9, 10_000_000)])
     assert 0.88 < g < 0.9
+
+
+def test_lorenz_deciles_invariants(spark, sf_correct):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["customer_spend_lorenz"](spark, sf_correct).toPandas()
+    assert list(out.decile) == list(range(1, 11))
+    # equal-count bins (within 1 for the remainder)
+    assert out.n_customers.max() - out.n_customers.min() <= 1
+    # cumulative share is monotone, convex-ish (ascending order), ends at 1
+    assert (out.cum_share.diff().dropna() > 0).all()
+    assert abs(out.cum_share.iloc[-1] - 1.0) < 2e-6
+    # ascending rank => later deciles hold more spend
+    assert (out.decile_cents.diff().dropna() >= 0).all()
