@@ -6442,11 +6442,14 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit run on customer value and on training-data domain balance
     alike. Exact integer pipeline end to end: per-customer totals in
     BIGINT cents, a GLOBAL ascending rank from the range-partitioned
-    two-phase cumsum (composite order key ``cents·10⁷ + custkey`` makes
-    ranks unique and deterministic — NO unpartitioned window), and the
-    classic ``G = 2·Σ(i·vᵢ) / (n·Σv) − (n+1)/n`` identity whose numerator
-    sums i·vᵢ as exact BIGINTs; only the final division is floating
-    point, rounded to 6."""
+    two-phase cumsum ordered by the TRUE tuple ``(cents, custkey)`` —
+    custkey is unique per row so ranks are unique and deterministic at
+    any scale (no arithmetic composite key to collide past sf66; NO
+    unpartitioned window) — and the classic
+    ``G = 2·Σ(i·vᵢ) / (n·Σv) − (n+1)/n`` identity whose numerator sums
+    i·vᵢ as exact DECIMAL(38,0) (safe past 10⁹ customers where BIGINT
+    i·v would overflow); only the final division is floating point,
+    rounded to 6."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
 
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -6454,19 +6457,16 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(cents).alias("v"))
-        .select(
-            "v",
-            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
-            F.lit(1).alias("__one"),
-        )
+        .select("v", "o_custkey", F.lit(1).alias("__one"))
     )
-    ranked = scalable_cumsum(spend, "__ord", "__one", out_col="__i")
+    ranked = scalable_cumsum(spend, ["v", "o_custkey"], "__one", out_col="__i")
+    iv = F.col("__i").cast("decimal(18,0)") * F.col("v").cast("decimal(19,0)")
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum("v").alias("total_cents"),
         F.round(
             F.lit(2.0)
-            * F.sum(F.col("__i") * F.col("v")).cast("double")
+            * F.sum(iv).cast("double")
             / (F.count("*").cast("double") * F.sum("v").cast("double"))
             - (F.count("*") + F.lit(1)).cast("double") / F.count("*").cast("double"),
             6,
@@ -6480,10 +6480,10 @@ WITH spend AS (
   FROM orders GROUP BY 1),
 ranked AS (
   SELECT v, ROW_NUMBER() OVER (
-    ORDER BY v * 10000000 + o_custkey ASC) AS i
+    ORDER BY v ASC, o_custkey ASC) AS i
   FROM spend)
 SELECT COUNT(*) AS n_customers, SUM(v) AS total_cents,
-  ROUND(2.0 * CAST(SUM(i * v) AS DOUBLE)
+  ROUND(2.0 * CAST(SUM(CAST(i AS HUGEINT) * v) AS DOUBLE)
         / (COUNT(*) * CAST(SUM(v) AS DOUBLE))
         - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
 FROM ranked
@@ -6494,10 +6494,10 @@ def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve deciles (the Gini's companion table): customers
     ranked ascending by spend, cut into ten equal-count bins, each with
     its exact BIGINT cents total and the cumulative share of all spend up
-    through that decile. Rank AND running spend both come from the
-    range-partitioned two-phase cumsum over the same composite order key
-    (no unpartitioned window); shares round to 6 after one float
-    division."""
+    through that decile. Rank comes from the range-partitioned two-phase
+    cumsum ordered by the TRUE tuple ``(cents, custkey)`` — unique per
+    row at any scale, no arithmetic composite key, no unpartitioned
+    window; shares round to 6 after one float division."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
 
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -6505,13 +6505,9 @@ def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(cents).alias("v"))
-        .select(
-            "v",
-            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
-            F.lit(1).alias("__one"),
-        )
+        .select("v", "o_custkey", F.lit(1).alias("__one"))
     )
-    ranked = scalable_cumsum(spend, "__ord", "__one", out_col="__i")
+    ranked = scalable_cumsum(spend, ["v", "o_custkey"], "__one", out_col="__i")
     totals = ranked.agg(
         F.count("*").alias("__n"), F.sum("v").alias("__tot")
     )
@@ -6547,7 +6543,7 @@ WITH spend AS (
   FROM orders GROUP BY 1),
 ranked AS (
   SELECT v, ROW_NUMBER() OVER (
-    ORDER BY v * 10000000 + o_custkey ASC) AS i,
+    ORDER BY v ASC, o_custkey ASC) AS i,
     COUNT(*) OVER () AS n, SUM(v) OVER () AS tot
   FROM spend),
 per AS (

@@ -217,7 +217,7 @@ def per_group_top_n(
 
 def scalable_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     *,
     out_col: str = "cum",
@@ -231,17 +231,26 @@ def scalable_cumsum(
     (partition i holds strictly smaller keys than partition i+1), local
     running sums per partition, then add each partition's prefix offset
     (one metadata-sized collect of per-partition totals). Identical to
-    the one-window result whenever ``order_col`` values are unique per
-    row (range boundaries then can't split an order position — dedupe to
+    the one-window result whenever the order key is unique per row
+    (range boundaries then can't split an order position — dedupe to
     a value table first, which is also what bounds the input size).
+
+    ``order_col`` may be a single column name or a list/tuple of names;
+    a multi-column key orders lexicographically by the tuple, so callers
+    needing ``(value, tiebreaker)`` ranks pass both columns instead of
+    packing them into one arithmetic composite (which silently misorders
+    once the tiebreaker outgrows its reserved digits).
     """
     if n_parts < 1:
         raise ValueError("n_parts must be >= 1")
-    d = df.repartitionByRange(n_parts, F.col(order_col).asc())
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if not order_cols:
+        raise ValueError("order_col must name at least one column")
+    d = df.repartitionByRange(n_parts, *[F.col(c).asc() for c in order_cols])
     d = d.withColumn("__pid", F.spark_partition_id())
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # localCheckpoint (not persist): materializes once so the partition

@@ -340,11 +340,9 @@ def test_gini_bounds_and_known_cases(spark):
 
     def gini(rows):
         df = spark.createDataFrame(rows, "o_custkey bigint, v bigint").select(
-            "v",
-            (F.col("v") * F.lit(10_000_000) + F.col("o_custkey")).alias("__ord"),
-            F.lit(1).alias("__one"),
+            "v", "o_custkey", F.lit(1).alias("__one")
         )
-        r = scalable_cumsum(df, "__ord", "__one", out_col="__i")
+        r = scalable_cumsum(df, ["v", "o_custkey"], "__one", out_col="__i")
         out = r.agg(
             (
                 F.lit(2.0) * F.sum(F.col("__i") * F.col("v")).cast("double")
@@ -359,6 +357,44 @@ def test_gini_bounds_and_known_cases(spark):
     # one customer holds everything: G -> (n-1)/n = 0.9
     g = gini([(i, 1) for i in range(9)] + [(9, 10_000_000)])
     assert 0.88 < g < 0.9
+
+
+def test_cumsum_tuple_rank_survives_huge_custkeys(spark):
+    """The multi-column cumsum ranks by the TRUE tuple (v, custkey), so
+    custkeys >= 1e7 — where the retired arithmetic composite key
+    ``v*1e7 + custkey`` collides across different spend values — still
+    produce the exact brute-force rank order. Regression test for the
+    wrong-at-sf66 defect flagged in the round-4 verdict."""
+    import random
+
+    from pyspark.sql import functions as F
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    random.seed(41)
+    # custkeys straddling 1e7; duplicate v values force tiebreak by key
+    keys = random.sample(range(5_000_000, 60_000_000), 400)
+    rows = [(k, random.randint(1, 5)) for k in keys]
+    # brute-force oracle: sort by (v, custkey), rank = position
+    want = {
+        k: i + 1
+        for i, (v, k) in enumerate(sorted((v, k) for k, v in rows))
+    }
+    # prove the old composite key WOULD have misordered this input
+    old = sorted((v * 10_000_000 + k, k) for k, v in rows)
+    assert [k for _, k in old] != [
+        k for k, _ in sorted(want.items(), key=lambda kv: kv[1])
+    ], "fixture must expose the composite-key collision"
+    df = spark.createDataFrame(rows, "o_custkey bigint, v bigint").select(
+        "v", "o_custkey", F.lit(1).alias("__one")
+    )
+    for parts in (1, 7, 32):
+        got = {
+            r["o_custkey"]: r["__i"]
+            for r in scalable_cumsum(
+                df, ["v", "o_custkey"], "__one", out_col="__i", n_parts=parts
+            ).collect()
+        }
+        assert got == want, parts
 
 
 def test_lorenz_deciles_invariants(spark, sf_correct):
