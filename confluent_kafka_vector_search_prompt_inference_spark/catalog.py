@@ -120,6 +120,7 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self.paths:
             raise KeyError(f"Table '{name}' not found in catalog (have: {sorted(self.paths)})")
+        recover_forget(self.paths[name])
         # mergeSchema: a sink directory that has been schema-evolved holds
         # files written under different contract versions; the union schema
         # is the table (reference README.md:610-612 — "the table will
@@ -219,6 +220,31 @@ def check_sink_schema(sink: StructType, query: StructType, sink_name: str = "sin
             )
 
 
+def recover_forget(path: str) -> None:
+    """Finish a :func:`forget` table swap that crashed mid-window.
+
+    The swap is ``rename(path, old)`` then ``rename(tmp, path)``; a crash
+    between the two leaves NO table at ``path``. Recovery is
+    deterministic from what survives: a complete ``__forget_tmp``
+    (``_SUCCESS`` present) is the post-erasure table — publish it; an
+    incomplete tmp means the write itself died — restore ``__forget_old``
+    (the erasure re-runs). No-op when ``path`` exists (stale side dirs
+    are cleaned by the next successful forget). Called on every catalog
+    read and at the top of each per-table swap."""
+    import shutil
+
+    if os.path.exists(path):
+        return
+    tmp = path + ".__forget_tmp"
+    old = path + ".__forget_old"
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(old, path)
+
+
 def forget(
     catalog: Catalog,
     key_col: str,
@@ -238,9 +264,11 @@ def forget(
     ``dry_run=True`` — audit-before-erase). Mechanics per table: the
     deletion set is id-only and broadcast into a left-anti join, the
     survivors rewrite to ``<path>.__forget_tmp`` FIRST, and the swap is
-    rename-based with the same publish-before-delete ordering as index
-    vacuum — a crash leaves either the old data (re-run the request) or
-    the new (done), never a half-table. At 100 TB the rewrite is the
+    rename-based; the instant between the two renames (no table at
+    ``path``) is healed by :func:`recover_forget`, invoked on every
+    catalog read and before each swap — so a crash anywhere leaves
+    either the old data (re-run the request) or the new (done), never a
+    missing or half table. At 100 TB the rewrite is the
     unavoidable cost of physical erasure on immutable files; route
     frequent deletes through tombstones (``operators/_index_io``) and
     fold them into the periodic compaction instead, reserving this for
@@ -264,6 +292,7 @@ def forget(
         if dry_run or n == 0:
             continue
         path = catalog.paths[name]
+        recover_forget(path)
         tmp = path + ".__forget_tmp"
         survivors = df.join(F.broadcast(dead), key_col, "left_anti")
         survivors.write.mode("overwrite").parquet(tmp)

@@ -211,8 +211,20 @@ def load_ivfpq_index(
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """(encoded corpus, centroids, codebooks) from disk. The corpus reader
     keeps ``ivf_cluster`` as the partition key, so a probe-set filter on it
-    prunes directories before any IO."""
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    prunes directories before any IO. Tombstoned ids
+    (``catalog.forget`` / ``_index_io.write_tombstones``) are anti-joined
+    out exactly as in ``load_ivf_index``/``load_pq_index`` — an erasure
+    against an IVF-PQ index is honored by every subsequent probe, not
+    silently ignored; a vacuum crash is finished on load."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import (
+        apply_tombstones,
+        recover_vacuum,
+    )
+
+    recover_vacuum(path)
+    corpus = apply_tombstones(
+        spark, spark.read.parquet(os.path.join(path, "corpus")), path
+    )
     cent_rows = (
         spark.read.parquet(os.path.join(path, "centroids")).orderBy("cluster_id").collect()
     )
@@ -330,6 +342,26 @@ def topk_ivfpq(
         partial.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .filter(F.col(rank_col) <= k)
         .select(query_id, corpus_id, F.round(score_col, 6).alias(score_col), rank_col)
+    )
+
+
+def ivfpq_vacuum(
+    spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluster"
+) -> int:
+    """Physically rewrite the encoded corpus minus tombstones, preserving
+    the cluster partitioning, and clear the tombstone set. Crash-safe —
+    ``operators/_index_io.vacuum`` publishes ``corpus_tmp`` before the
+    swap and ``load_ivfpq_index`` finishes an interrupted swap. Returns
+    the number of tombstoned ids reclaimed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import vacuum
+
+    return vacuum(
+        spark,
+        path,
+        lambda: load_ivfpq_index(spark, path)[0],  # already tombstone-filtered
+        lambda df, tmp: df.write.partitionBy(cluster_col)
+        .mode("overwrite")
+        .parquet(tmp),
     )
 
 

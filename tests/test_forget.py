@@ -72,3 +72,74 @@ def test_forget_tombstones_vector_indexes(spark, cat, tmp_path):
     loaded, _ = load_ivf_index(spark, idx)
     assert loaded.filter(F.col("user_id").isin(1, 3)).count() == 0
     assert ivf_vacuum(spark, idx) == 2
+
+
+def test_forget_tombstones_ivfpq_indexes(spark, cat, tmp_path):
+    """IVF-PQ indexes share the corpus/ + tombstones layout, so an
+    erasure against one must be honored by its loader too (round-4
+    advice: load_ivfpq_index used to read corpus/ directly and silently
+    returned forgotten vectors). Probe exclusion is immediate, appends
+    after the erasure stay filtered, and ivfpq_vacuum reclaims."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        ivfpq_append,
+        ivfpq_vacuum,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("vector")
+    )
+    encoded, cents, books = build_ivfpq_index(
+        emb.filter(F.col("user_id") < 200), "vector", n_clusters=4, m=4, k=16, seed=1
+    )
+    idx = str(tmp_path / "emb_ivfpq")
+    save_ivfpq_index(encoded, cents, books, idx)
+
+    ids = spark.createDataFrame([(1,), (3,)], "uid long")
+    removed = forget(cat, "user_id", ids, index_paths=[idx])
+    assert removed[f"index:{idx}"] == 2
+    loaded, _, _ = load_ivfpq_index(spark, idx)
+    assert loaded.filter(F.col("user_id").isin(1, 3)).count() == 0
+    # an append against the frozen quantizers must not resurrect them
+    ivfpq_append(
+        emb.filter((F.col("user_id") >= 200) & (F.col("user_id") < 210)), idx
+    )
+    loaded, _, _ = load_ivfpq_index(spark, idx)
+    assert loaded.filter(F.col("user_id").isin(1, 3)).count() == 0
+    assert loaded.filter(F.col("user_id") >= 200).count() == 10
+    assert ivfpq_vacuum(spark, idx) == 2
+    loaded, _, _ = load_ivfpq_index(spark, idx)
+    assert loaded.filter(F.col("user_id").isin(1, 3)).count() == 0
+
+
+def test_forget_crash_between_renames_recovers(spark, cat, tmp_path):
+    """A crash in forget's swap window (old data moved aside, new data
+    not yet published) must not strand the table: the next catalog read
+    publishes the complete __forget_tmp; an INCOMPLETE tmp instead
+    restores __forget_old so the erasure can re-run."""
+    import os
+    import shutil
+
+    path = cat.paths["orders"]
+
+    # --- crash AFTER the first rename, tmp complete (has _SUCCESS) ---
+    survivors = cat.table("orders").filter(~F.col("user_id").isin(1, 3))
+    want = survivors.count()
+    survivors.write.mode("overwrite").parquet(path + ".__forget_tmp")
+    os.rename(path, path + ".__forget_old")  # simulated crash point
+    got = cat.table("orders")  # recover_forget publishes tmp
+    assert got.count() == want
+    assert got.filter(F.col("user_id").isin(1, 3)).count() == 0
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".__forget_old")
+    assert not os.path.exists(path + ".__forget_tmp")
+
+    # --- crash mid-WRITE: tmp incomplete (no _SUCCESS), old moved aside ---
+    os.makedirs(path + ".__forget_tmp")  # half-written, no _SUCCESS
+    os.rename(path, path + ".__forget_old")
+    got = cat.table("orders")  # recover_forget restores old
+    assert got.count() == want
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".__forget_tmp")
