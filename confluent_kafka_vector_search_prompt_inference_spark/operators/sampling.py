@@ -197,11 +197,24 @@ def per_group_top_n(
     (phase 1) or ``n·salt_parts`` rows (phase 2).
 
     ``order_cols`` must be a total order (include a unique id tiebreak)
-    for determinism. ``salt_key`` (default: first order column) feeds the
-    content-hash salt, keeping phase 1 deterministic under any physical
-    row order.
+    for determinism. ``salt_key`` is REQUIRED and feeds the content-hash
+    salt, keeping phase 1 deterministic under any physical row order. It
+    must vary *within* groups (a unique row id is ideal): salting on a
+    group column hashes every row of a group to ONE salt, silently
+    disabling the very skew protection this function exists for — so a
+    ``salt_key`` that is also a group column is rejected outright.
     """
-    key = salt_key if salt_key is not None else df.columns[0]
+    if salt_key is None:
+        raise ValueError(
+            "per_group_top_n requires salt_key: a column that varies within "
+            "groups (e.g. a unique row id) to spread hot groups across salts"
+        )
+    if salt_key in group_cols:
+        raise ValueError(
+            f"salt_key {salt_key!r} is a group column - every row of a group "
+            "would hash to one salt, disabling the skew fan-out"
+        )
+    key = salt_key
     salted = df.withColumn("__salt", hash_bucket(key, salt_parts))
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
     phase1 = (

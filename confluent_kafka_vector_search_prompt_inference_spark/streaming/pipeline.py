@@ -388,16 +388,35 @@ def statement_phase(query: StreamingQuery) -> str:
     return "RUNNING" if query.recentProgress else "PENDING"
 
 
+def _committed_batch_dirs(sink_dir: str) -> list:
+    """Committed (``_SUCCESS``-stamped) ``_batch=`` dirs only — a crashed
+    or in-flight epoch's partial files must never reach a reader, or
+    counts/sketches transiently double- or under-count until the epoch
+    replays."""
+    import glob
+
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
 def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Read an idempotent sink back as one table (the ``_batch`` bookkeeping
-    partition column is internal and dropped). ``mergeSchema`` because an
-    evolved sink's batch dirs carry heterogeneous (add-only widened)
-    schemas — a single-footer read would silently null columns that only
-    newer batches carry."""
+    partition column is internal and dropped). Committed epochs only
+    (``_SUCCESS`` present) — an in-flight or crashed epoch's partial files
+    are invisible until its idempotent replay commits. ``mergeSchema``
+    because an evolved sink's batch dirs carry heterogeneous (add-only
+    widened) schemas — a single-footer read would silently null columns
+    that only newer batches carry."""
+    dirs = _committed_batch_dirs(sink_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed _batch=* epochs under {sink_dir}")
     df = (
         spark.read.option("basePath", sink_dir)
         .option("mergeSchema", "true")
-        .parquet(os.path.join(sink_dir, "_batch=*"))
+        .parquet(*dirs)
     )
     return df.drop("_batch")
 
@@ -809,15 +828,20 @@ def sink_profile_by_epoch(
     committed ``_batch`` and each (selected) column — row count, null
     count, approx distinct — the trend table a drift monitor alerts on
     (a feed that suddenly ships 90% nulls shows up as one bad epoch row,
-    not a corpus-wide mystery). One aggregation keyed by the epoch
+    not a corpus-wide mystery). Committed epochs only — a half-written
+    epoch would otherwise surface as exactly the phantom bad-epoch row
+    this monitor exists to catch. One aggregation keyed by the epoch
     partition column; approx_count_distinct keeps the state sketch-sized
     at any scale."""
     from pyspark.sql import functions as F
 
+    dirs = _committed_batch_dirs(sink_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed _batch=* epochs under {sink_dir}")
     df = (
         spark.read.option("basePath", sink_dir)
         .option("mergeSchema", "true")
-        .parquet(os.path.join(sink_dir, "_batch=*"))
+        .parquet(*dirs)
     )
     cols = columns or [c for c in df.columns if c != "_batch"]
     aggs = [F.count("*").alias("n_rows")]

@@ -311,3 +311,18 @@ def test_scalable_cumsum_equals_single_window(spark):
             for r in scalable_cumsum(df, "k", "c", n_parts=parts).collect()
         }
         assert got == want, parts
+
+
+def test_per_group_top_n_requires_useful_salt_key(spark):
+    """salt_key is mandatory and must vary within groups: omitting it or
+    salting on a group column would silently collapse a hot group onto
+    one salt, disabling the skew fan-out (round-4 advice)."""
+    import pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import per_group_top_n
+
+    df = spark.createDataFrame([("a", 1)], "g string, id long")
+    with pytest.raises(ValueError, match="requires salt_key"):
+        per_group_top_n(df, ["g"], [F.asc("id")], 1)
+    with pytest.raises(ValueError, match="group column"):
+        per_group_top_n(df, ["g"], [F.asc("id")], 1, salt_key="g")
