@@ -85,6 +85,39 @@ BUDGETS = {
                                     # once + three k-bounded rank windows
     "part_name_near_matches": 5,    # token df agg + key-rank window +
                                     # candidate join + distinct + verify
+    # Fifth-wave additions (round 5): the newest heavies put under the
+    # same printed-tree contract. Persisted subtrees again print once per
+    # consuming branch while executing once.
+    "part_pagerank": 58,            # 3 unrolled power iterations over a
+                                    # persisted edge+degree table: each
+                                    # iteration's contribution agg + rank
+                                    # join prints per downstream branch;
+                                    # executed shuffles are edge-keyed
+                                    # (node, contribution) pairs only
+    "customer_rfm_segments": 1,     # value-table cumsums hide behind
+                                    # localCheckpoints; one final segment agg
+    "customer_spend_gini": 1,       # post-cumsum global agg gather only
+    "customer_spend_lorenz": 3,     # decile agg + 10-row window + sort
+    "crossdoc_duplicate_spans": 6,  # shingle repartition + span agg +
+                                    # pair join + dedup + verify joins
+    "trigram_lm_quality": 3,        # trigram count + bigram count +
+                                    # per-doc score agg (model tables
+                                    # broadcast back)
+    "knn_label_vote": 2,            # (query, label) vote agg + rank
+                                    # window over k rows/query
+    "vec_ivfpq_topk": 13,           # in-query index build (train sample
+                                    # agg + cluster-partitioned write
+                                    # branches print per consumer) + probe
+                                    # mask join + ADC rank window; probe
+                                    # shuffles carry ids+codes only
+    "semantic_dedup_survivors": 7,  # k-means assign repartition printed
+                                    # per branch + per-cluster pair join +
+                                    # survivor distinct; never all-pairs
+    "cross_encoder_rerank_topk": 5, # first-stage rank + k-bounded rerank
+                                    # feature join + final rank window
+    "mutual_knn_dup_pairs": 5,      # two directed top-k rank windows +
+                                    # reciprocal self-join on id pairs
+    "dedup_exact_groups": 1,        # one hash-agg on md5 fingerprints
 }
 
 
