@@ -64,6 +64,9 @@ HEADLINE = [
     "countmin_term_freqs",
     "part_pagerank",
     "customer_rfm_segments",
+    # round-5: the repo's heaviest single query (degree-oriented wedge
+    # join) goes under the round-over-round microscope
+    "part_triangle_counts",
 ]
 
 
