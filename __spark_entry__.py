@@ -7788,18 +7788,23 @@ FROM am JOIN bm ON am.id_a = bm.id_a AND am.id_b = bm.id_b
 )
 
 
-def _metric_quintile(vals: DataFrame, metric: str, n_total: int) -> DataFrame:
+def _metric_quintile(vals: DataFrame, metric: str) -> DataFrame:
     """Exact rank-based quintile per distinct metric value (the
     equi-depth-histogram bucketing applied to a (value, count) table via
-    the two-phase scalable cumsum — no unpartitioned window)."""
+    the two-phase scalable cumsum — no unpartitioned window). The total
+    row count rides along from the cumsum's own driver-side prefix-offset
+    collect (``total_col``) rather than a separate ``count()`` action, so
+    callers never re-scan their source and the plan gains no exchange."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
 
-    cum = scalable_cumsum(vals, metric, "c", out_col="cum")
-    depth = n_total / 5.0
+    cum = scalable_cumsum(vals, metric, "c", out_col="cum", total_col="__n_total")
     return cum.select(
         metric,
         F.least(
-            F.lit(4), F.floor((F.col("cum") - F.col("c")) / F.lit(depth)).cast("int")
+            F.lit(4),
+            F.floor(
+                (F.col("cum") - F.col("c")) / (F.col("__n_total") / 5.0)
+            ).cast("int"),
         ).alias("q"),
     )
 
@@ -7813,15 +7818,29 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine. Scores follow the RFM convention (5 best: recent,
     frequent, high-spend); segment = concat of the three digits. The
     whole query is three value-table cumsums plus broadcast joins back
-    onto the customer metric table."""
+    onto the customer metric table. No standalone driver scalar actions:
+    the corpus max date folds in as a broadcast 1-row aggregate of the
+    per-customer maxima, the total customer count is derived inside
+    ``_metric_quintile`` from the value table's own counts, and the
+    customer metric table is checkpointed so orders is scanned once."""
     ords = _t(spark, sf_dir, "orders")
-    maxd = ords.agg(F.max("o_orderdate")).first()[0]
-    cust = ords.groupBy("o_custkey").agg(
-        F.datediff(F.lit(maxd), F.max("o_orderdate")).cast("bigint").alias("recency_days"),
+    per_cust = ords.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last_order"),
         F.count("*").alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("monetary_cents"),
     )
-    n_total = cust.count()
+    maxd = per_cust.agg(F.max("__last_order").alias("__maxd"))
+    cust = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("__maxd"), F.col("__last_order")).cast("bigint"),
+        )
+        .drop("__last_order", "__maxd")
+        # customer-sized, reused by three value tables + the final join:
+        # materialize once so orders is not re-aggregated per metric
+        .localCheckpoint(eager=True)
+    )
     out = cust
     for metric, best_high in (
         ("recency_days", False),
@@ -7829,7 +7848,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("monetary_cents", True),
     ):
         vals = cust.groupBy(metric).agg(F.count("*").alias("c"))
-        qt = _metric_quintile(vals, metric, n_total)
+        qt = _metric_quintile(vals, metric)
         score = (F.col("q") + 1) if best_high else (F.lit(5) - F.col("q"))
         out = out.join(
             F.broadcast(qt.select(metric, score.alias(f"{metric}_score"))), metric

@@ -14,6 +14,7 @@ INSERT fails before running (``README.md:586-594``).
 
 from __future__ import annotations
 
+import contextlib
 import os
 from dataclasses import dataclass, field
 
@@ -220,6 +221,37 @@ def check_sink_schema(sink: StructType, query: StructType, sink_name: str = "sin
             )
 
 
+@contextlib.contextmanager
+def _swap_lock(path: str):
+    """Exclusive advisory lock serializing :func:`forget` swaps with
+    :func:`recover_forget` on the same table path.
+
+    Without it, a reader that lands inside a LIVE forget swap window
+    (between the two renames) sees ``path`` missing, publishes tmp and
+    deletes old, so the swapper's own ``rename(tmp, path)`` raises — and
+    two concurrent crash-recoverers race each other the same way. The
+    lock is a zero-byte ``<path>.__forget_lock`` sibling held via
+    ``flock`` (never deleted — unlinking would race the lock itself).
+    Best-effort: on an unwritable parent directory (read-only catalog)
+    there is nothing to swap or recover, so we proceed unlocked."""
+    import fcntl
+
+    fd = None
+    try:
+        try:
+            fd = os.open(path + ".__forget_lock", os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except OSError:
+            if fd is not None:
+                os.close(fd)
+                fd = None
+        yield
+    finally:
+        if fd is not None:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+
 def recover_forget(path: str) -> None:
     """Finish a :func:`forget` table swap that crashed mid-window.
 
@@ -230,19 +262,38 @@ def recover_forget(path: str) -> None:
     incomplete tmp means the write itself died — restore ``__forget_old``
     (the erasure re-runs). No-op when ``path`` exists (stale side dirs
     are cleaned by the next successful forget). Called on every catalog
-    read and at the top of each per-table swap."""
+    read and at the top of each per-table swap.
+
+    Concurrency: the missing-``path`` check re-runs under
+    :func:`_swap_lock`, so a reader cannot mistake a live swap's
+    mid-rename window for a crash (the swapper holds the lock across
+    both renames), and of two readers recovering the same real crash
+    exactly one acts — the loser re-checks, sees ``path``, and returns.
+    Rename failures are swallowed iff ``path`` exists afterwards
+    (someone else completed the publish)."""
     import shutil
 
     if os.path.exists(path):
         return
     tmp = path + ".__forget_tmp"
     old = path + ".__forget_old"
-    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.isdir(old):
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.rename(old, path)
+    with _swap_lock(path):
+        if os.path.exists(path):
+            return
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.exists(path):
+                    raise
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                os.rename(old, path)
+            except OSError:
+                if not os.path.exists(path):
+                    raise
 
 
 def forget(
@@ -298,9 +349,19 @@ def forget(
         survivors.write.mode("overwrite").parquet(tmp)
         old = path + ".__forget_old"
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        # the lock pins concurrent recover_forget() readers OUTSIDE the
+        # two-rename window; tolerate a recover that already published
+        # tmp (possible if this process previously crashed mid-swap and
+        # a reader healed it before we re-entered)
+        with _swap_lock(path):
+            if os.path.isdir(tmp):
+                os.rename(path, old)
+                os.rename(tmp, path)
+            elif not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"forget('{name}'): neither table nor tmp present at {path}"
+                )
+        shutil.rmtree(old, ignore_errors=True)
     # persisted vector indexes hold COPIES of the data (embeddings keyed
     # by id) — erasure that skips them is not erasure. Tombstone each
     # index (search excludes immediately); physical reclamation is the

@@ -235,6 +235,7 @@ def scalable_cumsum(
     *,
     out_col: str = "cum",
     n_parts: int = 32,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global running sum WITHOUT a single-partition window.
 
@@ -253,6 +254,12 @@ def scalable_cumsum(
     needing ``(value, tiebreaker)`` ranks pass both columns instead of
     packing them into one arithmetic composite (which silently misorders
     once the tiebreaker outgrows its reserved digits).
+
+    ``total_col``: when set, the output also carries the grand total of
+    ``value_col`` as a literal column under that name. The per-partition
+    totals are already collected on the driver to compute prefix offsets,
+    so the grand total is their sum — zero extra jobs, zero extra
+    exchanges, unlike a separate ``df.agg(sum(...))`` action.
     """
     if n_parts < 1:
         raise ValueError("n_parts must be >= 1")
@@ -286,4 +293,6 @@ def scalable_cumsum(
     out = d.withColumn(
         out_col, F.col("__local") + F.coalesce(omap[F.col("__pid")], F.lit(0))
     ).drop("__pid", "__local")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc))
     return out

@@ -143,3 +143,88 @@ def test_forget_crash_between_renames_recovers(spark, cat, tmp_path):
     assert got.count() == want
     assert os.path.exists(path)
     assert not os.path.exists(path + ".__forget_tmp")
+
+
+def test_recover_forget_waits_out_live_swap_window(tmp_path):
+    """A reader that lands INSIDE a live swap window (swapper holds the
+    lock, table momentarily absent from path) must block on the lock and
+    then no-op — not publish tmp out from under the swapper (the round-5
+    advice race: the swapper's own rename then raised FileNotFoundError
+    and aborted the cascade mid-way)."""
+    import os
+    import threading
+    import time
+
+    from confluent_kafka_vector_search_prompt_inference_spark.catalog import _swap_lock, recover_forget
+
+    path = str(tmp_path / "t.parquet")
+    tmp = path + ".__forget_tmp"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    # table absent + complete tmp = exactly what a mid-swap window looks
+    # like to an unlocked reader
+    done = threading.Event()
+
+    def reader():
+        recover_forget(path)
+        done.set()
+
+    with _swap_lock(path):  # we are "the swapper", inside the window
+        t = threading.Thread(target=reader)
+        t.start()
+        time.sleep(0.3)
+        assert not done.is_set(), "reader entered the swap window"
+        os.rename(tmp, path)  # swapper completes its own publish
+    t.join(timeout=10)
+    assert done.is_set()
+    # reader re-checked under the lock, saw the table, touched nothing
+    assert os.path.isdir(path)
+    assert not os.path.exists(tmp)
+
+
+def test_concurrent_recovers_one_wins(tmp_path):
+    """Two readers recovering the same real crash: exactly one publishes;
+    the loser re-checks under the lock and returns (previously the loser
+    raised ENOTEMPTY renaming tmp onto the now-existing path)."""
+    import os
+    import threading
+
+    from confluent_kafka_vector_search_prompt_inference_spark.catalog import recover_forget
+
+    path = str(tmp_path / "t.parquet")
+    tmp = path + ".__forget_tmp"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    errs = []
+
+    def run():
+        try:
+            recover_forget(path)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert errs == []
+    assert os.path.isdir(path)
+    assert not os.path.exists(tmp)
+
+
+def test_recover_forget_tolerates_readonly_parent(tmp_path):
+    """Lock acquisition is best-effort: a read-only catalog directory
+    (e.g. shared testdata) cannot host a lock file, and has nothing to
+    recover — the call must not raise."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.catalog import recover_forget
+
+    d = tmp_path / "ro"
+    d.mkdir()
+    os.chmod(d, 0o555)
+    try:
+        recover_forget(str(d / "absent.parquet"))  # no lock file creatable
+    finally:
+        os.chmod(d, 0o755)

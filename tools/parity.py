@@ -19,6 +19,11 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
+# Width of the driver's correctness-gate prefix: the driver hashes the
+# FIRST this-many ``queries()`` entries each round. Shared with
+# tests/test_parity_sample.py so the canary's tail slice tracks the real
+# window if it ever changes.
+DRIVER_WINDOW = 50
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
