@@ -1659,21 +1659,28 @@ FROM documents WHERE doc_id < 50
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, END-TO-END REAL (SURVEY.md §2.11): per document
-    a deterministic 8×8 grayscale image (pixel i = (doc_id·31 + i) mod
-    256) is PNG-ENCODED (stdlib codec: zlib + scanline filters), carried
-    as a binary media column, then DECODED back and feature-extracted
-    over the actual pixels inside ``mapInPandas``.
+    TWO images are codec-round-tripped over a binary media column and
+    feature-extracted from actual decoded pixels inside ``mapInPandas``:
+
+    - PNG: a deterministic 8×8 grayscale image (pixel i = (doc_id·31 +
+      i) mod 256), stdlib codec (zlib + scanline filters).
+    - JPEG: a 16×16 grayscale image of four constant 8×8 tiles (tile t =
+      ((doc_id·31 + t·17) mod 128)·2), quality-50 baseline JFIF via the
+      stdlib+NumPy codec (Huffman + dequant + IDCT). Constant EVEN-valued
+      tiles are BIT-EXACT through baseline JPEG — DC = 8·(v−128) divides
+      the base luminance quantizer 16, all AC are exactly zero — so the
+      lossy codec still admits a closed-form oracle.
 
     The oracle is hard: width/height/channels/feat_dim and the pixel
     mean/min/max are recomputed closed-form by DuckDB from doc_id — any
-    bug anywhere in the encoder, the decoder (unfiltering, chunk
-    parsing), the Arrow byte path, or the feature math turns rows red.
-    PNG's compressed byte length is the one non-SQL-expressible value,
-    so n_bytes stays out of the projection (codec round-trip bytes are
-    pytest-covered in tests/test_sources.py)."""
+    bug anywhere in either encoder, either decoder (unfiltering, marker
+    parsing, Huffman, IDCT), the Arrow byte path, or the feature math
+    turns rows red. Compressed byte lengths are the one
+    non-SQL-expressible value, so n_bytes stays out of the projection
+    (codec round-trip bytes are pytest-covered in tests/test_codecs.py)."""
     import pandas as pd
 
-    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import png_encode
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import jpeg_encode, png_encode
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
@@ -1686,6 +1693,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((int(d) * 31 + np.arange(64)) % 256).astype(np.uint8).reshape(8, 8)
                 media.append(
                     {"mime": "image/png", "uri": f"img://{int(d)}", "bytes": png_encode(px)}
+                )
+                tiles = np.zeros((16, 16), dtype=np.uint8)
+                for t, (ty, tx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                    v = ((int(d) * 31 + t * 17) % 128) * 2
+                    tiles[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8] = v
+                media.append(
+                    {
+                        "mime": "image/jpeg",
+                        "uri": f"jpg://{int(d)}",
+                        "bytes": jpeg_encode(tiles, quality=50),
+                    }
                 )
             yield pd.DataFrame({"media": media})
 
@@ -1710,6 +1728,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_ORACLE = """
 WITH px AS (
   SELECT doc_id, list_transform(range(0, 64), i -> (doc_id * 31 + i) % 256) AS p
+  FROM documents),
+jt AS (
+  SELECT doc_id,
+    list_transform(range(0, 4), t -> ((doc_id * 31 + t * 17) % 128) * 2) AS v
   FROM documents)
 SELECT 'img://' || doc_id AS uri, 'image/png' AS mime,
   8 AS height, 8 AS width, 1 AS channels, 32 AS feat_dim,
@@ -1717,6 +1739,13 @@ SELECT 'img://' || doc_id AS uri, 'image/png' AS mime,
   CAST(list_min(p) AS INTEGER) AS px_min,
   CAST(list_max(p) AS INTEGER) AS px_max
 FROM px
+UNION ALL
+SELECT 'jpg://' || doc_id AS uri, 'image/jpeg' AS mime,
+  16 AS height, 16 AS width, 1 AS channels, 32 AS feat_dim,
+  ROUND(CAST(CAST(list_avg(v) AS REAL) AS DOUBLE), 6) AS px_mean,
+  CAST(list_min(v) AS INTEGER) AS px_min,
+  CAST(list_max(v) AS INTEGER) AS px_max
+FROM jt
 """
 
 

@@ -1,16 +1,23 @@
-"""Stdlib-only media codecs: PNG (zlib + NumPy unfiltering) and WAV PCM.
+"""Stdlib-only media codecs: PNG (zlib + NumPy unfiltering), baseline
+JPEG (JFIF: Huffman + dequant + IDCT + YCbCr, pure NumPy), and WAV PCM.
 
 The container ships no Pillow/librosa, but PNG's format is just zlib
-over per-scanline delta filters, and WAV PCM is a RIFF header over raw
-int16 — both decodable with the standard library. These codecs back the
-REAL multimodal decode path (``sources/multimodal.py``): bytes → pixel
-array → features, end-to-end, no fakes.
+over per-scanline delta filters, baseline JPEG is Huffman coding over
+quantized 8×8 DCT blocks (ITU T.81 Annex K publishes every constant),
+and WAV PCM is a RIFF header over raw int16 — all decodable with the
+standard library + NumPy. These codecs back the REAL multimodal decode
+path (``sources/multimodal.py``): bytes → pixel array → features,
+end-to-end, no fakes.
 
 Scope (documented, checked, raised on violation):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
   6 (RGBA), non-interlaced. All five scanline filters (None/Sub/Up/
   Average/Paeth) decode; the encoder can emit any of them (used by
   tests to exercise every unfilter path).
+- JPEG: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+  4:4:4 or 4:2:0 sampling, standard or arbitrary DQT/DHT tables from
+  the stream, restart intervals (DRI/RSTn). Progressive (SOF2),
+  arithmetic coding, and 12-bit depth raise.
 - WAV: PCM 16-bit, any channel count / sample rate.
 
 Performance shape: decode cost is per-blob Python+NumPy inside an
@@ -168,6 +175,595 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return a[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF). Every constant below is from the public JPEG spec
+# (ITU-T T.81): Annex K.1/K.2 quantization tables, K.3 typical Huffman
+# tables, the zig-zag scan of Figure 5, and the IJG quality scaling.
+# ---------------------------------------------------------------------------
+
+# zig-zag position → natural (row-major) position within an 8×8 block
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 base quantization tables (natural order, quality 50)
+_STD_LUM_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_STD_CHROM_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: forward F = C·B·Cᵀ, inverse
+    B = Cᵀ·F·C."""
+    n = np.arange(8)
+    c = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    c[0, :] = 1.0 / np.sqrt(8.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K base tables (50 = base)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    lum = np.clip((_STD_LUM_QUANT * scale + 50) // 100, 1, 255)
+    chrom = np.clip((_STD_CHROM_QUANT * scale + 50) // 100, 1, 255)
+    return lum, chrom
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) via canonical code assignment (T.81 C.2)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — inverse of :func:`_huff_encode_table`."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_encode_table(bits, vals).items()}
+
+
+class _BitWriter:
+    """MSB-first bit stream with 0xFF → 0xFF 0x00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            b = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data; un-stuffs 0xFF 0x00 and
+    stops (or resynchronizes) at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker (EOI/RSTn): feed 0 bits — the spec's pad
+                raise ValueError("hit marker while reading entropy bits")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial bits and step past an RSTn marker."""
+        self._acc = 0
+        self._nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, none found")
+
+
+def _huff_decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category, amplitude bits) per T.81 F.1.2.1 (negative
+    values encode as v + 2^size − 1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of :func:`_magnitude` (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _fdct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) → (n_blocks, 64) quantized
+    zig-zag coefficients. DCT vectorized across all blocks at once."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C)
+    q = np.round(coeffs.reshape(-1, 64) / quant.astype(np.float64)).astype(np.int64)
+    return q[:, _ZIGZAG]
+
+
+def _encode_block(
+    w: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_tbl: dict[int, tuple[int, int]],
+    ac_tbl: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(zz[0])
+    size, amp = _magnitude(dc - pred)
+    code, ln = dc_tbl[size]
+    w.write(code, ln)
+    if size:
+        w.write(amp, size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, amp = _magnitude(v)
+        code, ln = ac_tbl[(run << 4) | size]
+        w.write(code, ln)
+        w.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _decode_block(
+    r: _BitReader,
+    pred: int,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    size = _huff_decode_symbol(r, dc_tbl)
+    dc = pred + _extend(r.receive(size), size)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode_symbol(r, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k >= 64:
+            raise ValueError("AC coefficient index overran the block")
+        zz[k] = _extend(r.receive(size), size)
+        k += 1
+    return zz, dc
+
+
+def _pad_to(plane: np.ndarray, mult_h: int, mult_w: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def jpeg_encode(
+    arr: np.ndarray, *, quality: int = 75, subsampling: str = "4:2:0"
+) -> bytes:
+    """Encode an ``(H, W)`` / ``(H, W, 1)`` gray or ``(H, W, 3)`` RGB
+    uint8 array as baseline JFIF JPEG (SOF0, Annex-K tables scaled by
+    ``quality``). ``subsampling``: ``"4:4:4"`` or ``"4:2:0"`` (2×2 mean
+    chroma, color images only)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError(f"jpeg_encode expects uint8 pixels, got {a.dtype}")
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise ValueError(f"jpeg_encode expects (H, W[, 1|3]) array, got shape {a.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = a.shape[:2]
+    lum_q, chrom_q = _quality_tables(quality)
+    gray = a.ndim == 2
+
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        quants = [lum_q]
+        qids = [0]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "4:2:0":
+            cb = _pad_to(cb, 2, 2)
+            cr = _pad_to(cr, 2, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        quants = [lum_q, chrom_q, chrom_q]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad each plane so every component tiles exactly into the MCU grid
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coeffs = []
+    for i, p in enumerate(planes):
+        sh, sv = samp[i]
+        # each plane tiles exactly into the MCU grid: mcus·samp 8×8 blocks
+        need_h, need_w = 8 * mcus_y * sv, 8 * mcus_x * sh
+        if p.shape[0] < need_h or p.shape[1] < need_w:
+            p = np.pad(
+                p,
+                ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
+                mode="edge",
+            )
+        coeffs.append((_fdct_quant(p[:need_h, :need_w], quants[i]), need_w // 8))
+
+    dc_lum_e = _huff_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum_e = _huff_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chrom_e = _huff_encode_table(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_chrom_e = _huff_encode_table(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    enc_tbls = [(dc_lum_e, ac_lum_e)] + [(dc_chrom_e, ac_chrom_e)] * (len(planes) - 1)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(len(planes)):
+                sh, sv = samp[ci]
+                zzs, blocks_per_row = coeffs[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bidx = (my * sv + by) * blocks_per_row + (mx * sh + bx)
+                        preds[ci] = _encode_block(
+                            bw, zzs[bidx], preds[ci], *enc_tbls[ci]
+                        )
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    dqt = bytes([0x00]) + bytes(lum_q[_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([0x01]) + bytes(chrom_q[_ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]])
+    out += seg(0xC0, sof)  # SOF0 baseline
+    dht = bytearray()
+    dht += bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    if not gray:
+        dht += bytes([0x01]) + bytes(_DC_CHROM_BITS) + bytes(_DC_CHROM_VALS)
+        dht += bytes([0x11]) + bytes(_AC_CHROM_BITS) + bytes(_AC_CHROM_VALS)
+    out += seg(0xC4, bytes(dht))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        tbl = 0x00 if i == 0 else 0x11
+        sos += bytes([i + 1, tbl])
+    sos += bytes([0, 63, 0])  # spectral selection (full, baseline)
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF JPEG bytes → ``(H, W, C)`` uint8 (C = 1 gray,
+    3 color). Supports 4:4:4 and 4:2:0 sampling, stream-supplied DQT/DHT
+    tables, and restart intervals; raises on progressive/arithmetic/
+    12-bit streams (scope above)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    dc_tbls: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tbls: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                quants[tid] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                tbl = _huff_decode_table(bits, vals)
+                (dc_tbls if cls == 0 else ac_tbls)[tid] = tbl
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+            depth, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if depth != 8:
+                raise ValueError(f"unsupported sample depth {depth}")
+            comps = []
+            for i in range(nc):
+                cid, sampb, qid = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, sampb >> 4, sampb & 0x0F, qid))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported "
+                f"(got SOF marker 0x{marker:02X} — progressive/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_tbls = {}
+            for i in range(ns):
+                cid, tbls = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tbls[cid] = (tbls >> 4, tbls & 0x0F)
+            return _decode_scan(
+                data, pos, frame, quants, dc_tbls, ac_tbls, scan_tbls,
+                restart_interval,
+            )
+        # other markers (APPn/COM): skipped
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    quants,
+    dc_tbls,
+    ac_tbls,
+    scan_tbls,
+    restart_interval: int,
+) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    supported = {(1, 1)}
+    if len(comps) == 3:
+        supported = {(1, 1), (2, 2)}
+    for _cid, sh, sv, _qid in comps:
+        if (sh, sv) not in supported:
+            raise ValueError(
+                f"unsupported sampling factors ({sh},{sv}) — "
+                "only 4:4:4 and 4:2:0 are in scope"
+            )
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = []
+    for _cid, sh, sv, _qid in comps:
+        planes.append(
+            np.zeros((mcus_y * sv * 8, mcus_x * sh * 8), dtype=np.float64)
+        )
+    r = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    idct_c = _DCT_C
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align_to_marker()
+                preds = [0] * len(comps)
+            for ci, (cid, sh, sv, qid) in enumerate(comps):
+                dct, act = scan_tbls[cid]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz, preds[ci] = _decode_block(
+                            r, preds[ci], dc_tbls[dct], ac_tbls[act]
+                        )
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[_ZIGZAG] = zz * quants[qid][_ZIGZAG]
+                        block = idct_c.T @ nat.reshape(8, 8) @ idct_c
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # upsample chroma to luma resolution (sample replication), crop, shift
+    full = []
+    for ci, (_cid, sh, sv, _qid) in enumerate(comps):
+        p = planes[ci]
+        if sh != hmax or sv != vmax:
+            p = p.repeat(vmax // sv, axis=0).repeat(hmax // sh, axis=1)
+        full.append(p[:fh, :fw] + 128.0)
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:

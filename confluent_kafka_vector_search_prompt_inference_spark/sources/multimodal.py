@@ -7,13 +7,15 @@ STRING, bytes BINARY>``; blob ingestion uses Spark's ``binaryFile`` source
 
 The decode step is REAL: PNG decodes via the stdlib codec in
 ``sources/codecs.py`` (zlib + NumPy unfiltering, all five scanline
-filters) and WAV PCM via the stdlib ``wave`` module — no Pillow/librosa
-required. Feature extraction (:func:`with_image_features`) computes
-statistics over actual decoded pixels inside ``mapInPandas`` over Arrow
-batches — bounded batch size, typed output schema, pure map with no
-shuffle, Python only at the codec boundary — the exact 100 TB execution
-shape a Pillow-backed decoder would use. JPEG (lossy DCT) stays out of
-scope and raises with a clear message.
+filters), baseline JPEG via the same module's JFIF codec (Huffman +
+dequant + IDCT + YCbCr, Annex-K tables, 4:4:4/4:2:0), and WAV PCM via
+the stdlib ``wave`` module — no Pillow/librosa required. Feature
+extraction (:func:`with_image_features`) computes statistics over
+actual decoded pixels inside ``mapInPandas`` over Arrow batches —
+bounded batch size, typed output schema, pure map with no shuffle,
+Python only at the codec boundary — the exact 100 TB execution shape a
+Pillow-backed decoder would use. Progressive JPEG stays out of scope
+and raises with a clear message.
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
         .load(path)
     )
     mime = F.when(F.col("path").endswith(".png"), "image/png").when(
-        F.col("path").endswith(".jpg"), "image/jpeg"
+        F.col("path").endswith(".jpg") | F.col("path").endswith(".jpeg"), "image/jpeg"
     ).when(F.col("path").endswith(".wav"), "audio/wav").otherwise("application/octet-stream")
     return raw.select(
         F.struct(
@@ -75,19 +77,22 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Decode image bytes → ``(H, W, C)`` uint8 pixels. PNG is decoded
-    for real (stdlib codec, ``codecs.png_decode``); JPEG's lossy DCT
-    pipeline is out of scope and raises with a clear message."""
-    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import _PNG_SIG, png_decode
+    """Decode image bytes → ``(H, W, C)`` uint8 pixels. PNG and baseline
+    JPEG both decode for real (stdlib+NumPy codecs in
+    ``sources/codecs.py``): zlib unfiltering for PNG, Huffman + dequant +
+    IDCT + YCbCr for JFIF baseline (progressive JPEG raises — scope
+    documented on :func:`codecs.jpeg_decode`)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
+        _PNG_SIG,
+        jpeg_decode,
+        png_decode,
+    )
 
     if data[:8] == _PNG_SIG:
         return png_decode(data)
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode (lossy DCT) is out of scope for the stdlib codec; "
-            "re-encode as PNG or plug a JPEG library into decode_image"
-        )
-    raise ValueError("unrecognized image format (expected PNG)")
+        return jpeg_decode(data)
+    raise ValueError("unrecognized image format (expected PNG or JPEG)")
 
 
 def decode_audio(data: bytes) -> tuple["np.ndarray", int]:

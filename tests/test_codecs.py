@@ -101,3 +101,129 @@ def test_resize_image_bytes_roundtrip():
     out = decode_image(small)
     assert out.shape == (4, 4, 1)
     assert np.array_equal(out[:, :, 0], resize_nearest(a, 4, 4))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (  # noqa: E402
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _tile_image(vals, tile=8):
+    """2×2 grid of constant 8×8 tiles — the JPEG-exact fixture pattern."""
+    a = np.zeros((2 * tile, 2 * tile), dtype=np.uint8)
+    for t, (ty, tx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        a[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile] = vals[t]
+    return a
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """Constant 8×8 blocks with EVEN values are bit-exact through
+    quality-50 baseline JPEG: DC = 8·(v−128) is divisible by the base
+    luminance quantizer q00=16, and every AC coefficient is exactly
+    zero — the mathematical basis of the multimodal_features JPEG
+    oracle."""
+    img = _tile_image([40, 202, 128, 254])
+    out = jpeg_decode(jpeg_encode(img, quality=50))
+    assert out.shape == (16, 16, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+@pytest.mark.parametrize("quality,bound", [(95, 10), (75, 25)])
+def test_jpeg_gray_roundtrip_bounded(quality, bound):
+    """Lossy path: smooth gradients reconstruct within a quality-
+    dependent error bound (exercises DC prediction, AC run-lengths,
+    ZRL, EOB, multi-MCU scans, non-multiple-of-8 dims)."""
+    yy, xx = np.mgrid[0:21, 0:35]
+    img = ((yy * 4 + xx * 3) % 200 + 20).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert out.shape == (21, 35, 1)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()
+    assert err <= bound, f"max pixel error {err} > {bound} at q{quality}"
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_color_roundtrip_bounded(subsampling):
+    yy, xx = np.mgrid[0:17, 0:23]
+    img = np.zeros((17, 23, 3), dtype=np.uint8)
+    img[:, :, 0] = (yy * 5 + 30) % 200
+    img[:, :, 1] = (xx * 4 + 50) % 200
+    img[:, :, 2] = 90
+    out = jpeg_decode(jpeg_encode(img, quality=95, subsampling=subsampling))
+    assert out.shape == (17, 23, 3)
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    bound = 6 if subsampling == "4:4:4" else 14  # chroma halving costs accuracy
+    assert err <= bound, f"{subsampling}: max error {err} > {bound}"
+
+
+def test_jpeg_encode_deterministic():
+    img = _tile_image([10, 20, 30, 40])
+    assert jpeg_encode(img) == jpeg_encode(img.copy())
+
+
+def test_jpeg_rejects_garbage_and_out_of_scope():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg_encode(np.zeros((8, 8), dtype=np.float64))
+    with pytest.raises(ValueError, match="quality"):
+        jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:1:1")
+    # progressive SOF marker is detected and named, not mis-decoded
+    data = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(bytes(data))
+
+
+def test_jpeg_interop_with_jvm_imageio(spark):
+    """Cross-implementation check via the JVM's javax.imageio — the same
+    independence argument as the PNG interop test. JPEG is lossy, so the
+    contract is bounded error, not equality; the constant-tile fixture
+    additionally survives the OTHER implementation's encoder within ±1
+    (its integer DCT may round DC differently)."""
+    jvm = spark.sparkContext._jvm
+    px = _tile_image([40, 202, 128, 254])
+    h, w = px.shape
+
+    # (a) encode with ImageIO, decode with ours
+    img = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(px[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+    theirs = bytes(baos.toByteArray())
+    ours_decoded = jpeg_decode(theirs)
+    assert ours_decoded.shape == (h, w, 1)
+    err_a = np.abs(ours_decoded[:, :, 0].astype(int) - px.astype(int)).max()
+    assert err_a <= 4, f"ImageIO-encoded tiles decode with max error {err_a}"
+
+    # (b) encode with ours, decode with ImageIO
+    data = jpeg_encode(px, quality=50)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    img2 = jvm.javax.imageio.ImageIO.read(bais)
+    assert img2.getWidth() == w and img2.getHeight() == h
+    raster2 = img2.getRaster()
+    errs = []
+    for y in range(h):
+        for x in range(w):
+            errs.append(abs(raster2.getSample(x, y, 0) - int(px[y, x])))
+    assert max(errs) <= 1, f"our JPEG decodes in ImageIO with max error {max(errs)}"
+
+
+def test_decode_image_routes_jpeg():
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image
+
+    img = _tile_image([12, 34, 56, 78])
+    out = decode_image(jpeg_encode(img, quality=50))
+    assert np.array_equal(out[:, :, 0], img)
+    with pytest.raises(ValueError, match="PNG or JPEG"):
+        decode_image(b"\x00\x01\x02garbage")
