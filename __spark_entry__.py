@@ -6296,6 +6296,67 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def vec_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract auto-promotion (round 6 — generalizes the
+    reference's ``numCandidates`` knob, README.md:364,368, from "a number
+    you guess" to "a floor you declare"): ``topk_similarity_join(...,
+    recall_target=0.9)`` on the binary tier calibrates the rescore depth
+    against a measured sample recall curve (``calibrate_recall_depth``:
+    one exact broadcast-queries pass + one deepest-rung candidate pass;
+    every shallower rung is a prefix, so the whole ladder is priced from
+    two corpus scans).
+
+    The strategy is FORCED to ``binary`` because at sf0.01 the plan-stats
+    picker would (correctly) choose the exact broadcast tier — the
+    calibrated path is the thing under test. The query set (20 rows) fits
+    inside the 32-query calibration sample, so sample recall == full-set
+    recall and the contract is DETERMINISTIC: aggregate recall@10 ≥ 0.9
+    by construction (calibration either returns a depth meeting it or
+    raises). The oracle therefore expects ``agg_recall_ok`` TRUE on every
+    row — the VERDICT-column pattern for approximate operators (per-query
+    recall on hash embeddings carries no bound; the aggregate does)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+    common = dict(
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector", metric="dot",
+    )
+    approx = topk_similarity_join(
+        q, c, 10, strategy="binary", recall_target=0.9,
+        calibration_sample=32, **common,
+    ).select("query_id", "neighbor_id")
+    exact = topk_similarity_join(
+        q, c, 10, strategy="broadcast_queries", **common
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h")
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("__h", F.lit(0)).alias("__h"), "__n")
+    )
+    tot = per.agg(F.sum("__h").alias("__hits_tot"), F.sum("__n").alias("__n_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        (F.col("__hits_tot") >= F.ceil(F.col("__n_tot") * 0.9)).alias("agg_recall_ok"),
+    )
+
+
+_VEC_TOPK_AUTO_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS agg_recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch term frequencies (operators/sketches.py): build a
     4×512 sketch over every document token (one groupBy, map-side
@@ -8481,6 +8542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
+        "vec_topk_auto": vec_topk_auto,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
@@ -8666,6 +8728,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
+        "vec_topk_auto": _VEC_TOPK_AUTO_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,

@@ -65,6 +65,53 @@ def srp_band_hashes(
     return df.withColumn(out_col, _hashes(F.col(vec_col)))
 
 
+def lsh_probe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    num_candidates: int,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = DEFAULT_SEED,
+    probe_col: str = "__probe",
+) -> DataFrame:
+    """The LSH candidate pool: ``(query_id, corpus_id, probe_col)`` with
+    ``probe_col`` = 1..num_candidates ranked by most matching bands first,
+    corpus id ascending. Monotone by construction — the pool at width w is
+    a strict prefix of the pool at width W > w — which is what lets recall
+    calibration (``topk_join.calibrate_recall_depth``) evaluate every probe
+    width from one pass at the widest."""
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    dim = int(dim_row["d"])
+    # The bucket join moves ONLY (id, bucket): exploding bands× before a
+    # shuffle must not multiply vector bytes. Vectors are re-attached to the
+    # surviving candidate pairs afterwards by id (narrow hash joins).
+    q = srp_band_hashes(
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), "__qv",
+        dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
+    ).select(query_id, F.explode("band_hashes").alias("__bucket"))
+    c = srp_band_hashes(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), "__cv",
+        dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
+    ).select(corpus_id, F.explode("band_hashes").alias("__bucket"))
+
+    matches = (
+        q.join(c, on="__bucket")
+        .groupBy(query_id, corpus_id)
+        .agg(F.count("*").alias("__nbands"))
+    )
+    probe = Window.partitionBy(query_id).orderBy(F.desc("__nbands"), F.asc(corpus_id))
+    return (
+        matches.withColumn(probe_col, F.row_number().over(probe))
+        .filter(F.col(probe_col) <= num_candidates)
+        .select(query_id, corpus_id, probe_col)
+    )
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -88,29 +135,14 @@ def topk_lsh(
     by most matching bands first (better LSH agreement ⇒ more likely a true
     neighbor), then rescored exactly with the JVM dot/cosine expression.
     """
-    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
-    dim = int(dim_row["d"])
-    # The bucket join moves ONLY (id, bucket): exploding bands× before a
-    # shuffle must not multiply vector bytes. Vectors are re-attached to the
-    # surviving candidate pairs afterwards by id (narrow hash joins).
-    q = srp_band_hashes(
-        queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), "__qv",
-        dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(query_id, F.explode("band_hashes").alias("__bucket"))
-    c = srp_band_hashes(
-        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), "__cv",
-        dim=dim, bands=bands, rows_per_band=rows_per_band, seed=seed,
-    ).select(corpus_id, F.explode("band_hashes").alias("__bucket"))
-
-    matches = (
-        q.join(c, on="__bucket")
-        .groupBy(query_id, corpus_id)
-        .agg(F.count("*").alias("__nbands"))
-    )
-    probe = Window.partitionBy(query_id).orderBy(F.desc("__nbands"), F.asc(corpus_id))
     candidates = (
-        matches.withColumn("__probe", F.row_number().over(probe))
-        .filter(F.col("__probe") <= num_candidates)
+        lsh_probe_candidates(
+            queries, corpus,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            num_candidates=num_candidates,
+            bands=bands, rows_per_band=rows_per_band, seed=seed,
+        )
         .join(queries.select(F.col(query_id), F.col(query_vec).alias("__qv")), query_id)
         .join(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")), corpus_id)
     )

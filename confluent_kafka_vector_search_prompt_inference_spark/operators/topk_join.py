@@ -83,6 +83,8 @@ def topk_similarity_join(
     rank_col: str = "rank",
     rescore_factor: int | None = None,
     exact_only: bool = False,
+    recall_target: float | None = None,
+    calibration_sample: int = 32,
 ) -> DataFrame:
     """Return ``(query_id, corpus_id, score, rank)`` with rank 1..k per query.
 
@@ -95,6 +97,21 @@ def topk_similarity_join(
     LSH as the data outgrows each budget, mirroring the reference engine's
     always-indexed search (``README.md:355-366``). Pass ``exact_only=True``
     to cap the escalation at the exact ``shuffle`` fallback instead.
+
+    ``recall_target=``: the caller's contract for the recall-CHANGING tiers
+    (``binary`` past its rescore depth, ``lsh``) — the generalization of the
+    reference's ``numCandidates`` knob (``README.md:364, 368``) from "a
+    number you guess" to "a floor you declare". When the picker (or an
+    explicit strategy) lands on one of those tiers and no explicit depth
+    was passed, :func:`calibrate_recall_depth` measures recall@k on a
+    ``calibration_sample``-query sample against the exact top-k and picks
+    the smallest depth on the ladder whose SAMPLE recall meets the target
+    (raises if even the ``NUM_CANDIDATES_CAP`` depth misses it — lower the
+    target, pass ``exact_only=True``, or force an exact strategy). The
+    exact tiers (broadcast/shuffle/quantized-with-rescore) satisfy any
+    target by construction and skip calibration. The contract is measured
+    on the sample, so full-set recall is an estimate — size the sample to
+    the workload's homogeneity.
     """
     if num_candidates is not None:
         num_candidates = min(num_candidates, NUM_CANDIDATES_CAP)
@@ -104,6 +121,23 @@ def topk_similarity_join(
             rescore_factor = 4  # auto mode keeps the result exact-after-rescore
         if strategy == "binary" and metric != "dot":
             strategy = "lsh"  # the sign-bit screen is a dot-product identity
+    if recall_target is not None and strategy in ("binary", "lsh"):
+        if strategy == "binary" and rescore_factor is None:
+            rescore_factor, _ = calibrate_recall_depth(
+                queries, corpus, k, strategy="binary",
+                recall_target=recall_target,
+                query_id=query_id, query_vec=query_vec,
+                corpus_id=corpus_id, corpus_vec=corpus_vec,
+                metric=metric, sample_queries=calibration_sample,
+            )
+        elif strategy == "lsh" and num_candidates is None:
+            num_candidates, _ = calibrate_recall_depth(
+                queries, corpus, k, strategy="lsh",
+                recall_target=recall_target,
+                query_id=query_id, query_vec=query_vec,
+                corpus_id=corpus_id, corpus_vec=corpus_vec,
+                metric=metric, sample_queries=calibration_sample,
+            )
     if strategy == "broadcast_corpus":
         return _topk_numpy_broadcast(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec,
@@ -178,6 +212,143 @@ def _pick_strategy(queries: DataFrame, corpus: DataFrame, *, exact_only: bool = 
     if c_bytes // 32 <= _BROADCAST_BUDGET_BYTES:
         return "binary"
     return "lsh"
+
+
+#: rescore-factor ladder for ``binary`` calibration (candidate pool =
+#: depth·k) and probe-width ladder for ``lsh`` calibration (pool = depth).
+_BINARY_DEPTH_LADDER = (2, 4, 8, 16, 32, 64, 128)
+_LSH_DEPTH_LADDER = (20, 50, 100, 200, 500, 1000, 2000, 5000, 10000)
+
+
+def calibrate_recall_depth(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    strategy: str,
+    recall_target: float,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    metric: str = "dot",
+    sample_queries: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> tuple[int, float]:
+    """Measured-recall depth selection for the approximate tiers.
+
+    Picks the smallest depth on the strategy's ladder whose recall@k on a
+    ``sample_queries``-query sample meets ``recall_target``, and returns
+    ``(depth, measured_recall)`` — depth is ``rescore_factor`` for
+    ``binary`` and ``num_candidates`` for ``lsh``. Raises ``ValueError``
+    with the full measured curve when even the ``NUM_CANDIDATES_CAP``-
+    bounded deepest rung misses the target.
+
+    Cost shape (the reason this is viable at 100 TB): the sample is
+    pinned with ``localCheckpoint`` (``limit`` alone is not stable across
+    jobs), ground truth is ONE exact pass with the sample broadcast and
+    the corpus streamed (``broadcast_queries`` — corpus bytes never
+    move), and because both candidate pools are MONOTONE in depth
+    (prefix-ordered by Hamming rank / LSH probe rank), every rung of the
+    ladder is evaluated from ONE candidate pass at the deepest rung —
+    the whole calibration is two corpus scans plus driver-side pandas
+    over ≤ sample·max_depth·k rows, not one scan per rung."""
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    if strategy == "binary" and metric != "dot":
+        raise ValueError("binary calibration requires metric='dot'")
+    if strategy not in ("binary", "lsh"):
+        raise ValueError(
+            f"strategy {strategy!r} has no recall depth to calibrate "
+            "(exact tiers satisfy any target by construction)"
+        )
+    sample = (
+        queries.select(F.col(query_id), F.col(query_vec))
+        .limit(sample_queries)
+        .localCheckpoint(eager=True)
+    )
+    exact = topk_similarity_join(
+        sample, corpus, k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        metric=metric, strategy="broadcast_queries",
+    ).select(query_id, corpus_id).toPandas()
+    if exact.empty:
+        raise ValueError("cannot calibrate recall on an empty query sample")
+
+    if strategy == "binary":
+        depths = [d for d in _BINARY_DEPTH_LADDER if d * k <= NUM_CANDIDATES_CAP]
+        pool = hamming_candidates(
+            sample, corpus, depths[-1] * k,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            crank_col="__depth_rank",
+        )
+        cap_of = lambda d: d * k  # noqa: E731
+    else:
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import lsh_probe_candidates
+
+        depths = [d for d in _LSH_DEPTH_LADDER if d <= NUM_CANDIDATES_CAP]
+        pool = lsh_probe_candidates(
+            sample, corpus,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            num_candidates=depths[-1],
+            bands=bands, rows_per_band=rows_per_band,
+            probe_col="__depth_rank",
+        )
+        cap_of = lambda d: d  # noqa: E731
+
+    # exact-rescore the pooled candidates once (vectors re-attach by id;
+    # the sample side broadcasts, the corpus streams past it)
+    scored = (
+        pool.join(
+            F.broadcast(
+                sample.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+            ),
+            query_id,
+        )
+        .join(
+            corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")),
+            corpus_id,
+        )
+        .select(
+            query_id,
+            corpus_id,
+            "__depth_rank",
+            F.round(_metric_score(metric, F.col("__qv"), F.col("__cv")), 6).alias(
+                "__escore"
+            ),
+        )
+        .toPandas()
+    )
+
+    truth = {
+        q: set(g[corpus_id]) for q, g in exact.groupby(query_id, sort=False)
+    }
+    possible = len(exact)  # Σ per-query true-top-k sizes (≤ k each)
+    curve: dict[int, float] = {}
+    for depth in depths:
+        sub = scored[scored["__depth_rank"] <= cap_of(depth)]
+        sub = sub.sort_values(
+            [query_id, "__escore", corpus_id], ascending=[True, False, True]
+        )
+        topk = sub.groupby(query_id, sort=False).head(k)
+        hits = sum(
+            cid in truth.get(qid, ())
+            for qid, cid in zip(topk[query_id], topk[corpus_id])
+        )
+        recall = hits / possible
+        curve[depth] = recall
+        if recall >= recall_target:
+            return depth, recall
+    raise ValueError(
+        f"recall_target={recall_target} unreachable for strategy "
+        f"{strategy!r} within the numCandidates cap {NUM_CANDIDATES_CAP}: "
+        f"measured sample recall curve {curve}. Lower the target, pass "
+        "exact_only=True, or force an exact strategy."
+    )
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -377,6 +548,42 @@ def matryoshka_rescore_topk(
     )
 
 
+def hamming_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    max_candidates: int,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    crank_col: str = "__crank",
+) -> DataFrame:
+    """Coarse binary-screen candidate pool: ``(query_id, corpus_id,
+    crank_col)`` with crank 1..max_candidates ranked by ascending Hamming
+    distance of packed sign-bit signatures, corpus id ascending. Monotone:
+    the pool at depth d is a strict prefix of the pool at depth D > d, so
+    :func:`calibrate_recall_depth` can evaluate every rescore depth from
+    one pass at the deepest. The scan is whole-stage-codegen integer ops
+    (XOR + bit_count) over 1-bit/dim signatures — 32× less data than
+    float32."""
+    qs = queries.select(
+        F.col(query_id), vec_quantize_binary(query_vec).alias("__qsig")
+    )
+    cs = corpus.select(
+        F.col(corpus_id), vec_quantize_binary(corpus_vec).alias("__csig")
+    )
+    coarse = F.broadcast(qs).crossJoin(cs).select(
+        query_id, corpus_id, vec_hamming("__qsig", "__csig").alias("__ham")
+    )
+    wc = Window.partitionBy(query_id).orderBy(F.asc("__ham"), F.asc(corpus_id))
+    return (
+        coarse.withColumn(crank_col, F.row_number().over(wc))
+        .filter(F.col(crank_col) <= max_candidates)
+        .select(query_id, corpus_id, crank_col)
+    )
+
+
 def binary_rescore_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -411,18 +618,11 @@ def binary_rescore_topk(
         F.col(query_vec).alias("__qv"),
         vec_quantize_binary(query_vec).alias("__qsig"),
     )
-    cs = corpus.select(
-        F.col(corpus_id), vec_quantize_binary(corpus_vec).alias("__csig")
-    )
-    coarse = F.broadcast(qs.select(query_id, "__qsig")).crossJoin(cs).select(
-        query_id, corpus_id, vec_hamming("__qsig", "__csig").alias("__ham")
-    )
-    wc = Window.partitionBy(query_id).orderBy(F.asc("__ham"), F.asc(corpus_id))
-    cands = (
-        coarse.withColumn("__crank", F.row_number().over(wc))
-        .filter(F.col("__crank") <= rescore_factor * k)
-        .select(query_id, corpus_id)
-    )
+    cands = hamming_candidates(
+        queries, corpus, rescore_factor * k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    ).select(query_id, corpus_id)
     cands_q = cands.join(qs.select(query_id, "__qv"), query_id)
     exact = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")).join(
         F.broadcast(cands_q), corpus_id

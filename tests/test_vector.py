@@ -491,3 +491,111 @@ def test_threshold_join_prefilter_requires_cosine(spark, qc):
             q, c, query_id="qid", corpus_id="cid",
             metric="dot", threshold=0.5, prefilter="binary",
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# recall-contract calibration (recall_target=)
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (  # noqa: E402
+    calibrate_recall_depth,
+)
+
+
+def _agg_recall(result_pdf, oracle, k):
+    """result vs brute-force oracle: fraction of true top-k recovered."""
+    hits = 0
+    possible = sum(len(v) for v in oracle.values())
+    got = result_pdf.groupby("qid")["cid"].apply(set)
+    for qid, true_ids in oracle.items():
+        hits += len(set(true_ids) & got.get(qid, set()))
+    return hits / possible
+
+
+@pytest.mark.parametrize("strategy", ["binary", "lsh"])
+def test_calibrated_depth_meets_target_on_sample(spark, embeddings, qc, strategy):
+    """The round-6 contract: when the query set IS the calibration sample
+    (≤ sample_queries rows), the calibrated depth guarantees aggregate
+    recall@k ≥ recall_target on it — measured, not assumed."""
+    q, c = qc
+    k, target = 5, 0.8
+    depth, measured = calibrate_recall_depth(
+        q, c, k, strategy=strategy, recall_target=target,
+        query_id="qid", corpus_id="cid", sample_queries=32,
+    )
+    assert measured >= target
+    kwargs = dict(
+        query_id="qid", corpus_id="cid", strategy=strategy, k=k,
+        recall_target=target, calibration_sample=32,
+    )
+    res = topk_similarity_join(q, c, **kwargs).toPandas()
+    oracle = _np_topk(embeddings.toPandas(), k=k)
+    assert _agg_recall(res, oracle, k) >= target
+
+
+def test_calibration_depth_monotone_in_target(spark, qc):
+    """A stricter target can only deepen the probe (the ladder is walked
+    smallest-first and recall is monotone in depth by prefix inclusion)."""
+    q, c = qc
+    d_loose, r_loose = calibrate_recall_depth(
+        q, c, 5, strategy="binary", recall_target=0.3,
+        query_id="qid", corpus_id="cid",
+    )
+    d_tight, r_tight = calibrate_recall_depth(
+        q, c, 5, strategy="binary", recall_target=1.0,
+        query_id="qid", corpus_id="cid",
+    )
+    assert d_tight >= d_loose
+    assert r_tight == 1.0
+
+
+def test_calibration_argument_contracts(spark, qc):
+    q, c = qc
+    with pytest.raises(ValueError, match="recall_target"):
+        calibrate_recall_depth(
+            q, c, 5, strategy="binary", recall_target=1.5,
+            query_id="qid", corpus_id="cid",
+        )
+    with pytest.raises(ValueError, match="metric='dot'"):
+        calibrate_recall_depth(
+            q, c, 5, strategy="binary", recall_target=0.9, metric="cosine",
+            query_id="qid", corpus_id="cid",
+        )
+    with pytest.raises(ValueError, match="exact tiers"):
+        calibrate_recall_depth(
+            q, c, 5, strategy="broadcast_corpus", recall_target=0.9,
+            query_id="qid", corpus_id="cid",
+        )
+
+
+def test_recall_target_skipped_on_exact_strategies(spark, qc, monkeypatch):
+    """recall_target on an exact tier must not trigger calibration jobs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators import topk_join as tj
+
+    def boom(*a, **kw):
+        raise AssertionError("calibration ran for an exact strategy")
+
+    monkeypatch.setattr(tj, "calibrate_recall_depth", boom)
+    q, c = qc
+    res = tj.topk_similarity_join(
+        q, c, 3, query_id="qid", corpus_id="cid",
+        strategy="broadcast_corpus", recall_target=0.99,
+    )
+    assert res.count() > 0
+
+
+def test_explicit_depth_wins_over_calibration(spark, qc, monkeypatch):
+    """An explicit rescore_factor/num_candidates is the caller's decision;
+    recall_target must not override it with a calibration run."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators import topk_join as tj
+
+    def boom(*a, **kw):
+        raise AssertionError("calibration ran despite explicit depth")
+
+    monkeypatch.setattr(tj, "calibrate_recall_depth", boom)
+    q, c = qc
+    res = tj.topk_similarity_join(
+        q, c, 3, query_id="qid", corpus_id="cid",
+        strategy="binary", rescore_factor=4, recall_target=0.9,
+    )
+    assert res.count() > 0

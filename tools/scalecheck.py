@@ -22,9 +22,11 @@ stages whose count grows with rounds, not data; unfiltered they drowned
 the alarm in noise (round-4 verdict: dedup_cluster_assignments reported
 40-55 at every SF). A stage that one task genuinely cannot hold — a
 corpus-sized sort/window — moves far more than one advisory partition
-and still fires the alarm. Stages absent from the completed-stage
-metrics were skipped (served from cache); if the metrics endpoint is
-down entirely, every single-task stage counts (fail loud).
+and still fires the alarm. Stages a HEALTHY metrics endpoint does not
+know (evicted past spark.ui.retainedStages, or untracked) are reported
+separately as single_task_stages_unknown — never silently dropped; if
+the endpoint is down entirely, every single-task stage counts
+(fail loud).
 
 Writes SCALECHECK.json at the repo root.
 
@@ -72,6 +74,8 @@ HEAVIES = [
     "conjunctive_keyword_topk",
     "phrase_search_topk",
     "bm25_prf_topk",
+    # round-6 additions
+    "knn_label_vote",
 ]
 
 SF_DIRS = {
@@ -84,25 +88,30 @@ SF_DIRS = {
 MIN_SINGLE_TASK_BYTES = 64 * 1024 * 1024  # = AQE advisory partition size
 
 
-def _stage_bytes(ui_url: str, app_id: str) -> dict[int, int]:
-    """stageId → bytes moved (input + shuffle read), from the UI REST
-    API. Returns {} if the UI is unreachable (callers then fail open and
-    count every single-task stage)."""
+def _stage_bytes(ui_url: str, app_id: str) -> tuple[dict[int, int], bool]:
+    """(stageId → bytes moved (input + shuffle read), endpoint_ok) from
+    the UI REST API. No status filter: completed, failed, and skipped
+    stages all report (skipped/cached subtrees report 0 bytes, which the
+    size filter correctly excludes). ``endpoint_ok=False`` means the UI
+    itself was unreachable — callers then fail open and count every
+    single-task stage. An EMPTY-but-healthy response is ``({}, True)``,
+    distinguishable from endpoint-down (round-5 advice: the two used to
+    collapse into one dict, flipping the alarm mode silently)."""
     import urllib.request
 
     try:
         with urllib.request.urlopen(
-            f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete",
+            f"{ui_url}/api/v1/applications/{app_id}/stages",
             timeout=10,
         ) as fh:
             stages = json.load(fh)
     except Exception:  # noqa: BLE001 — metrics are best-effort
-        return {}
+        return {}, False
     return {
         s["stageId"]: int(s.get("inputBytes", 0))
         + int(s.get("shuffleReadBytes", 0))
         for s in stages
-    }
+    }, True
 
 
 def main() -> int:
@@ -150,8 +159,11 @@ def main() -> int:
                 info = st.getJobInfo(jid)
                 if info:
                     stage_ids.update(info.stageIds)
-            bytes_by_stage = _stage_bytes(ui_url, app_id) if ui_url else {}
+            bytes_by_stage, rest_ok = (
+                _stage_bytes(ui_url, app_id) if ui_url else ({}, False)
+            )
             single = 0
+            unknown = 0
             for sid in stage_ids:
                 sinfo = st.getStageInfo(sid)
                 if sinfo and sinfo.numTasks == 1:
@@ -159,17 +171,24 @@ def main() -> int:
                     # partition is the coalescer working as designed
                     # (metadata collects, k-row finals, CC label rounds);
                     # only advisory-exceeding ones indicate a scale
-                    # problem. A stage absent from the completed-stages
-                    # metrics was SKIPPED (served from a cached/
-                    # checkpointed subtree) — zero bytes moved. Fail open
-                    # (count all) only when the endpoint itself is down.
-                    if not bytes_by_stage:
+                    # problem. Three distinct cases (round-5 advice):
+                    # endpoint DOWN → fail open, count everything;
+                    # stage absent from a HEALTHY response (evicted past
+                    # spark.ui.retainedStages, or untracked) → report
+                    # separately as unknown, never silently excluded;
+                    # stage present → apply the size filter.
+                    if not rest_ok:
                         single += 1
-                    elif bytes_by_stage.get(sid, 0) >= MIN_SINGLE_TASK_BYTES:
+                    elif sid not in bytes_by_stage:
+                        unknown += 1
+                    elif bytes_by_stage[sid] >= MIN_SINGLE_TASK_BYTES:
                         single += 1
             results[name]["sec"][sf] = elapsed
             results[name]["single_task_stages"][sf] = single
-            print(f"sf{sf:>4} {name}: {elapsed}s ({single} single-task stages)")
+            if unknown:
+                results[name].setdefault("single_task_stages_unknown", {})[sf] = unknown
+            tag = f" ({unknown} unknown to REST)" if unknown else ""
+            print(f"sf{sf:>4} {name}: {elapsed}s ({single} single-task stages{tag})")
 
     for name, r in results.items():
         s = r["sec"]
@@ -199,7 +218,11 @@ def main() -> int:
             "advisory partition size): one task under the advisory size "
             "is the coalescer working as designed, so metadata collects "
             "and iterative-loop rounds are excluded and the alarm tracks "
-            "genuinely unpartitionable data-carrying stages."
+            "genuinely unpartitionable data-carrying stages. Single-task "
+            "stages a healthy REST endpoint does not know (evicted/"
+            "untracked) are reported separately as "
+            "single_task_stages_unknown; if the endpoint is down, every "
+            "single-task stage counts (fail open)."
         ),
         "queries": prior,
     }
