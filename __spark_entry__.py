@@ -6357,6 +6357,79 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+def ivf_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered IVF maintenance, end-to-end (round 6,
+    operators/ivf.py ``ivf_split_oversized``): build a persisted index,
+    append a DRIFTED mass (every embedding shifted by a constant — far
+    from all trained centroids, so frozen-centroid assignment piles it
+    into one cluster), then split the oversized clusters via local
+    2-means — one cluster's rows rewritten, not the corpus.
+
+    Lifecycle ops are inherently eager (they rewrite index state on
+    disk), so the function runs the maintenance and returns a 1-row
+    VERDICT frame computed from before/after ``ivf_index_stats``; the
+    temp index is deleted before returning, which is also why the
+    verdicts are materialized rather than returned as a lazy plan over
+    the index files. Every verdict is deterministic (seeded k-means over
+    a hash-ordered sample): the oracle expects all TRUE."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_append,
+        ivf_index_stats,
+        ivf_split_oversized,
+        save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("vector")
+    )
+    drifted = emb.filter(F.col("vec_id") < 300).select(
+        (F.col("vec_id") + 1_000_000).alias("cid"),
+        F.transform("embedding", lambda x: x + F.lit(8.0))
+        .cast("array<float>")
+        .alias("vector"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_drift_")
+    try:
+        indexed, cents = build_ivf_index(corpus, "vector", n_clusters=8, seed=42)
+        save_ivf_index(indexed, cents, path)
+        ivf_append(drifted, path)
+        before = ivf_index_stats(spark, path).toPandas()
+        split = ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
+        after = ivf_index_stats(spark, path).toPandas()
+        verdict = pd.DataFrame(
+            {
+                "drift_skewed_index": [bool(before.skew_vs_balanced.max() >= 2.0)],
+                "split_happened": [len(split) > 0],
+                "clusters_grew": [len(after) > len(before)],
+                "skew_reduced": [
+                    bool(
+                        after.skew_vs_balanced.max()
+                        < before.skew_vs_balanced.max()
+                    )
+                ],
+                "rows_preserved": [
+                    int(after.n_rows.sum()) == int(before.n_rows.sum())
+                ],
+            }
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(verdict)
+
+
+_IVF_DRIFT_SPLIT_ORACLE = """
+SELECT TRUE AS drift_skewed_index, TRUE AS split_happened,
+  TRUE AS clusters_grew, TRUE AS skew_reduced, TRUE AS rows_preserved
+"""
+
+
 def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch term frequencies (operators/sketches.py): build a
     4×512 sketch over every document token (one groupBy, map-side
@@ -8543,6 +8616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
         "vec_topk_auto": vec_topk_auto,
+        "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "knn_label_vote": knn_label_vote,
@@ -8729,6 +8803,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
         "vec_topk_auto": _VEC_TOPK_AUTO_ORACLE,
+        "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,

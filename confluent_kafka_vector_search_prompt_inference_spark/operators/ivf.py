@@ -252,6 +252,172 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def recover_split(path: str, *, cluster_col: str = "ivf_cluster") -> None:
+    """Finish or abandon a cluster split that crashed mid-commit.
+
+    :func:`ivf_split_oversized` stages EVERYTHING under ``split_tmp/``
+    (both halves' parquet dirs, the updated centroid table, a
+    ``plan.json`` naming the cluster ids) and stamps ``_COMMIT`` only
+    when staging is complete; the commit is then a fixed sequence of
+    renames, each guarded by source-existence checks so it replays
+    idempotently from any crash point. No ``_COMMIT`` → nothing was
+    published — roll back by deleting the stage. Called on every index
+    load, mirroring ``recover_vacuum``/``catalog.recover_forget``."""
+    import json
+    import shutil
+
+    st = os.path.join(path, "split_tmp")
+    if not os.path.isdir(st):
+        return
+    if not os.path.exists(os.path.join(st, "_COMMIT")):
+        shutil.rmtree(st)  # staging died before commit — old state intact
+        return
+    with open(os.path.join(st, "plan.json")) as fh:
+        plan = json.load(fh)
+    c, b = plan["cluster"], plan["new_cluster"]
+    corpus = os.path.join(path, "corpus")
+    c_dir = os.path.join(corpus, f"{cluster_col}={c}")
+    # 1. retire the old oversized-cluster dir (skip if already moved)
+    if os.path.isdir(c_dir) and not os.path.isdir(os.path.join(st, "oldc")):
+        os.rename(c_dir, os.path.join(st, "oldc"))
+    # 2./3. publish the two halves
+    if os.path.isdir(os.path.join(st, "newc")):
+        os.rename(os.path.join(st, "newc"), c_dir)
+    if os.path.isdir(os.path.join(st, "newb")):
+        os.rename(os.path.join(st, "newb"), os.path.join(corpus, f"{cluster_col}={b}"))
+    # 4. publish the updated centroid table
+    cent = os.path.join(path, "centroids")
+    if os.path.isdir(os.path.join(st, "centroids")):
+        if os.path.isdir(cent):
+            shutil.rmtree(os.path.join(st, "oldcent"), ignore_errors=True)
+            os.rename(cent, os.path.join(st, "oldcent"))
+        os.rename(os.path.join(st, "centroids"), cent)
+    # 5. clean up (also removes oldc/oldcent)
+    shutil.rmtree(st)
+
+
+def ivf_split_oversized(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_skew: float = 2.0,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    max_iter: int = 10,
+    cluster_col: str = "ivf_cluster",
+) -> list[int]:
+    """Drift-triggered maintenance: split every cluster whose row count
+    exceeds ``max_skew``× the balanced share into two via LOCAL 2-means,
+    instead of rebuilding the whole index.
+
+    The frozen-centroid append lifecycle (:func:`ivf_append`) degrades
+    exactly one way: drifted mass piles into few clusters, so probes
+    into them rescan ever-larger partitions (recall holds, cost
+    doesn't — and past one cluster ≫ others, recall too: a fixed
+    ``n_probe`` spends its budget inside one giant cell).
+    :func:`ivf_index_stats` measures that skew; this acts on it. Per
+    oversized cluster: sample its rows (order-invariant hash sample),
+    fit 2-means locally (a single cluster's sample — milliseconds),
+    reassign ONLY that cluster's rows between the two sub-centroids,
+    and commit via the staged-rename protocol in :func:`recover_split`
+    (crash anywhere leaves either the old cluster or the completed
+    split, never half). The rewrite touches one cluster's rows — at
+    100 TB that is ``share`` of the corpus, not the corpus; tombstoned
+    ids are dropped for free along the way (the stage reads through
+    ``apply_tombstones``), and append/delete/vacuum see a normal flat
+    layout afterwards. Returns the ids of the clusters that were split
+    (new sub-clusters take fresh ids past the current maximum).
+
+    Streaming-layout corpora (``_batch=*`` epochs from
+    ``streaming.pipeline.ivf_insert``) must be folded flat first
+    (:func:`ivf_compact`) — raising here beats silently splitting a
+    partial view."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._kmeans import kmeans_fit
+
+    if _glob.glob(os.path.join(path, "corpus", "_batch=*")):
+        raise ValueError(
+            "ivf_split_oversized requires a flat cluster-partitioned corpus; "
+            "run ivf_compact first to fold the streaming _batch=* epochs"
+        )
+    split: list[int] = []
+    unsplittable: set[int] = set()
+    while True:
+        corpus, centroids = load_ivf_index(spark, path)
+        n_clusters = len(centroids)
+        counts = {
+            r[cluster_col]: r["n"]
+            for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(counts.values())
+        if not total:
+            return split
+        balanced = total / n_clusters
+        over = [
+            (c, n)
+            for c, n in counts.items()
+            if n >= max_skew * balanced and n >= 2 and c not in unsplittable
+        ]
+        if not over:
+            return split
+        # worst first; one split per iteration (each changes the balance)
+        c = max(over, key=lambda t: t[1])[0]
+        rows_c = corpus.filter(F.col(cluster_col) == c)
+        vec_col = next(
+            f.name for f in corpus.schema.fields
+            if isinstance(f.dataType, ArrayType)
+        )
+        rows = (
+            rows_c.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample_rows)
+            .collect()
+        )
+        X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+        sub = kmeans_fit(X, 2, seed=seed, max_iter=max_iter)
+        b = n_clusters  # fresh id past the current maximum
+        assign = _nearest_clusters_udf(sub, n_probe=1)
+        halves = rows_c.withColumn(
+            "__half", F.element_at(assign(F.col(vec_col)), 1)
+        ).localCheckpoint(eager=True)  # assignment runs once, not per half
+        n_b = halves.filter(F.col("__half") == 1).count()
+        if n_b == 0 or n_b == counts[c]:
+            # degenerate (e.g. all-identical vectors): 2-means cannot
+            # separate it — skip rather than loop forever
+            unsplittable.add(int(c))
+            continue
+        st = os.path.join(path, "split_tmp")
+        shutil.rmtree(st, ignore_errors=True)
+        os.makedirs(st)
+        data_cols = [col for col in corpus.columns if col != cluster_col]
+        halves.filter(F.col("__half") == 0).select(*data_cols).write.parquet(
+            os.path.join(st, "newc")
+        )
+        halves.filter(F.col("__half") == 1).select(*data_cols).write.parquet(
+            os.path.join(st, "newb")
+        )
+        new_cent = np.vstack([centroids, sub[1][None, :]])
+        new_cent[c] = sub[0]
+        cent_pdf = pd.DataFrame(
+            {
+                "cluster_id": [int(i) for i in range(len(new_cent))],
+                "centroid": [[float(x) for x in row] for row in new_cent],
+            }
+        )
+        spark.createDataFrame(
+            cent_pdf, schema="cluster_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(st, "centroids"))
+        with open(os.path.join(st, "plan.json"), "w") as fh:
+            json.dump({"cluster": int(c), "new_cluster": int(b)}, fh)
+        with open(os.path.join(st, "_COMMIT"), "w"):
+            pass
+        recover_split(path, cluster_col=cluster_col)
+        split.append(int(c))
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
     """(partition-pruned corpus DataFrame, centroid matrix) from disk.
     Tombstoned ids (:func:`ivf_delete`) are anti-joined out — broadcast,
@@ -262,6 +428,7 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarra
     )
 
     recover_vacuum(path)
+    recover_split(path)
     corpus_dir = os.path.join(path, "corpus")
     import glob as _glob
 

@@ -377,6 +377,102 @@ def _rowwise_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarr
     return out_idx, scores[np.arange(scores.shape[0])[:, None], out_idx]
 
 
+class PreparedCorpus:
+    """A corpus collected and broadcast ONCE for repeated broadcast-side
+    top-k joins — the streaming steady state, where every micro-batch
+    searches the SAME corpus. Without it, each ``foreachBatch`` call of
+    :func:`topk_similarity_join` re-collects and re-broadcasts the
+    unchanged matrix: measured on the round-6 streaming ladder, that
+    re-collect took ``rag_transform`` from 251 rows/s at a 10k corpus to
+    7.4 rows/s at 1M (p50 batch 72s — nearly all of it corpus collect).
+    Build with :func:`prepare_broadcast_corpus`; search with
+    :func:`topk_prepared`."""
+
+    def __init__(self, bc, corpus_id: str, id_type, metric: str) -> None:
+        self.bc = bc
+        self.corpus_id = corpus_id
+        self.id_type = id_type
+        self.metric = metric
+
+    def unpersist(self) -> None:
+        self.bc.unpersist()
+
+
+def prepare_broadcast_corpus(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    metric: str = "dot",
+    budget_bytes: int = _BROADCAST_BUDGET_BYTES,
+) -> PreparedCorpus:
+    """Collect the corpus matrix once and broadcast it PRE-TRANSPOSED in
+    float64 — the exact layout the scorer consumes — so per-batch workers
+    skip both the collect AND the 2× transpose/convert copy every batch
+    (the second round-6 ladder finding: with the collect hoisted, the
+    per-worker float64 conversion of a 256 MB matrix still dominated each
+    micro-batch). Memory: the broadcast is 8 bytes/dim, 2× the float32
+    footprint; the ``budget_bytes`` gate applies to the float32 size the
+    per-call strategies use, keeping the two paths' eligibility aligned.
+    Raises when the ACTUAL matrix exceeds the budget — the caller then
+    needs the persisted-index path (IVF) rather than a broadcast."""
+    ids, mat = _collect_matrix(corpus, corpus_id, corpus_vec)
+    if mat.nbytes > budget_bytes:
+        raise ValueError(
+            f"corpus matrix is {mat.nbytes} bytes (> budget {budget_bytes}); "
+            "use a persisted IVF index (vector_index=) instead of a broadcast"
+        )
+    if metric == "cosine":
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+    else:
+        norms = None
+    matT = np.ascontiguousarray(mat.T.astype(np.float64))
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, matT, norms))
+    return PreparedCorpus(bc, corpus_id, corpus.schema[corpus_id].dataType, metric)
+
+
+def topk_prepared(
+    queries: DataFrame,
+    prepared: PreparedCorpus,
+    k: int,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    score_col: str = "score",
+    rank_col: str = "rank",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact broadcast-corpus top-k against a :class:`PreparedCorpus` —
+    identical result to ``strategy='broadcast_corpus'``, but the corpus
+    collect/broadcast was paid once at preparation time, not per call.
+
+    The query batch is repartitioned to ``parallelism`` (default: the
+    cluster's default parallelism) before the scan: streaming
+    micro-batches arrive as one or two file splits, and a single-split
+    batch runs the whole |Q|×|C| matmul in ONE task — at a 1M-row corpus
+    that serialized 50+ s/batch on the round-6 ladder. Queries are narrow
+    (id + vector), so the spread shuffle is kilobytes."""
+    sc = queries.sparkSession.sparkContext
+    n_parts = parallelism or sc.defaultParallelism
+    return _broadcast_scan(
+        queries.select(query_id, query_vec).repartition(n_parts),
+        stream_id=query_id,
+        stream_vec=query_vec,
+        bc=prepared.bc,
+        metric=prepared.metric,
+        k=k,
+        query_id=query_id,
+        q_type=queries.schema[query_id].dataType,
+        corpus_id=prepared.corpus_id,
+        c_type=prepared.id_type,
+        score_col=score_col,
+        rank_col=rank_col,
+        broadcast_side="corpus",
+        pre_transposed=True,
+    )
+
+
 def _topk_numpy_broadcast(
     queries: DataFrame,
     corpus: DataFrame,
@@ -411,13 +507,45 @@ def _topk_numpy_broadcast(
     else:
         b_norm = None
     bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    return _broadcast_scan(
+        stream_df,
+        stream_id=stream_id,
+        stream_vec=stream_vec,
+        bc=bc,
+        metric=metric,
+        k=k,
+        query_id=query_id,
+        q_type=queries.schema[query_id].dataType,
+        corpus_id=corpus_id,
+        c_type=corpus.schema[corpus_id].dataType,
+        score_col=score_col,
+        rank_col=rank_col,
+        broadcast_side=broadcast_side,
+    )
 
-    q_field = queries.schema[query_id].dataType
-    c_field = corpus.schema[corpus_id].dataType
+
+def _broadcast_scan(
+    stream_df: DataFrame,
+    *,
+    stream_id: str,
+    stream_vec: str,
+    bc,
+    metric: str,
+    k: int,
+    query_id: str,
+    q_type,
+    corpus_id: str,
+    c_type,
+    score_col: str,
+    rank_col: str,
+    broadcast_side: str,
+    pre_transposed: bool = False,
+) -> DataFrame:
+
     out_schema = StructType(
         [
-            StructField(query_id, q_field),
-            StructField(corpus_id, c_field),
+            StructField(query_id, q_type),
+            StructField(corpus_id, c_type),
             StructField(score_col, DoubleType()),
             StructField(rank_col, IntegerType()),
         ]
@@ -429,7 +557,7 @@ def _topk_numpy_broadcast(
         ids, mat, norms = bc.value
         if mat.size == 0:  # empty broadcast side → empty result, not a crash
             return
-        matT = mat.T.astype(np.float64)
+        matT = mat if pre_transposed else mat.T.astype(np.float64)
         for pdf in batches:
             if pdf.empty:
                 continue

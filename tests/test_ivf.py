@@ -320,3 +320,171 @@ def test_ivf_compact_and_stats_streaming_layout(spark, embeddings, ivf, tmp_path
     rows = stats.collect()
     assert sum(r.n_rows for r in rows) == n_before - 1
     assert all(abs(r.share - r.n_rows / (n_before - 1)) < 1e-5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# drift-triggered maintenance: split oversized clusters (round 6)
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import (  # noqa: E402
+    ivf_append,
+    ivf_delete,
+    ivf_index_stats,
+    ivf_split_oversized,
+    load_ivf_index,
+    recover_split,
+    save_ivf_index,
+)
+
+
+def _drifted(embeddings, lo, hi, shift):
+    """Corpus rows shifted by a constant — mass far from every trained
+    centroid, so frozen-centroid appends pile into ONE nearest cluster."""
+    return embeddings.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        (F.col("vec_id") + 100_000).alias("cid"),
+        F.transform("embedding", lambda x: x + shift)
+        .cast("array<float>")
+        .alias("vector"),
+    )
+
+
+def _probe_recall(spark, path, queries, k=5, n_probe=2):
+    """recall@k of the persisted index's probe vs exact brute force."""
+    corpus, cents = load_ivf_index(spark, path)
+    approx = topk_ivf(
+        queries, corpus, cents, k=k,
+        query_id="qid", corpus_id="cid", n_probe=n_probe,
+    ).select("qid", "cid")
+    exact = topk_similarity_join(
+        queries, corpus.select("cid", "vector"), k,
+        query_id="qid", corpus_id="cid", strategy="broadcast_queries",
+    ).select("qid", "cid")
+    hits = exact.join(approx, ["qid", "cid"]).count()
+    return hits / exact.count()
+
+
+def test_split_oversized_heals_drift_skew(spark, embeddings, ivf, tmp_path):
+    """The round-6 maintenance contract: a drifted append stream piles
+    into one cluster; ivf_split_oversized splits it locally (no full
+    rebuild) — skew drops, cluster count grows, probe recall on the
+    drifted queries comes back to within epsilon of a FRESH rebuild at
+    the same cluster count, and the lifecycle (append/delete) still
+    works on the split index."""
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "drift_idx")
+    save_ivf_index(indexed, centroids, path)
+
+    # drifted appends: 300 far-shifted rows → nearest-centroid assignment
+    # concentrates them
+    ivf_append(_drifted(embeddings, 0, 300, 8.0), path)
+    stats_before = ivf_index_stats(spark, path).toPandas()
+    assert stats_before.skew_vs_balanced.max() >= 2.0, "drift failed to skew"
+
+    dq = _drifted(embeddings, 0, 40, 8.0).select(
+        (F.col("cid") - 100_000).alias("qid"), "vector"
+    )
+    split = ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
+    assert split, "no cluster was split despite skew >= 2"
+
+    stats_after = ivf_index_stats(spark, path).toPandas()
+    assert len(stats_after) > len(stats_before)  # new sub-clusters exist
+    assert stats_after.skew_vs_balanced.max() < stats_before.skew_vs_balanced.max()
+    # no rows lost or duplicated by the swap
+    assert stats_after.n_rows.sum() == stats_before.n_rows.sum()
+
+    # recall vs a fresh rebuild at the same cluster count
+    r_split = _probe_recall(spark, path, dq)
+    fresh_path = str(tmp_path / "fresh_idx")
+    all_rows = load_ivf_index(spark, path)[0].select("cid", "vector")
+    fr_indexed, fr_cents = build_ivf_index(
+        all_rows, "vector", n_clusters=len(stats_after), seed=7
+    )
+    save_ivf_index(fr_indexed, fr_cents, fresh_path)
+    r_fresh = _probe_recall(spark, fresh_path, dq)
+    assert r_split >= r_fresh - 0.15, (
+        f"split-index recall {r_split} fell past fresh-rebuild {r_fresh}"
+    )
+
+    # lifecycle intact: append + tombstone delete still work
+    ivf_append(_drifted(embeddings, 300, 310, 8.0), path)
+    ivf_delete(
+        spark.createDataFrame([(100_000,)], "cid long"), path
+    )
+    reloaded, _ = load_ivf_index(spark, path)
+    assert reloaded.filter(F.col("cid") == 100_000).count() == 0
+    assert reloaded.filter(F.col("cid") >= 100_300).count() == 10
+
+
+def test_split_drops_tombstones_in_rewritten_cluster(spark, embeddings, ivf, tmp_path):
+    """The split stage reads through apply_tombstones, so tombstoned rows
+    of the rewritten cluster are physically dropped for free."""
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "tomb_idx")
+    save_ivf_index(indexed, centroids, path)
+    ivf_append(_drifted(embeddings, 0, 300, 8.0), path)
+    dead = spark.createDataFrame([(100_000 + i,) for i in range(50)], "cid long")
+    ivf_delete(dead, path)
+    n_before = load_ivf_index(spark, path)[0].count()
+    split = ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
+    assert split
+    after, _ = load_ivf_index(spark, path)
+    assert after.count() == n_before  # tombstoned rows stay gone
+    assert after.filter(F.col("cid") < 100_050).filter(F.col("cid") >= 100_000).count() == 0
+
+
+def test_recover_split_rolls_back_unstamped_stage(spark, embeddings, ivf, tmp_path):
+    """A stage without _COMMIT means the split died before publishing —
+    recovery must delete it and leave the index untouched."""
+    import os
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "rb_idx")
+    save_ivf_index(indexed, centroids, path)
+    n = load_ivf_index(spark, path)[0].count()
+    st = os.path.join(path, "split_tmp")
+    os.makedirs(os.path.join(st, "newc"))
+    reloaded, cents = load_ivf_index(spark, path)  # triggers recovery
+    assert not os.path.exists(st)
+    assert reloaded.count() == n
+    assert len(cents) == len(centroids)
+
+
+def test_recover_split_replays_partial_commit(spark, embeddings, ivf, tmp_path):
+    """Crash mid-commit (old cluster dir retired, halves not yet
+    published): the next load rolls the staged split FORWARD — same
+    row count, one more cluster, stage gone."""
+    import json
+    import os
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "fw_idx")
+    save_ivf_index(indexed, centroids, path)
+    ivf_append(_drifted(embeddings, 0, 300, 8.0), path)
+    n = load_ivf_index(spark, path)[0].count()
+
+    # run a real split (may cascade into several) to produce a published
+    # state, then rewind ONE split's commit to its first step and let
+    # recovery replay the rest
+    split = ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
+    assert split
+    n_cents_post = len(load_ivf_index(spark, path)[1])
+    c = split[0]
+    corpus_dir = os.path.join(path, "corpus")
+    st = os.path.join(path, "split_tmp")
+    b = len(centroids)  # the id the first split allocated
+    # reconstruct "crashed after step 1": stash the published halves back
+    # into a stage and retire the live c dir
+    os.makedirs(st)
+    os.rename(os.path.join(corpus_dir, f"ivf_cluster={c}"), os.path.join(st, "newc"))
+    os.rename(os.path.join(corpus_dir, f"ivf_cluster={b}"), os.path.join(st, "newb"))
+    with open(os.path.join(st, "plan.json"), "w") as fh:
+        json.dump({"cluster": int(c), "new_cluster": int(b)}, fh)
+    with open(os.path.join(st, "_COMMIT"), "w"):
+        pass
+
+    reloaded, cents = load_ivf_index(spark, path)  # recovery completes it
+    assert not os.path.exists(st)
+    assert reloaded.count() == n
+    assert len(cents) == n_cents_post

@@ -5,13 +5,21 @@ Usage: python tools/bench_compare.py OLD.json NEW.json [ratio_threshold]
 Prints per-query ratios (new/old) for the common subset, the common-subset
 total ratio, queries only in one side, and streaming throughput movement.
 Exit code 1 if any common query regressed beyond the threshold (default
-2.0 — the round-over-round bar the verdicts grade against).
+2.0 — the round-over-round bar the verdicts grade against), OR if a
+streaming lane's rows/sec dropped by more than STREAM_DROP (30%) — the
+round-6 contract that turns the streaming numbers from a chart into a
+gate. Streaming runs are 8-batch and noisy at ±15%, so the 30% bar
+flags real plan regressions without tripping on scheduler jitter.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+#: a streaming lane dropping more than this fraction of its rows/sec
+#: round-over-round fails the compare (see module docstring).
+STREAM_DROP = 0.30
 
 
 def _load(path: str) -> dict:
@@ -53,10 +61,19 @@ def main() -> int:
         if only:
             print(f"{label}: {sorted(only)}")
     so, sn = old.get("streaming") or {}, new.get("streaming") or {}
+    stream_regressed = False
     for k in sorted(set(so) & set(sn)):
-        print(f"streaming {k}: {so[k]['rows_per_sec']:.0f} -> "
-              f"{sn[k]['rows_per_sec']:.0f} rows/s")
-    return 1 if worst > threshold else 0
+        o_rps = so[k].get("rows_per_sec") or 0.0
+        n_rps = sn[k].get("rows_per_sec") or 0.0
+        drop = 1.0 - n_rps / o_rps if o_rps else 0.0
+        flag = ""
+        if drop > STREAM_DROP:
+            stream_regressed = True
+            flag = f" <-- regressed ({drop:.0%} drop)"
+        print(
+            f"streaming {k}: {o_rps:.0f} -> {n_rps:.0f} rows/s{flag}"
+        )
+    return 1 if (worst > threshold or stream_regressed) else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,274 @@
+"""Streaming scale ladder: measure the continuous lanes against GROWING
+landed state — the axis the per-round streaming bench never moves.
+
+The batch SCALECHECK ladders input size; these lanes' cost driver is
+different: ``near_dedup_insert`` joins every micro-batch against the
+LANDED-signature table (history), and ``rag_transform`` retrieves
+against the indexed corpus. Both run forever in the reference's model
+(continuous INSERT-SELECT, reference ``README.md:435``), so their
+steady-state throughput at year-2 history is the number that matters —
+not their throughput into an empty sink.
+
+Method per rung (10k / 100k / 1M):
+
+- ``near_dedup_insert``: pre-land ``rung`` synthetic docs WITH their
+  MinHash signatures directly into the sink's ``_batch=0`` epoch (the
+  exact layout the writer produces), then stream a FIXED 2,000-doc
+  increment through in 4 micro-batches. 1% of incoming rows are planted
+  near-copies of landed rows (same token stream + one extra token ⇒
+  shingle Jaccard ≈ 0.9), so the landed-verify path does real work.
+  Rows/sec is metered on the fixed increment, so a drop across rungs
+  isolates the cost of HISTORY, not input.
+- ``rag_transform``: index ``rung`` docs as the retrieval corpus
+  (HashingEmbedder, cached, built outside the timed loop — index build
+  is amortized in production), then stream the same fixed 2,000
+  questions through the full RAG transform in 4 micro-batches.
+
+Output: a ``streaming`` section in SCALECHECK.json — per lane, per rung:
+rows/sec, p50/p95 batch ms, landed/dropped sanity counts, and the
+derived per-10×-state slowdown factor (1.0 = history-free; ``rung``/
+``slowdown`` relationships far under 10× per decade = sub-linear in
+history).
+
+Usage: python tools/stream_scalecheck.py [rung ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+RUNGS = [10_000, 100_000, 1_000_000]
+INCOMING_ROWS = 2_000
+N_BATCHES = 4
+PLANT_EVERY = 100  # 1% of incoming rows are near-copies of landed rows
+_ID_OFFSET = 10_000_000
+
+
+def _synth_docs(spark, n: int, *, id_offset: int = 0, seed: int = 0,
+                n_tokens: int = 30, vocab: int = 2_000):
+    """Deterministic synthetic corpus: doc i = n_tokens words drawn by
+    hash from a vocab-word space. Distinct seeds ⇒ disjoint shingle
+    space (no accidental near-dups); same seed + same id ⇒ identical
+    text (the handle planted dups are built from)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(vocab)),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def _progress_stats(query, wall_sec: float, source_rows: int) -> dict:
+    prog = [p for p in (query.recentProgress or []) if p.get("numInputRows", 0) > 0]
+    durs = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+    if not durs:
+        return {"batches": 0}
+    return {
+        "batches": len(durs),
+        "rows": source_rows,
+        "rows_per_sec": round(source_rows / wall_sec, 1),
+        "p50_batch_ms": int(statistics.median(durs)),
+        "p95_batch_ms": int(durs[min(len(durs) - 1, int(len(durs) * 0.95))]),
+    }
+
+
+def _near_dedup_rung(spark, rung: int, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        near_dedup_insert,
+        read_sink,
+    )
+
+    sink = os.path.join(work, f"nd_sink_{rung}")
+    ckpt = os.path.join(work, f"nd_ckpt_{rung}")
+    # --- pre-land `rung` docs with signatures, exactly the writer's
+    # layout. Epoch -1: the stream's own epochs start at 0, and the
+    # idempotent writer SKIPS an epoch whose dir is already committed —
+    # landing history as _batch=0 would silently swallow the first
+    # micro-batch.
+    landed = _synth_docs(spark, rung, seed=0)
+    sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
+    landed.join(
+        sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+
+    # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
+    # landed rows (seed 0 text of id mod rung, one token appended)
+    inc = spark.range(INCOMING_ROWS)
+    fresh = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
+    planted_src = _synth_docs(spark, INCOMING_ROWS, seed=0).select(
+        F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
+    )
+    incoming = (
+        inc.select(
+            F.col("id"),
+            (F.col("id") + _ID_OFFSET).alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(min(rung, INCOMING_ROWS))).alias("__pid"),
+        )
+        .join(F.broadcast(planted_src), "__pid")
+        .join(
+            fresh.select(F.col("doc_id"), F.col("text").alias("__ftext")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("id") % PLANT_EVERY == 0,
+                F.concat(F.col("__ptext"), F.lit(" zextra")),
+            )
+            .otherwise(F.col("__ftext"))
+            .alias("text"),
+        )
+    )
+    src = os.path.join(work, f"nd_src_{rung}")
+    incoming.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t0 = time.time()
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema),
+        sink, ckpt,
+        id_col="doc_id", text_col="text", trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    landed_after = read_sink(spark, sink).count()
+    stats["landed_rows"] = landed_after - rung
+    stats["dropped_rows"] = INCOMING_ROWS - stats["landed_rows"]
+    return stats
+
+
+def _rag_rung(spark, rung: int, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.models import (
+        HashingEmbedder,
+        ModelRegistry,
+        TemplateLLM,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        continuous_insert,
+        file_stream_reader,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    pipe = RagPipeline(registry, k=3)
+    corpus_docs = _synth_docs(spark, rung, seed=2).select(
+        F.col("doc_id").alias("product_id"), F.col("text").alias("content")
+    )
+    corpus = registry.ml_predict(corpus_docs, "vector_encoding", "content").cache()
+    corpus.count()  # index build cost stays out of the timed loop
+
+    questions = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=3).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("string").alias("sessionid"),
+    )
+    src = os.path.join(work, f"rag_src_{rung}")
+    questions.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # transform construction prepares the corpus broadcast — one-time
+    # index-build-shaped cost, outside the timed loop like the .cache()
+    transform = pipe.streaming_transform(corpus)
+    t0 = time.time()
+    q = continuous_insert(
+        file_stream_reader(spark, src, schema),
+        os.path.join(work, f"rag_sink_{rung}"),
+        os.path.join(work, f"rag_ckpt_{rung}"),
+        transform=transform,
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    corpus.unpersist()
+    if getattr(transform, "prepared", None) is not None:
+        transform.prepared.unpersist()  # don't leak rung broadcasts
+    return stats
+
+
+def _add_slowdowns(rows: dict) -> None:
+    """Per-decade slowdown factors: rps(rung)/rps(10·rung). 10.0 would be
+    linear-in-history; ≪ 10 is the sub-linear target."""
+    rungs = sorted(int(r) for r in rows if not r.startswith("slowdown"))
+    for lo, hi in zip(rungs, rungs[1:]):
+        a, b = rows[str(lo)], rows[str(hi)]
+        if a.get("rows_per_sec") and b.get("rows_per_sec"):
+            rows[f"slowdown_{lo}_to_{hi}"] = round(
+                a["rows_per_sec"] / b["rows_per_sec"], 2
+            )
+
+
+def main() -> int:
+    from confluent_kafka_vector_search_prompt_inference_spark import get_spark
+
+    rungs = [int(a) for a in sys.argv[1:]] or RUNGS
+    spark = get_spark("spark-graft-stream-scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
+    results: dict[str, dict] = {"near_dedup_insert": {}, "rag_transform": {}}
+    try:
+        for rung in rungs:
+            s = _near_dedup_rung(spark, rung, work)
+            results["near_dedup_insert"][str(rung)] = s
+            print(f"near_dedup_insert @ {rung:>9,} landed: {s}")
+            s = _rag_rung(spark, rung, work)
+            results["rag_transform"][str(rung)] = s
+            print(f"rag_transform     @ {rung:>9,} corpus: {s}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    path = "/root/repo/SCALECHECK.json"
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = json.load(fh)
+    streaming = doc.setdefault("streaming", {})
+    streaming["note"] = (
+        "fixed 2k-row increment streamed in 4 micro-batches against a "
+        "pre-landed sink (near_dedup_insert) / pre-indexed corpus "
+        "(rag_transform) of rung rows; rows_per_sec meters the increment, "
+        "so movement across rungs isolates the cost of landed HISTORY. "
+        "slowdown_A_to_B = rps(A)/rps(B); 10.0 per decade would be "
+        "linear-in-history, the target is far under."
+    )
+    for lane, rows in results.items():
+        streaming.setdefault(lane, {}).update(rows)
+    # slowdowns derive from the MERGED rungs (a subset re-run must refresh
+    # them against the retained rungs, not leave stale pre-merge ratios)
+    for lane, rows in streaming.items():
+        if lane == "note":
+            continue
+        for k in [k for k in rows if k.startswith("slowdown_")]:
+            del rows[k]
+        _add_slowdowns(rows)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print("wrote SCALECHECK.json streaming section")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
