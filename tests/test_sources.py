@@ -118,7 +118,9 @@ def test_decode_image_rejects_unknown_formats():
 
     with pytest.raises(ValueError):
         decode_image(b"not an image")
-    with pytest.raises(NotImplementedError):
+    # JPEG decodes for real since round 6; a TRUNCATED stream still
+    # raises rather than returning garbage
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg header")
 
 
