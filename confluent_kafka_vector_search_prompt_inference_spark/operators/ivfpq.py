@@ -220,8 +220,10 @@ def load_ivfpq_index(
         apply_tombstones,
         recover_vacuum,
     )
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import recover_split
 
     recover_vacuum(path)
+    recover_split(path)
     corpus = apply_tombstones(
         spark, spark.read.parquet(os.path.join(path, "corpus")), path
     )
@@ -363,6 +365,117 @@ def ivfpq_vacuum(
         .mode("overwrite")
         .parquet(tmp),
     )
+
+
+def ivfpq_split_oversized(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_skew: float = 2.0,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "vector",
+    code_col: str = "pq_codes",
+    cluster_col: str = "ivf_cluster",
+) -> list[int]:
+    """Drift-triggered maintenance for the composed index — the IVF-PQ
+    twin of :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.ivf.ivf_split_oversized`.
+
+    Per cluster past ``max_skew``× the balanced share: 2-means on a hash
+    sample of that cluster's RAW vectors (the saved corpus keeps them for
+    exact rescoring, so no reconstruction error enters), then one Arrow
+    pass re-assigns the cluster's rows between the two sub-centroids and
+    re-encodes their residuals against the FROZEN codebooks
+    (:func:`_assign_encode_udf` with the 2-row sub-centroid matrix).
+    Residual codes must change when the centroid changes — ADC scores
+    ``q·c + LUT(residual)`` — which is why a split here rewrites codes,
+    not just directory membership. Codebooks stay frozen: residual
+    distributions shrink after a split, so frozen books only get easier
+    to hit (rebuild with :func:`build_ivfpq_index` remains the lever for
+    codebook-quality drift).
+
+    Commit/crash protocol, stats, and degenerate handling are shared
+    with the IVF implementation (``recover_split`` replays from any
+    crash point on every load; one cluster's rows rewritten, never the
+    corpus). Returns the split cluster ids."""
+    import json
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._kmeans import kmeans_fit
+
+    split: list[int] = []
+    unsplittable: set[int] = set()
+    while True:
+        corpus, centroids, codebooks = load_ivfpq_index(spark, path)
+        n_clusters = len(centroids)
+        counts = {
+            r[cluster_col]: r["n"]
+            for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(counts.values())
+        if not total:
+            return split
+        balanced = total / n_clusters
+        over = [
+            (c, n)
+            for c, n in counts.items()
+            if n >= max_skew * balanced and n >= 2 and c not in unsplittable
+        ]
+        if not over:
+            return split
+        c = max(over, key=lambda t: t[1])[0]
+        rows_c = corpus.filter(F.col(cluster_col) == c)
+        rows = (
+            rows_c.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample_rows)
+            .collect()
+        )
+        X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+        sub = kmeans_fit(X, 2, seed=seed, max_iter=max_iter)
+        b = n_clusters
+        reenc = _assign_encode_udf(sub, codebooks)
+        halves = (
+            rows_c.withColumn("__re", reenc(F.col(vec_col)))
+            .withColumn("__half", F.col("__re").getField("cluster"))
+            .withColumn(code_col, F.col("__re").getField("codes"))
+            .drop("__re")
+            .localCheckpoint(eager=True)  # assign+encode runs once
+        )
+        n_b = halves.filter(F.col("__half") == 1).count()
+        if n_b == 0 or n_b == counts[c]:
+            unsplittable.add(int(c))
+            continue
+        st = os.path.join(path, "split_tmp")
+        shutil.rmtree(st, ignore_errors=True)
+        os.makedirs(st)
+        data_cols = [col for col in corpus.columns if col != cluster_col]
+        halves.filter(F.col("__half") == 0).select(*data_cols).write.parquet(
+            os.path.join(st, "newc")
+        )
+        halves.filter(F.col("__half") == 1).select(*data_cols).write.parquet(
+            os.path.join(st, "newb")
+        )
+        new_cent = np.vstack([centroids, sub[1][None, :]])
+        new_cent[c] = sub[0]
+        cent_pdf = pd.DataFrame(
+            {
+                "cluster_id": [int(i) for i in range(len(new_cent))],
+                "centroid": [[float(x) for x in row] for row in new_cent],
+            }
+        )
+        spark.createDataFrame(
+            cent_pdf, schema="cluster_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(st, "centroids"))
+        with open(os.path.join(st, "plan.json"), "w") as fh:
+            json.dump({"cluster": int(c), "new_cluster": int(b)}, fh)
+        with open(os.path.join(st, "_COMMIT"), "w"):
+            pass
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import recover_split
+
+        recover_split(path, cluster_col=cluster_col)
+        split.append(int(c))
 
 
 def ivfpq_append(

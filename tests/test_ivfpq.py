@@ -152,3 +152,109 @@ def test_ivfpq_append_schema_guard(spark, ivfpq_setup, tmp_path):
     bad = corpus.withColumn("extra", _F.lit(1))
     with _pytest.raises(ValueError, match="schema mismatch"):
         ivfpq_append(bad, path)
+
+
+# ---------------------------------------------------------------------------
+# drift-triggered maintenance (round 6): split oversized clusters
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import (  # noqa: E402
+    ivfpq_append,
+    ivfpq_split_oversized,
+)
+
+
+def _pq_drifted(embeddings, lo, hi, shift):
+    return embeddings.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        (F.col("vec_id") + 100_000).alias("cid"),
+        F.transform("embedding", lambda x: x + shift)
+        .cast("array<float>")
+        .alias("vector"),
+    )
+
+
+def _probe_recall_pq(spark, path, queries, k=10, n_probe=2):
+    corpus, cents, books = load_ivfpq_index(spark, path)
+    approx = topk_ivfpq(
+        queries, corpus, cents, books, k=k,
+        query_id="qid", corpus_id="cid", n_probe=n_probe,
+    ).select("qid", "cid")
+    exact = topk_similarity_join(
+        queries,
+        corpus.select("cid", "vector"), k,
+        query_id="qid", corpus_id="cid", strategy="broadcast_queries",
+    ).select("qid", "cid")
+    hits = exact.join(approx, ["qid", "cid"]).count()
+    return hits / exact.count()
+
+
+def test_ivfpq_split_heals_drift_and_reencodes(spark, embeddings, ivfpq_setup, tmp_path):
+    """Drifted appends pile into one cluster; the split must (a) reduce
+    skew with one more cluster and no row loss, (b) RE-ENCODE the moved
+    rows' residual codes against their new sub-centroid (ADC scores are
+    q·c + LUT(residual) — stale codes would mis-score every moved row),
+    (c) keep probe recall on the drifted queries within epsilon of a
+    fresh rebuild, and (d) leave append/delete working."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import ivfpq_vacuum
+
+    corpus, encoded, centroids, books = ivfpq_setup
+    path = str(tmp_path / "pq_drift")
+    save_ivfpq_index(encoded, centroids, books, path)
+    ivfpq_append(_pq_drifted(embeddings, 0, 300, 8.0), path)
+
+    before, _, _ = load_ivfpq_index(spark, path)
+    counts_before = dict(
+        before.groupBy("ivf_cluster").count().collect()
+    )
+    assert max(counts_before.values()) >= 2.0 * (
+        sum(counts_before.values()) / len(centroids)
+    ), "drift failed to skew"
+    # snapshot the drifted rows' codes before the split
+    codes_before = {
+        r.cid: list(r.pq_codes)
+        for r in before.filter(F.col("cid") >= 100_000).select("cid", "pq_codes").collect()
+    }
+
+    split = ivfpq_split_oversized(spark, path, max_skew=2.0, seed=7)
+    assert split
+
+    after, cents_after, books_after = load_ivfpq_index(spark, path)
+    counts_after = dict(after.groupBy("ivf_cluster").count().collect())
+    assert len(cents_after) > len(centroids)
+    assert sum(counts_after.values()) == sum(counts_before.values())
+    assert max(counts_after.values()) < max(counts_before.values())
+    assert books_after.shape == books.shape  # codebooks frozen
+
+    # moved rows were re-encoded: at least some drifted rows changed codes
+    codes_after = {
+        r.cid: list(r.pq_codes)
+        for r in after.filter(F.col("cid") >= 100_000).select("cid", "pq_codes").collect()
+    }
+    assert codes_after.keys() == codes_before.keys()
+    changed = sum(1 for cid in codes_after if codes_after[cid] != codes_before[cid])
+    assert changed > 0, "split rewrote directories but not residual codes"
+
+    dq = _pq_drifted(embeddings, 0, 40, 8.0).select(
+        (F.col("cid") - 100_000).alias("qid"), "vector"
+    )
+    r_split = _probe_recall_pq(spark, path, dq)
+    fresh = str(tmp_path / "pq_fresh")
+    all_rows = after.select("cid", "vector")
+    fr_enc, fr_cents, fr_books = build_ivfpq_index(
+        all_rows, n_clusters=len(cents_after), m=8, k=32, seed=7, sample_rows=500
+    )
+    save_ivfpq_index(fr_enc, fr_cents, fr_books, fresh)
+    r_fresh = _probe_recall_pq(spark, fresh, dq)
+    assert r_split >= r_fresh - 0.15, (r_split, r_fresh)
+
+    # lifecycle intact after the split
+    ivfpq_append(_pq_drifted(embeddings, 300, 310, 8.0), path)
+    from confluent_kafka_vector_search_prompt_inference_spark.operators._index_io import write_tombstones
+
+    write_tombstones(spark.createDataFrame([(100_000,)], "cid long"), path)
+    reloaded, _, _ = load_ivfpq_index(spark, path)
+    assert reloaded.filter(F.col("cid") == 100_000).count() == 0
+    assert reloaded.filter(F.col("cid") >= 100_300).count() == 10
+    assert ivfpq_vacuum(spark, path) == 1
