@@ -6357,6 +6357,51 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+def vec_topk_auto_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH leg of the recall contract (companion to
+    ``vec_topk_auto``, which exercises the binary tier): the calibrator
+    walks the PROBE-WIDTH ladder (20 → 10,000, the reference's
+    ``numCandidates`` cap) of the banded SRP index instead of the
+    Hamming rescore depth. Same determinism construction: the 20-query
+    set sits inside the 32-query calibration sample, so the measured
+    sample recall IS the full-set recall and the aggregate verdict is
+    guaranteed by the calibration loop (meets target or raises)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+    common = dict(
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector", metric="dot",
+    )
+    approx = topk_similarity_join(
+        q, c, 10, strategy="lsh", recall_target=0.7,
+        calibration_sample=32, **common,
+    ).select("query_id", "neighbor_id")
+    exact = topk_similarity_join(
+        q, c, 10, strategy="broadcast_queries", **common
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h")
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("__h", F.lit(0)).alias("__h"), "__n")
+    )
+    tot = per.agg(F.sum("__h").alias("__hits_tot"), F.sum("__n").alias("__n_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        (F.col("__hits_tot") >= F.ceil(F.col("__n_tot") * 0.7)).alias("agg_recall_ok"),
+    )
+
+
 def ivf_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift-triggered IVF maintenance, end-to-end (round 6,
     operators/ivf.py ``ivf_split_oversized``): build a persisted index,
@@ -8616,6 +8661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
         "vec_bq_topk": vec_bq_topk,
         "vec_topk_auto": vec_topk_auto,
+        "vec_topk_auto_lsh": vec_topk_auto_lsh,
         "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
@@ -8803,6 +8849,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,
         "vec_bq_topk": _VEC_BQ_ORACLE,
         "vec_topk_auto": _VEC_TOPK_AUTO_ORACLE,
+        "vec_topk_auto_lsh": _VEC_TOPK_AUTO_ORACLE,
         "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,

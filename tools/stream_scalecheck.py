@@ -12,17 +12,27 @@ not their throughput into an empty sink.
 Method per rung (10k / 100k / 1M):
 
 - ``near_dedup_insert``: pre-land ``rung`` synthetic docs WITH their
-  MinHash signatures directly into the sink's ``_batch=0`` epoch (the
-  exact layout the writer produces), then stream a FIXED 2,000-doc
-  increment through in 4 micro-batches. 1% of incoming rows are planted
-  near-copies of landed rows (same token stream + one extra token ⇒
-  shingle Jaccard ≈ 0.9), so the landed-verify path does real work.
-  Rows/sec is metered on the fixed increment, so a drop across rungs
-  isolates the cost of HISTORY, not input.
+  MinHash signatures directly into the sink's reserved ``_batch=-1``
+  epoch (the exact layout the writer produces), then stream a FIXED
+  2,000-doc increment through in 4 micro-batches. 1% of incoming rows
+  are planted near-copies of landed rows (same token stream + one extra
+  token ⇒ shingle Jaccard ≈ 0.9), so the landed-verify path does real
+  work. Rows/sec is metered on the fixed increment, so a drop across
+  rungs isolates the cost of HISTORY, not input.
 - ``rag_transform``: index ``rung`` docs as the retrieval corpus
   (HashingEmbedder, cached, built outside the timed loop — index build
   is amortized in production), then stream the same fixed 2,000
   questions through the full RAG transform in 4 micro-batches.
+- ``ivf_insert`` / ``sketch_insert``: the CONTROL lanes. Both are
+  history-independent per batch by design (ivf reads only the tiny
+  centroid table; sketch state is depth×width cells and deltas are
+  written, never read, on the insert path), so their rungs should stay
+  FLAT — a measured baseline separating micro-batch overhead from the
+  genuine history cost the first two lanes carry.
+
+Measurement discipline: run this on an otherwise-idle box. The rungs
+are wall-clock rows/sec; a concurrent pytest/parity run visibly
+deflates whichever rung it overlaps (observed ~2× on a 1M rung).
 
 Output: a ``streaming`` section in SCALECHECK.json — per lane, per rung:
 rows/sec, p50/p95 batch ms, landed/dropped sanity counts, and the
@@ -157,6 +167,101 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
     return stats
 
 
+def _synth_vectors(spark, n: int, *, id_offset: int = 0, seed: int = 0, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("cid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(1000)) / 500.0
+                - 1.0
+            ),
+        )
+        .cast("array<float>")
+        .alias("vector"),
+    )
+
+
+def _ivf_rung(spark, rung: int, work: str) -> dict:
+    """History CONTROL lane: ivf_insert reads only the tiny centroid
+    table per batch (assign + append), so its throughput should be FLAT
+    in landed history — a measured baseline that separates 'history
+    cost' (near_dedup) from 'micro-batch overhead' (this)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, save_ivf_index
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import file_stream_reader, ivf_insert
+
+    idx = os.path.join(work, f"ivf_idx_{rung}")
+    ckpt = os.path.join(work, f"ivf_ckpt_{rung}")
+    # pre-land `rung` vectors exactly as the lane's own epochs would:
+    # centroids table + epoch dirs under corpus/_batch=<neg>/cluster=*
+    landed = _synth_vectors(spark, rung, seed=4)
+    indexed, cents = build_ivf_index(landed, "vector", n_clusters=16, seed=42)
+    save_ivf_index(indexed, cents, os.path.join(work, f"ivf_seed_{rung}"))
+    os.makedirs(os.path.join(idx))
+    os.rename(
+        os.path.join(work, f"ivf_seed_{rung}", "centroids"),
+        os.path.join(idx, "centroids"),
+    )
+    os.makedirs(os.path.join(idx, "corpus"), exist_ok=True)
+    os.rename(
+        os.path.join(work, f"ivf_seed_{rung}", "corpus"),
+        os.path.join(idx, "corpus", "_batch=-1"),
+    )
+    open(os.path.join(idx, "corpus", "_batch=-1", "_SUCCESS"), "a").close()
+
+    inc = _synth_vectors(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=5)
+    src = os.path.join(work, f"ivf_src_{rung}")
+    inc.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = ivf_insert(
+        file_stream_reader(spark, src, schema), idx, ckpt,
+        vec_col="vector", n_clusters=16, trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    return _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+
+
+def _sketch_rung(spark, rung: int, work: str) -> dict:
+    """Second control lane: sketch state is depth×width cells regardless
+    of history (deltas are written, never read, on the insert path)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import file_stream_reader, sketch_insert
+
+    sink = os.path.join(work, f"sk_sink_{rung}")
+    ckpt = os.path.join(work, f"sk_ckpt_{rung}")
+    terms_of = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    landed = terms_of(_synth_docs(spark, rung, seed=6))
+    landed.write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+    countmin_build(landed, "term", depth=4, width=2048).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, "_sketch", "_batch=-1"))
+
+    inc = terms_of(_synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=7))
+    n_inc = inc.count()
+    src = os.path.join(work, f"sk_src_{rung}")
+    inc.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = sketch_insert(
+        file_stream_reader(spark, src, schema), sink, ckpt,
+        term_col="term", trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    return _progress_stats(q, time.time() - t0, n_inc)
+
+
 def _rag_rung(spark, rung: int, work: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -228,15 +333,19 @@ def main() -> int:
     spark = get_spark("spark-graft-stream-scalecheck")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
-    results: dict[str, dict] = {"near_dedup_insert": {}, "rag_transform": {}}
+    lanes = {
+        "near_dedup_insert": _near_dedup_rung,
+        "rag_transform": _rag_rung,
+        "ivf_insert": _ivf_rung,
+        "sketch_insert": _sketch_rung,
+    }
+    results: dict[str, dict] = {name: {} for name in lanes}
     try:
         for rung in rungs:
-            s = _near_dedup_rung(spark, rung, work)
-            results["near_dedup_insert"][str(rung)] = s
-            print(f"near_dedup_insert @ {rung:>9,} landed: {s}")
-            s = _rag_rung(spark, rung, work)
-            results["rag_transform"][str(rung)] = s
-            print(f"rag_transform     @ {rung:>9,} corpus: {s}")
+            for name, fn in lanes.items():
+                s = fn(spark, rung, work)
+                results[name][str(rung)] = s
+                print(f"{name:18s} @ {rung:>9,}: {s}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
