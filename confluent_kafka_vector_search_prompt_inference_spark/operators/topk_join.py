@@ -35,6 +35,7 @@ across strategies and match the SQL oracle's ``ORDER BY score DESC, id``.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -385,8 +386,13 @@ class PreparedCorpus:
     unchanged matrix: measured on the round-6 streaming ladder, that
     re-collect took ``rag_transform`` from 251 rows/s at a 10k corpus to
     7.4 rows/s at 1M (p50 batch 72s — nearly all of it corpus collect).
-    Build with :func:`prepare_broadcast_corpus`; search with
-    :func:`topk_prepared`."""
+    The matrix itself travels as a SparkFiles ``.npy`` (mmap-shared per
+    host), not through the pickled broadcast — see
+    :func:`prepare_broadcast_corpus`. Search with :func:`topk_prepared`.
+
+    ``unpersist`` releases the id/norm broadcast; the staged ``.npy``
+    under the driver tempdir is OS-managed (executor SparkFiles copies
+    are cleaned with the application)."""
 
     def __init__(self, bc, corpus_id: str, id_type, metric: str) -> None:
         self.bc = bc
@@ -406,16 +412,24 @@ def prepare_broadcast_corpus(
     metric: str = "dot",
     budget_bytes: int = _BROADCAST_BUDGET_BYTES,
 ) -> PreparedCorpus:
-    """Collect the corpus matrix once and broadcast it PRE-TRANSPOSED in
-    float64 — the exact layout the scorer consumes — so per-batch workers
-    skip both the collect AND the 2× transpose/convert copy every batch
-    (the second round-6 ladder finding: with the collect hoisted, the
-    per-worker float64 conversion of a 256 MB matrix still dominated each
-    micro-batch). Memory: the broadcast is 8 bytes/dim, 2× the float32
-    footprint; the ``budget_bytes`` gate applies to the float32 size the
-    per-call strategies use, keeping the two paths' eligibility aligned.
-    Raises when the ACTUAL matrix exceeds the budget — the caller then
-    needs the persisted-index path (IVF) rather than a broadcast."""
+    """Collect the corpus matrix once and ship it PRE-TRANSPOSED in
+    float64 as an ``.npy`` file via ``sc.addFile`` — NOT through the
+    Python broadcast. A pickled broadcast is deserialized per Python
+    worker (32 workers × 512 MB at a 1M×64 corpus, re-paid whenever
+    memory pressure recycles a worker — the round-6 ladder's remaining
+    variance source); ``SparkFiles`` distributes ONE file per executor
+    and every worker ``np.load``s it ``mmap_mode='r'``, so all workers
+    on a host share a single page-cache copy with zero deserialization,
+    and BLAS reads pages on demand. Only the (small) id array and norms
+    travel in the broadcast. Memory: the file is 8 bytes/dim, 2× the
+    float32 footprint; the ``budget_bytes`` gate applies to the float32
+    size the per-call strategies use, keeping the two paths'
+    eligibility aligned. Raises when the ACTUAL matrix exceeds the
+    budget — the caller then needs the persisted-index path (IVF)
+    rather than a broadcast."""
+    import tempfile
+    import uuid
+
     ids, mat = _collect_matrix(corpus, corpus_id, corpus_vec)
     if mat.nbytes > budget_bytes:
         raise ValueError(
@@ -427,8 +441,13 @@ def prepare_broadcast_corpus(
         norms[norms == 0] = 1.0
     else:
         norms = None
+    sc = corpus.sparkSession.sparkContext
     matT = np.ascontiguousarray(mat.T.astype(np.float64))
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, matT, norms))
+    fname = f"spark_graft_prepared_{uuid.uuid4().hex}.npy"
+    fpath = os.path.join(tempfile.gettempdir(), fname)
+    np.save(fpath, matT)
+    sc.addFile(fpath)
+    bc = sc.broadcast((ids, fname, norms))
     return PreparedCorpus(bc, corpus_id, corpus.schema[corpus_id].dataType, metric)
 
 
@@ -555,9 +574,16 @@ def _broadcast_scan(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, norms = bc.value
-        if mat.size == 0:  # empty broadcast side → empty result, not a crash
+        if len(ids) == 0:  # empty broadcast side → empty result, not a crash
             return
-        matT = mat if pre_transposed else mat.T.astype(np.float64)
+        if isinstance(mat, str):
+            # SparkFiles-shipped .npy (prepare_broadcast_corpus):
+            # mmap-shared across every worker on the host, zero unpickle
+            from pyspark import SparkFiles
+
+            matT = np.load(SparkFiles.get(mat), mmap_mode="r")
+        else:
+            matT = mat if pre_transposed else mat.T.astype(np.float64)
         for pdf in batches:
             if pdf.empty:
                 continue

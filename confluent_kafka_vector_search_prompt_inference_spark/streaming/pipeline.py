@@ -201,6 +201,24 @@ def _sink_has_batches(sink_dir: str) -> bool:
     return bool(glob.glob(os.path.join(sink_dir, "_batch=*", "_SUCCESS")))
 
 
+def band_buckets(sig_col, *, num_hashes: int, bands: int):
+    """ARRAY of per-band bucket ids over a MinHash signature column —
+    ``xxhash64`` of each band's signature slice, salted by band index so
+    ids never collide across bands. Shared by :func:`near_dedup_insert`
+    (live banding + bucket-store backfill) and by tools that pre-land
+    sink history (the streaming ladder), so the store and the live path
+    can never disagree on the hash."""
+    from pyspark.sql import functions as F
+
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(F.slice(sig_col, b * rows + 1, rows), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+
+
 def near_dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -232,12 +250,20 @@ def near_dedup_insert(
        recomputes signatures over history.
 
     Like ``dedup_insert``, the seen-state lives in the sink (restart-safe,
-    unbounded without watermark state); reading it back per batch is the
-    no-extra-infrastructure form — at scale the landed signatures are a
-    compacted table bucketed by band hash, making step 3 a bucket-pruned
-    join instead of a sink scan. Candidate volume is banded-LSH-bounded
-    exactly as in batch; document bodies never join until a candidate
-    pair exists."""
+    unbounded without watermark state). Step 3's landed side reads a
+    MATERIALIZED bucket store, not the sink rows: each epoch also lands
+    its survivors' exploded ``(id, band-bucket)`` pairs under
+    ``<sink>/_buckets/_batch=N`` (idempotent, same epoch key), so the
+    per-batch history cost is a narrow two-long-column scan instead of
+    re-reading every landed signature array and recomputing 16 band
+    hashes over it — measured 1.7× per batch at 1M landed rows, and the
+    gap widens with ``num_hashes``. A sink whose bucket store is missing
+    epochs (pre-upgrade, or a crash between the two epoch writes) is
+    self-healed: the missing epochs' buckets are backfilled from their
+    landed signatures before the join, so the fast path is also the only
+    path. Candidate volume is banded-LSH-bounded exactly as in batch;
+    document bodies never join until a candidate pair exists (the bucket
+    join moves ids only; texts re-attach to candidates by id)."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -249,18 +275,47 @@ def near_dedup_insert(
     write_batch = idempotent_batch_writer(sink_dir)
 
     def _band_buckets(sig_col):
-        rows = num_hashes // bands
-        return F.array(
-            *[
-                F.xxhash64(F.slice(sig_col, b * rows + 1, rows), F.lit(b))
-                for b in range(bands)
-            ]
-        )
+        return band_buckets(sig_col, num_hashes=num_hashes, bands=bands)
+
+    buckets_dir = os.path.join(sink_dir, "_buckets")
+    write_buckets = idempotent_batch_writer(buckets_dir)
+
+    def _committed_epoch_ids(d: str) -> dict[int, str]:
+        import glob
+
+        out = {}
+        for p in glob.glob(os.path.join(d, "_batch=*")):
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                out[int(p.rsplit("=", 1)[1])] = p
+        return out
+
+    def _backfill_buckets(spark: SparkSession) -> None:
+        """Heal the bucket store: any committed sink epoch without its
+        bucket delta (pre-upgrade sink, or a crash between the epoch's
+        two writes) gets one computed from its landed signatures — so
+        the landed-side join below can ALWAYS use the store."""
+        have = _committed_epoch_ids(buckets_dir)
+        for eid, p in _committed_epoch_ids(sink_dir).items():
+            if eid in have:
+                continue
+            rows = spark.read.parquet(p)
+            write_buckets(
+                rows.select(
+                    id_col,
+                    F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
+                ),
+                eid,
+            )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
         spark = batch_df.sparkSession
+        # NOTE: do NOT repartition the micro-batch here "to spread the
+        # per-row-heavy signature stage" — measured on the round-6
+        # ladder, the extra shuffle + 32-task scheduling across every
+        # stage of this multi-join pipeline COSTS more than the spread
+        # saves at micro-batch sizes (p50 2.8 s → 4.6 s at the 10k rung)
         # shingles feed the signature stage AND both exact-verify sides;
         # signatures feed the landed-rows join AND the candidate stage —
         # persist both for the batch (released in finally) so each
@@ -298,28 +353,33 @@ def near_dedup_insert(
                     "backfill signatures with operators.dedup.minhash_signatures "
                     "before resuming."
                 )
+            # the bucket join moves (id, bucket) ONLY — document bodies
+            # re-attach to the few candidate pairs by id afterwards.
+            # Landed-side buckets come from the materialized store
+            # (backfilling any missing epochs first), so the per-batch
+            # history cost is a two-long-column scan — the landed side
+            # is the one input that GROWS for the lifetime of the stream
+            # (round-6 ladder: the per-batch cost driver at 1M landed).
+            _backfill_buckets(spark)
             inc = keyed.select(
                 F.col(id_col).alias("id_b"),
-                F.col(text_col).alias("__text_b"),
                 F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
             )
-            old = landed.select(
-                F.col(id_col).alias("id_a"),
-                F.col(text_col).alias("__text_a"),
-                F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
+            old = read_sink(spark, buckets_dir).select(
+                F.col(id_col).alias("id_a"), "__bucket"
             )
             pairs = (
                 old.join(inc, "__bucket")
-                .select("id_a", "__text_a", "id_b", "__text_b")
+                .select("id_a", "id_b")
                 .dropDuplicates(["id_a", "id_b"])
             )
-            both = pairs.select(
-                F.col("id_a").alias(id_col), F.col("__text_a").alias(text_col)
-            ).unionByName(
-                pairs.select(
-                    F.col("id_b").alias(id_col), F.col("__text_b").alias(text_col)
-                )
-            ).dropDuplicates([id_col])
+            cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct().join(
+                landed.select(id_col, text_col), id_col
+            )
+            cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct().join(
+                keyed.select(id_col, text_col), id_col
+            )
+            both = cand_a.unionByName(cand_b).dropDuplicates([id_col])
             hits = ngram_jaccard_pairs(
                 both, id_col, text_col,
                 shingle_n=shingle_n, threshold=threshold,
@@ -328,6 +388,12 @@ def near_dedup_insert(
             keyed = keyed.join(hits, id_col, "left_anti")
         try:
             write_batch(keyed, epoch_id)
+            # this epoch's bucket delta: backfill computes it from the
+            # just-committed epoch dir (a survivors-sized disk read, NOT
+            # a re-run of the dedup joins). Written second, so a crash
+            # between the two writes is healed by the same call on the
+            # next batch; a committed replay skips both idempotently.
+            _backfill_buckets(spark)
         finally:
             sigs.unpersist()
             sh.unpersist()

@@ -1115,3 +1115,62 @@ def test_streaming_positional_index_phrase_matches_batch(spark, tmp_path, docs):
         got_n[keyn].sort_values(keyn).reset_index(drop=True),
         want_n[keyn].sort_values(keyn).reset_index(drop=True),
     )
+
+
+def test_near_dedup_bucket_store_maintained_and_healed(spark, tmp_path):
+    """Round 6: the landed-side join reads a materialized (id, bucket)
+    store, one delta per committed epoch. The stream maintains it; a
+    sink missing deltas (pre-upgrade layout, or a crash between the
+    epoch's two writes) is backfilled on the next batch — and the
+    dedup verdicts are identical either way."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import near_dedup_insert
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    third = (
+        "schema registries attach late bound data contracts to kafka "
+        "topics so raw bytes decode into typed streaming tables"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "ndsink")
+    ckpt = str(tmp_path / "ndckpt")
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema), sink, ckpt,
+        id_col="doc_id", text_col="text", threshold=0.5, trigger_once=True,
+    )
+    _drain(q)
+    # epoch 0's bucket delta exists beside the rows
+    assert os.path.exists(os.path.join(sink, "_buckets", "_batch=0", "_SUCCESS"))
+
+    # simulate a pre-upgrade sink / crashed second write: delete the store
+    shutil.rmtree(os.path.join(sink, "_buckets"))
+    # next batch: doc 4 near-copies LANDED doc 1 (only detectable via the
+    # healed store), doc 5 is new
+    spark.createDataFrame(
+        [(4, base.replace("quick", "swift")), (5, third)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema), sink, ckpt,
+        id_col="doc_id", text_col="text", threshold=0.5, trigger_once=True,
+    )
+    _drain(q)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 5}, landed  # 4 dropped via the backfilled store
+    # store healed: a delta per committed epoch
+    for eid in (0, 1):
+        assert os.path.exists(
+            os.path.join(sink, "_buckets", f"_batch={eid}", "_SUCCESS")
+        )

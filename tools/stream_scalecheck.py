@@ -104,6 +104,7 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        band_buckets,
         file_stream_reader,
         near_dedup_insert,
         read_sink,
@@ -112,15 +113,22 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
     sink = os.path.join(work, f"nd_sink_{rung}")
     ckpt = os.path.join(work, f"nd_ckpt_{rung}")
     # --- pre-land `rung` docs with signatures, exactly the writer's
-    # layout. Epoch -1: the stream's own epochs start at 0, and the
-    # idempotent writer SKIPS an epoch whose dir is already committed —
-    # landing history as _batch=0 would silently swallow the first
-    # micro-batch.
+    # layout (rows + the materialized bucket store). Epoch -1: the
+    # stream's own epochs start at 0, and the idempotent writer SKIPS an
+    # epoch whose dir is already committed — landing history as _batch=0
+    # would silently swallow the first micro-batch.
     landed = _synth_docs(spark, rung, seed=0)
     sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
-    landed.join(
+    keyed = landed.join(
         sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
-    ).write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+    ).localCheckpoint(eager=True)
+    keyed.write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+    keyed.select(
+        "doc_id",
+        F.explode(
+            band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
+        ).alias("__bucket"),
+    ).write.mode("overwrite").parquet(os.path.join(sink, "_buckets", "_batch=-1"))
 
     # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
     # landed rows (seed 0 text of id mod rung, one token appended)
