@@ -134,6 +134,12 @@ def _data_exchanges(df) -> int:
 def _no_aqe(spark):
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # budgets count PRINTED exchanges: a cached subtree left behind by
+    # another module's fixture (session-scoped Spark) would be swapped in
+    # as InMemoryRelation by the CacheManager and silently change the
+    # printed count — clear it so the counted plan is the cold plan,
+    # independent of suite ordering
+    spark.catalog.clearCache()
     yield
     spark.conf.set("spark.sql.adaptive.enabled", old)
 
