@@ -101,11 +101,21 @@ def save_ivf_index(
     the probe join (tiny probed side → broadcast) triggers dynamic
     partition pruning — a probe of ``n_probe`` clusters reads exactly
     those directories off storage, which is what makes IVF an *index*
-    rather than a full-scan rescorer at 100 TB."""
+    rather than a full-scan rescorer at 100 TB.
+
+    The corpus is repartitioned BY THE CLUSTER COLUMN before the
+    partitioned write: without it every write task spills a file into
+    every cluster directory it touches — at √n-sized cluster counts
+    (1,000 clusters × 32 tasks = up to 32,000 tiny files) the listing/
+    open amplification dominated every subsequent load (measured 3-20 s
+    per probe at a 1M-row index). One shuffle at build time buys one
+    file per cluster forever after."""
+    from pyspark.sql import functions as _F
+
     spark = indexed_corpus.sparkSession
-    indexed_corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(
-        os.path.join(path, "corpus")
-    )
+    indexed_corpus.repartition(_F.col(cluster_col)).write.partitionBy(
+        cluster_col
+    ).mode("overwrite").parquet(os.path.join(path, "corpus"))
     # pandas + explicit schema → Arrow path: a list-of-rows createDataFrame
     # pickles through 32 Python RDD partitions and pays ~4s of worker
     # round-trips for an 8-row metadata table.
@@ -169,9 +179,11 @@ def ivf_append(
             f"append would write "
             f"{sorted((n, t.simpleString()) for n, t in got.items())}"
         )
-    assigned.select(*[f.name for f in existing.fields]).write.partitionBy(
-        cluster_col
-    ).mode("append").parquet(os.path.join(path, "corpus"))
+    assigned.select(*[f.name for f in existing.fields]).repartition(
+        F.col(cluster_col)
+    ).write.partitionBy(cluster_col).mode("append").parquet(
+        os.path.join(path, "corpus")
+    )
 
 
 def ivf_delete(ids: DataFrame, path: str) -> None:
@@ -203,7 +215,8 @@ def ivf_vacuum(spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluste
         spark,
         path,
         lambda: load_ivf_index(spark, path)[0],  # already tombstone-filtered
-        lambda df, tmp: df.write.partitionBy(cluster_col)
+        lambda df, tmp: df.repartition(F.col(cluster_col))
+        .write.partitionBy(cluster_col)
         .mode("overwrite")
         .parquet(tmp),
     )
@@ -223,7 +236,9 @@ def ivf_compact(spark: SparkSession, path: str, *, cluster_col: str = "ivf_clust
     recover_vacuum(path)
     corpus, _ = load_ivf_index(spark, path)  # batched-layout + tombstone aware
     tmp = os.path.join(path, "corpus_tmp")
-    corpus.write.partitionBy(cluster_col).mode("overwrite").parquet(tmp)
+    corpus.repartition(F.col(cluster_col)).write.partitionBy(cluster_col).mode(
+        "overwrite"
+    ).parquet(tmp)
     shutil.rmtree(os.path.join(path, "corpus"))
     os.rename(tmp, os.path.join(path, "corpus"))
     tomb = os.path.join(path, "tombstones")

@@ -179,9 +179,11 @@ def save_ivfpq_index(
     same layout contract as :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.ivf.save_ivf_index`)
     plus the two metadata tensors."""
     spark = encoded.sparkSession
-    encoded.write.partitionBy(cluster_col).mode("overwrite").parquet(
-        os.path.join(path, "corpus")
-    )
+    # repartition by cluster first: one file per cluster instead of one
+    # per (task, cluster) pair — see save_ivf_index's file-count note
+    encoded.repartition(F.col(cluster_col)).write.partitionBy(cluster_col).mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "corpus"))
     cent_pdf = pd.DataFrame(
         {
             "cluster_id": [int(i) for i in range(len(centroids))],
@@ -361,7 +363,8 @@ def ivfpq_vacuum(
         spark,
         path,
         lambda: load_ivfpq_index(spark, path)[0],  # already tombstone-filtered
-        lambda df, tmp: df.write.partitionBy(cluster_col)
+        lambda df, tmp: df.repartition(F.col(cluster_col))
+        .write.partitionBy(cluster_col)
         .mode("overwrite")
         .parquet(tmp),
     )
@@ -519,6 +522,8 @@ def ivfpq_append(
             f"append would write "
             f"{sorted((n, t.simpleString()) for n, t in got.items())}"
         )
-    encoded.select(*[f.name for f in existing.fields]).write.partitionBy(
-        cluster_col
-    ).mode("append").parquet(os.path.join(path, "corpus"))
+    encoded.select(*[f.name for f in existing.fields]).repartition(
+        F.col(cluster_col)
+    ).write.partitionBy(cluster_col).mode("append").parquet(
+        os.path.join(path, "corpus")
+    )

@@ -23,6 +23,10 @@ Method per rung (10k / 100k / 1M):
   (HashingEmbedder, cached, built outside the timed loop — index build
   is amortized in production), then stream the same fixed 2,000
   questions through the full RAG transform in 4 micro-batches.
+- ``rag_transform_ivf``: the same questions over the PERSISTED
+  √n-clustered IVF index (``vector_index=``, reloaded per batch so
+  appends stay visible) — measures where the probe lane crosses over
+  the exact broadcast lane (observed: ~1M rows on this hardware).
 - ``ivf_insert`` / ``sketch_insert``: the CONTROL lanes. Both are
   history-independent per batch by design (ivf reads only the tiny
   centroid table; sketch state is depth×width cells and deltas are
@@ -322,6 +326,67 @@ def _rag_rung(spark, rung: int, work: str) -> dict:
     return stats
 
 
+def _rag_ivf_rung(spark, rung: int, work: str) -> dict:
+    """The documented steady-state lane past the exact-broadcast wall:
+    RAG retrieval over a PERSISTED IVF index (``vector_index=``) — the
+    probe reads ``n_probe/n_clusters`` of the corpus via partition
+    pruning instead of matmul-scanning a broadcast, so this lane is the
+    one that should stay fast at 1M where exact ``rag_transform``
+    hits its matmul ceiling."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.models import (
+        HashingEmbedder,
+        ModelRegistry,
+        TemplateLLM,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, save_ivf_index
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        continuous_insert,
+        file_stream_reader,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    corpus_docs = _synth_docs(spark, rung, seed=2).select(
+        F.col("doc_id").alias("product_id"), F.col("text").alias("content")
+    )
+    corpus = registry.ml_predict(corpus_docs, "vector_encoding", "content")
+    idx = os.path.join(work, f"ragivf_idx_{rung}")
+    # n_clusters ≈ √n (the standard IVF sizing): probe cost per query is
+    # n_probe/n_clusters of the corpus, so a cluster count that doesn't
+    # grow with the corpus silently degrades the probe into a near-scan
+    # (measured: 64 clusters at 1M rows = 12.5% of the corpus re-scored
+    # per query through the Catalyst dot product — slower than BLAS
+    # matmul over 100%)
+    n_clusters = max(64, int(rung ** 0.5))
+    indexed, cents = build_ivf_index(corpus, "vector", n_clusters=n_clusters, seed=42)
+    save_ivf_index(indexed, cents, idx)
+
+    pipe = RagPipeline(registry, k=3, vector_index=idx, n_probe=8)
+    questions = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=3).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("string").alias("sessionid"),
+    )
+    src = os.path.join(work, f"ragivf_src_{rung}")
+    questions.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    transform = pipe.streaming_transform()
+    t0 = time.time()
+    q = continuous_insert(
+        file_stream_reader(spark, src, schema),
+        os.path.join(work, f"ragivf_sink_{rung}"),
+        os.path.join(work, f"ragivf_ckpt_{rung}"),
+        transform=transform,
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    return _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+
+
 def _add_slowdowns(rows: dict) -> None:
     """Per-decade slowdown factors: rps(rung)/rps(10·rung). 10.0 would be
     linear-in-history; ≪ 10 is the sub-linear target."""
@@ -344,6 +409,7 @@ def main() -> int:
     lanes = {
         "near_dedup_insert": _near_dedup_rung,
         "rag_transform": _rag_rung,
+        "rag_transform_ivf": _rag_ivf_rung,
         "ivf_insert": _ivf_rung,
         "sketch_insert": _sketch_rung,
     }
