@@ -599,3 +599,39 @@ def test_explicit_depth_wins_over_calibration(spark, qc, monkeypatch):
         strategy="binary", rescore_factor=4, recall_target=0.9,
     )
     assert res.count() > 0
+
+
+def test_topk_prepared_equals_broadcast_strategy(spark, embeddings, qc):
+    """PreparedCorpus (SparkFiles .npy + mmap scorer) must return exactly
+    the per-call broadcast_corpus strategy's results — same ids, scores,
+    ranks — and be reusable across calls (the streaming steady state)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
+        prepare_broadcast_corpus,
+        topk_prepared,
+    )
+
+    q, c = qc
+    prepared = prepare_broadcast_corpus(c, corpus_id="cid")
+    try:
+        base = topk_similarity_join(
+            q, c, 5, query_id="qid", corpus_id="cid", strategy="broadcast_corpus"
+        ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        for _ in range(2):  # reuse across calls, like micro-batches
+            got = (
+                topk_prepared(q, prepared, 5, query_id="qid")
+                .toPandas()
+                .sort_values(["qid", "rank"])
+                .reset_index(drop=True)
+            )
+            assert got[["qid", "cid", "rank"]].equals(base[["qid", "cid", "rank"]])
+            assert (got["score"] - base["score"]).abs().max() == 0.0
+    finally:
+        prepared.unpersist()
+
+
+def test_prepare_broadcast_corpus_budget_gate(spark, qc):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import prepare_broadcast_corpus
+
+    q, c = qc
+    with pytest.raises(ValueError, match="IVF"):
+        prepare_broadcast_corpus(c, corpus_id="cid", budget_bytes=64)
