@@ -277,7 +277,14 @@ def recover_split(path: str, *, cluster_col: str = "ivf_cluster") -> None:
     renames, each guarded by source-existence checks so it replays
     idempotently from any crash point. No ``_COMMIT`` → nothing was
     published — roll back by deleting the stage. Called on every index
-    load, mirroring ``recover_vacuum``/``catalog.recover_forget``."""
+    load, mirroring ``recover_vacuum``/``catalog.recover_forget``.
+
+    The directory names to heal come from ``plan.json``'s recorded
+    ``cluster_col`` (the splitter writes it): a crashed split of an
+    index built with a custom cluster column is replayed against the
+    RIGHT ``<col>=<id>`` directories even when the recovering loader
+    didn't know the column. The parameter is the fallback for plans
+    written before the column was recorded."""
     import json
     import shutil
 
@@ -290,6 +297,7 @@ def recover_split(path: str, *, cluster_col: str = "ivf_cluster") -> None:
     with open(os.path.join(st, "plan.json")) as fh:
         plan = json.load(fh)
     c, b = plan["cluster"], plan["new_cluster"]
+    cluster_col = plan.get("cluster_col", cluster_col)
     corpus = os.path.join(path, "corpus")
     c_dir = os.path.join(corpus, f"{cluster_col}={c}")
     # 1. retire the old oversized-cluster dir (skip if already moved)
@@ -319,6 +327,7 @@ def ivf_split_oversized(
     sample_rows: int = 4096,
     seed: int = 42,
     max_iter: int = 10,
+    vec_col: str | None = None,
     cluster_col: str = "ivf_cluster",
 ) -> list[int]:
     """Drift-triggered maintenance: split every cluster whose row count
@@ -360,13 +369,31 @@ def ivf_split_oversized(
         )
     split: list[int] = []
     unsplittable: set[int] = set()
+    touched: set[int] = set()  # clusters whose dirs this pass rewrote/created
+    # ONE corpus aggregation for the whole maintenance pass: counts update
+    # incrementally from each split's measured halves (n_b / n_c − n_b)
+    # instead of a fresh groupBy per iteration — a many-splits pass was
+    # quadratic-ish in corpus scans before.
+    corpus, centroids = load_ivf_index(spark, path)
+    counts = {
+        int(r[cluster_col]): r["n"]
+        for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
+    }
+    if vec_col is None:
+        # fallback inference for corpora with exactly one array column;
+        # ambiguous schemas (extra array payloads) must name the column
+        arrays = [
+            f.name for f in corpus.schema.fields
+            if isinstance(f.dataType, ArrayType)
+        ]
+        if len(arrays) != 1:
+            raise ValueError(
+                f"cannot infer the indexed vector column from {arrays}; "
+                "pass vec_col= explicitly"
+            )
+        vec_col = arrays[0]
     while True:
-        corpus, centroids = load_ivf_index(spark, path)
         n_clusters = len(centroids)
-        counts = {
-            r[cluster_col]: r["n"]
-            for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
-        }
         total = sum(counts.values())
         if not total:
             return split
@@ -380,11 +407,15 @@ def ivf_split_oversized(
             return split
         # worst first; one split per iteration (each changes the balance)
         c = max(over, key=lambda t: t[1])[0]
+        if c in touched:
+            # this cluster's directory was rewritten (or created) by an
+            # earlier split in this pass — the loaded DataFrame's file
+            # index predates it, so re-list before filtering into it.
+            # Untouched clusters keep riding the original load (partition
+            # pruning never lists their unchanged sibling dirs).
+            corpus, centroids = load_ivf_index(spark, path)
+            touched.clear()
         rows_c = corpus.filter(F.col(cluster_col) == c)
-        vec_col = next(
-            f.name for f in corpus.schema.fields
-            if isinstance(f.dataType, ArrayType)
-        )
         rows = (
             rows_c.select(vec_col)
             .orderBy(F.xxhash64(F.col(vec_col)))
@@ -426,11 +457,22 @@ def ivf_split_oversized(
             cent_pdf, schema="cluster_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(st, "centroids"))
         with open(os.path.join(st, "plan.json"), "w") as fh:
-            json.dump({"cluster": int(c), "new_cluster": int(b)}, fh)
+            json.dump(
+                {
+                    "cluster": int(c),
+                    "new_cluster": int(b),
+                    "cluster_col": cluster_col,
+                },
+                fh,
+            )
         with open(os.path.join(st, "_COMMIT"), "w"):
             pass
         recover_split(path, cluster_col=cluster_col)
         split.append(int(c))
+        centroids = new_cent
+        counts[int(b)] = n_b
+        counts[int(c)] = counts[int(c)] - n_b
+        touched.update((int(c), int(b)))
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:

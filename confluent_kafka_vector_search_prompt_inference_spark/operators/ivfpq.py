@@ -409,13 +409,17 @@ def ivfpq_split_oversized(
 
     split: list[int] = []
     unsplittable: set[int] = set()
+    touched: set[int] = set()  # clusters whose dirs this pass rewrote/created
+    # ONE corpus aggregation for the whole pass; counts then update
+    # incrementally from each split's measured halves (see
+    # ivf.ivf_split_oversized — same shape, same reasoning)
+    corpus, centroids, codebooks = load_ivfpq_index(spark, path)
+    counts = {
+        int(r[cluster_col]): r["n"]
+        for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
+    }
     while True:
-        corpus, centroids, codebooks = load_ivfpq_index(spark, path)
         n_clusters = len(centroids)
-        counts = {
-            r[cluster_col]: r["n"]
-            for r in corpus.groupBy(cluster_col).agg(F.count("*").alias("n")).collect()
-        }
         total = sum(counts.values())
         if not total:
             return split
@@ -428,6 +432,12 @@ def ivfpq_split_oversized(
         if not over:
             return split
         c = max(over, key=lambda t: t[1])[0]
+        if c in touched:
+            # an earlier split in this pass rewrote/created this cluster's
+            # directory — re-list before filtering into it (untouched
+            # clusters keep riding the original load's file index)
+            corpus, centroids, codebooks = load_ivfpq_index(spark, path)
+            touched.clear()
         rows_c = corpus.filter(F.col(cluster_col) == c)
         rows = (
             rows_c.select(vec_col)
@@ -472,13 +482,24 @@ def ivfpq_split_oversized(
             cent_pdf, schema="cluster_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(st, "centroids"))
         with open(os.path.join(st, "plan.json"), "w") as fh:
-            json.dump({"cluster": int(c), "new_cluster": int(b)}, fh)
+            json.dump(
+                {
+                    "cluster": int(c),
+                    "new_cluster": int(b),
+                    "cluster_col": cluster_col,
+                },
+                fh,
+            )
         with open(os.path.join(st, "_COMMIT"), "w"):
             pass
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import recover_split
 
         recover_split(path, cluster_col=cluster_col)
         split.append(int(c))
+        centroids = new_cent
+        counts[int(b)] = n_b
+        counts[int(c)] = counts[int(c)] - n_b
+        touched.update((int(c), int(b)))
 
 
 def ivfpq_append(

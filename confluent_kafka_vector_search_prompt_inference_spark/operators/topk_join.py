@@ -280,6 +280,14 @@ def calibrate_recall_depth(
 
     if strategy == "binary":
         depths = [d for d in _BINARY_DEPTH_LADDER if d * k <= NUM_CANDIDATES_CAP]
+        if not depths:
+            raise ValueError(
+                f"k={k} leaves no calibratable rescore depth: even the "
+                f"shallowest rung ({_BINARY_DEPTH_LADDER[0]}·k = "
+                f"{_BINARY_DEPTH_LADDER[0] * k} candidates) exceeds the "
+                f"numCandidates cap {NUM_CANDIDATES_CAP}. Lower k or force "
+                "an exact strategy."
+            )
         pool = hamming_candidates(
             sample, corpus, depths[-1] * k,
             query_id=query_id, query_vec=query_vec,
@@ -302,13 +310,17 @@ def calibrate_recall_depth(
         cap_of = lambda d: d  # noqa: E731
 
     # exact-rescore the pooled candidates once (vectors re-attach by id;
-    # the sample side broadcasts, the corpus streams past it)
+    # the sample·depth·k-row pool side broadcasts — without the explicit
+    # hint Catalyst may plan a full corpus shuffle here, and the docstring
+    # promise of "two corpus scans" becomes two scans plus a shuffle)
     scored = (
-        pool.join(
-            F.broadcast(
-                sample.select(F.col(query_id), F.col(query_vec).alias("__qv"))
-            ),
-            query_id,
+        F.broadcast(
+            pool.join(
+                F.broadcast(
+                    sample.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+                ),
+                query_id,
+            )
         )
         .join(
             corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")),
@@ -421,20 +433,27 @@ def prepare_broadcast_corpus(
     and every worker ``np.load``s it ``mmap_mode='r'``, so all workers
     on a host share a single page-cache copy with zero deserialization,
     and BLAS reads pages on demand. Only the (small) id array and norms
-    travel in the broadcast. Memory: the file is 8 bytes/dim, 2× the
-    float32 footprint; the ``budget_bytes`` gate applies to the float32
-    size the per-call strategies use, keeping the two paths'
-    eligibility aligned. Raises when the ACTUAL matrix exceeds the
-    budget — the caller then needs the persisted-index path (IVF)
-    rather than a broadcast."""
+    travel in the broadcast. Memory: the staged file is float64 — 8
+    bytes/dim, for bit-identical scores with the per-call broadcast path
+    (whose workers also widen to float64 before the matmul) — and the
+    ``budget_bytes`` gate prices those SHIPPED float64 bytes: the staged
+    ``.npy`` is the artifact that actually lands on every executor's
+    disk/page cache, so the gate must price what ships, not the float32
+    size the per-call pickled broadcast would have moved. Eligibility is
+    therefore 2× stricter than the per-call ``broadcast_corpus`` tier —
+    a corpus in the gap (float32 under budget, float64 over) raises here
+    deterministically and still works per-call; past both budgets the
+    right path is the persisted IVF index."""
     import tempfile
     import uuid
 
     ids, mat = _collect_matrix(corpus, corpus_id, corpus_vec)
-    if mat.nbytes > budget_bytes:
+    shipped = mat.nbytes * 2  # the staged .npy is float64 = 2× the float32 matrix
+    if shipped > budget_bytes:
         raise ValueError(
-            f"corpus matrix is {mat.nbytes} bytes (> budget {budget_bytes}); "
-            "use a persisted IVF index (vector_index=) instead of a broadcast"
+            f"prepared corpus would stage {shipped} float64 bytes "
+            f"(> budget {budget_bytes}); use the per-call broadcast path or a "
+            "persisted IVF index (vector_index=) instead"
         )
     if metric == "cosine":
         norms = np.linalg.norm(mat, axis=1)

@@ -488,3 +488,55 @@ def test_recover_split_replays_partial_commit(spark, embeddings, ivf, tmp_path):
     assert not os.path.exists(st)
     assert reloaded.count() == n
     assert len(cents) == n_cents_post
+
+
+def test_recover_split_honors_recorded_cluster_col(tmp_path):
+    """plan.json records the split's cluster_col; recovery after a crash
+    heals the RIGHT ``<col>=<id>`` directories even when the recovering
+    loader calls with the default column name."""
+    import json
+    import os
+
+    path = str(tmp_path / "cc_idx")
+    corpus = os.path.join(path, "corpus")
+    os.makedirs(os.path.join(corpus, "pc=0"))
+    with open(os.path.join(corpus, "pc=0", "part-old.parquet"), "w") as fh:
+        fh.write("old")
+    st = os.path.join(path, "split_tmp")
+    os.makedirs(os.path.join(st, "newc"))
+    with open(os.path.join(st, "newc", "part-new.parquet"), "w") as fh:
+        fh.write("new-half-c")
+    os.makedirs(os.path.join(st, "newb"))
+    with open(os.path.join(st, "newb", "part-new.parquet"), "w") as fh:
+        fh.write("new-half-b")
+    with open(os.path.join(st, "plan.json"), "w") as fh:
+        json.dump({"cluster": 0, "new_cluster": 1, "cluster_col": "pc"}, fh)
+    with open(os.path.join(st, "_COMMIT"), "w"):
+        pass
+
+    recover_split(path)  # default cluster_col — the recorded 'pc' must win
+
+    assert not os.path.exists(st)
+    assert os.path.isdir(os.path.join(corpus, "pc=1"))
+    assert os.path.exists(os.path.join(corpus, "pc=0", "part-new.parquet"))
+    assert not os.path.exists(os.path.join(corpus, "pc=0", "part-old.parquet"))
+    # and no directory was created under the (wrong) default column name
+    assert not os.path.isdir(os.path.join(corpus, "ivf_cluster=0"))
+
+
+def test_split_oversized_ambiguous_vector_column(spark, embeddings, ivf, tmp_path):
+    """A corpus carrying a second array column is ambiguous — the splitter
+    must demand an explicit vec_col rather than guess (and accept one)."""
+    import pytest
+
+    corpus, indexed, centroids = ivf
+    path = str(tmp_path / "ambig_idx")
+    save_ivf_index(
+        indexed.withColumn("payload", F.array(F.lit(1.0), F.lit(2.0))),
+        centroids,
+        path,
+    )
+    with pytest.raises(ValueError, match="vec_col"):
+        ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
+    # naming the column resolves it (balanced index → nothing to split)
+    assert ivf_split_oversized(spark, path, max_skew=50.0, seed=7, vec_col="vector") == []

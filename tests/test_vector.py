@@ -566,6 +566,13 @@ def test_calibration_argument_contracts(spark, qc):
             q, c, 5, strategy="broadcast_corpus", recall_target=0.9,
             query_id="qid", corpus_id="cid",
         )
+    # k so large even the shallowest rescore rung busts the candidates cap:
+    # a clear contract error, not a bare IndexError off an empty ladder
+    with pytest.raises(ValueError, match="numCandidates cap"):
+        calibrate_recall_depth(
+            q, c, 6000, strategy="binary", recall_target=0.9,
+            query_id="qid", corpus_id="cid",
+        )
 
 
 def test_recall_target_skipped_on_exact_strategies(spark, qc, monkeypatch):
@@ -635,3 +642,21 @@ def test_prepare_broadcast_corpus_budget_gate(spark, qc):
     q, c = qc
     with pytest.raises(ValueError, match="IVF"):
         prepare_broadcast_corpus(c, corpus_id="cid", budget_bytes=64)
+
+
+def test_prepare_broadcast_corpus_budget_prices_shipped_float64(spark, qc):
+    """The gate prices the staged float64 .npy (what actually lands on
+    every executor), not the float32 matrix: a corpus in the gap —
+    float32 under budget, float64 over — raises deterministically."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import prepare_broadcast_corpus
+
+    _, c = qc
+    rows = c.count()
+    dim = len(c.select("vector").first()[0])
+    f32 = rows * dim * 4
+    # budget sits strictly between the float32 size and the 2× shipped size
+    with pytest.raises(ValueError, match="float64"):
+        prepare_broadcast_corpus(c, corpus_id="cid", budget_bytes=f32 + 1)
+    # at exactly the shipped size the preparation succeeds
+    prepared = prepare_broadcast_corpus(c, corpus_id="cid", budget_bytes=f32 * 2)
+    prepared.unpersist()
