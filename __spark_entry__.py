@@ -6402,6 +6402,60 @@ def vec_topk_auto_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_topk_auto_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index leg of the recall contract (round 7 — closes
+    the gap the round-6 streaming ladder exposed: the IVF tier is the
+    one real deployments ride past the ~1M-row broadcast crossover, yet
+    it was still driven by a guessed ``n_probe`` while binary/LSH had
+    ``recall_target=``). ``topk_ivf(..., recall_target=0.9)`` calibrates
+    the probe width on the measured sample recall curve
+    (``operators/ivf.calibrate_ivf_n_probe``: one exact pass + one
+    full-width probe pass; probe lists are prefix-monotone in width, so
+    the whole power-of-two ladder is priced from those two corpus
+    scans) — the ``numCandidates`` generalization (``README.md:364,
+    368``) reaching the index tier. Same determinism construction as
+    ``vec_topk_auto``: the 20-query set sits inside the 32-query
+    calibration sample, so sample recall IS full-set recall and the
+    aggregate verdict is guaranteed (this tier meets ANY target ≤ 1.0 —
+    its deepest rung probes every cluster, which is the exact scan)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, topk_ivf
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+    indexed, cents = build_ivf_index(c, "vector", n_clusters=8, seed=42)
+    approx = topk_ivf(
+        q, indexed, cents, 10,
+        query_id="query_id", corpus_id="neighbor_id",
+        metric="dot", recall_target=0.9, calibration_sample=32,
+    ).select("query_id", "neighbor_id")
+    exact = topk_similarity_join(
+        q, c, 10,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="dot", strategy="broadcast_queries",
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h")
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("__h", F.lit(0)).alias("__h"), "__n")
+    )
+    tot = per.agg(F.sum("__h").alias("__hits_tot"), F.sum("__n").alias("__n_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        (F.col("__hits_tot") >= F.ceil(F.col("__n_tot") * 0.9)).alias("agg_recall_ok"),
+    )
+
+
 def ivf_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift-triggered IVF maintenance, end-to-end (round 6,
     operators/ivf.py ``ivf_split_oversized``): build a persisted index,
@@ -8662,6 +8716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_bq_topk": vec_bq_topk,
         "vec_topk_auto": vec_topk_auto,
         "vec_topk_auto_lsh": vec_topk_auto_lsh,
+        "vec_topk_auto_ivf": vec_topk_auto_ivf,
         "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
@@ -8850,6 +8905,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_bq_topk": _VEC_BQ_ORACLE,
         "vec_topk_auto": _VEC_TOPK_AUTO_ORACLE,
         "vec_topk_auto_lsh": _VEC_TOPK_AUTO_ORACLE,
+        "vec_topk_auto_ivf": _VEC_TOPK_AUTO_ORACLE,
         "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,

@@ -54,6 +54,12 @@ class VectorIndex:
     id_column: str = "product_id"
     metric: str = "dot"
     num_candidates: int = 20  # README.md:364; capped at 10,000 (README.md:368)
+    #: Declared recall floor — the engine's generalization of
+    #: ``numCandidates`` from "a number you guess" to "a floor you
+    #: declare": when set, searches through this index calibrate their
+    #: candidate depth (``operators.topk_join.calibrate_recall_depth``)
+    #: instead of trusting ``num_candidates``.
+    recall_target: float | None = None
 
 
 @dataclass

@@ -73,7 +73,12 @@ def build_ivf_index(
 
 def _nearest_clusters_udf(centroids: np.ndarray, n_probe: int):
     """Arrow-batched assignment of each query vector to its n_probe nearest
-    centroids (euclidean, matching KMeans training)."""
+    centroids (euclidean, matching KMeans training). The returned ids are
+    ORDERED by ascending distance (ties by cluster id), so the probe list
+    at depth p is a strict prefix of the list at depth P > p — the
+    prefix-monotone pool :func:`calibrate_ivf_n_probe` prices the whole
+    probe ladder from. Ordering the selected ``n_probe`` ids is O(p log p)
+    per row on top of the O(n_clusters) argpartition — negligible."""
     cent = centroids.astype(np.float64)
     cent_sq = (cent**2).sum(axis=1)
 
@@ -83,7 +88,12 @@ def _nearest_clusters_udf(centroids: np.ndarray, n_probe: int):
         d2 = (Q**2).sum(axis=1)[:, None] - 2.0 * (Q @ cent.T) + cent_sq[None, :]
         k = min(n_probe, cent.shape[0])
         idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
-        return pd.Series([[int(c) for c in row] for row in idx])
+        out = []
+        for r in range(idx.shape[0]):
+            sel = idx[r]
+            order = np.lexsort((sel, d2[r, sel]))
+            out.append([int(c) for c in sel[order]])
+        return pd.Series(out)
 
     return assign
 
@@ -530,8 +540,32 @@ def topk_ivf(
     n_probe: int = 4,
     score_col: str = "score",
     rank_col: str = "rank",
+    recall_target: float | None = None,
+    calibration_sample: int = 32,
+    calibration_cache=None,
+    corpus_fingerprint: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k via IVF probing (see module docstring)."""
+    """Approximate top-k via IVF probing (see module docstring).
+
+    ``recall_target=`` extends the engine's measured-recall contract
+    (``topk_join.calibrate_recall_depth`` — the generalization of the
+    reference's ``numCandidates`` knob, ``README.md:364, 368``) to the
+    persisted-index tier: instead of guessing ``n_probe``, declare a
+    recall floor and :func:`calibrate_ivf_n_probe` measures the probe
+    ladder on a query sample and picks the smallest width whose sample
+    recall@k meets it. Unlike the binary/LSH tiers this tier can satisfy
+    ANY target ≤ 1.0 — the deepest rung probes every cluster, which IS
+    the exact scan — so there is no unreachable-target error path."""
+    if recall_target is not None:
+        n_probe, _ = calibrate_ivf_n_probe(
+            queries, indexed_corpus, centroids, k,
+            recall_target=recall_target,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            cluster_col=cluster_col, metric=metric,
+            sample_queries=calibration_sample,
+            cache=calibration_cache, corpus_fingerprint=corpus_fingerprint,
+        )
     assign = _nearest_clusters_udf(centroids, n_probe)
     probed = queries.select(
         F.col(query_id), F.col(query_vec).alias("__qv"),
@@ -547,3 +581,165 @@ def topk_ivf(
     rescored = pairs.select(query_id, corpus_id, F.round(score, 6).alias(score_col))
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
     return rescored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+#: probe-width ladder: powers of two, topped by the full cluster count
+#: (probing every cluster IS the exact scan, so the deepest rung's recall
+#: is 1.0 and any target ≤ 1.0 is reachable on this tier).
+def _probe_ladder(n_clusters: int) -> list[int]:
+    ladder = []
+    p = 1
+    while p < n_clusters:
+        ladder.append(p)
+        p *= 2
+    ladder.append(n_clusters)
+    return ladder
+
+
+def calibrate_ivf_n_probe(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    *,
+    recall_target: float,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    cluster_col: str = "ivf_cluster",
+    metric: str = "dot",
+    sample_queries: int = 32,
+    cache=None,
+    corpus_fingerprint: str | None = None,
+) -> tuple[int, float]:
+    """Measured-recall probe-width selection for the persisted-IVF tier —
+    the ``recall_target=`` contract (``topk_join.calibrate_recall_depth``)
+    extended to the tier real deployments ride past the broadcast wall
+    (the streaming ladder's measured crossover at ~1M corpus rows).
+
+    Returns ``(n_probe, measured_recall)``: the smallest rung on the
+    power-of-two probe ladder whose recall@k on a ``sample_queries``-query
+    sample meets the target. Cost shape mirrors the binary/LSH
+    calibrators — TWO corpus passes total: one exact ground-truth pass
+    (sample broadcast, corpus streamed), and one probe pass at the
+    DEEPEST rung. Probe lists are prefix-monotone in width
+    (:func:`_nearest_clusters_udf` orders by centroid distance), and the
+    prefix top-k at any width lives inside the union of per-cluster
+    top-k, so every shallower rung is priced from the same pass: the
+    driver-side pandas holds ≤ sample·n_clusters·k rows. The deepest
+    rung probes every cluster — the exact scan — so any target ≤ 1.0 is
+    satisfiable; there is no unreachable-target error path on this tier
+    (unlike the capped binary/LSH ladders).
+
+    ``cache`` (an ``operators.calibration_cache.CalibrationCache``) makes
+    repeat calls against an unchanged index FREE — zero Spark jobs: the
+    full curve persists against the calibration inputs plus a job-free
+    corpus fingerprint. Pass ``corpus_fingerprint=
+    calibration_cache.directory_fingerprint(index_path)`` for a persisted
+    index (any append/vacuum/split invalidates via file metadata);
+    without it the fingerprint falls back to Catalyst plan-stats bytes."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
+        _metric_score,
+        topk_similarity_join,
+    )
+
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    n_clusters = len(centroids)
+    ladder = _probe_ladder(n_clusters)
+    cache_key = None
+    if cache is not None:
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import dataframe_fingerprint
+
+        cache_key = {
+            "op": "ivf_n_probe",
+            "k": k,
+            "metric": metric,
+            "sample_queries": sample_queries,
+            "n_clusters": n_clusters,
+            "corpus": corpus_fingerprint or dataframe_fingerprint(indexed_corpus),
+        }
+        cached = cache.lookup(cache_key)
+        if cached is not None and all(p in cached for p in ladder):
+            return _pick_probe_width(cached, ladder, recall_target)
+    sample = (
+        queries.select(F.col(query_id), F.col(query_vec))
+        .limit(sample_queries)
+        .localCheckpoint(eager=True)
+    )
+    exact = topk_similarity_join(
+        sample, indexed_corpus.select(F.col(corpus_id), F.col(corpus_vec)), k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        metric=metric, strategy="broadcast_queries",
+    ).select(query_id, corpus_id).toPandas()
+    if exact.empty:
+        raise ValueError("cannot calibrate recall on an empty query sample")
+
+    # one probe pass at full width: every (sample query, cluster) pair,
+    # keeping per-(query, cluster) top-k only — the sample·n_clusters-row
+    # probe side broadcasts, the corpus streams past it in place
+    assign = _nearest_clusters_udf(centroids, n_clusters)
+    probed = sample.select(
+        F.col(query_id),
+        F.col(query_vec).alias("__qv"),
+        F.posexplode(assign(F.col(query_vec))).alias("__pr0", cluster_col),
+    )
+    corpus_narrow = indexed_corpus.select(
+        F.col(corpus_id), F.col(corpus_vec).alias("__cv"), F.col(cluster_col)
+    )
+    scored = F.broadcast(probed).join(corpus_narrow, cluster_col).select(
+        query_id,
+        corpus_id,
+        (F.col("__pr0") + 1).alias("__probe_rank"),
+        F.round(_metric_score(metric, F.col("__qv"), F.col("__cv")), 6).alias(
+            "__escore"
+        ),
+    )
+    wqc = Window.partitionBy(query_id, "__probe_rank").orderBy(
+        F.desc("__escore"), F.asc(corpus_id)
+    )
+    pool = (
+        scored.withColumn("__r", F.row_number().over(wqc))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+        .toPandas()
+    )
+
+    truth = {
+        q: set(g[corpus_id]) for q, g in exact.groupby(query_id, sort=False)
+    }
+    possible = len(exact)
+    # measure EVERY rung (cheap pandas over the one pooled pass) so the
+    # cached curve serves any future recall_target without re-scanning
+    curve: dict[int, float] = {}
+    for p in ladder:
+        sub = pool[pool["__probe_rank"] <= p]
+        sub = sub.sort_values(
+            [query_id, "__escore", corpus_id], ascending=[True, False, True]
+        )
+        topk = sub.groupby(query_id, sort=False).head(k)
+        hits = sum(
+            cid in truth.get(qid, ())
+            for qid, cid in zip(topk[query_id], topk[corpus_id])
+        )
+        curve[p] = hits / possible
+    if cache is not None:
+        cache.store(cache_key, curve)
+    return _pick_probe_width(curve, ladder, recall_target)
+
+
+def _pick_probe_width(
+    curve: dict[int, float], ladder: list[int], recall_target: float
+) -> tuple[int, float]:
+    for p in ladder:
+        if curve[p] >= recall_target:
+            return p, curve[p]
+    # defensively unreachable: the deepest rung probes every cluster
+    # (recall 1.0 up to score-rounding ties)
+    raise ValueError(
+        f"recall_target={recall_target} not met even probing all "
+        f"{ladder[-1]} clusters: measured curve {curve} (score-rounding "
+        "tie pathology — lower the target marginally)"
+    )

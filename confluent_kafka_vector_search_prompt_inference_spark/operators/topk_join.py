@@ -236,6 +236,8 @@ def calibrate_recall_depth(
     sample_queries: int = 32,
     bands: int = 16,
     rows_per_band: int = 4,
+    cache=None,
+    corpus_fingerprint: str | None = None,
 ) -> tuple[int, float]:
     """Measured-recall depth selection for the approximate tiers.
 
@@ -254,7 +256,18 @@ def calibrate_recall_depth(
     (prefix-ordered by Hamming rank / LSH probe rank), every rung of the
     ladder is evaluated from ONE candidate pass at the deepest rung —
     the whole calibration is two corpus scans plus driver-side pandas
-    over ≤ sample·max_depth·k rows, not one scan per rung."""
+    over ≤ sample·max_depth·k rows, not one scan per rung.
+
+    ``cache`` (an ``operators.calibration_cache.CalibrationCache``)
+    amortizes even those two scans across invocations: the FULL measured
+    curve is stored against the calibration inputs plus a job-free
+    corpus fingerprint (``corpus_fingerprint`` when the caller has a
+    better one — e.g. a persisted-index directory walk — else Catalyst
+    plan-stats bytes), so a repeat call against an unchanged corpus runs
+    ZERO Spark jobs, including for a different ``recall_target``. The
+    cached curve was measured on that call's query sample; reuse assumes
+    a stationary query distribution — the same assumption the sample
+    itself makes."""
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
     if strategy == "binary" and metric != "dot":
@@ -264,6 +277,37 @@ def calibrate_recall_depth(
             f"strategy {strategy!r} has no recall depth to calibrate "
             "(exact tiers satisfy any target by construction)"
         )
+    if strategy == "binary":
+        depths = [d for d in _BINARY_DEPTH_LADDER if d * k <= NUM_CANDIDATES_CAP]
+        if not depths:
+            raise ValueError(
+                f"k={k} leaves no calibratable rescore depth: even the "
+                f"shallowest rung ({_BINARY_DEPTH_LADDER[0]}·k = "
+                f"{_BINARY_DEPTH_LADDER[0] * k} candidates) exceeds the "
+                f"numCandidates cap {NUM_CANDIDATES_CAP}. Lower k or force "
+                "an exact strategy."
+            )
+    else:
+        depths = [d for d in _LSH_DEPTH_LADDER if d <= NUM_CANDIDATES_CAP]
+
+    cache_key = None
+    if cache is not None:
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import dataframe_fingerprint
+
+        cache_key = {
+            "op": "topk_depth",
+            "strategy": strategy,
+            "k": k,
+            "metric": metric,
+            "sample_queries": sample_queries,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "corpus": corpus_fingerprint or dataframe_fingerprint(corpus),
+        }
+        cached = cache.lookup(cache_key)
+        if cached is not None and all(d in cached for d in depths):
+            return _pick_calibrated_depth(cached, depths, recall_target, strategy)
+
     sample = (
         queries.select(F.col(query_id), F.col(query_vec))
         .limit(sample_queries)
@@ -279,15 +323,6 @@ def calibrate_recall_depth(
         raise ValueError("cannot calibrate recall on an empty query sample")
 
     if strategy == "binary":
-        depths = [d for d in _BINARY_DEPTH_LADDER if d * k <= NUM_CANDIDATES_CAP]
-        if not depths:
-            raise ValueError(
-                f"k={k} leaves no calibratable rescore depth: even the "
-                f"shallowest rung ({_BINARY_DEPTH_LADDER[0]}·k = "
-                f"{_BINARY_DEPTH_LADDER[0] * k} candidates) exceeds the "
-                f"numCandidates cap {NUM_CANDIDATES_CAP}. Lower k or force "
-                "an exact strategy."
-            )
         pool = hamming_candidates(
             sample, corpus, depths[-1] * k,
             query_id=query_id, query_vec=query_vec,
@@ -298,7 +333,6 @@ def calibrate_recall_depth(
     else:
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ann import lsh_probe_candidates
 
-        depths = [d for d in _LSH_DEPTH_LADDER if d <= NUM_CANDIDATES_CAP]
         pool = lsh_probe_candidates(
             sample, corpus,
             query_id=query_id, query_vec=query_vec,
@@ -341,6 +375,9 @@ def calibrate_recall_depth(
         q: set(g[corpus_id]) for q, g in exact.groupby(query_id, sort=False)
     }
     possible = len(exact)  # Σ per-query true-top-k sizes (≤ k each)
+    # measure EVERY rung (driver-side pandas over the one pooled pass —
+    # rungs past the first passing one cost microseconds and make the
+    # cached curve reusable for any future recall_target)
     curve: dict[int, float] = {}
     for depth in depths:
         sub = scored[scored["__depth_rank"] <= cap_of(depth)]
@@ -352,10 +389,24 @@ def calibrate_recall_depth(
             cid in truth.get(qid, ())
             for qid, cid in zip(topk[query_id], topk[corpus_id])
         )
-        recall = hits / possible
-        curve[depth] = recall
-        if recall >= recall_target:
-            return depth, recall
+        curve[depth] = hits / possible
+    if cache is not None:
+        cache.store(cache_key, curve)
+    return _pick_calibrated_depth(curve, depths, recall_target, strategy)
+
+
+def _pick_calibrated_depth(
+    curve: dict[int, float],
+    depths: Sequence[int],
+    recall_target: float,
+    strategy: str,
+) -> tuple[int, float]:
+    """Smallest ladder rung whose measured recall meets the target —
+    shared by the live-measure and cached paths so both fail with the
+    same contract error."""
+    for depth in depths:
+        if curve[depth] >= recall_target:
+            return depth, curve[depth]
     raise ValueError(
         f"recall_target={recall_target} unreachable for strategy "
         f"{strategy!r} within the numCandidates cap {NUM_CANDIDATES_CAP}: "

@@ -323,7 +323,13 @@ class EngineSession:
             queries, corpus, k,
             query_id="__qid", query_vec=vec_col,
             corpus_id=idx.id_column, corpus_vec=idx.column,
-            metric=idx.metric, num_candidates=idx.num_candidates,
+            metric=idx.metric,
+            # a declared recall floor supersedes the guessed candidate
+            # count — passing both would pin the depth and skip calibration
+            num_candidates=(
+                None if idx.recall_target is not None else idx.num_candidates
+            ),
+            recall_target=idx.recall_target,
         )
         packed = (
             hits.join(F.broadcast(corpus.select(idx.id_column, "content")), idx.id_column)

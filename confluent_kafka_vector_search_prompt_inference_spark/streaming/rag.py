@@ -63,6 +63,17 @@ class RagPipeline:
     #: omitted, and product content comes from the index rows themselves.
     vector_index: str | None = None
     n_probe: int = 4
+    #: Declared recall floor for the persisted-index leg — the
+    #: ``recall_target=`` contract reaching the tier streaming
+    #: deployments actually ride past the broadcast crossover. When set,
+    #: ``n_probe`` is CALIBRATED (``operators.ivf.calibrate_ivf_n_probe``)
+    #: instead of taken from the ``n_probe`` field, and the measured
+    #: curve is cached INSIDE the index directory keyed by a filesystem
+    #: fingerprint: the steady state pays the two calibration scans once,
+    #: every later micro-batch is a pure cache hit, and any index
+    #: append/vacuum/split automatically re-calibrates (drift
+    #: invalidation via file metadata).
+    recall_target: float | None = None
 
     def _ensure_id(self, questions: DataFrame) -> DataFrame:
         """Questions need a stable unique id for the top-k join; derive one
@@ -105,15 +116,32 @@ class RagPipeline:
                     "vector_index currently pairs with retrieval='vector' "
                     "(the hybrid keyword leg has its own keyword_index)"
                 )
+            import os
+
             from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index, topk_ivf
 
             spark = questions_vec.sparkSession
             indexed, cents = load_ivf_index(spark, self.vector_index)
+            recall_kwargs = {}
+            if self.recall_target is not None:
+                from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import (
+                    CalibrationCache,
+                    directory_fingerprint,
+                )
+
+                recall_kwargs = dict(
+                    recall_target=self.recall_target,
+                    calibration_cache=CalibrationCache(
+                        os.path.join(self.vector_index, "_calibration.json")
+                    ),
+                    corpus_fingerprint=directory_fingerprint(self.vector_index),
+                )
             hits = topk_ivf(
                 questions_vec, indexed, cents, self.k,
                 query_id=self.question_id, query_vec="vector",
                 corpus_id="product_id", corpus_vec="vector",
                 metric="dot", n_probe=self.n_probe,
+                **recall_kwargs,
             )
             corpus = indexed
         elif corpus is None:

@@ -540,3 +540,74 @@ def test_split_oversized_ambiguous_vector_column(spark, embeddings, ivf, tmp_pat
         ivf_split_oversized(spark, path, max_skew=2.0, seed=7)
     # naming the column resolves it (balanced index → nothing to split)
     assert ivf_split_oversized(spark, path, max_skew=50.0, seed=7, vec_col="vector") == []
+
+
+# ---------------------------------------------------------------------------
+# recall_target on the persisted-index tier (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_calibrated_n_probe_meets_target(spark, embeddings, ivf):
+    """recall_target= on the IVF tier: the calibrated probe width's
+    measured sample recall meets the floor, and the end-to-end
+    topk_ivf(recall_target=) result actually delivers it (the 20-query
+    set sits inside the 32-query sample, so sample recall == full-set
+    recall)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import calibrate_ivf_n_probe
+
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    n_probe, measured = calibrate_ivf_n_probe(
+        q, indexed, centroids, 5, recall_target=0.9,
+        query_id="qid", corpus_id="cid",
+    )
+    assert measured >= 0.9
+    assert 1 <= n_probe <= len(centroids)
+
+    exact = topk_similarity_join(
+        q, corpus, k=5, query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector", strategy="broadcast_queries",
+    ).toPandas()
+    approx = topk_ivf(
+        q, indexed, centroids, k=5,
+        query_id="qid", corpus_id="cid", recall_target=0.9,
+    ).toPandas()
+    e = set(zip(exact.qid, exact.cid))
+    assert len(e & set(zip(approx.qid, approx.cid))) / len(e) >= 0.9
+
+
+def test_calibrated_n_probe_monotone_in_target(spark, embeddings, ivf):
+    """A tighter recall floor can only widen the probe; target 1.0 is
+    always reachable on this tier (the deepest rung probes every cluster
+    — the exact scan), unlike the capped binary/LSH ladders."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import calibrate_ivf_n_probe
+
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    common = dict(query_id="qid", corpus_id="cid")
+    p_loose, r_loose = calibrate_ivf_n_probe(
+        q, indexed, centroids, 5, recall_target=0.5, **common
+    )
+    p_tight, r_tight = calibrate_ivf_n_probe(
+        q, indexed, centroids, 5, recall_target=1.0, **common
+    )
+    assert p_loose <= p_tight <= len(centroids)
+    assert r_tight == 1.0
+
+
+def test_calibrate_ivf_rejects_bad_target(spark, embeddings, ivf):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import calibrate_ivf_n_probe
+
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    with pytest.raises(ValueError, match="recall_target"):
+        calibrate_ivf_n_probe(
+            q, indexed, centroids, 5, recall_target=1.5,
+            query_id="qid", corpus_id="cid",
+        )
