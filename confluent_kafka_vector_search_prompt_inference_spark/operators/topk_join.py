@@ -453,15 +453,54 @@ class PreparedCorpus:
     host), not through the pickled broadcast — see
     :func:`prepare_broadcast_corpus`. Search with :func:`topk_prepared`.
 
+    STALENESS CONTRACT: the matrix is a SNAPSHOT of the corpus at
+    preparation time. Rows appended afterwards are invisible to
+    :func:`topk_prepared` until :meth:`refreshed` re-prepares — this is
+    deliberate (the exact-broadcast lane trades freshness for the
+    collect-once win; the persisted-IVF lane reloads per batch for the
+    opposite trade). ``refreshed(corpus)`` returns a NEW PreparedCorpus
+    from the given (re-resolved) corpus and releases this one — note a
+    path-backed DataFrame pins its file listing at creation, so pass a
+    freshly-read DataFrame, not the one prepared from.
+
     ``unpersist`` releases the id/norm broadcast; the staged ``.npy``
     under the driver tempdir is OS-managed (executor SparkFiles copies
     are cleaned with the application)."""
 
-    def __init__(self, bc, corpus_id: str, id_type, metric: str) -> None:
+    def __init__(
+        self,
+        bc,
+        corpus_id: str,
+        id_type,
+        metric: str,
+        corpus_vec: str = "vector",
+        budget_bytes: int | None = None,
+    ) -> None:
         self.bc = bc
         self.corpus_id = corpus_id
         self.id_type = id_type
         self.metric = metric
+        self.corpus_vec = corpus_vec
+        self.budget_bytes = budget_bytes
+
+    def refreshed(self, corpus: DataFrame) -> "PreparedCorpus":
+        """Re-prepare from ``corpus`` (same id/vec/metric/budget recipe),
+        releasing this snapshot's broadcast. The caller swaps the
+        returned object in; in-flight batches holding the old one still
+        complete (the broadcast survives until GC after unpersist)."""
+        fresh = prepare_broadcast_corpus(
+            corpus,
+            corpus_id=self.corpus_id,
+            corpus_vec=self.corpus_vec,
+            metric=self.metric,
+            **(
+                {"budget_bytes": self.budget_bytes}
+                if self.budget_bytes is not None
+                else {}
+            ),
+        )
+        self.unpersist()
+        return fresh
 
     def unpersist(self) -> None:
         self.bc.unpersist()
@@ -518,7 +557,14 @@ def prepare_broadcast_corpus(
     np.save(fpath, matT)
     sc.addFile(fpath)
     bc = sc.broadcast((ids, fname, norms))
-    return PreparedCorpus(bc, corpus_id, corpus.schema[corpus_id].dataType, metric)
+    return PreparedCorpus(
+        bc,
+        corpus_id,
+        corpus.schema[corpus_id].dataType,
+        metric,
+        corpus_vec=corpus_vec,
+        budget_bytes=budget_bytes,
+    )
 
 
 def topk_prepared(

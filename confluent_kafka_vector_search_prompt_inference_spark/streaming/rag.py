@@ -260,7 +260,7 @@ class RagPipeline:
         prompts = self.search_prompts(vec, corpus, prepared=prepared)
         return self.answer_prompts(prompts)
 
-    def streaming_transform(self, corpus: DataFrame | None = None):
+    def streaming_transform(self, corpus: DataFrame | None = None, *, corpus_reader=None):
         """Per-micro-batch transform for ``foreachBatch`` — identical logic
         to :meth:`run_batch`, reproducing the reference's three continuous
         statements as one restart-safe streaming job.
@@ -273,26 +273,61 @@ class RagPipeline:
         the broadcast budget, preparation declines and the per-batch auto
         picker runs as before — at that size the right answer is the
         persisted IVF index (``vector_index=``), which skips this path
-        entirely."""
-        prepared = None
-        if (
-            corpus is not None
-            and self.vector_index is None
-            and self.retrieval == "vector"
-            and self.strategy in ("auto", "broadcast_corpus")
-        ):
-            try:
-                prepared = prepare_broadcast_corpus(
-                    corpus, corpus_id="product_id", corpus_vec="vector",
-                    metric="dot",
-                )
-            except ValueError:
-                prepared = None  # over budget — per-batch auto handles it
+        entirely.
+
+        STALENESS CONTRACT (round 7): the prepared matrix — and, for a
+        path-backed corpus, the DataFrame's pinned file listing — is a
+        SNAPSHOT. Rows appended to the corpus after stream start are NOT
+        visible to the exact lane until the caller invokes
+        ``transform.refresh()``; this is the documented trade against
+        the per-batch-reloading IVF lane (``vector_index=``), which sees
+        appends immediately. ``refresh()`` re-resolves the corpus via
+        ``corpus_reader`` (a zero-arg callable returning a FRESH
+        DataFrame, e.g. ``lambda: spark.read.parquet(path)`` — required
+        for file-backed corpora, whose original DataFrame pins its file
+        listing at creation) and re-prepares the matrix; subsequent
+        micro-batches search the new snapshot. Without ``corpus_reader``,
+        ``refresh()`` re-collects the ORIGINAL DataFrame — enough for
+        corpora whose lineage re-reads mutable upstream state, and a
+        documented no-op for pinned file listings."""
+        state = {"corpus": corpus, "prepared": None}
+        if corpus is None and corpus_reader is not None:
+            state["corpus"] = corpus_reader()
+
+        def _prepare(c: DataFrame | None):
+            if (
+                c is not None
+                and self.vector_index is None
+                and self.retrieval == "vector"
+                and self.strategy in ("auto", "broadcast_corpus")
+            ):
+                try:
+                    return prepare_broadcast_corpus(
+                        c, corpus_id="product_id", corpus_vec="vector",
+                        metric="dot",
+                    )
+                except ValueError:
+                    return None  # over budget — per-batch auto handles it
+            return None
+
+        state["prepared"] = _prepare(state["corpus"])
 
         def transform(batch_df: DataFrame) -> DataFrame:
-            return self.run_batch(batch_df, corpus, prepared=prepared)
+            return self.run_batch(
+                batch_df, state["corpus"], prepared=state["prepared"]
+            )
+
+        def refresh() -> None:
+            fresh = corpus_reader() if corpus_reader is not None else state["corpus"]
+            old = state["prepared"]
+            state["corpus"] = fresh
+            state["prepared"] = _prepare(fresh)
+            transform.prepared = state["prepared"]
+            if old is not None:
+                old.unpersist()
 
         # callers that tear streams down (benches, ladders, tests) can
         # release the broadcast: transform.prepared.unpersist()
-        transform.prepared = prepared
+        transform.prepared = state["prepared"]
+        transform.refresh = refresh
         return transform

@@ -192,3 +192,45 @@ def test_rag_over_persisted_ivf_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="corpus is required"):
         plain.search_prompts(plain.embed_questions(questions))
+
+
+def test_streaming_transform_staleness_contract_and_refresh(spark, pipe, tmp_path):
+    """The prepared exact lane is a documented SNAPSHOT: a corpus append
+    after stream start is invisible (identical retrievals), and
+    transform.refresh() re-resolves + re-prepares so later micro-batches
+    see the new rows — the explicit contract for the collect-once lane
+    (the per-batch-reloading IVF lane sees appends immediately)."""
+    path = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(i, f"ordinary product number {i}") for i in range(40)],
+        "product_id long, content string",
+    )
+    pipe.registry.ml_predict(base, "vector_encoding", "content").write.parquet(path)
+    reader = lambda: spark.read.parquet(path)  # noqa: E731
+
+    transform = pipe.streaming_transform(corpus_reader=reader)
+    try:
+        q = spark.createDataFrame(
+            [("user", "super special widget", "s1")],
+            "role string, content string, sessionid string",
+        )
+        out1 = transform(q).select("json_response").first()[0]
+
+        # append a product whose text EQUALS the question — rank-1 once seen
+        extra = spark.createDataFrame(
+            [(1000, "super special widget")], "product_id long, content string"
+        )
+        pipe.registry.ml_predict(extra, "vector_encoding", "content").write.mode(
+            "append"
+        ).parquet(path)
+
+        out2 = transform(q).select("json_response").first()[0]
+        assert out2 == out1  # snapshot: append invisible until refresh
+
+        transform.refresh()
+        out3 = transform(q).select("json_response").first()[0]
+        # retrieval changed → prompt changed → deterministic answer changed
+        assert out3 != out1
+    finally:
+        if transform.prepared is not None:
+            transform.prepared.unpersist()

@@ -660,3 +660,30 @@ def test_prepare_broadcast_corpus_budget_prices_shipped_float64(spark, qc):
     # at exactly the shipped size the preparation succeeds
     prepared = prepare_broadcast_corpus(c, corpus_id="cid", budget_bytes=f32 * 2)
     prepared.unpersist()
+
+
+def test_prepared_corpus_refreshed_sees_new_rows(spark, qc):
+    """PreparedCorpus is a documented snapshot: appends are invisible
+    until refreshed() re-prepares, after which the new rows rank."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
+        prepare_broadcast_corpus,
+        topk_prepared,
+    )
+
+    q, c = qc
+    one_q = q.limit(1)
+    prepared = prepare_broadcast_corpus(c, corpus_id="cid")
+    base = topk_prepared(one_q, prepared, 3, query_id="qid").toPandas()
+    # a new corpus row identical to the query vector scores max
+    clone = one_q.select(
+        (F.col("qid") + 1_000_000).alias("cid"), F.col("vector")
+    )
+    grown = c.unionByName(clone)
+    stale = topk_prepared(one_q, prepared, 3, query_id="qid").toPandas()
+    assert sorted(stale.cid) == sorted(base.cid)  # snapshot: append invisible
+    fresh = prepared.refreshed(grown)
+    try:
+        seen = topk_prepared(one_q, fresh, 3, query_id="qid").toPandas()
+        assert (seen.cid >= 1_000_000).any()  # refresh made it visible
+    finally:
+        fresh.unpersist()
