@@ -219,6 +219,102 @@ def band_buckets(sig_col, *, num_hashes: int, bands: int):
     )
 
 
+def bucket_store_partitions(buckets_dir: str, default: int) -> int:
+    """The bucket store's pinned partition count. ``__bpart = pmod(bucket,
+    N)`` must be computed with the SAME N for every epoch or partition
+    pruning would silently miss landed candidates — so N is written to a
+    ``_meta.json`` sidecar when the store is created and every later
+    writer/reader uses the stored value, ignoring its own default."""
+    import json
+
+    meta_path = os.path.join(buckets_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return int(json.load(fh)["num_partitions"])
+    os.makedirs(buckets_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"num_partitions": default}, fh)
+    os.replace(tmp, meta_path)
+    return default
+
+
+def write_bucket_delta(
+    delta: DataFrame,
+    buckets_dir: str,
+    epoch_id: int,
+    *,
+    num_partitions: int,
+) -> None:
+    """Idempotently land one epoch's ``(id, __bucket)`` delta in the
+    store's hash-partitioned layout: ``_batch=<epoch>/__bpart=<p>/`` with
+    one file per partition dir (repartition by ``__bpart`` before the
+    partitioned write — the one-file-per-cluster lesson from the IVF
+    store). Shared by :func:`near_dedup_insert` and tools that pre-land
+    sink history (the streaming ladder), so the store layout can never
+    fork between the live path and backfills."""
+    from pyspark.sql import functions as F
+
+    target = os.path.join(buckets_dir, f"_batch={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replay after failure — already committed
+    (
+        delta.withColumn(
+            "__bpart", F.pmod(F.col("__bucket"), F.lit(num_partitions)).cast("int")
+        )
+        .repartition(F.col("__bpart"))
+        .write.partitionBy("__bpart")
+        .mode("overwrite")
+        .parquet(target)
+    )
+
+
+def covered_bucket_epochs(buckets_dir: str) -> set[int]:
+    """Epoch ids whose bucket rows are present in the store — the live
+    ``_batch=`` dirs plus every id a compacted base absorbed (recorded in
+    its ``_folded_epochs.json`` sidecar). Backfill compares SINK epochs
+    against this set; without the sidecars every compaction would look
+    like missing history and be recomputed from landed signatures."""
+    import glob
+    import json
+
+    ids: set[int] = set()
+    for p in glob.glob(os.path.join(buckets_dir, "_batch=*")):
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue
+        ids.add(int(p.rsplit("=", 1)[1]))
+        side = os.path.join(p, "_folded_epochs.json")
+        if os.path.exists(side):
+            with open(side) as fh:
+                ids.update(json.load(fh))
+    return ids
+
+
+def read_bucket_store(
+    spark: SparkSession,
+    buckets_dir: str,
+    id_col: str,
+    parts: list[int] | None = None,
+) -> DataFrame:
+    """The landed ``(id, __bucket)`` table, PRUNED to the given
+    ``__bpart`` partitions: ``__bpart`` is a directory-level partition
+    column in every epoch dir, so the ``isin`` filter prunes at file
+    listing time and the scan touches only ``len(parts)/N`` of the store
+    (plan-asserted in ``tests/test_streaming.py``). No ``mergeSchema``:
+    the store schema is fixed at two long columns by its single writer —
+    a merge pass would re-read every file footer per micro-batch, an
+    O(files) cost the store exists to avoid."""
+    dirs = _committed_batch_dirs(buckets_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed _batch=* epochs under {buckets_dir}")
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", buckets_dir).parquet(*dirs)
+    if parts is not None:
+        df = df.filter(F.col("__bpart").isin([int(p) for p in parts]))
+    return df.select(id_col, "__bucket")
+
+
 def near_dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -230,6 +326,8 @@ def near_dedup_insert(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_partitions: int = 64,
+    compact_every: int = 16,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous INSERT that drops NEAR-duplicate documents — the
@@ -257,13 +355,40 @@ def near_dedup_insert(
     per-batch history cost is a narrow two-long-column scan instead of
     re-reading every landed signature array and recomputing 16 band
     hashes over it — measured 1.7× per batch at 1M landed rows, and the
-    gap widens with ``num_hashes``. A sink whose bucket store is missing
-    epochs (pre-upgrade, or a crash between the two epoch writes) is
-    self-healed: the missing epochs' buckets are backfilled from their
-    landed signatures before the join, so the fast path is also the only
-    path. Candidate volume is banded-LSH-bounded exactly as in batch;
-    document bodies never join until a candidate pair exists (the bucket
-    join moves ids only; texts re-attach to candidates by id)."""
+    gap widens with ``num_hashes``.
+
+    Round 7 made the store O(landed rows) in a BOUNDED file count and
+    its per-batch read PRUNED (the round-6 ladder measured the unpruned
+    full-history scan at 1.49× per landed decade — the one lane whose
+    per-batch cost grew without bound):
+
+    - deltas land hash-partitioned by ``__bpart = pmod(bucket,
+      bucket_partitions)`` (one file per partition dir, count pinned in
+      ``_meta.json`` so epochs can never disagree on the hash);
+    - the landed-side read prunes to the partitions the incoming batch's
+      buckets actually touch (directory-level pruning; the win scales
+      inversely with batch size — a trickle batch touches a handful of
+      dirs, plan-asserted in tests);
+    - every ``compact_every`` epochs the store folds through
+      ``compact_sink(partition_by=['__bpart'])``, so a year of 1-minute
+      triggers holds ~``compact_every`` dirs, not 500k (the folded base
+      records absorbed epoch ids in ``_folded_epochs.json`` so the heal
+      pass knows they're covered);
+    - the epoch's own delta is written directly after the sink commit (a
+      survivors-sized read of the just-committed dir) instead of a
+      second full two-tree glob;
+    - the landed-verify join — and its linear sink text scan — is
+      SKIPPED entirely when the bucket probe yields zero candidate
+      pairs, the steady-state common case for mostly-unique streams.
+
+    A sink whose bucket store is missing epochs (pre-upgrade, a crash
+    between the two epoch writes) or holds pre-upgrade FLAT deltas is
+    self-healed before the join: missing epochs backfill from their
+    landed signatures, flat deltas rewrite partitioned — so the fast
+    path is also the only path. Candidate volume is banded-LSH-bounded
+    exactly as in batch; document bodies never join until a candidate
+    pair exists (the bucket join moves ids only; texts re-attach to
+    candidates by id)."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -278,7 +403,6 @@ def near_dedup_insert(
         return band_buckets(sig_col, num_hashes=num_hashes, bands=bands)
 
     buckets_dir = os.path.join(sink_dir, "_buckets")
-    write_buckets = idempotent_batch_writer(buckets_dir)
 
     def _committed_epoch_ids(d: str) -> dict[int, str]:
         import glob
@@ -289,22 +413,48 @@ def near_dedup_insert(
                 out[int(p.rsplit("=", 1)[1])] = p
         return out
 
-    def _backfill_buckets(spark: SparkSession) -> None:
-        """Heal the bucket store: any committed sink epoch without its
-        bucket delta (pre-upgrade sink, or a crash between the epoch's
-        two writes) gets one computed from its landed signatures — so
-        the landed-side join below can ALWAYS use the store."""
-        have = _committed_epoch_ids(buckets_dir)
+    def _epoch_delta(spark: SparkSession, sink_epoch_dir: str) -> DataFrame:
+        rows = spark.read.parquet(sink_epoch_dir)
+        return rows.select(
+            id_col,
+            F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
+        )
+
+    def _heal_bucket_store(spark: SparkSession, n_parts: int) -> None:
+        """Self-heal: backfill any committed sink epoch the store doesn't
+        cover (pre-upgrade sink, crash between the two epoch writes) and
+        rewrite pre-upgrade FLAT deltas into the partitioned layout."""
+        import glob
+        import shutil
+
+        covered = covered_bucket_epochs(buckets_dir)
+        for eid, p in _committed_epoch_ids(buckets_dir).items():
+            if glob.glob(os.path.join(p, "__bpart=*")):
+                continue  # already partitioned
+            # flat pre-upgrade delta: rewrite partitioned via a tmp whose
+            # name does NOT match _batch=* (readers never see it); a crash
+            # anywhere re-heals — worst case the epoch re-backfills from
+            # its landed signatures below
+            mig = os.path.join(buckets_dir, f"_migrate_tmp_{eid}")
+            shutil.rmtree(mig, ignore_errors=True)
+            flat = spark.read.parquet(p).select(id_col, "__bucket")
+            (
+                flat.withColumn(
+                    "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
+                )
+                .repartition(F.col("__bpart"))
+                .write.partitionBy("__bpart")
+                .mode("overwrite")
+                .parquet(mig)
+            )
+            shutil.rmtree(p)
+            os.rename(mig, p)
         for eid, p in _committed_epoch_ids(sink_dir).items():
-            if eid in have:
+            if eid in covered:
                 continue
-            rows = spark.read.parquet(p)
-            write_buckets(
-                rows.select(
-                    id_col,
-                    F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
-                ),
-                eid,
+            write_bucket_delta(
+                _epoch_delta(spark, p), buckets_dir, eid,
+                num_partitions=n_parts,
             )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -338,14 +488,14 @@ def near_dedup_insert(
         ).select(F.col("id_b").alias(id_col)).distinct()
         keyed = keyed.join(dups, id_col, "left_anti")
         # (3) vs already-landed rows: bucket join on band hashes, exact verify
+        pairs = None
         if _sink_has_batches(sink_dir):
-            landed = read_sink(spark, sink_dir)
-            if "__minhash" not in landed.columns:
-                # A sink previously populated by dedup_insert /
-                # continuous_insert (same _batch=* layout) has no stored
-                # signatures; joining against it would fail mid-stream with
-                # an opaque unresolved-column error. Fail fast with the
-                # contract instead — near_dedup_insert owns its sink.
+            # contract check from ONE footer (not a mergeSchema sweep of
+            # every landed file): near_dedup_insert owns its sink — a sink
+            # previously populated by dedup_insert / continuous_insert has
+            # no stored signatures and must fail fast, not mid-join.
+            first_epoch = _committed_batch_dirs(sink_dir)[0]
+            if "__minhash" not in spark.read.parquet(first_epoch).columns:
                 raise ValueError(
                     f"near_dedup_insert sink {sink_dir!r} contains landed rows "
                     "without a __minhash column (written by a different sink "
@@ -353,48 +503,78 @@ def near_dedup_insert(
                     "backfill signatures with operators.dedup.minhash_signatures "
                     "before resuming."
                 )
+            n_parts = bucket_store_partitions(buckets_dir, bucket_partitions)
+            _heal_bucket_store(spark, n_parts)
             # the bucket join moves (id, bucket) ONLY — document bodies
-            # re-attach to the few candidate pairs by id afterwards.
-            # Landed-side buckets come from the materialized store
-            # (backfilling any missing epochs first), so the per-batch
-            # history cost is a two-long-column scan — the landed side
-            # is the one input that GROWS for the lifetime of the stream
-            # (round-6 ladder: the per-batch cost driver at 1M landed).
-            _backfill_buckets(spark)
+            # re-attach to the few candidate pairs by id afterwards. The
+            # landed side is the one input that GROWS for the stream's
+            # lifetime, so it reads the store PRUNED to the partitions
+            # this batch's buckets touch, with the small incoming side
+            # broadcast.
             inc = keyed.select(
                 F.col(id_col).alias("id_b"),
                 F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
-            )
-            old = read_sink(spark, buckets_dir).select(
-                F.col(id_col).alias("id_a"), "__bucket"
-            )
+            ).withColumn(
+                "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
+            ).persist()
+            touched = [r[0] for r in inc.select("__bpart").distinct().collect()]
+            old = read_bucket_store(
+                spark, buckets_dir, id_col,
+                parts=touched if len(touched) < n_parts else None,
+            ).select(F.col(id_col).alias("id_a"), "__bucket")
             pairs = (
-                old.join(inc, "__bucket")
+                old.join(F.broadcast(inc.select("id_b", "__bucket")), "__bucket")
                 .select("id_a", "id_b")
                 .dropDuplicates(["id_a", "id_b"])
+                .persist()
             )
-            cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct().join(
-                landed.select(id_col, text_col), id_col
-            )
-            cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct().join(
-                keyed.select(id_col, text_col), id_col
-            )
-            both = cand_a.unionByName(cand_b).dropDuplicates([id_col])
-            hits = ngram_jaccard_pairs(
-                both, id_col, text_col,
-                shingle_n=shingle_n, threshold=threshold,
-                candidates=pairs.select("id_a", "id_b"),
-            ).select(F.col("id_b").alias(id_col)).distinct()
-            keyed = keyed.join(hits, id_col, "left_anti")
+            # zero candidate pairs → no landed row can be a near-dup of
+            # this batch: skip the verify joins AND the linear scan of the
+            # sink's text column they would trigger (the steady-state
+            # common case for mostly-unique streams)
+            if pairs.limit(1).count() > 0:
+                landed = read_sink(spark, sink_dir)
+                cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct().join(
+                    landed.select(id_col, text_col), id_col
+                )
+                cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct().join(
+                    keyed.select(id_col, text_col), id_col
+                )
+                both = cand_a.unionByName(cand_b).dropDuplicates([id_col])
+                hits = ngram_jaccard_pairs(
+                    both, id_col, text_col,
+                    shingle_n=shingle_n, threshold=threshold,
+                    candidates=pairs.select("id_a", "id_b"),
+                ).select(F.col("id_b").alias(id_col)).distinct()
+                keyed = keyed.join(hits, id_col, "left_anti")
         try:
             write_batch(keyed, epoch_id)
-            # this epoch's bucket delta: backfill computes it from the
-            # just-committed epoch dir (a survivors-sized disk read, NOT
-            # a re-run of the dedup joins). Written second, so a crash
-            # between the two writes is healed by the same call on the
-            # next batch; a committed replay skips both idempotently.
-            _backfill_buckets(spark)
+            # this epoch's bucket delta: computed from the just-committed
+            # epoch dir (a survivors-sized disk read, NOT a re-run of the
+            # dedup joins, and NOT a second full two-tree glob). Written
+            # second, so a crash between the two writes is healed by
+            # _heal_bucket_store on the next batch; a committed replay
+            # skips both idempotently.
+            target = os.path.join(sink_dir, f"_batch={epoch_id}")
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                write_bucket_delta(
+                    _epoch_delta(spark, target), buckets_dir, epoch_id,
+                    num_partitions=bucket_store_partitions(
+                        buckets_dir, bucket_partitions
+                    ),
+                )
+            # bounded directory count: fold the store every compact_every
+            # epochs (keep_batches=1 preserves idempotent replay of the
+            # newest epoch; absorbed ids live on in _folded_epochs.json)
+            if len(_committed_epoch_ids(buckets_dir)) > compact_every:
+                compact_sink(
+                    spark, buckets_dir, keep_batches=1,
+                    partition_by=["__bpart"],
+                )
         finally:
+            if pairs is not None:
+                pairs.unpersist()
+                inc.unpersist()
             sigs.unpersist()
             sh.unpersist()
 
@@ -493,6 +673,7 @@ def compact_sink(
     *,
     keep_batches: int = 1,
     target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Fold committed ``_batch=*`` dirs into one compacted base batch.
 
@@ -515,6 +696,21 @@ def compact_sink(
     crash after the sink commit but before the streaming checkpoint
     commit re-delivers that epoch, and the writer would re-create the
     (now folded) ``_batch=<epoch>`` dir, duplicating its rows.
+
+    ``partition_by`` preserves a directory-partitioned layout through the
+    fold (e.g. the near-dedup ``_buckets`` store's ``__bpart`` hash
+    partitioning — folding it flat would destroy the partition pruning
+    the store exists for); the fold repartitions by those columns first,
+    so the compacted base holds one file per partition directory.
+
+    The compacted base records which epoch ids it absorbed in a
+    ``_folded_epochs.json`` sidecar (underscore-prefixed — invisible to
+    parquet readers), merging any sidecars of previously-compacted bases
+    it folds. Consumers that track per-epoch coverage (the near-dedup
+    bucket-store backfill) read the sidecars to know an epoch's rows
+    live in a folded base even though its own ``_batch=`` dir is gone —
+    without it, every compaction would look like missing history and be
+    recomputed.
 
     Crash safety: before any deletion, the list of folded dirs is written
     as a MANIFEST inside tmp; the fold order is write-tmp(+manifest) →
@@ -579,10 +775,40 @@ def compact_sink(
     # present only in other batches — then the destructive rewrite would
     # lose them permanently. The union schema is what read_sink consumers
     # see, so it is what compaction must preserve.
-    df = spark.read.option("mergeSchema", "true").parquet(*to_fold)
+    # basePath: batch dirs may themselves hold partition subdirs
+    # (partition_by layouts); reading them as bare roots makes Spark's
+    # partition discovery reject the _batch=* dir names. The _batch
+    # column the rooted read infers is exactly what compaction folds
+    # away, so drop it.
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", sink_dir)
+        .parquet(*to_fold)
+        .drop("_batch")
+    )
     if target_partitions:
         df = df.repartition(target_partitions)
-    df.write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        # one file per partition directory (the IVF one-file-per-cluster
+        # lesson: an unshuffled partitioned write spills a file per
+        # task per directory)
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_by])
+        df.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+    # epoch-coverage sidecar: the folded dirs' own ids plus any ids a
+    # previously-folded base among them had already absorbed
+    covered: set[int] = set()
+    for d in to_fold:
+        covered.add(int(d.rsplit("=", 1)[1]))
+        side = os.path.join(d, "_folded_epochs.json")
+        if os.path.exists(side):
+            with open(side) as fh:
+                covered.update(json.load(fh))
+    with open(os.path.join(tmp, "_folded_epochs.json"), "w") as fh:
+        json.dump(sorted(covered), fh)
     folded_names = [os.path.basename(d) for d in to_fold]
     with open(manifest_path, "w") as fh:
         json.dump(folded_names, fh)

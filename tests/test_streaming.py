@@ -1174,3 +1174,141 @@ def test_near_dedup_bucket_store_maintained_and_healed(spark, tmp_path):
         assert os.path.exists(
             os.path.join(sink, "_buckets", f"_batch={eid}", "_SUCCESS")
         )
+
+
+def test_bucket_store_partitioned_pruned_and_compacted(spark, tmp_path):
+    """Round 7: the near-dedup history store is (a) hash-partitioned by
+    __bpart with the count pinned in _meta.json, (b) read PRUNED to the
+    incoming batch's partitions (plan-asserted), (c) folded by
+    compact_sink into a bounded directory count with absorbed epochs
+    recorded in _folded_epochs.json — and near-dups of FOLDED history
+    are still caught."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        near_dedup_insert,
+        read_bucket_store,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun",
+        "schema registries attach late bound data contracts to kafka "
+        "topics so raw bytes decode into typed streaming tables",
+        "partition pruning reads only the directories a filter names "
+        "which keeps history probes constant as the landed store grows",
+        "minhash signatures approximate jaccard similarity by keeping "
+        "the smallest hash of every shingle under many permutations",
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    buckets = os.path.join(sink, "_buckets")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = near_dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            id_col="doc_id", text_col="text", threshold=0.5,
+            bucket_partitions=8, compact_every=2, trigger_once=True,
+        )
+        _drain(q)
+
+    run_batch([(1, texts[0])])
+    run_batch([(2, texts[1])])
+    run_batch([(3, texts[2])])
+
+    # (a) partitioned layout + pinned meta
+    with open(os.path.join(buckets, "_meta.json")) as fh:
+        assert json.load(fh)["num_partitions"] == 8
+    parted = glob.glob(os.path.join(buckets, "_batch=*", "__bpart=*"))
+    assert parted, "bucket deltas are not __bpart-partitioned"
+
+    # (b) a pruned read lists only the named partitions
+    plan = formatted_plan(read_bucket_store(spark, buckets, "doc_id", parts=[0, 3]))
+    assert "PartitionFilters" in plan and "__bpart" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300], plan
+    full = read_bucket_store(spark, buckets, "doc_id").count()
+    pruned = read_bucket_store(
+        spark, buckets, "doc_id", parts=list(range(4))
+    ).count()
+    assert 0 < pruned < full
+
+    # (c) compaction bounded the dir count and recorded absorbed epochs
+    dirs = sorted(glob.glob(os.path.join(buckets, "_batch=*")))
+    assert len(dirs) <= 3, dirs  # compact_every=2 folds the tail
+    sidecars = glob.glob(os.path.join(buckets, "_batch=*", "_folded_epochs.json"))
+    assert sidecars, "compacted base lost its folded-epoch record"
+    covered = set(json.load(open(sidecars[0])))
+    assert len(covered) >= 2
+
+    # folded history still dedups: a near-copy of epoch 0's doc drops,
+    # and a fresh doc lands
+    run_batch([(9, texts[0].replace("quick", "swift")), (10, texts[3])])
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2, 3, 10}, landed
+
+
+def test_bucket_store_flat_layout_migrates(spark, tmp_path):
+    """A pre-upgrade FLAT bucket delta (no __bpart dirs) is rewritten
+    into the partitioned layout on the next batch — heal, don't crash,
+    and the migrated history still catches its near-dups."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        band_buckets,
+        near_dedup_insert,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    sink = str(tmp_path / "sink")
+    buckets = os.path.join(sink, "_buckets")
+    # pre-land epoch -1 rows + a FLAT (pre-upgrade) bucket delta
+    landed = spark.createDataFrame([(1, base)], schema)
+    sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
+    keyed = landed.join(sigs.withColumnRenamed("minhash", "__minhash"), "doc_id")
+    keyed.coalesce(1).write.parquet(os.path.join(sink, "_batch=-1"))
+    keyed.select(
+        "doc_id",
+        F.explode(
+            band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
+        ).alias("__bucket"),
+    ).coalesce(1).write.parquet(os.path.join(buckets, "_batch=-1"))
+    assert not glob.glob(os.path.join(buckets, "_batch=-1", "__bpart=*"))
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(4, base.replace("quick", "swift"))], schema
+    ).coalesce(1).write.parquet(src)
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema), sink, str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text", threshold=0.5, trigger_once=True,
+    )
+    _drain(q)
+    # migrated in place...
+    assert glob.glob(os.path.join(buckets, "_batch=-1", "__bpart=*"))
+    # ...and the near-copy of the pre-landed doc was dropped through it
+    landed_ids = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed_ids == {1}, landed_ids

@@ -109,9 +109,11 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
         band_buckets,
+        bucket_store_partitions,
         file_stream_reader,
         near_dedup_insert,
         read_sink,
+        write_bucket_delta,
     )
 
     sink = os.path.join(work, f"nd_sink_{rung}")
@@ -127,12 +129,21 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
         sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
     ).localCheckpoint(eager=True)
     keyed.write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
-    keyed.select(
-        "doc_id",
-        F.explode(
-            band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
-        ).alias("__bucket"),
-    ).write.mode("overwrite").parquet(os.path.join(sink, "_buckets", "_batch=-1"))
+    # pre-land the bucket store through the writer's own helper so the
+    # ladder history carries the real partitioned layout (a flat layout
+    # would trigger the one-time migration INSIDE the first timed batch)
+    buckets_dir = os.path.join(sink, "_buckets")
+    write_bucket_delta(
+        keyed.select(
+            "doc_id",
+            F.explode(
+                band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
+            ).alias("__bucket"),
+        ),
+        buckets_dir,
+        -1,
+        num_partitions=bucket_store_partitions(buckets_dir, 64),
+    )
 
     # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
     # landed rows (seed 0 text of id mod rung, one token appended)
