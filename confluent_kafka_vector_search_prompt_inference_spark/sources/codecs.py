@@ -360,8 +360,14 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             else:
-                # a real marker (EOI/RSTn): feed 0 bits — the spec's pad
-                raise ValueError("hit marker while reading entropy bits")
+                # a real marker (EOI/RSTn): T.81 F.2.2.5 — the decoder
+                # completes the current MCU by feeding ZERO bits, leaving
+                # pos ON the marker so align_to_marker / the caller's EOI
+                # handling still see it (libjpeg's behavior; spec-legal
+                # encoders may rely on the marker pad)
+                self._acc <<= 8
+                self._nbits += 8
+                return
         else:
             self.pos += 1
         self._acc = (self._acc << 8) | b
@@ -636,6 +642,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (foreign encoders emit these legally)
+        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -227,3 +227,31 @@ def test_decode_image_routes_jpeg():
     assert np.array_equal(out[:, :, 0], img)
     with pytest.raises(ValueError, match="PNG or JPEG"):
         decode_image(b"\x00\x01\x02garbage")
+
+
+def test_bitreader_feeds_zero_bits_at_marker():
+    """T.81 F.2.2.5: a real marker encountered mid-entropy-read feeds
+    ZERO bits (the marker pad libjpeg implements) instead of raising,
+    and leaves pos ON the marker for the caller's EOI/RST handling.
+    Spec-legal foreign streams rely on this to complete the final MCU."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import _BitReader
+
+    r = _BitReader(b"\xab\xff\xd9", 0)
+    assert r.receive(8) == 0xAB
+    assert r.receive(8) == 0x00  # zero-fed past the EOI marker
+    assert r.receive(4) == 0x0  # keeps feeding zeros, no crash
+    assert r.data[r.pos : r.pos + 2] == b"\xff\xd9"  # pos still on marker
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code. Inject fill bytes before DQT/SOS and assert the decode
+    is unchanged."""
+    img = _tile_image([40, 202, 128, 254])
+    data = jpeg_encode(img, quality=50)
+    for seg in (b"\xff\xdb", b"\xff\xda"):  # DQT, SOS
+        at = data.find(seg)
+        assert at > 0
+        padded = data[:at] + b"\xff\xff" + data[at:]
+        out = jpeg_decode(padded)
+        assert np.array_equal(out[:, :, 0], img), f"fill bytes before {seg!r}"

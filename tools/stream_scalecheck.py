@@ -413,10 +413,6 @@ def _add_slowdowns(rows: dict) -> None:
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
-    rungs = [int(a) for a in sys.argv[1:]] or RUNGS
-    spark = get_spark("spark-graft-stream-scalecheck")
-    spark.sparkContext.setLogLevel("ERROR")
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
     lanes = {
         "near_dedup_insert": _near_dedup_rung,
         "rag_transform": _rag_rung,
@@ -424,6 +420,21 @@ def main() -> int:
         "ivf_insert": _ivf_rung,
         "sketch_insert": _sketch_rung,
     }
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--lanes":
+        # subset re-run (e.g. one extra-large rung for the two RAG lanes
+        # only — the control lanes are flat by design and need no 10M
+        # point); merged into SCALECHECK.json alongside retained rungs
+        names = argv[1].split(",")
+        unknown = [n for n in names if n not in lanes]
+        if unknown:
+            raise SystemExit(f"unknown lanes {unknown}; have {sorted(lanes)}")
+        lanes = {n: lanes[n] for n in names}
+        argv = argv[2:]
+    rungs = [int(a) for a in argv] or RUNGS
+    spark = get_spark("spark-graft-stream-scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
     results: dict[str, dict] = {name: {} for name in lanes}
     try:
         for rung in rungs:
