@@ -6456,6 +6456,63 @@ def vec_topk_auto_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_topk_auto_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST approximate tier to gain the measured-recall contract
+    (round 7; binary → ``vec_topk_auto``, LSH → ``vec_topk_auto_lsh``,
+    persisted IVF → ``vec_topk_auto_ivf``): two-stage IVF-PQ
+    (``operators/ivfpq.topk_ivfpq_rescore``) with ``recall_target=``
+    calibrating BOTH knobs — probe width and ADC shortlist width — on
+    the measured (n_probe, adc_width) lattice
+    (``operators/ivfpq.calibrate_ivfpq``: one exact pass + one
+    full-probe ADC pooling pass price every rung; rescore is exact, so
+    recall@k IS shortlist coverage). Unlike the IVF tier this one has
+    two error sources (probe misses AND ADC misranking), so the
+    calibrator verifies reachability instead of assuming it —
+    ``max_adc_width`` here exceeds the corpus, making the deepest rung
+    the exact scan and any target ≤ 1.0 reachable. Same determinism
+    construction as the other auto entries: the 20-query set sits inside
+    the 32-query calibration sample, so sample recall IS full-set recall
+    and the aggregate verdict is guaranteed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import build_ivfpq_index, topk_ivfpq_rescore
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vector")
+    )
+    encoded, cents, books = build_ivfpq_index(
+        c, n_clusters=8, m=8, k=32, sample_rows=1000, max_iter=5
+    )
+    approx = topk_ivfpq_rescore(
+        q, encoded, cents, books, 10,
+        query_id="query_id", corpus_id="neighbor_id",
+        recall_target=0.85, calibration_sample=32, max_adc_width=4_000,
+    ).select("query_id", "neighbor_id")
+    exact = topk_similarity_join(
+        q, c, 10,
+        query_id="query_id", query_vec="vector",
+        corpus_id="neighbor_id", corpus_vec="vector",
+        metric="dot", strategy="broadcast_queries",
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h")
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("__h", F.lit(0)).alias("__h"), "__n")
+    )
+    tot = per.agg(F.sum("__h").alias("__hits_tot"), F.sum("__n").alias("__n_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        (F.col("__hits_tot") >= F.ceil(F.col("__n_tot") * 0.85)).alias("agg_recall_ok"),
+    )
+
+
 def ivf_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift-triggered IVF maintenance, end-to-end (round 6,
     operators/ivf.py ``ivf_split_oversized``): build a persisted index,
@@ -8717,6 +8774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_auto": vec_topk_auto,
         "vec_topk_auto_lsh": vec_topk_auto_lsh,
         "vec_topk_auto_ivf": vec_topk_auto_ivf,
+        "vec_topk_auto_ivfpq": vec_topk_auto_ivfpq,
         "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
@@ -8906,6 +8964,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_topk_auto": _VEC_TOPK_AUTO_ORACLE,
         "vec_topk_auto_lsh": _VEC_TOPK_AUTO_ORACLE,
         "vec_topk_auto_ivf": _VEC_TOPK_AUTO_ORACLE,
+        "vec_topk_auto_ivfpq": _VEC_TOPK_AUTO_ORACLE,
         "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,

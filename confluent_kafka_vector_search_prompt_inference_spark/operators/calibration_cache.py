@@ -59,11 +59,19 @@ class CalibrationCache:
         except (json.JSONDecodeError, OSError):
             return {}  # a torn/corrupt cache re-measures, never crashes
 
-    def lookup(self, key: dict) -> dict[int, float] | None:
+    def lookup(self, key: dict) -> dict | None:
         entry = self._load().get(self._key(key))
         if entry is None:
             return None
-        return {int(d): float(r) for d, r in entry.items()}
+        # single-knob curves key by int depth/width; composite-knob curves
+        # (IVF-PQ's (n_probe, width) rungs) key by strings like "4:100"
+        def _parse(d: str):
+            try:
+                return int(d)
+            except ValueError:
+                return d
+
+        return {_parse(d): float(r) for d, r in entry.items()}
 
     def store(self, key: dict, curve: dict[int, float]) -> None:
         doc = self._load()

@@ -574,7 +574,17 @@ def topk_ivf(
     corpus_narrow = indexed_corpus.select(
         F.col(corpus_id), F.col(corpus_vec).alias("__cv"), F.col(cluster_col)
     )
-    pairs = probed.join(corpus_narrow, on=cluster_col)
+    # broadcast the probed-queries side EXPLICITLY: it is nq·n_probe rows
+    # (the operator's design premise is queries ≪ corpus), but it hangs
+    # off a pandas-UDF explode whose size Catalyst cannot estimate — left
+    # unhinted, the planner falls back to a sort-merge join that shuffles
+    # the ENTIRE corpus's vectors on cluster id (measured on the 3M-row
+    # streaming ladder rung: ~1.5 GB shuffled per micro-batch, erasing
+    # the probe lane's advantage over the exact scan). The broadcast
+    # hash join streams the corpus in place and still drives dynamic
+    # partition pruning on a saved index's cluster directories
+    # (plan-asserted in test_persisted_index_roundtrip_and_pruning).
+    pairs = F.broadcast(probed).join(corpus_narrow, on=cluster_col)
     score = vec_dot(F.col("__qv"), F.col("__cv")) if metric == "dot" else vec_cosine(
         F.col("__qv"), F.col("__cv")
     )

@@ -349,6 +349,315 @@ def topk_ivfpq(
     )
 
 
+def topk_ivfpq_rescore(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    cluster_col: str = "ivf_cluster",
+    code_col: str = "pq_codes",
+    n_probe: int = 4,
+    adc_width: int = 100,
+    score_col: str = "score",
+    rank_col: str = "rank",
+    recall_target: float | None = None,
+    calibration_sample: int = 32,
+    max_adc_width: int | None = None,
+    calibration_cache=None,
+    corpus_fingerprint: str | None = None,
+) -> DataFrame:
+    """Two-stage IVF-PQ search — the deployed shape of this tier (module
+    docstring; the reference's index scan + rescore, ``README.md:364-368``):
+    ADC shortlist of ``adc_width`` candidates per query, then EXACT
+    rescoring of the shortlist against the raw vectors ``encoded`` still
+    carries. Final scores are exact; the approximation only decides WHICH
+    rows reach the rescore, so recall@k equals shortlist coverage of the
+    exact top-k.
+
+    ``recall_target=`` extends the measured-recall contract (the
+    ``numCandidates`` generalization, and the last approximate tier to
+    get it — binary/LSH/IVF gained it earlier this round) to IVF-PQ:
+    :func:`calibrate_ivfpq` measures the (n_probe, adc_width) rung
+    lattice on a query sample and picks the cheapest rung whose sample
+    recall@k meets the target; ``n_probe``/``adc_width`` are then
+    ignored. Unlike plain IVF this tier has TWO error sources (probe
+    misses and ADC misranking), so a target can be unreachable under
+    ``max_adc_width`` — the calibrator raises descriptively rather than
+    silently under-delivering."""
+    if recall_target is not None:
+        (n_probe, adc_width), _ = calibrate_ivfpq(
+            queries, encoded, centroids, codebooks, k,
+            recall_target=recall_target,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            cluster_col=cluster_col, code_col=code_col,
+            sample_queries=calibration_sample,
+            max_adc_width=max_adc_width,
+            cache=calibration_cache, corpus_fingerprint=corpus_fingerprint,
+        )
+    cand = topk_ivfpq(
+        queries, encoded, centroids, codebooks, k=adc_width,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, cluster_col=cluster_col, code_col=code_col,
+        n_probe=n_probe,
+    ).select(query_id, corpus_id)
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.vector import vec_dot
+
+    qv = queries.select(query_id, F.col(query_vec).alias("__qv"))
+    raw = encoded.select(corpus_id, F.col(corpus_vec).alias("__cv"))
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    # the shortlist (≤ adc_width·nq rows) broadcasts; the corpus side
+    # streams past it — the established exact-rescore join shape
+    return (
+        F.broadcast(cand).join(raw, corpus_id)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id, corpus_id,
+            F.round(vec_dot(F.col("__qv"), F.col("__cv")), 6).alias(score_col),
+        )
+        .withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def _adc_width_ladder(k: int, max_adc_width: int) -> list[int]:
+    """Shortlist-width rungs: k·2^i, topped by ``max_adc_width``."""
+    ladder = []
+    wd = k
+    while wd < max_adc_width:
+        ladder.append(wd)
+        wd *= 2
+    ladder.append(max_adc_width)
+    return ladder
+
+
+def calibrate_ivfpq(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    *,
+    recall_target: float,
+    query_id: str,
+    query_vec: str = "vector",
+    corpus_id: str,
+    corpus_vec: str = "vector",
+    cluster_col: str = "ivf_cluster",
+    code_col: str = "pq_codes",
+    sample_queries: int = 32,
+    max_adc_width: int | None = None,
+    cache=None,
+    corpus_fingerprint: str | None = None,
+) -> tuple[tuple[int, int], float]:
+    """Measured-recall rung selection for two-stage IVF-PQ: returns
+    ``((n_probe, adc_width), measured_recall)`` — the cheapest rung on the
+    (probe ladder × width ladder) lattice whose recall@k on a
+    ``sample_queries``-query sample meets the target. "Cheapest" orders by
+    probe width first (it sets the fraction of the corpus scanned — the
+    dominant cost at scale), then shortlist width (it only sizes the
+    k·nq-row rescore join).
+
+    Same TWO-corpus-scan cost shape as the other calibrators: one exact
+    ground-truth pass (sample broadcast, corpus streamed), and one ADC
+    pass at FULL probe width that pools, per (query, cluster), the top
+    ``max_adc_width`` candidates by ADC score. Probe lists are
+    distance-ordered (prefix-monotone in ``n_probe``) and a width-w
+    shortlist at probe p lives inside the union of per-cluster top-w over
+    the p nearest clusters, so every lattice rung is priced from that one
+    pooled pass with driver-side pandas bounded by
+    sample·n_clusters·max_adc_width rows.
+
+    Because rescore is exact, two-stage recall@k IS shortlist coverage of
+    the exact top-k — the curve measures exactly what the user receives.
+    Both error sources (probe misses, ADC misranking) are inside the
+    measurement; if even the deepest rung misses the target the raise
+    names the measured ceiling (remedy: raise ``max_adc_width``, retrain
+    with more codebook bits, or drop to the IVF tier whose deepest rung
+    is the exact scan).
+
+    ``cache`` (:class:`~confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache.CalibrationCache`)
+    persists the full lattice curve against a job-free corpus
+    fingerprint — repeat calibrations against an unchanged index run
+    zero Spark jobs, any append/vacuum/split invalidates."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import topk_similarity_join
+
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    n_clusters = len(centroids)
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import _probe_ladder
+
+    probe_rungs = _probe_ladder(n_clusters)
+    if max_adc_width is None:
+        max_adc_width = 32 * k
+    width_rungs = _adc_width_ladder(k, max_adc_width)
+    lattice = [(p, wd) for p in probe_rungs for wd in width_rungs]
+
+    cache_key = None
+    if cache is not None:
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import dataframe_fingerprint
+
+        m_sub = codebooks.shape[0]
+        cache_key = {
+            "op": "ivfpq",
+            "k": k,
+            "sample_queries": sample_queries,
+            "n_clusters": n_clusters,
+            "m": int(m_sub),
+            "max_adc_width": max_adc_width,
+            "corpus": corpus_fingerprint or dataframe_fingerprint(encoded),
+        }
+        cached = cache.lookup(cache_key)
+        if cached is not None and all(f"{p}:{wd}" in cached for p, wd in lattice):
+            curve = {(p, wd): cached[f"{p}:{wd}"] for p, wd in lattice}
+            return _pick_ivfpq_rung(curve, lattice, recall_target)
+
+    sample = (
+        queries.select(F.col(query_id), F.col(query_vec))
+        .limit(sample_queries)
+        .localCheckpoint(eager=True)
+    )
+    exact = topk_similarity_join(
+        sample, encoded.select(F.col(corpus_id), F.col(corpus_vec)), k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        metric="dot", strategy="broadcast_queries",
+    ).select(query_id, corpus_id).toPandas()
+    if exact.empty:
+        raise ValueError("cannot calibrate recall on an empty query sample")
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import _collect_matrix
+
+    q_ids, Q = _collect_matrix(sample, query_id, query_vec)
+    cent = centroids.astype(np.float64)
+    books = codebooks.astype(np.float64)
+    m, _nk, sub = books.shape
+    qdotc = Q.astype(np.float64) @ cent.T
+    q_cent_d2 = (
+        (Q.astype(np.float64) ** 2).sum(axis=1)[:, None]
+        - 2.0 * qdotc
+        + (cent**2).sum(axis=1)[None, :]
+    )
+    # rank_mat[qi, c] = 1-based rank of cluster c in query qi's
+    # centroid-distance order — the prefix key every lattice rung prunes on
+    order = np.argsort(q_cent_d2, axis=1, kind="stable")
+    rank_mat = np.empty_like(order)
+    np.put_along_axis(
+        rank_mat, order, np.tile(np.arange(1, n_clusters + 1), (len(q_ids), 1)), axis=1
+    )
+    luts = np.stack(
+        [Q.astype(np.float64)[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, qdotc, rank_mat, luts))
+    nq = len(q_ids)
+    w_cap = max_adc_width
+
+    out_schema = StructType(
+        [
+            StructField(query_id, sample.schema[query_id].dataType),
+            StructField(corpus_id, encoded.schema[corpus_id].dataType),
+            StructField("__crank", IntegerType()),
+            StructField("__adc", DoubleType()),
+        ]
+    )
+
+    def pool_pass(batches):
+        qids, qc, ranks, lut = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf[code_col]), dtype=np.int64)
+            clusters = pdf[cluster_col].to_numpy(dtype=np.int64)
+            cids = pdf[corpus_id].to_numpy()
+            scores = qc[:, clusters].copy()
+            for j in range(m):
+                scores += lut[:, j, codes[:, j]]
+            frames = []
+            for c in np.unique(clusters):
+                rows = np.flatnonzero(clusters == c)
+                sc = scores[:, rows]  # (nq, |rows in cluster c|)
+                if len(rows) > w_cap:
+                    top = np.argpartition(-sc, w_cap - 1, axis=1)[:, :w_cap]
+                else:
+                    top = np.tile(np.arange(len(rows)), (nq, 1))
+                sel = rows[top]  # (nq, w) row indices into this batch
+                kk = sel.shape[1]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.repeat(qids, kk),
+                            corpus_id: cids[sel].ravel(),
+                            "__crank": np.repeat(
+                                ranks[:, c].astype(np.int32), kk
+                            ),
+                            "__adc": np.take_along_axis(sc, top, axis=1).ravel(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    narrow = encoded.select(corpus_id, cluster_col, code_col)
+    partial = narrow.mapInPandas(pool_pass, out_schema)
+    # exact per-(query, cluster) top-w across partitions, then the bounded
+    # pandas pull (≤ sample·n_clusters·max_adc_width rows)
+    wqc = Window.partitionBy(query_id, "__crank").orderBy(
+        F.desc("__adc"), F.asc(corpus_id)
+    )
+    pool = (
+        partial.withColumn("__r", F.row_number().over(wqc))
+        .filter(F.col("__r") <= w_cap)
+        .drop("__r")
+        .toPandas()
+    )
+
+    truth = {q: set(g[corpus_id]) for q, g in exact.groupby(query_id, sort=False)}
+    possible = len(exact)
+    curve: dict[tuple[int, int], float] = {}
+    for p in probe_rungs:
+        sub_pool = pool[pool["__crank"] <= p]
+        sub_pool = sub_pool.sort_values(
+            [query_id, "__adc", corpus_id], ascending=[True, False, True]
+        )
+        grouped = sub_pool.groupby(query_id, sort=False)
+        for wd in width_rungs:
+            short = grouped.head(wd)
+            hits = sum(
+                cid in truth.get(qid, ())
+                for qid, cid in zip(short[query_id], short[corpus_id])
+            )
+            curve[(p, wd)] = hits / possible
+    if cache is not None:
+        cache.store(cache_key, {f"{p}:{wd}": r for (p, wd), r in curve.items()})
+    return _pick_ivfpq_rung(curve, lattice, recall_target)
+
+
+def _pick_ivfpq_rung(
+    curve: dict[tuple[int, int], float],
+    lattice: list[tuple[int, int]],
+    recall_target: float,
+) -> tuple[tuple[int, int], float]:
+    for rung in lattice:  # probe-major: scan fraction dominates cost
+        if curve[rung] >= recall_target:
+            return rung, curve[rung]
+    best = max(curve.values())
+    raise ValueError(
+        f"recall_target={recall_target} unreachable on this IVF-PQ index: "
+        f"measured ceiling {best:.3f} at the deepest rung {lattice[-1]} "
+        "(probe misses + ADC misranking). Raise max_adc_width, retrain "
+        "with more codebook bits (m/k), or use the IVF tier whose deepest "
+        "rung is the exact scan."
+    )
+
+
 def ivfpq_vacuum(
     spark: SparkSession, path: str, *, cluster_col: str = "ivf_cluster"
 ) -> int:

@@ -258,3 +258,152 @@ def test_ivfpq_split_heals_drift_and_reencodes(spark, embeddings, ivfpq_setup, t
     assert reloaded.filter(F.col("cid") == 100_000).count() == 0
     assert reloaded.filter(F.col("cid") >= 100_300).count() == 10
     assert ivfpq_vacuum(spark, path) == 1
+
+
+# ---------------------------------------------------------------------------
+# recall_target= on the two-stage tier (calibrate_ivfpq / topk_ivfpq_rescore)
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import CalibrationCache  # noqa: E402
+from confluent_kafka_vector_search_prompt_inference_spark.operators.ivfpq import (  # noqa: E402
+    calibrate_ivfpq,
+    topk_ivfpq_rescore,
+)
+
+
+def _exact_sets(q, corpus, k=10):
+    exact = topk_similarity_join(
+        q, corpus, k=k,
+        query_id="qid", query_vec="vector",
+        corpus_id="cid", corpus_vec="vector",
+        metric="dot", strategy="broadcast_queries",
+    ).toPandas()
+    return exact.groupby("qid").cid.apply(set)
+
+
+def test_calibrated_rung_meets_target_on_sample(spark, embeddings, ivfpq_setup):
+    """The picked (n_probe, adc_width) must deliver >= the measured sample
+    recall when the query set IS the calibration sample (the determinism
+    construction every vec_topk_auto* entry uses)."""
+    corpus, encoded, centroids, books = ivfpq_setup
+    q = _queries(embeddings)  # 20 queries, inside the 32-query sample
+    (n_probe, width), measured = calibrate_ivfpq(
+        q, encoded, centroids, books, 10,
+        recall_target=0.8, query_id="qid", corpus_id="cid",
+        max_adc_width=2_000,
+    )
+    assert measured >= 0.8
+    out = topk_ivfpq_rescore(
+        q, encoded, centroids, books, 10,
+        query_id="qid", corpus_id="cid", n_probe=n_probe, adc_width=width,
+    ).toPandas()
+    e = _exact_sets(q, corpus)
+    a = out.groupby("qid").cid.apply(set)
+    got = sum(len(a.get(i, set()) & e[i]) for i in e.index)
+    possible = sum(len(e[i]) for i in e.index)
+    assert got / possible >= 0.8
+
+
+def test_curve_monotone_in_both_knobs(spark, embeddings, ivfpq_setup, tmp_path):
+    """Recall is non-decreasing along each lattice axis (prefix-monotone
+    probe lists; wider shortlists are supersets) — read off the cached
+    curve so the assert covers exactly what a cache hit serves."""
+    corpus, encoded, centroids, books = ivfpq_setup
+    q = _queries(embeddings)
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    calibrate_ivfpq(
+        q, encoded, centroids, books, 10,
+        recall_target=0.8, query_id="qid", corpus_id="cid",
+        max_adc_width=2_000, cache=cache,
+    )
+    import json
+
+    doc = json.load(open(cache.path))
+    (curve,) = doc.values()
+    rungs = {tuple(map(int, key.split(":"))): r for key, r in curve.items()}
+    probes = sorted({p for p, _ in rungs})
+    widths = sorted({w for _, w in rungs})
+    # width axis: nested shortlist prefixes over the SAME candidate pool —
+    # guaranteed monotone at every probe width
+    for p in probes:
+        vals = [rungs[(p, w)] for w in widths]
+        assert vals == sorted(vals), f"width axis not monotone at probe {p}"
+    # probe axis: only guaranteed monotone when the shortlist holds the
+    # whole pool (width >= corpus) — at narrower widths, ADC-misranked
+    # rows from a newly probed cluster may displace true hits, which is
+    # exactly why the contract is MEASURED instead of assumed
+    vals = [rungs[(p, widths[-1])] for p in probes]
+    assert vals == sorted(vals), "probe axis not monotone at full width"
+    # the deepest rung (all clusters probed, shortlist >= corpus) covers
+    # the exact top-k entirely: two-stage recall there is 1.0
+    assert rungs[(max(probes), max(widths))] == 1.0
+
+
+def test_ivfpq_cache_hit_runs_zero_jobs(spark, embeddings, ivfpq_setup, tmp_path):
+    corpus, encoded, centroids, books = ivfpq_setup
+    q = _queries(embeddings)
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    common = dict(
+        query_id="qid", corpus_id="cid", max_adc_width=500, cache=cache,
+        corpus_fingerprint="pinned-test-state",
+    )
+    r1 = calibrate_ivfpq(
+        q, encoded, centroids, books, 10, recall_target=0.7, **common
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-cal-hit", "ivfpq-cal-hit")
+    try:
+        r2 = calibrate_ivfpq(
+            q, encoded, centroids, books, 10, recall_target=0.7, **common
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert r2 == r1
+    assert len(sc.statusTracker().getJobIdsForGroup("ivfpq-cal-hit")) == 0
+    # a DIFFERENT target against the same corpus is also a pure hit
+    sc.setJobGroup("ivfpq-cal-hit2", "ivfpq-cal-hit2")
+    try:
+        calibrate_ivfpq(
+            q, encoded, centroids, books, 10, recall_target=0.95, **common
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("ivfpq-cal-hit2")) == 0
+
+
+def test_unreachable_target_raises_descriptively(spark, embeddings, ivfpq_setup):
+    """A shortlist capped far below k x (what ADC misranking demands)
+    cannot cover the exact top-k; the calibrator must name the measured
+    ceiling instead of silently under-delivering."""
+    corpus, encoded, centroids, books = ivfpq_setup
+    q = _queries(embeddings)
+    with pytest.raises(ValueError, match="unreachable.*ceiling"):
+        calibrate_ivfpq(
+            q, encoded, centroids, books, 10,
+            recall_target=1.0, query_id="qid", corpus_id="cid",
+            max_adc_width=10,  # shortlist == k: every ADC misrank is a miss
+        )
+
+
+def test_rescore_recall_target_end_to_end(spark, embeddings, ivfpq_setup):
+    """topk_ivfpq_rescore(recall_target=) calibrates and delivers: final
+    scores are exact (rescore), rank contract matches the other topk ops."""
+    corpus, encoded, centroids, books = ivfpq_setup
+    q = _queries(embeddings, n=5)
+    out = topk_ivfpq_rescore(
+        q, encoded, centroids, books, 10,
+        query_id="qid", corpus_id="cid",
+        recall_target=0.8, max_adc_width=2_000,
+    ).toPandas()
+    assert set(out.columns) == {"qid", "cid", "score", "rank"}
+    assert (out.groupby("qid")["rank"].max() == 10).all()
+    # exact-score contract: every returned score equals the true dot product
+    import pandas as pd
+
+    qv = {r.qid: np.asarray(r.vector, np.float64) for r in q.collect()}
+    cv = {
+        r.cid: np.asarray(r.vector, np.float64)
+        for r in corpus.filter(F.col("cid").isin([int(c) for c in out.cid])).collect()
+    }
+    for row in out.itertuples():
+        assert abs(row.score - round(float(qv[row.qid] @ cv[row.cid]), 6)) < 1e-9

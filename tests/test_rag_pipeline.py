@@ -234,3 +234,55 @@ def test_streaming_transform_staleness_contract_and_refresh(spark, pipe, tmp_pat
     finally:
         if transform.prepared is not None:
             transform.prepared.unpersist()
+
+
+def test_vector_index_load_cached_until_index_changes(spark, tmp_path):
+    """The per-batch index load is fingerprint-cached: an UNCHANGED index
+    dir reuses the previous corpus DataFrame (no re-listing / recovery /
+    centroid re-collect per micro-batch), while any index mutation —
+    here an append — moves the filesystem fingerprint and forces a fresh
+    load whose new rows are immediately searchable (the append-visibility
+    contract the per-batch reload existed for)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.models import HashingEmbedder, ModelRegistry, TemplateLLM
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import build_ivf_index, ivf_append, save_ivf_index
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = registry.ml_predict(
+        docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content")),
+        "vector_encoding",
+        "content",
+    )
+    idx = str(tmp_path / "ivf")
+    indexed, cents = build_ivf_index(corpus, "vector", n_clusters=8, seed=42)
+    save_ivf_index(indexed, cents, idx)
+
+    pipe = RagPipeline(registry, k=3, vector_index=idx, n_probe=8)
+    df1, c1, fp1 = pipe._load_index(spark)
+    df2, c2, fp2 = pipe._load_index(spark)
+    assert df2 is df1 and fp2 == fp1  # steady state: same snapshot reused
+
+    # append moves the fingerprint -> fresh load, appended row searchable
+    extra = corpus.filter(F.col("product_id") == 0).select(
+        (F.col("product_id") + 1_000_000).alias("product_id"),
+        F.concat(F.lit("APPENDED "), F.col("content")).alias("content"),
+        "vector",
+    )
+    ivf_append(extra, idx)
+    df3, c3, fp3 = pipe._load_index(spark)
+    assert fp3 != fp1 and df3 is not df1
+    assert df3.filter(F.col("product_id") == 1_000_000).count() == 1
+
+    q = docs.filter(F.col("doc_id") == 0).select(
+        F.lit("user").alias("role"),
+        F.col("text").alias("content"),
+        F.lit("s-0").alias("sessionid"),
+    )
+    prompts = pipe.search_prompts(pipe.embed_questions(q)).collect()
+    contents = [p.content for r in prompts for p in r.products]
+    assert any("APPENDED" in c for c in contents)  # identical text, +self
