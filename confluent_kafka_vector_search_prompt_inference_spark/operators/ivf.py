@@ -8,11 +8,14 @@ cluster id becomes the table's physical partition key, so a probe touches
 only ``n_probe / n_clusters`` of the data — the same pruning Atlas'
 ``numCandidates`` index scan performs (reference ``README.md:364-368``).
 
-Query: assign each query to its ``n_probe`` nearest centroids (centroid
-matrix is tiny — a plain broadcast + Arrow-batched matmul), explode to
-(query, cluster) pairs, hash-join against the corpus on cluster id, rescore
-exactly, take top-k. No all-pairs work; the only shuffle is the cluster-id
-join, and it prunes to probed clusters.
+Query: assign each query to its ``n_probe`` nearest centroids DRIVER-SIDE
+(queries ≪ corpus is the operator's premise; the centroid matrix is index
+metadata), turn the probed cluster set into a static partition-pruning
+filter, and BLAS-score each pruned cluster's rows against just the queries
+probing it inside ``mapInPandas`` — per-query top-k kept within each Arrow
+batch, so the only shuffle in the plan is the k-bounded window finalize.
+No all-pairs work, no corpus shuffle, no per-candidate interpreted
+expression in the hot path.
 """
 
 from __future__ import annotations
@@ -555,7 +558,28 @@ def topk_ivf(
     ladder on a query sample and picks the smallest width whose sample
     recall@k meets it. Unlike the binary/LSH tiers this tier can satisfy
     ANY target ≤ 1.0 — the deepest rung probes every cluster, which IS
-    the exact scan — so there is no unreachable-target error path."""
+    the exact scan — so there is no unreachable-target error path.
+
+    Execution shape (round 7): the query matrix collects to the driver
+    (the operator's design premise is queries ≪ corpus — the previous
+    probe-join shape already materialized every probed query into a
+    driver-built broadcast, so this is the same memory at less
+    machinery), probe lists are computed driver-side with the SAME
+    argpartition math as :func:`_nearest_clusters_udf`, and the probed
+    cluster set becomes a STATIC ``isin`` filter on the cluster column —
+    compile-time partition pruning on a saved index, no join to drive it.
+    Scoring is per-cluster BLAS: each Arrow batch of the pruned corpus
+    scan matmuls its clusters' rows against just the queries probing that
+    cluster, keeping per-query top-k within the batch, so the only
+    shuffle in the whole plan is the k·n_probe·nq-row window finalize.
+    The previous shape — explode to (query, cluster) pairs, broadcast-
+    hash-join the corpus, score each pair through the Catalyst
+    ``vec_dot`` fold — evaluated an interpreted ~64-step lambda chain
+    per candidate (6.9M candidates/batch on the 3M-row streaming ladder
+    rung) and fed ALL of them to the window; measured there, BLAS
+    scoring + k-bounded emit is what lets the probe lane actually
+    diverge from the exact-matmul lane instead of giving back its
+    pruning win in per-pair interpretation overhead."""
     if recall_target is not None:
         n_probe, _ = calibrate_ivf_n_probe(
             queries, indexed_corpus, centroids, k,
@@ -566,31 +590,88 @@ def topk_ivf(
             sample_queries=calibration_sample,
             cache=calibration_cache, corpus_fingerprint=corpus_fingerprint,
         )
-    assign = _nearest_clusters_udf(centroids, n_probe)
-    probed = queries.select(
-        F.col(query_id), F.col(query_vec).alias("__qv"),
-        F.explode(assign(F.col(query_vec))).alias(cluster_col),
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import _rowwise_topk
+
+    spark = queries.sparkSession
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, indexed_corpus.schema[corpus_id].dataType),
+            StructField(score_col, DoubleType()),
+        ]
     )
-    corpus_narrow = indexed_corpus.select(
-        F.col(corpus_id), F.col(corpus_vec).alias("__cv"), F.col(cluster_col)
+    qpdf = queries.select(F.col(query_id), F.col(query_vec)).toPandas()
+    if qpdf.empty:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn(rank_col, F.lit(1)).filter(F.lit(False))
+    q_ids = qpdf[query_id].to_numpy()
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec]])
+    cent = centroids.astype(np.float64)
+    # same selection math as _nearest_clusters_udf (argpartition on the
+    # identical float64 distance matrix) — probe SETS are bit-identical
+    d2 = (Q**2).sum(axis=1)[:, None] - 2.0 * (Q @ cent.T) + (cent**2).sum(axis=1)[None, :]
+    p = min(n_probe, cent.shape[0])
+    sel = np.argpartition(d2, p - 1, axis=1)[:, :p]
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi in range(sel.shape[0]):
+        for c in sel[qi]:
+            cluster_to_q.setdefault(int(c), []).append(qi)
+    qnorm = np.linalg.norm(Q, axis=1)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Q, {c: np.asarray(v) for c, v in cluster_to_q.items()}, qnorm)
     )
-    # broadcast the probed-queries side EXPLICITLY: it is nq·n_probe rows
-    # (the operator's design premise is queries ≪ corpus), but it hangs
-    # off a pandas-UDF explode whose size Catalyst cannot estimate — left
-    # unhinted, the planner falls back to a sort-merge join that shuffles
-    # the ENTIRE corpus's vectors on cluster id (measured on the 3M-row
-    # streaming ladder rung: ~1.5 GB shuffled per micro-batch, erasing
-    # the probe lane's advantage over the exact scan). The broadcast
-    # hash join streams the corpus in place and still drives dynamic
-    # partition pruning on a saved index's cluster directories
-    # (plan-asserted in test_persisted_index_roundtrip_and_pruning).
-    pairs = F.broadcast(probed).join(corpus_narrow, on=cluster_col)
-    score = vec_dot(F.col("__qv"), F.col("__cv")) if metric == "dot" else vec_cosine(
-        F.col("__qv"), F.col("__cv")
-    )
-    rescored = pairs.select(query_id, corpus_id, F.round(score, 6).alias(score_col))
+    kk, met = k, metric
+
+    def compute(batches):
+        ids_b, Qb, cq, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            clusters = pdf[cluster_col].to_numpy()
+            vecs = pdf[corpus_vec].to_numpy()
+            all_cids = pdf[corpus_id].to_numpy()
+            frames = []
+            for c in np.unique(clusters):
+                qidx = cq.get(int(c))
+                if qidx is None:
+                    continue
+                rows = np.flatnonzero(clusters == c)
+                C = np.asarray(
+                    [np.asarray(vecs[r], dtype=np.float64) for r in rows]
+                )
+                cids = all_cids[rows]
+                S = Qb[qidx] @ C.T
+                if met == "cosine":
+                    cn = np.linalg.norm(C, axis=1)
+                    cn[cn == 0] = np.inf  # zero vectors score -0.0 → rank last
+                    qq = qn[qidx].copy()
+                    qq[qq == 0] = np.inf
+                    S = S / qq[:, None] / cn[None, :]
+                # round BEFORE the partial top-k so in-batch ordering uses
+                # the same (−rounded score, id) key the window finalizes on
+                S = np.round(S, 6)
+                idx, top = _rowwise_topk(S, cids, kk)
+                w = idx.shape[1]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.repeat(ids_b[qidx], w),
+                            corpus_id: cids[idx].ravel(),
+                            score_col: top.ravel(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scan = indexed_corpus.select(
+        F.col(corpus_id), F.col(corpus_vec), F.col(cluster_col)
+    ).filter(F.col(cluster_col).isin(sorted(cluster_to_q)))
+    cand = scan.mapInPandas(compute, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
-    return rescored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return cand.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
 #: probe-width ladder: powers of two, topped by the full cluster count

@@ -72,8 +72,9 @@ def test_probe_width_monotonic_recall(spark, embeddings, ivf):
 
 def test_persisted_index_roundtrip_and_pruning(spark, embeddings, ivf, tmp_path):
     """Saving the index and searching the loaded copy gives identical
-    results, and the probe join dynamically prunes the cluster-partitioned
-    corpus (reads only probed directories)."""
+    results, and the probe statically prunes the cluster-partitioned
+    corpus (compile-time PartitionFilters on the probed cluster set —
+    reads only probed directories)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index, save_ivf_index
     from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
 
@@ -95,7 +96,10 @@ def test_persisted_index_roundtrip_and_pruning(spark, embeddings, ivf, tmp_path)
         query_id="qid", corpus_id="cid", metric="cosine", n_probe=2,
     )
     plan = formatted_plan(disk)
-    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [dynamic" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*ivf_cluster[^\]]*)\]", plan)
+    assert m and ("IN" in m.group(1) or "isin" in m.group(1).lower()), plan
     disk_pd = disk.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     assert mem[["qid", "cid", "rank"]].equals(disk_pd[["qid", "cid", "rank"]])
 
