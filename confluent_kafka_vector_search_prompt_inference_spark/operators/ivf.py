@@ -608,6 +608,19 @@ def topk_ivf(
         return empty.withColumn(rank_col, F.lit(1)).filter(F.lit(False))
     q_ids = qpdf[query_id].to_numpy()
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec]])
+    # price the broadcast query matrix against the same budget the exact
+    # tiers use (topk_join._BROADCAST_BUDGET_BYTES prices shipped bytes):
+    # the premise is queries ≪ corpus, and a violation should be a clear
+    # deterministic error, not a silent driver OOM at 100× the data
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import _BROADCAST_BUDGET_BYTES
+    if Q.nbytes > _BROADCAST_BUDGET_BYTES:
+        raise ValueError(
+            f"topk_ivf query matrix is {Q.nbytes} float64 bytes "
+            f"(> broadcast budget {_BROADCAST_BUDGET_BYTES}); the IVF probe "
+            "tier assumes queries ≪ corpus. For a huge query side use "
+            "topk_similarity_join(strategy='shuffle'/'auto') or chunk the "
+            "queries."
+        )
     cent = centroids.astype(np.float64)
     # same selection math as _nearest_clusters_udf (argpartition on the
     # identical float64 distance matrix) — probe SETS are bit-identical

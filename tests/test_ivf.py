@@ -615,3 +615,20 @@ def test_calibrate_ivf_rejects_bad_target(spark, embeddings, ivf):
             q, indexed, centroids, 5, recall_target=1.5,
             query_id="qid", corpus_id="cid",
         )
+
+
+def test_query_matrix_over_budget_raises(spark, embeddings, ivf, monkeypatch):
+    """The probe tier's queries ≪ corpus premise is a priced contract, not
+    a hope: a query matrix over the broadcast budget raises a descriptive
+    error instead of silently OOMing the driver at scale."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators import topk_join
+
+    corpus, indexed, centroids = ivf
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    monkeypatch.setattr(topk_join, "_BROADCAST_BUDGET_BYTES", 64)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        topk_ivf(
+            q, indexed, centroids, k=3, query_id="qid", corpus_id="cid",
+        ).collect()
