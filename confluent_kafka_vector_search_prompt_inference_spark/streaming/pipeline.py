@@ -245,28 +245,52 @@ def write_bucket_delta(
     epoch_id: int,
     *,
     num_partitions: int,
+    layout: str = "flat",
 ) -> None:
-    """Idempotently land one epoch's ``(id, __bucket)`` delta in the
-    store's hash-partitioned layout: ``_batch=<epoch>/__bpart=<p>/`` with
-    one file per partition dir (repartition by ``__bpart`` before the
-    partitioned write — the one-file-per-cluster lesson from the IVF
-    store). Shared by :func:`near_dedup_insert` and tools that pre-land
-    sink history (the streaming ladder), so the store layout can never
-    fork between the live path and backfills."""
+    """Idempotently land one epoch's ``(id, __bucket)`` delta.
+
+    ``layout='flat'`` (the LIVE per-epoch path): one file, ``__bpart =
+    pmod(bucket, num_partitions)`` carried as a DATA column, rows sorted
+    by it so parquet row-group stats can skip untouched partitions within
+    the file. The first round-7 cut wrote every epoch partitioned —
+    measured ~2.0 s per micro-batch for the ``repartition(__bpart)``
+    shuffle plus a 64-directory dynamic-partition commit at micro-batch
+    delta sizes (~10k rows), versus ~0.16 s for this flat write; the 1.6×
+    per-batch slowdown it put on the streaming bench was the exact
+    constant-factor regression ``tools/bench_compare.py`` gates. The
+    directory-partitioned layout still exists — in the COMPACTED base,
+    where its write cost is paid once per ``compact_every`` epochs and
+    its listing-level pruning covers the store's unbounded part. The
+    flat tail between compactions is bounded at ``compact_every`` epochs
+    of micro-batch-sized deltas by construction.
+
+    ``layout='partitioned'``: the compacted-base shape
+    (``_batch=<epoch>/__bpart=<p>/``, one file per partition dir) — for
+    tools that pre-land a large already-compacted history in one shot
+    (the streaming ladder), so what they land matches what a
+    long-running stream's store converges to."""
     from pyspark.sql import functions as F
 
     target = os.path.join(buckets_dir, f"_batch={epoch_id}")
     if os.path.exists(os.path.join(target, "_SUCCESS")):
         return  # replay after failure — already committed
-    (
-        delta.withColumn(
-            "__bpart", F.pmod(F.col("__bucket"), F.lit(num_partitions)).cast("int")
-        )
-        .repartition(F.col("__bpart"))
-        .write.partitionBy("__bpart")
-        .mode("overwrite")
-        .parquet(target)
+    keyed = delta.withColumn(
+        "__bpart", F.pmod(F.col("__bucket"), F.lit(num_partitions)).cast("int")
     )
+    if layout == "partitioned":
+        (
+            keyed.repartition(F.col("__bpart"))
+            .write.partitionBy("__bpart")
+            .mode("overwrite")
+            .parquet(target)
+        )
+    else:
+        (
+            keyed.coalesce(1)
+            .sortWithinPartitions("__bpart")
+            .write.mode("overwrite")
+            .parquet(target)
+        )
 
 
 def covered_bucket_epochs(buckets_dir: str) -> set[int]:
@@ -290,6 +314,20 @@ def covered_bucket_epochs(buckets_dir: str) -> set[int]:
     return ids
 
 
+def _split_bucket_dirs(dirs: list[str]) -> tuple[list[str], list[str]]:
+    """Partition the committed epoch dirs by layout: (partitioned bases
+    with ``__bpart=`` subdirectories, flat deltas). The two layouts carry
+    different partition-discovery depths, so they must be read in
+    separate calls — one mixed read raises Spark's conflicting-directory-
+    structures error."""
+    import glob
+
+    parted, flat = [], []
+    for d in dirs:
+        (parted if glob.glob(os.path.join(d, "__bpart=*")) else flat).append(d)
+    return parted, flat
+
+
 def read_bucket_store(
     spark: SparkSession,
     buckets_dir: str,
@@ -297,11 +335,18 @@ def read_bucket_store(
     parts: list[int] | None = None,
 ) -> DataFrame:
     """The landed ``(id, __bucket)`` table, PRUNED to the given
-    ``__bpart`` partitions: ``__bpart`` is a directory-level partition
-    column in every epoch dir, so the ``isin`` filter prunes at file
-    listing time and the scan touches only ``len(parts)/N`` of the store
-    (plan-asserted in ``tests/test_streaming.py``). No ``mergeSchema``:
-    the store schema is fixed at two long columns by its single writer —
+    ``__bpart`` partitions. Two legs, unioned:
+
+    - the COMPACTED bases (``__bpart=`` directory layout — the store's
+      unbounded part): ``isin`` on the partition column prunes at file
+      LISTING time, so the scan touches only ``len(parts)/N`` of the
+      folded history (plan-asserted in ``tests/test_streaming.py``);
+    - the flat per-epoch tail (≤ ``compact_every`` micro-batch-sized
+      deltas by construction): the same ``isin`` on the stored
+      ``__bpart`` DATA column, pushed to parquet row-group stats (deltas
+      are written sorted by it).
+
+    No ``mergeSchema``: the store schema is fixed by its single writer —
     a merge pass would re-read every file footer per micro-batch, an
     O(files) cost the store exists to avoid."""
     dirs = _committed_batch_dirs(buckets_dir)
@@ -309,10 +354,19 @@ def read_bucket_store(
         raise FileNotFoundError(f"no committed _batch=* epochs under {buckets_dir}")
     from pyspark.sql import functions as F
 
-    df = spark.read.option("basePath", buckets_dir).parquet(*dirs)
-    if parts is not None:
-        df = df.filter(F.col("__bpart").isin([int(p) for p in parts]))
-    return df.select(id_col, "__bucket")
+    parted, flat = _split_bucket_dirs(dirs)
+    legs = []
+    for group in (parted, flat):
+        if not group:
+            continue
+        df = spark.read.option("basePath", buckets_dir).parquet(*group)
+        if parts is not None:
+            df = df.filter(F.col("__bpart").isin([int(p) for p in parts]))
+        legs.append(df.select(id_col, "__bucket"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def near_dedup_insert(
@@ -362,33 +416,42 @@ def near_dedup_insert(
     full-history scan at 1.49× per landed decade — the one lane whose
     per-batch cost grew without bound):
 
-    - deltas land hash-partitioned by ``__bpart = pmod(bucket,
-      bucket_partitions)`` (one file per partition dir, count pinned in
-      ``_meta.json`` so epochs can never disagree on the hash);
-    - the landed-side read prunes to the partitions the incoming batch's
-      buckets actually touch (directory-level pruning; the win scales
-      inversely with batch size — a trickle batch touches a handful of
-      dirs, plan-asserted in tests);
+    - live deltas land FLAT (one file per epoch, ``__bpart =
+      pmod(bucket, bucket_partitions)`` carried as a sorted data column;
+      the count is pinned in ``_meta.json`` so epochs can never disagree
+      on the hash) — a per-epoch ``partitionBy`` write measured ~2 s of
+      pure constant factor per micro-batch, so the directory-partitioned
+      layout lives where its write cost amortizes: the compacted base;
     - every ``compact_every`` epochs the store folds through
-      ``compact_sink(partition_by=['__bpart'])``, so a year of 1-minute
-      triggers holds ~``compact_every`` dirs, not 500k (the folded base
-      records absorbed epoch ids in ``_folded_epochs.json`` so the heal
-      pass knows they're covered);
+      ``compact_sink(partition_by=['__bpart'])`` into a
+      ``__bpart``-partitioned base, so a year of 1-minute triggers holds
+      ~``compact_every`` dirs, not 500k (the folded base records
+      absorbed epoch ids in ``_folded_epochs.json`` so the heal pass
+      knows they're covered);
+    - once that base exists, the landed-side read prunes to the
+      partitions the incoming batch's buckets actually touch
+      (directory-level on the base — plan-asserted in tests — and
+      row-group stats on the small flat tail), and the landed-verify
+      join — with its linear sink text scan — is skipped entirely when
+      the bucket probe yields zero candidate pairs (the steady-state
+      common case for mostly-unique streams). While the store is still
+      a handful of young flat deltas, both steps are skipped: their two
+      extra driver-blocking jobs per batch are pure overhead against a
+      tiny store (measured on the streaming bench), and pruning a
+      micro-batch-sized history saves nothing;
     - the epoch's own delta is written directly after the sink commit (a
       survivors-sized read of the just-committed dir) instead of a
-      second full two-tree glob;
-    - the landed-verify join — and its linear sink text scan — is
-      SKIPPED entirely when the bucket probe yields zero candidate
-      pairs, the steady-state common case for mostly-unique streams.
+      second full two-tree glob.
 
     A sink whose bucket store is missing epochs (pre-upgrade, a crash
-    between the two epoch writes) or holds pre-upgrade FLAT deltas is
-    self-healed before the join: missing epochs backfill from their
-    landed signatures, flat deltas rewrite partitioned — so the fast
-    path is also the only path. Candidate volume is banded-LSH-bounded
-    exactly as in batch; document bodies never join until a candidate
-    pair exists (the bucket join moves ids only; texts re-attach to
-    candidates by id)."""
+    between the two epoch writes) or holds pre-round-7 deltas (no
+    ``__bpart`` column) is self-healed before the join: missing epochs
+    backfill from their landed signatures, pre-upgrade deltas gain the
+    column in a one-time in-place rewrite — so the fast path is also
+    the only path. Candidate volume is banded-LSH-bounded exactly as in
+    batch; document bodies never join until a candidate pair exists
+    (the bucket join moves ids only; texts re-attach to candidates by
+    id)."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -403,6 +466,10 @@ def near_dedup_insert(
         return band_buckets(sig_col, num_hashes=num_hashes, bands=bands)
 
     buckets_dir = os.path.join(sink_dir, "_buckets")
+    # epochs whose on-disk layout this process has already vetted (or
+    # itself wrote) — bounds the heal pass's pre-upgrade footer check to
+    # one read per epoch per stream lifetime, not one per micro-batch
+    layout_checked: set[int] = set()
 
     def _committed_epoch_ids(d: str) -> dict[int, str]:
         import glob
@@ -422,29 +489,35 @@ def near_dedup_insert(
 
     def _heal_bucket_store(spark: SparkSession, n_parts: int) -> None:
         """Self-heal: backfill any committed sink epoch the store doesn't
-        cover (pre-upgrade sink, crash between the two epoch writes) and
-        rewrite pre-upgrade FLAT deltas into the partitioned layout."""
-        import glob
+        cover (pre-upgrade sink, crash between the two epoch writes) from
+        its landed signatures. Pre-round-7 deltas — flat files WITHOUT
+        the ``__bpart`` column — are rewritten in place once (same flat
+        layout plus the column the pruned read filters on); deltas that
+        already carry it are the native live format and read as-is, so
+        the steady-state heal pass does no Spark work at all."""
         import shutil
 
         covered = covered_bucket_epochs(buckets_dir)
         for eid, p in _committed_epoch_ids(buckets_dir).items():
-            if glob.glob(os.path.join(p, "__bpart=*")):
-                continue  # already partitioned
-            # flat pre-upgrade delta: rewrite partitioned via a tmp whose
-            # name does NOT match _batch=* (readers never see it); a crash
-            # anywhere re-heals — worst case the epoch re-backfills from
-            # its landed signatures below
+            if eid in layout_checked:
+                continue  # this process already vetted (or wrote) it
+            if _split_bucket_dirs([p])[0]:
+                layout_checked.add(eid)
+                continue  # compacted base — already partitioned
+            first = spark.read.parquet(p)
+            if "__bpart" in first.columns:
+                layout_checked.add(eid)
+                continue  # native flat delta
             mig = os.path.join(buckets_dir, f"_migrate_tmp_{eid}")
             shutil.rmtree(mig, ignore_errors=True)
-            flat = spark.read.parquet(p).select(id_col, "__bucket")
             (
-                flat.withColumn(
+                first.select(id_col, "__bucket")
+                .withColumn(
                     "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
                 )
-                .repartition(F.col("__bpart"))
-                .write.partitionBy("__bpart")
-                .mode("overwrite")
+                .coalesce(1)
+                .sortWithinPartitions("__bpart")
+                .write.mode("overwrite")
                 .parquet(mig)
             )
             shutil.rmtree(p)
@@ -456,6 +529,7 @@ def near_dedup_insert(
                 _epoch_delta(spark, p), buckets_dir, eid,
                 num_partitions=n_parts,
             )
+            layout_checked.add(eid)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
@@ -508,20 +582,37 @@ def near_dedup_insert(
             # the bucket join moves (id, bucket) ONLY — document bodies
             # re-attach to the few candidate pairs by id afterwards. The
             # landed side is the one input that GROWS for the stream's
-            # lifetime, so it reads the store PRUNED to the partitions
-            # this batch's buckets touch, with the small incoming side
-            # broadcast.
+            # lifetime. HOW it reads depends on the store's age: the
+            # pruning machinery (collect this batch's touched partitions,
+            # filter the store to them, probe for zero pairs before the
+            # sink text scan) costs two extra driver-blocking jobs per
+            # batch — pure overhead while the store is a handful of flat
+            # micro-batch deltas, a rounding error once a compacted base
+            # holds rung-scale history. So both engage exactly when a
+            # partitioned base EXISTS (i.e. compaction has run at least
+            # once): before that, this is the measured-cheapest young-
+            # stream shape; after, the ladder-measured flat-in-history
+            # steady state.
+            has_base = bool(_split_bucket_dirs(_committed_batch_dirs(buckets_dir))[0])
             inc = keyed.select(
                 F.col(id_col).alias("id_b"),
                 F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
-            ).withColumn(
-                "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
-            ).persist()
-            touched = [r[0] for r in inc.select("__bpart").distinct().collect()]
-            old = read_bucket_store(
-                spark, buckets_dir, id_col,
-                parts=touched if len(touched) < n_parts else None,
-            ).select(F.col(id_col).alias("id_a"), "__bucket")
+            )
+            if has_base:
+                inc = inc.withColumn(
+                    "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
+                ).persist()
+                touched = [
+                    r[0] for r in inc.select("__bpart").distinct().collect()
+                ]
+                old = read_bucket_store(
+                    spark, buckets_dir, id_col,
+                    parts=touched if len(touched) < n_parts else None,
+                ).select(F.col(id_col).alias("id_a"), "__bucket")
+            else:
+                old = read_bucket_store(spark, buckets_dir, id_col).select(
+                    F.col(id_col).alias("id_a"), "__bucket"
+                )
             pairs = (
                 old.join(F.broadcast(inc.select("id_b", "__bucket")), "__bucket")
                 .select("id_a", "id_b")
@@ -531,8 +622,9 @@ def near_dedup_insert(
             # zero candidate pairs → no landed row can be a near-dup of
             # this batch: skip the verify joins AND the linear scan of the
             # sink's text column they would trigger (the steady-state
-            # common case for mostly-unique streams)
-            if pairs.limit(1).count() > 0:
+            # common case for mostly-unique streams). Only worth a probe
+            # job when the sink scan it saves is big (has_base).
+            if not has_base or pairs.limit(1).count() > 0:
                 landed = read_sink(spark, sink_dir)
                 cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct().join(
                     landed.select(id_col, text_col), id_col
@@ -563,9 +655,14 @@ def near_dedup_insert(
                         buckets_dir, bucket_partitions
                     ),
                 )
-            # bounded directory count: fold the store every compact_every
-            # epochs (keep_batches=1 preserves idempotent replay of the
-            # newest epoch; absorbed ids live on in _folded_epochs.json)
+                layout_checked.add(epoch_id)
+            # bounded directory count AND the partitioned layout's home:
+            # every compact_every epochs the flat tail folds into a
+            # __bpart-partitioned base (keep_batches=1 preserves
+            # idempotent replay of the newest epoch; absorbed ids live on
+            # in _folded_epochs.json) — the fold is where the
+            # directory-partition write cost is paid, once per
+            # compact_every epochs instead of once per micro-batch
             if len(_committed_epoch_ids(buckets_dir)) > compact_every:
                 compact_sink(
                     spark, buckets_dir, keep_batches=1,
@@ -574,7 +671,8 @@ def near_dedup_insert(
         finally:
             if pairs is not None:
                 pairs.unpersist()
-                inc.unpersist()
+                if has_base:
+                    inc.unpersist()
             sigs.unpersist()
             sh.unpersist()
 
@@ -780,12 +878,36 @@ def compact_sink(
     # partition discovery reject the _batch=* dir names. The _batch
     # column the rooted read infers is exactly what compaction folds
     # away, so drop it.
-    df = (
+    # Grouped read: a store whose live deltas are FLAT while its
+    # compacted bases are directory-partitioned (the near-dedup bucket
+    # store) mixes partition depths — one read over both raises Spark's
+    # conflicting-directory-structures error, so dirs are read per
+    # distinct first-level partition structure and unioned (the
+    # partition column re-materializes as a data column either way).
+    def _partition_subdir_names(d: str) -> tuple:
+        return tuple(
+            sorted(
+                {
+                    name.split("=", 1)[0]
+                    for name in os.listdir(d)
+                    if "=" in name and os.path.isdir(os.path.join(d, name))
+                }
+            )
+        )
+
+    groups: dict[tuple, list[str]] = {}
+    for d in to_fold:
+        groups.setdefault(_partition_subdir_names(d), []).append(d)
+    legs = [
         spark.read.option("mergeSchema", "true")
         .option("basePath", sink_dir)
-        .parquet(*to_fold)
+        .parquet(*dirs_of_group)
         .drop("_batch")
-    )
+        for dirs_of_group in groups.values()
+    ]
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg, allowMissingColumns=True)
     if target_partitions:
         df = df.repartition(target_partitions)
     if partition_by:

@@ -1228,11 +1228,21 @@ def test_bucket_store_partitioned_pruned_and_compacted(spark, tmp_path):
     run_batch([(2, texts[1])])
     run_batch([(3, texts[2])])
 
-    # (a) partitioned layout + pinned meta
+    # (a) pinned meta; the COMPACTED base is __bpart-partitioned while
+    # live deltas stay flat (one file, __bpart as a sorted data column —
+    # the per-epoch partitioned write measured ~2 s/micro-batch of pure
+    # constant factor, see write_bucket_delta)
     with open(os.path.join(buckets, "_meta.json")) as fh:
         assert json.load(fh)["num_partitions"] == 8
     parted = glob.glob(os.path.join(buckets, "_batch=*", "__bpart=*"))
-    assert parted, "bucket deltas are not __bpart-partitioned"
+    assert parted, "compacted bucket base is not __bpart-partitioned"
+    newest = max(
+        glob.glob(os.path.join(buckets, "_batch=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    assert not glob.glob(os.path.join(newest, "__bpart=*")), (
+        "live delta should be flat (partitioned writes belong to compaction)"
+    )
 
     # (b) a pruned read lists only the named partitions
     plan = formatted_plan(read_bucket_store(spark, buckets, "doc_id", parts=[0, 3]))
@@ -1261,9 +1271,10 @@ def test_bucket_store_partitioned_pruned_and_compacted(spark, tmp_path):
 
 
 def test_bucket_store_flat_layout_migrates(spark, tmp_path):
-    """A pre-upgrade FLAT bucket delta (no __bpart dirs) is rewritten
-    into the partitioned layout on the next batch — heal, don't crash,
-    and the migrated history still catches its near-dups."""
+    """A pre-upgrade flat bucket delta (no __bpart COLUMN) is rewritten
+    in place with the column the pruned read filters on — heal, don't
+    crash, and the migrated history still catches its near-dups. Deltas
+    are flat by design now; only the missing column marks pre-upgrade."""
     import glob
     import os
 
@@ -1307,8 +1318,12 @@ def test_bucket_store_flat_layout_migrates(spark, tmp_path):
         id_col="doc_id", text_col="text", threshold=0.5, trigger_once=True,
     )
     _drain(q)
-    # migrated in place...
-    assert glob.glob(os.path.join(buckets, "_batch=-1", "__bpart=*"))
+    # migrated in place: still flat (no partition dirs) but now carrying
+    # the __bpart data column the pruned read filters on
+    assert not glob.glob(os.path.join(buckets, "_batch=-1", "__bpart=*"))
+    assert "__bpart" in spark.read.parquet(
+        os.path.join(buckets, "_batch=-1")
+    ).columns
     # ...and the near-copy of the pre-landed doc was dropped through it
     landed_ids = {r.doc_id for r in read_sink(spark, sink).collect()}
     assert landed_ids == {1}, landed_ids

@@ -129,9 +129,11 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
         sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
     ).localCheckpoint(eager=True)
     keyed.write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
-    # pre-land the bucket store through the writer's own helper so the
-    # ladder history carries the real partitioned layout (a flat layout
-    # would trigger the one-time migration INSIDE the first timed batch)
+    # pre-land the bucket store through the writer's own helper, in the
+    # PARTITIONED base layout — a long-running stream's history converges
+    # to a compacted __bpart-partitioned base (the flat tail is only the
+    # last compact_every micro-batches), so that is the honest shape for
+    # rung-sized history
     buckets_dir = os.path.join(sink, "_buckets")
     write_bucket_delta(
         keyed.select(
@@ -143,6 +145,7 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
         buckets_dir,
         -1,
         num_partitions=bucket_store_partitions(buckets_dir, 64),
+        layout="partitioned",
     )
 
     # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
