@@ -125,10 +125,16 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
     # would silently swallow the first micro-batch.
     landed = _synth_docs(spark, rung, seed=0)
     sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
-    keyed = landed.join(
+    # write-then-reread, NOT localCheckpoint(eager): the checkpoint holds
+    # the whole keyed table (text + 64-long signature arrays) in the
+    # block manager — ~7 GB at the 10M rung, which GCLocker-thrashes the
+    # shared 8g local-mode heap to death. The sink epoch write is needed
+    # anyway; re-reading it to derive the bucket delta costs one extra
+    # scan of on-disk parquet and ZERO heap.
+    landed.join(
         sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
-    ).localCheckpoint(eager=True)
-    keyed.write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+    ).write.mode("overwrite").parquet(os.path.join(sink, "_batch=-1"))
+    keyed = spark.read.parquet(os.path.join(sink, "_batch=-1"))
     # pre-land the bucket store through the writer's own helper, in the
     # PARTITIONED base layout — a long-running stream's history converges
     # to a compacted __bpart-partitioned base (the flat tail is only the
