@@ -470,6 +470,10 @@ def near_dedup_insert(
     # itself wrote) — bounds the heal pass's pre-upgrade footer check to
     # one read per epoch per stream lifetime, not one per micro-batch
     layout_checked: set[int] = set()
+    # the owns-its-sink contract check needs one footer read per STREAM,
+    # not per micro-batch — every epoch after the first pass was written
+    # by this very writer
+    sink_contract_ok = False
 
     def _committed_epoch_ids(d: str) -> dict[int, str]:
         import glob
@@ -534,6 +538,7 @@ def near_dedup_insert(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
+        nonlocal sink_contract_ok
         spark = batch_df.sparkSession
         # NOTE: do NOT repartition the micro-batch here "to spread the
         # per-row-heavy signature stage" — measured on the round-6
@@ -565,18 +570,22 @@ def near_dedup_insert(
         pairs = None
         if _sink_has_batches(sink_dir):
             # contract check from ONE footer (not a mergeSchema sweep of
-            # every landed file): near_dedup_insert owns its sink — a sink
-            # previously populated by dedup_insert / continuous_insert has
-            # no stored signatures and must fail fast, not mid-join.
-            first_epoch = _committed_batch_dirs(sink_dir)[0]
-            if "__minhash" not in spark.read.parquet(first_epoch).columns:
-                raise ValueError(
-                    f"near_dedup_insert sink {sink_dir!r} contains landed rows "
-                    "without a __minhash column (written by a different sink "
-                    "writer?). Point near_dedup_insert at its own sink dir, or "
-                    "backfill signatures with operators.dedup.minhash_signatures "
-                    "before resuming."
-                )
+            # every landed file), ONCE per stream (every later epoch was
+            # written by this very writer): near_dedup_insert owns its
+            # sink — a sink previously populated by dedup_insert /
+            # continuous_insert has no stored signatures and must fail
+            # fast, not mid-join.
+            if not sink_contract_ok:
+                first_epoch = _committed_batch_dirs(sink_dir)[0]
+                if "__minhash" not in spark.read.parquet(first_epoch).columns:
+                    raise ValueError(
+                        f"near_dedup_insert sink {sink_dir!r} contains landed "
+                        "rows without a __minhash column (written by a "
+                        "different sink writer?). Point near_dedup_insert at "
+                        "its own sink dir, or backfill signatures with "
+                        "operators.dedup.minhash_signatures before resuming."
+                    )
+                sink_contract_ok = True
             n_parts = bucket_store_partitions(buckets_dir, bucket_partitions)
             _heal_bucket_store(spark, n_parts)
             # the bucket join moves (id, bucket) ONLY — document bodies
