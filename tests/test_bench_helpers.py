@@ -1,0 +1,66 @@
+"""bench.py's previous-round parsers: the noise-damping re-run picker
+must find the bench line inside the DRIVER's wrapped per-round record
+(it silently found nothing for every driver-recorded round until round
+7 — the damping was inert), and must ignore records from a different
+scale factor."""
+
+import json
+
+import bench
+
+
+def _write_record(dirpath, name, inner, wrap=True):
+    line = json.dumps(inner)
+    if wrap:
+        doc = {"n": 1, "rc": 0, "tail": f"[Stage 1:>]\r\n{line}\n"}
+        (dirpath / name).write_text(json.dumps(doc))
+    else:
+        (dirpath / name).write_text(line)
+
+
+def test_previous_round_parses_driver_wrapped_record(tmp_path, monkeypatch):
+    inner = {
+        "metric": "headline_total",
+        "value": 1.0,
+        "queries": {"q1": 0.5},
+        "streaming": {"lane": {"rows_per_sec": 100.0}},
+        "sf": 0.1,
+    }
+    _write_record(tmp_path, "BENCH_r42.json", inner, wrap=True)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    assert bench._previous_round_timings() == {"q1": 0.5}
+    assert bench._previous_round_streaming() == {"lane": {"rows_per_sec": 100.0}}
+
+
+def test_previous_round_prefers_newest_and_plain_json(tmp_path, monkeypatch):
+    _write_record(
+        tmp_path, "BENCH_r01.json",
+        {"queries": {"old": 9.0}, "sf": 0.1}, wrap=True,
+    )
+    _write_record(
+        tmp_path, "BENCH_r02.json",
+        {"queries": {"new": 1.0}, "sf": 0.1}, wrap=False,
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._previous_round_timings() == {"new": 1.0}
+
+
+def test_previous_round_ignores_other_scale_factor(tmp_path, monkeypatch):
+    _write_record(
+        tmp_path, "BENCH_r42.json",
+        {"queries": {"q1": 0.5}, "streaming": {}, "sf": 0.1}, wrap=True,
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.01")
+    assert bench._previous_round_timings() == {}
+    assert bench._previous_round_streaming() == {}
+
+
+def test_previous_round_empty_or_torn_is_safe(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._previous_round_timings() == {}
+    (tmp_path / "BENCH_r01.json").write_text("{torn")
+    assert bench._previous_round_timings() == {}
