@@ -1327,3 +1327,62 @@ def test_bucket_store_flat_layout_migrates(spark, tmp_path):
     # ...and the near-copy of the pre-landed doc was dropped through it
     landed_ids = {r.doc_id for r in read_sink(spark, sink).collect()}
     assert landed_ids == {1}, landed_ids
+
+
+def test_bucket_delta_layouts_read_identically(spark, tmp_path):
+    """write_bucket_delta's two layouts — flat live delta vs partitioned
+    base (the ladder's pre-land shape) — are pure physical variants: the
+    same rows come back through read_bucket_store, pruned or not, and
+    only the partitioned layout carries __bpart directories."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        read_bucket_store,
+        write_bucket_delta,
+    )
+
+    delta = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64("id").alias("__bucket"),
+    )
+    flat_dir = str(tmp_path / "flat")
+    part_dir = str(tmp_path / "part")
+    write_bucket_delta(
+        delta, flat_dir, 0,
+        num_partitions=bucket_store_partitions(flat_dir, 8),
+    )
+    write_bucket_delta(
+        delta, part_dir, 0,
+        num_partitions=bucket_store_partitions(part_dir, 8),
+        layout="partitioned",
+    )
+    assert not glob.glob(os.path.join(flat_dir, "_batch=0", "__bpart=*"))
+    assert glob.glob(os.path.join(part_dir, "_batch=0", "__bpart=*"))
+    # one file per flat epoch; one file per partition dir in the base
+    assert len(glob.glob(os.path.join(flat_dir, "_batch=0", "*.parquet"))) == 1
+    for d in glob.glob(os.path.join(part_dir, "_batch=0", "__bpart=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    full_flat = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, flat_dir, "doc_id").collect()
+    }
+    full_part = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, part_dir, "doc_id").collect()
+    }
+    assert full_flat == full_part and len(full_flat) == 200
+    pruned_flat = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, flat_dir, "doc_id", parts=[0, 3]).collect()
+    }
+    pruned_part = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, part_dir, "doc_id", parts=[0, 3]).collect()
+    }
+    assert pruned_flat == pruned_part
+    assert 0 < len(pruned_part) < 200
