@@ -96,6 +96,28 @@ def dataframe_fingerprint(df) -> str:
     return f"plan:{_plan_size_bytes(df)}"
 
 
+def query_sample_fingerprint(queries, cols: list[str], *, n: int = 32) -> str:
+    """Fingerprint of the query WORKLOAD for the calibrators'
+    ``query_fingerprint=`` knob: sha1 over the first ``n`` rows of the
+    named columns (match the calibrator's ``sample_queries`` so the
+    fingerprint covers exactly the rows the curve was measured on).
+
+    This one COSTS a job (an n-row limit+collect — tiny, but not free
+    like the corpus fingerprints): a query distribution lives in data,
+    not metadata. Use it when the workload genuinely shifts between
+    calibrations; for a stationary stream, leave the calibrators'
+    ``query_fingerprint`` as None — fingerprinting every micro-batch
+    would make each one a cache miss and re-pay the calibration scans
+    the cache exists to amortize."""
+    h = hashlib.sha1()
+    for row in queries.select(*cols).limit(n).collect():
+        for c in cols:
+            h.update(repr(row[c]).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return f"queries:{h.hexdigest()}"
+
+
 def directory_fingerprint(path: str) -> str:
     """Filesystem-metadata fingerprint of a persisted index directory:
     sha1 over the sorted (relative path, size, mtime_ns) walk. No Spark

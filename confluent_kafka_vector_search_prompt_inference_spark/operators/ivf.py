@@ -547,6 +547,8 @@ def topk_ivf(
     calibration_sample: int = 32,
     calibration_cache=None,
     corpus_fingerprint: str | None = None,
+    query_fingerprint: str | None = None,
+    recalibrate: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF probing (see module docstring).
 
@@ -589,6 +591,7 @@ def topk_ivf(
             cluster_col=cluster_col, metric=metric,
             sample_queries=calibration_sample,
             cache=calibration_cache, corpus_fingerprint=corpus_fingerprint,
+            query_fingerprint=query_fingerprint, recalibrate=recalibrate,
         )
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -716,6 +719,8 @@ def calibrate_ivf_n_probe(
     sample_queries: int = 32,
     cache=None,
     corpus_fingerprint: str | None = None,
+    query_fingerprint: str | None = None,
+    recalibrate: bool = False,
 ) -> tuple[int, float]:
     """Measured-recall probe-width selection for the persisted-IVF tier —
     the ``recall_target=`` contract (``topk_join.calibrate_recall_depth``)
@@ -742,7 +747,13 @@ def calibrate_ivf_n_probe(
     corpus fingerprint. Pass ``corpus_fingerprint=
     calibration_cache.directory_fingerprint(index_path)`` for a persisted
     index (any append/vacuum/split invalidates via file metadata);
-    without it the fingerprint falls back to Catalyst plan-stats bytes."""
+    without it the fingerprint falls back to Catalyst plan-stats bytes.
+    The cached curve embeds this call's QUERY sample too — reuse assumes
+    a stationary query distribution. ``query_fingerprint`` folds a
+    caller-supplied workload fingerprint into the key (a shifted
+    workload then re-measures; leave None when micro-batches vary but
+    the distribution doesn't, or every batch re-pays the scans);
+    ``recalibrate=True`` bypasses the lookup once and stores fresh."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join import (
         _metric_score,
         topk_similarity_join,
@@ -764,7 +775,9 @@ def calibrate_ivf_n_probe(
             "n_clusters": n_clusters,
             "corpus": corpus_fingerprint or dataframe_fingerprint(indexed_corpus),
         }
-        cached = cache.lookup(cache_key)
+        if query_fingerprint is not None:
+            cache_key["queries"] = query_fingerprint
+        cached = None if recalibrate else cache.lookup(cache_key)
         if cached is not None and all(p in cached for p in ladder):
             return _pick_probe_width(cached, ladder, recall_target)
     sample = (

@@ -371,6 +371,8 @@ def topk_ivfpq_rescore(
     max_adc_width: int | None = None,
     calibration_cache=None,
     corpus_fingerprint: str | None = None,
+    query_fingerprint: str | None = None,
+    recalibrate: bool = False,
 ) -> DataFrame:
     """Two-stage IVF-PQ search — the deployed shape of this tier (module
     docstring; the reference's index scan + rescore, ``README.md:364-368``):
@@ -400,6 +402,7 @@ def topk_ivfpq_rescore(
             sample_queries=calibration_sample,
             max_adc_width=max_adc_width,
             cache=calibration_cache, corpus_fingerprint=corpus_fingerprint,
+            query_fingerprint=query_fingerprint, recalibrate=recalibrate,
         )
     cand = topk_ivfpq(
         queries, encoded, centroids, codebooks, k=adc_width,
@@ -455,6 +458,8 @@ def calibrate_ivfpq(
     max_adc_width: int | None = None,
     cache=None,
     corpus_fingerprint: str | None = None,
+    query_fingerprint: str | None = None,
+    recalibrate: bool = False,
 ) -> tuple[tuple[int, int], float]:
     """Measured-recall rung selection for two-stage IVF-PQ: returns
     ``((n_probe, adc_width), measured_recall)`` — the cheapest rung on the
@@ -513,7 +518,9 @@ def calibrate_ivfpq(
             "max_adc_width": max_adc_width,
             "corpus": corpus_fingerprint or dataframe_fingerprint(encoded),
         }
-        cached = cache.lookup(cache_key)
+        if query_fingerprint is not None:
+            cache_key["queries"] = query_fingerprint
+        cached = None if recalibrate else cache.lookup(cache_key)
         if cached is not None and all(f"{p}:{wd}" in cached for p, wd in lattice):
             curve = {(p, wd): cached[f"{p}:{wd}"] for p, wd in lattice}
             return _pick_ivfpq_rung(curve, lattice, recall_target)

@@ -238,6 +238,8 @@ def calibrate_recall_depth(
     rows_per_band: int = 4,
     cache=None,
     corpus_fingerprint: str | None = None,
+    query_fingerprint: str | None = None,
+    recalibrate: bool = False,
 ) -> tuple[int, float]:
     """Measured-recall depth selection for the approximate tiers.
 
@@ -267,7 +269,13 @@ def calibrate_recall_depth(
     ZERO Spark jobs, including for a different ``recall_target``. The
     cached curve was measured on that call's query sample; reuse assumes
     a stationary query distribution — the same assumption the sample
-    itself makes."""
+    itself makes. Callers whose workload DOES shift have two guards:
+    ``query_fingerprint`` folds a caller-supplied fingerprint of the
+    query distribution into the cache key (a changed workload then
+    misses and re-measures — leave it None for streams whose batches
+    vary but whose distribution is stationary, or every micro-batch
+    would re-pay the scans), and ``recalibrate=True`` bypasses the
+    lookup for one call while still storing the fresh curve."""
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
     if strategy == "binary" and metric != "dot":
@@ -304,7 +312,9 @@ def calibrate_recall_depth(
             "rows_per_band": rows_per_band,
             "corpus": corpus_fingerprint or dataframe_fingerprint(corpus),
         }
-        cached = cache.lookup(cache_key)
+        if query_fingerprint is not None:
+            cache_key["queries"] = query_fingerprint
+        cached = None if recalibrate else cache.lookup(cache_key)
         if cached is not None and all(d in cached for d in depths):
             return _pick_calibrated_depth(cached, depths, recall_target, strategy)
 
@@ -482,6 +492,10 @@ class PreparedCorpus:
         self.metric = metric
         self.corpus_vec = corpus_vec
         self.budget_bytes = budget_bytes
+        #: row count of the prepared snapshot (set by
+        #: prepare_broadcast_corpus; the RagPipeline crossover guard
+        #: compares it against the measured exact-lane ceiling)
+        self.n_rows: int | None = None
 
     def refreshed(self, corpus: DataFrame) -> "PreparedCorpus":
         """Re-prepare from ``corpus`` (same id/vec/metric/budget recipe),
@@ -557,7 +571,7 @@ def prepare_broadcast_corpus(
     np.save(fpath, matT)
     sc.addFile(fpath)
     bc = sc.broadcast((ids, fname, norms))
-    return PreparedCorpus(
+    prepared = PreparedCorpus(
         bc,
         corpus_id,
         corpus.schema[corpus_id].dataType,
@@ -565,6 +579,8 @@ def prepare_broadcast_corpus(
         corpus_vec=corpus_vec,
         budget_bytes=budget_bytes,
     )
+    prepared.n_rows = int(len(ids))  # lane-selection stat (RagPipeline guard)
+    return prepared
 
 
 def topk_prepared(

@@ -293,6 +293,43 @@ def write_bucket_delta(
         )
 
 
+def _epochs_to_ranges(epochs: set[int]) -> list[list[int]]:
+    """Collapse an epoch-id set into sorted inclusive ``[lo, hi]`` runs.
+    Epoch ids from a live stream are contiguous, so the sidecar this
+    feeds stays O(#folded runs) instead of one int per epoch forever —
+    a year of 1-minute triggers is one range, not 500k ints re-read by
+    every heal pass."""
+    out: list[list[int]] = []
+    for e in sorted(epochs):
+        if out and e == out[-1][1] + 1:
+            out[-1][1] = e
+        else:
+            out.append([e, e])
+    return out
+
+
+def _sidecar_epochs(payload) -> set[int]:
+    """Epoch ids recorded in a ``_folded_epochs.json`` payload — either
+    the current ``{"ranges": [[lo, hi], ...]}`` form or the pre-round-8
+    flat int list (read-compatible; writers emit ranges only)."""
+    if isinstance(payload, dict):
+        ids: set[int] = set()
+        for lo, hi in payload["ranges"]:
+            ids.update(range(int(lo), int(hi) + 1))
+        return ids
+    return {int(e) for e in payload}
+
+
+def _read_folded_sidecar(batch_dir: str) -> set[int]:
+    import json
+
+    side = os.path.join(batch_dir, "_folded_epochs.json")
+    if not os.path.exists(side):
+        return set()
+    with open(side) as fh:
+        return _sidecar_epochs(json.load(fh))
+
+
 def covered_bucket_epochs(buckets_dir: str) -> set[int]:
     """Epoch ids whose bucket rows are present in the store — the live
     ``_batch=`` dirs plus every id a compacted base absorbed (recorded in
@@ -300,17 +337,13 @@ def covered_bucket_epochs(buckets_dir: str) -> set[int]:
     against this set; without the sidecars every compaction would look
     like missing history and be recomputed from landed signatures."""
     import glob
-    import json
 
     ids: set[int] = set()
     for p in glob.glob(os.path.join(buckets_dir, "_batch=*")):
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
             continue
         ids.add(int(p.rsplit("=", 1)[1]))
-        side = os.path.join(p, "_folded_epochs.json")
-        if os.path.exists(side):
-            with open(side) as fh:
-                ids.update(json.load(fh))
+        ids |= _read_folded_sidecar(p)
     return ids
 
 
@@ -422,12 +455,16 @@ def near_dedup_insert(
       on the hash) — a per-epoch ``partitionBy`` write measured ~2 s of
       pure constant factor per micro-batch, so the directory-partitioned
       layout lives where its write cost amortizes: the compacted base;
-    - every ``compact_every`` epochs the store folds through
-      ``compact_sink(partition_by=['__bpart'])`` into a
-      ``__bpart``-partitioned base, so a year of 1-minute triggers holds
-      ~``compact_every`` dirs, not 500k (the folded base records
-      absorbed epoch ids in ``_folded_epochs.json`` so the heal pass
-      knows they're covered);
+    - when the flat tail exceeds ``compact_every`` epochs it folds
+      through ``tiered_compact_sink(partition_by=['__bpart'])`` into a
+      new ``__bpart``-partitioned run, and runs merge GEOMETRICALLY —
+      so a year of 1-minute triggers holds ``compact_every`` tail dirs
+      plus O(log history) runs, each epoch's rows are rewritten
+      O(log history) times over the stream's life (round 7's full
+      refold rewrote the ENTIRE store every trigger — amortized
+      O(history) per batch), and each run records its absorbed epoch
+      ids as ranges in ``_folded_epochs.json`` so the heal pass knows
+      they're covered;
     - once that base exists, the landed-side read prunes to the
       partitions the incoming batch's buckets actually touch
       (directory-level on the base — plan-asserted in tests — and
@@ -529,8 +566,16 @@ def near_dedup_insert(
         for eid, p in _committed_epoch_ids(sink_dir).items():
             if eid in covered:
                 continue
+            # repartition(1), not bare coalesce(1): the backfill may
+            # replay a LARGE pre-upgrade epoch, and coalesce alone would
+            # collapse the whole read+explode pipeline into one task —
+            # the shuffle boundary keeps upstream parallelism while the
+            # flat write stays single-file (write_bucket_delta's
+            # coalesce(1) is then a no-op on the 1-partition shuffle
+            # output). Live micro-batch deltas skip the shuffle: their
+            # writes go through write_bucket_delta directly.
             write_bucket_delta(
-                _epoch_delta(spark, p), buckets_dir, eid,
+                _epoch_delta(spark, p).repartition(1), buckets_dir, eid,
                 num_partitions=n_parts,
             )
             layout_checked.add(eid)
@@ -666,14 +711,23 @@ def near_dedup_insert(
                 )
                 layout_checked.add(epoch_id)
             # bounded directory count AND the partitioned layout's home:
-            # every compact_every epochs the flat tail folds into a
-            # __bpart-partitioned base (keep_batches=1 preserves
-            # idempotent replay of the newest epoch; absorbed ids live on
-            # in _folded_epochs.json) — the fold is where the
-            # directory-partition write cost is paid, once per
-            # compact_every epochs instead of once per micro-batch
-            if len(_committed_epoch_ids(buckets_dir)) > compact_every:
-                compact_sink(
+            # once the flat tail exceeds compact_every epochs it folds
+            # into a NEW __bpart-partitioned run, and runs merge
+            # geometrically (tiered_compact_sink) — the prior base is NOT
+            # refolded every trigger, so the amortized per-batch write is
+            # O(log history), not O(history/compact_every) (the round-7
+            # full-refold shape rewrote the ENTIRE store every
+            # compact_every epochs: ~2.6 GB per 16 micro-batches at 10M
+            # landed rows, unbounded with history). keep_batches=1
+            # preserves idempotent replay of the newest epoch; absorbed
+            # ids live on in _folded_epochs.json range sidecars.
+            flat_tail = [
+                d
+                for d in _committed_batch_dirs(buckets_dir)
+                if not _is_compacted_run(d)
+            ]
+            if len(flat_tail) > compact_every:
+                tiered_compact_sink(
                     spark, buckets_dir, keep_batches=1,
                     partition_by=["__bpart"],
                 )
@@ -825,74 +879,82 @@ def compact_sink(
     the next call completes: manifest-listed survivors are deleted first,
     then the rename finishes — so folded rows can never appear twice and
     are never lost (they live in tmp until the rename)."""
-    import glob
-    import json
-    import shutil
-
     if keep_batches < 1:
         raise ValueError(
             "keep_batches must be >= 1: the newest committed batch dir must "
             "survive so idempotent replay of a checkpoint-uncommitted epoch "
             "stays a no-op"
         )
-
-    tmp = os.path.join(sink_dir, "_compact_tmp")
-    manifest_path = os.path.join(tmp, "_fold_manifest.json")
-
-    def _committed_dirs() -> list[str]:
-        return sorted(
-            (d for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
-             if os.path.exists(os.path.join(d, "_SUCCESS"))),
-            key=lambda d: int(d.rsplit("=", 1)[1]),
-        )
-
-    def _finish_fold(folded_names: list[str]) -> None:
-        # delete any folded source dirs that still exist, then publish tmp.
-        # The manifest rides along through the rename (underscore-prefixed
-        # files are invisible to Spark's parquet reader) — removing it
-        # BEFORE the rename would open a crash window where tmp looks like
-        # a failed write and gets discarded with the folded data inside.
-        for name in folded_names:
-            d = os.path.join(sink_dir, name)
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        base_id = min(int(n.rsplit("=", 1)[1]) for n in folded_names)
-        base = os.path.join(sink_dir, f"_batch={base_id}")
-        os.rename(tmp, base)
-        os.remove(os.path.join(base, "_fold_manifest.json"))  # cosmetic
-
-    if os.path.exists(tmp):
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
-            manifest_path
-        ):
-            # crashed mid-fold: the manifest says exactly which dirs were
-            # folded into tmp — finish their deletion and the rename
-            with open(manifest_path) as fh:
-                _finish_fold(json.load(fh))
-        else:
-            shutil.rmtree(tmp)  # failed mid-write: tmp is garbage
-
-    dirs = _committed_dirs()
+    _recover_pending_fold(sink_dir)
+    dirs = _committed_batch_dirs(sink_dir)
     to_fold = dirs[: max(0, len(dirs) - keep_batches)]
     if len(to_fold) < 2:
         return 0
-    # mergeSchema: an evolved sink (Catalog.insert_into(evolve=True)) holds
-    # batch dirs with heterogeneous (add-only widened) schemas. A plain
-    # read would take one footer's schema and silently null/drop columns
-    # present only in other batches — then the destructive rewrite would
-    # lose them permanently. The union schema is what read_sink consumers
-    # see, so it is what compaction must preserve.
-    # basePath: batch dirs may themselves hold partition subdirs
-    # (partition_by layouts); reading them as bare roots makes Spark's
-    # partition discovery reject the _batch=* dir names. The _batch
-    # column the rooted read infers is exactly what compaction folds
-    # away, so drop it.
-    # Grouped read: a store whose live deltas are FLAT while its
-    # compacted bases are directory-partitioned (the near-dedup bucket
-    # store) mixes partition depths — one read over both raises Spark's
-    # conflicting-directory-structures error, so dirs are read per
-    # distinct first-level partition structure and unioned (the
-    # partition column re-materializes as a data column either way).
+    return _fold_dirs(
+        spark, sink_dir, to_fold,
+        target_partitions=target_partitions, partition_by=partition_by,
+    )
+
+
+def _finish_fold(sink_dir: str, folded_names: list[str]) -> None:
+    """Publish a fully-written ``_compact_tmp``: delete any folded source
+    dirs that still exist, then rename tmp to ``_batch=<min folded id>``.
+    The manifest rides along through the rename (underscore-prefixed
+    files are invisible to Spark's parquet reader) — removing it BEFORE
+    the rename would open a crash window where tmp looks like a failed
+    write and gets discarded with the folded data inside."""
+    import shutil
+
+    tmp = os.path.join(sink_dir, "_compact_tmp")
+    for name in folded_names:
+        d = os.path.join(sink_dir, name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    base_id = min(int(n.rsplit("=", 1)[1]) for n in folded_names)
+    base = os.path.join(sink_dir, f"_batch={base_id}")
+    os.rename(tmp, base)
+    os.remove(os.path.join(base, "_fold_manifest.json"))  # cosmetic
+
+
+def _recover_pending_fold(sink_dir: str) -> None:
+    """Heal a crashed fold: a ``_compact_tmp`` with ``_SUCCESS`` + manifest
+    finished writing and only missed its publish — complete the deletion
+    and rename; anything else in tmp is a failed mid-write and is
+    discarded (its sources are all still live)."""
+    import json
+    import shutil
+
+    tmp = os.path.join(sink_dir, "_compact_tmp")
+    manifest_path = os.path.join(tmp, "_fold_manifest.json")
+    if not os.path.exists(tmp):
+        return
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
+        manifest_path
+    ):
+        with open(manifest_path) as fh:
+            _finish_fold(sink_dir, json.load(fh))
+    else:
+        shutil.rmtree(tmp)  # failed mid-write: tmp is garbage
+
+
+def _read_epoch_dirs(spark: SparkSession, sink_dir: str, dirs: list[str]) -> DataFrame:
+    """One DataFrame over a set of committed ``_batch=`` dirs, layout-safe.
+
+    mergeSchema: an evolved sink (Catalog.insert_into(evolve=True)) holds
+    batch dirs with heterogeneous (add-only widened) schemas. A plain
+    read would take one footer's schema and silently null/drop columns
+    present only in other batches — then a destructive rewrite would
+    lose them permanently. basePath: batch dirs may themselves hold
+    partition subdirs (partition_by layouts); reading them as bare roots
+    makes Spark's partition discovery reject the ``_batch=*`` dir names;
+    the ``_batch`` column the rooted read infers is bookkeeping and is
+    dropped. Grouped read: a store whose live deltas are FLAT while its
+    compacted bases are directory-partitioned (the near-dedup bucket
+    store) mixes partition depths — one read over both raises Spark's
+    conflicting-directory-structures error, so dirs are read per
+    distinct first-level partition structure and unioned (the partition
+    column re-materializes as a data column either way)."""
+
     def _partition_subdir_names(d: str) -> tuple:
         return tuple(
             sorted(
@@ -905,7 +967,7 @@ def compact_sink(
         )
 
     groups: dict[tuple, list[str]] = {}
-    for d in to_fold:
+    for d in dirs:
         groups.setdefault(_partition_subdir_names(d), []).append(d)
     legs = [
         spark.read.option("mergeSchema", "true")
@@ -917,6 +979,28 @@ def compact_sink(
     df = legs[0]
     for leg in legs[1:]:
         df = df.unionByName(leg, allowMissingColumns=True)
+    return df
+
+
+def _fold_dirs(
+    spark: SparkSession,
+    sink_dir: str,
+    to_fold: list[str],
+    *,
+    target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Crash-safely fold EXACTLY the given committed dirs into one
+    ``_batch=<min id>`` dir (the write-tmp(+manifest) → delete-folded →
+    rename protocol of :func:`compact_sink`, which is one caller;
+    :func:`tiered_compact_sink` folds selected subsets). Callers pick
+    the fold set; this enforces only the mechanics."""
+    import json
+
+    _recover_pending_fold(sink_dir)
+    tmp = os.path.join(sink_dir, "_compact_tmp")
+    manifest_path = os.path.join(tmp, "_fold_manifest.json")
+    df = _read_epoch_dirs(spark, sink_dir, to_fold)
     if target_partitions:
         df = df.repartition(target_partitions)
     if partition_by:
@@ -930,21 +1014,243 @@ def compact_sink(
     else:
         df.write.mode("overwrite").parquet(tmp)
     # epoch-coverage sidecar: the folded dirs' own ids plus any ids a
-    # previously-folded base among them had already absorbed
+    # previously-folded base among them had already absorbed — stored as
+    # inclusive ranges (O(#runs), not one int per epoch forever)
     covered: set[int] = set()
     for d in to_fold:
         covered.add(int(d.rsplit("=", 1)[1]))
-        side = os.path.join(d, "_folded_epochs.json")
-        if os.path.exists(side):
-            with open(side) as fh:
-                covered.update(json.load(fh))
+        covered |= _read_folded_sidecar(d)
     with open(os.path.join(tmp, "_folded_epochs.json"), "w") as fh:
-        json.dump(sorted(covered), fh)
+        json.dump({"ranges": _epochs_to_ranges(covered)}, fh)
     folded_names = [os.path.basename(d) for d in to_fold]
     with open(manifest_path, "w") as fh:
         json.dump(folded_names, fh)
-    _finish_fold(folded_names)
+    _finish_fold(sink_dir, folded_names)
     return len(to_fold)
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for name in files:
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def _is_compacted_run(d: str) -> bool:
+    """A committed dir that is a compaction RUN rather than a live
+    micro-batch delta: directory-partitioned (any ``col=`` subdir — the
+    partition_by fold shape, also the ladder's pre-landed base) or
+    carrying a ``_folded_epochs.json`` sidecar (an unpartitioned fold)."""
+    if os.path.exists(os.path.join(d, "_folded_epochs.json")):
+        return True
+    return any(
+        "=" in name and os.path.isdir(os.path.join(d, name))
+        for name in os.listdir(d)
+    )
+
+
+def tiered_compact_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    keep_batches: int = 1,
+    partition_by: list[str] | None = None,
+    fanout: int = 2,
+) -> int:
+    """LSM-style geometric compaction — the hot-path policy for stores a
+    stream compacts FOREVER (the near-dedup bucket store under the
+    reference's unbounded INSERT-SELECT, ``README.md:435``).
+
+    :func:`compact_sink` folds everything into ONE base, so each run
+    re-reads and re-writes the entire landed history — an amortized
+    O(history / compact_every) write per micro-batch, linear and
+    unbounded on a forever-running pipeline. This policy bounds it:
+
+    1. the flat tail (every committed FLAT dir except the newest
+       ``keep_batches`` — idempotent-replay contract unchanged) folds
+       into one NEW directory-partitioned run; the prior runs are not
+       touched;
+    2. runs then merge geometrically: while an older adjacent run is
+       smaller than ``fanout ×`` its newer neighbor, the two merge
+       (newest violating pair first — the cheapest merge). Run sizes
+       end ≥ ``fanout×`` apart, so a store of H landed bytes holds
+       ≤ log_fanout(H/tail) runs and every byte is rewritten
+       O(log H) times over its lifetime — amortized O(log history)
+       write per batch instead of O(history).
+
+    The read path (:func:`read_bucket_store` / :func:`read_sink`)
+    already unions multiple partitioned legs, and every run carries the
+    merged ``_folded_epochs.json`` ranges of what it absorbed, so
+    nothing downstream changes. Each fold/merge is the same crash-safe
+    manifest protocol as :func:`compact_sink`; a crash mid-merge heals
+    on the next call (or the next :func:`compact_sink`/
+    :func:`near_dedup_insert` batch). Returns the number of source dirs
+    folded across all merges this call."""
+    if keep_batches < 1:
+        raise ValueError(
+            "keep_batches must be >= 1: the newest committed batch dir must "
+            "survive so idempotent replay of a checkpoint-uncommitted epoch "
+            "stays a no-op"
+        )
+    if fanout < 2:
+        raise ValueError(f"fanout must be >= 2, got {fanout}")
+    _recover_pending_fold(sink_dir)
+    dirs = _committed_batch_dirs(sink_dir)
+    keep = set(dirs[len(dirs) - keep_batches :])
+    tail = [d for d in dirs if d not in keep and not _is_compacted_run(d)]
+    folded = 0
+    if len(tail) >= 2:
+        folded += _fold_dirs(spark, sink_dir, tail, partition_by=partition_by)
+    # geometric merge pass over the runs
+    while True:
+        runs = sorted(
+            (
+                d
+                for d in _committed_batch_dirs(sink_dir)
+                if d not in keep and _is_compacted_run(d)
+            ),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
+        )
+        if len(runs) < 2:
+            break
+        sizes = [_dir_bytes(r) for r in runs]
+        merged = False
+        for i in range(len(runs) - 1, 0, -1):  # newest violating pair first
+            if sizes[i - 1] < fanout * sizes[i]:
+                folded += _fold_dirs(
+                    spark, sink_dir, [runs[i - 1], runs[i]],
+                    partition_by=partition_by,
+                )
+                merged = True
+                break
+        if not merged:
+            break
+    return folded
+
+
+def rebucket_bucket_store(
+    spark: SparkSession,
+    buckets_dir: str,
+    new_partitions: int,
+    *,
+    keep_batches: int = 1,
+) -> int:
+    """Crash-safe partition-count migration for a near-dedup bucket store.
+
+    ``__bpart = pmod(bucket, N)`` is pinned at store creation
+    (:func:`bucket_store_partitions`) because every epoch must hash with
+    the SAME N or pruning silently misses candidates. But the pruned
+    regime requires N ≫ bands × batch_rows (SCALING.md): a deployment
+    that guessed N=64 saturates — every batch touches all 64 partitions
+    and the per-batch scan goes linear in history — with no escape,
+    since raising N used to mean rebuilding the store from the sink.
+    This op re-mods the WHOLE store (compacted runs and flat tail alike,
+    including the newest replay-guard epoch — a tail delta whose stored
+    ``__bpart`` kept the old N would silently escape every pruned read)
+    to ``new_partitions`` and atomically updates ``_meta.json``.
+
+    Consistency protocol — the data columns and the meta N must never be
+    readable in a mixed state, so the rewrite happens in a SHADOW store
+    and publishes by directory swap:
+
+    1. heal any pending compaction fold, then rewrite every committed
+       epoch into ``<store>__rebucket_tmp``: all dirs but the newest
+       ``keep_batches`` fold into one ``__bpart``-partitioned run (new
+       N, merged ``_folded_epochs`` ranges); the kept newest epochs are
+       rewritten as flat single-file deltas UNDER THEIR OWN ids, so a
+       checkpoint-driven replay of an uncommitted epoch still skips;
+       ``_meta.json`` carries the new N; a ``_REBUCKET_COMMITTED``
+       marker lands last;
+    2. swap: ``store → store__rebucket_old``, ``tmp → store``, delete
+       old.
+
+    Crash anywhere before the marker: tmp is garbage, the live store is
+    untouched — re-run. Crash between the two renames: the store path is
+    briefly absent, and the next call finishes the swap from the marker
+    (a concurrently RESTARTED stream that raced the gap instead rebuilds
+    the store from landed sink signatures via ``_heal_bucket_store`` —
+    correct, just unpruned until re-run). Run this as a maintenance op
+    with the stream STOPPED, like compaction on any LSM store. Returns
+    the number of committed epoch dirs rewritten."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if new_partitions < 1:
+        raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
+    if keep_batches < 1:
+        raise ValueError("keep_batches must be >= 1 (idempotent-replay guard)")
+    root = buckets_dir.rstrip(os.sep)
+    tmp = root + "__rebucket_tmp"
+    old = root + "__rebucket_old"
+    marker = os.path.join(tmp, "_REBUCKET_COMMITTED")
+
+    if not os.path.isdir(buckets_dir):
+        if os.path.exists(marker):
+            # crashed between the two swap renames: finish publishing
+            os.rename(tmp, buckets_dir)
+            os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
+            shutil.rmtree(old, ignore_errors=True)
+            return len(_committed_batch_dirs(buckets_dir))
+        if os.path.isdir(old):
+            # swap started but tmp was never committed — roll back
+            os.rename(old, buckets_dir)
+        else:
+            raise FileNotFoundError(f"no bucket store at {buckets_dir}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    _recover_pending_fold(buckets_dir)
+
+    dirs = _committed_batch_dirs(buckets_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed _batch=* epochs under {buckets_dir}")
+    kept = dirs[len(dirs) - keep_batches :]
+    to_fold = [d for d in dirs if d not in kept]
+
+    def _rekeyed(df: DataFrame) -> DataFrame:
+        return df.drop("__bpart").withColumn(
+            "__bpart",
+            F.pmod(F.col("__bucket"), F.lit(new_partitions)).cast("int"),
+        )
+
+    os.makedirs(tmp)
+    if to_fold:
+        run_id = min(int(d.rsplit("=", 1)[1]) for d in to_fold)
+        run_dir = os.path.join(tmp, f"_batch={run_id}")
+        df = _rekeyed(_read_epoch_dirs(spark, buckets_dir, to_fold))
+        df.repartition(F.col("__bpart")).write.partitionBy("__bpart").mode(
+            "overwrite"
+        ).parquet(run_dir)
+        covered: set[int] = set()
+        for d in to_fold:
+            covered.add(int(d.rsplit("=", 1)[1]))
+            covered |= _read_folded_sidecar(d)
+        with open(os.path.join(run_dir, "_folded_epochs.json"), "w") as fh:
+            json.dump({"ranges": _epochs_to_ranges(covered)}, fh)
+    for d in kept:
+        eid = int(d.rsplit("=", 1)[1])
+        out = os.path.join(tmp, f"_batch={eid}")
+        (
+            _rekeyed(_read_epoch_dirs(spark, buckets_dir, [d]))
+            .repartition(1)
+            .sortWithinPartitions("__bpart")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        side = _read_folded_sidecar(d)
+        if side:
+            with open(os.path.join(out, "_folded_epochs.json"), "w") as fh:
+                json.dump({"ranges": _epochs_to_ranges(side)}, fh)
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"num_partitions": int(new_partitions)}, fh)
+    open(marker, "a").close()
+    os.rename(buckets_dir, old)
+    os.rename(tmp, buckets_dir)
+    os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
+    shutil.rmtree(old, ignore_errors=True)
+    return len(dirs)
 
 
 def sketch_insert(

@@ -35,6 +35,17 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join im
     topk_similarity_join,
 )
 
+#: Measured exact-broadcast-lane crossover (SCALECHECK.json streaming
+#: rungs, local[32]): at a 100k-row corpus the exact matmul lane and the
+#: persisted-IVF probe lane tie (242 vs 234 rows/s); at 1M the probe lane
+#: is 3.2× faster (183 vs 57) and the gap widens with corpus size — the
+#: exact lane's per-batch cost is a full |Q|×|C| matmul by construction.
+#: streaming_transform warns once past this row count: the deployment
+#: should ride a persisted index (``vector_index=``). Geometric midpoint
+#: of the two measured rungs; a hardware-specific constant would be
+#: false precision.
+EXACT_LANE_CROSSOVER_ROWS = 300_000
+
 
 @dataclass
 class RagPipeline:
@@ -90,16 +101,38 @@ class RagPipeline:
         visible batch-to-batch exactly as before, the cache only
         eliminates the steady-state cost of NOTHING having changed. The
         same fingerprint keys the recall-calibration cache, so both
-        caches invalidate on the same drift signal."""
+        caches invalidate on the same drift signal.
+
+        Round 8: the unchanged corpus DataFrame is also PERSISTED
+        (MEMORY_AND_DISK_DESER) — the phase decomposition of the
+        streaming ladder attributed the probe lane's super-√n per-batch
+        cost to re-reading the probed cluster files from parquet every
+        micro-batch (a 500-query batch at n_probe=8 touches most of a
+        √n-cluster index, so the 'pruned' scan converges to the full
+        corpus as batch size approaches n_clusters/n_probe). Persisting
+        is exactly what a long-running cluster job does with a hot
+        index: bounded by executor storage memory, spills to local disk,
+        evicted LRU — never a correctness dependency. The persist is
+        released on drift (fingerprint change) and by :meth:`release`."""
         from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import directory_fingerprint
         from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import load_ivf_index
 
         fp = directory_fingerprint(self.vector_index)
         if self._index_cache is not None and self._index_cache[0] == fp:
             return self._index_cache[1], self._index_cache[2], fp
+        if self._index_cache is not None:
+            self._index_cache[1].unpersist()  # drift: release the old snapshot
         indexed, cents = load_ivf_index(spark, self.vector_index)
+        indexed = indexed.persist()  # MEMORY_AND_DISK: hot-index steady state
         self._index_cache = (fp, indexed, cents)
         return indexed, cents, fp
+
+    def release(self) -> None:
+        """Release the persisted index snapshot (benches, ladders, tests
+        — anything that tears pipelines down inside one Spark session)."""
+        if self._index_cache is not None:
+            self._index_cache[1].unpersist()
+            self._index_cache = None
 
     def _ensure_id(self, questions: DataFrame) -> DataFrame:
         """Questions need a stable unique id for the top-k join; derive one
@@ -327,12 +360,34 @@ class RagPipeline:
                 and self.strategy in ("auto", "broadcast_corpus")
             ):
                 try:
-                    return prepare_broadcast_corpus(
+                    prepared = prepare_broadcast_corpus(
                         c, corpus_id="product_id", corpus_vec="vector",
                         metric="dot",
                     )
                 except ValueError:
                     return None  # over budget — per-batch auto handles it
+                # crossover guard: the exact lane silently decays past the
+                # measured ~100k–1M crossover (SCALECHECK: 57 rows/s at 1M
+                # vs the IVF lane's 183) long before the broadcast budget
+                # refuses it — warn at prepare time, once, so the decay is
+                # a choice rather than a surprise.
+                if (
+                    prepared.n_rows is not None
+                    and prepared.n_rows > EXACT_LANE_CROSSOVER_ROWS
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"RagPipeline exact broadcast lane prepared over a "
+                        f"{prepared.n_rows}-row corpus — past the measured "
+                        f"exact-lane crossover "
+                        f"(~{EXACT_LANE_CROSSOVER_ROWS} rows, SCALING.md): "
+                        "every micro-batch pays a full corpus matmul. Use "
+                        "a persisted IVF index (vector_index=) for this "
+                        "corpus size.",
+                        stacklevel=3,
+                    )
+                return prepared
             return None
 
         state["prepared"] = _prepare(state["corpus"])

@@ -64,3 +64,43 @@ def test_previous_round_empty_or_torn_is_safe(tmp_path, monkeypatch):
     assert bench._previous_round_timings() == {}
     (tmp_path / "BENCH_r01.json").write_text("{torn")
     assert bench._previous_round_timings() == {}
+
+
+def test_previous_round_empty_file_degrades(tmp_path, monkeypatch):
+    """An EMPTY record file (zero bytes — no last line at all) must
+    degrade to {}, not raise IndexError out of main()."""
+    (tmp_path / "BENCH_r03.json").write_text("")
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._previous_round_bench() == {}
+    assert bench._previous_round_timings() == {}
+
+
+def test_batch_damping_fires_on_synthetic_regression():
+    prev = {"q_reg": 1.0, "q_ok": 1.0, "q_edge": 1.0, "q_new": 0.0}
+    timings = {"q_reg": 1.146, "q_ok": 1.05, "q_edge": 1.101, "q_other": 9.9}
+    flagged = bench._batch_damp_candidates(timings, prev)
+    # the exact round-7 miss (1.146x) now triggers; ≤1.10 doesn't;
+    # zero/missing previous entries never divide
+    assert sorted(flagged) == ["q_edge", "q_reg"]
+
+
+def test_stream_rerun_replaces_only_flagged_lanes():
+    prev = {"a": {"rows_per_sec": 100.0}, "b": {"rows_per_sec": 100.0}}
+    streaming = {
+        "a": {"rows_per_sec": 80.0},   # regressed → flagged
+        "b": {"rows_per_sec": 95.0},   # within band → untouched
+    }
+    flagged = bench._flagged_stream_lanes(streaming, prev)
+    assert flagged == {"a"}
+    second = {"a": {"rows_per_sec": 99.0}, "b": {"rows_per_sec": 140.0}}
+    bench._apply_stream_rerun(streaming, second, flagged)
+    assert streaming["a"] == {"rows_per_sec": 99.0}
+    # the unflagged lane must NOT ratchet up to the second rep's max
+    assert streaming["b"] == {"rows_per_sec": 95.0}
+
+
+def test_stream_rerun_keeps_better_first_rep():
+    streaming = {"a": {"rows_per_sec": 80.0}}
+    bench._apply_stream_rerun(streaming, {"a": {"rows_per_sec": 70.0}}, {"a"})
+    assert streaming["a"] == {"rows_per_sec": 80.0}

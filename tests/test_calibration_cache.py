@@ -182,3 +182,59 @@ def test_rag_pipeline_recall_target_calibrates_once(spark, embeddings, tmp_path)
     out = pipe.run_batch(questions)
     assert out.count() == 5
     assert os.path.exists(os.path.join(path, "_calibration.json"))
+
+
+def test_query_fingerprint_guards_workload_shift(spark, qc, tmp_path):
+    """Round 8: the cached curve embeds the query sample's distribution.
+    Folding a query fingerprint into the key makes a CHANGED query set
+    miss (re-measure) while the same set still hits with zero jobs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import query_sample_fingerprint
+
+    q, c = qc
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    common = dict(
+        strategy="binary", query_id="qid", corpus_id="cid", cache=cache
+    )
+    fp1 = query_sample_fingerprint(q, ["qid", "vector"])
+    calibrate_recall_depth(
+        q, c, 5, recall_target=0.9, query_fingerprint=fp1, **common
+    )
+    _, jobs_same = _jobs_run(
+        spark, "qfp-hit",
+        lambda: calibrate_recall_depth(
+            q, c, 5, recall_target=0.9, query_fingerprint=fp1, **common
+        ),
+    )
+    assert jobs_same == 0
+
+    q2 = q.withColumn("qid", F.col("qid") + 1000)
+    fp2 = query_sample_fingerprint(q2, ["qid", "vector"])
+    assert fp2 != fp1
+    _, jobs_shift = _jobs_run(
+        spark, "qfp-miss",
+        lambda: calibrate_recall_depth(
+            q2, c, 5, recall_target=0.9, query_fingerprint=fp2, **common
+        ),
+    )
+    assert jobs_shift > 0  # shifted workload re-measures
+
+
+def test_recalibrate_bypasses_lookup_and_restores_hits(spark, qc, tmp_path):
+    q, c = qc
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    common = dict(
+        strategy="binary", query_id="qid", corpus_id="cid", cache=cache
+    )
+    calibrate_recall_depth(q, c, 5, recall_target=0.9, **common)
+    _, jobs_forced = _jobs_run(
+        spark, "recal",
+        lambda: calibrate_recall_depth(
+            q, c, 5, recall_target=0.9, recalibrate=True, **common
+        ),
+    )
+    assert jobs_forced > 0  # lookup bypassed, measured fresh
+    _, jobs_after = _jobs_run(
+        spark, "recal-hit",
+        lambda: calibrate_recall_depth(q, c, 5, recall_target=0.9, **common),
+    )
+    assert jobs_after == 0  # ...and the fresh curve was stored

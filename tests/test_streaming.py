@@ -1256,12 +1256,16 @@ def test_bucket_store_partitioned_pruned_and_compacted(spark, tmp_path):
     assert 0 < pruned < full
 
     # (c) compaction bounded the dir count and recorded absorbed epochs
+    # as RANGES (one [lo, hi] per contiguous run, not one int per epoch)
     dirs = sorted(glob.glob(os.path.join(buckets, "_batch=*")))
     assert len(dirs) <= 3, dirs  # compact_every=2 folds the tail
     sidecars = glob.glob(os.path.join(buckets, "_batch=*", "_folded_epochs.json"))
     assert sidecars, "compacted base lost its folded-epoch record"
-    covered = set(json.load(open(sidecars[0])))
-    assert len(covered) >= 2
+    payload = json.load(open(sidecars[0]))
+    assert "ranges" in payload, payload
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import covered_bucket_epochs
+
+    assert len(covered_bucket_epochs(buckets)) >= 3
 
     # folded history still dedups: a near-copy of epoch 0's doc drops,
     # and a fresh doc lands
@@ -1386,3 +1390,307 @@ def test_bucket_delta_layouts_read_identically(spark, tmp_path):
     }
     assert pruned_flat == pruned_part
     assert 0 < len(pruned_part) < 200
+
+
+def _bucket_rows(spark, store):
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import read_bucket_store
+
+    return {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+
+
+def _land_bucket_epochs(spark, store, epochs, *, rows_per_epoch=40, n_parts=8):
+    """Land one flat delta per epoch through the writer's own helper."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        write_bucket_delta,
+    )
+
+    n = bucket_store_partitions(store, n_parts)
+    for e in epochs:
+        delta = spark.range(rows_per_epoch).select(
+            (F.col("id") + e * rows_per_epoch).alias("doc_id"),
+            F.xxhash64("id", F.lit(e)).alias("__bucket"),
+        )
+        write_bucket_delta(delta, store, e, num_partitions=n)
+
+
+def test_tiered_compact_folds_tail_without_refolding_base(spark, tmp_path):
+    """Round 8: tiered compaction folds ONLY the flat tail into a new
+    run; an established (larger) base run is left byte-identical — the
+    round-7 full refold rewrote the entire store every trigger. Absorbed
+    epochs survive as range sidecars and the reader sees the same rows
+    throughout."""
+    import json
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _is_compacted_run,
+        covered_bucket_epochs,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    # a big established base: epochs 0-9 (400 rows each) fold into one run
+    _land_bucket_epochs(spark, store, range(10), rows_per_epoch=400)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    base = os.path.join(store, "_batch=0")
+    assert _is_compacted_run(base)
+    with open(os.path.join(base, "_folded_epochs.json")) as fh:
+        assert json.load(fh)["ranges"] == [[0, 8]]  # keep_batches spared 9
+    base_stat = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    }
+    before = _bucket_rows(spark, store)
+
+    # SMALL tails land across two more triggers: each folds into its own
+    # (or a merged small) run; the big base is NEVER rewritten
+    _land_bucket_epochs(spark, store, range(10, 13), rows_per_epoch=10)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    _land_bucket_epochs(spark, store, range(13, 16), rows_per_epoch=10)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+
+    after_stat = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    }
+    assert after_stat == base_stat, "tiered compaction rewrote the base run"
+    runs = [
+        d
+        for d in glob.glob(os.path.join(store, "_batch=*"))
+        if _is_compacted_run(d)
+    ]
+    assert 2 <= len(runs) <= 3, runs  # base + O(log) small runs
+    assert covered_bucket_epochs(store) == set(range(16))
+    rows = _bucket_rows(spark, store)
+    assert before <= rows and len(rows) == 10 * 400 + 6 * 10
+
+
+def test_tiered_compact_eventually_merges_into_base(spark, tmp_path):
+    """When accumulated small runs grow to within fanout× of the base,
+    the geometric pass merges them — run count stays O(log history)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _is_compacted_run,
+        covered_bucket_epochs,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(3), rows_per_epoch=20)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    before = _bucket_rows(spark, store)
+    # land tails of the SAME size class repeatedly; each fold should
+    # cascade-merge rather than accumulate one run per trigger
+    for start in (3, 6, 9, 12):
+        _land_bucket_epochs(spark, store, range(start, start + 3), rows_per_epoch=20)
+        tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    runs = [
+        d
+        for d in glob.glob(os.path.join(store, "_batch=*"))
+        if _is_compacted_run(d)
+    ]
+    assert len(runs) <= 3, runs
+    assert covered_bucket_epochs(store) == set(range(15))
+    rows = _bucket_rows(spark, store)
+    assert before <= rows and len(rows) == 15 * 20
+
+
+def test_tiered_compact_recovers_crashed_merge(spark, tmp_path):
+    """A die-mid-merge leaves either garbage tmp (sources intact) or a
+    fully-written tmp + manifest (publish pending); the next call heals
+    both and the reader never sees duplicated or lost rows."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _recover_pending_fold,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(6))
+    all_rows = _bucket_rows(spark, store)
+
+    # crash A: tmp written WITHOUT manifest (mid-write) → discarded
+    tmp = os.path.join(store, "_compact_tmp")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "part-garbage.parquet"), "a").close()
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    assert not os.path.exists(tmp)
+    assert _bucket_rows(spark, store) == all_rows
+
+    # crash B: a fold fully wrote tmp + manifest but died before publish
+    # — simulate by moving the freshly-folded run back out as tmp
+    run = os.path.join(store, "_batch=0")
+    manifest_sources = ["_batch=0"]  # the run IS the folded product of 0..4
+    shutil.move(run, tmp)
+    import json
+
+    with open(os.path.join(tmp, "_fold_manifest.json"), "w") as fh:
+        json.dump(manifest_sources, fh)
+    _recover_pending_fold(store)
+    assert os.path.exists(run) and not os.path.exists(tmp)
+    assert _bucket_rows(spark, store) == all_rows
+
+
+def test_rebucket_bucket_store_migrates_partition_count(spark, tmp_path):
+    """Round 8: rebucket re-mods __bpart to a larger N (the saturated-
+    regime escape SCALING.md prescribes), atomically updates _meta.json,
+    keeps rows identical, keeps the newest epoch replayable, and the
+    pruned read plans directory-level pruning at the NEW N."""
+    import json
+
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        covered_bucket_epochs,
+        read_bucket_store,
+        rebucket_bucket_store,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(6), n_parts=4)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    before = _bucket_rows(spark, store)
+
+    n = rebucket_bucket_store(spark, store, 32)
+    assert n == 2  # one run + the kept newest epoch
+    assert bucket_store_partitions(store, 4) == 32
+    with open(os.path.join(store, "_meta.json")) as fh:
+        assert json.load(fh)["num_partitions"] == 32
+    assert _bucket_rows(spark, store) == before
+    assert covered_bucket_epochs(store) == set(range(6))
+    # newest epoch still its own committed dir (idempotent replay guard)
+    assert os.path.exists(os.path.join(store, "_batch=5", "_SUCCESS"))
+    # stored __bpart matches the new modulus everywhere (per-leg raw
+    # reads — read_bucket_store projects __bpart away, and the two
+    # layouts can't share one read)
+    for d in sorted(glob.glob(os.path.join(store, "_batch=*"))):
+        raw = spark.read.option("basePath", store).parquet(d)
+        assert (
+            raw.filter(
+                F.col("__bpart")
+                != F.pmod(F.col("__bucket"), F.lit(32)).cast("int")
+            ).count()
+            == 0
+        ), d
+    # pruned read prunes at the new N (directory listing level)
+    plan = formatted_plan(read_bucket_store(spark, store, "doc_id", parts=[0, 17]))
+    assert "PartitionFilters" in plan and "__bpart" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300], plan
+    full = read_bucket_store(spark, store, "doc_id").count()
+    pruned = read_bucket_store(spark, store, "doc_id", parts=[0, 17]).count()
+    assert 0 < pruned < full
+
+
+def test_rebucket_bucket_store_heals_crashes(spark, tmp_path):
+    """Crash before the marker → live store untouched, re-run succeeds.
+    Crash between the swap renames → next call finishes the publish."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        rebucket_bucket_store,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(4), n_parts=4)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    before = _bucket_rows(spark, store)
+
+    # crash A: half-written tmp, no marker — store stays on old N
+    tmp = store + "__rebucket_tmp"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "junk.parquet"), "a").close()
+    rebucket_bucket_store(spark, store, 16)
+    assert bucket_store_partitions(store, 4) == 16
+    assert _bucket_rows(spark, store) == before
+
+    # crash B: committed tmp, store renamed away, second rename missed
+    rebucket_done = store + "__rebucket_tmp"
+    shutil.move(store, rebucket_done)
+    open(os.path.join(rebucket_done, "_REBUCKET_COMMITTED"), "a").close()
+    rebucket_bucket_store(spark, store, 16)
+    assert os.path.isdir(store) and not os.path.exists(rebucket_done)
+    assert bucket_store_partitions(store, 4) == 16
+    assert _bucket_rows(spark, store) == before
+
+
+def test_near_dedup_still_catches_dups_after_rebucket(spark, tmp_path):
+    """End-to-end: a store rebucketed to a larger N keeps catching
+    near-dups of folded history through the stream's own pruned read."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        near_dedup_insert,
+        rebucket_bucket_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = near_dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            id_col="doc_id", text_col="text", threshold=0.5,
+            bucket_partitions=4, compact_every=1, trigger_once=True,
+        )
+        _drain(q)
+
+    run_batch([(1, base)])
+    run_batch([(2, "schema registries attach late bound data contracts "
+                   "to kafka topics so raw bytes decode into typed tables")])
+    rebucket_bucket_store(spark, os.path.join(sink, "_buckets"), 64)
+    # near-copy of FOLDED + REBUCKETED history must still drop
+    run_batch([(9, base.replace("quick", "swift"))])
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2}, landed
+
+
+def test_rag_streaming_warns_past_exact_lane_crossover(spark, docs, monkeypatch):
+    """Round 8: preparing the exact broadcast lane over a corpus past the
+    measured crossover warns (point the user at vector_index=); under it,
+    silence. Threshold monkeypatched small so the test corpus is tiny."""
+    import warnings
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming import rag as rag_mod
+
+    registry = ModelRegistry()
+    registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=8))
+    registry.create_model("retail_assistant", "text_generation", TemplateLLM())
+    corpus = registry.ml_predict(
+        docs.select(
+            F.col("doc_id").alias("product_id"), F.col("text").alias("content")
+        ),
+        "vector_encoding",
+        "content",
+    )
+    pipe = RagPipeline(registry, k=2)
+
+    monkeypatch.setattr(rag_mod, "EXACT_LANE_CROSSOVER_ROWS", 5)
+    with pytest.warns(UserWarning, match="vector_index"):
+        t = pipe.streaming_transform(corpus)
+    if t.prepared is not None:
+        t.prepared.unpersist()
+
+    monkeypatch.setattr(rag_mod, "EXACT_LANE_CROSSOVER_ROWS", 10_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t = pipe.streaming_transform(corpus)
+    if t.prepared is not None:
+        t.prepared.unpersist()

@@ -404,7 +404,9 @@ def _rag_ivf_rung(spark, rung: int, work: str) -> dict:
         trigger_once=True,
     )
     q.awaitTermination(1800)
-    return _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    pipe.release()  # drop the rung's persisted index snapshot
+    return stats
 
 
 def _add_slowdowns(rows: dict) -> None:
