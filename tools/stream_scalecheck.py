@@ -103,7 +103,30 @@ def _progress_stats(query, wall_sec: float, source_rows: int) -> dict:
     }
 
 
-def _near_dedup_rung(spark, rung: int, work: str) -> dict:
+def _near_dedup_rung(
+    spark,
+    rung: int,
+    work: str,
+    *,
+    compact_every: int = 16,
+    rebucket_to: int | None = None,
+    tag: str = "",
+) -> dict:
+    """The history-joined lane. Variants measured off the same harness:
+
+    - ``compact_every=2`` (lane ``near_dedup_compact``): tiered
+      compaction FIRES inside the 4-batch measured window — the base
+      ladder never triggers it (rungs pre-land an already-compacted
+      base), so the round-7 full-refold cost was invisible; this lane is
+      what bounds the amortized write cost claim;
+    - ``rebucket_to=4096`` (lane ``near_dedup_rebucket``): the pre-landed
+      N=64 store is migrated through ``rebucket_bucket_store`` before
+      streaming — the saturated-regime escape data point (SCALING.md:
+      2k-row batches × 16 bands ≈ 8k distinct buckets touch all 64
+      partitions; at N=4096 the expected touch fraction is
+      1−exp(−8k/4096) ≈ 86%, so the scan prunes ~14% and, more
+      importantly, the op itself is exercised at rung scale).
+    """
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
@@ -116,8 +139,8 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
         write_bucket_delta,
     )
 
-    sink = os.path.join(work, f"nd_sink_{rung}")
-    ckpt = os.path.join(work, f"nd_ckpt_{rung}")
+    sink = os.path.join(work, f"nd{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"nd{tag}_ckpt_{rung}")
     # --- pre-land `rung` docs with signatures, exactly the writer's
     # layout (rows + the materialized bucket store). Epoch -1: the
     # stream's own epochs start at 0, and the idempotent writer SKIPS an
@@ -181,21 +204,45 @@ def _near_dedup_rung(spark, rung: int, work: str) -> dict:
             .alias("text"),
         )
     )
-    src = os.path.join(work, f"nd_src_{rung}")
+    src = os.path.join(work, f"nd{tag}_src_{rung}")
     incoming.repartition(N_BATCHES).write.parquet(src)
     schema = spark.read.parquet(src).schema
+
+    if rebucket_to is not None:
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import rebucket_bucket_store
+
+        t0 = time.time()
+        rebucket_bucket_store(spark, buckets_dir, rebucket_to)
+        rebucket_s = round(time.time() - t0, 1)
 
     t0 = time.time()
     q = near_dedup_insert(
         file_stream_reader(spark, src, schema),
         sink, ckpt,
-        id_col="doc_id", text_col="text", trigger_once=True,
+        id_col="doc_id", text_col="text",
+        compact_every=compact_every, trigger_once=True,
     )
     q.awaitTermination(1800)
     stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
     landed_after = read_sink(spark, sink).count()
     stats["landed_rows"] = landed_after - rung
     stats["dropped_rows"] = INCOMING_ROWS - stats["landed_rows"]
+    if rebucket_to is not None:
+        stats["rebucket_to"] = rebucket_to
+        stats["rebucket_s"] = rebucket_s
+    if compact_every != 16:
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+            _committed_batch_dirs,
+            _is_compacted_run,
+        )
+
+        runs = [
+            d
+            for d in _committed_batch_dirs(buckets_dir)
+            if _is_compacted_run(d)
+        ]
+        stats["compact_every"] = compact_every
+        stats["bucket_runs"] = len(runs)  # bounded-run-count evidence
     return stats
 
 
@@ -411,8 +458,9 @@ def _rag_ivf_rung(spark, rung: int, work: str) -> dict:
 
 def _add_slowdowns(rows: dict) -> None:
     """Per-decade slowdown factors: rps(rung)/rps(10·rung). 10.0 would be
-    linear-in-history; ≪ 10 is the sub-linear target."""
-    rungs = sorted(int(r) for r in rows if not r.startswith("slowdown"))
+    linear-in-history; ≪ 10 is the sub-linear target. Non-rung keys
+    (notes, the phase-decomposition section's fields) are ignored."""
+    rungs = sorted(int(r) for r in rows if r.lstrip("-").isdigit())
     for lo, hi in zip(rungs, rungs[1:]):
         a, b = rows[str(lo)], rows[str(hi)]
         if a.get("rows_per_sec") and b.get("rows_per_sec"):
@@ -426,6 +474,12 @@ def main() -> int:
 
     lanes = {
         "near_dedup_insert": _near_dedup_rung,
+        "near_dedup_compact": lambda s, r, w: _near_dedup_rung(
+            s, r, w, compact_every=2, tag="c"
+        ),
+        "near_dedup_rebucket": lambda s, r, w: _near_dedup_rung(
+            s, r, w, rebucket_to=4096, tag="r"
+        ),
         "rag_transform": _rag_rung,
         "rag_transform_ivf": _rag_ivf_rung,
         "ivf_insert": _ivf_rung,
