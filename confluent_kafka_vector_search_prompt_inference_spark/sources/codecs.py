@@ -14,10 +14,13 @@ Scope (documented, checked, raised on violation):
   6 (RGBA), non-interlaced. All five scanline filters (None/Sub/Up/
   Average/Paeth) decode; the encoder can emit any of them (used by
   tests to exercise every unfilter path).
-- JPEG: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-  4:4:4 or 4:2:0 sampling, standard or arbitrary DQT/DHT tables from
-  the stream, restart intervals (DRI/RSTn). Progressive (SOF2),
-  arithmetic coding, and 12-bit depth raise.
+- JPEG: sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — full
+  spectral selection + successive approximation, the shape web-optimized
+  encoders emit), 8-bit, grayscale or YCbCr with 4:4:4 or 4:2:0
+  sampling, standard or arbitrary DQT/DHT tables from the stream
+  (including per-scan redefinition), restart intervals (DRI/RSTn).
+  Arithmetic coding, lossless/hierarchical modes, and 12-bit depth
+  raise. The encoder emits baseline only.
 - WAV: PCM 16-bit, any channel count / sample rate.
 
 Performance shape: decode cost is per-blob Python+NumPy inside an
@@ -627,10 +630,13 @@ def jpeg_encode(
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF JPEG bytes → ``(H, W, C)`` uint8 (C = 1 gray,
-    3 color). Supports 4:4:4 and 4:2:0 sampling, stream-supplied DQT/DHT
-    tables, and restart intervals; raises on progressive/arithmetic/
-    12-bit streams (scope above)."""
+    """Decode JFIF JPEG bytes → ``(H, W, C)`` uint8 (C = 1 gray, 3 color).
+    Supports baseline/extended sequential (SOF0/SOF1) AND progressive
+    (SOF2 — spectral selection + successive approximation, the shape
+    virtually every web-optimized JPEG ships), 4:4:4 and 4:2:0 sampling,
+    stream-supplied DQT/DHT tables (including per-scan redefinition),
+    and restart intervals; raises on arithmetic/hierarchical/12-bit
+    streams (scope above)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -638,6 +644,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     dc_tbls: dict[int, dict[tuple[int, int], int]] = {}
     ac_tbls: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -674,7 +682,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 tbl = _huff_decode_table(bits, vals)
                 (dc_tbls if cls == 0 else ac_tbls)[tid] = tbl
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive SOF
             depth, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if depth != 8:
                 raise ValueError(f"unsupported sample depth {depth}")
@@ -683,10 +691,24 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, sampb, qid = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, sampb >> 4, sampb & 0x0F, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                # coefficient accumulators, MCU-padded extents, zigzag
+                # order — every scan deposits into these; dequant + IDCT
+                # happen once at EOI
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = -(-fw // (8 * hmax))
+                my = -(-fh // (8 * vmax))
+                coefs = [
+                    np.zeros((my * sv, mx * sh, 64), dtype=np.int64)
+                    for _cid, sh, sv, _qid in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported "
-                f"(got SOF marker 0x{marker:02X} — progressive/arithmetic)"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) JPEG "
+                f"are supported (got SOF marker 0x{marker:02X} — "
+                "lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -695,14 +717,25 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
             scan_tbls = {}
+            scan_cids = []
             for i in range(ns):
                 cid, tbls = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_tbls[cid] = (tbls >> 4, tbls & 0x0F)
-            return _decode_scan(
-                data, pos, frame, quants, dc_tbls, ac_tbls, scan_tbls,
+                scan_cids.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, quants, dc_tbls, ac_tbls, scan_tbls,
+                    restart_interval,
+                )
+            ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, frame, coefs, dc_tbls, ac_tbls,
+                scan_cids, scan_tbls, ss, se, a >> 4, a & 0x0F,
                 restart_interval,
             )
         # other markers (APPn/COM): skipped
+    if progressive and coefs is not None:
+        return _assemble_progressive(frame, coefs, quants)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -758,7 +791,12 @@ def _decode_scan(
                         x0 = (mx * sh + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample chroma to luma resolution (sample replication), crop, shift
+    return _planes_to_image(planes, comps, fh, fw, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, fh: int, fw: int, hmax: int, vmax: int) -> np.ndarray:
+    """Shared decode tail: upsample chroma to luma resolution (sample
+    replication), crop to the frame size, level-shift, color-convert."""
     full = []
     for ci, (_cid, sh, sv, _qid) in enumerate(comps):
         p = planes[ci]
@@ -774,6 +812,232 @@ def _decode_scan(
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r_, g_, b_], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next non-stuffed, non-RST marker at or after
+    ``pos`` — where the marker loop resumes after a progressive scan's
+    entropy segment (0xFF00 stuffing and RSTn belong to the segment)."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    coefs: list[np.ndarray],
+    dc_tbls,
+    ac_tbls,
+    scan_cids: list[int],
+    scan_tbls,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """One progressive scan (T.81 G.2): deposit this scan's spectral band
+    / approximation bits into the per-component coefficient accumulators
+    and return the stream position of the next marker.
+
+    - DC scans (``ss == 0``): may be interleaved (MCU order, like
+      baseline); first pass (``ah == 0``) Huffman-decodes diffs at
+      ``al``-shifted precision, refinement passes read ONE bit per block;
+    - AC scans (``ss > 0``): always single-component (T.81 G.1.1.1.1),
+      block raster order over that component's own grid; first pass uses
+      EOBn run codes, refinement interleaves new ±1<<al coefficients
+      with correction bits for already-nonzero history."""
+    fh, fw, comps = frame
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive DC scan must carry Se=0 (T.81 G.1.1.1.1) — "
+            "a sequential stream relabeled SOF2?"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    ci_of = {c[0]: i for i, c in enumerate(comps)}
+    r = _BitReader(data, pos)
+
+    if ss == 0:
+        if ah == 0:
+            preds = {cid: 0 for cid in scan_cids}
+        members = [(ci_of[cid], cid) for cid in scan_cids]
+        if len(scan_cids) > 1:
+            # interleaved DC: MCU raster order, sh×sv blocks per comp
+            unit_total = mcus_y * mcus_x
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        r.align_to_marker()
+                        if ah == 0:
+                            preds = {cid: 0 for cid in scan_cids}
+                    for ci, cid in members:
+                        _cid, sh, sv, _qid = comps[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blk = coefs[ci][my * sv + by, mx * sh + bx]
+                                if ah == 0:
+                                    size = _huff_decode_symbol(
+                                        r, dc_tbls[scan_tbls[cid][0]]
+                                    )
+                                    preds[cid] += _extend(r.receive(size), size)
+                                    blk[0] = preds[cid] << al
+                                elif r.read_bit():
+                                    blk[0] |= 1 << al
+                    mcu_count += 1
+        else:
+            ci, cid = members[0]
+            _cid, sh, sv, _qid = comps[ci]
+            bw = _ceil_div(_ceil_div(fw * sh, hmax), 8)
+            bh = _ceil_div(_ceil_div(fh * sv, vmax), 8)
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        r.align_to_marker()
+                        if ah == 0:
+                            preds = {cid: 0}
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        size = _huff_decode_symbol(r, dc_tbls[scan_tbls[cid][0]])
+                        preds[cid] += _extend(r.receive(size), size)
+                        blk[0] = preds[cid] << al
+                    elif r.read_bit():
+                        blk[0] |= 1 << al
+                    count += 1
+        return _next_marker(data, r.pos)
+
+    if len(scan_cids) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    cid = scan_cids[0]
+    ci = ci_of[cid]
+    _cid, sh, sv, _qid = comps[ci]
+    ac_tbl = ac_tbls[scan_tbls[cid][1]]
+    bw = _ceil_div(_ceil_div(fw * sh, hmax), 8)
+    bh = _ceil_div(_ceil_div(fh * sv, vmax), 8)
+    eobrun = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                r.align_to_marker()
+                eobrun = 0
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode_symbol(r, ac_tbl)
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.receive(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index overran spectral band")
+                        blk[k] = _extend(r.receive(size), size) << al
+                        k += 1
+            else:
+                eobrun = _ac_refine_block(r, blk, ss, se, al, ac_tbl, eobrun)
+            count += 1
+    return _next_marker(data, r.pos)
+
+
+def _ac_refine_block(r, blk, ss: int, se: int, al: int, ac_tbl, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / figure G.10 semantics): newly-nonzero coefficients arrive
+    as ±1<<al; every already-nonzero coefficient in the band consumes a
+    correction bit whenever the decode path crosses it — including while
+    inside an EOB run."""
+    p1 = 1 << al
+
+    def _correct(k: int) -> None:
+        if r.read_bit() and not (abs(int(blk[k])) & p1):
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode_symbol(r, ac_tbl)
+            run, size = sym >> 4, sym & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:  # EOBn: run-length of all-done blocks
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+                # ZRL: pass 16 zero-history positions, correcting en route
+            else:
+                # refinement magnitudes are always 1 (T.81 G.1.2.3)
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    _correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, coefs: list[np.ndarray], quants) -> np.ndarray:
+    """EOI: dequantize the accumulated zigzag coefficients, IDCT every
+    block (einsum over the whole component at once), assemble planes, and
+    reuse the sequential decoder's upsample/color tail."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    idct_c = _DCT_C
+    planes = []
+    for ci, (_cid, _sh, _sv, qid) in enumerate(comps):
+        zz = coefs[ci]  # (by, bx, 64) zigzag order
+        by, bx, _ = zz.shape
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = zz * quants[qid][_ZIGZAG]
+        blocks = np.einsum(
+            "ij,yxjk,kl->yxil", idct_c.T, nat.reshape(by, bx, 8, 8), idct_c
+        )
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _planes_to_image(planes, comps, fh, fw, hmax, vmax)
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:

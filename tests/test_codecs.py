@@ -174,11 +174,17 @@ def test_jpeg_rejects_garbage_and_out_of_scope():
         jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=0)
     with pytest.raises(ValueError, match="subsampling"):
         jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:1:1")
-    # progressive SOF marker is detected and named, not mis-decoded
+    # arithmetic-coded SOF marker is detected and named, not mis-decoded
     data = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
     sof = bytes(data).find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    data[sof + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode(bytes(data))
+    # a SEQUENTIAL stream relabeled SOF2 carries Se=63 in its (one) scan
+    # header — an illegal progressive DC scan, caught rather than
+    # silently mis-decoded as progressive
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(data))
 
 
@@ -255,3 +261,117 @@ def test_jpeg_fill_bytes_before_markers_decode():
         padded = data[:at] + b"\xff\xff" + data[at:]
         out = jpeg_decode(padded)
         assert np.array_equal(out[:, :, 0], img), f"fill bytes before {seg!r}"
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _imageio_jpeg(jvm, img, progressive: bool, quality: float = 0.75) -> bytes:
+    """Encode a BufferedImage via javax.imageio with progressive mode
+    toggled — the fully independent encoder for SOF2 streams (the
+    stdlib-free container has no Python image lib; the Spark JVM's
+    ImageIO is the reference implementation at hand)."""
+    ImageIO = jvm.javax.imageio.ImageIO
+    writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    if progressive:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def _gray_buffered_image(jvm, px):
+    h, w = px.shape
+    img = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(px[y, x]))
+    return img
+
+
+def _rgb_buffered_image(jvm, px):
+    h, w, _ = px.shape
+    img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            rgb = (int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])
+            img.setRGB(x, y, rgb)
+    return img
+
+
+def _jvm_decode_gray(jvm, data: bytes) -> np.ndarray:
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    h, w = img.getHeight(), img.getWidth()
+    raster = img.getRaster()
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = raster.getSample(x, y, 0)
+    return out
+
+
+def test_progressive_jpeg_gray_matches_jvm_decoder(spark):
+    """An ImageIO-encoded PROGRESSIVE (SOF2) gray JPEG decodes here to
+    the same pixels the JVM's own decoder produces (±1 IDCT rounding),
+    and within the lossy bound of the original — the round-8 closure of
+    the one remaining declared multimodal fake."""
+    jvm = spark.sparkContext._jvm
+    yy, xx = np.mgrid[0:21, 0:35]
+    px = ((yy * 4 + xx * 3) % 200 + 20).astype(np.uint8)
+    data = _imageio_jpeg(jvm, _gray_buffered_image(jvm, px), progressive=True)
+    assert b"\xff\xc2" in data, "ImageIO did not emit SOF2"
+    ours = jpeg_decode(data)
+    assert ours.shape == (21, 35, 1)
+    theirs = _jvm_decode_gray(jvm, data)
+    cross = np.abs(ours[:, :, 0].astype(int) - theirs).max()
+    assert cross <= 1, f"progressive decode disagrees with ImageIO by {cross}"
+    err = np.abs(ours[:, :, 0].astype(int) - px.astype(int)).max()
+    assert err <= 30, f"progressive decode error vs original {err}"
+
+
+def test_progressive_jpeg_color_matches_baseline_decode(spark):
+    """The SAME image encoded sequential and progressive by ImageIO
+    decodes here to near-identical pixels (the two entropy layouts carry
+    the same quantized coefficients at equal quality), and the
+    progressive stream really exercises SOF2 + multi-scan parsing."""
+    jvm = spark.sparkContext._jvm
+    yy, xx = np.mgrid[0:17, 0:23]
+    px = np.zeros((17, 23, 3), dtype=np.uint8)
+    px[:, :, 0] = (yy * 5 + 30) % 200
+    px[:, :, 1] = (xx * 4 + 50) % 200
+    px[:, :, 2] = 90
+    img = _rgb_buffered_image(jvm, px)
+    seq = _imageio_jpeg(jvm, img, progressive=False)
+    prog = _imageio_jpeg(jvm, img, progressive=True)
+    assert b"\xff\xc2" not in seq and b"\xff\xc2" in prog
+    assert prog.count(b"\xff\xda") > 1, "progressive stream should multi-scan"
+    out_seq = jpeg_decode(seq).astype(int)
+    out_prog = jpeg_decode(prog).astype(int)
+    assert out_prog.shape == (17, 23, 3)
+    cross = np.abs(out_seq - out_prog).max()
+    assert cross <= 2, f"sequential vs progressive decode differ by {cross}"
+    err = np.abs(out_prog - px.astype(int)).max()
+    assert err <= 40, f"progressive color decode error vs original {err}"
+
+
+def test_decode_image_routes_progressive_jpeg(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image
+
+    jvm = spark.sparkContext._jvm
+    px = _tile_image([40, 202, 128, 254])
+    data = _imageio_jpeg(jvm, _gray_buffered_image(jvm, px), progressive=True)
+    assert b"\xff\xc2" in data
+    out = decode_image(data)
+    assert out.shape == (16, 16, 1)
+    assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 4
