@@ -1201,6 +1201,11 @@ def rebucket_bucket_store(
             raise FileNotFoundError(f"no bucket store at {buckets_dir}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    # a crash between the final rename and the marker removal leaves the
+    # (Spark-invisible) marker inside the live store — clear it
+    stale = os.path.join(buckets_dir, "_REBUCKET_COMMITTED")
+    if os.path.exists(stale):
+        os.remove(stale)
     _recover_pending_fold(buckets_dir)
 
     dirs = _committed_batch_dirs(buckets_dir)
