@@ -104,3 +104,28 @@ def test_stream_rerun_keeps_better_first_rep():
     streaming = {"a": {"rows_per_sec": 80.0}}
     bench._apply_stream_rerun(streaming, {"a": {"rows_per_sec": 70.0}}, {"a"})
     assert streaming["a"] == {"rows_per_sec": 80.0}
+
+
+def test_folded_epoch_ranges_roundtrip():
+    """Sidecar range codec: epochs → inclusive [lo, hi] runs → epochs is
+    the identity, legacy flat int lists still read, and a year of
+    contiguous 1-minute epochs serializes to ONE range."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _epochs_to_ranges,
+        _sidecar_epochs,
+    )
+
+    cases = [
+        set(),
+        {5},
+        {0, 1, 2, 3},
+        {1, 3, 4, 5, 9, 10},
+        set(range(525_600)),  # a year of 1-minute triggers
+    ]
+    for epochs in cases:
+        ranges = _epochs_to_ranges(epochs)
+        assert _sidecar_epochs({"ranges": ranges}) == epochs
+    assert _epochs_to_ranges(set(range(525_600))) == [[0, 525_599]]
+    assert _epochs_to_ranges({1, 3, 4, 5, 9, 10}) == [[1, 1], [3, 5], [9, 10]]
+    # legacy sidecar form (pre-round-8 flat int list)
+    assert _sidecar_epochs([0, 1, 7]) == {0, 1, 7}
