@@ -1071,3 +1071,122 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         rate = f.getframerate()
     a = np.frombuffer(frames, dtype=np.int16).reshape(-1, nch)
     return a, rate
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video. The RIFF/AVI container (Microsoft's public AVI RIFF
+# specification) is pure chunk framing: 'RIFF'/'AVI ' → LIST 'hdrl'
+# (avih main header + one 'vids'/'MJPG' stream) → LIST 'movi' holding one
+# '00dc' chunk per frame, each a complete baseline/progressive JPEG the
+# image codec above already decodes. That makes MJPEG-AVI the one video
+# format this container can handle REALLY — frame extraction is container
+# parsing + the existing JPEG path, no codec library. Inter-frame codecs
+# (H.264 etc.) remain out of scope and are handled by frame_sample's
+# documented raw-chunk fallback.
+# ---------------------------------------------------------------------------
+
+
+def avi_encode_mjpeg(frames: list[bytes], *, fps: int = 10) -> bytes:
+    """Wrap JPEG frame bytes into a minimal spec-conformant MJPEG AVI
+    (one 'vids'/'MJPG' stream, one '00dc' chunk per frame, even-padded,
+    with an idx1 index). Frame dimensions are read off the first JPEG's
+    SOF marker; all frames must share them (MJPG contract)."""
+    if not frames:
+        raise ValueError("avi_encode_mjpeg needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    fh = fw = None
+    for marker in (b"\xff\xc0", b"\xff\xc1", b"\xff\xc2"):
+        at = frames[0].find(marker)
+        if at >= 0:
+            fh, fw = struct.unpack(">HH", frames[0][at + 5 : at + 9])
+            break
+    if fh is None:
+        raise ValueError("first frame carries no JPEG SOF marker")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,   # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes,
+        fw, fh, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0)
+        + struct.pack("<I", 0)      # dwSampleSize
+        + struct.pack("<4H", 0, 0, fw, fh)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, fw, fh, 1, 24, b"MJPG", fw * fh * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # idx1 offsets are relative to the start of the 'movi' fourcc
+        offset = 4 + len(movi_payload)
+        movi_payload += chunk(b"00dc", f)
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(f))
+    movi = lst(b"movi", bytes(movi_payload))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_mjpeg(data: bytes) -> tuple[list[bytes], dict]:
+    """Parse an MJPEG AVI → (JPEG bytes per frame, metadata dict with
+    ``width``/``height``/``fps``/``n_frames``). Container-level only —
+    each returned frame feeds :func:`jpeg_decode` (or any JPEG decoder).
+    Raises on non-AVI RIFF and on streams whose video codec isn't MJPG
+    (inter-frame codecs can't be decoded here and must not be silently
+    returned as broken 'frames')."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload_at = pos + 8
+            if fourcc == b"LIST":
+                listtype = buf[payload_at : payload_at + 4]
+                if listtype in (b"hdrl", b"strl", b"movi", b"rec "):
+                    walk(buf, payload_at + 4, payload_at + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", buf[payload_at : payload_at + 56])
+                meta["fps"] = round(1_000_000 / vals[0]) if vals[0] else 0
+                meta["n_frames"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif fourcc == b"strh":
+                if buf[payload_at : payload_at + 4] == b"vids":
+                    handler = buf[payload_at + 4 : payload_at + 8]
+                    if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"AVI video codec {handler!r} is not MJPG — "
+                            "inter-frame codecs are out of scope"
+                        )
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(buf[payload_at : payload_at + size])
+            pos = payload_at + size + (size % 2)
+
+    walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0])
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    meta.setdefault("n_frames", len(frames))
+    return frames, meta

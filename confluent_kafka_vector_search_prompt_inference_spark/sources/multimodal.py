@@ -67,7 +67,9 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
     mime = F.when(F.col("path").endswith(".png"), "image/png").when(
         F.col("path").endswith(".jpg") | F.col("path").endswith(".jpeg"), "image/jpeg"
-    ).when(F.col("path").endswith(".wav"), "audio/wav").otherwise("application/octet-stream")
+    ).when(F.col("path").endswith(".wav"), "audio/wav").when(
+        F.col("path").endswith(".avi"), "video/x-msvideo"
+    ).otherwise("application/octet-stream")
     return raw.select(
         F.struct(
             mime.alias("mime"), F.col("path").alias("uri"), F.col("content").alias("bytes")
@@ -77,11 +79,11 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Decode image bytes → ``(H, W, C)`` uint8 pixels. PNG and baseline
-    JPEG both decode for real (stdlib+NumPy codecs in
-    ``sources/codecs.py``): zlib unfiltering for PNG, Huffman + dequant +
-    IDCT + YCbCr for JFIF baseline (progressive JPEG raises — scope
-    documented on :func:`codecs.jpeg_decode`)."""
+    """Decode image bytes → ``(H, W, C)`` uint8 pixels. PNG and JPEG —
+    baseline AND progressive SOF2 — decode for real (stdlib+NumPy codecs
+    in ``sources/codecs.py``): zlib unfiltering for PNG, Huffman +
+    dequant + IDCT + YCbCr for JFIF (scope documented on
+    :func:`codecs.jpeg_decode`)."""
     from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
         _PNG_SIG,
         jpeg_decode,
@@ -142,14 +144,21 @@ def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> 
 
     ``audio/wav`` blobs are REALLY decoded (stdlib codec): the sample
     stream splits into N contiguous segments, each re-encoded as a
-    standalone playable WAV. Video codecs are genuinely absent, so video
-    (and unknown) blobs fall back to deterministic raw-byte chunks — the
-    production execution shape is identical either way: ``mapInPandas``
-    fan-out (bounded memory: one blob decoded at a time per batch),
-    typed output, no shuffle. Swap the video branch for PyAV/ffmpeg."""
+    standalone playable WAV. ``video/x-msvideo`` (MJPEG AVI) blobs are
+    REALLY demuxed (round 8 — ``codecs.avi_decode_mjpeg``): N frames
+    sampled evenly across the container, each emitted as a standalone
+    decodable JPEG. Inter-frame video codecs (H.264 …) are genuinely
+    absent, so OTHER video (and unknown) blobs keep the deterministic
+    raw-byte-chunk fallback — the production execution shape is
+    identical in every branch: ``mapInPandas`` fan-out (bounded memory:
+    one blob decoded at a time per batch), typed output, no shuffle."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import wav_decode, wav_encode
+        from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
+            avi_decode_mjpeg,
+            wav_decode,
+            wav_encode,
+        )
 
         for pdf in batches:
             uris, idxs, frames = [], [], []
@@ -164,6 +173,15 @@ def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> 
                         uris.append(m["uri"])
                         idxs.append(i)
                         frames.append(wav_encode(seg, rate) if len(seg) else b"")
+                elif m["mime"] in ("video/x-msvideo", "video/avi"):
+                    all_frames, _meta = avi_decode_mjpeg(bytes(data))
+                    n = len(all_frames)
+                    # evenly-spaced sample across the container (repeats
+                    # when the clip is shorter than n_frames)
+                    for i in range(n_frames):
+                        uris.append(m["uri"])
+                        idxs.append(i)
+                        frames.append(all_frames[(i * n) // n_frames])
                 else:
                     step = max(len(data) // n_frames, 1)
                     for i in range(n_frames):
