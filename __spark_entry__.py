@@ -1670,6 +1670,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       tiles are BIT-EXACT through baseline JPEG — DC = 8·(v−128) divides
       the base luminance quantizer 16, all AC are exactly zero — so the
       lossy codec still admits a closed-form oracle.
+    - PROGRESSIVE JPEG (round 8): the SAME tile image through the SOF2
+      two-scan encoder (``jpeg_encode_progressive``, Al=0 ⇒ identical
+      quantized coefficients, different entropy layout) — the
+      progressive DECODE path (spectral-selection scan accumulation,
+      EOI-time IDCT) under the same closed-form oracle.
 
     The oracle is hard: width/height/channels/feat_dim and the pixel
     mean/min/max are recomputed closed-form by DuckDB from doc_id — any
@@ -1680,7 +1685,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codec round-trip bytes are pytest-covered in tests/test_codecs.py)."""
     import pandas as pd
 
-    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import jpeg_encode, png_encode
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+        png_encode,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
@@ -1703,6 +1712,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mime": "image/jpeg",
                         "uri": f"jpg://{int(d)}",
                         "bytes": jpeg_encode(tiles, quality=50),
+                    }
+                )
+                media.append(
+                    {
+                        "mime": "image/jpeg",
+                        "uri": f"pjpg://{int(d)}",
+                        "bytes": jpeg_encode_progressive(tiles, quality=50),
                     }
                 )
             yield pd.DataFrame({"media": media})
@@ -1741,6 +1757,13 @@ SELECT 'img://' || doc_id AS uri, 'image/png' AS mime,
 FROM px
 UNION ALL
 SELECT 'jpg://' || doc_id AS uri, 'image/jpeg' AS mime,
+  16 AS height, 16 AS width, 1 AS channels, 32 AS feat_dim,
+  ROUND(CAST(CAST(list_avg(v) AS REAL) AS DOUBLE), 6) AS px_mean,
+  CAST(list_min(v) AS INTEGER) AS px_min,
+  CAST(list_max(v) AS INTEGER) AS px_max
+FROM jt
+UNION ALL
+SELECT 'pjpg://' || doc_id AS uri, 'image/jpeg' AS mime,
   16 AS height, 16 AS width, 1 AS channels, 32 AS feat_dim,
   ROUND(CAST(CAST(list_avg(v) AS REAL) AS DOUBLE), 6) AS px_mean,
   CAST(list_min(v) AS INTEGER) AS px_min,

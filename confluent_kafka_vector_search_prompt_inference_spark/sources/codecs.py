@@ -629,6 +629,97 @@ def jpeg_encode(
     return bytes(out)
 
 
+def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 75) -> bytes:
+    """Encode an ``(H, W)`` / ``(H, W, 1)`` GRAYSCALE uint8 array as a
+    minimal progressive (SOF2) JPEG: two scans, DC (Ss=0/Se=0/Ah=0/Al=0)
+    then AC (Ss=1/Se=63/Ah=0/Al=0), standard Annex-K tables.
+
+    With ``Al=0`` the quantized coefficients are IDENTICAL to
+    :func:`jpeg_encode`'s — only the entropy layout differs — so a
+    fixture that is bit-exact through baseline JPEG (constant even-valued
+    8×8 tiles at quality 50) is bit-exact through this stream too. That
+    closed-form property is what lets the ``multimodal_features`` oracle
+    cover the progressive DECODE path; real-world multi-scan successive-
+    approximation streams are covered by the ImageIO interop tests.
+    Color progressive encoding stays out of scope (the decoder handles
+    it; this encoder exists to generate oracle fixtures)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError(f"jpeg_encode_progressive expects uint8 pixels, got {a.dtype}")
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim != 2:
+        raise ValueError(
+            f"jpeg_encode_progressive is grayscale-only, got shape {a.shape}"
+        )
+    h, w = a.shape
+    lum_q, _ = _quality_tables(quality)
+    plane = _pad_to(a.astype(np.float64) - 128.0, 8, 8)
+    zzs = _fdct_quant(plane, lum_q)
+    dc_e = _huff_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_e = _huff_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    # scan 1: DC only, diff-coded exactly like baseline's DC portion
+    bw = _BitWriter()
+    pred = 0
+    for zz in zzs:
+        dc = int(zz[0])
+        size, amp = _magnitude(dc - pred)
+        code, ln = dc_e[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(amp, size)
+        pred = dc
+    dc_entropy = bw.flush()
+
+    # scan 2: AC band 1..63, baseline run-length coding with per-block
+    # EOB (EOB0 — the standard table carries no EOBn>0 symbols, and a
+    # one-block EOB run is always legal)
+    bw = _BitWriter()
+    for zz in zzs:
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_e[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size, amp = _magnitude(v)
+            code, ln = ac_e[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(amp, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_e[0x00]
+            bw.write(code, ln)
+    ac_entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    out += seg(0xC4, dht)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC scan
+    out += dc_entropy
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC scan
+    out += ac_entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode JFIF JPEG bytes → ``(H, W, C)`` uint8 (C = 1 gray, 3 color).
     Supports baseline/extended sequential (SOF0/SOF1) AND progressive

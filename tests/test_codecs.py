@@ -438,3 +438,39 @@ def test_frame_sample_demuxes_mjpeg_avi(spark, tmp_path):
     for row, src_idx in zip(out, (0, 2, 4, 6)):
         px = jpeg_decode(bytes(row.frame_bytes))
         assert int(px[0, 0, 0]) == 40 + src_idx * 20
+
+
+from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (  # noqa: E402
+    jpeg_encode_progressive,
+)
+
+
+def test_progressive_encoder_tiles_bit_exact_and_coeff_identical():
+    """The two-scan SOF2 encoder (Al=0) carries the SAME quantized
+    coefficients as baseline — constant even tiles stay bit-exact (the
+    multimodal oracle's progressive leg), and arbitrary images decode
+    IDENTICALLY through both entropy layouts."""
+    img = _tile_image([40, 202, 128, 254])
+    prog = jpeg_encode_progressive(img, quality=50)
+    assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 2
+    out = jpeg_decode(prog)
+    assert np.array_equal(out[:, :, 0], img)
+
+    yy, xx = np.mgrid[0:21, 0:35]
+    grad = ((yy * 4 + xx * 3) % 200 + 20).astype(np.uint8)
+    via_prog = jpeg_decode(jpeg_encode_progressive(grad, quality=95))
+    via_base = jpeg_decode(jpeg_encode(grad, quality=95))
+    assert np.array_equal(via_prog, via_base)
+
+    with pytest.raises(ValueError, match="grayscale"):
+        jpeg_encode_progressive(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_progressive_encoder_interop_with_jvm_imageio(spark):
+    """Our SOF2 stream parses in the JVM's ImageIO back to the fixture
+    pixels — the independent-decoder direction for the encoder."""
+    jvm = spark.sparkContext._jvm
+    px = _tile_image([40, 202, 128, 254])
+    data = jpeg_encode_progressive(px, quality=50)
+    theirs = _jvm_decode_gray(jvm, data)
+    assert np.abs(theirs - px.astype(int)).max() <= 1
