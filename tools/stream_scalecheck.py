@@ -146,7 +146,16 @@ def _near_dedup_rung(
     # stream's own epochs start at 0, and the idempotent writer SKIPS an
     # epoch whose dir is already committed — landing history as _batch=0
     # would silently swallow the first micro-batch.
-    landed = _synth_docs(spark, rung, seed=0)
+    # pre-land parallelism: 32 range partitions put ~312k rows through
+    # each signature task at the 10M rung — one observed run deadlocked
+    # in the Arrow python-runner duplex protocol with both socket
+    # buffers full (JVM epoll-waiting, worker in tcp_sendmsg) at exactly
+    # that per-task volume. Smaller tasks keep each worker's in-flight
+    # Arrow stream ~10× smaller and the pre-land is setup, not the
+    # measured window, so the spread is free.
+    landed = _synth_docs(spark, rung, seed=0).repartition(
+        max(32, min(512, rung // 40_000)), "doc_id"
+    )
     sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
     # write-then-reread, NOT localCheckpoint(eager): the checkpoint holds
     # the whole keyed table (text + 64-long signature arrays) in the
