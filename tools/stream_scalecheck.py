@@ -426,7 +426,12 @@ def _rag_ivf_rung(spark, rung: int, work: str) -> dict:
     registry = ModelRegistry()
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
     registry.create_model("retail_assistant", "text_generation", TemplateLLM())
-    corpus_docs = _synth_docs(spark, rung, seed=2).select(
+    # same per-task-volume cap as the near-dedup pre-land: the corpus
+    # embeds through an Arrow python runner, and ~312k-row tasks at the
+    # 10M rung risk the duplex-buffer deadlock documented there
+    corpus_docs = _synth_docs(spark, rung, seed=2).repartition(
+        max(32, min(512, rung // 40_000)), "doc_id"
+    ).select(
         F.col("doc_id").alias("product_id"), F.col("text").alias("content")
     )
     corpus = registry.ml_predict(corpus_docs, "vector_encoding", "content")
