@@ -513,6 +513,18 @@ def main() -> int:
     rungs = [int(a) for a in argv] or RUNGS
     spark = get_spark("spark-graft-stream-scalecheck")
     spark.sparkContext.setLogLevel("ERROR")
+    # Arrow batches small enough that one python-worker OUTPUT batch
+    # always fits the loopback socket buffer. Spark 4.1's single-threaded
+    # duplex python runner prioritizes its pending INPUT write; if the
+    # worker blocks mid-way through sending a large output batch (64-long
+    # signature arrays at the default 10k rows/batch ≈ 5 MB — bigger than
+    # the kernel's autotuned rcvbuf) while the JVM is itself blocked
+    # writing input, neither side ever drains: observed twice at the 10M
+    # pre-land as a hard deadlock (JVM epoll-waiting, worker in
+    # tcp_sendmsg, both queues full). 2k rows ≈ 1 MB output per batch
+    # breaks the cycle; the measured micro-batches are 500 rows anyway,
+    # so rung numbers are unaffected.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
     work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
     results: dict[str, dict] = {name: {} for name in lanes}
     try:
