@@ -154,7 +154,7 @@ def _near_dedup_rung(
     # Arrow stream ~10× smaller and the pre-land is setup, not the
     # measured window, so the spread is free.
     landed = _synth_docs(spark, rung, seed=0).repartition(
-        max(32, min(512, rung // 40_000)), "doc_id"
+        max(32, min(4096, rung // 4_000)), "doc_id"
     )
     sigs = minhash_signatures(landed, "doc_id", "text", num_hashes=64)
     # write-then-reread, NOT localCheckpoint(eager): the checkpoint holds
@@ -430,7 +430,7 @@ def _rag_ivf_rung(spark, rung: int, work: str) -> dict:
     # embeds through an Arrow python runner, and ~312k-row tasks at the
     # 10M rung risk the duplex-buffer deadlock documented there
     corpus_docs = _synth_docs(spark, rung, seed=2).repartition(
-        max(32, min(512, rung // 40_000)), "doc_id"
+        max(32, min(4096, rung // 4_000)), "doc_id"
     ).select(
         F.col("doc_id").alias("product_id"), F.col("text").alias("content")
     )
