@@ -59,19 +59,38 @@ def build_ivf_index(
     index *metadata*, shipped to queries via broadcast."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators._kmeans import kmeans_fit
 
-    rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col)))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = _hash_bottom_sample(corpus, vec_col, sample_rows)
     centroids = kmeans_fit(X, n_clusters, seed=seed, max_iter=max_iter)
     assign = _nearest_clusters_udf(centroids, n_probe=1)
     indexed = corpus.withColumn(
         cluster_col, F.element_at(assign(F.col(vec_col)), 1)
     )
     return indexed, centroids
+
+
+def _hash_bottom_sample(df: DataFrame, vec_col: str, sample_rows: int) -> np.ndarray:
+    """Order-invariant training sample: bottom-``sample_rows`` vectors by
+    ``xxhash64(vector)`` as a float64 matrix.
+
+    The naive ``orderBy(hash).limit(n).collect()`` plans a TakeOrdered
+    whose driver MERGE receives each partition's local bottom-n — P·n
+    rows. That is fine at file-sized partition counts, but a corpus
+    arriving through a wide upstream (the 10M streaming-ladder rung
+    embeds through 2,500 tasks) shipped 2,500 × n rows and blew
+    ``spark.driver.maxResultSize``. When the input is wider than 64
+    partitions, the narrow ``(vector)`` projection is repartitioned to
+    64 FIRST — a shuffle of only the sample-input column, with the
+    upstream (e.g. an embedding UDF) keeping its full parallelism on the
+    map side — bounding the driver merge at 64·n rows regardless of
+    corpus layout. The sample itself is unchanged: bottom-n by hash is
+    bottom-n under any physical partitioning."""
+    proj = df.select(vec_col)
+    if proj.rdd.getNumPartitions() > 64:
+        proj = proj.repartition(64)
+    rows = (
+        proj.orderBy(F.xxhash64(F.col(vec_col))).limit(sample_rows).collect()
+    )
+    return np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
 
 
 def _nearest_clusters_udf(centroids: np.ndarray, n_probe: int):
@@ -429,13 +448,7 @@ def ivf_split_oversized(
             corpus, centroids = load_ivf_index(spark, path)
             touched.clear()
         rows_c = corpus.filter(F.col(cluster_col) == c)
-        rows = (
-            rows_c.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col)))
-            .limit(sample_rows)
-            .collect()
-        )
-        X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+        X = _hash_bottom_sample(rows_c, vec_col, sample_rows)
         sub = kmeans_fit(X, 2, seed=seed, max_iter=max_iter)
         b = n_clusters  # fresh id past the current maximum
         assign = _nearest_clusters_udf(sub, n_probe=1)

@@ -94,13 +94,9 @@ def build_ivfpq_index(
     """
     from confluent_kafka_vector_search_prompt_inference_spark.operators._kmeans import kmeans_fit
 
-    rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col)))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import _hash_bottom_sample
+
+    X = _hash_bottom_sample(corpus, vec_col, sample_rows)
     centroids = kmeans_fit(X, n_clusters, seed=seed, max_iter=max_iter)
 
     # Residuals of the SAME sample train the subspace codebooks.
@@ -755,13 +751,9 @@ def ivfpq_split_oversized(
             corpus, centroids, codebooks = load_ivfpq_index(spark, path)
             touched.clear()
         rows_c = corpus.filter(F.col(cluster_col) == c)
-        rows = (
-            rows_c.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col)))
-            .limit(sample_rows)
-            .collect()
-        )
-        X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import _hash_bottom_sample
+
+        X = _hash_bottom_sample(rows_c, vec_col, sample_rows)
         sub = kmeans_fit(X, 2, seed=seed, max_iter=max_iter)
         b = n_clusters
         reenc = _assign_encode_udf(sub, codebooks)

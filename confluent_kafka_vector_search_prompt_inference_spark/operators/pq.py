@@ -66,13 +66,9 @@ def train_pq_codebooks(
     key-correlated rows, silently degrading ADC recall corpus-wide.
     Bottom-n-by-hash is uniform in content and *order-invariant* — the
     same corpus in any physical row order trains identical codebooks."""
-    rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col)))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.ivf import _hash_bottom_sample
+
+    X = _hash_bottom_sample(corpus, vec_col, sample_rows)
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
