@@ -108,9 +108,21 @@ def query_sample_fingerprint(queries, cols: list[str], *, n: int = 32) -> str:
     calibrations; for a stationary stream, leave the calibrators'
     ``query_fingerprint`` as None — fingerprinting every micro-batch
     would make each one a cache miss and re-pay the calibration scans
-    the cache exists to amortize."""
+    the cache exists to amortize.
+
+    The ``n`` rows are selected in the SAME deterministic hash order the
+    calibrators use for their sample (``orderBy(xxhash64(cols), cols[0])
+    .limit(n)``) — a bare ``limit`` takes whichever partitions answer
+    first, so the fingerprint would drift across sessions for an
+    identical stationary workload (spurious cache misses) and could
+    cover different rows than the curve was measured on."""
+    from pyspark.sql import functions as F
+
     h = hashlib.sha1()
-    for row in queries.select(*cols).limit(n).collect():
+    ordered = queries.select(*cols).orderBy(
+        F.xxhash64(*[F.col(c) for c in cols]), F.col(cols[0])
+    )
+    for row in ordered.limit(n).collect():
         for c in cols:
             h.update(repr(row[c]).encode())
             h.update(b"\x1f")

@@ -793,8 +793,11 @@ def calibrate_ivf_n_probe(
         cached = None if recalibrate else cache.lookup(cache_key)
         if cached is not None and all(p in cached for p in ladder):
             return _pick_probe_width(cached, ladder, recall_target)
+    # deterministic sample (hash-ordered, mirrored by
+    # query_sample_fingerprint) — a bare limit() drifts across sessions
     sample = (
         queries.select(F.col(query_id), F.col(query_vec))
+        .orderBy(F.xxhash64(F.col(query_id), F.col(query_vec)), F.col(query_id))
         .limit(sample_queries)
         .localCheckpoint(eager=True)
     )

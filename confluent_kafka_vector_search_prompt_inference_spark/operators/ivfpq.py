@@ -521,8 +521,11 @@ def calibrate_ivfpq(
             curve = {(p, wd): cached[f"{p}:{wd}"] for p, wd in lattice}
             return _pick_ivfpq_rung(curve, lattice, recall_target)
 
+    # deterministic sample (hash-ordered, mirrored by
+    # query_sample_fingerprint) — a bare limit() drifts across sessions
     sample = (
         queries.select(F.col(query_id), F.col(query_vec))
+        .orderBy(F.xxhash64(F.col(query_id), F.col(query_vec)), F.col(query_id))
         .limit(sample_queries)
         .localCheckpoint(eager=True)
     )

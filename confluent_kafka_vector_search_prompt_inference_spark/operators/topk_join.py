@@ -318,8 +318,14 @@ def calibrate_recall_depth(
         if cached is not None and all(d in cached for d in depths):
             return _pick_calibrated_depth(cached, depths, recall_target, strategy)
 
+    # deterministic sample: a bare limit() takes whichever partitions
+    # answer first, so the measured curve (and query_sample_fingerprint,
+    # which mirrors this ordering) would drift across sessions for an
+    # identical workload — spurious cache misses and a fingerprint that
+    # can cover different rows than the curve was measured on
     sample = (
         queries.select(F.col(query_id), F.col(query_vec))
+        .orderBy(F.xxhash64(F.col(query_id), F.col(query_vec)), F.col(query_id))
         .limit(sample_queries)
         .localCheckpoint(eager=True)
     )

@@ -737,6 +737,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     frame = None
     progressive = False
     coefs: list[np.ndarray] | None = None
+    scans_decoded = 0
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -824,9 +825,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 scan_cids, scan_tbls, ss, se, a >> 4, a & 0x0F,
                 restart_interval,
             )
+            scans_decoded += 1
         # other markers (APPn/COM): skipped
-    if progressive and coefs is not None:
+    if progressive and coefs is not None and scans_decoded:
         return _assemble_progressive(frame, coefs, quants)
+    # a headers-only progressive stream (SOF2 but zero SOS scans) must
+    # fail like its sequential twin — assembling the all-zero coefficient
+    # accumulators would fabricate a plausible-looking solid-gray image
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -969,7 +974,6 @@ def _decode_progressive_scan(
         members = [(ci_of[cid], cid) for cid in scan_cids]
         if len(scan_cids) > 1:
             # interleaved DC: MCU raster order, sh×sv blocks per comp
-            unit_total = mcus_y * mcus_x
             mcu_count = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
@@ -1177,6 +1181,35 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
+def _jpeg_sof_dims(data: bytes) -> tuple[int, int]:
+    """(height, width) from a JPEG's frame SOF, found by WALKING the
+    marker segments — a raw byte search for ``FF C0`` can hit an SOF
+    inside an APPn payload first (EXIF thumbnails are complete embedded
+    JPEGs), recording the thumbnail's dimensions as the frame's. The
+    frame SOF always precedes SOS, so the walk never enters entropy
+    data."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes (T.81 B.1.1.2)
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker in (0xC0, 0xC1, 0xC2):
+            fh, fw = struct.unpack(">HH", data[pos + 3 : pos + 7])
+            return fh, fw
+        if marker == 0xDA:
+            break  # SOS with no SOF seen — malformed
+        pos += seg_len
+    raise ValueError("first frame carries no JPEG SOF marker")
+
+
 def avi_encode_mjpeg(frames: list[bytes], *, fps: int = 10) -> bytes:
     """Wrap JPEG frame bytes into a minimal spec-conformant MJPEG AVI
     (one 'vids'/'MJPG' stream, one '00dc' chunk per frame, even-padded,
@@ -1186,14 +1219,7 @@ def avi_encode_mjpeg(frames: list[bytes], *, fps: int = 10) -> bytes:
         raise ValueError("avi_encode_mjpeg needs at least one frame")
     if fps < 1:
         raise ValueError(f"fps must be >= 1, got {fps}")
-    fh = fw = None
-    for marker in (b"\xff\xc0", b"\xff\xc1", b"\xff\xc2"):
-        at = frames[0].find(marker)
-        if at >= 0:
-            fh, fw = struct.unpack(">HH", frames[0][at + 5 : at + 9])
-            break
-    if fh is None:
-        raise ValueError("first frame carries no JPEG SOF marker")
+    fh, fw = _jpeg_sof_dims(frames[0])
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""

@@ -308,10 +308,33 @@ def _epochs_to_ranges(epochs: set[int]) -> list[list[int]]:
     return out
 
 
+def _merge_ranges(ranges) -> list[list[int]]:
+    """Merge inclusive ``[lo, hi]`` ranges (overlapping or ADJACENT runs
+    coalesce) — O(n log n) in the number of RANGES, never expanding them
+    to individual epoch ids."""
+    out: list[list[int]] = []
+    for lo, hi in sorted([int(lo), int(hi)] for lo, hi in ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def _ranges_contain(ranges: list[list[int]], eid: int) -> bool:
+    """Membership test against MERGED sorted inclusive ranges — O(log n)
+    bisect, so the per-batch heal pass stays O(#runs) even when a run
+    covers a year of epochs."""
+    import bisect
+
+    i = bisect.bisect_right(ranges, [eid + 1]) - 1
+    return i >= 0 and ranges[i][0] <= eid <= ranges[i][1]
+
+
 def _sidecar_epochs(payload) -> set[int]:
-    """Epoch ids recorded in a ``_folded_epochs.json`` payload — either
-    the current ``{"ranges": [[lo, hi], ...]}`` form or the pre-round-8
-    flat int list (read-compatible; writers emit ranges only)."""
+    """Epoch ids recorded in a ``_folded_epochs.json`` payload, EXPANDED —
+    test/introspection convenience; hot paths use
+    :func:`_sidecar_ranges` and never materialize per-epoch ids."""
     if isinstance(payload, dict):
         ids: set[int] = set()
         for lo, hi in payload["ranges"]:
@@ -320,30 +343,56 @@ def _sidecar_epochs(payload) -> set[int]:
     return {int(e) for e in payload}
 
 
-def _read_folded_sidecar(batch_dir: str) -> set[int]:
+def _sidecar_ranges(payload) -> list[list[int]]:
+    """``_folded_epochs.json`` payload as inclusive ranges — the current
+    ``{"ranges": [[lo, hi], ...]}`` form passes through; the pre-round-8
+    flat int list is collapsed (read-compatible; writers emit ranges
+    only)."""
+    if isinstance(payload, dict):
+        return [[int(lo), int(hi)] for lo, hi in payload["ranges"]]
+    return _epochs_to_ranges({int(e) for e in payload})
+
+
+def _read_folded_sidecar(batch_dir: str) -> list[list[int]]:
     import json
 
     side = os.path.join(batch_dir, "_folded_epochs.json")
     if not os.path.exists(side):
-        return set()
+        return []
     with open(side) as fh:
-        return _sidecar_epochs(json.load(fh))
+        return _sidecar_ranges(json.load(fh))
+
+
+def _covered_bucket_ranges(buckets_dir: str) -> list[list[int]]:
+    """Merged inclusive epoch-id ranges the store covers — the live
+    ``_batch=`` dirs plus every range a compacted run absorbed. The
+    per-batch heal pass tests membership against THIS (O(#runs) to
+    build, O(log #runs) per probe); expanding to a per-epoch int set
+    would re-materialize ~525k ids per micro-batch on a year-old
+    1-minute-trigger store, defeating the range sidecar."""
+    import glob
+
+    ranges: list[list[int]] = []
+    for p in glob.glob(os.path.join(buckets_dir, "_batch=*")):
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue
+        eid = int(p.rsplit("=", 1)[1])
+        ranges.append([eid, eid])
+        ranges.extend(_read_folded_sidecar(p))
+    return _merge_ranges(ranges)
 
 
 def covered_bucket_epochs(buckets_dir: str) -> set[int]:
     """Epoch ids whose bucket rows are present in the store — the live
     ``_batch=`` dirs plus every id a compacted base absorbed (recorded in
-    its ``_folded_epochs.json`` sidecar). Backfill compares SINK epochs
-    against this set; without the sidecars every compaction would look
-    like missing history and be recomputed from landed signatures."""
-    import glob
-
+    its ``_folded_epochs.json`` sidecar), EXPANDED to a set. Backfill
+    compares SINK epochs against this coverage; without the sidecars
+    every compaction would look like missing history and be recomputed
+    from landed signatures. Introspection/test convenience — the hot
+    path uses :func:`_covered_bucket_ranges` and never expands."""
     ids: set[int] = set()
-    for p in glob.glob(os.path.join(buckets_dir, "_batch=*")):
-        if not os.path.exists(os.path.join(p, "_SUCCESS")):
-            continue
-        ids.add(int(p.rsplit("=", 1)[1]))
-        ids |= _read_folded_sidecar(p)
+    for lo, hi in _covered_bucket_ranges(buckets_dir):
+        ids.update(range(lo, hi + 1))
     return ids
 
 
@@ -538,7 +587,7 @@ def near_dedup_insert(
         the steady-state heal pass does no Spark work at all."""
         import shutil
 
-        covered = covered_bucket_epochs(buckets_dir)
+        covered = _covered_bucket_ranges(buckets_dir)
         for eid, p in _committed_epoch_ids(buckets_dir).items():
             if eid in layout_checked:
                 continue  # this process already vetted (or wrote) it
@@ -564,7 +613,7 @@ def near_dedup_insert(
             shutil.rmtree(p)
             os.rename(mig, p)
         for eid, p in _committed_epoch_ids(sink_dir).items():
-            if eid in covered:
+            if _ranges_contain(covered, eid):
                 continue
             # repartition(1), not bare coalesce(1): the backfill may
             # replay a LARGE pre-upgrade epoch, and coalesce alone would
@@ -799,13 +848,20 @@ def _committed_batch_dirs(sink_dir: str) -> list:
     """Committed (``_SUCCESS``-stamped) ``_batch=`` dirs only — a crashed
     or in-flight epoch's partial files must never reach a reader, or
     counts/sketches transiently double- or under-count until the epoch
-    replays."""
+    replays. Sorted NUMERICALLY by epoch id: the compaction/migration
+    entry points slice "the newest ``keep_batches``" off this list to
+    honor the idempotent-replay contract, and a lexicographic sort would
+    rank ``_batch=9`` after ``_batch=16`` once ids pass one digit —
+    folding the true newest epoch and re-landing its rows on replay."""
     import glob
 
     return sorted(
-        d
-        for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
+        (
+            d
+            for d in glob.glob(os.path.join(sink_dir, "_batch=*"))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
     )
 
 
@@ -1013,15 +1069,16 @@ def _fold_dirs(
         df.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
     else:
         df.write.mode("overwrite").parquet(tmp)
-    # epoch-coverage sidecar: the folded dirs' own ids plus any ids a
-    # previously-folded base among them had already absorbed — stored as
-    # inclusive ranges (O(#runs), not one int per epoch forever)
-    covered: set[int] = set()
+    # epoch-coverage sidecar: the folded dirs' own ids plus any ranges a
+    # previously-folded base among them had already absorbed — merged as
+    # inclusive ranges end to end (O(#runs), never expanded per epoch)
+    covered: list[list[int]] = []
     for d in to_fold:
-        covered.add(int(d.rsplit("=", 1)[1]))
-        covered |= _read_folded_sidecar(d)
+        eid = int(d.rsplit("=", 1)[1])
+        covered.append([eid, eid])
+        covered.extend(_read_folded_sidecar(d))
     with open(os.path.join(tmp, "_folded_epochs.json"), "w") as fh:
-        json.dump({"ranges": _epochs_to_ranges(covered)}, fh)
+        json.dump({"ranges": _merge_ranges(covered)}, fh)
     folded_names = [os.path.basename(d) for d in to_fold]
     with open(manifest_path, "w") as fh:
         json.dump(folded_names, fh)
@@ -1189,12 +1246,20 @@ def rebucket_bucket_store(
 
     if not os.path.isdir(buckets_dir):
         if os.path.exists(marker):
-            # crashed between the two swap renames: finish publishing
+            # crashed between the two swap renames: finish publishing the
+            # PREVIOUS rebucket first. Its target N may differ from this
+            # call's — returning here would silently skip the requested
+            # migration — so fall through to the normal path unless the
+            # recovered store already carries the requested N.
             os.rename(tmp, buckets_dir)
             os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
             shutil.rmtree(old, ignore_errors=True)
-            return len(_committed_batch_dirs(buckets_dir))
-        if os.path.isdir(old):
+            import json as _json
+
+            with open(os.path.join(buckets_dir, "_meta.json")) as fh:
+                if int(_json.load(fh)["num_partitions"]) == int(new_partitions):
+                    return len(_committed_batch_dirs(buckets_dir))
+        elif os.path.isdir(old):
             # swap started but tmp was never committed — roll back
             os.rename(old, buckets_dir)
         else:
@@ -1228,12 +1293,13 @@ def rebucket_bucket_store(
         df.repartition(F.col("__bpart")).write.partitionBy("__bpart").mode(
             "overwrite"
         ).parquet(run_dir)
-        covered: set[int] = set()
+        covered: list[list[int]] = []
         for d in to_fold:
-            covered.add(int(d.rsplit("=", 1)[1]))
-            covered |= _read_folded_sidecar(d)
+            eid = int(d.rsplit("=", 1)[1])
+            covered.append([eid, eid])
+            covered.extend(_read_folded_sidecar(d))
         with open(os.path.join(run_dir, "_folded_epochs.json"), "w") as fh:
-            json.dump({"ranges": _epochs_to_ranges(covered)}, fh)
+            json.dump({"ranges": _merge_ranges(covered)}, fh)
     for d in kept:
         eid = int(d.rsplit("=", 1)[1])
         out = os.path.join(tmp, f"_batch={eid}")
@@ -1247,7 +1313,7 @@ def rebucket_bucket_store(
         side = _read_folded_sidecar(d)
         if side:
             with open(os.path.join(out, "_folded_epochs.json"), "w") as fh:
-                json.dump({"ranges": _epochs_to_ranges(side)}, fh)
+                json.dump({"ranges": _merge_ranges(side)}, fh)
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"num_partitions": int(new_partitions)}, fh)
     open(marker, "a").close()

@@ -129,3 +129,26 @@ def test_folded_epoch_ranges_roundtrip():
     assert _epochs_to_ranges({1, 3, 4, 5, 9, 10}) == [[1, 1], [3, 5], [9, 10]]
     # legacy sidecar form (pre-round-8 flat int list)
     assert _sidecar_epochs([0, 1, 7]) == {0, 1, 7}
+
+
+def test_range_membership_without_expansion():
+    """Round-8 review: the hot heal path tests epoch membership against
+    MERGED ranges (bisect), never expanding a year-sized run into one
+    int per epoch per micro-batch."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _merge_ranges,
+        _ranges_contain,
+    )
+
+    # merge coalesces overlapping AND adjacent runs, in any input order
+    assert _merge_ranges([[5, 9], [0, 3], [4, 4]]) == [[0, 9]]
+    assert _merge_ranges([[10, 12], [0, 3], [5, 5]]) == [[0, 3], [5, 5], [10, 12]]
+    assert _merge_ranges([]) == []
+    ranges = _merge_ranges([[0, 525_599], [600_000, 600_005]])
+    assert ranges == [[0, 525_599], [600_000, 600_005]]
+    assert _ranges_contain(ranges, 0)
+    assert _ranges_contain(ranges, 525_599)
+    assert not _ranges_contain(ranges, 525_600)
+    assert _ranges_contain(ranges, 600_003)
+    assert not _ranges_contain(ranges, 700_000)
+    assert not _ranges_contain([], 1)

@@ -238,3 +238,18 @@ def test_recalibrate_bypasses_lookup_and_restores_hits(spark, qc, tmp_path):
         lambda: calibrate_recall_depth(q, c, 5, recall_target=0.9, **common),
     )
     assert jobs_after == 0  # ...and the fresh curve was stored
+
+
+def test_query_fingerprint_deterministic_under_partitioning(spark, qc):
+    """Round-8 review: the fingerprint (and the calibrators' sample)
+    selects rows in hash order, not bare limit() order — the same
+    workload must fingerprint identically regardless of how its
+    DataFrame happens to be partitioned."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.calibration_cache import query_sample_fingerprint
+
+    q, _corpus = qc
+    q = q.select("qid", "vector")
+    fp1 = query_sample_fingerprint(q, ["qid", "vector"])
+    fp2 = query_sample_fingerprint(q.repartition(7), ["qid", "vector"])
+    fp3 = query_sample_fingerprint(q.repartition(1).sort("vector"), ["qid", "vector"])
+    assert fp1 == fp2 == fp3

@@ -408,8 +408,11 @@ def test_avi_rejects_garbage_and_foreign_codecs():
         avi_decode_mjpeg(b"\x89PNG not an avi")
     with pytest.raises(ValueError, match="at least one frame"):
         avi_encode_mjpeg([])
-    with pytest.raises(ValueError, match="SOF"):
+    with pytest.raises(ValueError, match="JPEG"):
         avi_encode_mjpeg([b"not a jpeg"])
+    # a JPEG-framed stream with headers but no SOF still names the miss
+    with pytest.raises(ValueError, match="SOF"):
+        avi_encode_mjpeg([b"\xff\xd8\xff\xfe\x00\x04xx\xff\xd9"])
     # an AVI whose vids stream declares a non-MJPG codec must raise, not
     # hand back inter-frame garbage as 'frames'
     frames = [jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=50)]
@@ -474,3 +477,36 @@ def test_progressive_encoder_interop_with_jvm_imageio(spark):
     data = jpeg_encode_progressive(px, quality=50)
     theirs = _jvm_decode_gray(jvm, data)
     assert np.abs(theirs - px.astype(int)).max() <= 1
+
+
+def test_progressive_headers_only_raises():
+    """Regression (round 8 review): an SOF2 stream with ZERO SOS scans
+    must raise like its sequential twin — assembling the all-zero
+    coefficient accumulators would fabricate a plausible solid-gray
+    image from a truncated/malformed file."""
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    data = jpeg_encode_progressive(img, quality=50)
+    at = data.find(b"\xff\xda")
+    assert at > 0
+    headers_only = data[:at] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing SOS"):
+        jpeg_decode(headers_only)
+
+
+def test_avi_header_dims_skip_exif_thumbnail_sof():
+    """Regression (round 8 review): frame dimensions must come from the
+    frame's real SOF via a marker-segment walk — a raw FF C0 byte search
+    hits the SOF of a complete thumbnail JPEG embedded in an EXIF APP1
+    segment first, recording 8x8 instead of the true frame size."""
+    import struct as _struct
+
+    main = jpeg_encode(np.zeros((32, 24), dtype=np.uint8), quality=50)
+    thumb = jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=50)
+    payload = b"Exif\x00\x00" + thumb
+    app1 = b"\xff\xe1" + _struct.pack(">H", len(payload) + 2) + payload
+    frame = main[:2] + app1 + main[2:]
+    assert frame.find(b"\xff\xc0") < frame.rfind(b"\xff\xc0")  # trap armed
+    avi = avi_encode_mjpeg([frame])
+    out, meta = avi_decode_mjpeg(avi)
+    assert (meta["width"], meta["height"]) == (24, 32)
+    assert out == [frame]

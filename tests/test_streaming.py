@@ -1694,3 +1694,84 @@ def test_rag_streaming_warns_past_exact_lane_crossover(spark, docs, monkeypatch)
         t = pipe.streaming_transform(corpus)
     if t.prepared is not None:
         t.prepared.unpersist()
+
+
+def test_committed_batch_dirs_sort_numerically(tmp_path):
+    """Regression (round 8 review): the round-8 refactor pointed the
+    compaction entry points at this helper, whose lexicographic sort
+    ranks ``_batch=9`` after ``_batch=16`` — the "keep the newest"
+    slice would fold the true newest epoch and break idempotent
+    replay once ids pass one digit."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _committed_batch_dirs
+
+    store = str(tmp_path / "sink")
+    for e in (0, 2, 9, 10, 16):
+        d = os.path.join(store, f"_batch={e}")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "a").close()
+    got = [int(d.rsplit("=", 1)[1]) for d in _committed_batch_dirs(store)]
+    assert got == [0, 2, 9, 10, 16]
+
+
+def test_tiered_compact_keeps_numerically_newest_epoch(spark, tmp_path):
+    """With double-digit epoch ids in the tail, keep_batches must spare
+    the true newest epoch (12), not the lexicographically-last (9)."""
+    import json
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _is_compacted_run,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(8, 13), rows_per_epoch=10)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    newest = os.path.join(store, "_batch=12")
+    assert os.path.exists(os.path.join(newest, "_SUCCESS"))
+    assert not _is_compacted_run(newest)  # spared — replay stays a no-op
+    with open(os.path.join(store, "_batch=8", "_folded_epochs.json")) as fh:
+        assert json.load(fh)["ranges"] == [[8, 11]]
+
+
+def test_rebucket_recovery_still_applies_requested_n(spark, tmp_path):
+    """Regression (round 8 review): finishing a crashed PREVIOUS rebucket
+    (committed tmp at its old target N) must not swallow the CURRENT
+    call's different new_partitions — the caller would believe the
+    store migrated while every pruned read kept the old N."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        rebucket_bucket_store,
+        tiered_compact_sink,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(4), n_parts=4)
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    before = _bucket_rows(spark, store)
+    rebucket_bucket_store(spark, store, 16)
+
+    # simulate a crash between the two swap renames of a rebucket-to-16
+    tmp = store + "__rebucket_tmp"
+    shutil.move(store, tmp)
+    open(os.path.join(tmp, "_REBUCKET_COMMITTED"), "a").close()
+
+    # the NEXT call asks for 64: recovery publishes the pending 16-store,
+    # then must fall through and perform the requested 16 -> 64 migration
+    rebucket_bucket_store(spark, store, 64)
+    assert bucket_store_partitions(store, 4) == 64
+    assert _bucket_rows(spark, store) == before
+    # the data columns were actually re-modded to the requested N: with
+    # xxhash64 buckets, pmod 64 occupies parts >= 16 w.h.p. on 160 rows
+    parts = set()
+    for d in glob.glob(os.path.join(store, "_batch=*")):
+        # runs are __bpart-partitioned, the kept tail is flat — read each
+        # dir alone (a mixed-depth read raises CONFLICTING_PARTITION names)
+        for r in (
+            spark.read.option("basePath", d).parquet(d)
+            .select("__bpart").distinct().collect()
+        ):
+            parts.add(r["__bpart"])
+    assert all(0 <= p < 64 for p in parts)
+    assert any(p >= 16 for p in parts)

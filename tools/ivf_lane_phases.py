@@ -69,7 +69,14 @@ def _phase_rung(spark, rung: int, work: str) -> dict:
     registry = ModelRegistry()
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
     registry.create_model("retail_assistant", "text_generation", TemplateLLM())
-    corpus_docs = _synth_docs(spark, rung, seed=2).select(
+    # same duplex-deadlock mitigation as the ladder's _rag_ivf_rung: cap
+    # per-task row volume through the Arrow python runner — ~312k-row
+    # embed tasks at the 10M rung reproduce the documented socket-buffer
+    # deadlock this tool would otherwise hang on at the very rung the
+    # phase analysis is chasing
+    corpus_docs = _synth_docs(spark, rung, seed=2).repartition(
+        max(32, min(4096, rung // 4_000)), "doc_id"
+    ).select(
         F.col("doc_id").alias("product_id"), F.col("text").alias("content")
     )
     corpus = registry.ml_predict(corpus_docs, "vector_encoding", "content")
@@ -136,6 +143,9 @@ def main() -> int:
     rungs = [int(a) for a in sys.argv[1:]] or RUNGS
     spark = get_spark("spark-graft-ivf-phases")
     spark.sparkContext.setLogLevel("ERROR")
+    # one Arrow OUTPUT batch must fit the loopback socket buffer (see
+    # stream_scalecheck.py's deadlock note) — same 2k-row cap
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
     work = tempfile.mkdtemp(prefix="spark_graft_ivf_phases_")
     results: dict[str, dict] = {}
     try:
