@@ -8732,6 +8732,51 @@ FROM t GROUP BY 1
 """
 
 
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-m hash-sample quantile sketch over ``events.value`` — the
+    distribution-summary sibling of ``countmin_term_freqs`` (threshold
+    selection: "where does the p99 of this metric sit?" with m-bounded
+    state instead of a full sort). The sketch is the m=1024 rows whose
+    seed-prefixed md5(event_id) ranks smallest (a deterministic simple
+    random sample, mergeable by union + re-cap — the streaming face is
+    ``streaming.pipeline.quantile_insert``); estimates are nearest-rank
+    quantiles off the sorted sample. Deterministic end to end, so the
+    DuckDB oracle reproduces the EXACT estimates — no tolerance band.
+    Accuracy vs the exact quantile is property-tested in
+    ``tests/test_sketches.py`` (standard error ~ sqrt(q(1-q)/m))."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        quantile_sketch_build,
+        sample_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = quantile_sketch_build(ev, "value", "event_id", m=1024)
+    n = sk.groupBy().agg(F.count("*").alias("n_sample"))
+    return (
+        sample_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99])
+        .crossJoin(F.broadcast(n))
+        .orderBy("q")
+    )
+
+
+_QSKETCH_ORACLE = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS val,
+         CAST(('0x' || substring(md5('q#' || CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM events
+), sk AS (
+  SELECT val, h FROM s ORDER BY h, val LIMIT 1024
+), r AS (
+  SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn, COUNT(*) OVER () AS n
+  FROM sk
+)
+SELECT CAST(q.q AS DOUBLE) AS q, r.val AS est, r.n AS n_sample
+FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS q(q)
+JOIN r ON r.rn = CAST(FLOOR(CAST(q.q AS DOUBLE) * (r.n - 1)) AS INT) + 1
+ORDER BY q
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -8934,6 +8979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_decayed_value": user_decayed_value,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
+        "sketch_value_quantiles": sketch_value_quantiles,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -9068,6 +9114,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_prompts": _RAG_PROMPTS_ORACLE,
         "rag_answers": _RAG_ANSWERS_ORACLE,
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
+        "sketch_value_quantiles": _QSKETCH_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
         # real codec round trips: encode → decode → pixel/sample stats,

@@ -122,3 +122,105 @@ def countmin_lookup(
         joined.groupBy(*keys)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic bottom-m hash sample
+# ---------------------------------------------------------------------------
+#
+# The quantile companion to the count-min sketch above: threshold selection
+# over a 100 TB corpus ("what length cuts the worst 5%?", "where is the
+# p99 quality score?") needs distribution summaries with bounded state.
+# Spark's approx_percentile is a per-job aggregate — not a MATERIALIZED,
+# mergeable, engine-portable object a streaming sink can maintain. This one
+# is: the sketch is the m rows with the SMALLEST seed-prefixed md5 hash of
+# a unique row key (a bottom-m sketch, Cohen & Kaplan, PODC 2007). A
+# bottom-m hash sample is a uniform simple random sample of the keys, so
+# the sample's nearest-rank quantile estimates the population quantile with
+# standard error ~ sqrt(q(1-q)/m) (±1.6% at q=0.5, m=1024); unlike a
+# random reservoir it is DETERMINISTIC (exactly reproducible in DuckDB via
+# the repo-standard md5 pattern — an EXACT value oracle, not a tolerance
+# check) and mergeable: bottom-m(A ∪ B) = bottom-m(bottom-m(A) ∪
+# bottom-m(B)), so per-epoch deltas fold by union + re-cap.
+
+
+def _rank_hash(key: Column) -> Column:
+    """60-bit deterministic rank of a row key: the first 15 hex digits of
+    ``md5('q#' || key)`` as BIGINT. DuckDB twin:
+    ``('0x' || substring(md5('q#' || CAST(k AS VARCHAR)), 1, 15))::UBIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("q#"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def quantile_sketch_build(
+    items: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    m: int = 1024,
+) -> DataFrame:
+    """Build a bottom-m quantile sketch: ``(__h BIGINT, val DOUBLE)`` —
+    the ``m`` rows whose ``key_col`` hashes smallest, totally ordered by
+    ``(__h, val)`` so ties (60-bit collisions) resolve deterministically.
+
+    ``key_col`` must uniquely identify an observation (doc id, event id):
+    duplicate keys would enter or miss the sample together, biasing it.
+
+    Scale shape: ``orderBy(h).limit(m)`` plans a TakeOrdered — per-
+    partition bottom-m map-side, ONE merge task receiving P·m rows. Fine
+    at file-sized partition counts; a corpus arriving through a very wide
+    upstream is first repartitioned as a narrow 16-byte (h, val)
+    projection (upstream keeps its parallelism on the map side), bounding
+    the merge at 64·m — the `_hash_bottom_sample` lesson from the 10M
+    streaming-ladder rung."""
+    rows = items.select(
+        _rank_hash(F.col(key_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    if rows.rdd.getNumPartitions() > 64:
+        rows = rows.repartition(64)
+    return rows.orderBy("__h", "val").limit(m)
+
+
+def quantile_sketch_merge(*sketches: DataFrame, m: int = 1024) -> DataFrame:
+    """Merge sketches built with the same key seed: union, drop exact
+    duplicate ``(__h, val)`` rows (the same underlying observation
+    arriving via two sketches — e.g. an epoch replay — must count once),
+    re-cap at bottom-m. Associative and commutative; merging sketches of
+    DISJOINT row sets loses nothing the cap wouldn't."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates(["__h", "val"]).orderBy("__h", "val").limit(m)
+
+
+def sample_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Nearest-rank (lower) quantile estimates off a quantile sketch:
+    one row per requested ``q`` — ``(q DOUBLE, est DOUBLE)``, where
+    ``est`` is the value at 1-based rank ``floor(q·(n−1)) + 1`` of the
+    sample sorted by ``(val, __h)``. The unpartitioned window is over at
+    most ``m`` rows — bounded by construction, the one place a global
+    window is safe."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("val", "__h")
+    ranked = sketch.select(
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("rn")
+            == F.floor(F.col("q") * (F.col("n") - F.lit(1))).cast("int") + F.lit(1)
+        )
+        .select("q", F.col("val").alias("est"))
+    )

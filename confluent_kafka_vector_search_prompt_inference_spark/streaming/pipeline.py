@@ -1393,6 +1393,72 @@ def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
     return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def quantile_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str,
+    key_col: str,
+    m: int = 1024,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous insert that also maintains a bottom-m quantile sketch of
+    a value column over everything ever landed — the distribution-summary
+    sibling of :func:`sketch_insert` (count-min counts WHAT is frequent;
+    this answers WHERE the p50/p99 of a metric sits, the threshold-
+    selection question every quality gate asks of a growing corpus).
+
+    Same two idempotent epoch-keyed writes: rows under ``_batch=N``, the
+    batch's m-bounded sketch delta under ``<sink>/_qsketch/_batch=N``.
+    The live sketch is :func:`read_corpus_quantile_sketch` — merge-on-
+    read (union → dedup → bottom-m re-cap: deterministic, so a replayed
+    epoch's identical delta rows collapse and no observation ever counts
+    twice). Because bottom-m(A ∪ B) = bottom-m(bottom-m(A) ∪
+    bottom-m(B)), delta dirs may be folded by the generic
+    :func:`compact_sink` on the ``_qsketch`` dir at any time without
+    changing any estimate — the read-side cap re-applies."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import quantile_sketch_build
+
+    write_rows = idempotent_batch_writer(sink_dir)
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_qsketch"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            write_rows(batch_df, epoch_id)
+            write_delta(
+                quantile_sketch_build(batch_df, value_col, key_col, m=m),
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_quantile_sketch(
+    spark: SparkSession, sink_dir: str, *, m: int = 1024
+) -> DataFrame:
+    """The current bottom-m quantile sketch of a :func:`quantile_insert`
+    sink: union of the committed per-epoch deltas, deduped and re-capped.
+    Feed it straight to ``operators.sketches.sample_quantiles``. ``m``
+    must match the build's (a smaller read-side m is a valid coarser
+    sketch; a larger one cannot be reconstructed from capped deltas)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import quantile_sketch_merge
+
+    deltas = read_sink(spark, os.path.join(sink_dir, "_qsketch"))
+    return quantile_sketch_merge(deltas, m=m)
+
+
 def ivf_insert(
     stream_df: DataFrame,
     index_path: str,

@@ -71,3 +71,74 @@ def test_weighted_build(spark):
     assert out["a"] >= 8 and out["b"] >= 2
     # an unseen term can only be overcounted by collisions, never negative
     assert out["zz"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Bottom-m quantile sketch
+# ---------------------------------------------------------------------------
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (  # noqa: E402
+    quantile_sketch_build,
+    quantile_sketch_merge,
+    sample_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_vals(spark):
+    # lognormal-ish skew: quantiles differ strongly from the mean, so a
+    # wrong rank rule or a biased sample shows up as a big error
+    return spark.range(20_000).select(
+        F.col("id").alias("key"),
+        F.round(F.exp(F.xxhash64("id") % 1000 / 250.0), 6).alias("v"),
+    ).persist()
+
+
+def test_quantile_sketch_bounded_and_deterministic(spark, skewed_vals):
+    sk = quantile_sketch_build(skewed_vals, "v", "key", m=256)
+    rows = sk.collect()
+    assert len(rows) == 256
+    # deterministic under physical layout — same sketch from a repartition
+    again = quantile_sketch_build(skewed_vals.repartition(13), "v", "key", m=256)
+    assert sorted((r["__h"], r["val"]) for r in rows) == sorted(
+        (r["__h"], r["val"]) for r in again.collect()
+    )
+
+
+def test_quantile_estimates_within_sampling_error(spark, skewed_vals):
+    """Nearest-rank estimates off the m=1024 sample sit within a few
+    standard errors (sqrt(q(1-q)/m) in RANK space) of the exact
+    quantile's rank."""
+    import math
+
+    n = skewed_vals.count()
+    exact_sorted = [r.v for r in skewed_vals.orderBy("v", "key").collect()]
+    sk = quantile_sketch_build(skewed_vals, "v", "key", m=1024)
+    est = {r.q: r.est for r in sample_quantiles(sk, [0.25, 0.5, 0.9, 0.99]).collect()}
+    for q, e in est.items():
+        # rank of the estimate within the EXACT distribution
+        import bisect
+
+        rank_lo = bisect.bisect_left(exact_sorted, e) / (n - 1)
+        rank_hi = bisect.bisect_right(exact_sorted, e) / (n - 1)
+        tol = 5 * math.sqrt(q * (1 - q) / 1024) + 1e-9
+        assert rank_lo - tol <= q <= rank_hi + tol, (q, e, rank_lo, rank_hi, tol)
+
+
+def test_quantile_sketch_merge_law_and_dedup(spark, skewed_vals):
+    """bottom-m(A ∪ B) == merge(bottom-m(A), bottom-m(B)); re-merging an
+    identical delta (an epoch replay) changes nothing."""
+    a = skewed_vals.filter("key % 2 = 0")
+    b = skewed_vals.filter("key % 2 = 1")
+    whole = quantile_sketch_build(skewed_vals, "v", "key", m=128)
+    merged = quantile_sketch_merge(
+        quantile_sketch_build(a, "v", "key", m=128),
+        quantile_sketch_build(b, "v", "key", m=128),
+        m=128,
+    )
+    key = lambda df: sorted((r["__h"], r["val"]) for r in df.collect())  # noqa: E731
+    assert key(whole) == key(merged)
+    replayed = quantile_sketch_merge(
+        merged, quantile_sketch_build(a, "v", "key", m=128), m=128
+    )
+    assert key(replayed) == key(merged)

@@ -1775,3 +1775,62 @@ def test_rebucket_recovery_still_applies_requested_n(spark, tmp_path):
             parts.add(r["__bpart"])
     assert all(0 <= p < 64 for p in parts)
     assert any(p >= 16 for p in parts)
+
+
+def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
+    """quantile_insert lands rows AND a per-epoch bottom-m delta; the
+    merged sketch equals the one-shot sketch over everything landed,
+    replay changes nothing, and compacting the delta dir leaves every
+    estimate identical."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        quantile_sketch_build,
+        sample_quantiles,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        quantile_insert,
+        read_corpus_quantile_sketch,
+    )
+
+    rows = spark.range(3_000).select(
+        F.col("id").alias("key"),
+        (F.xxhash64("id") % 997).cast("double").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    rows.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, rows.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = quantile_insert(
+        stream, sink, ckpt, value_col="v", key_col="key", m=128, trigger_once=True
+    )
+    _drain(q)
+
+    landed = read_sink(spark, sink)
+    assert landed.count() == 3_000
+    key = lambda df: sorted((r["__h"], r["val"]) for r in df.collect())  # noqa: E731
+    streamed = read_corpus_quantile_sketch(spark, sink, m=128)
+    oneshot = quantile_sketch_build(landed, "v", "key", m=128)
+    assert key(streamed) == key(oneshot)
+
+    # replay over the same source: identical deltas collapse on read
+    q2 = quantile_insert(
+        stream, sink, ckpt, value_col="v", key_col="key", m=128, trigger_once=True
+    )
+    _drain(q2)
+    assert key(read_corpus_quantile_sketch(spark, sink, m=128)) == key(oneshot)
+
+    # estimates survive compaction of the delta dir bit-for-bit
+    before = {
+        r.q: r.est
+        for r in sample_quantiles(streamed, [0.1, 0.5, 0.9]).collect()
+    }
+    folded = compact_sink(spark, os.path.join(sink, "_qsketch"), keep_batches=1)
+    assert folded >= 1
+    after = {
+        r.q: r.est
+        for r in sample_quantiles(
+            read_corpus_quantile_sketch(spark, sink, m=128), [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    assert before == after
