@@ -8777,6 +8777,53 @@ ORDER BY q
 """
 
 
+def source_nchars_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantile sketches: one independent bottom-m sample per
+    ``documents.source``, answering "p50/p90 document length per domain"
+    with m·|groups| state — the per-domain threshold question every
+    corpus-curation gate asks. The per-group rank is a window keyed by
+    the group column (the one shuffle is the group exchange any
+    aggregation pays); m=16 so the sample is a genuine subsample at
+    every SF. Deterministic md5 ranks ⇒ the DuckDB oracle reproduces
+    the exact estimates."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        quantile_sketch_build,
+        sample_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = quantile_sketch_build(
+        docs, "n_chars", "doc_id", m=16, group_cols=["source"]
+    )
+    return sample_quantiles(sk, [0.5, 0.9], group_cols=["source"]).orderBy(
+        "source", "q"
+    )
+
+
+_GROUPED_QSKETCH_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS val,
+         CAST(('0x' || substring(md5('q#' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM documents
+), sk AS (
+  SELECT * FROM (
+    SELECT source, val, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, val) AS brn
+    FROM s
+  ) WHERE brn <= 16
+), r AS (
+  SELECT source, val,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY val, h) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM sk
+)
+SELECT r.source AS source, CAST(q.q AS DOUBLE) AS q, r.val AS est
+FROM (VALUES (0.5), (0.9)) AS q(q)
+JOIN r ON r.rn = CAST(FLOOR(CAST(q.q AS DOUBLE) * (r.n - 1)) AS INT) + 1
+ORDER BY source, q
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -8980,6 +9027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         "sketch_value_quantiles": sketch_value_quantiles,
+        "source_nchars_quantiles": source_nchars_quantiles,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -9115,6 +9163,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_answers": _RAG_ANSWERS_ORACLE,
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
         "sketch_value_quantiles": _QSKETCH_ORACLE,
+        "source_nchars_quantiles": _GROUPED_QSKETCH_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
         # real codec round trips: encode → decode → pixel/sample stats,

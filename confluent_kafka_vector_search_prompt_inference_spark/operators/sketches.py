@@ -160,6 +160,7 @@ def quantile_sketch_build(
     key_col: str,
     *,
     m: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build a bottom-m quantile sketch: ``(__h BIGINT, val DOUBLE)`` —
     the ``m`` rows whose ``key_col`` hashes smallest, totally ordered by
@@ -168,50 +169,95 @@ def quantile_sketch_build(
     ``key_col`` must uniquely identify an observation (doc id, event id):
     duplicate keys would enter or miss the sample together, biasing it.
 
-    Scale shape: ``orderBy(h).limit(m)`` plans a TakeOrdered — per-
-    partition bottom-m map-side, ONE merge task receiving P·m rows. Fine
-    at file-sized partition counts; a corpus arriving through a very wide
-    upstream is first repartitioned as a narrow 16-byte (h, val)
+    ``group_cols`` keeps one independent bottom-m sketch PER GROUP
+    (per-domain thresholds — "p90 document length per source"): state is
+    ``m × |groups|`` rows, the per-group rank is a window keyed by the
+    group columns, so the one shuffle is the group-keyed exchange any
+    aggregation pays — never an unpartitioned window.
+
+    Ungrouped scale shape: ``orderBy(h).limit(m)`` plans a TakeOrdered —
+    per-partition bottom-m map-side, ONE merge task receiving P·m rows.
+    Fine at file-sized partition counts; a corpus arriving through a very
+    wide upstream is first repartitioned as a narrow 16-byte (h, val)
     projection (upstream keeps its parallelism on the map side), bounding
     the merge at 64·m — the `_hash_bottom_sample` lesson from the 10M
     streaming-ladder rung."""
     rows = items.select(
+        *(group_cols or []),
         _rank_hash(F.col(key_col)).alias("__h"),
         F.col(value_col).cast("double").alias("val"),
     )
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("__h", "val")
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= m)
+            .drop("__rn")
+        )
     if rows.rdd.getNumPartitions() > 64:
         rows = rows.repartition(64)
     return rows.orderBy("__h", "val").limit(m)
 
 
-def quantile_sketch_merge(*sketches: DataFrame, m: int = 1024) -> DataFrame:
+def quantile_sketch_merge(
+    *sketches: DataFrame,
+    m: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Merge sketches built with the same key seed: union, drop exact
-    duplicate ``(__h, val)`` rows (the same underlying observation
-    arriving via two sketches — e.g. an epoch replay — must count once),
-    re-cap at bottom-m. Associative and commutative; merging sketches of
-    DISJOINT row sets loses nothing the cap wouldn't."""
+    duplicate rows (the same underlying observation arriving via two
+    sketches — e.g. an epoch replay — must count once), re-cap at
+    bottom-m (per group when ``group_cols`` is set). Associative and
+    commutative; merging sketches of DISJOINT row sets loses nothing the
+    cap wouldn't."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.dropDuplicates(["__h", "val"]).orderBy("__h", "val").limit(m)
+    dedup_cols = [*(group_cols or []), "__h", "val"]
+    out = out.dropDuplicates(dedup_cols)
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("__h", "val")
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= m)
+            .drop("__rn")
+        )
+    return out.orderBy("__h", "val").limit(m)
 
 
-def sample_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+def sample_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Nearest-rank (lower) quantile estimates off a quantile sketch:
-    one row per requested ``q`` — ``(q DOUBLE, est DOUBLE)``, where
-    ``est`` is the value at 1-based rank ``floor(q·(n−1)) + 1`` of the
-    sample sorted by ``(val, __h)``. The unpartitioned window is over at
-    most ``m`` rows — bounded by construction, the one place a global
-    window is safe."""
+    one row per requested ``q`` (per group when ``group_cols`` is set) —
+    ``(*group_cols, q DOUBLE, est DOUBLE)``, where ``est`` is the value
+    at 1-based rank ``floor(q·(n−1)) + 1`` of the (group's) sample
+    sorted by ``(val, __h)``. Windows are over at most ``m`` rows per
+    group — bounded by construction, the one place a global window is
+    safe (ungrouped sketches only)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("val", "__h")
+    g = list(group_cols or [])
+    if g:
+        w = Window.partitionBy(*g).orderBy("val", "__h")
+        nw = Window.partitionBy(*g)
+    else:
+        w = Window.orderBy("val", "__h")
+        nw = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     ranked = sketch.select(
+        *g,
         "val",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+        F.count("*").over(nw).alias("n"),
     )
     qdf = ranked.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
@@ -222,5 +268,5 @@ def sample_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
             F.col("rn")
             == F.floor(F.col("q") * (F.col("n") - F.lit(1))).cast("int") + F.lit(1)
         )
-        .select("q", F.col("val").alias("est"))
+        .select(*g, "q", F.col("val").alias("est"))
     )

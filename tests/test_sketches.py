@@ -142,3 +142,43 @@ def test_quantile_sketch_merge_law_and_dedup(spark, skewed_vals):
         merged, quantile_sketch_build(a, "v", "key", m=128), m=128
     )
     assert key(replayed) == key(merged)
+
+
+def test_grouped_quantile_sketch_matches_per_group_build(spark, skewed_vals):
+    """A grouped sketch equals building one ungrouped sketch per group;
+    the grouped merge law holds with replay dedup."""
+    g = skewed_vals.withColumn("grp", (F.col("key") % 3).cast("int"))
+    grouped = quantile_sketch_build(g, "v", "key", m=64, group_cols=["grp"])
+    key = lambda df: sorted(  # noqa: E731
+        (r["grp"], r["__h"], r["val"]) for r in df.collect()
+    )
+    per_group = []
+    for i in range(3):
+        per_group.append(
+            quantile_sketch_build(g.filter(F.col("grp") == i), "v", "key", m=64)
+            .withColumn("grp", F.lit(i))
+        )
+    assert key(grouped) == key(
+        per_group[0].unionByName(per_group[1]).unionByName(per_group[2])
+    )
+    halves = [g.filter("key % 2 = 0"), g.filter("key % 2 = 1")]
+    merged = quantile_sketch_merge(
+        *[
+            quantile_sketch_build(h, "v", "key", m=64, group_cols=["grp"])
+            for h in halves
+        ],
+        m=64,
+        group_cols=["grp"],
+    )
+    assert key(merged) == key(grouped)
+    replayed = quantile_sketch_merge(
+        merged,
+        quantile_sketch_build(halves[0], "v", "key", m=64, group_cols=["grp"]),
+        m=64,
+        group_cols=["grp"],
+    )
+    assert key(replayed) == key(grouped)
+    # grouped estimates: one (q, est) pair per group, ests from the
+    # group's own sample
+    ests = sample_quantiles(grouped, [0.5], group_cols=["grp"]).collect()
+    assert {r["grp"] for r in ests} == {0, 1, 2} and len(ests) == 3
