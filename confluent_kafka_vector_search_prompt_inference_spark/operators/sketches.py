@@ -171,9 +171,13 @@ def quantile_sketch_build(
 
     ``group_cols`` keeps one independent bottom-m sketch PER GROUP
     (per-domain thresholds — "p90 document length per source"): state is
-    ``m × |groups|`` rows, the per-group rank is a window keyed by the
-    group columns, so the one shuffle is the group-keyed exchange any
-    aggregation pays — never an unpartitioned window.
+    ``m × |groups|`` rows. The per-group bottom-m runs in TWO phases so
+    a heavy-hitter group never lands whole on one window task: phase 1
+    ranks within ``(group, salt)`` where the salt is ``pmod(__h, 64)``
+    (deterministic — derived from the rank hash itself, so the survivor
+    set is layout-independent), spreading a hot group over 64 tasks and
+    emitting ≤ 64·m rows per group; phase 2 ranks within the group over
+    that bounded partial. Same shape as the repo's salted skew joins.
 
     Ungrouped scale shape: ``orderBy(h).limit(m)`` plans a TakeOrdered —
     per-partition bottom-m map-side, ONE merge task receiving P·m rows.
@@ -190,9 +194,22 @@ def quantile_sketch_build(
     if group_cols:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*group_cols).orderBy("__h", "val")
+        # phase 1: bottom-m within (group, salt) — the salt spreads a
+        # heavy-hitter group across 64 tasks; any row in the group's true
+        # bottom-m is also in its salt-slice's bottom-m, so nothing the
+        # final cap needs is lost
+        w1 = Window.partitionBy(
+            *group_cols, F.pmod(F.col("__h"), F.lit(64))
+        ).orderBy("__h", "val")
+        partial = (
+            rows.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= m)
+            .drop("__rn")
+        )
+        # phase 2: bottom-m within the group over the <= 64·m partial
+        w2 = Window.partitionBy(*group_cols).orderBy("__h", "val")
         return (
-            rows.withColumn("__rn", F.row_number().over(w))
+            partial.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= m)
             .drop("__rn")
         )
