@@ -118,6 +118,12 @@ BUDGETS = {
     "mutual_knn_dup_pairs": 5,      # two directed top-k rank windows +
                                     # reciprocal self-join on id pairs
     "dedup_exact_groups": 1,        # one hash-agg on md5 fingerprints
+    "sketch_value_quantiles": 0,    # shuffle-free TakeOrdered bottom-m;
+                                    # rank windows run over the m-row
+                                    # single-partition limit output
+    "source_nchars_quantiles": 3,   # salted (group, pmod(h,64)) phase-1
+                                    # window + per-group phase-2 window
+                                    # over ≤64·m rows + final sort
 }
 
 
