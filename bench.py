@@ -357,6 +357,31 @@ def _apply_stream_rerun(
             streaming[name] = lane
 
 
+def _calibration_probe(spark) -> float:
+    """Host-speed probe: a FIXED synthetic CPU+shuffle workload (no SF,
+    no parquet, no repo code) timed min-of-3. Round-over-round bench
+    deltas conflate code changes with host-performance drift — round 8
+    A/B-measured the SAME commit's `part_pagerank` at 2.47 s (r7 record)
+    vs 4.0–5.1 s isolated on the then-current host, pure environment.
+    Recording this probe beside the timings lets a reader normalize:
+    if `calibration_sec` moved by the same factor as the queries, the
+    host moved, not the code."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(20_000_000)
+            .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -364,6 +389,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    calibration_sec = _calibration_probe(spark)
 
     # two passes, report the min: the first pass pays one-off JIT/codegen
     # compilation; steady-state is what a long-running cluster job sees
@@ -422,6 +448,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "calibration_sec": calibration_sec,
                 "sf": sf,
             }
         )
