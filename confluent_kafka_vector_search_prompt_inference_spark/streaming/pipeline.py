@@ -1401,6 +1401,7 @@ def quantile_insert(
     value_col: str,
     key_col: str,
     m: int = 1024,
+    group_cols: list[str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
@@ -1431,7 +1432,9 @@ def quantile_insert(
         try:
             write_rows(batch_df, epoch_id)
             write_delta(
-                quantile_sketch_build(batch_df, value_col, key_col, m=m),
+                quantile_sketch_build(
+                    batch_df, value_col, key_col, m=m, group_cols=group_cols
+                ),
                 epoch_id,
             )
         finally:
@@ -1446,17 +1449,22 @@ def quantile_insert(
 
 
 def read_corpus_quantile_sketch(
-    spark: SparkSession, sink_dir: str, *, m: int = 1024
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    m: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The current bottom-m quantile sketch of a :func:`quantile_insert`
     sink: union of the committed per-epoch deltas, deduped and re-capped.
     Feed it straight to ``operators.sketches.sample_quantiles``. ``m``
-    must match the build's (a smaller read-side m is a valid coarser
-    sketch; a larger one cannot be reconstructed from capped deltas)."""
+    and ``group_cols`` must match the build's (a smaller read-side m is
+    a valid coarser sketch; a larger one cannot be reconstructed from
+    capped deltas)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import quantile_sketch_merge
 
     deltas = read_sink(spark, os.path.join(sink_dir, "_qsketch"))
-    return quantile_sketch_merge(deltas, m=m)
+    return quantile_sketch_merge(deltas, m=m, group_cols=group_cols)
 
 
 def ivf_insert(
