@@ -8750,7 +8750,12 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    sk = quantile_sketch_build(ev, "value", "event_id", m=1024)
+    # localCheckpoint the m-row sketch: two consumers (quantiles +
+    # n_sample) would otherwise each re-plan the full events scan and
+    # bottom-m — the checkpoint pins the m rows once
+    sk = quantile_sketch_build(ev, "value", "event_id", m=1024).localCheckpoint(
+        eager=True
+    )
     n = sk.groupBy().agg(F.count("*").alias("n_sample"))
     return (
         sample_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99])

@@ -1200,6 +1200,8 @@ def _jpeg_sof_dims(data: bytes) -> tuple[int, int]:
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no length
+        if pos + 2 > len(data):
+            break  # truncated before the segment length — no SOF found
         (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
         if marker in (0xC0, 0xC1, 0xC2):
             fh, fw = struct.unpack(">HH", data[pos + 3 : pos + 7])

@@ -1254,10 +1254,8 @@ def rebucket_bucket_store(
             os.rename(tmp, buckets_dir)
             os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
             shutil.rmtree(old, ignore_errors=True)
-            import json as _json
-
             with open(os.path.join(buckets_dir, "_meta.json")) as fh:
-                if int(_json.load(fh)["num_partitions"]) == int(new_partitions):
+                if int(json.load(fh)["num_partitions"]) == int(new_partitions):
                     return len(_committed_batch_dirs(buckets_dir))
         elif os.path.isdir(old):
             # swap started but tmp was never committed — roll back

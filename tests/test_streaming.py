@@ -1813,11 +1813,18 @@ def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
     oneshot = quantile_sketch_build(landed, "v", "key", m=128)
     assert key(streamed) == key(oneshot)
 
-    # replay over the same source: identical deltas collapse on read
+    # replay with a FRESH checkpoint: every epoch re-fires and must hit
+    # the skip-if-committed path on both writes (a same-checkpoint rerun
+    # would process zero batches and assert nothing)
+    import shutil
+
+    shutil.rmtree(ckpt)
     q2 = quantile_insert(
-        stream, sink, ckpt, value_col="v", key_col="key", m=128, trigger_once=True
+        stream, sink, str(tmp_path / "ckpt2"), value_col="v", key_col="key",
+        m=128, trigger_once=True,
     )
     _drain(q2)
+    assert read_sink(spark, sink).count() == 3_000
     assert key(read_corpus_quantile_sketch(spark, sink, m=128)) == key(oneshot)
 
     # estimates survive compaction of the delta dir bit-for-bit
