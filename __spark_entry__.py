@@ -8855,7 +8855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "filter_pushdown_project": filter_pushdown_project,
         "q10_returned_items": q10_returned_items,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        # round 8: the bottom-m quantile sketch takes the driver-window
+        # slot TPC-H q17 held — the relational core keeps six other
+        # representatives inside the first-50 hash gate, while the new
+        # sketch family gets its one (q17 moved to the tail, still
+        # parity-gated)
+        "sketch_value_quantiles": sketch_value_quantiles,
         "window_running_total": window_running_total,
         "scalar_string_fns": scalar_string_fns,
         "join_semi": join_semi,
@@ -9031,8 +9036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_decayed_value": user_decayed_value,
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
-        "sketch_value_quantiles": sketch_value_quantiles,
         "source_nchars_quantiles": source_nchars_quantiles,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
