@@ -1192,8 +1192,17 @@ def rebucket_bucket_store(
     new_partitions: int,
     *,
     keep_batches: int = 1,
+    keep_ids: DataFrame | None = None,
+    id_col: str | None = None,
 ) -> int:
     """Crash-safe partition-count migration for a near-dedup bucket store.
+
+    ``keep_ids`` (with ``id_col``) additionally FILTERS the rewrite to
+    rows whose id appears in the given DataFrame — the mechanism behind
+    :func:`prune_bucket_store` (dropping bucket rows whose documents
+    were retired by :func:`enforce_retention`). When set, the recovery
+    early-return below is skipped: a same-N call with a filter is a
+    rewrite, not a no-op.
 
     ``__bpart = pmod(bucket, N)`` is pinned at store creation
     (:func:`bucket_store_partitions`) because every epoch must hash with
@@ -1239,6 +1248,8 @@ def rebucket_bucket_store(
         raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
     if keep_batches < 1:
         raise ValueError("keep_batches must be >= 1 (idempotent-replay guard)")
+    if (keep_ids is None) != (id_col is None):
+        raise ValueError("keep_ids and id_col must be passed together")
     root = buckets_dir.rstrip(os.sep)
     tmp = root + "__rebucket_tmp"
     old = root + "__rebucket_old"
@@ -1255,7 +1266,9 @@ def rebucket_bucket_store(
             os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
             shutil.rmtree(old, ignore_errors=True)
             with open(os.path.join(buckets_dir, "_meta.json")) as fh:
-                if int(json.load(fh)["num_partitions"]) == int(new_partitions):
+                if keep_ids is None and int(
+                    json.load(fh)["num_partitions"]
+                ) == int(new_partitions):
                     return len(_committed_batch_dirs(buckets_dir))
         elif os.path.isdir(old):
             # swap started but tmp was never committed — roll back
@@ -1278,6 +1291,10 @@ def rebucket_bucket_store(
     to_fold = [d for d in dirs if d not in kept]
 
     def _rekeyed(df: DataFrame) -> DataFrame:
+        if keep_ids is not None:
+            df = df.join(
+                keep_ids.select(id_col).distinct(), id_col, "left_semi"
+            )
         return df.drop("__bpart").withColumn(
             "__bpart",
             F.pmod(F.col("__bucket"), F.lit(new_partitions)).cast("int"),
@@ -1285,12 +1302,23 @@ def rebucket_bucket_store(
 
     os.makedirs(tmp)
     if to_fold:
+        import glob as _glob
+
         run_id = min(int(d.rsplit("=", 1)[1]) for d in to_fold)
         run_dir = os.path.join(tmp, f"_batch={run_id}")
         df = _rekeyed(_read_epoch_dirs(spark, buckets_dir, to_fold))
         df.repartition(F.col("__bpart")).write.partitionBy("__bpart").mode(
             "overwrite"
         ).parquet(run_dir)
+        if not _glob.glob(os.path.join(run_dir, "__bpart=*")):
+            # a keep_ids filter can empty the run, and an EMPTY
+            # partitionBy write leaves a dir with no parquet footers —
+            # unreadable by every consumer. Rewrite it as a zero-row
+            # FLAT file (a single-partition write always emits one file
+            # with the schema footer); the epoch-coverage sidecar below
+            # still records what it absorbed so heal never re-backfills
+            shutil.rmtree(run_dir)
+            df.coalesce(1).write.mode("overwrite").parquet(run_dir)
         covered: list[list[int]] = []
         for d in to_fold:
             eid = int(d.rsplit("=", 1)[1])
@@ -1320,6 +1348,45 @@ def rebucket_bucket_store(
     os.remove(os.path.join(buckets_dir, "_REBUCKET_COMMITTED"))
     shutil.rmtree(old, ignore_errors=True)
     return len(dirs)
+
+
+def prune_bucket_store(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    id_col: str,
+    keep_batches: int = 1,
+) -> int:
+    """Maintenance: drop bucket-store rows whose documents no longer
+    exist in the sink — the retention interplay of the near-dedup lane.
+
+    :func:`enforce_retention` deletes whole sink epochs (the reference's
+    topic-retention semantics, ``README.md:102``), and from that moment
+    a retired document correctly stops suppressing near-duplicates (its
+    text is gone, so candidate pairs naming it die in the verify join —
+    forgetting is the semantics retention asks for). But its ``(id,
+    bucket)`` pairs linger in ``_buckets`` forever: dead scan width on
+    every batch plus candidate pairs that can never verify. This op
+    semi-joins the whole store against the CURRENTLY-landed ids and
+    rewrites it through the same shadow-store/marker/swap protocol as
+    :func:`rebucket_bucket_store` (same N, same crash-safety envelope;
+    run with the stream stopped). Returns the number of committed epoch
+    dirs rewritten. Schedule it after retention passes, at retention
+    cadence — the cost is one store rewrite, the payoff is a store
+    proportional to the LIVE corpus rather than everything ever landed."""
+    buckets_dir = os.path.join(sink_dir, "_buckets")
+    meta = os.path.join(buckets_dir, "_meta.json")
+    if not os.path.exists(meta):
+        raise FileNotFoundError(f"no bucket store meta at {meta}")
+    import json
+
+    with open(meta) as fh:
+        n = int(json.load(fh)["num_partitions"])
+    landed = read_sink(spark, sink_dir).select(id_col)
+    return rebucket_bucket_store(
+        spark, buckets_dir, n,
+        keep_batches=keep_batches, keep_ids=landed, id_col=id_col,
+    )
 
 
 def sketch_insert(

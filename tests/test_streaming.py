@@ -1841,3 +1841,65 @@ def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
         ).collect()
     }
     assert before == after
+
+
+def test_prune_bucket_store_after_retention(spark, tmp_path):
+    """Retention interplay: enforce_retention retires a sink epoch; the
+    retired doc correctly stops suppressing near-dups (forgetting IS the
+    semantics), but its bucket rows linger. prune_bucket_store drops
+    exactly those rows; live history keeps deduping."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        enforce_retention,
+        near_dedup_insert,
+        prune_bucket_store,
+    )
+
+    old_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    new_text = (
+        "schema registries attach late bound data contracts to kafka "
+        "topics so raw bytes decode into typed tables for every consumer"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    buckets = os.path.join(sink, "_buckets")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = near_dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            id_col="doc_id", text_col="text", threshold=0.5,
+            bucket_partitions=4, compact_every=1, trigger_once=True,
+        )
+        _drain(q)
+
+    run_batch([(1, old_text)])
+    run_batch([(2, new_text)])
+
+    removed = enforce_retention(sink, max_batches=1)
+    assert removed == [0]  # doc 1's epoch retired
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {2}
+    store_ids = {i for i, _b in _bucket_rows(spark, buckets)}
+    assert store_ids == {1, 2}  # doc 1's bucket rows are now stale
+
+    rewritten = prune_bucket_store(spark, sink, id_col="doc_id")
+    assert rewritten >= 1
+    assert {i for i, _b in _bucket_rows(spark, buckets)} == {2}
+
+    # forgotten semantics: a near-copy of the RETIRED doc lands...
+    run_batch([(8, old_text.replace("quick", "swift"))])
+    # ...while a near-copy of the LIVE doc still drops
+    run_batch([(9, new_text.replace("schema", "scheme"))])
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {2, 8}, landed
