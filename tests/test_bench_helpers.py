@@ -152,3 +152,37 @@ def test_range_membership_without_expansion():
     assert _ranges_contain(ranges, 600_003)
     assert not _ranges_contain(ranges, 700_000)
     assert not _ranges_contain([], 1)
+
+
+def test_bench_compare_normalizes_by_calibration_probe(tmp_path):
+    """Round-8 host-drift control: a query ratio within the calibration
+    probe's host factor passes the gate; the same ratio on an unchanged
+    host fails; a FASTER host never hides a regression (factor floored
+    at 1)."""
+    import json
+    import subprocess
+    import sys
+
+    def run(old, new):
+        o, n = tmp_path / "o.json", tmp_path / "n.json"
+        o.write_text(json.dumps(old))
+        n.write_text(json.dumps(new))
+        return subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py",
+             str(o), str(n), "1.5"],
+            capture_output=True, text=True,
+        ).returncode
+
+    base = {"queries": {"a": 1.0}, "streaming": {}}
+    slow = {"queries": {"a": 1.6}, "streaming": {}}
+    # host measured 1.5x slower on the fixed probe: 1.6x raw is in-band
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.75}) == 0
+    # unchanged host: same raw ratio is a real regression
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.5}) == 1
+    # faster host must not excuse anything (factor floored at 1)
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.25}) == 1
+    # records without the probe (pre-round-8) gate on raw ratios
+    assert run(base, slow) == 1

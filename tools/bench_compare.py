@@ -45,13 +45,26 @@ def main() -> int:
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     oq, nq = old["queries"], new["queries"]
+    # host-drift normalization: when BOTH records carry the fixed
+    # calibration probe (bench.py `calibration_sec`, round 8+), the gate
+    # judges probe-NORMALIZED ratios — a host that measures the same
+    # synthetic workload 1.5x slower must not fail queries for moving
+    # 1.5x with it. Raw ratios are still printed; the factor is capped
+    # below 1 so a FASTER host never hides a real regression.
+    cal_o, cal_n = old.get("calibration_sec"), new.get("calibration_sec")
+    factor = 1.0
+    if cal_o and cal_n:
+        factor = max(1.0, cal_n / cal_o)
+        print(f"calibration probe: {cal_o:.3f}s -> {cal_n:.3f}s "
+              f"(host factor {cal_n / cal_o:.2f}; gate normalizes by "
+              f"{factor:.2f})")
     common = sorted(set(oq) & set(nq))
     worst = 0.0
     print(f"{'query':38s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
     for name in sorted(common, key=lambda n: -(nq[n] / max(oq[n], 1e-9))):
         r = nq[name] / max(oq[name], 1e-9)
-        worst = max(worst, r)
-        flag = " <-- regressed" if r > threshold else ""
+        worst = max(worst, r / factor)
+        flag = " <-- regressed" if r / factor > threshold else ""
         print(f"{name:38s} {oq[name]:7.2f} {nq[name]:7.2f} {r:6.2f}{flag}")
     tot_old = sum(oq[n] for n in common)
     tot_new = sum(nq[n] for n in common)
