@@ -1327,15 +1327,30 @@ def rebucket_bucket_store(
         with open(os.path.join(run_dir, "_folded_epochs.json"), "w") as fh:
             json.dump({"ranges": _merge_ranges(covered)}, fh)
     for d in kept:
+        import glob as _glob
+
         eid = int(d.rsplit("=", 1)[1])
         out = os.path.join(tmp, f"_batch={eid}")
-        (
-            _rekeyed(_read_epoch_dirs(spark, buckets_dir, [d]))
-            .repartition(1)
-            .sortWithinPartitions("__bpart")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        kept_df = _rekeyed(_read_epoch_dirs(spark, buckets_dir, [d]))
+        if _split_bucket_dirs([d])[0]:
+            # a kept epoch that was PARTITIONED (a compacted run landed
+            # newest, or a ladder pre-land) keeps its layout — the flat
+            # single-file rewrite below is sized for micro-batch deltas
+            # and would funnel a run-sized epoch through one task and
+            # strip its directory-level pruning
+            kept_df.repartition(F.col("__bpart")).write.partitionBy(
+                "__bpart"
+            ).mode("overwrite").parquet(out)
+            if not _glob.glob(os.path.join(out, "__bpart=*")):
+                shutil.rmtree(out)  # emptied by keep_ids: flat fallback
+                kept_df.coalesce(1).write.mode("overwrite").parquet(out)
+        else:
+            (
+                kept_df.repartition(1)
+                .sortWithinPartitions("__bpart")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
         side = _read_folded_sidecar(d)
         if side:
             with open(os.path.join(out, "_folded_epochs.json"), "w") as fh:

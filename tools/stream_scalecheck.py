@@ -110,6 +110,7 @@ def _near_dedup_rung(
     *,
     compact_every: int = 16,
     rebucket_to: int | None = None,
+    stale: str | None = None,
     tag: str = "",
 ) -> dict:
     """The history-joined lane. Variants measured off the same harness:
@@ -125,7 +126,15 @@ def _near_dedup_rung(
       2k-row batches × 16 bands ≈ 8k distinct buckets touch all 64
       partitions; at N=4096 the expected touch fraction is
       1−exp(−8k/4096) ≈ 86%, so the scan prunes ~14% and, more
-      importantly, the op itself is exercised at rung scale).
+      importantly, the op itself is exercised at rung scale);
+    - ``stale='retired'`` / ``'pruned'`` (lanes ``near_dedup_retired``/
+      ``near_dedup_pruned``): the store additionally carries ``rung``
+      GHOST docs' bucket pairs — rows whose documents are not in the
+      sink, exactly what ``enforce_retention`` leaves behind (50% of
+      the store stale). The ``retired`` lane streams against that
+      bloated store; the ``pruned`` lane first runs
+      ``prune_bucket_store`` (timed) and streams against the reclaimed
+      one — the measured payoff of the retention-interplay op.
     """
     from pyspark.sql import functions as F
 
@@ -217,6 +226,31 @@ def _near_dedup_rung(
     incoming.repartition(N_BATCHES).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
+    if stale is not None:
+        # ghost bucket rows: `rung` docs' worth of (id, band-bucket)
+        # pairs whose ids exist nowhere in the sink — the exact residue
+        # enforce_retention leaves when it retires sink epochs. Same 16
+        # pairs per doc as real rows; ids offset far past every other
+        # id family. Landed as their own partitioned epoch (-2).
+        ghost = spark.range(rung).select(
+            (F.col("id") + 900_000_000).alias("doc_id"),
+            F.explode(
+                F.array(*[F.xxhash64("id", F.lit(b)) for b in range(16)])
+            ).alias("__bucket"),
+        )
+        write_bucket_delta(
+            ghost, buckets_dir, -2,
+            num_partitions=bucket_store_partitions(buckets_dir, 64),
+            layout="partitioned",
+        )
+        prune_s = None
+        if stale == "pruned":
+            from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import prune_bucket_store
+
+            t0 = time.time()
+            prune_bucket_store(spark, sink, id_col="doc_id")
+            prune_s = round(time.time() - t0, 1)
+
     if rebucket_to is not None:
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import rebucket_bucket_store
 
@@ -239,6 +273,10 @@ def _near_dedup_rung(
     if rebucket_to is not None:
         stats["rebucket_to"] = rebucket_to
         stats["rebucket_s"] = rebucket_s
+    if stale is not None:
+        stats["stale_ghost_docs"] = rung
+        if stale == "pruned":
+            stats["prune_s"] = prune_s
     if compact_every != 16:
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
             _committed_batch_dirs,
@@ -493,6 +531,12 @@ def main() -> int:
         ),
         "near_dedup_rebucket": lambda s, r, w: _near_dedup_rung(
             s, r, w, rebucket_to=4096, tag="r"
+        ),
+        "near_dedup_retired": lambda s, r, w: _near_dedup_rung(
+            s, r, w, stale="retired", tag="x"
+        ),
+        "near_dedup_pruned": lambda s, r, w: _near_dedup_rung(
+            s, r, w, stale="pruned", tag="p"
         ),
         "rag_transform": _rag_rung,
         "rag_transform_ivf": _rag_ivf_rung,
