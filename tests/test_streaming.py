@@ -1903,3 +1903,33 @@ def test_prune_bucket_store_after_retention(spark, tmp_path):
     run_batch([(9, new_text.replace("schema", "scheme"))])
     landed = {r.doc_id for r in read_sink(spark, sink).collect()}
     assert landed == {2, 8}, landed
+
+
+def test_rebucket_preserves_kept_partitioned_layout(spark, tmp_path):
+    """A kept (newest) epoch that was PARTITIONED — a compacted run, or
+    a ladder pre-land — keeps its directory layout through rebucket;
+    the flat single-file rewrite is for micro-batch deltas only."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        rebucket_bucket_store,
+        tiered_compact_sink,
+        write_bucket_delta,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(3), n_parts=4)
+    # fold EVERYTHING but epoch 2, then fold 2's tail too so the newest
+    # committed dir is itself partitioned: land a partitioned epoch 3
+    tiered_compact_sink(spark, store, keep_batches=1, partition_by=["__bpart"])
+    delta = spark.range(30).select(
+        (F.col("id") + 900).alias("doc_id"),
+        F.xxhash64("id", F.lit(3)).alias("__bucket"),
+    )
+    write_bucket_delta(delta, store, 3, num_partitions=4, layout="partitioned")
+    before = _bucket_rows(spark, store)
+
+    rebucket_bucket_store(spark, store, 16)
+    newest = os.path.join(store, "_batch=3")
+    assert glob.glob(os.path.join(newest, "__bpart=*")), (
+        "kept partitioned epoch degraded to a flat file through rebucket"
+    )
+    assert _bucket_rows(spark, store) == before
