@@ -1,0 +1,26 @@
+"""examples/store_lifecycle.py stays runnable and honest: the store
+survives compact → rebucket → retire → prune and still dedups live
+history while forgetting retired history."""
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+    ),
+)
+
+
+def test_store_lifecycle_example(spark):
+    from store_lifecycle import run
+
+    out = run(spark)
+    assert out["landed_after_stream"] == [1, 2, 3]  # near-copy 10 dropped
+    assert out["shape_after_compact"]["partitioned_runs"] >= 1
+    assert out["partitions_after_rebucket"] == 16
+    assert out["retired_epochs"]  # something was actually retired
+    # near-copy of LIVE doc 2 dropped; near-copy of RETIRED doc 1 landed
+    final = set(out["landed_final"])
+    assert 21 in final and 20 not in final, out["landed_final"]
