@@ -251,6 +251,26 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["sketch_insert"] = _progress_stats(q, time.time() - t0, n_terms)
+
+        # --- streaming quantile sketch: distribution monitoring beside
+        # the insert (bottom-m deltas per epoch, merge-on-read)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import quantile_insert
+
+        lens = docs.select("doc_id", F.col("n_chars").cast("double").alias("v"))
+        n_lens = lens.count()
+        qlsrc = os.path.join(work, "qlsrc")
+        lens.repartition(N_STREAM_BATCHES).write.parquet(qlsrc)
+        t0 = time.time()
+        q = quantile_insert(
+            file_stream_reader(spark, qlsrc, lens.schema),
+            os.path.join(work, "q_sink"),
+            os.path.join(work, "q_ckpt"),
+            value_col="v",
+            key_col="doc_id",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["quantile_insert"] = _progress_stats(q, time.time() - t0, n_lens)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
