@@ -239,6 +239,250 @@ def bucket_store_partitions(buckets_dir: str, default: int) -> int:
     return default
 
 
+def _maintenance_path(buckets_dir: str) -> str:
+    return os.path.join(buckets_dir, "_maintenance.json")
+
+
+def read_bucket_maintenance(buckets_dir: str) -> dict:
+    """The store's pending-maintenance state: ``{}`` when none, else
+    ``{"target_partitions": N}`` — a partition-count migration requested
+    by :func:`request_rebucket_online` that the in-stream geometric
+    merges complete incrementally (no stop-the-world rewrite)."""
+    import json
+
+    p = _maintenance_path(buckets_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def request_rebucket_online(buckets_dir: str, new_partitions: int) -> None:
+    """Request an ONLINE partition-count migration: the store keeps
+    serving and landing epochs while :func:`maintain_bucket_store`
+    (called by the stream's own ``foreachBatch``) rewrites it to
+    ``new_partitions`` one run at a time inside its normal compaction
+    passes — the round-9 replacement for the stop-the-world
+    :func:`rebucket_bucket_store` window, which the reference's
+    forever-running INSERT-SELECT contract (``README.md:435``) cannot
+    afford.
+
+    While the migration is pending the store is MIXED-N: runs rewritten
+    so far (and every new delta) carry the target N in a per-dir
+    ``_nparts.json`` sidecar, untouched dirs stay at the pinned
+    ``_meta.json`` N, and :func:`read_bucket_store` prunes each leg with
+    parts computed at ITS OWN N — so candidate recall is exact at every
+    intermediate state. When the last dir reaches the target,
+    ``maintain_bucket_store`` atomically bumps ``_meta.json`` and
+    removes the request. Idempotent; requesting the current pinned N is
+    a no-op."""
+    import json
+
+    if new_partitions < 1:
+        raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
+    meta = os.path.join(buckets_dir, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            if int(json.load(fh)["num_partitions"]) == int(new_partitions):
+                # already pinned at the target: clear any stale request
+                if os.path.exists(_maintenance_path(buckets_dir)):
+                    os.remove(_maintenance_path(buckets_dir))
+                return
+    os.makedirs(buckets_dir, exist_ok=True)
+    tmp = _maintenance_path(buckets_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"target_partitions": int(new_partitions)}, fh)
+    os.replace(tmp, _maintenance_path(buckets_dir))
+
+
+def _dir_nparts(d: str, meta_n: int) -> int:
+    """The partition count a committed store dir's ``__bpart`` column was
+    computed with: its ``_nparts.json`` sidecar if present (written
+    atomically inside the fold/delta tmp before the publishing rename —
+    no crash window), else the store-level pinned N. Pre-round-9 stores
+    have no sidecars anywhere and read uniformly as the pinned N."""
+    import json
+
+    p = os.path.join(d, "_nparts.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(json.load(fh)["num_partitions"])
+    return meta_n
+
+
+def _tombstones_dir(buckets_dir: str) -> str:
+    return os.path.join(buckets_dir, "_tombstones")
+
+
+def _live_tombstones(buckets_dir: str) -> list[str]:
+    """Committed tombstone dirs (``_SUCCESS``-stamped), oldest-first."""
+    import glob
+
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(_tombstones_dir(buckets_dir), "t=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
+def _read_applied_sidecar(batch_dir: str) -> set[str]:
+    """Tombstone dir NAMES a compacted run has already applied."""
+    import json
+
+    p = os.path.join(batch_dir, "_tombstones_applied.json")
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def retire_tombstone(
+    spark: SparkSession,
+    sink_dir: str,
+    retired_ids: DataFrame,
+    *,
+    id_col: str,
+    verified: bool = False,
+) -> str | None:
+    """Land a retirement tombstone for the near-dedup bucket store: the
+    given ids (minus any that still exist in the live sink) are recorded
+    under ``<sink>/_buckets/_tombstones/t=<seq>`` for the in-stream
+    geometric merges to apply — each fold anti-joins the rows it
+    rewrites against the tombstoned ids, so dead ``(id, bucket)`` width
+    drains out of the store while the stream keeps running (the online
+    replacement for :func:`prune_bucket_store`'s stop-the-world
+    rewrite).
+
+    Application-time safety: a tombstoned id that legitimately RE-LANDS
+    later (same document id re-ingested after retention) must not lose
+    its new bucket rows, so :func:`maintain_bucket_store` re-verifies
+    the kill set against the CURRENTLY-landed sink ids at every
+    application — the tombstone asserts "not live as of creation", never
+    "dead forever". The creation-time anti-join here is only a size
+    bound; ``verified=True`` skips it for callers that already bounded
+    the set against the epochs that will SURVIVE
+    (``enforce_retention_tombstoned`` tombstones BEFORE it deletes, so
+    an anti-join against the still-complete sink here would wrongly
+    empty the set). Returns the tombstone dir, or None if nothing to
+    retire."""
+    import json
+
+    buckets_dir = os.path.join(sink_dir, "_buckets")
+    if not os.path.isdir(buckets_dir):
+        return None  # no bucket store → nothing to prune, ever
+    dead = retired_ids.select(id_col).distinct()
+    if not verified and _sink_has_batches(sink_dir):
+        dead = dead.join(
+            read_sink(spark, sink_dir).select(id_col), id_col, "left_anti"
+        )
+    troot = _tombstones_dir(buckets_dir)
+    os.makedirs(troot, exist_ok=True)
+    seqs = [int(d.rsplit("=", 1)[1]) for d in _live_tombstones(buckets_dir)]
+    target = os.path.join(troot, f"t={max(seqs) + 1 if seqs else 0}")
+    tmp = os.path.join(troot, "_tomb_tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    dead.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if spark.read.parquet(tmp).isEmpty():
+        shutil.rmtree(tmp)
+        return None
+    # created_after: the max committed BUCKET-store epoch at creation.
+    # Flat deltas with a larger epoch id cannot need this tombstone (the
+    # sink is insert-only; any re-land of a retired id is excluded by the
+    # application-time re-verify anyway) — the GC pass uses this to know
+    # when every dir that could hold tombstoned rows has been rewritten.
+    dirs = _committed_batch_dirs(buckets_dir)
+    created_after = max(
+        (int(d.rsplit("=", 1)[1]) for d in dirs), default=-1
+    )
+    with open(os.path.join(tmp, "_tomb_meta.json"), "w") as fh:
+        json.dump({"created_after_epoch": created_after}, fh)
+    os.rename(tmp, target)
+    return target
+
+
+def enforce_retention_tombstoned(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    id_col: str,
+    max_batches: int | None = None,
+    max_bytes: int | None = None,
+) -> list[int]:
+    """:func:`enforce_retention` for a near-dedup sink: before the doomed
+    epochs are deleted, their document ids are landed as a bucket-store
+    tombstone (:func:`retire_tombstone`), so the dead ``(id, bucket)``
+    rows drain out through the stream's own compaction instead of
+    lingering until an offline :func:`prune_bucket_store`. Tombstone
+    FIRST, delete second: a crash between the two leaves a tombstone
+    whose ids are still live — harmless, because every application
+    re-verifies against the live sink (still-live ids are excluded);
+    the reverse order would leave dead width with no tombstone at all
+    until the next retention pass. Returns the epoch ids removed."""
+    import re
+
+    doomed: list[str] = []
+    if os.path.isdir(sink_dir):
+        dirs = []
+        for d in sorted(os.listdir(sink_dir)):
+            m = re.fullmatch(r"_batch=(\d+)", d)
+            if m:
+                path = os.path.join(sink_dir, d)
+                size = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if os.path.isfile(os.path.join(path, f))
+                )
+                dirs.append((int(m.group(1)), path, size))
+        dirs.sort()
+        live = list(dirs)
+        while live:
+            over_count = max_batches is not None and len(live) > max_batches
+            over_bytes = (
+                max_bytes is not None
+                and sum(s for _, _, s in live) > max_bytes
+            )
+            if not (over_count or over_bytes):
+                break
+            doomed.append(live.pop(0)[1])
+    # only COMMITTED doomed epochs are readable (a crashed epoch's
+    # partial files have no rows a bucket store could reference anyway —
+    # the store is written after the sink commit)
+    doomed_committed = [
+        p for p in doomed if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if doomed_committed and os.path.isdir(os.path.join(sink_dir, "_buckets")):
+        retired = (
+            spark.read.option("basePath", sink_dir)
+            .parquet(*doomed_committed)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = [
+            p for _, p, _ in dirs if p not in doomed
+            and os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if survivors:
+            # size bound: an id also present in a SURVIVING epoch is not
+            # retired. (The sink is still complete here — tombstone
+            # lands before deletion — so retire_tombstone's default
+            # anti-join against the whole sink would empty the set.)
+            retired = retired.join(
+                spark.read.option("basePath", sink_dir)
+                .parquet(*survivors)
+                .select(id_col),
+                id_col,
+                "left_anti",
+            )
+        retire_tombstone(
+            spark, sink_dir, retired, id_col=id_col, verified=True
+        )
+    return enforce_retention(
+        sink_dir, max_batches=max_batches, max_bytes=max_bytes
+    )
+
+
 def write_bucket_delta(
     delta: DataFrame,
     buckets_dir: str,
@@ -246,6 +490,7 @@ def write_bucket_delta(
     *,
     num_partitions: int,
     layout: str = "flat",
+    nparts_sidecar: bool = False,
 ) -> None:
     """Idempotently land one epoch's ``(id, __bucket)`` delta.
 
@@ -268,7 +513,18 @@ def write_bucket_delta(
     (``_batch=<epoch>/__bpart=<p>/``, one file per partition dir) — for
     tools that pre-land a large already-compacted history in one shot
     (the streaming ladder), so what they land matches what a
-    long-running stream's store converges to."""
+    long-running stream's store converges to.
+
+    ``nparts_sidecar``: record ``num_partitions`` in a per-dir
+    ``_nparts.json`` — set while an online rebucket is pending, when a
+    delta's N (the migration target) differs from the pinned
+    ``_meta.json`` N and the reader must know which N keyed it. The
+    sidecar lands INSIDE a staging dir that is renamed into place, so a
+    committed delta can never exist without it (a post-commit sidecar
+    write would open a crash window where a target-N delta reads as
+    meta-N and the pruned read silently misses candidates)."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     target = os.path.join(buckets_dir, f"_batch={epoch_id}")
@@ -277,20 +533,31 @@ def write_bucket_delta(
     keyed = delta.withColumn(
         "__bpart", F.pmod(F.col("__bucket"), F.lit(num_partitions)).cast("int")
     )
+    write_dir = target
+    if nparts_sidecar:
+        write_dir = os.path.join(buckets_dir, f"_delta_tmp_{epoch_id}")
+        shutil.rmtree(write_dir, ignore_errors=True)
     if layout == "partitioned":
         (
             keyed.repartition(F.col("__bpart"))
             .write.partitionBy("__bpart")
             .mode("overwrite")
-            .parquet(target)
+            .parquet(write_dir)
         )
     else:
         (
             keyed.coalesce(1)
             .sortWithinPartitions("__bpart")
             .write.mode("overwrite")
-            .parquet(target)
+            .parquet(write_dir)
         )
+    if nparts_sidecar:
+        import json
+
+        with open(os.path.join(write_dir, "_nparts.json"), "w") as fh:
+            json.dump({"num_partitions": int(num_partitions)}, fh)
+        shutil.rmtree(target, ignore_errors=True)  # partial pre-crash write
+        os.rename(write_dir, target)
 
 
 def _epochs_to_ranges(epochs: set[int]) -> list[list[int]]:
@@ -410,11 +677,25 @@ def _split_bucket_dirs(dirs: list[str]) -> tuple[list[str], list[str]]:
     return parted, flat
 
 
+def bucket_store_dir_ns(buckets_dir: str, default: int) -> list[int]:
+    """The distinct partition counts the store's committed dirs are keyed
+    with — one value in steady state, two while an online rebucket is
+    draining through the geometric merges. Callers compute one touched-
+    partition list PER N so pruning stays exact across the migration."""
+    meta_n = bucket_store_partitions(buckets_dir, default)
+    return sorted(
+        {_dir_nparts(d, meta_n) for d in _committed_batch_dirs(buckets_dir)}
+        or {meta_n}
+    )
+
+
 def read_bucket_store(
     spark: SparkSession,
     buckets_dir: str,
     id_col: str,
     parts: list[int] | None = None,
+    *,
+    parts_for=None,
 ) -> DataFrame:
     """The landed ``(id, __bucket)`` table, PRUNED to the given
     ``__bpart`` partitions. Two legs, unioned:
@@ -428,23 +709,49 @@ def read_bucket_store(
       ``__bpart`` DATA column, pushed to parquet row-group stats (deltas
       are written sorted by it).
 
+    ``parts_for`` (round 9, mutually exclusive with ``parts``): a
+    callable ``N -> list[int] | None`` giving the touched-partition list
+    for dirs keyed at partition count N — required while an online
+    rebucket (:func:`request_rebucket_online`) leaves the store MIXED-N,
+    where a single parts list computed at one N would prune the other
+    N's legs to the WRONG partitions and silently miss candidates. Legs
+    are grouped by (layout, dir N) and each filtered with its own list
+    (None = that leg unpruned). Steady state has one N, so the grouping
+    degenerates to the classic two legs.
+
     No ``mergeSchema``: the store schema is fixed by its single writer —
     a merge pass would re-read every file footer per micro-batch, an
     O(files) cost the store exists to avoid."""
     dirs = _committed_batch_dirs(buckets_dir)
     if not dirs:
         raise FileNotFoundError(f"no committed _batch=* epochs under {buckets_dir}")
+    if parts is not None and parts_for is not None:
+        raise ValueError("pass parts or parts_for, not both")
     from pyspark.sql import functions as F
 
+    meta_n = None
+    if parts_for is not None:
+        import json
+
+        with open(os.path.join(buckets_dir, "_meta.json")) as fh:
+            meta_n = int(json.load(fh)["num_partitions"])
     parted, flat = _split_bucket_dirs(dirs)
     legs = []
     for group in (parted, flat):
         if not group:
             continue
-        df = spark.read.option("basePath", buckets_dir).parquet(*group)
-        if parts is not None:
-            df = df.filter(F.col("__bpart").isin([int(p) for p in parts]))
-        legs.append(df.select(id_col, "__bucket"))
+        by_n: dict[int | None, list[str]] = {}
+        for d in group:
+            n = _dir_nparts(d, meta_n) if parts_for is not None else None
+            by_n.setdefault(n, []).append(d)
+        for n, subgroup in by_n.items():
+            df = spark.read.option("basePath", buckets_dir).parquet(*subgroup)
+            leg_parts = parts if parts_for is None else parts_for(n)
+            if leg_parts is not None:
+                df = df.filter(
+                    F.col("__bpart").isin([int(p) for p in leg_parts])
+                )
+            legs.append(df.select(id_col, "__bucket"))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -577,14 +884,20 @@ def near_dedup_insert(
             F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
         )
 
-    def _heal_bucket_store(spark: SparkSession, n_parts: int) -> None:
+    def _heal_bucket_store(
+        spark: SparkSession, n_parts: int, nparts_sidecar: bool = False
+    ) -> None:
         """Self-heal: backfill any committed sink epoch the store doesn't
         cover (pre-upgrade sink, crash between the two epoch writes) from
         its landed signatures. Pre-round-7 deltas — flat files WITHOUT
         the ``__bpart`` column — are rewritten in place once (same flat
         layout plus the column the pruned read filters on); deltas that
         already carry it are the native live format and read as-is, so
-        the steady-state heal pass does no Spark work at all."""
+        the steady-state heal pass does no Spark work at all. During an
+        online rebucket, ``n_parts`` is the migration TARGET and every
+        heal write records it in the per-dir ``_nparts.json`` sidecar
+        (``nparts_sidecar``), same as the live delta path."""
+        import json
         import shutil
 
         covered = _covered_bucket_ranges(buckets_dir)
@@ -610,6 +923,9 @@ def near_dedup_insert(
                 .write.mode("overwrite")
                 .parquet(mig)
             )
+            if nparts_sidecar:
+                with open(os.path.join(mig, "_nparts.json"), "w") as fh:
+                    json.dump({"num_partitions": int(n_parts)}, fh)
             shutil.rmtree(p)
             os.rename(mig, p)
         for eid, p in _committed_epoch_ids(sink_dir).items():
@@ -680,8 +996,10 @@ def near_dedup_insert(
                         "operators.dedup.minhash_signatures before resuming."
                     )
                 sink_contract_ok = True
-            n_parts = bucket_store_partitions(buckets_dir, bucket_partitions)
-            _heal_bucket_store(spark, n_parts)
+            write_n, write_sc = bucket_store_write_partitions(
+                buckets_dir, bucket_partitions
+            )
+            _heal_bucket_store(spark, write_n, write_sc)
             # the bucket join moves (id, bucket) ONLY — document bodies
             # re-attach to the few candidate pairs by id afterwards. The
             # landed side is the one input that GROWS for the stream's
@@ -702,15 +1020,25 @@ def near_dedup_insert(
                 F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
             )
             if has_base:
-                inc = inc.withColumn(
-                    "__bpart", F.pmod(F.col("__bucket"), F.lit(n_parts)).cast("int")
-                ).persist()
-                touched = [
-                    r[0] for r in inc.select("__bpart").distinct().collect()
-                ]
+                inc = inc.persist()
+                # touched partitions PER store N: one list in steady
+                # state, one per N while an online rebucket leaves the
+                # store mixed-N (pruning a target-N leg with meta-N
+                # parts would silently miss candidates)
+                parts_by_n: dict[int, list[int] | None] = {}
+                for n in bucket_store_dir_ns(buckets_dir, bucket_partitions):
+                    vals = [
+                        r[0]
+                        for r in inc.select(
+                            F.pmod(F.col("__bucket"), F.lit(n)).cast("int")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    parts_by_n[n] = vals if len(vals) < n else None
                 old = read_bucket_store(
                     spark, buckets_dir, id_col,
-                    parts=touched if len(touched) < n_parts else None,
+                    parts_for=lambda n: parts_by_n.get(n),
                 ).select(F.col(id_col).alias("id_a"), "__bucket")
             else:
                 old = read_bucket_store(spark, buckets_dir, id_col).select(
@@ -735,11 +1063,27 @@ def near_dedup_insert(
                 cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct().join(
                     keyed.select(id_col, text_col), id_col
                 )
+                # a pair may only verify against a landed partner that
+                # still EXISTS: the bucket store can hold stale rows for
+                # retired ids (retention ran, tombstones not yet
+                # drained), and for a RE-LANDED id the pair is
+                # (X, X) — without this semi-join the verify's
+                # re-attach-text-by-id step would hand the incoming
+                # row's own text to the "landed" side and a document
+                # would suppress itself (pytest-pinned:
+                # test_tombstone_reland_keeps_bucket_rows). Pairs whose
+                # id_a has no landed text die either way; self-pairs are
+                # the case that needs it said explicitly.
+                live_pairs = pairs.join(
+                    cand_a.select(F.col(id_col).alias("id_a")),
+                    "id_a",
+                    "left_semi",
+                )
                 both = cand_a.unionByName(cand_b).dropDuplicates([id_col])
                 hits = ngram_jaccard_pairs(
                     both, id_col, text_col,
                     shingle_n=shingle_n, threshold=threshold,
-                    candidates=pairs.select("id_a", "id_b"),
+                    candidates=live_pairs.select("id_a", "id_b"),
                 ).select(F.col("id_b").alias(id_col)).distinct()
                 keyed = keyed.join(hits, id_col, "left_anti")
         try:
@@ -752,34 +1096,32 @@ def near_dedup_insert(
             # skips both idempotently.
             target = os.path.join(sink_dir, f"_batch={epoch_id}")
             if os.path.exists(os.path.join(target, "_SUCCESS")):
+                wn, wsc = bucket_store_write_partitions(
+                    buckets_dir, bucket_partitions
+                )
                 write_bucket_delta(
                     _epoch_delta(spark, target), buckets_dir, epoch_id,
-                    num_partitions=bucket_store_partitions(
-                        buckets_dir, bucket_partitions
-                    ),
+                    num_partitions=wn, nparts_sidecar=wsc,
                 )
                 layout_checked.add(epoch_id)
             # bounded directory count AND the partitioned layout's home:
             # once the flat tail exceeds compact_every epochs it folds
             # into a NEW __bpart-partitioned run, and runs merge
-            # geometrically (tiered_compact_sink) — the prior base is NOT
-            # refolded every trigger, so the amortized per-batch write is
-            # O(log history), not O(history/compact_every) (the round-7
-            # full-refold shape rewrote the ENTIRE store every
-            # compact_every epochs: ~2.6 GB per 16 micro-batches at 10M
-            # landed rows, unbounded with history). keep_batches=1
-            # preserves idempotent replay of the newest epoch; absorbed
-            # ids live on in _folded_epochs.json range sidecars.
-            flat_tail = [
-                d
-                for d in _committed_batch_dirs(buckets_dir)
-                if not _is_compacted_run(d)
-            ]
-            if len(flat_tail) > compact_every:
-                tiered_compact_sink(
-                    spark, buckets_dir, keep_batches=1,
-                    partition_by=["__bpart"],
-                )
+            # geometrically — the prior base is NOT refolded every
+            # trigger, so the amortized per-batch write is O(log
+            # history), not O(history/compact_every). Round 9: the folds
+            # also carry the store's pending maintenance (retirement
+            # tombstones from enforce_retention_tombstoned, an online
+            # rebucket from request_rebucket_online), so the
+            # forever-running pipeline never stops for a store rewrite —
+            # see maintain_bucket_store. keep_batches=1 preserves
+            # idempotent replay of the newest epoch; absorbed ids live
+            # on in _folded_epochs.json range sidecars.
+            maintain_bucket_store(
+                spark, sink_dir, id_col=id_col,
+                bucket_partitions=bucket_partitions,
+                compact_every=compact_every, keep_batches=1,
+            )
         finally:
             if pairs is not None:
                 pairs.unpersist()
@@ -1045,40 +1387,84 @@ def _fold_dirs(
     *,
     target_partitions: int | None = None,
     partition_by: list[str] | None = None,
+    transform=None,
+    applied_tombstones: list[str] | None = None,
+    nparts_out: int | None = None,
 ) -> int:
     """Crash-safely fold EXACTLY the given committed dirs into one
     ``_batch=<min id>`` dir (the write-tmp(+manifest) → delete-folded →
     rename protocol of :func:`compact_sink`, which is one caller;
     :func:`tiered_compact_sink` folds selected subsets). Callers pick
-    the fold set; this enforces only the mechanics."""
+    the fold set; this enforces only the mechanics.
+
+    Round 9 — maintenance rides the fold (so a forever-running stream
+    never stops for store upkeep):
+
+    - ``transform(df)`` rewrites the rows on their way through (the
+      bucket store's tombstone anti-join and/or ``__bpart`` re-mod for a
+      pending online rebucket — built by :func:`maintain_bucket_store`);
+    - ``applied_tombstones`` names the tombstone dirs this fold applied;
+      the output's ``_tombstones_applied.json`` is their union with
+      every source dir's sidecar (re-application is an idempotent
+      anti-join, so union over-approximation is safe) — the GC pass
+      reads these to know when a tombstone has drained everywhere;
+    - ``nparts_out`` records the N the output's ``__bpart`` is keyed
+      with in ``_nparts.json`` (written inside tmp before the rename —
+      no crash window)."""
     import json
 
     _recover_pending_fold(sink_dir)
     tmp = os.path.join(sink_dir, "_compact_tmp")
     manifest_path = os.path.join(tmp, "_fold_manifest.json")
     df = _read_epoch_dirs(spark, sink_dir, to_fold)
+    if transform is not None:
+        df = transform(df)
     if target_partitions:
         df = df.repartition(target_partitions)
     if partition_by:
         # one file per partition directory (the IVF one-file-per-cluster
         # lesson: an unshuffled partitioned write spills a file per
         # task per directory)
+        import glob as _glob
+
         from pyspark.sql import functions as F
 
         df = df.repartition(*[F.col(c) for c in partition_by])
         df.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
+        if not any(
+            _glob.glob(os.path.join(tmp, f"{c}=*")) for c in partition_by
+        ):
+            # an EMPTY fold (a tombstone transform killed every row, or
+            # the whole tail was zero-row deltas from fully-deduped
+            # micro-batches) leaves a partitionBy dir with no parquet
+            # footers — unreadable by every consumer. Rewrite flat
+            # (single-partition writes always emit one schema-bearing
+            # file); the coverage sidecar below still records what was
+            # absorbed.
+            import shutil
+
+            shutil.rmtree(tmp)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
     else:
         df.write.mode("overwrite").parquet(tmp)
     # epoch-coverage sidecar: the folded dirs' own ids plus any ranges a
     # previously-folded base among them had already absorbed — merged as
     # inclusive ranges end to end (O(#runs), never expanded per epoch)
     covered: list[list[int]] = []
+    applied: set[str] = set(applied_tombstones or [])
     for d in to_fold:
         eid = int(d.rsplit("=", 1)[1])
         covered.append([eid, eid])
         covered.extend(_read_folded_sidecar(d))
+        applied |= _read_applied_sidecar(d)
     with open(os.path.join(tmp, "_folded_epochs.json"), "w") as fh:
         json.dump({"ranges": _merge_ranges(covered)}, fh)
+    if applied:
+        with open(os.path.join(tmp, "_tombstones_applied.json"), "w") as fh:
+            json.dump(sorted(applied), fh)
+    if nparts_out is not None:
+        with open(os.path.join(tmp, "_nparts.json"), "w") as fh:
+            json.dump({"num_partitions": int(nparts_out)}, fh)
     folded_names = [os.path.basename(d) for d in to_fold]
     with open(manifest_path, "w") as fh:
         json.dump(folded_names, fh)
@@ -1114,6 +1500,9 @@ def tiered_compact_sink(
     keep_batches: int = 1,
     partition_by: list[str] | None = None,
     fanout: int = 2,
+    transform=None,
+    applied_tombstones: list[str] | None = None,
+    nparts_out: int | None = None,
 ) -> int:
     """LSM-style geometric compaction — the hot-path policy for stores a
     stream compacts FOREVER (the near-dedup bucket store under the
@@ -1143,7 +1532,13 @@ def tiered_compact_sink(
     manifest protocol as :func:`compact_sink`; a crash mid-merge heals
     on the next call (or the next :func:`compact_sink`/
     :func:`near_dedup_insert` batch). Returns the number of source dirs
-    folded across all merges this call."""
+    folded across all merges this call.
+
+    ``transform`` / ``applied_tombstones`` / ``nparts_out`` pass through
+    to every fold and merge this call performs (see :func:`_fold_dirs`)
+    — the round-9 mechanism that piggybacks store maintenance (tombstone
+    prune, online rebucket) on rewrites the compaction was doing
+    anyway."""
     if keep_batches < 1:
         raise ValueError(
             "keep_batches must be >= 1: the newest committed batch dir must "
@@ -1157,8 +1552,15 @@ def tiered_compact_sink(
     keep = set(dirs[len(dirs) - keep_batches :])
     tail = [d for d in dirs if d not in keep and not _is_compacted_run(d)]
     folded = 0
+    maint = dict(
+        transform=transform,
+        applied_tombstones=applied_tombstones,
+        nparts_out=nparts_out,
+    )
     if len(tail) >= 2:
-        folded += _fold_dirs(spark, sink_dir, tail, partition_by=partition_by)
+        folded += _fold_dirs(
+            spark, sink_dir, tail, partition_by=partition_by, **maint
+        )
     # geometric merge pass over the runs
     while True:
         runs = sorted(
@@ -1177,13 +1579,227 @@ def tiered_compact_sink(
             if sizes[i - 1] < fanout * sizes[i]:
                 folded += _fold_dirs(
                     spark, sink_dir, [runs[i - 1], runs[i]],
-                    partition_by=partition_by,
+                    partition_by=partition_by, **maint,
                 )
                 merged = True
                 break
         if not merged:
             break
     return folded
+
+
+def bucket_store_write_partitions(
+    buckets_dir: str, default: int
+) -> tuple[int, bool]:
+    """``(N, sidecar)`` for NEW bucket deltas: the pending online-rebucket
+    target if a migration is in flight (``sidecar=True`` — the delta must
+    record its N because it differs from the pinned meta), else the
+    pinned ``_meta.json`` N (no sidecar churn in steady state)."""
+    t = read_bucket_maintenance(buckets_dir).get("target_partitions")
+    if t is not None:
+        return int(t), True
+    return bucket_store_partitions(buckets_dir, default), False
+
+
+def maintain_bucket_store(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    id_col: str,
+    bucket_partitions: int = 64,
+    compact_every: int = 16,
+    keep_batches: int = 1,
+    fanout: int = 2,
+) -> dict:
+    """ONLINE maintenance for a near-dedup bucket store — called by
+    :func:`near_dedup_insert` at the end of every micro-batch, so a
+    forever-running pipeline (the reference's unbounded INSERT-SELECT,
+    ``README.md:435``, with 1-hour topic retention, ``README.md:102``)
+    never stops for store upkeep. Round 9: this replaces the
+    stop-the-world :func:`prune_bucket_store` / offline
+    :func:`rebucket_bucket_store` window for the two recurring ops by
+    piggybacking them on rewrites the tiered compaction performs anyway:
+
+    1. **tail fold + geometric merges** (as before) — when the flat tail
+       exceeds ``compact_every`` epochs, it folds and runs merge
+       geometrically; every fold now applies the pending maintenance
+       transform (tombstone anti-join, target-N re-mod);
+    2. **one nudge per call** — if a pending online rebucket
+       (:func:`request_rebucket_online`) or an unapplied tombstone
+       leaves stale dirs that the geometric invariant would never touch
+       (the oldest/biggest run is stable by design), ONE stale dir is
+       re-folded per call, newest (cheapest) first — so a full migration
+       or prune drains in O(#runs) = O(log history) maintenance calls
+       with per-call work bounded at one run rewrite;
+    3. **finalize** — when every committed dir carries the target N, the
+       pinned ``_meta.json`` is bumped atomically and the request file
+       removed (crash between the two: next call re-finalizes trivially);
+    4. **tombstone GC** — a tombstone whose ids every run has applied
+       (per ``_tombstones_applied.json``) and that no remaining flat
+       delta predates (per its ``created_after_epoch``) is deleted; a
+       tombstone whose RE-VERIFIED kill set is empty (all its ids are
+       live again, e.g. the tombstone-first crash of
+       :func:`enforce_retention_tombstoned`) is deleted immediately —
+       safe because a later true retirement of those ids necessarily
+       lands a fresh tombstone.
+
+    Tombstone application re-verifies against the CURRENTLY-landed sink
+    ids (``kill = tombstoned − live``), so a retired id that re-landed
+    keeps its new bucket rows and near-copies of it stay suppressed —
+    pytest-pinned in ``tests/test_streaming.py``. Returns a stats dict
+    (``folded``, ``nudged``, ``finalized``, ``tombstones_gcd``,
+    ``pending_target``)."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    buckets_dir = os.path.join(sink_dir, "_buckets")
+    stats = {
+        "folded": 0, "nudged": 0, "finalized": False,
+        "tombstones_gcd": 0, "pending_target": None,
+    }
+    if not os.path.isdir(buckets_dir):
+        return stats
+    meta_n = bucket_store_partitions(buckets_dir, bucket_partitions)
+    target_n = read_bucket_maintenance(buckets_dir).get("target_partitions")
+    if target_n is not None and int(target_n) == meta_n:
+        os.remove(_maintenance_path(buckets_dir))  # already satisfied
+        target_n = None
+    out_n = int(target_n) if target_n is not None else meta_n
+    stats["pending_target"] = target_n
+    tombs = _live_tombstones(buckets_dir)
+
+    dirs = _committed_batch_dirs(buckets_dir)
+    keep = set(dirs[len(dirs) - keep_batches :]) if dirs else set()
+    flat_tail = [d for d in dirs if not _is_compacted_run(d)]
+    tomb_names = {os.path.basename(t) for t in tombs}
+    stale = [
+        d
+        for d in dirs
+        if d not in keep
+        and (
+            _dir_nparts(d, meta_n) != out_n
+            or (
+                tomb_names
+                and _is_compacted_run(d)
+                and not tomb_names <= _read_applied_sidecar(d)
+            )
+        )
+    ]
+    will_fold = len(flat_tail) > compact_every
+    if not (will_fold or stale or tombs or target_n is not None):
+        return stats  # steady state: two globs and an existence check
+
+    # the maintenance transform, shared by every fold this call performs
+    kill = None
+    if tombs and (will_fold or stale):
+        tombstoned = (
+            spark.read.parquet(*tombs).select(id_col).distinct()
+        )
+        if _sink_has_batches(sink_dir):
+            # application-time re-verify: an id that RE-LANDED after its
+            # retirement is live again — its bucket rows must survive
+            tombstoned = tombstoned.join(
+                read_sink(spark, sink_dir).select(id_col), id_col, "left_anti"
+            )
+        kill = tombstoned.persist()
+        if kill.limit(1).count() == 0:
+            # every tombstoned id is live again (tombstone-first crash):
+            # each tombstone is a permanent no-op — GC now (a later true
+            # retirement lands a fresh tombstone via retire_tombstone)
+            kill.unpersist()
+            kill = None
+            for t in tombs:
+                shutil.rmtree(t)
+                stats["tombstones_gcd"] += 1
+            tombs, tomb_names = [], set()
+            stale = [
+                d for d in stale if _dir_nparts(d, meta_n) != out_n
+            ]
+    transform = None
+    if kill is not None or target_n is not None:
+        def transform(df, _kill=kill):
+            out = df
+            if _kill is not None:
+                out = out.join(_kill, id_col, "left_anti")
+            if target_n is not None:
+                out = out.drop("__bpart").withColumn(
+                    "__bpart",
+                    F.pmod(F.col("__bucket"), F.lit(out_n)).cast("int"),
+                )
+            return out
+
+    maint = dict(
+        transform=transform,
+        applied_tombstones=sorted(tomb_names) or None,
+        nparts_out=out_n if target_n is not None else None,
+    )
+    try:
+        if will_fold:
+            stats["folded"] = tiered_compact_sink(
+                spark, buckets_dir, keep_batches=keep_batches,
+                partition_by=["__bpart"], fanout=fanout, **maint,
+            )
+        # one nudge per call: re-fold the cheapest stale dirs the
+        # geometric pass didn't touch (stale flat deltas all at once —
+        # they are micro-batch-sized — else the NEWEST stale run)
+        dirs = _committed_batch_dirs(buckets_dir)
+        keep = set(dirs[len(dirs) - keep_batches :]) if dirs else set()
+        stale = [
+            d
+            for d in dirs
+            if d not in keep
+            and (
+                _dir_nparts(d, meta_n) != out_n
+                or (
+                    tomb_names
+                    and _is_compacted_run(d)
+                    and not tomb_names <= _read_applied_sidecar(d)
+                )
+            )
+        ]
+        if stale:
+            stale_flat = [d for d in stale if not _is_compacted_run(d)]
+            fold_set = stale_flat or [stale[-1]]
+            stats["nudged"] = _fold_dirs(
+                spark, buckets_dir, fold_set,
+                partition_by=["__bpart"], **maint,
+            )
+    finally:
+        if kill is not None:
+            kill.unpersist()
+
+    # finalize a completed migration: every committed dir at target N
+    if target_n is not None:
+        dirs = _committed_batch_dirs(buckets_dir)
+        if dirs and all(_dir_nparts(d, meta_n) == out_n for d in dirs):
+            tmp = os.path.join(buckets_dir, "_meta.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"num_partitions": out_n}, fh)
+            os.replace(tmp, os.path.join(buckets_dir, "_meta.json"))
+            os.remove(_maintenance_path(buckets_dir))
+            stats["finalized"] = True
+
+    # tombstone GC: drained when every run lists it applied and no
+    # remaining flat delta predates it
+    if tombs:
+        dirs = _committed_batch_dirs(buckets_dir)
+        for t in _live_tombstones(buckets_dir):
+            meta_p = os.path.join(t, "_tomb_meta.json")
+            with open(meta_p) as fh:
+                created_after = int(json.load(fh)["created_after_epoch"])
+            name = os.path.basename(t)
+            drained = all(
+                name in _read_applied_sidecar(d)
+                if _is_compacted_run(d)
+                else int(d.rsplit("=", 1)[1]) > created_after
+                for d in dirs
+            )
+            if drained:
+                shutil.rmtree(t)
+                stats["tombstones_gcd"] += 1
+    return stats
 
 
 def rebucket_bucket_store(
@@ -1237,8 +1853,13 @@ def rebucket_bucket_store(
     (a concurrently RESTARTED stream that raced the gap instead rebuilds
     the store from landed sink signatures via ``_heal_bucket_store`` —
     correct, just unpruned until re-run). Run this as a maintenance op
-    with the stream STOPPED, like compaction on any LSM store. Returns
-    the number of committed epoch dirs rewritten."""
+    with the stream STOPPED, like a manual major compaction on any LSM
+    store. Round 9: a RUNNING stream migrates without this window via
+    :func:`request_rebucket_online` — the geometric merges rewrite one
+    run at a time at the target N and :func:`maintain_bucket_store`
+    finalizes; this offline one-shot remains for stopped stores and as
+    the recovery-of-last-resort. Returns the number of committed epoch
+    dirs rewritten."""
     import json
     import shutil
 
@@ -1357,6 +1978,17 @@ def rebucket_bucket_store(
                 json.dump({"ranges": _merge_ranges(side)}, fh)
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"num_partitions": int(new_partitions)}, fh)
+    # carry UNAPPLIED retirement tombstones into the shadow store (part
+    # of the staged build — crash-safe): applying them here raw would be
+    # wrong without sink access (a re-landed id must keep its rows; only
+    # maintain_bucket_store's application-time re-verify knows), and
+    # dropping them would leave dead width with no record. A pending
+    # _maintenance.json is intentionally NOT carried: this offline
+    # rewrite supersedes any online migration request.
+    if os.path.isdir(_tombstones_dir(buckets_dir)):
+        shutil.copytree(
+            _tombstones_dir(buckets_dir), _tombstones_dir(tmp)
+        )
     open(marker, "a").close()
     os.rename(buckets_dir, old)
     os.rename(tmp, buckets_dir)
@@ -1386,9 +2018,15 @@ def prune_bucket_store(
     rewrites it through the same shadow-store/marker/swap protocol as
     :func:`rebucket_bucket_store` (same N, same crash-safety envelope;
     run with the stream stopped). Returns the number of committed epoch
-    dirs rewritten. Schedule it after retention passes, at retention
-    cadence — the cost is one store rewrite, the payoff is a store
-    proportional to the LIVE corpus rather than everything ever landed."""
+    dirs rewritten.
+
+    Round 9: a RUNNING stream prunes without any stop via
+    :func:`enforce_retention_tombstoned`, which lands the retired ids as
+    tombstones that the stream's own geometric merges drain
+    incrementally (:func:`maintain_bucket_store`) — use that for the
+    reference's hourly-retention cadence (``README.md:102``); this
+    offline one-shot remains for stopped stores, where one O(store)
+    rewrite beats O(#runs) incremental folds."""
     buckets_dir = os.path.join(sink_dir, "_buckets")
     meta = os.path.join(buckets_dir, "_meta.json")
     if not os.path.exists(meta):

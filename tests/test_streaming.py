@@ -1933,3 +1933,270 @@ def test_rebucket_preserves_kept_partitioned_layout(spark, tmp_path):
         "kept partitioned epoch degraded to a flat file through rebucket"
     )
     assert _bucket_rows(spark, store) == before
+
+
+# ---------------------------------------------------------------------------
+# Round 9: online store maintenance — tombstone prune + rebucket folded into
+# the in-stream geometric merges (no stop-the-world window)
+
+
+def _near_dedup_batch(spark, tmp_path, rows, **kw):
+    """Feed one micro-batch through near_dedup_insert (availableNow)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import near_dedup_insert
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema),
+        str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text", threshold=0.5,
+        trigger_once=True, **kw,
+    )
+    _drain(q)
+
+
+_DOC_A = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the late afternoon sun"
+)
+_DOC_B = (
+    "schema registries attach late bound data contracts to kafka "
+    "topics so raw bytes decode into typed tables for downstream jobs"
+)
+_DOC_C = (
+    "geometric merge policies bound the amortized rewrite cost of an "
+    "append only store to a logarithm of its total landed history"
+)
+
+
+def test_online_prune_drains_tombstones_mid_stream(spark, tmp_path):
+    """The round-9 headline: retention retires a document via
+    enforce_retention_tombstoned while the stream keeps running; the
+    stream's own geometric merges (a) drain the retired id's bucket rows
+    out of the store, (b) never stop, (c) a near-copy of the retired doc
+    lands (forgetting is what retention means), and (d) the tombstone is
+    GC'd once every run has applied it."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _live_tombstones,
+        enforce_retention_tombstoned,
+        read_bucket_store,
+    )
+
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(2, _DOC_B)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(3, _DOC_C)], **kw)
+
+    # retire the oldest epoch (doc 1) — tombstone lands BEFORE deletion
+    removed = enforce_retention_tombstoned(
+        spark, sink, id_col="doc_id", max_batches=2
+    )
+    assert removed == [0]
+    assert _live_tombstones(store)
+
+    # the stream keeps running: maintenance rides these batches' folds
+    _near_dedup_batch(spark, tmp_path, [(4, _DOC_B + " extended tail")], **kw)
+    _near_dedup_batch(spark, tmp_path, [(5, _DOC_C + " another tail")], **kw)
+    _near_dedup_batch(spark, tmp_path, [(6, _DOC_B.replace("kafka", "queue"))], **kw)
+
+    # (a) the retired id's bucket rows drained out through the merges
+    ids_in_store = {
+        r["doc_id"] for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+    assert 1 not in ids_in_store, ids_in_store
+    # (d) and the tombstone itself was GC'd once fully applied
+    assert not _live_tombstones(store)
+
+    # (c) a near-copy of the RETIRED doc lands — retention semantics
+    _near_dedup_batch(spark, tmp_path, [(9, _DOC_A.replace("quick", "swift"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 9 in landed
+    # while a near-copy of LIVE history still drops
+    _near_dedup_batch(spark, tmp_path, [(10, _DOC_C.replace("store", "log"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 10 not in landed
+
+
+def test_tombstone_reland_keeps_bucket_rows(spark, tmp_path):
+    """A retired id that legitimately RE-LANDS must keep its new bucket
+    rows: tombstone application re-verifies against the live sink, so
+    near-copies of the re-landed doc stay suppressed."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        enforce_retention_tombstoned,
+        read_bucket_store,
+    )
+
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(2, _DOC_B)], **kw)
+    enforce_retention_tombstoned(spark, sink, id_col="doc_id", max_batches=1)
+
+    # doc 1 re-lands (its text is gone from the sink, so nothing
+    # suppresses it), BEFORE the tombstone has been applied anywhere
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 1 in landed
+
+    # maintenance folds run on subsequent batches: the tombstone for id
+    # 1 must NOT kill the re-landed doc's bucket rows (re-verify)
+    _near_dedup_batch(spark, tmp_path, [(3, _DOC_C)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(4, _DOC_C + " more words")], **kw)
+    ids_in_store = {
+        r["doc_id"] for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+    assert 1 in ids_in_store, ids_in_store
+    # and a near-copy of the re-landed doc is still suppressed
+    _near_dedup_batch(spark, tmp_path, [(9, _DOC_A.replace("quick", "swift"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 9 not in landed, landed
+
+
+def test_tombstone_first_crash_gcs_noop_tombstone(spark, tmp_path):
+    """Crash between tombstone landing and retention deletion leaves a
+    tombstone whose ids are all still live: maintenance GCs it without
+    touching a row (a later true retirement lands a fresh one)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _live_tombstones,
+        maintain_bucket_store,
+        read_bucket_store,
+        retire_tombstone,
+    )
+
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(2, _DOC_B)], **kw)
+    before = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+    # simulate the crash: tombstone landed for id 1, deletion never ran
+    t = retire_tombstone(
+        spark, sink,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        id_col="doc_id", verified=True,
+    )
+    assert t is not None and _live_tombstones(store)
+    stats = maintain_bucket_store(spark, sink, id_col="doc_id",
+                                  bucket_partitions=4, compact_every=1)
+    assert stats["tombstones_gcd"] >= 1
+    assert not _live_tombstones(store)
+    after = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+    assert after == before
+
+
+def test_online_rebucket_migrates_without_stop(spark, tmp_path):
+    """request_rebucket_online: the store migrates 4 → 32 partitions one
+    run per maintenance call while batches keep landing; mid-migration
+    the MIXED-N store still catches near-dups of old history (per-N
+    pruned legs); the migration finalizes (meta bumped, request file
+    gone) and every row ends keyed at the target N."""
+    import json
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        _dir_nparts,
+        read_bucket_maintenance,
+        request_rebucket_online,
+    )
+
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(2, _DOC_B)], **kw)
+
+    request_rebucket_online(store, 32)
+    assert read_bucket_maintenance(store) == {"target_partitions": 32}
+
+    # mid-migration: a near-copy of pre-migration history must drop
+    _near_dedup_batch(spark, tmp_path, [(9, _DOC_A.replace("quick", "swift"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 9 not in landed, landed
+
+    # keep streaming until the migration drains and finalizes
+    for i, doc in enumerate([_DOC_C, _DOC_C + " tail one", _DOC_B + " tail two"]):
+        _near_dedup_batch(spark, tmp_path, [(20 + i, doc)], **kw)
+        if not read_bucket_maintenance(store):
+            break
+    assert read_bucket_maintenance(store) == {}, "migration never finalized"
+    with open(os.path.join(store, "_meta.json")) as fh:
+        assert json.load(fh)["num_partitions"] == 32
+    for d in _committed_batch_dirs(store):
+        assert _dir_nparts(d, 32) == 32
+    # every stored row keyed at the target N (read per layout group —
+    # mixed flat/partitioned dirs cannot share one read)
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _split_bucket_dirs
+
+    for group in _split_bucket_dirs(_committed_batch_dirs(store)):
+        if not group:
+            continue
+        rows = spark.read.option("basePath", store).parquet(*group)
+        bad = rows.filter(
+            F.col("__bpart") != F.pmod(F.col("__bucket"), F.lit(32)).cast("int")
+        )
+        assert bad.isEmpty()
+    # and post-migration dedup still works end to end
+    _near_dedup_batch(spark, tmp_path, [(30, _DOC_B.replace("kafka", "queue"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 30 not in landed, landed
+
+
+def test_read_bucket_store_mixed_n_prunes_per_leg(spark, tmp_path):
+    """Unit: while a migration leaves the store MIXED-N, parts_for prunes
+    each leg with ITS OWN N — a single parts list computed at one N
+    would silently drop candidates from the other leg."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_dir_ns,
+        read_bucket_store,
+        write_bucket_delta,
+    )
+
+    store = str(tmp_path / "buckets")
+    _land_bucket_epochs(spark, store, range(3), n_parts=8)  # meta N = 8
+    # two deltas at the migration target N, sidecar-recorded
+    for e in (3, 4):
+        delta = spark.range(40).select(
+            (F.col("id") + e * 40).alias("doc_id"),
+            F.xxhash64("id", F.lit(e)).alias("__bucket"),
+        )
+        write_bucket_delta(
+            delta, store, e, num_partitions=32, nparts_sidecar=True
+        )
+    assert bucket_store_dir_ns(store, 8) == [8, 32]
+    full = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(spark, store, "doc_id").collect()
+    }
+    assert len(full) == 200
+    # prune to every partition per N → must equal the full read
+    pruned_all = {
+        (r["doc_id"], r["__bucket"])
+        for r in read_bucket_store(
+            spark, store, "doc_id",
+            parts_for=lambda n: list(range(n)),
+        ).collect()
+    }
+    assert pruned_all == full
+    # prune to a strict subset per N → subset, and every surviving row's
+    # pmod at ITS leg's N is in that leg's list
+    keep = {8: [0, 1], 32: [0, 1, 2, 3, 4, 5]}
+    pruned = read_bucket_store(
+        spark, store, "doc_id", parts_for=lambda n: keep[n]
+    ).collect()
+    assert 0 < len(pruned) < 200
+    got = {(r["doc_id"], r["__bucket"]) for r in pruned}
+    assert got < full
