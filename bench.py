@@ -337,28 +337,50 @@ BATCH_DAMP_TRIGGER = 1.10
 STREAM_DAMP_TRIGGER = 0.90
 
 
+def _host_factor(calibration_sec: float, prev: dict) -> float:
+    """How much slower this host measures the fixed probe than the host
+    that recorded the previous round (floored at 1 — a FASTER host must
+    not hide a regression, only a slower one may excuse uniform drift).
+    1.0 when either record lacks the probe (pre-round-8)."""
+    prev_cal = prev.get("calibration_sec")
+    if calibration_sec and prev_cal:
+        return max(1.0, calibration_sec / prev_cal)
+    return 1.0
+
+
 def _batch_damp_candidates(
-    timings: dict[str, float], prev: dict[str, float]
+    timings: dict[str, float],
+    prev: dict[str, float],
+    host_factor: float = 1.0,
 ) -> list[str]:
     """Queries whose current min-of-2 looks >10% slower than the previous
-    round's record — each gets one extra rep (min-of-3)."""
+    round's record AFTER dividing out measured host drift — each gets
+    one extra rep (min-of-3). Without the normalization, a host the
+    probe measures 1.4x slower would flag (and re-run) nearly every
+    query for drift the extra rep cannot fix."""
     return [
         name
         for name, p in prev.items()
-        if name in timings and p > 0 and timings[name] / p > BATCH_DAMP_TRIGGER
+        if name in timings
+        and p > 0
+        and timings[name] / (p * host_factor) > BATCH_DAMP_TRIGGER
     ]
 
 
 def _flagged_stream_lanes(
-    streaming: dict[str, dict], prev: dict[str, dict]
+    streaming: dict[str, dict],
+    prev: dict[str, dict],
+    host_factor: float = 1.0,
 ) -> set[str]:
-    """Lanes whose rows/sec is >10% below the previous round's record."""
+    """Lanes whose rows/sec is >10% below the previous round's record
+    after correcting for measured host drift (rows/sec scales down with
+    host speed exactly like timings scale up)."""
     return {
         name
         for name, lane in streaming.items()
         if name in prev
         and prev[name].get("rows_per_sec", 0) > 0
-        and lane.get("rows_per_sec", 0)
+        and lane.get("rows_per_sec", 0) * host_factor
         < STREAM_DAMP_TRIGGER * prev[name]["rows_per_sec"]
     }
 
@@ -429,7 +451,13 @@ def main() -> None:
     # burns a judge round re-litigating it (late_interaction oscillated
     # +-20% for three rounds straight); a real regression survives the
     # third rep and still shows.
-    for name in _batch_damp_candidates(timings, _previous_round_timings()):
+    prev_record = _previous_round_bench()
+    host_factor = _host_factor(
+        calibration_sec, prev_record if _same_sf(prev_record) else {}
+    )
+    for name in _batch_damp_candidates(
+        timings, _previous_round_timings(), host_factor
+    ):
         t0 = time.time()
         if name in EXTRA_ACTIONS:
             EXTRA_ACTIONS[name](spark, SF_DIR)
@@ -454,7 +482,9 @@ def main() -> None:
     # to the lanes that triggered: taking every lane's max would ratchet
     # recorded numbers upward across rounds relative to a single honest
     # run. A real plan regression survives both reps and still shows.
-    flagged = _flagged_stream_lanes(streaming, _previous_round_streaming())
+    flagged = _flagged_stream_lanes(
+        streaming, _previous_round_streaming(), host_factor
+    )
     if flagged:
         _apply_stream_rerun(streaming, _streaming_bench(spark), flagged)
 

@@ -96,11 +96,18 @@ def dataframe_fingerprint(df) -> str:
     return f"plan:{_plan_size_bytes(df)}"
 
 
-def query_sample_fingerprint(queries, cols: list[str], *, n: int = 32) -> str:
+def query_sample_fingerprint(
+    queries, query_id: str, query_vec: str, *, n: int = 32
+) -> str:
     """Fingerprint of the query WORKLOAD for the calibrators'
-    ``query_fingerprint=`` knob: sha1 over the first ``n`` rows of the
-    named columns (match the calibrator's ``sample_queries`` so the
-    fingerprint covers exactly the rows the curve was measured on).
+    ``query_fingerprint=`` knob: sha1 over the first ``n`` rows of
+    ``(query_id, query_vec)`` — named separately, in the calibrators'
+    exact order, BECAUSE the mirror is the contract: the calibration
+    sample orders by ``xxhash64(query_id, query_vec)``, and a caller
+    passing the columns reversed (as a round-8 free-form ``cols`` list
+    allowed) would silently fingerprint a DIFFERENT 32-row subset than
+    the rows the cached curve was measured on — a cache whose hits and
+    misses no longer track workload drift.
 
     This one COSTS a job (an n-row limit+collect — tiny, but not free
     like the corpus fingerprints): a query distribution lives in data,
@@ -111,13 +118,15 @@ def query_sample_fingerprint(queries, cols: list[str], *, n: int = 32) -> str:
     the cache exists to amortize.
 
     The ``n`` rows are selected in the SAME deterministic hash order the
-    calibrators use for their sample (``orderBy(xxhash64(cols), cols[0])
-    .limit(n)``) — a bare ``limit`` takes whichever partitions answer
-    first, so the fingerprint would drift across sessions for an
-    identical stationary workload (spurious cache misses) and could
-    cover different rows than the curve was measured on."""
+    calibrators use for their sample (``orderBy(xxhash64(query_id,
+    query_vec), query_id).limit(n)``) — a bare ``limit`` takes whichever
+    partitions answer first, so the fingerprint would drift across
+    sessions for an identical stationary workload (spurious cache
+    misses) and could cover different rows than the curve was measured
+    on."""
     from pyspark.sql import functions as F
 
+    cols = [query_id, query_vec]
     h = hashlib.sha1()
     ordered = queries.select(*cols).orderBy(
         F.xxhash64(*[F.col(c) for c in cols]), F.col(cols[0])

@@ -228,7 +228,19 @@ def quantile_sketch_merge(
     sketches — e.g. an epoch replay — must count once), re-cap at
     bottom-m (per group when ``group_cols`` is set). Associative and
     commutative; merging sketches of DISJOINT row sets loses nothing the
-    cap wouldn't."""
+    cap wouldn't.
+
+    Replay assumption: the dedup key is ``(group, __h, val)`` because
+    the row key itself is not stored (it would ~triple sketch width) —
+    a replayed observation is assumed to carry the SAME value both
+    times. A late UPDATE (same key, changed value between epochs)
+    therefore survives as two sample rows with the same ``__h``,
+    double-representing that key. Insert-only / replay-idempotent
+    streams (this engine's sink contract) satisfy the assumption by
+    construction; if updates are expected, dedup upstream on
+    ``(group, __h)`` keeping the latest value before merging. The
+    residual risk for distinct keys is a joint 60-bit-hash AND value
+    collision — ~2⁻⁶⁰ per pair, accepted."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

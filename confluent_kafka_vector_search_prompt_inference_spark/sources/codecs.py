@@ -1206,8 +1206,16 @@ def _jpeg_sof_dims(data: bytes) -> tuple[int, int]:
         if marker in (0xC0, 0xC1, 0xC2):
             fh, fw = struct.unpack(">HH", data[pos + 3 : pos + 7])
             return fh, fw
-        if marker == 0xDA:
-            break  # SOS with no SOF seen — malformed
+        if marker in (0xDA, 0xD9):
+            # SOS or EOI with no SOF seen — malformed. EOI is standalone
+            # (no length field); treating it as length-bearing would
+            # read two arbitrary bytes as a segment length and walk into
+            # garbage before failing somewhere unrelated.
+            break
+        if seg_len < 2:
+            # the length field counts itself (T.81 B.1.1.4); < 2 would
+            # walk backwards or loop in place
+            raise ValueError(f"bad segment length {seg_len} at byte {pos}")
         pos += seg_len
     raise ValueError("first frame carries no JPEG SOF marker")
 

@@ -42,9 +42,86 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.topk_join im
 #: exact lane's per-batch cost is a full |Q|×|C| matmul by construction.
 #: streaming_transform warns once past this row count: the deployment
 #: should ride a persisted index (``vector_index=``). Geometric midpoint
-#: of the two measured rungs; a hardware-specific constant would be
-#: false precision.
+#: of the two measured rungs ON THE REFERENCE BOX — see
+#: :func:`exact_lane_crossover_rows` for how it is rescaled to the
+#: host actually running (round 9: the raw constant was only right on
+#: the hardware it was laddered on).
 EXACT_LANE_CROSSOVER_ROWS = 300_000
+
+#: The reference box's measured ratio between one fixed small Spark
+#: job's wall time and one fixed NumPy matmul's wall time (the two unit
+#: costs whose BALANCE sets the crossover — see
+#: :func:`exact_lane_crossover_rows`). Measured min-of-3 on the
+#: otherwise-idle box the 300k crossover was laddered on.
+_CROSSOVER_REF_RATIO = 40.0
+
+
+def _host_speed_ratio(spark) -> float:
+    """One-time (per process) micro-probe of the two unit costs that set
+    the exact-lane crossover:
+
+    - the exact lane's per-row cost is a dense matmul (NumPy/BLAS
+      inside the scoring UDF) — probed by a fixed ``2000×64 @ 64×2000``
+      float32 matmul;
+    - the probe lane's small-corpus cost is dominated by fixed per-batch
+      Spark work (job scheduling, a tiny shuffle, index metadata) —
+      probed by a fixed ``range(200k) → pmod groupBy → count`` job.
+
+    If BOTH scale together (a uniformly faster host), the crossover in
+    ROWS is unchanged — which is why the probe measures their RATIO, not
+    absolute speed: a host with fast BLAS relative to its JVM overhead
+    amortizes scheduling over a bigger matmul, moving the crossover UP,
+    and vice versa. min-of-3 each; memoized so streaming prepare pays it
+    once per process (~1 s), never per micro-batch."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    a = np.random.default_rng(0).standard_normal((2000, 64)).astype(np.float32)
+    t_mm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a.T).sum()
+        t_mm = min(t_mm, time.perf_counter() - t0)
+    t_job = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(200_000)
+            .groupBy(F.pmod(F.col("id"), F.lit(64)).alias("k"))
+            .count()
+            .count()
+        )
+        t_job = min(t_job, time.perf_counter() - t0)
+    return t_job / max(t_mm, 1e-6)
+
+
+_crossover_cache: dict = {}
+
+
+def exact_lane_crossover_rows(spark) -> int:
+    """The exact-broadcast-lane crossover scaled to THIS host:
+    ``EXACT_LANE_CROSSOVER_ROWS × (host ratio / reference ratio)``, the
+    scaling factor clamped to [1/32, 32] so a pathological probe sample
+    can only move the warning threshold, never effectively disable it in
+    either direction. The formula: the crossover sits where the exact
+    lane's linear-in-corpus
+    matmul cost overtakes the probe lane's fixed per-batch overhead, so
+    it scales with overhead/matmul-unit-cost — the ratio
+    :func:`_host_speed_ratio` measures (SCALING.md, round 9). This is a
+    warning threshold: order-of-magnitude fidelity is the goal, which is
+    why a 2-point micro-probe is enough where a full re-ladder would be
+    the honest answer for a new production cluster. The memo holds the
+    measured RATIO (per session), not the derived threshold, so the
+    reference constants stay live."""
+    key = id(spark)
+    if key not in _crossover_cache:
+        _crossover_cache[key] = _host_speed_ratio(spark)
+    factor = min(
+        32.0, max(1.0 / 32.0, _crossover_cache[key] / _CROSSOVER_REF_RATIO)
+    )
+    return int(EXACT_LANE_CROSSOVER_ROWS * factor)
 
 
 @dataclass
@@ -371,17 +448,19 @@ class RagPipeline:
                 # vs the IVF lane's 183) long before the broadcast budget
                 # refuses it — warn at prepare time, once, so the decay is
                 # a choice rather than a surprise.
+                crossover = exact_lane_crossover_rows(c.sparkSession)
                 if (
                     prepared.n_rows is not None
-                    and prepared.n_rows > EXACT_LANE_CROSSOVER_ROWS
+                    and prepared.n_rows > crossover
                 ):
                     import warnings
 
                     warnings.warn(
                         f"RagPipeline exact broadcast lane prepared over a "
-                        f"{prepared.n_rows}-row corpus — past the measured "
-                        f"exact-lane crossover "
-                        f"(~{EXACT_LANE_CROSSOVER_ROWS} rows, SCALING.md): "
+                        f"{prepared.n_rows}-row corpus — past the "
+                        f"host-scaled exact-lane crossover "
+                        f"(~{crossover} rows; reference "
+                        f"{EXACT_LANE_CROSSOVER_ROWS}, SCALING.md): "
                         "every micro-batch pays a full corpus matmul. Use "
                         "a persisted IVF index (vector_index=) for this "
                         "corpus size.",

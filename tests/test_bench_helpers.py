@@ -186,3 +186,64 @@ def test_bench_compare_normalizes_by_calibration_probe(tmp_path):
                {**slow, "calibration_sec": 0.25}) == 1
     # records without the probe (pre-round-8) gate on raw ratios
     assert run(base, slow) == 1
+
+
+def test_damping_consumes_host_normalized_ratios():
+    """Round 9: the damping triggers divide out measured host drift. On a
+    host the probe measures 1.4x slower, a query uniformly 1.4x slower
+    is NOT flagged (the extra rep cannot fix the host), while a genuine
+    regression beyond the drift still is; a FASTER host never excuses
+    (factor floored at 1)."""
+    assert bench._host_factor(0.7, {"calibration_sec": 0.5}) == 1.4
+    assert bench._host_factor(0.25, {"calibration_sec": 0.5}) == 1.0  # floor
+    assert bench._host_factor(0.5, {}) == 1.0  # pre-probe record
+
+    prev = {"drifted": 1.0, "regressed": 1.0}
+    timings = {"drifted": 1.4, "regressed": 2.0}
+    assert bench._batch_damp_candidates(timings, prev, 1.4) == ["regressed"]
+    # same numbers on an unchanged host: both flag
+    assert sorted(bench._batch_damp_candidates(timings, prev, 1.0)) == [
+        "drifted", "regressed",
+    ]
+
+    sprev = {"drifted": {"rows_per_sec": 100.0}, "regressed": {"rows_per_sec": 100.0}}
+    lanes = {
+        "drifted": {"rows_per_sec": 100.0 / 1.4},   # pure host drift
+        "regressed": {"rows_per_sec": 50.0},        # real drop
+    }
+    assert bench._flagged_stream_lanes(lanes, sprev, 1.4) == {"regressed"}
+    assert bench._flagged_stream_lanes(lanes, sprev, 1.0) == {
+        "drifted", "regressed",
+    }
+
+
+def test_bench_compare_normalizes_streaming_gate(tmp_path):
+    """Round 9 (ADVICE): the streaming drop gate corrects rows/sec by the
+    same host factor as the query gate — a lane 35% down on a host the
+    probe measures 1.4x slower is host drift, not a regression; the same
+    raw drop on an unchanged host fails; a faster host never hides one."""
+    import json
+    import subprocess
+    import sys
+
+    def run(old, new):
+        o, n = tmp_path / "o.json", tmp_path / "n.json"
+        o.write_text(json.dumps(old))
+        n.write_text(json.dumps(new))
+        return subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py",
+             str(o), str(n)],
+            capture_output=True, text=True,
+        ).returncode
+
+    base = {"queries": {}, "streaming": {"lane": {"rows_per_sec": 100.0}}}
+    slow = {"queries": {}, "streaming": {"lane": {"rows_per_sec": 65.0}}}
+    # 35% raw drop, host probe 1.4x slower → normalized drop 9%: passes
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.7}) == 0
+    # unchanged host: the same 35% drop is a real regression
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.5}) == 1
+    # faster host must not excuse the drop (factor floored at 1)
+    assert run({**base, "calibration_sec": 0.5},
+               {**slow, "calibration_sec": 0.25}) == 1

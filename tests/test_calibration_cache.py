@@ -195,7 +195,7 @@ def test_query_fingerprint_guards_workload_shift(spark, qc, tmp_path):
     common = dict(
         strategy="binary", query_id="qid", corpus_id="cid", cache=cache
     )
-    fp1 = query_sample_fingerprint(q, ["qid", "vector"])
+    fp1 = query_sample_fingerprint(q, "qid", "vector")
     calibrate_recall_depth(
         q, c, 5, recall_target=0.9, query_fingerprint=fp1, **common
     )
@@ -208,7 +208,7 @@ def test_query_fingerprint_guards_workload_shift(spark, qc, tmp_path):
     assert jobs_same == 0
 
     q2 = q.withColumn("qid", F.col("qid") + 1000)
-    fp2 = query_sample_fingerprint(q2, ["qid", "vector"])
+    fp2 = query_sample_fingerprint(q2, "qid", "vector")
     assert fp2 != fp1
     _, jobs_shift = _jobs_run(
         spark, "qfp-miss",
@@ -249,7 +249,7 @@ def test_query_fingerprint_deterministic_under_partitioning(spark, qc):
 
     q, _corpus = qc
     q = q.select("qid", "vector")
-    fp1 = query_sample_fingerprint(q, ["qid", "vector"])
-    fp2 = query_sample_fingerprint(q.repartition(7), ["qid", "vector"])
-    fp3 = query_sample_fingerprint(q.repartition(1).sort("vector"), ["qid", "vector"])
+    fp1 = query_sample_fingerprint(q, "qid", "vector")
+    fp2 = query_sample_fingerprint(q.repartition(7), "qid", "vector")
+    fp3 = query_sample_fingerprint(q.repartition(1).sort("vector"), "qid", "vector")
     assert fp1 == fp2 == fp3

@@ -2200,3 +2200,25 @@ def test_read_bucket_store_mixed_n_prunes_per_leg(spark, tmp_path):
     assert 0 < len(pruned) < 200
     got = {(r["doc_id"], r["__bucket"]) for r in pruned}
     assert got < full
+
+
+def test_exact_lane_crossover_scales_with_host_probe(spark, monkeypatch):
+    """Round 9: the crossover threshold is derived from a measured
+    host-speed ratio (Spark-overhead / matmul unit cost), not pinned —
+    a mocked probe moves it proportionally, and the scaling factor is
+    clamped so a pathological sample can never effectively disable the
+    warning."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming import rag as rag_mod
+
+    ref = rag_mod._CROSSOVER_REF_RATIO
+    base = rag_mod.EXACT_LANE_CROSSOVER_ROWS
+
+    def with_ratio(r):
+        monkeypatch.setattr(rag_mod, "_crossover_cache", {id(spark): r})
+        return rag_mod.exact_lane_crossover_rows(spark)
+
+    assert with_ratio(ref) == base                 # reference host: as laddered
+    assert with_ratio(ref * 4) == base * 4         # high-overhead host: up
+    assert with_ratio(ref / 4) == base // 4        # fast-JVM host: down
+    assert with_ratio(ref * 10_000) == base * 32   # clamp: never unreachable
+    assert with_ratio(ref / 10_000) == int(base / 32)  # clamp: never zero

@@ -60,12 +60,15 @@ def main() -> int:
               f"{factor:.2f})")
     common = sorted(set(oq) & set(nq))
     worst = 0.0
-    print(f"{'query':38s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
+    print(f"{'query':38s} {'old':>7s} {'new':>7s} {'ratio':>6s} {'norm':>6s}")
     for name in sorted(common, key=lambda n: -(nq[n] / max(oq[n], 1e-9))):
         r = nq[name] / max(oq[name], 1e-9)
         worst = max(worst, r / factor)
         flag = " <-- regressed" if r / factor > threshold else ""
-        print(f"{name:38s} {oq[name]:7.2f} {nq[name]:7.2f} {r:6.2f}{flag}")
+        print(
+            f"{name:38s} {oq[name]:7.2f} {nq[name]:7.2f} {r:6.2f} "
+            f"{r / factor:6.2f}{flag}"
+        )
     tot_old = sum(oq[n] for n in common)
     tot_new = sum(nq[n] for n in common)
     print(f"\ncommon subset ({len(common)} queries): "
@@ -78,11 +81,17 @@ def main() -> int:
     for k in sorted(set(so) & set(sn)):
         o_rps = so[k].get("rows_per_sec") or 0.0
         n_rps = sn[k].get("rows_per_sec") or 0.0
+        # rows/sec scales with host speed exactly like query timings: a
+        # host the probe measures `factor`x slower pushes every lane's
+        # throughput down by the same factor with no code change, so the
+        # gate judges the probe-CORRECTED throughput (factor is already
+        # floored at 1 above — a faster host never hides a regression)
         drop = 1.0 - n_rps / o_rps if o_rps else 0.0
+        norm_drop = 1.0 - (n_rps * factor) / o_rps if o_rps else 0.0
         flag = ""
-        if drop > STREAM_DROP:
+        if norm_drop > STREAM_DROP:
             stream_regressed = True
-            flag = f" <-- regressed ({drop:.0%} drop)"
+            flag = f" <-- regressed ({drop:.0%} raw / {norm_drop:.0%} normalized drop)"
         print(
             f"streaming {k}: {o_rps:.0f} -> {n_rps:.0f} rows/s{flag}"
         )

@@ -112,14 +112,30 @@ def _near_dedup_rung(
     rebucket_to: int | None = None,
     stale: str | None = None,
     tag: str = "",
+    n_batches: int = N_BATCHES,
+    tombstone_ghosts: bool = False,
+    monitor_runs: bool = False,
 ) -> dict:
     """The history-joined lane. Variants measured off the same harness:
 
-    - ``compact_every=2`` (lane ``near_dedup_compact``): tiered
-      compaction FIRES inside the 4-batch measured window — the base
+    - ``compact_every=2, n_batches=16`` (lane ``near_dedup_compact``):
+      tiered compaction FIRES inside the measured window — the base
       ladder never triggers it (rungs pre-land an already-compacted
-      base), so the round-7 full-refold cost was invisible; this lane is
-      what bounds the amortized write cost claim;
+      base), so the round-7 full-refold cost was invisible. Round 9
+      widened the window from 4 to 16 batches so the GEOMETRIC RUN-RUN
+      MERGES (not just tail folds) fire mid-rung: a monitor thread
+      samples the store's run count while the stream runs
+      (``runs_timeline`` / ``max_runs_observed``) and the per-batch
+      trigger durations are recorded raw (``batch_ms``) so the merge
+      spikes and their amortized cost are both visible beside the
+      embedded no-fold ``control``;
+    - ``tombstone_ghosts=True`` (lane ``near_dedup_online_prune``): the
+      ghost rows additionally get a retirement TOMBSTONE
+      (:func:`retire_tombstone`), so the stream's own maintenance folds
+      (``maintain_bucket_store`` nudges, one run per batch) drain the
+      dead width IN-WINDOW — the round-9 online replacement for the
+      stop-the-world ``prune_bucket_store``; the lane records store
+      rows before/after and whether the tombstone was GC'd;
     - ``rebucket_to=4096`` (lane ``near_dedup_rebucket``): the pre-landed
       N=64 store is migrated through ``rebucket_bucket_store`` before
       streaming — the saturated-regime escape data point (SCALING.md:
@@ -196,17 +212,21 @@ def _near_dedup_rung(
     )
 
     # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
-    # landed rows (seed 0 text of id mod rung, one token appended)
-    inc = spark.range(INCOMING_ROWS)
-    fresh = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
-    planted_src = _synth_docs(spark, INCOMING_ROWS, seed=0).select(
+    # landed rows (seed 0 text of id mod rung, one token appended).
+    # Micro-batch SIZE is held at 500 rows regardless of window length
+    # (incoming scales with n_batches) so per-batch numbers stay
+    # comparable across lanes with different window lengths.
+    inc_rows = (INCOMING_ROWS // N_BATCHES) * n_batches
+    inc = spark.range(inc_rows)
+    fresh = _synth_docs(spark, inc_rows, id_offset=_ID_OFFSET, seed=1)
+    planted_src = _synth_docs(spark, inc_rows, seed=0).select(
         F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
     )
     incoming = (
         inc.select(
             F.col("id"),
             (F.col("id") + _ID_OFFSET).alias("doc_id"),
-            F.pmod(F.col("id"), F.lit(min(rung, INCOMING_ROWS))).alias("__pid"),
+            F.pmod(F.col("id"), F.lit(min(rung, inc_rows))).alias("__pid"),
         )
         .join(F.broadcast(planted_src), "__pid")
         .join(
@@ -223,7 +243,7 @@ def _near_dedup_rung(
         )
     )
     src = os.path.join(work, f"nd{tag}_src_{rung}")
-    incoming.repartition(N_BATCHES).write.parquet(src)
+    incoming.repartition(n_batches).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
     if stale is not None:
@@ -258,6 +278,54 @@ def _near_dedup_rung(
         rebucket_bucket_store(spark, buckets_dir, rebucket_to)
         rebucket_s = round(time.time() - t0, 1)
 
+    store_rows_before = None
+    if tombstone_ghosts:
+        # retire the ghost docs ONLINE: land their tombstone and let the
+        # stream's own maintenance folds drain the dead width in-window —
+        # no prune_bucket_store, no stop
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+            read_bucket_store,
+            retire_tombstone,
+        )
+
+        retire_tombstone(
+            spark, sink,
+            spark.range(rung).select(
+                (F.col("id") + 900_000_000).alias("doc_id")
+            ),
+            id_col="doc_id", verified=True,
+        )
+        store_rows_before = read_bucket_store(
+            spark, buckets_dir, "doc_id"
+        ).count()
+
+    def _run_count() -> int:
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+            _committed_batch_dirs,
+            _is_compacted_run,
+        )
+
+        return sum(
+            1 for d in _committed_batch_dirs(buckets_dir) if _is_compacted_run(d)
+        )
+
+    runs_timeline: list[int] = []
+    stop_monitor = False
+    monitor = None
+    if monitor_runs:
+        import threading
+
+        def _poll():
+            while not stop_monitor:
+                try:
+                    runs_timeline.append(_run_count())
+                except OSError:
+                    pass  # raced a fold's delete-then-rename window
+                time.sleep(0.5)
+
+        monitor = threading.Thread(target=_poll, daemon=True)
+        monitor.start()
+
     t0 = time.time()
     q = near_dedup_insert(
         file_stream_reader(spark, src, schema),
@@ -266,10 +334,14 @@ def _near_dedup_rung(
         compact_every=compact_every, trigger_once=True,
     )
     q.awaitTermination(1800)
-    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    wall = time.time() - t0
+    if monitor is not None:
+        stop_monitor = True
+        monitor.join(2)
+    stats = _progress_stats(q, wall, inc_rows)
     landed_after = read_sink(spark, sink).count()
     stats["landed_rows"] = landed_after - rung
-    stats["dropped_rows"] = INCOMING_ROWS - stats["landed_rows"]
+    stats["dropped_rows"] = inc_rows - stats["landed_rows"]
     if rebucket_to is not None:
         stats["rebucket_to"] = rebucket_to
         stats["rebucket_s"] = rebucket_s
@@ -278,18 +350,41 @@ def _near_dedup_rung(
         if stale == "pruned":
             stats["prune_s"] = prune_s
     if compact_every != 16:
+        stats["compact_every"] = compact_every
+        stats["bucket_runs"] = _run_count()  # bounded-run-count evidence
+    if n_batches != N_BATCHES:
+        stats["n_batches"] = n_batches
+    if monitor_runs:
+        # raw per-batch trigger durations: the merge spikes and the flat
+        # batches around them, not just the p50/p95 compression
+        prog = [
+            p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
+        ]
+        stats["batch_ms"] = [
+            int(p["durationMs"]["triggerExecution"]) for p in prog
+        ]
+        # run-length-encoded [run_count, consecutive_samples@2Hz]: the
+        # raw 0.5 s samples are long and repetitive; the transitions are
+        # the evidence (merges = count dropping, folds = count rising)
+        rle: list[list[int]] = []
+        for v in runs_timeline:
+            if rle and rle[-1][0] == v:
+                rle[-1][1] += 1
+            else:
+                rle.append([v, 1])
+        stats["runs_timeline_rle"] = rle
+        stats["max_runs_observed"] = max(runs_timeline, default=0)
+    if tombstone_ghosts:
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
-            _committed_batch_dirs,
-            _is_compacted_run,
+            _live_tombstones,
+            read_bucket_store,
         )
 
-        runs = [
-            d
-            for d in _committed_batch_dirs(buckets_dir)
-            if _is_compacted_run(d)
-        ]
-        stats["compact_every"] = compact_every
-        stats["bucket_runs"] = len(runs)  # bounded-run-count evidence
+        stats["store_rows_before"] = store_rows_before
+        stats["store_rows_after"] = read_bucket_store(
+            spark, buckets_dir, "doc_id"
+        ).count()
+        stats["tombstones_remaining"] = len(_live_tombstones(buckets_dir))
     return stats
 
 
@@ -524,11 +619,46 @@ def _add_slowdowns(rows: dict) -> None:
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
+    def _compact_rung(s, r, w):
+        # 16-batch window, compact_every=2: tail folds AND geometric
+        # run-run merges fire mid-rung (monitored). The embedded control
+        # is the identical window with folds disabled — the amortized
+        # cost of the whole cascade is the delta between the two,
+        # recorded IN the same JSON entry (round-9 A/B discipline:
+        # controls live in the artifact, not in SCALING.md prose).
+        out = _near_dedup_rung(
+            s, r, w, compact_every=2, n_batches=16, monitor_runs=True, tag="c"
+        )
+        out["control"] = dict(
+            _near_dedup_rung(
+                s, r, w, compact_every=10**9, n_batches=16, tag="cc"
+            ),
+            what="same 16-batch window, folds disabled (compact_every=1e9)",
+        )
+        return out
+
+    def _online_prune_rung(s, r, w):
+        # the round-9 online prune: ghost rows + a tombstone, drained by
+        # the stream's own maintenance folds while it runs. Control: the
+        # same bloated store, same window and fold cadence, NO tombstone
+        # (the dead width stays).
+        out = _near_dedup_rung(
+            s, r, w, stale="retired", tombstone_ghosts=True,
+            compact_every=2, n_batches=16, tag="o",
+        )
+        out["control"] = dict(
+            _near_dedup_rung(
+                s, r, w, stale="retired", compact_every=2, n_batches=16,
+                tag="oc",
+            ),
+            what="same ghost-bloated store and window, no tombstone",
+        )
+        return out
+
     lanes = {
         "near_dedup_insert": _near_dedup_rung,
-        "near_dedup_compact": lambda s, r, w: _near_dedup_rung(
-            s, r, w, compact_every=2, tag="c"
-        ),
+        "near_dedup_compact": _compact_rung,
+        "near_dedup_online_prune": _online_prune_rung,
         "near_dedup_rebucket": lambda s, r, w: _near_dedup_rung(
             s, r, w, rebucket_to=4096, tag="r"
         ),
@@ -542,6 +672,16 @@ def main() -> int:
         "rag_transform_ivf": _rag_ivf_rung,
         "ivf_insert": _ivf_rung,
         "sketch_insert": _sketch_rung,
+    }
+    # lanes whose natural control is ANOTHER lane run in the same
+    # session: cross-attach that lane's same-rung numbers as `control`
+    # so the artifact carries both sides of the A/B without re-running
+    CROSS_CONTROLS = {
+        "near_dedup_rebucket": ("near_dedup_insert", "plain store, N=64"),
+        "near_dedup_pruned": (
+            "near_dedup_retired",
+            "same ghost-bloated store, not pruned",
+        ),
     }
     argv = sys.argv[1:]
     if argv and argv[0] == "--lanes":
@@ -577,6 +717,11 @@ def main() -> int:
                 s = fn(spark, rung, work)
                 results[name][str(rung)] = s
                 print(f"{name:18s} @ {rung:>9,}: {s}")
+            for name, (ctrl, what) in CROSS_CONTROLS.items():
+                got = results.get(name, {}).get(str(rung))
+                ctrl_got = results.get(ctrl, {}).get(str(rung))
+                if got is not None and ctrl_got is not None:
+                    got["control"] = dict(ctrl_got, what=f"{ctrl}: {what}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
