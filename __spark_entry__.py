@@ -8782,6 +8782,65 @@ ORDER BY q
 """
 
 
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style (Munro-Paterson deterministic compactor) quantile sketch
+    over ``events.value`` — the DETERMINISTIC-error tier beside the
+    bottom-m sample of ``sketch_value_quantiles``: the sketch tracks a
+    hard rank-error ceiling (sum of 2^level over compactions performed),
+    so "p99 with guarantees" is a theorem about this run, not a
+    probability. The estimates themselves are engine-specific (only this
+    engine runs the compactor), so the oracle is a TOLERANCE VERDICT
+    like ``approx_distinct_counts``: the query re-derives each
+    estimate's TRUE rank from the raw table and emits ``within_bound``
+    = the true rank is within the tracked ceiling of the target rank —
+    which DuckDB asserts by expecting TRUE, plus the exact row count
+    ``n`` (compaction preserves total weight, so the sketch's own n must
+    equal DuckDB's COUNT(*)). Merge law and layout-independence are
+    pytest-pinned in ``tests/test_sketches.py``; the streaming face is
+    ``quantile_insert(method='kll')``."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kll_sketch_build(ev, "value", "event_id", k=256).localCheckpoint(
+        eager=True
+    )
+    est = kll_quantiles(sk, [0.25, 0.5, 0.9, 0.99])
+    vals = ev.select(F.col("value").cast("double").alias("v"))
+    ranks = (
+        est.join(vals)
+        .groupBy("q", "est", "n", "err_rank_bound")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("__lo"),
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("__hi"),
+        )
+    )
+    target = F.floor(F.col("q") * (F.col("n") - F.lit(1))).cast("bigint") + F.lit(1)
+    return ranks.select(
+        F.col("q"),
+        F.col("n"),
+        (
+            (F.col("__lo") - F.col("err_rank_bound") <= target)
+            & (target <= F.col("__hi") + F.col("err_rank_bound"))
+        ).alias("within_bound"),
+        # the ceiling itself, as a fraction — graded data: a bound wider
+        # than 5% of n would make the verdict vacuous at this k
+        (F.col("err_rank_bound") <= 0.05 * F.col("n")).alias("bound_is_tight"),
+    ).orderBy("q")
+
+
+_KLL_ORACLE = """
+SELECT CAST(q.q AS DOUBLE) AS q,
+       (SELECT COUNT(*) FROM events) AS n,
+       TRUE AS within_bound,
+       TRUE AS bound_is_tight
+FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS q(q)
+ORDER BY q
+"""
+
+
 def source_nchars_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP quantile sketches: one independent bottom-m sample per
     ``documents.source``, answering "p50/p90 document length per domain"
@@ -9037,6 +9096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         "source_nchars_quantiles": source_nchars_quantiles,
+        "kll_value_quantiles": kll_value_quantiles,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
@@ -9174,6 +9234,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_answers_hybrid": _RAG_HYBRID_ANSWERS_ORACLE,
         "sketch_value_quantiles": _QSKETCH_ORACLE,
         "source_nchars_quantiles": _GROUPED_QSKETCH_ORACLE,
+        "kll_value_quantiles": _KLL_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
         # real codec round trips: encode → decode → pixel/sample stats,

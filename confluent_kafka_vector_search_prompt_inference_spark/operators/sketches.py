@@ -299,3 +299,314 @@ def sample_quantiles(
         )
         .select(*g, "q", F.col("val").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch: deterministic rank-error bound
+# ---------------------------------------------------------------------------
+#
+# The bottom-m sketch above is exactly-oracleable but its accuracy is
+# PROBABILISTIC (SE ~ sqrt(q(1-q)/m)): fine for monitoring, not for "p99
+# with guarantees". This tier is the deterministic companion: a
+# Munro-Paterson-style compactor hierarchy (the deterministic ancestor of
+# KLL — Munro & Paterson 1980; Karnin, Lang & Liberty, FOCS 2016 analyze
+# the same compaction primitive) whose rank error is BOUNDED, not just
+# likely: every compaction of a level-l buffer (item weight 2^l) into
+# half at level l+1 shifts any value's rank by at most 2^l, so the sum of
+# 2^l over compactions performed — tracked EXACTLY in the sketch itself,
+# not estimated from a formula — is a hard ceiling on rank error. The
+# repo's randomness discipline holds: compactions keep odd/even survivors
+# by a parity that alternates with the per-level compaction count, ties
+# break on the key's 60-bit hash — no RNG anywhere, so the sketch is a
+# pure function of the input SET (layout-independent: per-shard grouping
+# is by key hash, in-shard processing order is hash-sorted).
+#
+# Representation (engine-portable, queryable, mergeable — same design
+# rules as count-min): a DataFrame ``(group..., level INT, val DOUBLE,
+# __h BIGINT)``; item rows carry weight 2^level, and one meta row per
+# group (``level = -1``, ``__h = 0``) carries the accumulated rank-error
+# bound in ``val``. Merging = union + re-compaction (the meta rows ADD,
+# then merge-time compactions add on top), so per-epoch streaming deltas
+# fold exactly like the bottom-m ones.
+#
+# Scale shape: one ``applyInPandas`` pass over hash shards (each shard's
+# compactor state is O(k log(n_shard/k)) — the full shard never sits in
+# level 0), then one bounded merge task per group over the
+# ``shards x k x levels`` partials. 100 TB: shards scale with the data,
+# the merge input stays sketch-sized.
+
+_KLL_META_LEVEL = -1
+
+
+def _kll_compact_state(levels: dict, k: int, counts: dict) -> int:
+    """Compact every overfull level in place (deterministic: sort by
+    (val, hash), keep alternating parity by per-level compaction count).
+    Returns the rank-error bound ADDED (sum of 2^l per compaction)."""
+    import numpy as np
+
+    added = 0
+    lvl = 0
+    while lvl <= max(levels, default=0):
+        buf = levels.get(lvl)
+        if buf is not None and len(buf[0]) > k:
+            vals, hs = buf
+            order = np.lexsort((hs, vals))
+            # only an EVEN count compacts — two weight-w survivorship
+            # candidates become one weight-2w survivor, so an odd buffer
+            # would drift total represented weight (= the exact input
+            # row count, which kll_quantiles reports as n). The largest
+            # (val, __h) item stays behind at this level — any fixed
+            # choice is deterministic; one leftover is always < k.
+            if len(order) % 2:
+                leftover, order = order[-1:], order[:-1]
+            else:
+                leftover = order[:0]
+            parity = counts.get(lvl, 0) % 2
+            counts[lvl] = counts.get(lvl, 0) + 1
+            keep = order[parity::2]
+            up = levels.setdefault(
+                lvl + 1,
+                (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64)),
+            )
+            levels[lvl + 1] = (
+                np.concatenate([up[0], vals[keep]]),
+                np.concatenate([up[1], hs[keep]]),
+            )
+            levels[lvl] = (vals[leftover], hs[leftover])
+            added += 2 ** lvl
+        lvl += 1
+    return added
+
+
+def _kll_ingest(levels: dict, counts: dict, in_vals, in_hs, in_levels, k: int) -> int:
+    """Feed (val, hash, level) triples into a compactor state in chunks
+    of k (hash-sorted first, so the result is a pure function of the
+    SET). Returns the rank-error bound added by compactions."""
+    import numpy as np
+
+    added = 0
+    order = np.lexsort((in_vals, in_hs))  # deterministic processing order
+    in_vals, in_hs, in_levels = in_vals[order], in_hs[order], in_levels[order]
+    for lvl in np.unique(in_levels):
+        lv = int(lvl)
+        mask = in_levels == lvl
+        vs, hs = in_vals[mask], in_hs[mask]
+        for i in range(0, len(vs), max(k, 1)):
+            cur = levels.setdefault(
+                lv, (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
+            )
+            levels[lv] = (
+                np.concatenate([cur[0], vs[i : i + k]]),
+                np.concatenate([cur[1], hs[i : i + k]]),
+            )
+            added += _kll_compact_state(levels, k, counts)
+    return added
+
+
+def _kll_state_to_pdf(levels: dict, err: float, group_key: tuple, group_cols: list):
+    import numpy as np
+    import pandas as pd
+
+    out_levels, out_vals, out_hs = [], [], []
+    for lvl, (vs, hs) in sorted(levels.items()):
+        out_levels.extend([lvl] * len(vs))
+        out_vals.extend(vs.tolist())
+        out_hs.extend(hs.tolist())
+    out_levels.append(_KLL_META_LEVEL)
+    out_vals.append(float(err))
+    out_hs.append(0)
+    data = {c: [g] * len(out_levels) for c, g in zip(group_cols, group_key)}
+    data.update(
+        {
+            "level": np.array(out_levels, dtype=np.int32),
+            "val": np.array(out_vals, dtype=np.float64),
+            "__h": np.array(out_hs, dtype=np.int64),
+        }
+    )
+    return pd.DataFrame(data)
+
+
+def _kll_reduce_pdf(pdf, k: int, group_cols: list):
+    """One compactor pass over already-sketched (or raw level-0) rows of
+    a single group: ingest item rows, sum meta rows into the error, add
+    merge-compaction error on top."""
+    import numpy as np
+
+    meta = pdf[pdf["level"] == _KLL_META_LEVEL]
+    items = pdf[pdf["level"] != _KLL_META_LEVEL]
+    err = float(meta["val"].sum())
+    levels: dict = {}
+    counts: dict = {}
+    err += _kll_ingest(
+        levels, counts,
+        items["val"].to_numpy(np.float64),
+        items["__h"].to_numpy(np.int64),
+        items["level"].to_numpy(np.int64),
+        k,
+    )
+    key = tuple(pdf[c].iloc[0] for c in group_cols)
+    return _kll_state_to_pdf(levels, err, key, group_cols)
+
+
+def kll_sketch_build(
+    items: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    shards: int = 64,
+) -> DataFrame:
+    """Build the deterministic-error quantile sketch: ``(group...,
+    level INT, val DOUBLE, __h BIGINT)`` — item rows weigh ``2^level``,
+    the ``level = -1`` meta row's ``val`` is the sketch's hard rank-error
+    bound (see the section comment). Two ``applyInPandas`` phases:
+    per-(group, hash-shard) compactors (shard = ``pmod(xxhash64(key),
+    shards)`` — layout-independent by construction), then one bounded
+    merge-compaction per group over the ``<= shards x k x levels`` shard
+    partials. ``key_col`` uniquely identifies an observation (it seeds
+    the deterministic tie-break hash). Size ``shards`` so a shard's rows
+    fit one task comfortably; the compactor state itself is
+    ``O(k log(n/k))`` regardless."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    g = list(group_cols or [])
+    schema_fields = [items.schema[c] for c in g] + [
+        StructField("level", IntegerType()),
+        StructField("val", DoubleType()),
+        StructField("__h", LongType()),
+    ]
+    out_schema = StructType(schema_fields)
+
+    def _shard_fn(pdf):
+        return _kll_reduce_pdf(pdf.drop(columns=["__shard"]), k, g)
+
+    def _merge_fn(pdf):
+        return _kll_reduce_pdf(pdf, k, g)
+
+    rows = items.select(
+        *g,
+        F.lit(0).cast("int").alias("level"),
+        F.col(value_col).cast("double").alias("val"),
+        _rank_hash(F.col(key_col)).alias("__h"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("__shard"),
+    )
+    partials = rows.groupBy(*g, "__shard").applyInPandas(_shard_fn, out_schema)
+    if g:
+        return partials.groupBy(*g).applyInPandas(_merge_fn, out_schema)
+    return (
+        partials.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: _kll_reduce_pdf(pdf.drop(columns=["__g"]), k, g),
+            out_schema,
+        )
+    )
+
+
+def kll_sketch_merge(
+    *sketches: DataFrame,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge sketches built with the same ``k``: union, then one
+    compaction pass per group. The meta rows' error bounds ADD, and any
+    compaction the merge itself performs adds its ``2^level`` on top —
+    so the merged sketch's bound remains a hard ceiling (KLL/MP
+    mergeability; the bound degrades additively, never silently).
+    Associative and commutative up to the deterministic compaction
+    schedule; the BOUND columns are order-independent."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    g = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    out_schema = StructType(
+        [out.schema[c] for c in g]
+        + [
+            StructField("level", IntegerType()),
+            StructField("val", DoubleType()),
+            StructField("__h", LongType()),
+        ]
+    )
+    if g:
+        return out.groupBy(*g).applyInPandas(
+            lambda pdf: _kll_reduce_pdf(pdf, k, g), out_schema
+        )
+    return (
+        out.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: _kll_reduce_pdf(pdf.drop(columns=["__g"]), k, g),
+            out_schema,
+        )
+    )
+
+
+def kll_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates with their deterministic guarantee, off a KLL
+    sketch: one row per requested ``q`` (per group) —
+    ``(*group_cols, q DOUBLE, est DOUBLE, n BIGINT, err_rank_bound
+    BIGINT)``: ``est`` is the smallest sketch value whose cumulative
+    weight reaches the nearest-rank target ``floor(q*(n-1)) + 1``
+    (weights are ``2^level``; ties ordered by ``(val, __h)`` —
+    deterministic), ``n`` the total represented weight (= exact input
+    row count: compaction preserves total weight), and
+    ``err_rank_bound`` the sketch's tracked hard bound — the TRUE rank
+    of ``est`` is within ``err_rank_bound`` of the target, always, not
+    with high probability. Windows run over sketch-sized groups
+    (``O(k log(n/k))`` rows) — bounded by construction."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    items = sketch.filter(F.col("level") != _KLL_META_LEVEL).withColumn(
+        "__w", F.pow(F.lit(2.0), F.col("level")).cast("bigint")
+    )
+    meta = sketch.filter(F.col("level") == _KLL_META_LEVEL).select(
+        *g, F.col("val").cast("bigint").alias("err_rank_bound")
+    )
+    if g:
+        w = Window.partitionBy(*g).orderBy("val", "__h")
+        nw = Window.partitionBy(*g)
+    else:
+        w = Window.orderBy("val", "__h")
+        nw = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ranked = items.select(
+        *g,
+        "val",
+        F.sum("__w").over(w).alias("cw"),
+        F.sum("__w").over(nw).alias("n"),
+    )
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    targeted = ranked.crossJoin(F.broadcast(qdf)).withColumn(
+        "__target",
+        F.floor(F.col("q") * (F.col("n") - F.lit(1))).cast("bigint") + F.lit(1),
+    )
+    hit_w = (
+        Window.partitionBy(*g, "q") if g else Window.partitionBy("q")
+    ).orderBy("cw", "val")
+    est = (
+        targeted.filter(F.col("cw") >= F.col("__target"))
+        .withColumn("__rn", F.row_number().over(hit_w))
+        .filter(F.col("__rn") == 1)
+        .select(*g, "q", F.col("val").alias("est"), "n")
+    )
+    if g:
+        return est.join(meta, g)
+    return est.crossJoin(F.broadcast(meta))

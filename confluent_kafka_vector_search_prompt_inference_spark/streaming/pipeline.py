@@ -2122,6 +2122,7 @@ def quantile_insert(
     group_cols: list[str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
+    method: str = "bottom_m",
 ) -> StreamingQuery:
     """Continuous insert that also maintains a bottom-m quantile sketch of
     a value column over everything ever landed — the distribution-summary
@@ -2137,11 +2138,30 @@ def quantile_insert(
     twice). Because bottom-m(A ∪ B) = bottom-m(bottom-m(A) ∪
     bottom-m(B)), delta dirs may be folded by the generic
     :func:`compact_sink` on the ``_qsketch`` dir at any time without
-    changing any estimate — the read-side cap re-applies."""
-    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import quantile_sketch_build
+    changing any estimate — the read-side cap re-applies.
 
+    ``method='kll'`` (round 9) maintains the DETERMINISTIC-error tier
+    instead (``operators.sketches.kll_sketch_build``, ``m`` acting as
+    its buffer ``k``): per-epoch KLL deltas land under
+    ``<sink>/_kllsketch/_batch=N`` through the SAME epoch contract (an
+    idempotently-skipped replay never re-lands a delta, so no
+    observation ever counts twice — the KLL rows carry no dedup key, so
+    idempotency must come from the epoch protocol, and does), and the
+    live sketch is the merge of the committed deltas
+    (:func:`read_corpus_quantile_sketch` with ``method='kll'``). The
+    two tiers answer different questions: bottom-m is exactly-oracleable
+    with probabilistic accuracy; KLL carries a hard tracked rank-error
+    ceiling — "p99 with guarantees"."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_sketch_build,
+        quantile_sketch_build,
+    )
+
+    if method not in ("bottom_m", "kll"):
+        raise ValueError(f"method must be 'bottom_m' or 'kll', got {method!r}")
+    delta_sub = "_kllsketch" if method == "kll" else "_qsketch"
     write_rows = idempotent_batch_writer(sink_dir)
-    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_qsketch"))
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, delta_sub))
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if transform is not None:
@@ -2149,12 +2169,15 @@ def quantile_insert(
         batch_df = batch_df.persist()
         try:
             write_rows(batch_df, epoch_id)
-            write_delta(
-                quantile_sketch_build(
+            if method == "kll":
+                delta = kll_sketch_build(
+                    batch_df, value_col, key_col, k=m, group_cols=group_cols
+                )
+            else:
+                delta = quantile_sketch_build(
                     batch_df, value_col, key_col, m=m, group_cols=group_cols
-                ),
-                epoch_id,
-            )
+                )
+            write_delta(delta, epoch_id)
         finally:
             batch_df.unpersist()
 
@@ -2172,15 +2195,30 @@ def read_corpus_quantile_sketch(
     *,
     m: int = 1024,
     group_cols: list[str] | None = None,
+    method: str = "bottom_m",
 ) -> DataFrame:
     """The current bottom-m quantile sketch of a :func:`quantile_insert`
     sink: union of the committed per-epoch deltas, deduped and re-capped.
     Feed it straight to ``operators.sketches.sample_quantiles``. ``m``
     and ``group_cols`` must match the build's (a smaller read-side m is
     a valid coarser sketch; a larger one cannot be reconstructed from
-    capped deltas)."""
-    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import quantile_sketch_merge
+    capped deltas).
 
+    ``method='kll'``: the merged deterministic-error sketch of a
+    ``method='kll'`` sink (feed to ``operators.sketches.kll_quantiles``
+    — the error-bound meta rows of the deltas add through the merge, so
+    the guarantee survives merge-on-read). Either store's delta dirs may
+    be folded by the generic :func:`compact_sink`/:func:`tiered_compact_
+    sink` at any time: both merges are pure functions of the unioned
+    delta ROWS, which folding preserves."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_sketch_merge,
+        quantile_sketch_merge,
+    )
+
+    if method == "kll":
+        deltas = read_sink(spark, os.path.join(sink_dir, "_kllsketch"))
+        return kll_sketch_merge(deltas, k=m, group_cols=group_cols)
     deltas = read_sink(spark, os.path.join(sink_dir, "_qsketch"))
     return quantile_sketch_merge(deltas, m=m, group_cols=group_cols)
 

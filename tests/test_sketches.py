@@ -182,3 +182,96 @@ def test_grouped_quantile_sketch_matches_per_group_build(spark, skewed_vals):
     # group's own sample
     ests = sample_quantiles(grouped, [0.5], group_cols=["grp"]).collect()
     assert {r["grp"] for r in ests} == {0, 1, 2} and len(ests) == 3
+
+
+# ---------------------------------------------------------------------------
+# Round 9: KLL-style deterministic-error quantile sketch
+
+
+def _kll_rank_window(spark, items_df, est, bound, q, n):
+    """True-rank interval of ``est`` in the exact data vs the target."""
+    import math
+
+    lo = items_df.filter(F.col("v") < est).count()
+    hi = items_df.filter(F.col("v") <= est).count()
+    target = math.floor(q * (n - 1)) + 1
+    return lo - bound <= target <= hi + bound
+
+
+def test_kll_sketch_deterministic_and_weight_exact(spark, skewed_vals):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import kll_sketch_build
+
+    sk = kll_sketch_build(skewed_vals, "v", "key", k=128)
+    rows = sk.collect()
+    n = skewed_vals.count()
+    # total represented weight is EXACTLY the input row count
+    assert sum(2 ** r["level"] for r in rows if r["level"] >= 0) == n
+    # exactly one meta row carrying the tracked bound
+    metas = [r for r in rows if r["level"] == -1]
+    assert len(metas) == 1 and metas[0]["val"] > 0
+    # layout-independent: a pure function of the input SET
+    again = kll_sketch_build(skewed_vals.repartition(13), "v", "key", k=128)
+    assert sorted((r["level"], r["val"], r["__h"]) for r in rows) == sorted(
+        (r["level"], r["val"], r["__h"]) for r in again.collect()
+    )
+
+
+def test_kll_bound_is_deterministic_guarantee(spark, skewed_vals):
+    """The tracked rank-error ceiling HOLDS against the exact data for
+    every quantile — a hard check, no probabilistic slack — and is tight
+    enough to be useful (a vacuous bound of ~n would also 'hold')."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+    )
+
+    sk = kll_sketch_build(skewed_vals, "v", "key", k=128)
+    for r in kll_quantiles(sk, [0.25, 0.5, 0.9, 0.99]).collect():
+        assert _kll_rank_window(
+            spark, skewed_vals, r["est"], r["err_rank_bound"], r["q"], r["n"]
+        ), r
+        assert r["err_rank_bound"] <= 0.10 * r["n"], r  # non-vacuous at k=128
+
+
+def test_kll_merge_law(spark, skewed_vals):
+    """merge(build(A), build(B)) is a valid sketch of A ∪ B: exact total
+    weight, bounds ADD (the merged ceiling ≥ each part's, still a hard
+    guarantee against the union), and estimates honor it."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+        kll_sketch_merge,
+    )
+
+    a = skewed_vals.filter("key < 10000")
+    b = skewed_vals.filter("key >= 10000")
+    merged = kll_sketch_merge(
+        kll_sketch_build(a, "v", "key", k=128),
+        kll_sketch_build(b, "v", "key", k=128),
+        k=128,
+    )
+    n = skewed_vals.count()
+    rows = merged.collect()
+    assert sum(2 ** r["level"] for r in rows if r["level"] >= 0) == n
+    for r in kll_quantiles(merged, [0.5, 0.99]).collect():
+        assert r["n"] == n
+        assert _kll_rank_window(
+            spark, skewed_vals, r["est"], r["err_rank_bound"], r["q"], r["n"]
+        ), r
+
+
+def test_kll_grouped_build(spark, skewed_vals):
+    """Per-group sketches: exact per-group weight, per-group bounds hold."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+    )
+
+    g = skewed_vals.withColumn("grp", (F.col("key") % 3).cast("string"))
+    sk = kll_sketch_build(g, "v", "key", k=64, group_cols=["grp"])
+    for r in kll_quantiles(sk, [0.9], group_cols=["grp"]).collect():
+        part = g.filter(F.col("grp") == r["grp"])
+        assert r["n"] == part.count()
+        assert _kll_rank_window(
+            spark, part, r["est"], r["err_rank_bound"], r["q"], r["n"]
+        ), r

@@ -2222,3 +2222,69 @@ def test_exact_lane_crossover_scales_with_host_probe(spark, monkeypatch):
     assert with_ratio(ref / 4) == base // 4        # fast-JVM host: down
     assert with_ratio(ref * 10_000) == base * 32   # clamp: never unreachable
     assert with_ratio(ref / 10_000) == int(base / 32)  # clamp: never zero
+
+
+def test_kll_insert_maintains_deterministic_sketch(spark, tmp_path):
+    """quantile_insert(method='kll') reuses the epoch contract: per-epoch
+    KLL deltas land idempotently, the merged read-side sketch's tracked
+    rank-error ceiling HOLDS against everything landed, replay with a
+    fresh checkpoint re-lands nothing (epoch skip — the KLL rows carry no
+    dedup key, so idempotency must come from the protocol), and folding
+    the delta dir leaves every estimate identical (the merge is a pure
+    function of the unioned delta rows)."""
+    import math
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import kll_quantiles
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        quantile_insert,
+        read_corpus_quantile_sketch,
+    )
+
+    rows = spark.range(3_000).select(
+        F.col("id").alias("key"),
+        (F.xxhash64("id") % 997).cast("double").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    rows.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, rows.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = quantile_insert(
+        stream, sink, str(tmp_path / "ckpt"),
+        value_col="v", key_col="key", m=64, method="kll", trigger_once=True,
+    )
+    _drain(q)
+    landed = read_sink(spark, sink)
+    assert landed.count() == 3_000
+
+    def checks():
+        sk = read_corpus_quantile_sketch(spark, sink, m=64, method="kll")
+        srows = sk.collect()
+        # merged weight = exact landed count (weight never drifts)
+        assert sum(2 ** r["level"] for r in srows if r["level"] >= 0) == 3_000
+        out = {}
+        for r in kll_quantiles(sk, [0.1, 0.5, 0.9]).collect():
+            assert r["n"] == 3_000
+            target = math.floor(r["q"] * (r["n"] - 1)) + 1
+            lo = landed.filter(F.col("v") < r["est"]).count()
+            hi = landed.filter(F.col("v") <= r["est"]).count()
+            assert lo - r["err_rank_bound"] <= target <= hi + r["err_rank_bound"], r
+            out[r["q"]] = (r["est"], r["err_rank_bound"])
+        return out
+
+    before = checks()
+
+    # fresh-checkpoint replay: every epoch re-fires, both writes skip
+    q2 = quantile_insert(
+        stream, sink, str(tmp_path / "ckpt2"),
+        value_col="v", key_col="key", m=64, method="kll", trigger_once=True,
+    )
+    _drain(q2)
+    assert read_sink(spark, sink).count() == 3_000
+    assert checks() == before
+
+    # folding the delta dir preserves every estimate and the bound
+    folded = compact_sink(spark, os.path.join(sink, "_kllsketch"), keep_batches=1)
+    assert folded >= 1
+    assert checks() == before
