@@ -1923,6 +1923,96 @@ FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)
 """
 
 
+def video_iframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 I-frame decode round trip, end-to-end real (round 9 —
+    closing the declared inter-frame-video fallback for the keyframe
+    use case): per document an 8-I-frame MPEG-1 elementary stream (ISO
+    11172-2) is encoded in-flight (frame f = a constant 16x16 gray tile
+    of value (doc_id*37 + f*41) % 256 — intra DC coding of a flat block
+    is EXACT at every 0-255 value, unlike JPEG's even-constant
+    constraint), carried as a ``video/mpeg`` media column, keyframe-
+    sampled by ``frame_sample`` (sequence/picture/slice/macroblock
+    parse → 4 I-frames evenly → standalone PNGs), and each sampled
+    frame decoded back to pixels. Sampled frame i = source frame 2*i,
+    so DuckDB recomputes every value closed-form from (doc_id,
+    frame_idx): a broken start-code walk, DC predictor, VLC table,
+    IDCT scale, or sampling stride turns rows red. Same production
+    shape as ``video_frame_stats``: ``mapInPandas`` fan-out, no
+    shuffle."""
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import mpeg1_encode_iframes
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import (
+        MULTIMODAL_SCHEMA,
+        decode_image,
+        frame_sample,
+    )
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    np.full(
+                        (16, 16), (int(d) * 37 + f * 41) % 256, dtype=np.uint8
+                    )
+                    for f in range(8)
+                ]
+                media.append(
+                    {
+                        "mime": "video/mpeg",
+                        "uri": f"mpeg://{int(d)}",
+                        "bytes": mpeg1_encode_iframes(frames, fps=25),
+                    }
+                )
+            yield pd.DataFrame({"media": media})
+
+    media_df = docs.mapInPandas(gen, _ST([_SF("media", MULTIMODAL_SCHEMA)]))
+    frames = frame_sample(media_df, n_frames=4)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for uri, idx, data in zip(
+                pdf["uri"], pdf["frame_idx"], pdf["frame_bytes"]
+            ):
+                px = decode_image(bytes(data))
+                rows.append(
+                    (
+                        uri, int(idx), px.shape[0], px.shape[1],
+                        round(float(px.mean()), 6),
+                        int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "frame_idx", "height", "width",
+                    "px_mean", "px_min", "px_max",
+                ],
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "uri string, frame_idx bigint, height int, width int, "
+        "px_mean double, px_min int, px_max int",
+    )
+
+
+_MPEG_ORACLE = """
+SELECT 'mpeg://' || doc_id AS uri, i AS frame_idx, 16 AS height, 16 AS width,
+  ROUND(CAST((doc_id * 37 + i * 2 * 41) % 256 AS DOUBLE), 6) AS px_mean,
+  CAST((doc_id * 37 + i * 2 * 41) % 256 AS INTEGER) AS px_min,
+  CAST((doc_id * 37 + i * 2 * 41) % 256 AS INTEGER) AS px_max
+FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # subquery / analytic / set-op surfaces (SURVEY.md §2.3–2.7 shipped-beyond-
 # reference rows; TPC-H shapes adapted to the driver's column subset)
@@ -9045,6 +9135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "audio_decode_stats": audio_decode_stats,
         "video_frame_stats": video_frame_stats,
+        "video_iframe_stats": video_iframe_stats,
         "cross_encoder_rerank_topk": cross_encoder_rerank_topk,
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
@@ -9242,6 +9333,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "audio_decode_stats": _AUDIO_ORACLE,
         "video_frame_stats": _VIDEO_ORACLE,
+        "video_iframe_stats": _MPEG_ORACLE,
         "cross_encoder_rerank_topk": _CROSS_ENCODER_ORACLE,
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,

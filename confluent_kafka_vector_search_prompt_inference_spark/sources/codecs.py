@@ -1317,3 +1317,597 @@ def avi_decode_mjpeg(data: bytes) -> tuple[list[bytes], dict]:
         raise ValueError("AVI contains no video frame chunks")
     meta.setdefault("n_frames", len(frames))
     return frames, meta
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 video, I-frames only (ISO/IEC 11172-2)
+# ---------------------------------------------------------------------------
+#
+# Round 9: the last declared fake in the media path was inter-frame video
+# (frame_sample fell back to raw byte chunks for anything but MJPEG-AVI).
+# For a TRAINING-DATA pipeline the video use case is keyframe sampling —
+# and an MPEG-1 I-frame is self-contained: intra-only DCT blocks, no
+# motion compensation. This implements exactly that slice of the public
+# spec: sequence/GOP/picture/slice/macroblock parse, intra DC prediction
+# (11172-2 §2.4.4.1: dct_dc_past starts at 1024, differentials scale by
+# 8), AC run/level VLC (table B.5c plus the 6-bit ESCAPE form), the
+# intra quantizer reconstruction with oddification mismatch control, and
+# the same orthonormal IDCT/4:2:0/BT.601 tail as the JPEG decoder.
+# P/B pictures are SKIPPED structurally (their slices are consumed via
+# start-code scan, never decoded) — keyframe sampling is the contract,
+# not playback.
+#
+# The encoder is a conformance-fixture generator, not a rate-optimized
+# encoder: full FDCT + intra quantization, DC via the spec size VLCs, AC
+# via a verified subset of table B.5c with ESCAPE for everything else
+# (spec-legal: a decoder must accept escapes for any codable run/level).
+# VLC table risk is managed accordingly: the <= 11-bit B.5c entries and
+# both escape forms are exercised by encoder round-trips; the 12-16-bit
+# long-tail entries (transcribed from the public table, never emitted by
+# this encoder) decode real streams but carry no fixture coverage — an
+# unknown prefix raises rather than misdecodes.
+
+_MPEG_INTRA_QUANT = np.array([
+     8, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83,
+], dtype=np.int64)
+
+#: picture_rate code → frames/sec (11172-2 table 2-2)
+_MPEG_RATES = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
+               6: 50.0, 7: 59.94, 8: 60.0}
+
+# dct_dc_size VLCs (11172-2 tables B.5a / B.5b): size → (code, nbits)
+_MPEG_DC_LUM = {0: (0b100, 3), 1: (0b00, 2), 2: (0b01, 2), 3: (0b101, 3),
+                4: (0b110, 3), 5: (0b1110, 4), 6: (0b11110, 5),
+                7: (0b111110, 6), 8: (0b1111110, 7)}
+_MPEG_DC_CHROM = {0: (0b00, 2), 1: (0b01, 2), 2: (0b10, 2), 3: (0b110, 3),
+                  4: (0b1110, 4), 5: (0b11110, 5), 6: (0b111110, 6),
+                  7: (0b1111110, 7), 8: (0b11111110, 8)}
+
+# macroblock_address_increment (table B.1): increment → bit string
+_MPEG_MBA = {
+    1: "1", 2: "011", 3: "010", 4: "0011", 5: "0010",
+    6: "00011", 7: "00010", 8: "0000111", 9: "0000110",
+    10: "00001011", 11: "00001010", 12: "00001001", 13: "00001000",
+    14: "00000111", 15: "00000110",
+    16: "0000010111", 17: "0000010110", 18: "0000010101",
+    19: "0000010100", 20: "0000010011", 21: "0000010010",
+    22: "00000100011", 23: "00000100010", 24: "00000100001",
+    25: "00000100000", 26: "00000011111", 27: "00000011110",
+    28: "00000011101", 29: "00000011100", 30: "00000011011",
+    31: "00000011010", 32: "00000011001", 33: "00000011000",
+}
+_MPEG_MBA_ESCAPE = "00000001000"   # +33, then another increment follows
+_MPEG_MBA_STUFF = "00000001111"    # discarded
+
+# dct coefficient run/level VLC (table B.5c, sign bit appended). The
+# encoder emits only the <= 11-bit entries below (fixture-verified);
+# longer entries are decode-only.
+_MPEG_AC_SHORT = {  # (run, level) → bit string WITHOUT the sign bit
+    (0, 1): "11", (1, 1): "011", (0, 2): "0100", (2, 1): "0101",
+    (0, 3): "00101", (3, 1): "00111", (4, 1): "00110",
+    (1, 2): "000110", (5, 1): "000111", (6, 1): "000101", (7, 1): "000100",
+    (0, 4): "0000110", (2, 2): "0000100", (8, 1): "0000111", (9, 1): "0000101",
+    (0, 5): "00100110", (0, 6): "00100001", (1, 3): "00100101",
+    (3, 2): "00100100", (10, 1): "00100111", (11, 1): "00100011",
+    (12, 1): "00100010", (13, 1): "00100000",
+    (0, 7): "0000001010", (1, 4): "0000001100", (2, 3): "0000001011",
+    (4, 2): "0000001111", (5, 2): "0000001001", (14, 1): "0000001110",
+    (15, 1): "0000001101", (16, 1): "0000001000",
+}
+_MPEG_AC_LONG = {  # decode-only long tail (12-16 bit)
+    (0, 8): "000000011101", (0, 9): "000000011000",
+    (0, 10): "000000010011", (0, 11): "000000010000",
+    (1, 5): "000000011011", (2, 4): "000000010100",
+    (3, 3): "000000011100", (4, 3): "000000010010",
+    (6, 2): "000000011110", (7, 2): "000000010101",
+    (8, 2): "000000010001", (17, 1): "000000011111",
+    (18, 1): "000000011010", (19, 1): "000000011001",
+    (20, 1): "000000010111", (21, 1): "000000010110",
+    (0, 12): "0000000011010", (0, 13): "0000000011001",
+    (0, 14): "0000000011000", (0, 15): "0000000010111",
+    (1, 6): "0000000010110", (1, 7): "0000000010101",
+    (2, 5): "0000000010100", (3, 4): "0000000010011",
+    (5, 3): "0000000010010", (9, 2): "0000000010001",
+    (10, 2): "0000000010000", (22, 1): "0000000011111",
+    (23, 1): "0000000011110", (24, 1): "0000000011101",
+    (25, 1): "0000000011100", (26, 1): "0000000011011",
+    (0, 16): "00000000011111", (0, 17): "00000000011110",
+    (0, 18): "00000000011101", (0, 19): "00000000011100",
+    (0, 20): "00000000011011", (0, 21): "00000000011010",
+    (0, 22): "00000000011001", (0, 23): "00000000011000",
+    (0, 24): "00000000010111", (0, 25): "00000000010110",
+    (0, 26): "00000000010101", (0, 27): "00000000010100",
+    (0, 28): "00000000010011", (0, 29): "00000000010010",
+    (0, 30): "00000000010001", (0, 31): "00000000010000",
+    (0, 32): "000000000011000", (0, 33): "000000000010111",
+    (0, 34): "000000000010110", (0, 35): "000000000010101",
+    (0, 36): "000000000010100", (0, 37): "000000000010011",
+    (0, 38): "000000000010010", (0, 39): "000000000010001",
+    (0, 40): "000000000010000", (1, 8): "000000000011111",
+    (1, 9): "000000000011110", (1, 10): "000000000011101",
+    (1, 11): "000000000011100", (1, 12): "000000000011011",
+    (1, 13): "000000000011010", (1, 14): "000000000011001",
+    (27, 1): "0000000000011111", (28, 1): "0000000000011110",
+    (29, 1): "0000000000011101", (30, 1): "0000000000011100",
+    (31, 1): "0000000000011011", (1, 15): "0000000000011010",
+    (1, 16): "0000000000011001", (1, 17): "0000000000011000",
+    (1, 18): "0000000000010111", (6, 3): "0000000000010110",
+    (11, 2): "0000000000010101", (12, 2): "0000000000010100",
+    (13, 2): "0000000000010011", (14, 2): "0000000000010010",
+    (15, 2): "0000000000010001", (16, 2): "0000000000010000",
+}
+
+
+def _mpeg_vlc_decoder(pairs: dict) -> dict:
+    """{(nbits, code_int): symbol} lookup from bit-string tables."""
+    out = {}
+    for sym, bits in pairs.items():
+        out[(len(bits), int(bits, 2))] = sym
+    return out
+
+
+_MPEG_AC_DECODE = _mpeg_vlc_decoder({**_MPEG_AC_SHORT, **_MPEG_AC_LONG})
+_MPEG_MBA_DECODE = _mpeg_vlc_decoder(
+    {**{inc: bits for inc, bits in _MPEG_MBA.items()},
+     "escape": _MPEG_MBA_ESCAPE, "stuff": _MPEG_MBA_STUFF}
+)
+
+
+class _MpegBitWriter:
+    """Plain MSB-first bit stream (no JPEG byte stuffing — MPEG-1 VLCs
+    are start-code-free by construction)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self.out.append((self._acc >> (self._n - 8)) & 0xFF)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def write_bits(self, bits: str) -> None:
+        self.write(int(bits, 2), len(bits))
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)  # zero padding before start codes
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _MpegBitReader:
+    """Plain MSB-first reader (zero bits past the end — spec padding)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _mpeg_read_vlc(r: _MpegBitReader, table: dict, max_len: int, what: str):
+    code = 0
+    for length in range(1, max_len + 1):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError(f"invalid MPEG-1 {what} VLC code")
+
+
+def _mpeg_rate_code(fps: float) -> int:
+    return min(_MPEG_RATES, key=lambda c: abs(_MPEG_RATES[c] - fps))
+
+
+def _mpeg_planes(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """uint8 (H, W[, C]) frame → float64 (Y, Cb, Cr) planes, BT.601,
+    4:2:0 (chroma = 2x2 mean), each padded to the macroblock grid."""
+    a = np.asarray(frame, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        r = g = b = a[:, :, 0]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    y = _pad_to(y, 16, 16)
+    cb = _pad_to(cb, 16, 16)
+    cr = _pad_to(cr, 16, 16)
+    # 4:2:0 — chroma at half resolution (2x2 block mean)
+    h, w = cb.shape
+    cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return y, cb, cr
+
+
+def _mpeg_quant_intra(block: np.ndarray, qscale: int) -> np.ndarray:
+    """8x8 float DCT coefficients → 64 quantized zig-zag levels
+    (11172-2 §2.4.4.2 inverted: level = round(8*F / (qscale*Q)); DC is
+    round(F00/8))."""
+    flat = block.reshape(64)
+    out = np.zeros(64, dtype=np.int64)
+    out[0] = int(np.round(flat[0] / 8.0))
+    # quant matrix applies at the coefficient's RASTER position
+    # (11172-2 §2.4.4.2); the LEVELS are then zig-zag ordered
+    ac = np.round(8.0 * flat / (qscale * _MPEG_INTRA_QUANT)).astype(np.int64)
+    out[1:] = ac[_ZIGZAG][1:]
+    # levels are bounded by the escape form's 16-bit range; clamp to the
+    # 8-bit-extended escape domain the decoder accepts
+    np.clip(out[1:], -255, 255, out=out[1:])
+    return out
+
+
+def _mpeg_write_dc(w: _MpegBitWriter, diff: int, table: dict) -> None:
+    size = int(abs(diff)).bit_length()
+    code, n = table[size]
+    w.write(code, n)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _mpeg_write_ac(w: _MpegBitWriter, run: int, level: int) -> None:
+    """One AC run/level: verified table-B.5c subset when available, the
+    6-bit ESCAPE otherwise (spec-legal for every codable pair)."""
+    key = (run, abs(level))
+    bits = _MPEG_AC_SHORT.get(key)
+    if bits is not None:
+        w.write_bits(bits)
+        w.write(0 if level > 0 else 1, 1)
+        return
+    w.write_bits("000001")
+    w.write(run, 6)
+    if -127 <= level <= 127:
+        w.write(level & 0xFF, 8)
+    elif 128 <= level <= 255:
+        w.write(0x00, 8)
+        w.write(level, 8)
+    elif -255 <= level <= -128:
+        w.write(0x80, 8)
+        w.write(level & 0xFF, 8)
+    else:
+        raise ValueError(f"MPEG-1 AC level {level} out of range")
+
+
+def mpeg1_encode_iframes(
+    frames: list[np.ndarray], *, fps: float = 25.0, qscale: int = 4
+) -> bytes:
+    """Encode frames as an all-I-frame MPEG-1 video elementary stream
+    (ISO 11172-2): sequence header (default quant matrices), one picture
+    per frame, one slice per macroblock row, intra macroblocks only.
+    A conformance-fixture generator for the decoder below and for
+    ``frame_sample``'s keyframe path — every bit it emits is spec
+    bitstream, decodable by any MPEG-1 decoder."""
+    if not frames:
+        raise ValueError("mpeg1_encode_iframes needs at least one frame")
+    if not 1 <= qscale <= 31:
+        raise ValueError(f"qscale must be in [1, 31], got {qscale}")
+    f0 = np.asarray(frames[0])
+    fh, fw = f0.shape[0], f0.shape[1]
+    if fh > 4095 or fw > 4095 or fh < 1 or fw < 1:
+        raise ValueError(f"frame size {fh}x{fw} outside MPEG-1 range")
+    w = _MpegBitWriter()
+    # sequence header
+    w.write(0x000001B3, 32)
+    w.write(fw, 12)
+    w.write(fh, 12)
+    w.write(1, 4)           # pel aspect 1:1
+    w.write(_mpeg_rate_code(fps), 4)
+    w.write(0x3FFFF, 18)    # bit_rate: variable
+    w.write(1, 1)           # marker
+    w.write(16, 10)         # vbv_buffer_size
+    w.write(0, 1)           # constrained_parameters_flag
+    w.write(0, 1)           # load_intra_quantizer_matrix (default)
+    w.write(0, 1)           # load_non_intra_quantizer_matrix (default)
+    mb_w = _ceil_div(fw, 16)
+    for t, frame in enumerate(frames):
+        fa = np.asarray(frame)
+        if fa.shape[0] != fh or fa.shape[1] != fw:
+            raise ValueError("all frames must share the first frame's size")
+        y, cb, cr = _mpeg_planes(fa)
+        w.align()
+        w.write(0x00000100, 32)  # picture start
+        w.write(t % 1024, 10)    # temporal_reference
+        w.write(1, 3)            # picture_coding_type: I
+        w.write(0xFFFF, 16)      # vbv_delay: variable
+        w.write(0, 1)            # extra_bit_picture
+        for mb_row in range(y.shape[0] // 16):
+            w.align()
+            w.write(0x00000100 | (mb_row + 1), 32)  # slice start
+            w.write(qscale, 5)
+            w.write(0, 1)        # extra_bit_slice
+            # DC predictors reset per slice (11172-2 §2.4.4.1)
+            pred = {"y": 128, "cb": 128, "cr": 128}
+            for mb_col in range(mb_w):
+                w.write_bits(_MPEG_MBA[1])  # address increment 1
+                w.write(1, 1)               # macroblock_type: intra-d
+                yy = y[mb_row * 16 : mb_row * 16 + 16,
+                       mb_col * 16 : mb_col * 16 + 16]
+                cbb = cb[mb_row * 8 : mb_row * 8 + 8,
+                         mb_col * 8 : mb_col * 8 + 8]
+                crr = cr[mb_row * 8 : mb_row * 8 + 8,
+                         mb_col * 8 : mb_col * 8 + 8]
+                blocks = [
+                    ("y", yy[:8, :8]), ("y", yy[:8, 8:]),
+                    ("y", yy[8:, :8]), ("y", yy[8:, 8:]),
+                    ("cb", cbb), ("cr", crr),
+                ]
+                for comp, px in blocks:
+                    coef = _DCT_C @ px @ _DCT_C.T
+                    zz = _mpeg_quant_intra(coef, qscale)
+                    dc = int(np.clip(zz[0], 0, 255))
+                    _mpeg_write_dc(
+                        w, dc - pred[comp],
+                        _MPEG_DC_LUM if comp == "y" else _MPEG_DC_CHROM,
+                    )
+                    pred[comp] = dc
+                    run = 0
+                    (nz,) = np.nonzero(zz[1:])
+                    for k in nz:
+                        lvl = int(zz[1 + k])
+                        _mpeg_write_ac(w, int(k) - run, lvl)
+                        run = int(k) + 1
+                    w.write(0b10, 2)  # end_of_block
+    w.align()
+    w.write(0x000001B7, 32)  # sequence_end_code
+    return w.bytes()
+
+
+def _mpeg_at_slice_end(r: _MpegBitReader) -> bool:
+    """True when the bit stream sits on slice-end padding: every
+    remaining bit of the current byte is zero and the next bytes are a
+    start code's ``(00)* 00 00 01`` prefix (the spec's
+    ``nextbits() == '0000 0000 0000 0000 0000 000'`` test, §2.4.2.7) —
+    the macroblock loop stops here instead of misreading padding as an
+    address-increment VLC."""
+    if r._n and (r._acc & ((1 << r._n) - 1)) != 0:
+        return False
+    data, pos = r.data, r.pos
+    zeros = 0
+    while pos < len(data) and data[pos] == 0:
+        zeros += 1
+        pos += 1
+    if pos >= len(data):
+        return True  # trailing padding on a truncated tail
+    return zeros >= 2 and data[pos] == 1
+
+
+def _mpeg_start_codes(data: bytes):
+    """Yield (code_byte, payload_offset) for every byte-aligned
+    ``00 00 01 xx`` start code."""
+    pos = 0
+    while True:
+        pos = data.find(b"\x00\x00\x01", pos)
+        if pos < 0 or pos + 3 >= len(data):
+            return
+        yield data[pos + 3], pos + 4
+        pos += 3
+
+
+_MPEG_DC_LUM_DECODE = {
+    (n, code): size for size, (code, n) in _MPEG_DC_LUM.items()
+}
+_MPEG_DC_CHROM_DECODE = {
+    (n, code): size for size, (code, n) in _MPEG_DC_CHROM.items()
+}
+
+
+def _mpeg_read_dc(r: _MpegBitReader, lum: bool) -> int:
+    dec = _MPEG_DC_LUM_DECODE if lum else _MPEG_DC_CHROM_DECODE
+    size = _mpeg_read_vlc(r, dec, 8, "dct_dc_size")
+    if size == 0:
+        return 0
+    bits = r.read(size)
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _mpeg_decode_block(
+    r: _MpegBitReader, lum: bool, pred: int, qscale: int, quant: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """One intra block → (8x8 float pixel block, new DC predictor).
+    ``pred`` is dct_dc_past/8 (the previous DC value, 0..255 scale)."""
+    diff = _mpeg_read_dc(r, lum)
+    dc = pred + diff
+    zz = np.zeros(64, dtype=np.int64)
+    k = 0
+    while True:
+        # peek for end_of_block ('10') vs a coefficient code — EOB is a
+        # prefix-free member of the same table space
+        b1 = r.read_bit()
+        if b1 == 1:
+            b2 = r.read_bit()
+            if b2 == 0:
+                break  # EOB
+            # '11' + sign: (0, 1)
+            run, level = 0, 1
+            if r.read_bit():
+                level = -1
+        else:
+            # re-walk the VLC from the consumed '0'
+            code, length = 0b0, 1
+            sym = None
+            while length <= 16:
+                if (length, code) in _MPEG_AC_DECODE:
+                    sym = _MPEG_AC_DECODE[(length, code)]
+                    break
+                if length == 6 and code == 0b000001:
+                    sym = "escape"
+                    break
+                code = (code << 1) | r.read_bit()
+                length += 1
+            if sym is None:
+                raise ValueError("invalid MPEG-1 dct_coeff VLC code")
+            if sym == "escape":
+                run = r.read(6)
+                first = r.read(8)
+                if first == 0x00:
+                    level = r.read(8)
+                elif first == 0x80:
+                    level = r.read(8) - 256
+                else:
+                    level = first - 256 if first >= 128 else first
+            else:
+                run, level = sym
+                if r.read_bit():
+                    level = -level
+        k += run + 1
+        if k > 63:
+            raise ValueError("MPEG-1 AC coefficient overran the block")
+        zz[k] = level
+    # reconstruction (11172-2 §2.4.4.2): raster-position quant matrix,
+    # truncating division, oddification, clamp
+    recon = np.zeros(64, dtype=np.int64)
+    recon[_ZIGZAG] = zz  # zig-zag levels back to raster positions
+    out = np.zeros(64, dtype=np.int64)
+    nz = recon != 0
+    prod = 2 * recon[nz] * qscale * quant[nz]
+    vals = np.sign(prod) * (np.abs(prod) // 16)
+    even = (vals % 2 == 0) & (vals != 0)
+    vals = vals - even * np.sign(vals)
+    out[nz] = vals
+    out[0] = dc * 8  # intra DC: dct_dc_past + diff, carried at x8 scale
+    np.clip(out, -2048, 2047, out=out)
+    coefs = out.reshape(8, 8).astype(np.float64)
+    px = _DCT_C.T @ coefs @ _DCT_C
+    return px, dc
+
+
+def mpeg1_decode_iframes(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode every I-frame of an MPEG-1 video elementary stream →
+    (list of (H, W, 3) uint8 RGB frames, metadata with ``width`` /
+    ``height`` / ``fps`` / ``n_pictures`` / ``n_iframes``). P/B pictures
+    are structurally SKIPPED (their slices are consumed by the
+    start-code scan, never decoded) — this is a KEYFRAME SAMPLER per the
+    training-data use case, not a player. Raises on non-MPEG input, on
+    missing sequence headers, and on invalid VLC codes — never returns
+    garbage frames."""
+    if b"\x00\x00\x01\xb3" not in data[:4096]:
+        raise ValueError("not an MPEG-1 video stream (no sequence header)")
+    meta: dict = {"n_pictures": 0, "n_iframes": 0}
+    frames: list[np.ndarray] = []
+    quant = _MPEG_INTRA_QUANT.copy()
+    fh = fw = 0
+    cur_type = 0
+    y = cb = cr = None
+    qscale = 8
+    pred = {"y": 128, "cb": 128, "cr": 128}
+    for code, off in _mpeg_start_codes(data):
+        if code == 0xB3:  # sequence header
+            r = _MpegBitReader(data, off)
+            fw = r.read(12)
+            fh = r.read(12)
+            r.read(4)  # aspect
+            meta["fps"] = _MPEG_RATES.get(r.read(4), 0.0)
+            r.read(18 + 1 + 10 + 1)
+            if r.read_bit():  # load_intra_quantizer_matrix
+                vals = np.array([r.read(8) for _ in range(64)], dtype=np.int64)
+                quant = np.zeros(64, dtype=np.int64)
+                quant[_ZIGZAG] = vals  # transmitted in zig-zag order
+            meta["width"], meta["height"] = fw, fh
+        elif code == 0x00:  # picture
+            if y is not None and cur_type == 1:
+                frames.append(_mpeg_frame_to_rgb(y, cb, cr, fh, fw))
+            y = cb = cr = None
+            r = _MpegBitReader(data, off)
+            r.read(10)
+            cur_type = r.read(3)
+            meta["n_pictures"] += 1
+            if cur_type == 1:
+                meta["n_iframes"] += 1
+                mbw, mbh = _ceil_div(fw, 16), _ceil_div(fh, 16)
+                y = np.zeros((mbh * 16, mbw * 16))
+                cb = np.full((mbh * 8, mbw * 8), 128.0)
+                cr = np.full((mbh * 8, mbw * 8), 128.0)
+        elif 0x01 <= code <= 0xAF and cur_type == 1:  # slice of an I-frame
+            if y is None:
+                raise ValueError("MPEG-1 slice before any picture header")
+            mbw = _ceil_div(fw, 16)
+            r = _MpegBitReader(data, off)
+            qscale = r.read(5)
+            while r.read_bit():  # extra_information_slice
+                r.read(8)
+            pred = {"y": 128, "cb": 128, "cr": 128}
+            mb_addr = (code - 1) * mbw - 1
+            while not _mpeg_at_slice_end(r):
+                inc = 0
+                while True:
+                    sym = _mpeg_read_vlc(
+                        r, _MPEG_MBA_DECODE, 11, "macroblock_address"
+                    )
+                    if sym == "stuff":
+                        continue
+                    if sym == "escape":
+                        inc += 33
+                        continue
+                    inc += sym
+                    break
+                mb_addr += inc
+                mb_row, mb_col = divmod(mb_addr, mbw)
+                if r.read_bit() == 0:  # macroblock_type (I): '1' or '01'
+                    if r.read_bit() != 1:
+                        raise ValueError("invalid I-picture macroblock_type")
+                    qscale = r.read(5)
+                    # intra-q: new quantizer_scale for this MB onward
+                for comp, oy, ox, lum in (
+                    ("y", 0, 0, True), ("y", 0, 8, True),
+                    ("y", 8, 0, True), ("y", 8, 8, True),
+                    ("cb", 0, 0, False), ("cr", 0, 0, False),
+                ):
+                    px, pred[comp] = _mpeg_decode_block(
+                        r, lum, pred[comp], qscale, quant
+                    )
+                    if comp == "y":
+                        y[mb_row * 16 + oy : mb_row * 16 + oy + 8,
+                          mb_col * 16 + ox : mb_col * 16 + ox + 8] = px
+                    else:
+                        tgt = cb if comp == "cb" else cr
+                        tgt[mb_row * 8 : mb_row * 8 + 8,
+                            mb_col * 8 : mb_col * 8 + 8] = px
+        elif code in (0xB7, 0xB8, 0xB2, 0xB5):
+            continue  # sequence end / GOP / user data / extension
+    if y is not None and cur_type == 1:
+        frames.append(_mpeg_frame_to_rgb(y, cb, cr, fh, fw))
+    if not frames:
+        raise ValueError("MPEG-1 stream contains no decodable I-frames")
+    return frames, meta
+
+
+def _mpeg_frame_to_rgb(y, cb, cr, fh: int, fw: int) -> np.ndarray:
+    cbf = cb.repeat(2, axis=0).repeat(2, axis=1)[:fh, :fw]
+    crf = cr.repeat(2, axis=0).repeat(2, axis=1)[:fh, :fw]
+    yf = y[:fh, :fw]
+    r_ = yf + 1.402 * (crf - 128.0)
+    g_ = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b_ = yf + 1.772 * (cbf - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

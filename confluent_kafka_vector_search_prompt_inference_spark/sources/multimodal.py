@@ -147,15 +147,22 @@ def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> 
     standalone playable WAV. ``video/x-msvideo`` (MJPEG AVI) blobs are
     REALLY demuxed (round 8 — ``codecs.avi_decode_mjpeg``): N frames
     sampled evenly across the container, each emitted as a standalone
-    decodable JPEG. Inter-frame video codecs (H.264 …) are genuinely
-    absent, so OTHER video (and unknown) blobs keep the deterministic
-    raw-byte-chunk fallback — the production execution shape is
-    identical in every branch: ``mapInPandas`` fan-out (bounded memory:
-    one blob decoded at a time per batch), typed output, no shuffle."""
+    decodable JPEG. ``video/mpeg`` blobs are REALLY decoded (round 9 —
+    ``codecs.mpeg1_decode_iframes``, ISO 11172-2 I-frames only, exactly
+    the keyframe-sampling contract a training-data pipeline needs): N
+    I-frames sampled evenly, each re-encoded as a standalone decodable
+    PNG; P/B pictures are structurally skipped, never decoded. Modern
+    inter-frame codecs (H.264 …) remain genuinely absent, so OTHER
+    video (and unknown) blobs keep the deterministic raw-byte-chunk
+    fallback — the production execution shape is identical in every
+    branch: ``mapInPandas`` fan-out (bounded memory: one blob decoded
+    at a time per batch), typed output, no shuffle."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
             avi_decode_mjpeg,
+            mpeg1_decode_iframes,
+            png_encode,
             wav_decode,
             wav_encode,
         )
@@ -182,6 +189,13 @@ def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> 
                         uris.append(m["uri"])
                         idxs.append(i)
                         frames.append(all_frames[(i * n) // n_frames])
+                elif m["mime"] == "video/mpeg":
+                    iframes, _meta = mpeg1_decode_iframes(bytes(data))
+                    n = len(iframes)
+                    for i in range(n_frames):
+                        uris.append(m["uri"])
+                        idxs.append(i)
+                        frames.append(png_encode(iframes[(i * n) // n_frames]))
                 else:
                     step = max(len(data) // n_frames, 1)
                     for i in range(n_frames):

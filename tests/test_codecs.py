@@ -510,3 +510,144 @@ def test_avi_header_dims_skip_exif_thumbnail_sof():
     out, meta = avi_decode_mjpeg(avi)
     assert (meta["width"], meta["height"]) == (24, 32)
     assert out == [frame]
+
+
+# ---------------------------------------------------------------------------
+# Round 9: MPEG-1 I-frame codec (ISO 11172-2)
+
+from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (  # noqa: E402
+    _MPEG_INTRA_QUANT,
+    _MpegBitReader,
+    _MpegBitWriter,
+    _mpeg_decode_block,
+    _mpeg_write_ac,
+    _mpeg_write_dc,
+    _MPEG_DC_LUM,
+    mpeg1_decode_iframes,
+    mpeg1_encode_iframes,
+)
+
+
+def test_mpeg1_flat_frames_roundtrip_exact():
+    """Intra DC coding of a flat block is exact at EVERY 0-255 value
+    (no JPEG even-constant constraint: MPEG-1 carries DC at x8 scale
+    with no level shift), and gray maps to R=G=B bit-for-bit."""
+    vals = [0, 1, 7, 127, 128, 200, 254, 255]
+    frames = [np.full((16, 32), v, dtype=np.uint8) for v in vals]
+    out, meta = mpeg1_decode_iframes(mpeg1_encode_iframes(frames, fps=30))
+    assert meta["width"] == 32 and meta["height"] == 16
+    assert meta["fps"] == 30.0 and meta["n_iframes"] == len(vals)
+    for v, o in zip(vals, out):
+        assert o.shape == (16, 32, 3)
+        assert (o == v).all(), (v, np.unique(o))
+
+
+def test_mpeg1_lossy_roundtrip_bounded_and_deterministic():
+    """Block-color frames survive the full FDCT/quant/VLC/IDCT path
+    within quantization error; encode is byte-deterministic; non-16
+    multiples pad and crop correctly."""
+    rng = np.random.default_rng(7)
+    fr = np.zeros((20, 36, 3), dtype=np.uint8)
+    for i in range(0, 20, 4):
+        for j in range(0, 36, 4):
+            fr[i : i + 4, j : j + 4] = rng.integers(0, 256, 3)
+    data = mpeg1_encode_iframes([fr], qscale=2)
+    assert data == mpeg1_encode_iframes([fr], qscale=2)
+    out, meta = mpeg1_decode_iframes(data)
+    assert out[0].shape == (20, 36, 3)
+    err = np.abs(out[0].astype(int) - fr.astype(int))
+    assert err.max() <= 24, err.max()  # quant + 4:2:0 chroma edges
+    assert err.mean() <= 4.0, err.mean()
+
+
+def test_mpeg1_block_vlc_table_and_escape_paths():
+    """Direct block round trip through the AC VLC layer: table-coded
+    short entries, 8-bit escapes, and BOTH extended escape forms
+    (128..255 / -255..-128), verified against the spec reconstruction
+    (truncating division + oddification) computed independently."""
+    cases = [  # (run, level) pairs spanning every encode path
+        (0, 1), (3, 1), (0, 4), (15, 1), (5, 2),        # table subset
+        (0, -3), (7, -1),                               # table + sign
+        (0, 40), (20, 13), (63 - 1 - 21, -77),          # 8-bit escapes
+        (2, 200), (0, 255),                             # extended +
+        (1, -128), (4, -255),                           # extended −
+    ]
+    qscale = 3
+    for run, level in cases:
+        w = _MpegBitWriter()
+        _mpeg_write_dc(w, 10, _MPEG_DC_LUM)  # dc diff +10 over pred 128
+        _mpeg_write_ac(w, run, level)
+        w.write(0b10, 2)  # EOB
+        r = _MpegBitReader(w.bytes())
+        px, dc = _mpeg_decode_block(r, True, 128, qscale, _MPEG_INTRA_QUANT)
+        assert dc == 138
+        # independent spec reconstruction of the single AC coefficient
+        zz = np.zeros(64, dtype=np.int64)
+        zz[1 + run] = level
+        recon = np.zeros(64, dtype=np.int64)
+        from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import _DCT_C, _ZIGZAG
+
+        recon[_ZIGZAG] = zz
+        prod = 2 * recon * qscale * _MPEG_INTRA_QUANT
+        vals = np.sign(prod) * (np.abs(prod) // 16)
+        vals = vals - ((vals % 2 == 0) & (vals != 0)) * np.sign(vals)
+        vals[0] = 138 * 8
+        expect = _DCT_C.T @ vals.reshape(8, 8).astype(float) @ _DCT_C
+        assert np.allclose(px, expect), (run, level)
+
+
+def test_mpeg1_skips_non_i_pictures():
+    """P/B pictures (and their slices) are structurally skipped: the
+    decoder returns only I-frames and counts both."""
+    frames = [np.full((16, 16), v, dtype=np.uint8) for v in (50, 90)]
+    data = bytearray(mpeg1_encode_iframes(frames))
+    end = data.rfind(b"\x00\x00\x01\xb7")
+    second_pic = data.rfind(b"\x00\x00\x01\x00", 0, end)
+    # splice a P picture (type 2) with one garbage slice between the two
+    w = _MpegBitWriter()
+    w.write(0x00000100, 32)
+    w.write(1, 10)
+    w.write(2, 3)        # P
+    w.write(0xFFFF, 16)
+    w.write(1, 1)        # full_pel_forward_vector
+    w.write(1, 3)        # forward_f_code
+    w.write(0, 1)
+    fake = w.bytes() + b"\x00\x00\x01\x05" + b"\xfa\xce\xfa\xce" + b"\x00\x00"
+    spliced = bytes(data[:second_pic]) + fake + bytes(data[second_pic:])
+    out, meta = mpeg1_decode_iframes(spliced)
+    assert meta["n_pictures"] == 3 and meta["n_iframes"] == 2
+    assert len(out) == 2
+    assert (out[0] == 50).all() and (out[1] == 90).all()
+
+
+def test_mpeg1_rejects_garbage():
+    with pytest.raises(ValueError, match="sequence header"):
+        mpeg1_decode_iframes(b"\x00\x00\x01\xb8" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        mpeg1_encode_iframes([])
+    with pytest.raises(ValueError, match="qscale"):
+        mpeg1_encode_iframes([np.zeros((16, 16), np.uint8)], qscale=0)
+
+
+def test_frame_sample_decodes_mpeg_keyframes(spark):
+    """End-to-end: a video/mpeg media column keyframe-samples through
+    frame_sample into standalone PNGs with the right source frames."""
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import decode_image, frame_sample
+    from pyspark.sql.types import StructField, StructType
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.multimodal import MULTIMODAL_SCHEMA
+
+    frames = [np.full((16, 16), 10 * f, dtype=np.uint8) for f in range(8)]
+    blob = mpeg1_encode_iframes(frames)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media": [{"mime": "video/mpeg", "uri": "m://1", "bytes": blob}]}
+        ),
+        StructType([StructField("media", MULTIMODAL_SCHEMA)]),
+    )
+    got = frame_sample(df, n_frames=4).collect()
+    assert [r["frame_idx"] for r in got] == [0, 1, 2, 3]
+    for r in got:
+        px = decode_image(bytes(r["frame_bytes"]))
+        assert (px == 10 * (r["frame_idx"] * 2)).all()
