@@ -9010,6 +9010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch family gets its one (q17 moved to the tail, still
         # parity-gated)
         "sketch_value_quantiles": sketch_value_quantiles,
+        "kll_value_quantiles": kll_value_quantiles,
+        "video_iframe_stats": video_iframe_stats,
         "window_running_total": window_running_total,
         "scalar_string_fns": scalar_string_fns,
         "join_semi": join_semi,
@@ -9043,9 +9045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_topk_shuffle": vec_topk_shuffle,
         "vec_cosine_topk": vec_cosine_topk,
-        "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
         "vec_topk_ivf": vec_topk_ivf,
-        "vec_pq_topk": vec_pq_topk,
         # dedup (§2.11)
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_lsh_dups": minhash_lsh_dups,
@@ -9056,6 +9056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAG end-to-end (§3 — the reference's flagship workload)
         "rag_prompts": rag_prompts,
         "rag_answers": rag_answers,
+        "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
+        "vec_pq_topk": vec_pq_topk,
         # ---- position 51+: parity-checked via tools/parity.py ----
         "cube_agg": cube_agg,
         "case_bucketing": case_bucketing,
@@ -9135,7 +9137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "audio_decode_stats": audio_decode_stats,
         "video_frame_stats": video_frame_stats,
-        "video_iframe_stats": video_iframe_stats,
         "cross_encoder_rerank_topk": cross_encoder_rerank_topk,
         "vec_topk_filtered": vec_topk_filtered,
         "vec_matryoshka_rescore_topk": vec_matryoshka_rescore_topk,
@@ -9187,7 +9188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_temperature_mix": domain_temperature_mix,
         "epoch_shuffle_order": epoch_shuffle_order,
         "source_nchars_quantiles": source_nchars_quantiles,
-        "kll_value_quantiles": kll_value_quantiles,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
