@@ -364,7 +364,13 @@ def retire_tombstone(
     (``enforce_retention_tombstoned`` tombstones BEFORE it deletes, so
     an anti-join against the still-complete sink here would wrongly
     empty the set). Returns the tombstone dir, or None if nothing to
-    retire."""
+    retire.
+
+    Coordination contract (same as :func:`enforce_retention` itself):
+    retention runs from ONE maintenance scheduler at a time — the
+    tmp-then-rename write is atomic against the STREAM's concurrent
+    reads/GC, but two concurrent retirements could race the sequence
+    number."""
     import json
 
     buckets_dir = os.path.join(sink_dir, "_buckets")
@@ -1668,6 +1674,18 @@ def maintain_bucket_store(
         target_n = None
     out_n = int(target_n) if target_n is not None else meta_n
     stats["pending_target"] = target_n
+    # sweep tombstone debris first: a crashed retire's _tomb_tmp, or a
+    # half-deleted dir from a GC that crashed mid-rmtree (rmtree can
+    # remove _SUCCESS first, leaving a dir _live_tombstones no longer
+    # sees and nothing else would ever reclaim)
+    troot = _tombstones_dir(buckets_dir)
+    if os.path.isdir(troot):
+        import glob as _glob
+
+        live_t = set(_live_tombstones(buckets_dir))
+        for d in _glob.glob(os.path.join(troot, "*")):
+            if os.path.isdir(d) and d not in live_t:
+                shutil.rmtree(d, ignore_errors=True)
     tombs = _live_tombstones(buckets_dir)
 
     dirs = _committed_batch_dirs(buckets_dir)
@@ -1782,7 +1800,7 @@ def maintain_bucket_store(
             stats["finalized"] = True
 
     # tombstone GC: drained when every run lists it applied and no
-    # remaining flat delta predates it
+    # remaining flat delta predates it (debris sweep happened up top)
     if tombs:
         dirs = _committed_batch_dirs(buckets_dir)
         for t in _live_tombstones(buckets_dir):

@@ -2288,3 +2288,27 @@ def test_kll_insert_maintains_deterministic_sketch(spark, tmp_path):
     folded = compact_sink(spark, os.path.join(sink, "_kllsketch"), keep_batches=1)
     assert folded >= 1
     assert checks() == before
+
+
+def test_maintain_sweeps_crashed_tombstone_debris(spark, tmp_path):
+    """A GC that crashes mid-rmtree can delete a tombstone's _SUCCESS
+    first, leaving a dir _live_tombstones no longer sees; a crashed
+    retire leaves _tomb_tmp. Maintenance sweeps both."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _live_tombstones,
+        _tombstones_dir,
+        maintain_bucket_store,
+    )
+
+    sink = str(tmp_path / "sink")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    troot = _tombstones_dir(os.path.join(sink, "_buckets"))
+    os.makedirs(os.path.join(troot, "t=0"))  # half-deleted: no _SUCCESS
+    open(os.path.join(troot, "t=0", "_tomb_meta.json"), "a").close()
+    os.makedirs(os.path.join(troot, "_tomb_tmp"))  # crashed retire
+    assert not _live_tombstones(os.path.join(sink, "_buckets"))
+    maintain_bucket_store(spark, sink, id_col="doc_id",
+                          bucket_partitions=4, compact_every=1)
+    assert not os.path.exists(os.path.join(troot, "t=0"))
+    assert not os.path.exists(os.path.join(troot, "_tomb_tmp"))
