@@ -116,6 +116,97 @@ def run(spark: SparkSession, verbose: bool = False):
     return out
 
 
+def run_online(spark: SparkSession, verbose: bool = False):
+    """The SAME lifecycle with zero stop-the-world moments (round 9):
+    retention lands TOMBSTONES (``enforce_retention_tombstoned``) and a
+    partition migration is a REQUEST (``request_rebucket_online``) —
+    both drain through the stream's own per-batch maintenance
+    (``maintain_bucket_store`` riding the geometric compaction merges)
+    while documents keep landing. The offline one-shots of :func:`run`
+    remain for stopped stores; a forever-running pipeline
+    (``README.md:435``) never needs them."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _live_tombstones,
+        bucket_store_partitions,
+        enforce_retention_tombstoned,
+        file_stream_reader,
+        near_dedup_insert,
+        read_bucket_maintenance,
+        read_bucket_store,
+        read_sink,
+        request_rebucket_online,
+    )
+
+    work = tempfile.mkdtemp(prefix="store_lifecycle_online_")
+    src = os.path.join(work, "src")
+    sink = os.path.join(work, "sink")
+    buckets = os.path.join(sink, "_buckets")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog while the cat "
+           "watches from the warm windowsill in the late afternoon sun",
+        2: "schema registries attach late bound data contracts to kafka "
+           "topics so raw bytes decode into typed tables for every consumer",
+        3: "tiered compaction folds the flat tail into partitioned runs "
+           "that merge geometrically bounding the amortized rewrite cost",
+        4: "retirement tombstones drain through the same merges so the "
+           "forever running pipeline never stops for a store rewrite",
+    }
+
+    def stream_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = near_dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, os.path.join(work, "ckpt"),
+            id_col="doc_id", text_col="text", threshold=0.5,
+            bucket_partitions=4, compact_every=1, trigger_once=True,
+        )
+        q.awaitTermination(600)
+
+    out = {}
+    # 1. stream three docs
+    stream_batch([(1, texts[1])])
+    stream_batch([(2, texts[2])])
+    stream_batch([(3, texts[3])])
+    # 2. retention retires the oldest epoch — tombstone lands BEFORE the
+    #    delete; the stream is never stopped
+    out["retired_epochs"] = enforce_retention_tombstoned(
+        spark, sink, id_col="doc_id", max_batches=2
+    )
+    out["tombstones_live"] = len(_live_tombstones(buckets))
+    # 3. a migration request: nothing is rewritten yet
+    request_rebucket_online(buckets, 16)
+    out["pending"] = read_bucket_maintenance(buckets)
+    # 4. the stream just keeps running — each batch's maintenance call
+    #    applies the tombstone and rewrites one stale run at the target N
+    stream_batch([(4, texts[4])])
+    stream_batch([(5, texts[3].replace("compaction", "compression"))])
+    stream_batch([(6, texts[4] + " with a trailing clause appended")])
+    out["pending_after"] = read_bucket_maintenance(buckets)
+    out["partitions_after"] = bucket_store_partitions(buckets, 4)
+    out["tombstones_after"] = len(_live_tombstones(buckets))
+    out["store_ids"] = sorted(
+        {r["doc_id"] for r in read_bucket_store(spark, buckets, "doc_id").collect()}
+    )
+    # 5. dedup semantics through it all: a near-copy of LIVE doc 2 drops,
+    #    a near-copy of the RETIRED doc 1 lands
+    stream_batch([(20, texts[2].replace("schema", "scheme")),
+                  (21, texts[1].replace("dog", "hound"))])
+    out["landed_final"] = sorted(
+        r.doc_id for r in read_sink(spark, sink).collect()
+    )
+    if verbose:
+        for k, v in out.items():
+            print(f"{k:26s} {v}")
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
@@ -127,3 +218,4 @@ if __name__ == "__main__":
     )
     spark.sparkContext.setLogLevel("ERROR")
     run(spark, verbose=True)
+    run_online(spark, verbose=True)
