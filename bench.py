@@ -451,12 +451,14 @@ def main() -> None:
     # burns a judge round re-litigating it (late_interaction oscillated
     # +-20% for three rounds straight); a real regression survives the
     # third rep and still shows.
+    # parse the previous record ONCE; all three views (host factor,
+    # batch timings, streaming lanes) must come from the same file
     prev_record = _previous_round_bench()
-    host_factor = _host_factor(
-        calibration_sec, prev_record if _same_sf(prev_record) else {}
-    )
+    if not _same_sf(prev_record):
+        prev_record = {}
+    host_factor = _host_factor(calibration_sec, prev_record)
     for name in _batch_damp_candidates(
-        timings, _previous_round_timings(), host_factor
+        timings, dict(prev_record.get("queries", {})), host_factor
     ):
         t0 = time.time()
         if name in EXTRA_ACTIONS:
@@ -483,7 +485,7 @@ def main() -> None:
     # recorded numbers upward across rounds relative to a single honest
     # run. A real plan regression survives both reps and still shows.
     flagged = _flagged_stream_lanes(
-        streaming, _previous_round_streaming(), host_factor
+        streaming, dict(prev_record.get("streaming", {})), host_factor
     )
     if flagged:
         _apply_stream_rerun(streaming, _streaming_bench(spark), flagged)

@@ -1614,7 +1614,11 @@ def mpeg1_encode_iframes(
         raise ValueError(f"qscale must be in [1, 31], got {qscale}")
     f0 = np.asarray(frames[0])
     fh, fw = f0.shape[0], f0.shape[1]
-    if fh > 4095 or fw > 4095 or fh < 1 or fw < 1:
+    if fh > 2800 or fw > 4095 or fh < 1 or fw < 1:
+        # height caps at 175 macroblock rows = 2800 px, NOT the header
+        # field's 4095: slice_vertical_position lives inside the start
+        # code (0x101..0x1AF) — row 176+ would emit 0x1B0+ codes that
+        # collide with sequence/GOP start codes and corrupt the stream
         raise ValueError(f"frame size {fh}x{fw} outside MPEG-1 range")
     w = _MpegBitWriter()
     # sequence header

@@ -239,6 +239,13 @@ def bucket_store_partitions(buckets_dir: str, default: int) -> int:
     return default
 
 
+#: how long a non-committed dir under ``_tombstones/`` must sit
+#: untouched before the maintenance sweep treats it as crash debris —
+#: far past any retire_tombstone write, so a CONCURRENT retire's
+#: in-flight staging dir is never swept out from under it
+_TOMB_DEBRIS_AGE_S = 3600.0
+
+
 def _maintenance_path(buckets_dir: str) -> str:
     return os.path.join(buckets_dir, "_maintenance.json")
 
@@ -385,10 +392,15 @@ def retire_tombstone(
     os.makedirs(troot, exist_ok=True)
     seqs = [int(d.rsplit("=", 1)[1]) for d in _live_tombstones(buckets_dir)]
     target = os.path.join(troot, f"t={max(seqs) + 1 if seqs else 0}")
-    tmp = os.path.join(troot, "_tomb_tmp")
+    # UNIQUE staging name: the stream's maintenance debris sweep runs
+    # concurrently with this multi-second write, and a fixed name would
+    # make an in-flight retire indistinguishable from a crashed one's
+    # leftovers (the sweep additionally age-guards, but uniqueness means
+    # a re-run after a crash never collides with its own debris either)
     import shutil
+    import uuid
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = os.path.join(troot, f"_tomb_tmp_{uuid.uuid4().hex[:12]}")
     dead.coalesce(1).write.mode("overwrite").parquet(tmp)
     if spark.read.parquet(tmp).isEmpty():
         shutil.rmtree(tmp)
@@ -425,10 +437,18 @@ def enforce_retention_tombstoned(
     whose ids are still live — harmless, because every application
     re-verifies against the live sink (still-live ids are excluded);
     the reverse order would leave dead width with no tombstone at all
-    until the next retention pass. Returns the epoch ids removed."""
+    until the next retention pass. The deletion removes EXACTLY the
+    precomputed doomed set — re-running the selection after the
+    (multi-second) tombstone write would race the live stream: an epoch
+    committed in between shifts the count and the re-selection would
+    delete one more epoch whose ids were never tombstoned, permanent
+    dead width the tombstone can no longer record. Returns the epoch
+    ids removed."""
     import re
+    import shutil
 
     doomed: list[str] = []
+    doomed_epochs: list[int] = []
     if os.path.isdir(sink_dir):
         dirs = []
         for d in sorted(os.listdir(sink_dir)):
@@ -451,7 +471,9 @@ def enforce_retention_tombstoned(
             )
             if not (over_count or over_bytes):
                 break
-            doomed.append(live.pop(0)[1])
+            epoch, path, _ = live.pop(0)
+            doomed.append(path)
+            doomed_epochs.append(epoch)
     # only COMMITTED doomed epochs are readable (a crashed epoch's
     # partial files have no rows a bucket store could reference anyway —
     # the store is written after the sink commit)
@@ -484,9 +506,9 @@ def enforce_retention_tombstoned(
         retire_tombstone(
             spark, sink_dir, retired, id_col=id_col, verified=True
         )
-    return enforce_retention(
-        sink_dir, max_batches=max_batches, max_bytes=max_bytes
-    )
+    for path in doomed:
+        shutil.rmtree(path, ignore_errors=True)
+    return doomed_epochs
 
 
 def write_bucket_delta(
@@ -947,7 +969,7 @@ def near_dedup_insert(
             # writes go through write_bucket_delta directly.
             write_bucket_delta(
                 _epoch_delta(spark, p).repartition(1), buckets_dir, eid,
-                num_partitions=n_parts,
+                num_partitions=n_parts, nparts_sidecar=nparts_sidecar,
             )
             layout_checked.add(eid)
 
@@ -1674,17 +1696,27 @@ def maintain_bucket_store(
         target_n = None
     out_n = int(target_n) if target_n is not None else meta_n
     stats["pending_target"] = target_n
-    # sweep tombstone debris first: a crashed retire's _tomb_tmp, or a
+    # sweep tombstone debris first: a crashed retire's _tomb_tmp_*, or a
     # half-deleted dir from a GC that crashed mid-rmtree (rmtree can
     # remove _SUCCESS first, leaving a dir _live_tombstones no longer
-    # sees and nothing else would ever reclaim)
+    # sees and nothing else would ever reclaim). AGE-GUARDED: retention
+    # runs CONCURRENTLY with the stream, so a non-committed dir younger
+    # than the guard may be a retire mid-write — only dirs untouched for
+    # an hour (far past any retire's write time, and retires are unique-
+    # named so a live one never shares a crashed one's path) are debris.
     troot = _tombstones_dir(buckets_dir)
     if os.path.isdir(troot):
         import glob as _glob
+        import time as _time
 
         live_t = set(_live_tombstones(buckets_dir))
+        cutoff = _time.time() - _TOMB_DEBRIS_AGE_S
         for d in _glob.glob(os.path.join(troot, "*")):
-            if os.path.isdir(d) and d not in live_t:
+            if (
+                os.path.isdir(d)
+                and d not in live_t
+                and os.path.getmtime(d) < cutoff
+            ):
                 shutil.rmtree(d, ignore_errors=True)
     tombs = _live_tombstones(buckets_dir)
 
@@ -1735,13 +1767,21 @@ def maintain_bucket_store(
             stale = [
                 d for d in stale if _dir_nparts(d, meta_n) != out_n
             ]
+    # re-mod whenever ANY dir's N differs from out_n — not only while a
+    # migration is pending: a migration CANCELLED mid-way (re-requesting
+    # the pinned N deletes the request) leaves target-keyed dirs behind,
+    # and folding those without the re-mod would emit rows keyed at the
+    # old target under no sidecar, silently mis-pruned forever after
+    remod = target_n is not None or any(
+        _dir_nparts(d, meta_n) != out_n for d in dirs
+    )
     transform = None
-    if kill is not None or target_n is not None:
+    if kill is not None or remod:
         def transform(df, _kill=kill):
             out = df
             if _kill is not None:
                 out = out.join(_kill, id_col, "left_anti")
-            if target_n is not None:
+            if remod:
                 out = out.drop("__bpart").withColumn(
                     "__bpart",
                     F.pmod(F.col("__bucket"), F.lit(out_n)).cast("int"),
@@ -1751,7 +1791,7 @@ def maintain_bucket_store(
     maint = dict(
         transform=transform,
         applied_tombstones=sorted(tomb_names) or None,
-        nparts_out=out_n if target_n is not None else None,
+        nparts_out=out_n if remod else None,
     )
     try:
         if will_fold:

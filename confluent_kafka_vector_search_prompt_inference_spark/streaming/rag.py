@@ -109,7 +109,13 @@ def _host_speed_ratio(spark) -> float:
     return t_job / max(t_mm, 1e-6)
 
 
-_crossover_cache: dict = {}
+import weakref as _weakref
+
+#: session → measured host-speed ratio. WEAK keys: an ``id(spark)`` key
+#: would both leak entries for stopped sessions and — worse — alias a
+#: NEW session onto a dead one's address, silently reusing a stale
+#: ratio without probing.
+_crossover_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def exact_lane_crossover_rows(spark) -> int:
@@ -125,13 +131,12 @@ def exact_lane_crossover_rows(spark) -> int:
     warning threshold: order-of-magnitude fidelity is the goal, which is
     why a 2-point micro-probe is enough where a full re-ladder would be
     the honest answer for a new production cluster. The memo holds the
-    measured RATIO (per session), not the derived threshold, so the
-    reference constants stay live."""
-    key = id(spark)
-    if key not in _crossover_cache:
-        _crossover_cache[key] = _host_speed_ratio(spark)
+    measured RATIO (weak-keyed per session), not the derived threshold,
+    so the reference constants stay live."""
+    if spark not in _crossover_cache:
+        _crossover_cache[spark] = _host_speed_ratio(spark)
     factor = min(
-        32.0, max(1.0 / 32.0, _crossover_cache[key] / _CROSSOVER_REF_RATIO)
+        32.0, max(1.0 / 32.0, _crossover_cache[spark] / _CROSSOVER_REF_RATIO)
     )
     return int(EXACT_LANE_CROSSOVER_ROWS * factor)
 

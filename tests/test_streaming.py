@@ -2214,7 +2214,11 @@ def test_exact_lane_crossover_scales_with_host_probe(spark, monkeypatch):
     base = rag_mod.EXACT_LANE_CROSSOVER_ROWS
 
     def with_ratio(r):
-        monkeypatch.setattr(rag_mod, "_crossover_cache", {id(spark): r})
+        import weakref
+
+        cache = weakref.WeakKeyDictionary()
+        cache[spark] = r
+        monkeypatch.setattr(rag_mod, "_crossover_cache", cache)
         return rag_mod.exact_lane_crossover_rows(spark)
 
     assert with_ratio(ref) == base                 # reference host: as laddered
@@ -2304,11 +2308,20 @@ def test_maintain_sweeps_crashed_tombstone_debris(spark, tmp_path):
     kw = dict(bucket_partitions=4, compact_every=1)
     _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
     troot = _tombstones_dir(os.path.join(sink, "_buckets"))
+    import time as _time
+
     os.makedirs(os.path.join(troot, "t=0"))  # half-deleted: no _SUCCESS
     open(os.path.join(troot, "t=0", "_tomb_meta.json"), "a").close()
-    os.makedirs(os.path.join(troot, "_tomb_tmp"))  # crashed retire
+    os.makedirs(os.path.join(troot, "_tomb_tmp_dead0"))  # crashed retire
+    fresh = os.path.join(troot, "_tomb_tmp_live0")  # an IN-FLIGHT retire
+    os.makedirs(fresh)
+    old_mtime = _time.time() - 2 * 3600
+    for d in ("t=0", "_tomb_tmp_dead0"):
+        os.utime(os.path.join(troot, d), (old_mtime, old_mtime))
     assert not _live_tombstones(os.path.join(sink, "_buckets"))
     maintain_bucket_store(spark, sink, id_col="doc_id",
                           bucket_partitions=4, compact_every=1)
     assert not os.path.exists(os.path.join(troot, "t=0"))
-    assert not os.path.exists(os.path.join(troot, "_tomb_tmp"))
+    assert not os.path.exists(os.path.join(troot, "_tomb_tmp_dead0"))
+    # the young staging dir (a concurrent retire mid-write) is spared
+    assert os.path.exists(fresh)
