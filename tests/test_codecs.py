@@ -651,3 +651,47 @@ def test_frame_sample_decodes_mpeg_keyframes(spark):
     for r in got:
         px = decode_image(bytes(r["frame_bytes"]))
         assert (px == 10 * (r["frame_idx"] * 2)).all()
+
+
+def test_mpeg1_vlc_tables_are_prefix_free():
+    """No external MPEG decoder exists in this sandbox to cross-check
+    the transcribed VLC tables against, so verify their STRUCTURE
+    instead: within each table (plus the fixed codes sharing its space)
+    no code may be a prefix of another, or decode would be ambiguous —
+    the failure mode of a transcription slip."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
+        _MPEG_AC_LONG,
+        _MPEG_AC_SHORT,
+        _MPEG_DC_CHROM,
+        _MPEG_DC_LUM,
+        _MPEG_MBA,
+        _MPEG_MBA_ESCAPE,
+        _MPEG_MBA_STUFF,
+    )
+
+    def assert_prefix_free(codes, what):
+        codes = sorted(codes)
+        assert len(codes) == len(set(codes)), f"duplicate code in {what}"
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), f"{what}: {a!r} prefixes {b!r}"
+
+    # AC coefficient space: EOB '10', (0,1) '11', escape '000001', and
+    # every run/level entry (sign bit follows, so the prefix property
+    # must hold on the unsigned part against ALL other unsigned parts)
+    ac = {**_MPEG_AC_SHORT, **_MPEG_AC_LONG}
+    assert len(ac) == len(_MPEG_AC_SHORT) + len(_MPEG_AC_LONG)  # no dup keys
+    assert_prefix_free(list(ac.values()) + ["10", "000001"], "dct_coeff")
+    # every (run, level) appears exactly once across both tables
+    assert len(set(ac.values())) == len(ac)
+
+    # macroblock address space incl. escape + stuffing
+    assert_prefix_free(
+        list(_MPEG_MBA.values()) + [_MPEG_MBA_ESCAPE, _MPEG_MBA_STUFF],
+        "macroblock_address",
+    )
+
+    # DC size tables
+    for tbl, what in ((_MPEG_DC_LUM, "dc_lum"), (_MPEG_DC_CHROM, "dc_chrom")):
+        assert_prefix_free(
+            [format(code, f"0{n}b") for code, n in tbl.values()], what
+        )

@@ -2325,3 +2325,77 @@ def test_maintain_sweeps_crashed_tombstone_debris(spark, tmp_path):
     assert not os.path.exists(os.path.join(troot, "_tomb_tmp_dead0"))
     # the young staging dir (a concurrent retire mid-write) is spared
     assert os.path.exists(fresh)
+
+
+def test_online_rebucket_cancel_mid_migration_heals(spark, tmp_path):
+    """Regression (round-9 review): cancelling an online rebucket
+    mid-way (re-requesting the pinned N deletes the request) leaves
+    target-keyed dirs behind; later folds must re-mod them BACK to the
+    pinned N — without the fix they were folded verbatim, lost their
+    sidecar, and read as meta-N keys forever (silent mis-pruning)."""
+    import json
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        _dir_nparts,
+        _split_bucket_dirs,
+        read_bucket_maintenance,
+        request_rebucket_online,
+    )
+
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+    kw = dict(bucket_partitions=4, compact_every=1)
+    _near_dedup_batch(spark, tmp_path, [(1, _DOC_A)], **kw)
+    _near_dedup_batch(spark, tmp_path, [(2, _DOC_B)], **kw)
+
+    request_rebucket_online(store, 32)
+    # land one delta keyed at the pending target WITHOUT running any
+    # maintenance (the writer's own mid-migration shape, deterministic —
+    # a streamed batch on this tiny store would finalize immediately)
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_write_partitions,
+        write_bucket_delta,
+    )
+
+    wn, wsc = bucket_store_write_partitions(store, 4)
+    assert (wn, wsc) == (32, True)
+    delta = spark.range(30).select(
+        (F.col("id") + 500).alias("doc_id"),
+        F.xxhash64("id", F.lit(99)).alias("__bucket"),
+    )
+    write_bucket_delta(delta, store, -5, num_partitions=wn, nparts_sidecar=wsc)
+    assert _dir_nparts(os.path.join(store, "_batch=-5"), 4) == 32
+    # CANCEL: re-requesting the pinned N removes the request, leaving
+    # the 32-keyed delta stranded with no migration pending
+    request_rebucket_online(store, 4)
+    assert read_bucket_maintenance(store) == {}
+
+    # keep streaming until the store converges back to uniform N=4
+    for i in range(6):
+        _near_dedup_batch(
+            spark, tmp_path, [(10 + i, _DOC_C + f" tail {i} words")], **kw
+        )
+        dirs = _committed_batch_dirs(store)
+        if all(_dir_nparts(d, 4) == 4 for d in dirs):
+            break
+    dirs = _committed_batch_dirs(store)
+    assert all(_dir_nparts(d, 4) == 4 for d in dirs), [
+        (d, _dir_nparts(d, 4)) for d in dirs
+    ]
+    with open(os.path.join(store, "_meta.json")) as fh:
+        assert json.load(fh)["num_partitions"] == 4
+    # every stored row keyed at the pinned N again
+    for group in _split_bucket_dirs(dirs):
+        if not group:
+            continue
+        rows = spark.read.option("basePath", store).parquet(*group)
+        bad = rows.filter(
+            F.col("__bpart") != F.pmod(F.col("__bucket"), F.lit(4)).cast("int")
+        )
+        assert bad.isEmpty()
+    # and near-dups of the history that crossed the cancelled migration
+    # are still caught through the pruned read
+    _near_dedup_batch(spark, tmp_path, [(30, _DOC_A.replace("quick", "swift"))], **kw)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 30 not in landed, landed
