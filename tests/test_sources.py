@@ -170,3 +170,98 @@ def test_frame_sample_wav_segments_are_playable(spark):
         seg, rate = wav_decode(bytes(f.frame_bytes))
         assert rate == 8000
         assert np.array_equal(seg[:, 0], s[i * 20 : (i + 1) * 20])
+
+
+# ---------------------------------------------------------------------------
+# Round 9: WARC ingestion (ISO 28500 — the Common Crawl shape)
+
+
+def test_warc_roundtrip_plain_and_gzip_members():
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
+        http_response,
+        warc_encode,
+        warc_parse,
+    )
+
+    recs = [
+        {"type": "warcinfo", "uri": None, "payload": b"software: fixture\r\n"},
+        {"type": "response", "uri": "https://e.org/a",
+         "payload": http_response(b"<html>hi</html>")},
+        {"type": "request", "uri": "https://e.org/a",
+         "payload": b"GET /a HTTP/1.1\r\n\r\n"},
+        {"type": "response", "uri": "https://e.org/b",
+         "payload": http_response(b"{}", status=404,
+                                  content_type="application/json")},
+    ]
+    for gz in (False, True):
+        out = warc_parse(warc_encode(recs, gzip_members=gz))
+        assert [r["type"] for r in out] == [
+            "warcinfo", "response", "request", "response",
+        ]
+        assert out[1]["http_status"] == 200
+        assert out[1]["body"] == b"<html>hi</html>"
+        assert out[3]["http_status"] == 404
+        assert out[3]["http_content_type"] == "application/json"
+        # non-response records carry raw payload, HTTP fields None
+        assert out[2]["http_status"] is None
+        assert out[2]["body"].startswith(b"GET /a")
+    # gzip encode is byte-deterministic (mtime pinned)
+    assert warc_encode(recs, gzip_members=True) == warc_encode(
+        recs, gzip_members=True
+    )
+
+
+def test_warc_rejects_garbage_truncation_and_bad_framing():
+    import pytest as _pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
+        http_response,
+        warc_encode,
+        warc_parse,
+    )
+
+    recs = [{"type": "response", "uri": "https://e.org/a",
+             "payload": http_response(b"x" * 64)}]
+    data = warc_encode(recs)
+    with _pytest.raises(ValueError, match="WARC"):
+        warc_parse(b"totally not an archive")
+    with _pytest.raises(ValueError, match="truncated|declares"):
+        warc_parse(data[:-40])
+    with _pytest.raises(ValueError, match="gzip"):
+        warc_parse(b"\x1f\x8b" + b"\x00" * 32)
+    # a response whose payload is NOT an HTTP message degrades to raw
+    # body (crawl archives carry protocol garbage), never raises
+    weird = warc_parse(
+        warc_encode([{"type": "response", "uri": "u", "payload": b"\x00\x01"}])
+    )
+    assert weird[0]["http_status"] is None and weird[0]["body"] == b"\x00\x01"
+
+
+def test_read_warc_spark_surface(spark):
+    import pandas as pd
+
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
+        http_response,
+        read_warc,
+        warc_encode,
+    )
+
+    blobs = []
+    for i in range(3):
+        blobs.append(
+            warc_encode(
+                [
+                    {"type": "response", "uri": f"https://e.org/{i}",
+                     "payload": http_response(f"doc {i}".encode())},
+                ],
+                gzip_members=i % 2 == 1,
+            )
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame({"path": [f"seg{i}.warc" for i in range(3)],
+                      "content": blobs})
+    )
+    got = read_warc(df).orderBy("path").collect()
+    assert [r["uri"] for r in got] == [f"https://e.org/{i}" for i in range(3)]
+    assert all(r["http_status"] == 200 for r in got)
+    assert [bytes(r["body"]) for r in got] == [b"doc 0", b"doc 1", b"doc 2"]
