@@ -127,3 +127,73 @@ def char_class_ratio(text: Column | str, char_class: str) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(
         hit.cast("double") / n.cast("double")
     )
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text out of an HTML document — the step between WARC
+    ingestion (``sources/warc.py``) and every text-quality gate in a
+    crawl-curation pipeline.
+
+    Pure Catalyst ``regexp_replace`` chain (JVM, whole-stage codegen'd;
+    no backreferences or lookarounds, so the SAME patterns run under
+    RE2 engines and the DuckDB oracle reproduces the output exactly):
+
+    1. ``<script>``/``<style>`` blocks go WHOLE (their content is code,
+       not text — the classic boilerplate-extraction mistake is tag-
+       stripping them into the corpus), non-greedy, case-insensitive,
+       dotall;
+    2. HTML comments go whole;
+    3. remaining tags become spaces (word boundaries survive
+       ``</p><p>``);
+    4. the named entities that dominate real pages decode (&amp; &lt;
+       &gt; &quot; &#39; &nbsp;) — &amp; LAST, so ``&amp;lt;`` decodes
+       to the literal ``&lt;`` the author wrote, not to ``<``;
+    5. whitespace collapses, ends trim.
+
+    Declared scope: numeric entity references beyond ``&#39;`` and the
+    long tail of named entities pass through verbatim (they are rare
+    and harmless downstream); malformed markup degrades gracefully —
+    an unclosed script block strips to the end of the document, which
+    is also what browsers do."""
+    t = _c(html)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*", " ")  # unclosed
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalize a URL for crawl dedup keys: lowercase the scheme and
+    authority (path stays case-sensitive per RFC 3986), drop the
+    fragment, strip the tracking parameters that make one page look
+    like thousands (``utm_*``, ``gclid``, ``fbclid``, ``ref``), and
+    tidy the separators that stripping leaves behind. Pure Catalyst,
+    RE2-compatible patterns — same-output DuckDB oracle.
+
+    Deliberately NOT done: query-parameter reordering and percent-
+    encoding normalization (either changes which URLs alias, a policy
+    choice the pipeline should make explicitly, not a default)."""
+    u = _c(url)
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    # trackers: the match swallows "<sep>name=value" and puts the
+    # SEPARATOR back ($1), so a mid-string strip leaves "&&"/"?&" runs
+    # that the tidy passes below collapse — not a bare "?" that would
+    # orphan the following parameter
+    u = F.regexp_replace(
+        u, r"(?i)([?&])(utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&#]*", "$1"
+    )
+    u = F.regexp_replace(u, r"&&+", "&")   # a?x=1&&y=2 → a?x=1&y=2
+    u = F.regexp_replace(u, r"\?[?&]+", "?")  # a?&y=2 / a?? → a?y=2 / a?
+    u = F.regexp_replace(u, r"[?&]+$", "")    # trailing separators
+    return u

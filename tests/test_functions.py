@@ -154,3 +154,46 @@ def test_hll_sketch_union_matches_exact_within_tolerance(spark, sf_correct):
     assert int(month.uniques_exact.iloc[0]) == exact
     # daily rows present alongside the merged row
     assert (out.period != "month").sum() >= 28
+
+
+# ---------------------------------------------------------------------------
+# Round 9: crawl-curation column functions
+
+
+def test_html_to_text_strips_code_blocks_whole(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import html_to_text
+
+    cases = {
+        "<p>Hello&nbsp;world</p>": "Hello world",
+        "<SCRIPT>var x = '<b>not text</b>'</SCRIPT>tail": "tail",
+        "<style>p { color: red }</style>body": "body",
+        "<script>unclosed to the end": "",
+        "a<!-- comment -->b": "a b",
+        "Two &gt; one &amp;lt; literal &#39;q&#39;": "Two > one &lt; literal 'q'",
+        "plain text stays": "plain text stays",
+        "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "h string")
+    got = {r["h"]: r["t"] for r in df.select("h", html_to_text("h").alias("t")).collect()}
+    for h, want in cases.items():
+        assert got[h] == want, (h, got[h])
+
+
+def test_canonical_url_strips_trackers_preserving_real_params(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import canonical_url
+
+    cases = {
+        "HTTPS://Example.ORG/Path?utm_source=x&page=2#frag":
+            "https://example.org/Path?page=2",
+        "http://a.b/x?gclid=g": "http://a.b/x",
+        "http://a.b/x?p=1&utm_a=1&utm_b=2": "http://a.b/x?p=1",
+        "http://a.b/x?p=1&fbclid=f&q=2": "http://a.b/x?p=1&q=2",
+        "http://a.b/x?utm_a=1&p=1": "http://a.b/x?p=1",
+        "https://E.org/CaseSensitive/Path": "https://e.org/CaseSensitive/Path",
+        "no-scheme/relative?ref=abc&keep=1": "no-scheme/relative?keep=1",
+        "http://a.b/": "http://a.b/",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select("u", canonical_url("u").alias("c")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u])
