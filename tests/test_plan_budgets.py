@@ -37,6 +37,8 @@ BUDGETS = {
     "training_set_selection": 5,    # spread repartition (×2 branches) +
                                     # fingerprint window + hit count + distinct
     "embedding_near_dups": 0,       # broadcast-matmul mapInPandas — zero shuffle
+    "crawl_text_extraction": 1,     # pure Catalyst regexp projection; one
+                                    # orderBy range exchange (presentation)
     "minhash_lsh_dups": 8,          # persisted-shingle repartition printed ×3
                                     # branches + band-bucket join + candidate
                                     # dedup + two verify-side joins
