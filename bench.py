@@ -432,6 +432,17 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     calibration_sec = _calibration_probe(spark)
+    # I/O-side probe: the CPU+shuffle probe above is BLIND to storage
+    # drift — measured in round 9 when the hypervisor reclaimed the page
+    # cache (buff/cache 1 GB on a 125 GB box): file-scan-bound queries
+    # ran 1.3-1.8x slower while calibration_sec got FASTER. This second
+    # count of the just-warmed lineitem is near-zero when the page cache
+    # holds (the normal regime) and disk-bound when the cache is being
+    # actively reclaimed — recording both lets a reader attribute a
+    # drifted round to CPU vs storage instead of guessing.
+    t0 = time.time()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    scan_probe_sec = round(time.time() - t0, 3)
 
     # two passes, report the min: the first pass pays one-off JIT/codegen
     # compilation; steady-state is what a long-running cluster job sees
@@ -501,6 +512,7 @@ def main() -> None:
                 "queries": timings,
                 "streaming": streaming,
                 "calibration_sec": calibration_sec,
+                "scan_probe_sec": scan_probe_sec,
                 "sf": sf,
             }
         )

@@ -58,6 +58,14 @@ def main() -> int:
         print(f"calibration probe: {cal_o:.3f}s -> {cal_n:.3f}s "
               f"(host factor {cal_n / cal_o:.2f}; gate normalizes by "
               f"{factor:.2f})")
+    scan_o, scan_n = old.get("scan_probe_sec"), new.get("scan_probe_sec")
+    if scan_o and scan_n:
+        # informational, not gated: the CPU probe is blind to storage
+        # drift (a reclaimed page cache moves scan-bound queries without
+        # moving calibration_sec) — this line tells the reader WHICH
+        # kind of host moved
+        print(f"scan probe:        {scan_o:.3f}s -> {scan_n:.3f}s "
+              f"(storage factor {scan_n / scan_o:.2f}; informational)")
     common = sorted(set(oq) & set(nq))
     worst = 0.0
     print(f"{'query':38s} {'old':>7s} {'new':>7s} {'ratio':>6s} {'norm':>6s}")
