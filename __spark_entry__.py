@@ -2057,9 +2057,9 @@ SELECT doc_id,
         || '</p><!-- crawler note --></body></html>',
         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
         '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
         '(?is)<script[^>]*>.*', ' ', 'g'),
         '(?is)<style[^>]*>.*', ' ', 'g'),
-        '(?s)<!--.*?-->', ' ', 'g'),
         '<[^>]*>', ' ', 'g'),
       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
       '&#39;', chr(39)), '&amp;', '&'),
@@ -9022,7 +9022,8 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    sk = kll_sketch_build(ev, "value", "event_id", k=256).localCheckpoint(
+    k = 256
+    sk = kll_sketch_build(ev, "value", "event_id", k=k).localCheckpoint(
         eager=True
     )
     est = kll_quantiles(sk, [0.25, 0.5, 0.9, 0.99])
@@ -9043,9 +9044,25 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__lo") - F.col("err_rank_bound") <= target)
             & (target <= F.col("__hi") + F.col("err_rank_bound"))
         ).alias("within_bound"),
-        # the ceiling itself, as a fraction — graded data: a bound wider
-        # than 5% of n would make the verdict vacuous at this k
-        (F.col("err_rank_bound") <= 0.05 * F.col("n")).alias("bound_is_tight"),
+        # the ceiling itself is graded against what Munro-Paterson
+        # actually guarantees at this (n, k): every level contributes
+        # ~n/(2k) to the bound and there are ~log2(n/k) levels, so the
+        # tracked bound grows ~(n/2k)*log2(n/k) — a SCALE-DEPENDENT
+        # curve, not a fixed fraction of n (a hard-coded 5%-of-n gate
+        # measured ~4.7% headroom-free near n=1e6 at k=256 and would
+        # flip red at a larger driver SF with no code regression). The
+        # gate allows 2x the asymptote (shard/merge compactions add a
+        # bounded constant factor) with a floor of k for tiny inputs;
+        # a compactor bug that loses the guarantee (bound growing
+        # superlinearly in n/k) still turns it false.
+        (
+            F.col("err_rank_bound").cast("double")
+            <= F.greatest(
+                F.lit(float(k)),
+                (F.col("n") / F.lit(float(k)))
+                * F.log2(F.greatest(F.col("n") / F.lit(float(k)), F.lit(2.0))),
+            )
+        ).alias("bound_is_tight"),
     ).orderBy("q")
 
 

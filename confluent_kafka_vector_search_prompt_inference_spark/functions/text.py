@@ -138,17 +138,25 @@ def html_to_text(html: Column | str) -> Column:
     no backreferences or lookarounds, so the SAME patterns run under
     RE2 engines and the DuckDB oracle reproduces the output exactly):
 
-    1. ``<script>``/``<style>`` blocks go WHOLE (their content is code,
-       not text — the classic boilerplate-extraction mistake is tag-
-       stripping them into the corpus), non-greedy, case-insensitive,
-       dotall;
-    2. HTML comments go whole;
-    3. remaining tags become spaces (word boundaries survive
+    1. PAIRED ``<script>``/``<style>`` blocks go WHOLE (their content
+       is code, not text — the classic boilerplate-extraction mistake
+       is tag-stripping them into the corpus), non-greedy,
+       case-insensitive, dotall;
+    2. HTML comments go whole — BEFORE the unclosed-tag fallbacks
+       below, so a commented-out script tag (``<!-- <script src=…> -->``,
+       valid and common HTML) is removed as the comment it is instead
+       of matching the unclosed-``<script>`` fallback and deleting the
+       rest of the document (paired script/style blocks that contain
+       comment markers are already gone by step 1, so comment stripping
+       cannot cut a real script block in half);
+    3. UNCLOSED ``<script>``/``<style>`` fallbacks strip to the end of
+       the document (what browsers do with malformed markup);
+    4. remaining tags become spaces (word boundaries survive
        ``</p><p>``);
-    4. the named entities that dominate real pages decode (&amp; &lt;
+    5. the named entities that dominate real pages decode (&amp; &lt;
        &gt; &quot; &#39; &nbsp;) — &amp; LAST, so ``&amp;lt;`` decodes
        to the literal ``&lt;`` the author wrote, not to ``<``;
-    5. whitespace collapses, ends trim.
+    6. whitespace collapses, ends trim.
 
     Declared scope: numeric entity references beyond ``&#39;`` and the
     long tail of named entities pass through verbatim (they are rare
@@ -158,9 +166,9 @@ def html_to_text(html: Column | str) -> Column:
     t = _c(html)
     t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script\s*>", " ")
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")  # before the fallbacks
     t = F.regexp_replace(t, r"(?is)<script[^>]*>.*", " ")  # unclosed
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*", " ")
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
     for ent, ch in (
         ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),

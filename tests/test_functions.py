@@ -169,6 +169,14 @@ def test_html_to_text_strips_code_blocks_whole(spark):
         "<style>p { color: red }</style>body": "body",
         "<script>unclosed to the end": "",
         "a<!-- comment -->b": "a b",
+        # a commented-out script tag (valid, common HTML) must be removed
+        # AS the comment it is — stripping comments after the unclosed-
+        # <script> fallback deleted everything from the comment onward
+        "keep<!-- <script src='x.js'> -->this too": "keep this too",
+        "keep<!-- <style> -->this too": "keep this too",
+        # ...while a PAIRED script whose body contains comment markers
+        # still goes whole (it is removed before comment stripping runs)
+        "<script>// <!-- inline note --> code()</script>after": "after",
         "Two &gt; one &amp;lt; literal &#39;q&#39;": "Two > one &lt; literal 'q'",
         "plain text stays": "plain text stays",
         "": "",
