@@ -14,9 +14,11 @@ violation):
   each record its own gzip stream, so a member is independently
   seekable; a whole-file gzip also decodes, it is simply one member);
 - ``response`` records carry an HTTP/1.x message: status line + headers
-  are parsed off the payload (Content-Length framing only — chunked
-  transfer-encoding inside an archived response is out of scope and
-  yields the RAW http body bytes with ``http_status`` still parsed);
+  are parsed off the payload; ``Transfer-Encoding: chunked`` payloads
+  (non-Common-Crawl archives — CC re-frames to Content-Length) are
+  de-chunked, and a malformed chunk stream degrades to the RAW http
+  body bytes with ``http_status`` still parsed (crawl archives carry
+  protocol garbage; the record itself is still valid);
 - other record types (request, warcinfo, metadata, resource, revisit)
   pass through with their payload and empty HTTP fields.
 
@@ -27,6 +29,16 @@ plan is the container parse itself, exactly like the image/audio/video
 codecs in ``sources/codecs.py``. At 100 TB the parallelism unit is the
 archive file (Common Crawl segments are ~1 GB), which is what
 ``binaryFile`` partitions by.
+
+Cost shape (a ~1 GB segment has tens of thousands of records, so
+per-record asymptotics matter): gzip members decode from a
+``memoryview`` in bounded feed chunks (never ``data[pos:]`` — that
+slice copies the remaining buffer per member, O(n·records) total
+memcpy), records frame incrementally out of a reusable buffer whose
+consumed prefix is discarded once per member, and :func:`read_warc`
+yields rows in bounded batches as records stream out of the parse —
+peak task memory is the compressed blob plus ONE record, not
+compressed + fully-decompressed + a Python list of every record.
 """
 
 from __future__ import annotations
@@ -95,30 +107,79 @@ def http_response(
     return head.encode() + _CRLF + body
 
 
+#: bounded feed size for incremental gzip decode: caps the copy zlib's
+#: ``unused_data`` makes at a member boundary (the whole point of not
+#: handing the decompressor ``data[pos:]``)
+_GZ_FEED = 1 << 20
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decode concatenated gzip members one at a time (zlib exposes
-    ``unused_data`` after each member — no dependence on member sizes)."""
+    """Decode concatenated gzip members one at a time, O(total bytes):
+    the compressed buffer is wrapped in a ``memoryview`` and fed to each
+    member's decompressor in :data:`_GZ_FEED`-bounded chunks, so the
+    per-member copy is the member's own output plus at most one feed
+    chunk of ``unused_data`` — never the remaining archive (a ~1 GB
+    Common Crawl segment has tens of thousands of members; slicing
+    ``data[pos:]`` per member is terabytes of memcpy)."""
+    mv = memoryview(data)
+    n = len(mv)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(data[pos:])
-        except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member at byte {pos}: {exc}") from exc
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at byte {pos}")
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
+        out: list[bytes] = []
+        fed = pos
+        while not d.eof:
+            if fed >= n:
+                raise ValueError(f"truncated gzip member at byte {pos}")
+            piece = mv[fed : fed + _GZ_FEED]
+            try:
+                out.append(d.decompress(piece))
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt gzip member at byte {pos}: {exc}"
+                ) from exc
+            fed += len(piece)
+        consumed = fed - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError(f"gzip member at byte {pos} consumed no input")
         pos += consumed
+        yield b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode a ``Transfer-Encoding: chunked`` payload (RFC 9112 §7.1):
+    hex-size line (chunk extensions after ``;`` ignored) → data →
+    CRLF, terminated by a zero-size chunk (trailer section ignored).
+    Returns ``None`` on any framing violation — the caller degrades to
+    the raw bytes rather than dropping the record."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are metadata, not body
+        if pos + size + 2 > n or body[pos + size : pos + size + 2] != _CRLF:
+            return None
+        out += body[pos : pos + size]
+        pos += size + 2
 
 
 def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, body) off an archived HTTP/1.x message —
     headers are latin-1 per RFC 9112; an unparseable message returns
     ``(None, None, payload)`` rather than raising (crawl archives carry
-    plenty of protocol garbage; the record itself is still valid)."""
+    plenty of protocol garbage; the record itself is still valid).
+    ``Transfer-Encoding: chunked`` bodies are de-chunked; a malformed
+    chunk stream degrades to the raw body bytes, same policy."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or not payload[:5].startswith(b"HTTP/"):
         return None, None, payload
@@ -128,79 +189,137 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         return None, None, payload
     ctype = None
+    chunked = False
     for line in head[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type" and ctype is None:
             ctype = v.strip()
-            break
-    return status, ctype, payload[sep + 4 :]
+        elif key == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+    body = payload[sep + 4 :]
+    if chunked:
+        decoded = _dechunk(body)
+        if decoded is not None:
+            body = decoded
+    return status, ctype, body
+
+
+def _record_from(headers: dict[str, str], payload: bytes, length: int) -> dict:
+    rtype = headers.get("warc-type", "")
+    status = ctype = None
+    body = payload
+    if rtype == "response":
+        status, ctype, body = _parse_http(payload)
+    return {
+        "type": rtype,
+        "uri": headers.get("warc-target-uri"),
+        "date": headers.get("warc-date"),
+        "record_id": headers.get("warc-record-id"),
+        "content_length": length,
+        "http_status": status,
+        "http_content_type": ctype,
+        "body": body,
+    }
+
+
+def _frame_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Incrementally frame WARC records out of a chunk iterator (one
+    chunk per gzip member, or the whole plain archive). A record parses
+    as soon as its header + declared payload are buffered; the consumed
+    prefix is discarded once per chunk, so total work is O(bytes), not
+    O(bytes x records). Raises on non-WARC input and framing violations
+    — a truncated archive must fail loudly, not yield half a corpus
+    silently."""
+    buf = bytearray()
+    off = 0
+    any_record = False
+
+    def _avail(final: bool) -> Iterator[dict]:
+        nonlocal off, any_record
+        while True:
+            # two CRLFs terminate a record (spec §4); tolerate exactly
+            # them between records and as archive trailers — but leading
+            # separator bytes before the FIRST record are not a WARC
+            if any_record:
+                while buf[off : off + 2] == _CRLF:
+                    off += 2
+            avail = len(buf) - off
+            if avail == 0:
+                return
+            if avail < 5:
+                if final:
+                    raise ValueError(
+                        f"bad record framing at byte {off} (trailing garbage)"
+                    )
+                return  # a partial version line may complete next chunk
+            if bytes(buf[off : off + 5]) != b"WARC/":
+                if not any_record:
+                    raise ValueError("not a WARC (missing WARC/ version line)")
+                raise ValueError(f"bad record framing at byte {off}")
+            hdr_end = buf.find(b"\r\n\r\n", off)
+            if hdr_end < 0:
+                if final:
+                    raise ValueError(f"truncated record header at byte {off}")
+                return
+            headers: dict[str, str] = {}
+            lines = bytes(buf[off:hdr_end]).decode(
+                "utf-8", errors="replace"
+            ).split("\r\n")
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"record at byte {off} carries no valid Content-Length"
+                ) from None
+            body_at = hdr_end + 4
+            if body_at + length > len(buf):
+                if final:
+                    raise ValueError(
+                        f"record at byte {off} declares {length} payload "
+                        f"bytes but only {len(buf) - body_at} remain "
+                        "(truncated archive)"
+                    )
+                return
+            payload = bytes(buf[body_at : body_at + length])
+            yield _record_from(headers, payload, length)
+            any_record = True
+            off = body_at + length
+
+    for chunk in chunks:
+        buf += chunk
+        yield from _avail(False)
+        if off:
+            del buf[:off]
+            off = 0
+    yield from _avail(True)
+    if not any_record:
+        raise ValueError("not a WARC (missing WARC/ version line)")
+
+
+def warc_parse_iter(data: bytes) -> Iterator[dict]:
+    """Parse WARC bytes (plain or gzip-membered) into record dicts,
+    INCREMENTALLY: ``type``, ``uri``, ``date``, ``record_id``,
+    ``content_length`` (declared payload length), and for ``response``
+    records the parsed ``http_status`` / ``http_content_type`` /
+    ``body`` (other types carry their raw payload as ``body`` with the
+    HTTP fields None). Records stream out as they frame — in the
+    Common Crawl per-record-gzip layout each member is one record, so
+    peak memory is one record, never the decompressed archive. Raises
+    on non-WARC input and on framing violations."""
+    if data[:2] == b"\x1f\x8b":
+        return _frame_records(_split_gzip_members(data))
+    return _frame_records(iter((data,)))
 
 
 def warc_parse(data: bytes) -> list[dict]:
-    """Parse WARC bytes (plain or gzip-membered) into record dicts:
-    ``type``, ``uri``, ``date``, ``record_id``, ``content_length``
-    (declared payload length), and for ``response`` records the parsed
-    ``http_status`` / ``http_content_type`` / ``body`` (other types
-    carry their raw payload as ``body`` with the HTTP fields None).
-    Raises on non-WARC input and on framing violations — a truncated
-    archive must fail loudly, not yield half a corpus silently."""
-    if data[:2] == b"\x1f\x8b":
-        chunks = b"".join(_split_gzip_members(data))
-    else:
-        chunks = data
-    if not chunks.startswith(b"WARC/"):
-        raise ValueError("not a WARC (missing WARC/ version line)")
-    records: list[dict] = []
-    pos = 0
-    n = len(chunks)
-    while pos < n:
-        if chunks[pos:].strip(b"\r\n") == b"":
-            break  # trailing record separators
-        if not chunks[pos : pos + 5] == b"WARC/":
-            raise ValueError(f"bad record framing at byte {pos}")
-        hdr_end = chunks.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            raise ValueError(f"truncated record header at byte {pos}")
-        headers: dict[str, str] = {}
-        lines = chunks[pos:hdr_end].decode("utf-8", errors="replace").split("\r\n")
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(
-                f"record at byte {pos} carries no valid Content-Length"
-            ) from None
-        body_at = hdr_end + 4
-        if body_at + length > n:
-            raise ValueError(
-                f"record at byte {pos} declares {length} payload bytes "
-                f"but only {n - body_at} remain (truncated archive)"
-            )
-        payload = chunks[body_at : body_at + length]
-        rtype = headers.get("warc-type", "")
-        status = ctype = None
-        body = payload
-        if rtype == "response":
-            status, ctype, body = _parse_http(payload)
-        records.append(
-            {
-                "type": rtype,
-                "uri": headers.get("warc-target-uri"),
-                "date": headers.get("warc-date"),
-                "record_id": headers.get("warc-record-id"),
-                "content_length": length,
-                "http_status": status,
-                "http_content_type": ctype,
-                "body": body,
-            }
-        )
-        pos = body_at + length
-        # two CRLFs terminate a record (spec §4); tolerate exactly them
-        while chunks[pos : pos + 2] == _CRLF:
-            pos += 2
-    return records
+    """:func:`warc_parse_iter`, materialized — the convenience face for
+    fixtures and tests; the Spark path (:func:`read_warc`) consumes the
+    iterator directly so large archives never sit in a Python list."""
+    return list(warc_parse_iter(data))
 
 
 #: output schema of :func:`read_warc`
@@ -211,19 +330,33 @@ WARC_SCHEMA = (
 )
 
 
+#: rows per Arrow batch out of :func:`read_warc` — bounds task memory to
+#: the compressed blob plus this many parsed records, instead of every
+#: record of the archive in one Python list
+_READ_WARC_BATCH_ROWS = 1024
+
+_WARC_COLUMNS = [
+    "path", "record_type", "uri", "date", "record_id",
+    "content_length", "http_status", "http_content_type", "body",
+]
+
+
 def read_warc(df, *, path_col: str = "path", content_col: str = "content"):
     """Spark surface: a ``binaryFile``-shaped DataFrame (``path``,
     ``content``) → one typed row per WARC record. ``mapInPandas``
     fan-out, one archive decoded at a time per batch, zero shuffle —
     the archive FILE is the parallelism unit, exactly how Common Crawl
-    segments shard a crawl."""
+    segments shard a crawl. Records stream out of
+    :func:`warc_parse_iter` and flush every
+    :data:`_READ_WARC_BATCH_ROWS` rows, so a ~1 GB segment's records
+    never all sit in task memory at once."""
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows: list[tuple] = []
         for pdf in batches:
-            rows = []
             for path, blob in zip(pdf[path_col], pdf[content_col]):
-                for r in warc_parse(bytes(blob)):
+                for r in warc_parse_iter(bytes(blob)):
                     rows.append(
                         (
                             path, r["type"], r["uri"], r["date"],
@@ -232,13 +365,11 @@ def read_warc(df, *, path_col: str = "path", content_col: str = "content"):
                             r["body"],
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_type", "uri", "date", "record_id",
-                    "content_length", "http_status", "http_content_type",
-                    "body",
-                ],
-            )
+                    if len(rows) >= _READ_WARC_BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=_WARC_COLUMNS)
+                        rows = []
+        # always emit one (possibly empty) frame so an empty partition
+        # still carries the schema
+        yield pd.DataFrame(rows, columns=_WARC_COLUMNS)
 
     return df.mapInPandas(parse, schema=WARC_SCHEMA)

@@ -237,6 +237,82 @@ def test_warc_rejects_garbage_truncation_and_bad_framing():
     assert weird[0]["http_status"] is None and weird[0]["body"] == b"\x00\x01"
 
 
+def test_warc_chunked_transfer_encoding_decodes_and_degrades():
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import warc_encode, warc_parse
+
+    # a well-formed chunked response (non-Common-Crawl archives keep the
+    # origin server's framing): two chunks + a chunk extension + trailer
+    chunked_msg = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"\r\n"
+        b"5;ext=1\r\nhello\r\n"
+        b"6\r\n world\r\n"
+        b"0\r\n"
+        b"X-Trailer: t\r\n\r\n"
+    )
+    out = warc_parse(
+        warc_encode([{"type": "response", "uri": "u", "payload": chunked_msg}])
+    )
+    assert out[0]["http_status"] == 200
+    assert out[0]["body"] == b"hello world"
+
+    # malformed chunk framing degrades to the RAW body bytes with the
+    # status still parsed — protocol garbage must not drop the record
+    bad = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"\r\n"
+        b"ZZ\r\nnot hex\r\n"
+    )
+    out = warc_parse(
+        warc_encode([{"type": "response", "uri": "u", "payload": bad}])
+    )
+    assert out[0]["http_status"] == 200
+    assert out[0]["body"] == b"ZZ\r\nnot hex\r\n"
+
+    # a chunk whose declared size overruns the payload also degrades
+    overrun = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"\r\n"
+        b"FF\r\nshort\r\n"
+    )
+    out = warc_parse(
+        warc_encode([{"type": "response", "uri": "u", "payload": overrun}])
+    )
+    assert out[0]["body"] == b"FF\r\nshort\r\n"
+
+
+def test_warc_incremental_framing_is_layout_equal():
+    """The incremental framer must produce identical records whether the
+    archive arrives as one plain buffer or as per-record gzip members
+    (member boundaries land mid-record-separator), and records must
+    stream out without materializing the archive."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
+        http_response,
+        warc_encode,
+        warc_parse,
+        warc_parse_iter,
+    )
+
+    recs = [
+        {"type": "response", "uri": f"https://e.org/{i}",
+         "payload": http_response(f"doc {i} ".encode() * (1 + i % 7))}
+        for i in range(40)
+    ]
+    plain = warc_parse(warc_encode(recs))
+    gz = warc_parse(warc_encode(recs, gzip_members=True))
+    assert plain == gz
+    assert len(plain) == 40
+    # iterator face: first record is available without exhausting input
+    it = warc_parse_iter(warc_encode(recs, gzip_members=True))
+    first = next(it)
+    assert first["uri"] == "https://e.org/0"
+    assert sum(1 for _ in it) == 39
+
+
 def test_read_warc_spark_surface(spark):
     import pandas as pd
 
