@@ -2141,6 +2141,245 @@ SELECT * FROM (
 """
 
 
+# fixture wrapper shared by the Spark generator and the DuckDB oracle of
+# crawl_curation_pipeline (single quotes doubled in the SQL variant)
+_CURATION_HTML_PRE = (
+    "<html><head><style>p{x:1}</style><script>var t='<i>';</script>"
+    "</head><body><p>"
+)
+_CURATION_HTML_POST = "</p><!-- crawl curation fixture --></body></html>"
+_CURATION_NEAR_DUP_TAIL = " near duplicate tail"
+
+
+def _sql_html_to_text(inner: str) -> str:
+    """The DuckDB mirror of ``functions.text.html_to_text`` applied to an
+    arbitrary SQL expression — the same RE2-compatible chain in the same
+    order (paired script/style → comments → unclosed fallbacks → tags →
+    entities with &amp; last → whitespace collapse)."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        + inner
+        + r", '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g')"
+        + r", '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g')"
+        + ", '(?s)<!--.*?-->', ' ', 'g')"
+        + ", '(?is)<script[^>]*>.*', ' ', 'g')"
+        + ", '(?is)<style[^>]*>.*', ' ', 'g')"
+        + ", '<[^>]*>', ' ', 'g')"
+        + ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
+        + ", '&#39;', chr(39)), '&amp;', '&')"
+        + r", '\s+', ' ', 'g'))"
+    )
+
+
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END crawl-curation chain (round 10): WARC archives →
+    ``read_warc`` → fetch-status gate → ``html_to_text`` +
+    ``canonical_url`` → exact dedup on the canonical URL → MinHash-LSH
+    near-dedup on the extracted text → quality gates. Round 9 oracled
+    each stage in isolation; this is the composed pipeline a real corpus
+    build runs (the reference's analog is its end-to-end RAG chain,
+    ``README.md:286-288, 438-446, 724-732``, integration-tested via
+    ``rag_prompts``/``rag_answers``) — it catches interface drift the
+    per-operator oracles cannot (e.g. canonical-URL keys feeding dedup,
+    extraction output feeding shingles).
+
+    Fixture corpus, all closed-form from ``documents`` so DuckDB can
+    re-run the WHOLE chain: per doc one WARC ``response`` whose HTML
+    wraps the doc's text — except docs with ``doc_id % 5 == 4``, which
+    serve doc ``doc_id-4``'s text plus a short tail (a planted crawl
+    near-duplicate); docs with ``doc_id % 7 == 0`` fetch as 404 (status
+    gate); the URI carries only tracking params and a fragment, and
+    three consecutive doc_ids share a page path — so canonicalization
+    itself creates the exact-dup groups the URL dedup must collapse.
+
+    Stage shapes at 100 TB: WARC parse + extraction are zero-shuffle
+    (``mapInPandas`` over archives, then pure-Catalyst regexp chains);
+    URL dedup is ONE shuffle on the canonical key (min-id row per
+    group); near-dedup is the banded-LSH pipeline of
+    ``minhash_lsh_dups`` (never all-pairs); gates are pure Catalyst."""
+    from pyspark.sql import Window
+
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import (
+        canonical_url,
+        html_to_text,
+        quality_score,
+        word_count,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import http_response, read_warc, warc_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = docs.select(
+        F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
+    )
+    served = (
+        docs.withColumn(
+            "__pid",
+            F.when(F.col("doc_id") % 5 == 4, F.col("doc_id") - 4),
+        )
+        .join(partner, "__pid", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__ptext").isNotNull(),
+                F.concat(F.col("__ptext"), F.lit(_CURATION_NEAR_DUP_TAIL)),
+            )
+            .otherwise(F.col("text"))
+            .alias("serve_text"),
+        )
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for d, text in zip(pdf["doc_id"], pdf["serve_text"]):
+                d = int(d)
+                body = (
+                    _CURATION_HTML_PRE + str(text) + _CURATION_HTML_POST
+                ).encode("utf-8")
+                uri = (
+                    f"HTTPS://Crawl.Example/page/{d // 3}"
+                    f"?utm_source=fixture&gclid={d}&fbclid=f#frag"
+                )
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": uri,
+                        "payload": http_response(
+                            body, status=404 if d % 7 == 0 else 200
+                        ),
+                    }
+                ]
+                paths.append(f"warc://{d}")
+                blobs.append(warc_encode(recs, gzip_members=bool(d % 2)))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    archives = served.repartition(32, "doc_id").mapInPandas(
+        gen, "path string, content binary"
+    )
+    pages = read_warc(archives).filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("path", r"warc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        html_to_text(F.decode(F.col("body"), "UTF-8")).alias("extracted"),
+        canonical_url(F.col("uri")).alias("canon_url"),
+    )
+    # stage: exact dedup on the canonical URL — min doc_id per page (one
+    # shuffle on the canonical key; groups are fetch-multiplicity-sized)
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    url_surv = (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .transform(_persist)
+    )
+    # stage: near-dedup on the extracted text — identical pipeline shape
+    # to minhash_lsh_dups (shingles persisted once, shared by signature
+    # and verify legs; banded LSH bounds candidate volume)
+    sh = url_surv.select(
+        "doc_id", word_shingles("extracted", 3).alias("__sh")
+    ).transform(_persist)
+    sigs = minhash_signatures(
+        sh, "doc_id", None, num_hashes=64, shingle_col="__sh"
+    )
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", bands=16, num_hashes=64, with_estimate=False
+    )
+    dup_b = (
+        ngram_jaccard_pairs(
+            sh, "doc_id", None, threshold=0.5, candidates=cands,
+            shingle_col="__sh",
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = url_surv.join(dup_b, "doc_id", "left_anti")
+    # stage: quality gates on the extracted text (pure Catalyst)
+    return (
+        survivors.select(
+            "doc_id",
+            "canon_url",
+            word_count("extracted").alias("n_words"),
+            quality_score("extracted").alias("quality"),
+        )
+        .filter((F.col("n_words") >= 10) & (F.col("quality") >= 0.5))
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_SQL_PRE = _CURATION_HTML_PRE.replace("'", "''")
+_CURATION_SQL_POST = _CURATION_HTML_POST.replace("'", "''")
+
+_CRAWL_CURATION_ORACLE = f"""
+WITH served AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 5 = 4
+              THEN p.text || '{_CURATION_NEAR_DUP_TAIL}'
+              ELSE d.text END AS serve_text
+  FROM documents d
+  LEFT JOIN documents p ON p.doc_id = d.doc_id - 4 AND d.doc_id % 5 = 4
+  WHERE d.doc_id % 7 <> 0
+), ext AS (
+  SELECT doc_id,
+    {_sql_html_to_text(
+        "'" + _CURATION_SQL_PRE + "' || serve_text || '" + _CURATION_SQL_POST + "'"
+    )} AS extracted,
+    'https://crawl.example/page/' || CAST(doc_id // 3 AS VARCHAR) AS canon_url
+  FROM served
+), url_surv AS (
+  SELECT doc_id, extracted, canon_url FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+    FROM ext
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(extracted), '\\s+', ' ', 'g')), ' ') AS t
+  FROM url_surv
+), shg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM toks
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shg a JOIN shg b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+), gated AS (
+  SELECT u.doc_id, u.canon_url,
+    len(string_split(trim(regexp_replace(lower(extracted), '\\s+', ' ', 'g')), ' ')) AS n_words,
+    CASE WHEN length(extracted) = 0 THEN 0.0
+         ELSE CAST(length(extracted) - length(regexp_replace(extracted, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+              / CAST(length(extracted) AS DOUBLE) END AS pr,
+    CASE WHEN len(string_split(trim(regexp_replace(lower(extracted), '\\s+', ' ', 'g')), ' ')) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(string_split(trim(regexp_replace(lower(extracted), '\\s+', ' ', 'g')), ' '),
+                                   w -> w IN ({_EN_LIST}))) AS DOUBLE)
+              / CAST(len(string_split(trim(regexp_replace(lower(extracted), '\\s+', ' ', 'g')), ' ')) AS DOUBLE) END AS sr
+  FROM url_surv u
+  WHERE u.doc_id NOT IN (SELECT id_b FROM dups)
+)
+SELECT doc_id, canon_url, n_words,
+  ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+        + LEAST(sr / 0.1, 1.0) * 0.4
+        + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) AS quality
+FROM gated
+WHERE n_words >= 10
+  AND ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+        + LEAST(sr / 0.1, 1.0) * 0.4
+        + GREATEST(0.0, 1.0 - pr * 5.0) * 0.2, 6) >= 0.5
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # subquery / analytic / set-op surfaces (SURVEY.md §2.3–2.7 shipped-beyond-
 # reference rows; TPC-H shapes adapted to the driver's column subset)
@@ -9076,6 +9315,64 @@ ORDER BY q
 """
 
 
+def kll_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP KLL sketches (round 10): one independent deterministic-
+    error compactor per ``events.event_type`` — the grouped face of
+    ``kll_value_quantiles``, mirroring how the bottom-m tier's grouped
+    face is oracled by ``source_nchars_quantiles``. Same tolerance-
+    verdict pattern extended per group: each group's estimates re-rank
+    against the group's OWN raw values, ``within_bound`` asserts the
+    true rank sits inside that group's tracked ceiling, ``n`` must equal
+    the group's exact row count (compaction preserves total weight),
+    and the tightness gate scales with the group's (n, k)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = 128
+    sk = kll_sketch_build(
+        ev, "value", "event_id", k=k, group_cols=["event_type"]
+    ).localCheckpoint(eager=True)
+    est = kll_quantiles(sk, [0.5, 0.9], group_cols=["event_type"])
+    vals = ev.select("event_type", F.col("value").cast("double").alias("v"))
+    ranks = (
+        est.join(vals, "event_type")
+        .groupBy("event_type", "q", "est", "n", "err_rank_bound")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("__lo"),
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("__hi"),
+        )
+    )
+    target = F.floor(F.col("q") * (F.col("n") - F.lit(1))).cast("bigint") + F.lit(1)
+    return ranks.select(
+        "event_type",
+        F.col("q"),
+        F.col("n"),
+        (
+            (F.col("__lo") - F.col("err_rank_bound") <= target)
+            & (target <= F.col("__hi") + F.col("err_rank_bound"))
+        ).alias("within_bound"),
+        (
+            F.col("err_rank_bound").cast("double")
+            <= F.greatest(
+                F.lit(float(k)),
+                (F.col("n") / F.lit(float(k)))
+                * F.log2(F.greatest(F.col("n") / F.lit(float(k)), F.lit(2.0))),
+            )
+        ).alias("bound_is_tight"),
+    ).orderBy("event_type", "q")
+
+
+_KLL_GROUPED_ORACLE = """
+SELECT e.event_type AS event_type, CAST(q.q AS DOUBLE) AS q,
+       COUNT(*) AS n, TRUE AS within_bound, TRUE AS bound_is_tight
+FROM events e, (VALUES (0.5), (0.9)) AS q(q)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def source_nchars_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP quantile sketches: one independent bottom-m sample per
     ``documents.source``, answering "p50/p90 document length per domain"
@@ -9159,6 +9456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_iframe_stats": video_iframe_stats,
         "warc_documents": warc_documents,
         "crawl_text_extraction": crawl_text_extraction,
+        # round 10: the COMPOSED crawl-curation chain (WARC → extract →
+        # canonical-URL dedup → near-dedup → quality gates) takes the
+        # window slot union_counts held — §2.7 keeps set_intersect as
+        # its in-window rep; union_counts moved to the parity tail
+        "crawl_curation_pipeline": crawl_curation_pipeline,
         "window_running_total": window_running_total,
         "scalar_string_fns": scalar_string_fns,
         "join_semi": join_semi,
@@ -9176,7 +9478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": window_rank,
         "orderby_limit": orderby_limit,
         "set_intersect": set_intersect,
-        "union_counts": union_counts,
         "scalar_json_events": scalar_json_events,
         "scalar_date_fns": scalar_date_fns,
         "null_semantics": null_semantics,
@@ -9207,6 +9508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # warc_documents, crawl_text_extraction; each displaced entry's
         # family keeps other in-window reps: broadcast/cosine/ivf for
         # vector top-k, sessionization/dedup_first for event windows)
+        "union_counts": union_counts,
+        "kll_grouped_quantiles": kll_grouped_quantiles,
         "events_tumbling_window": events_tumbling_window,
         "vec_topk_shuffle": vec_topk_shuffle,
         "vec_quantized_rescore_topk": vec_quantized_rescore_topk,
@@ -9478,6 +9781,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_value_quantiles": _QSKETCH_ORACLE,
         "source_nchars_quantiles": _GROUPED_QSKETCH_ORACLE,
         "kll_value_quantiles": _KLL_ORACLE,
+        "kll_grouped_quantiles": _KLL_GROUPED_ORACLE,
         "incremental_dau_hll": _DAU_HLL_ORACLE,
         "embedding_label_outliers": _LABEL_OUTLIERS_ORACLE,
         # real codec round trips: encode → decode → pixel/sample stats,
@@ -9488,6 +9792,7 @@ def oracle_sql() -> dict[str, str]:
         "video_iframe_stats": _MPEG_ORACLE,
         "warc_documents": _WARC_ORACLE,
         "crawl_text_extraction": _CRAWL_TEXT_ORACLE,
+        "crawl_curation_pipeline": _CRAWL_CURATION_ORACLE,
         "cross_encoder_rerank_topk": _CROSS_ENCODER_ORACLE,
         "vec_topk_filtered": _VEC_FILTERED_ORACLE,
         "vec_matryoshka_rescore_topk": _VEC_MATRYOSHKA_ORACLE,

@@ -67,6 +67,10 @@ HEADLINE = [
     # round-5: the repo's heaviest single query (degree-oriented wedge
     # join) goes under the round-over-round microscope
     "part_triangle_counts",
+    # round-10: the composed crawl-curation chain (WARC → extract →
+    # URL dedup → near-dedup → quality gates) — the end-to-end corpus
+    # build a real crawl ingests through
+    "crawl_curation_pipeline",
 ]
 
 
@@ -271,6 +275,88 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["quantile_insert"] = _progress_stats(q, time.time() - t0, n_lens)
+
+        # --- streaming KLL quantile sketch: the DETERMINISTIC-error tier
+        # beside the bottom-m lane above (same source, method='kll') — so
+        # its throughput is a recorded number, not a claim
+        t0 = time.time()
+        q = quantile_insert(
+            file_stream_reader(spark, qlsrc, lens.schema),
+            os.path.join(work, "qk_sink"),
+            os.path.join(work, "qk_ckpt"),
+            value_col="v",
+            key_col="doc_id",
+            trigger_once=True,
+            method="kll",
+        )
+        q.awaitTermination(600)
+        out["quantile_insert_kll"] = _progress_stats(q, time.time() - t0, n_lens)
+
+        # --- streaming crawl curation: WARC blobs → parse → extract →
+        # canonical-URL exact dedup → near-dedup, one composed lane
+        # (round 10). Blob generation is fixture construction and stays
+        # outside the timed loop, like the RAG corpus warm above.
+        from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+        from confluent_kafka_vector_search_prompt_inference_spark.functions.text import canonical_url, html_to_text
+        from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
+            http_response,
+            read_warc,
+            warc_encode,
+        )
+
+        def _blobgen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                paths, blobs = [], []
+                for d, text in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    html = f"<html><body><p>{text}</p><!-- b --></body></html>"
+                    uri = f"HTTPS://Crawl.Example/page/{d // 3}?utm_source=b&gclid={d}#f"
+                    paths.append(f"warc://{d}")
+                    blobs.append(
+                        warc_encode(
+                            [{"type": "response", "uri": uri,
+                              "payload": http_response(html.encode())}],
+                            gzip_members=bool(d % 2),
+                        )
+                    )
+                yield pd.DataFrame({"path": paths, "content": blobs})
+
+        csrc = os.path.join(work, "csrc")
+        docs.select("doc_id", "text").repartition(N_STREAM_BATCHES).mapInPandas(
+            _blobgen, "path string, content binary"
+        ).write.parquet(csrc)
+        cschema = StructType(
+            [StructField("path", StringType()), StructField("content", BinaryType())]
+        )
+
+        def _curate(df):
+            recs = read_warc(df).filter(
+                (F.col("record_type") == "response") & (F.col("http_status") == 200)
+            )
+            return recs.select(
+                F.regexp_extract("path", r"warc://(\d+)", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                html_to_text(F.decode(F.col("body"), "UTF-8")).alias("text"),
+                canonical_url(F.col("uri")).alias("canon_url"),
+            )
+
+        t0 = time.time()
+        q = near_dedup_insert(
+            file_stream_reader(spark, csrc, cschema),
+            os.path.join(work, "cc_sink"),
+            os.path.join(work, "cc_ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            trigger_once=True,
+            transform=_curate,
+            exact_key_col="canon_url",
+        )
+        q.awaitTermination(600)
+        out["crawl_curation_insert"] = _progress_stats(q, time.time() - t0, n_docs)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -335,6 +421,13 @@ def _previous_round_streaming() -> dict[str, dict]:
 # at 1.146×)
 BATCH_DAMP_TRIGGER = 1.10
 STREAM_DAMP_TRIGGER = 0.90
+# storage-drift detection (round 10, promoting the round-9 informational
+# scan probe to an actionable one): the I/O probe moving past this while
+# the CPU probe stays flat means the page cache is being reclaimed —
+# scan-bound queries read 1.3-1.8x slower with NO code change (measured
+# live in round 9)
+STORAGE_DRIFT_TRIGGER = 1.30
+CPU_FLAT_CEILING = 1.10
 
 
 def _host_factor(calibration_sec: float, prev: dict) -> float:
@@ -364,6 +457,45 @@ def _batch_damp_candidates(
         if name in timings
         and p > 0
         and timings[name] / (p * host_factor) > BATCH_DAMP_TRIGGER
+    ]
+
+
+def _storage_factor(scan_probe_sec: float, prev: dict) -> float:
+    """How much slower this host's storage reads the fixed scan probe
+    than the previous round's host (floored at 1, like the CPU factor).
+    1.0 when either record lacks the probe (pre-round-9)."""
+    prev_scan = prev.get("scan_probe_sec")
+    if scan_probe_sec and prev_scan:
+        return max(1.0, scan_probe_sec / prev_scan)
+    return 1.0
+
+
+def _storage_rerun_candidates(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    storage_factor: float,
+    cpu_factor: float,
+) -> list[str]:
+    """Queries to re-run — and ATTRIBUTE — under live storage drift: the
+    scan probe moved past :data:`STORAGE_DRIFT_TRIGGER` while the CPU
+    probe stayed flat (< :data:`CPU_FLAT_CEILING`), the signature of a
+    page-cache reclaim (round 9 caught one live: scan-bound queries
+    1.3-1.8x slower while the CPU probe got FASTER). Every query that
+    regressed past the damp trigger after CPU normalization is picked:
+    under a reclaim the slowdown concentrates in scan-bound plans, and
+    the extra rep either rides a re-warmed cache back to truth or
+    confirms a real regression. The caller also records the picked set
+    in the bench artifact (``storage_drift``), so a drifted round reads
+    as environment, not plan change. Empty when either probe says the
+    host is steady — CPU-only drift stays the CPU factor's job."""
+    if not (storage_factor > STORAGE_DRIFT_TRIGGER and cpu_factor < CPU_FLAT_CEILING):
+        return []
+    return [
+        name
+        for name, p in prev.items()
+        if name in timings
+        and p > 0
+        and timings[name] / (p * cpu_factor) > BATCH_DAMP_TRIGGER
     ]
 
 
@@ -468,9 +600,14 @@ def main() -> None:
     if not _same_sf(prev_record):
         prev_record = {}
     host_factor = _host_factor(calibration_sec, prev_record)
-    for name in _batch_damp_candidates(
+    storage_factor = _storage_factor(scan_probe_sec, prev_record)
+    storage_rerun = _storage_rerun_candidates(
+        timings, dict(prev_record.get("queries", {})), storage_factor, host_factor
+    )
+    damp = _batch_damp_candidates(
         timings, dict(prev_record.get("queries", {})), host_factor
-    ):
+    )
+    for name in dict.fromkeys(damp + storage_rerun):
         t0 = time.time()
         if name in EXTRA_ACTIONS:
             EXTRA_ACTIONS[name](spark, SF_DIR)
@@ -503,20 +640,26 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "calibration_sec": calibration_sec,
-                "scan_probe_sec": scan_probe_sec,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "calibration_sec": calibration_sec,
+        "scan_probe_sec": scan_probe_sec,
+        "sf": sf,
+    }
+    if storage_rerun:
+        # storage drifted while the CPU probe was flat: name the re-run
+        # set in the artifact so the round's readers attribute the drift
+        # to the environment instead of re-litigating each query
+        record["storage_drift"] = {
+            "storage_factor": round(storage_factor, 3),
+            "cpu_factor": round(host_factor, 3),
+            "reran": sorted(storage_rerun),
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

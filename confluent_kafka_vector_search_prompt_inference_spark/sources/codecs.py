@@ -1344,8 +1344,11 @@ def avi_decode_mjpeg(data: bytes) -> tuple[list[bytes], dict]:
 # VLC table risk is managed accordingly: the <= 11-bit B.5c entries and
 # both escape forms are exercised by encoder round-trips; the 12-16-bit
 # long-tail entries (transcribed from the public table, never emitted by
-# this encoder) decode real streams but carry no fixture coverage — an
-# unknown prefix raises rather than misdecodes.
+# this encoder) are decode-verified by a hand-assembled dual-path
+# fixture (tests/test_codecs.py: the same run/level sequence coded via
+# the long-tail entries and via the escape form must decode to
+# identical pixels, spanning every 12-16-bit code length) — an unknown
+# prefix still raises rather than misdecodes.
 
 _MPEG_INTRA_QUANT = np.array([
      8, 16, 19, 22, 26, 27, 29, 34,

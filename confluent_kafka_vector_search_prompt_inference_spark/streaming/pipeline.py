@@ -144,6 +144,13 @@ def enforce_retention(
         if not (over_count or over_bytes):
             break
         epoch, path, _ = dirs.pop(0)
+        # the epoch's live-id sidecar goes FIRST: a crash between the two
+        # deletes then leaves a sink epoch without a sidecar (readers fall
+        # back to the epoch itself — exact), never an orphaned sidecar
+        shutil.rmtree(
+            os.path.join(_ids_root(sink_dir), f"_batch={epoch}"),
+            ignore_errors=True,
+        )
         shutil.rmtree(path)
         removed.append(epoch)
     return removed
@@ -385,8 +392,10 @@ def retire_tombstone(
         return None  # no bucket store → nothing to prune, ever
     dead = retired_ids.select(id_col).distinct()
     if not verified and _sink_has_batches(sink_dir):
+        # narrow live-id read: the `_ids` sidecars where they exist, the
+        # epochs' own id column where they don't — flat in sink row width
         dead = dead.join(
-            read_sink(spark, sink_dir).select(id_col), id_col, "left_anti"
+            read_sink_ids(spark, sink_dir, [id_col]), id_col, "left_anti"
         )
     troot = _tombstones_dir(buckets_dir)
     os.makedirs(troot, exist_ok=True)
@@ -481,12 +490,11 @@ def enforce_retention_tombstoned(
         p for p in doomed if os.path.exists(os.path.join(p, "_SUCCESS"))
     ]
     if doomed_committed and os.path.isdir(os.path.join(sink_dir, "_buckets")):
-        retired = (
-            spark.read.option("basePath", sink_dir)
-            .parquet(*doomed_committed)
-            .select(id_col)
-            .distinct()
-        )
+        # both legs read NARROW: the per-epoch `_ids` sidecars where they
+        # exist, the epochs' own id column where they don't
+        retired = _narrow_epoch_reads(
+            spark, sink_dir, doomed_committed, [id_col]
+        ).distinct()
         survivors = [
             p for _, p, _ in dirs if p not in doomed
             and os.path.exists(os.path.join(p, "_SUCCESS"))
@@ -497,16 +505,19 @@ def enforce_retention_tombstoned(
             # lands before deletion — so retire_tombstone's default
             # anti-join against the whole sink would empty the set.)
             retired = retired.join(
-                spark.read.option("basePath", sink_dir)
-                .parquet(*survivors)
-                .select(id_col),
+                _narrow_epoch_reads(spark, sink_dir, survivors, [id_col]),
                 id_col,
                 "left_anti",
             )
         retire_tombstone(
             spark, sink_dir, retired, id_col=id_col, verified=True
         )
-    for path in doomed:
+    for path, epoch in zip(doomed, doomed_epochs):
+        # id sidecar first — see enforce_retention for the crash ordering
+        shutil.rmtree(
+            os.path.join(_ids_root(sink_dir), f"_batch={epoch}"),
+            ignore_errors=True,
+        )
         shutil.rmtree(path, ignore_errors=True)
     return doomed_epochs
 
@@ -800,6 +811,9 @@ def near_dedup_insert(
     bucket_partitions: int = 64,
     compact_every: int = 16,
     trigger_once: bool = False,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    exact_key_col: str | None = None,
+    maintenance_nudges: int = 1,
 ) -> StreamingQuery:
     """Continuous INSERT that drops NEAR-duplicate documents — the
     streaming leg of the MinHash-LSH dedup family (the exact-key version
@@ -872,7 +886,26 @@ def near_dedup_insert(
     the only path. Candidate volume is banded-LSH-bounded exactly as in
     batch; document bodies never join until a candidate pair exists
     (the bucket join moves ids only; texts re-attach to candidates by
-    id)."""
+    id).
+
+    Round 10 additions, composing the crawl-curation chain as ONE lane:
+
+    - ``transform`` runs first on each micro-batch (a plain batch
+      DataFrame — e.g. WARC parse → ``html_to_text`` →
+      ``canonical_url``), producing the rows the dedup stages see;
+    - ``exact_key_col`` inserts an EXACT dedup stage before the near
+      dedup: within the batch the smallest-``id_col`` row per key
+      survives, and keys already landed are dropped via an anti-join
+      against the sink's NARROW ``_ids`` sidecar (first-arrived-wins —
+      the streaming face of the batch pipeline's min-id-per-URL rule);
+    - every epoch also lands a ``<sink>/_ids/_batch=N`` sidecar
+      (:func:`write_ids_sidecar`: ``id_col`` + the exact key when
+      configured), so the exact-key anti-join and the maintenance
+      tombstone re-verify scan one tiny column file per epoch instead
+      of the full sink — flat in sink row width at 100 TB;
+    - ``maintenance_nudges`` forwards to ``maintain_bucket_store
+      (max_nudges_per_call=...)`` — the batch-latency ↔ migration-drain
+      trade for slow trigger cadences."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -973,11 +1006,34 @@ def near_dedup_insert(
             )
             layout_checked.add(eid)
 
+    sidecar_cols = [id_col] + (
+        [exact_key_col] if exact_key_col and exact_key_col != id_col else []
+    )
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
         from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
         nonlocal sink_contract_ok
         spark = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if exact_key_col is not None:
+            # exact stage: smallest-id row per key within the batch, then
+            # keys already landed drop (narrow sidecar read, not the sink)
+            w = Window.partitionBy(exact_key_col).orderBy(id_col)
+            batch_df = (
+                batch_df.withColumn("__krn", F.row_number().over(w))
+                .filter(F.col("__krn") == 1)
+                .drop("__krn")
+            )
+            if _sink_has_batches(sink_dir):
+                batch_df = batch_df.join(
+                    read_sink_ids(spark, sink_dir, [exact_key_col]),
+                    exact_key_col,
+                    "left_anti",
+                )
         # NOTE: do NOT repartition the micro-batch here "to spread the
         # per-row-heavy signature stage" — measured on the round-6
         # ladder, the extra shuffle + 32-task scheduling across every
@@ -1132,6 +1188,10 @@ def near_dedup_insert(
                     num_partitions=wn, nparts_sidecar=wsc,
                 )
                 layout_checked.add(epoch_id)
+                # narrow live-id sidecar (third epoch-keyed write): a
+                # crash before it just means this epoch's readers fall
+                # back to projecting the epoch dir itself
+                write_ids_sidecar(spark, sink_dir, epoch_id, sidecar_cols)
             # bounded directory count AND the partitioned layout's home:
             # once the flat tail exceeds compact_every epochs it folds
             # into a NEW __bpart-partitioned run, and runs merge
@@ -1149,6 +1209,7 @@ def near_dedup_insert(
                 spark, sink_dir, id_col=id_col,
                 bucket_partitions=bucket_partitions,
                 compact_every=compact_every, keep_batches=1,
+                max_nudges_per_call=maintenance_nudges,
             )
         finally:
             if pairs is not None:
@@ -1252,6 +1313,127 @@ def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
         .parquet(*dirs)
     )
     return df.drop("_batch")
+
+
+def _ids_root(sink_dir: str) -> str:
+    return os.path.join(sink_dir, "_ids")
+
+
+def write_ids_sidecar(
+    spark: SparkSession, sink_dir: str, epoch_id: int, cols: list[str]
+) -> None:
+    """Land the narrow LIVE-ID sidecar for a just-committed sink epoch:
+    ``<sink>/_ids/_batch=N`` holding only ``cols`` (the document id, plus
+    an exact-dedup key when the pipeline carries one) as one small
+    columnar file — the exact-dedup fingerprint-table shape. Consumers
+    that only need ids (the tombstone re-verify in
+    :func:`maintain_bucket_store`, :func:`retire_tombstone`'s creation
+    bound, the exact-key anti-join of a keyed :func:`near_dedup_insert`)
+    read this instead of projecting the full sink, so their per-call
+    cost stays flat as sink ROW WIDTH grows — a 100 TB sink's id column
+    may still be listed out of thousands of wide row groups; the sidecar
+    is the pre-projected answer.
+
+    Epoch-keyed idempotent (a replay skips); written FROM the committed
+    epoch dir, so a replayed write would land identical rows anyway.
+    Crash between the sink epoch commit and this write: the epoch simply
+    has no sidecar and every reader falls back to projecting that epoch
+    directly (:func:`read_sink_ids` enumerates from the SINK's committed
+    epochs — the source of truth — so an orphaned sidecar whose epoch
+    retention already deleted is never read). ``cols`` must match the
+    sink's recorded sidecar schema: a config change resets the sidecars
+    (they are derived data; the reset costs one fallback read per epoch
+    until rewritten)."""
+    import json
+    import shutil
+
+    root = _ids_root(sink_dir)
+    os.makedirs(root, exist_ok=True)
+    schema_p = os.path.join(root, "_schema.json")
+    if os.path.exists(schema_p):
+        with open(schema_p) as fh:
+            recorded = json.load(fh)["cols"]
+        if recorded != list(cols):
+            # config changed: derived data, reset wholesale (readers fall
+            # back to the sink until new sidecars land)
+            for d in _committed_batch_dirs(root):
+                shutil.rmtree(d, ignore_errors=True)
+            os.remove(schema_p)
+    if not os.path.exists(schema_p):
+        tmp = schema_p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cols": list(cols)}, fh)
+        os.replace(tmp, schema_p)
+    target = os.path.join(root, f"_batch={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return
+    src = os.path.join(sink_dir, f"_batch={epoch_id}")
+    (
+        spark.read.parquet(src)
+        .select(*cols)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+
+def _sidecar_cols(sink_dir: str) -> list[str] | None:
+    """The sink's recorded sidecar column set, or None when no sidecar
+    store exists (pre-round-10 sink, or a reset in progress)."""
+    import json
+
+    p = os.path.join(_ids_root(sink_dir), "_schema.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return list(json.load(fh)["cols"])
+
+
+def _narrow_epoch_reads(
+    spark: SparkSession, sink_dir: str, epoch_paths: list, cols: list[str]
+) -> DataFrame:
+    """Project ``cols`` from the given committed sink epoch dirs, reading
+    each epoch's ``_ids`` sidecar when one is committed (a one-file
+    narrow scan) and the epoch's own parquet otherwise. Exact under
+    every crash interleaving: the caller's epoch list (derived from the
+    SINK) is the source of truth, a missing sidecar falls back, an
+    orphaned sidecar is never enumerated, and a sidecar store whose
+    recorded schema lacks a requested column is ignored wholesale (no
+    silent null-fill from a heterogeneous-schema parquet read)."""
+    recorded = _sidecar_cols(sink_dir)
+    usable = recorded is not None and set(cols) <= set(recorded)
+    root = _ids_root(sink_dir)
+    side, full = [], []
+    for p in epoch_paths:
+        sp = os.path.join(root, f"_batch={p.rsplit('=', 1)[1]}")
+        if usable and os.path.exists(os.path.join(sp, "_SUCCESS")):
+            side.append(sp)
+        else:
+            full.append(p)
+    legs = []
+    if side:
+        legs.append(spark.read.parquet(*side).select(*cols))
+    if full:
+        legs.append(spark.read.parquet(*full).select(*cols))
+    if not legs:
+        raise FileNotFoundError(f"no committed epochs under {sink_dir}")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def read_sink_ids(
+    spark: SparkSession, sink_dir: str, cols: list[str]
+) -> DataFrame:
+    """The sink's live narrow id table: ``cols`` over every committed
+    epoch, served from the ``_ids`` sidecars where they exist and from
+    the epochs themselves where they don't (pre-upgrade history, a
+    crash between the two writes, a mid-reset sidecar store)."""
+    dirs = _committed_batch_dirs(sink_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed _batch=* epochs under {sink_dir}")
+    return _narrow_epoch_reads(spark, sink_dir, dirs, cols)
 
 
 def compact_sink(
@@ -1638,6 +1820,7 @@ def maintain_bucket_store(
     compact_every: int = 16,
     keep_batches: int = 1,
     fanout: int = 2,
+    max_nudges_per_call: int = 1,
 ) -> dict:
     """ONLINE maintenance for a near-dedup bucket store — called by
     :func:`near_dedup_insert` at the end of every micro-batch, so a
@@ -1652,31 +1835,45 @@ def maintain_bucket_store(
        exceeds ``compact_every`` epochs, it folds and runs merge
        geometrically; every fold now applies the pending maintenance
        transform (tombstone anti-join, target-N re-mod);
-    2. **one nudge per call** — if a pending online rebucket
+    2. **bounded nudges per call** — if a pending online rebucket
        (:func:`request_rebucket_online`) or an unapplied tombstone
        leaves stale dirs that the geometric invariant would never touch
-       (the oldest/biggest run is stable by design), ONE stale dir is
-       re-folded per call, newest (cheapest) first — so a full migration
-       or prune drains in O(#runs) = O(log history) maintenance calls
-       with per-call work bounded at one run rewrite;
+       (the oldest/biggest run is stable by design), up to
+       ``max_nudges_per_call`` stale dirs are re-folded per call, newest
+       (cheapest) first — so a full migration or prune drains in
+       O(#runs / max_nudges) = O(log history) maintenance calls with
+       per-call work bounded at ``max_nudges_per_call`` run rewrites.
+       The knob is the batch-latency ↔ drain-wall-clock trade: a slow
+       trigger cadence (one batch a minute) drains a deep migration
+       proportionally faster at ``max_nudges_per_call > 1``, paying the
+       extra rewrites inside each batch — mixed-N reads are exact at
+       every intermediate state either way;
     3. **finalize** — when every committed dir carries the target N, the
        pinned ``_meta.json`` is bumped atomically and the request file
        removed (crash between the two: next call re-finalizes trivially);
     4. **tombstone GC** — a tombstone whose ids every run has applied
-       (per ``_tombstones_applied.json``) and that no remaining flat
-       delta predates (per its ``created_after_epoch``) is deleted; a
-       tombstone whose RE-VERIFIED kill set is empty (all its ids are
-       live again, e.g. the tombstone-first crash of
-       :func:`enforce_retention_tombstoned`) is deleted immediately —
-       safe because a later true retirement of those ids necessarily
-       lands a fresh tombstone.
+       (per ``_tombstones_applied.json``) is deleted once no remaining
+       flat delta can hold its rows: a flat delta counts as clear when
+       its epoch POSTDATES the tombstone (``created_after_epoch``) or —
+       the idle-stream case, where the newest kept delta predates the
+       tombstone forever because no new epochs arrive to fold it — when
+       its ids are DISJOINT from the tombstone's (a micro-batch-sized
+       semi-join probe; disjoint with the raw tombstoned set implies
+       disjoint with any re-verified kill subset, so the check is
+       conservative-exact). A tombstone whose RE-VERIFIED kill set is
+       empty (all its ids are live again, e.g. the tombstone-first
+       crash of :func:`enforce_retention_tombstoned`) is deleted
+       immediately — safe because a later true retirement of those ids
+       necessarily lands a fresh tombstone.
 
     Tombstone application re-verifies against the CURRENTLY-landed sink
-    ids (``kill = tombstoned − live``), so a retired id that re-landed
-    keeps its new bucket rows and near-copies of it stay suppressed —
-    pytest-pinned in ``tests/test_streaming.py``. Returns a stats dict
-    (``folded``, ``nudged``, ``finalized``, ``tombstones_gcd``,
-    ``pending_target``)."""
+    ids (``kill = tombstoned − live``) — read NARROW through the
+    ``_ids`` sidecars (:func:`read_sink_ids`) where they exist, so the
+    re-verify cost is flat in sink row width — and a retired id that
+    re-landed keeps its new bucket rows while near-copies of it stay
+    suppressed — pytest-pinned in ``tests/test_streaming.py``. Returns
+    a stats dict (``folded``, ``nudged``, ``finalized``,
+    ``tombstones_gcd``, ``pending_target``)."""
     import json
     import shutil
 
@@ -1749,9 +1946,11 @@ def maintain_bucket_store(
         )
         if _sink_has_batches(sink_dir):
             # application-time re-verify: an id that RE-LANDED after its
-            # retirement is live again — its bucket rows must survive
+            # retirement is live again — its bucket rows must survive.
+            # The live side reads NARROW (_ids sidecars where present),
+            # so this stays flat as the sink's row width grows.
             tombstoned = tombstoned.join(
-                read_sink(spark, sink_dir).select(id_col), id_col, "left_anti"
+                read_sink_ids(spark, sink_dir, [id_col]), id_col, "left_anti"
             )
         kill = tombstoned.persist()
         if kill.limit(1).count() == 0:
@@ -1799,28 +1998,31 @@ def maintain_bucket_store(
                 spark, buckets_dir, keep_batches=keep_batches,
                 partition_by=["__bpart"], fanout=fanout, **maint,
             )
-        # one nudge per call: re-fold the cheapest stale dirs the
+        # bounded nudges per call: re-fold the cheapest stale dirs the
         # geometric pass didn't touch (stale flat deltas all at once —
-        # they are micro-batch-sized — else the NEWEST stale run)
-        dirs = _committed_batch_dirs(buckets_dir)
-        keep = set(dirs[len(dirs) - keep_batches :]) if dirs else set()
-        stale = [
-            d
-            for d in dirs
-            if d not in keep
-            and (
-                _dir_nparts(d, meta_n) != out_n
-                or (
-                    tomb_names
-                    and _is_compacted_run(d)
-                    and not tomb_names <= _read_applied_sidecar(d)
+        # they are micro-batch-sized — else the NEWEST stale runs),
+        # up to max_nudges_per_call run rewrites
+        for _ in range(max(1, max_nudges_per_call)):
+            dirs = _committed_batch_dirs(buckets_dir)
+            keep = set(dirs[len(dirs) - keep_batches :]) if dirs else set()
+            stale = [
+                d
+                for d in dirs
+                if d not in keep
+                and (
+                    _dir_nparts(d, meta_n) != out_n
+                    or (
+                        tomb_names
+                        and _is_compacted_run(d)
+                        and not tomb_names <= _read_applied_sidecar(d)
+                    )
                 )
-            )
-        ]
-        if stale:
+            ]
+            if not stale:
+                break
             stale_flat = [d for d in stale if not _is_compacted_run(d)]
             fold_set = stale_flat or [stale[-1]]
-            stats["nudged"] = _fold_dirs(
+            stats["nudged"] += _fold_dirs(
                 spark, buckets_dir, fold_set,
                 partition_by=["__bpart"], **maint,
             )
@@ -1840,7 +2042,17 @@ def maintain_bucket_store(
             stats["finalized"] = True
 
     # tombstone GC: drained when every run lists it applied and no
-    # remaining flat delta predates it (debris sweep happened up top)
+    # remaining flat delta can hold its rows (debris sweep happened up
+    # top). A flat delta is clear when its epoch postdates the tombstone
+    # — or, the IDLE-STREAM escape, when its ids are disjoint from the
+    # tombstone's: the newest kept delta always predates a retention
+    # tombstone (created_after is the max epoch at creation), so on a
+    # stream that then goes quiet the structural test alone would hold
+    # the tombstone (and its per-call re-reads here) forever. The probe
+    # joins a micro-batch-sized delta id column against the tombstone's
+    # parquet — and disjointness with the RAW tombstoned set implies
+    # disjointness with any re-verified kill subset, so GC'ing on it
+    # never drops a tombstone that still had rows to kill.
     if tombs:
         dirs = _committed_batch_dirs(buckets_dir)
         for t in _live_tombstones(buckets_dir):
@@ -1848,12 +2060,31 @@ def maintain_bucket_store(
             with open(meta_p) as fh:
                 created_after = int(json.load(fh)["created_after_epoch"])
             name = os.path.basename(t)
-            drained = all(
+            compacted_ok = all(
                 name in _read_applied_sidecar(d)
-                if _is_compacted_run(d)
-                else int(d.rsplit("=", 1)[1]) > created_after
                 for d in dirs
+                if _is_compacted_run(d)
             )
+            if not compacted_ok:
+                continue
+            blockers = [
+                d
+                for d in dirs
+                if not _is_compacted_run(d)
+                and int(d.rsplit("=", 1)[1]) <= created_after
+            ]
+            drained = not blockers
+            if blockers:
+                probe = (
+                    spark.read.parquet(*blockers)
+                    .select(id_col)
+                    .join(
+                        spark.read.parquet(t).select(id_col),
+                        id_col,
+                        "left_semi",
+                    )
+                )
+                drained = probe.isEmpty()
             if drained:
                 shutil.rmtree(t)
                 stats["tombstones_gcd"] += 1

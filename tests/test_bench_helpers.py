@@ -247,3 +247,23 @@ def test_bench_compare_normalizes_streaming_gate(tmp_path):
     # faster host must not excuse the drop (factor floored at 1)
     assert run({**base, "calibration_sec": 0.5},
                {**slow, "calibration_sec": 0.25}) == 1
+
+
+def test_storage_drift_picks_scan_bound_rerun_set():
+    """Round 10: the scan probe moving >1.3x while the CPU probe stays
+    flat flags the regressed queries for an attributed re-run; steady
+    storage, or CPU-correlated drift, keeps the set empty (the CPU
+    factor's job)."""
+    timings = {"scan_q": 3.0, "cpu_q": 1.0, "steady_q": 1.01}
+    prev = {"scan_q": 2.0, "cpu_q": 0.95, "steady_q": 1.0}
+    # page-cache reclaim signature: storage 1.6x, CPU flat
+    picked = bench._storage_rerun_candidates(timings, prev, 1.6, 1.0)
+    assert picked == ["scan_q"], picked
+    # storage steady → empty regardless of regressions
+    assert bench._storage_rerun_candidates(timings, prev, 1.05, 1.0) == []
+    # CPU moved with storage → uniform host drift, CPU normalization owns it
+    assert bench._storage_rerun_candidates(timings, prev, 1.6, 1.4) == []
+    # missing probes degrade to factor 1.0 → never triggers
+    assert bench._storage_factor(0.3, {}) == 1.0
+    assert bench._storage_factor(0.45, {"scan_probe_sec": 0.3}) == 1.5
+    assert bench._storage_factor(0.2, {"scan_probe_sec": 0.3}) == 1.0

@@ -695,3 +695,94 @@ def test_mpeg1_vlc_tables_are_prefix_free():
         assert_prefix_free(
             [format(code, f"0{n}b") for code, n in tbl.values()], what
         )
+
+
+def test_mpeg1_long_tail_vlc_decode_fixture():
+    """Round 10: the 12-16-bit B.5c entries gain DECODE coverage. The
+    encoder never emits them (it escapes), so a hand-assembled
+    elementary stream codes the same (run, level) sequence TWICE — once
+    through the long-tail table entries, once through the (round-trip-
+    verified) 6-bit ESCAPE form — and both must decode to identical
+    pixels: a mistranscribed long-tail entry that still parses would
+    reconstruct a different coefficient and split the two frames; an
+    invalid prefix raises. The chosen pairs span every long-tail code
+    length (12..16 bits) and both signs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.sources.codecs import (
+        _MPEG_AC_LONG,
+        _MPEG_DC_CHROM,
+        _MPEG_MBA,
+    )
+
+    # per-block (run, level) sequences; every |pair| is long-tail-only
+    block_pairs = [
+        [(0, 8), (1, 5), (27, 1)],          # 12 + 12 + 16 bit
+        [(0, -12), (2, 5), (31, -1)],       # 13 + 13 + 16
+        [(0, 16), (1, -6), (16, 2)],        # 14 + 13 + 16
+        [(0, -32), (1, 8)],                 # 15 + 15
+        [(0, 40), (6, -3)],                 # 15 + 16
+        [(0, 21), (0, -27), (14, 2)],       # 14 + 14 + 16
+    ]
+    used_lengths = set()
+    for pairs in block_pairs:
+        for run, level in pairs:
+            bits = _MPEG_AC_LONG[(run, abs(level))]
+            assert 12 <= len(bits) <= 16
+            used_lengths.add(len(bits))
+    assert used_lengths == {12, 13, 14, 15, 16}
+    # run/level walks stay inside the 63 AC positions
+    for pairs in block_pairs:
+        k = 0
+        for run, _ in pairs:
+            k += run + 1
+        assert k <= 63
+
+    def write_long(w, run, level):
+        w.write_bits(_MPEG_AC_LONG[(run, abs(level))])
+        w.write(0 if level > 0 else 1, 1)
+
+    def write_escape(w, run, level):
+        _mpeg_write_ac(w, run, level)  # long pairs are not in the short
+        # table, so this takes the escape form by construction
+
+    def assemble(ac_writer):
+        w = _MpegBitWriter()
+        w.write(0x000001B3, 32)          # sequence header, 16x16 @ 25fps
+        w.write(16, 12)
+        w.write(16, 12)
+        w.write(1, 4)
+        w.write(3, 4)
+        w.write(0x3FFFF, 18)
+        w.write(1, 1)
+        w.write(16, 10)
+        w.write(0, 3)                    # constrained + 2 load flags
+        w.align()
+        w.write(0x00000100, 32)          # picture: I
+        w.write(0, 10)
+        w.write(1, 3)
+        w.write(0xFFFF, 16)
+        w.write(0, 1)
+        w.align()
+        w.write(0x00000101, 32)          # slice 1
+        w.write(2, 5)                    # quantizer_scale = 2
+        w.write(0, 1)
+        w.write_bits(_MPEG_MBA[1])       # one macroblock
+        w.write(1, 1)                    # macroblock_type: intra-d
+        for i, pairs in enumerate(block_pairs):
+            lum = i < 4
+            _mpeg_write_dc(w, 0, _MPEG_DC_LUM if lum else _MPEG_DC_CHROM)
+            for run, level in pairs:
+                ac_writer(w, run, level)
+            w.write(0b10, 2)             # EOB
+        w.align()
+        w.write(0x000001B7, 32)
+        return w.bytes()
+
+    frames_long, meta_long = mpeg1_decode_iframes(assemble(write_long))
+    frames_esc, meta_esc = mpeg1_decode_iframes(assemble(write_escape))
+    assert meta_long["n_iframes"] == meta_esc["n_iframes"] == 1
+    assert len(frames_long) == len(frames_esc) == 1
+    assert frames_long[0].shape == (16, 16, 3)
+    assert np.array_equal(frames_long[0], frames_esc[0])
+    # the coefficients did real work: the frame is not the flat DC-only
+    # block a dropped coefficient would produce
+    assert frames_long[0].std() > 1.0

@@ -59,13 +59,27 @@ def main() -> int:
               f"(host factor {cal_n / cal_o:.2f}; gate normalizes by "
               f"{factor:.2f})")
     scan_o, scan_n = old.get("scan_probe_sec"), new.get("scan_probe_sec")
+    storage_drift = False
     if scan_o and scan_n:
-        # informational, not gated: the CPU probe is blind to storage
-        # drift (a reclaimed page cache moves scan-bound queries without
-        # moving calibration_sec) — this line tells the reader WHICH
-        # kind of host moved
+        # not part of the gate's normalization factor, but ACTIONABLE
+        # (round 10): the CPU probe is blind to storage drift (a
+        # reclaimed page cache moves scan-bound queries without moving
+        # calibration_sec) — when storage moved >1.3x while CPU stayed
+        # flat, the attribution is printed here and bench.py already
+        # re-ran + recorded the affected set (`storage_drift` in the new
+        # record), so a drifted round reads as environment up front
+        sfactor = scan_n / scan_o
+        storage_drift = sfactor > 1.3 and factor < 1.1
         print(f"scan probe:        {scan_o:.3f}s -> {scan_n:.3f}s "
-              f"(storage factor {scan_n / scan_o:.2f}; informational)")
+              f"(storage factor {sfactor:.2f}"
+              + ("; STORAGE DRIFTED while CPU flat — expect scan-bound "
+                 "ratios to move with it" if storage_drift else "")
+              + ")")
+    drift_rec = new.get("storage_drift")
+    if drift_rec:
+        print(f"new record flags storage drift: reran {drift_rec['reran']} "
+              f"(storage {drift_rec['storage_factor']}x, "
+              f"cpu {drift_rec['cpu_factor']}x)")
     common = sorted(set(oq) & set(nq))
     worst = 0.0
     print(f"{'query':38s} {'old':>7s} {'new':>7s} {'ratio':>6s} {'norm':>6s}")
