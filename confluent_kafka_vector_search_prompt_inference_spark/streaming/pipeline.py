@@ -169,13 +169,15 @@ def dedup_insert(
     incremental exact dedup against the sink itself.
 
     Each micro-batch (a) dedups within itself (one surviving row per
-    key), then (b) anti-joins the keys already in the sink. Reading the sink back per batch is the
-    no-extra-infrastructure form; at scale the accumulated-keys side is a
-    compacted fingerprint table bucketed by key, so the anti join is a
-    bucket-pruned hash join, not a full sink scan. Unlike
-    ``dropDuplicates`` in streaming mode, the seen-set lives in the sink,
-    not executor state — it survives restarts and is unbounded without a
-    watermark.
+    key), then (b) anti-joins the keys already in the sink. The
+    landed-keys side reads the per-epoch ``_ids`` sidecars
+    (:func:`write_ids_sidecar` — this writer lands one per epoch, a
+    single-file key projection: the compacted fingerprint-table shape),
+    falling back to projecting any epoch that lacks one — so the
+    anti-join scans tiny key files, flat in sink ROW WIDTH, instead of
+    the full sink. Unlike ``dropDuplicates`` in streaming mode, the
+    seen-set lives in the sink, not executor state — it survives
+    restarts and is unbounded without a watermark.
     """
     from pyspark.sql import functions as F
 
@@ -189,9 +191,13 @@ def dedup_insert(
         # other failure must propagate so the checkpoint retries the batch —
         # swallowing it would silently disable dedup and commit duplicates.
         if _sink_has_batches(sink_dir):
-            seen = read_sink(spark, sink_dir).select(key_name).distinct()
+            seen = read_sink_ids(spark, sink_dir, [key_name]).distinct()
             keyed = keyed.join(seen, key_name, "left_anti")
         write_batch(keyed, epoch_id)
+        if os.path.exists(
+            os.path.join(sink_dir, f"_batch={epoch_id}", "_SUCCESS")
+        ):
+            write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

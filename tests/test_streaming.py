@@ -322,6 +322,22 @@ def test_incremental_dedup_insert(spark, tmp_path, docs):
     n_unique = base.select(doc_fingerprint("text").alias("fp")).distinct().count()
     assert out.count() == n_unique
     assert out.select("__fp").distinct().count() == n_unique
+    # round 10: the landed-keys side is served by per-epoch narrow `_ids`
+    # sidecars (one key file per epoch), and losing one (the crash window
+    # between the two writes) only costs the fallback, never correctness
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import read_sink_ids
+
+    sink = str(tmp_path / "dedup_sink")
+    side = sorted(glob.glob(os.path.join(sink, "_ids", "_batch=*")))
+    assert side, "dedup_insert should land key sidecars per epoch"
+    keys_narrow = {r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()}
+    keys_full = {r["__fp"] for r in out.select("__fp").collect()}
+    assert keys_narrow == keys_full
+    shutil.rmtree(side[0])
+    keys_narrow = {r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()}
+    assert keys_narrow == keys_full
 
 
 def test_stream_static_enrichment_join(spark, tmp_path, events_dir):

