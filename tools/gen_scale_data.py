@@ -133,8 +133,6 @@ def main() -> None:
         gen_relational(sf)
 
 
-if __name__ == "__main__":
-    main()
 
 
 # --- relational tables (events / orders / lineitem) -----------------------
@@ -292,3 +290,7 @@ def gen_relational(sf: str) -> None:
     gen_events(n_ev, n_users, os.path.join(d, "events.parquet"))
     gen_orders(cfg["orders"], os.path.join(d, "orders.parquet"))
     gen_lineitem(cfg["lineitem"], cfg["orders"], os.path.join(d, "lineitem.parquet"))
+
+
+if __name__ == "__main__":
+    main()

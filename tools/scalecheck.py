@@ -76,6 +76,9 @@ HEAVIES = [
     "bm25_prf_topk",
     # round-6 additions
     "knn_label_vote",
+    # round-10: the composed crawl-curation chain (WARC encode+parse,
+    # extraction, URL dedup, LSH near-dedup, quality gates in one plan)
+    "crawl_curation_pipeline",
 ]
 
 SF_DIRS = {
