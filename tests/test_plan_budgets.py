@@ -126,6 +126,15 @@ BUDGETS = {
     "source_nchars_quantiles": 3,   # salted (group, pmod(h,64)) phase-1
                                     # window + per-group phase-2 window
                                     # over ≤64·m rows + final sort
+    "crawl_curation_pipeline": 26,  # persisted url_surv/shingle subtrees
+                                    # print their fixture repartition +
+                                    # canon-URL window exchange once per
+                                    # consuming branch (signatures, both
+                                    # verify sides, final projection);
+                                    # executed: fixture self-join + one
+                                    # URL-key window + the same banded-
+                                    # LSH shuffles as minhash_lsh_dups +
+                                    # final sort — never all-pairs
 }
 
 
