@@ -2075,13 +2075,16 @@ def warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     28500): per document a 2-record archive (an HTTP ``response``
     carrying the document's own text, plus the ``request``) is encoded
     in-flight — odd doc_ids as PER-RECORD GZIP MEMBERS (the Common
-    Crawl layout), even ones plain — parsed back by
+    Crawl layout), even ones plain; doc_ids divisible by 3 carry their
+    body under ``Transfer-Encoding: chunked`` (two chunks + a chunk
+    extension, round 10) instead of Content-Length — parsed back by
     ``sources/warc.read_warc`` (record framing → HTTP status/header
-    extraction), and every field is recomputed closed-form by DuckDB
-    from the documents table: a broken Content-Length walk, gzip member
-    split, or HTTP parse turns rows red. ``mapInPandas`` fan-out over
-    archive blobs, zero shuffle — the archive file is the parallelism
-    unit at 100 TB, exactly how crawl segments shard."""
+    extraction → de-chunking), and every field is recomputed closed-form
+    by DuckDB from the documents table: a broken Content-Length walk,
+    gzip member split, HTTP parse, or chunk decode turns rows red.
+    ``mapInPandas`` fan-out over archive blobs, zero shuffle — the
+    archive file is the parallelism unit at 100 TB, exactly how crawl
+    segments shard."""
     import pandas as pd
 
     from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import (
@@ -2092,17 +2095,33 @@ def warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
+    def chunked_response(body: bytes, status: int) -> bytes:
+        half = len(body) // 2
+        return (
+            f"HTTP/1.1 {status} OK\r\n"
+            "Content-Type: text/html\r\n"
+            "Transfer-Encoding: chunked\r\n\r\n".encode()
+            + f"{half:x};ext=fixture\r\n".encode() + body[:half] + b"\r\n"
+            + f"{len(body) - half:x}\r\n".encode() + body[half:] + b"\r\n"
+            + b"0\r\n\r\n"
+        )
+
     def gen(batches):
         for pdf in batches:
             paths, blobs = [], []
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 body = str(text).encode("utf-8")
                 status = 200 + (int(d) % 2) * 204  # 200 / 404
+                payload = (
+                    chunked_response(body, status)
+                    if int(d) % 3 == 0
+                    else http_response(body, status=status)
+                )
                 recs = [
                     {
                         "type": "response",
                         "uri": f"https://corpus.example/{int(d)}",
-                        "payload": http_response(body, status=status),
+                        "payload": payload,
                     },
                     {
                         "type": "request",

@@ -1516,10 +1516,25 @@ def _finish_fold(sink_dir: str, folded_names: list[str]) -> None:
     The manifest rides along through the rename (underscore-prefixed
     files are invisible to Spark's parquet reader) — removing it BEFORE
     the rename would open a crash window where tmp looks like a failed
-    write and gets discarded with the folded data inside."""
+    write and gets discarded with the folded data inside.
+
+    Every folded epoch's ``_ids`` sidecar goes too — INCLUDING the min
+    epoch whose NAME the base inherits: left in place, that sidecar
+    would read as the base's ids while describing only one folded
+    epoch's, and the exact-key anti-join / tombstone re-verify would
+    silently miss every other folded key (re-delivered dups landing,
+    live bucket rows killed). Deleting them strictly BEFORE the rename
+    keeps every crash point exact: an epoch without a sidecar falls
+    back to its own parquet. The base starts sidecar-less (fallback
+    projection) until :func:`write_ids_sidecar` regenerates one for it
+    — valid on any committed epoch, folded bases included."""
     import shutil
 
     tmp = os.path.join(sink_dir, "_compact_tmp")
+    for name in folded_names:
+        shutil.rmtree(
+            os.path.join(_ids_root(sink_dir), name), ignore_errors=True
+        )
     for name in folded_names:
         d = os.path.join(sink_dir, name)
         if os.path.exists(d):

@@ -2680,3 +2680,59 @@ def test_near_dedup_insert_composed_curation_lane(spark, tmp_path):
     assert side
     cols = set(pq.read_schema(side[0]).names)
     assert {"doc_id", "canon_url"} <= cols
+
+
+def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
+    """compact_sink on a dedup sink must not leave the min folded epoch's
+    stale `_ids` sidecar behind under the base's name — it would read as
+    the base's keys while holding one epoch's, and re-delivered dups
+    would land. Post-fold the base reads by fallback until
+    write_ids_sidecar regenerates its sidecar."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import doc_fingerprint
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        dedup_insert,
+        read_sink_ids,
+        write_ids_sidecar,
+    )
+
+    base = docs.select("doc_id", "text").limit(90)
+    src = str(tmp_path / "src")
+    for i in range(3):  # three micro-batches of 30 distinct docs
+        base.filter((F.col("doc_id") >= i * 30) & (F.col("doc_id") < (i + 1) * 30)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = dedup_insert(
+            file_stream_reader(spark, src, base.schema, max_files_per_trigger=1),
+            sink, ckpt, key_expr=doc_fingerprint("text"), trigger_once=True,
+        )
+        _drain(q)
+
+    run()
+    keys_before = {r["__fp"] for r in read_sink(spark, sink).select("__fp").collect()}
+    folded = compact_sink(spark, sink, keep_batches=1)
+    assert folded >= 2
+    # the base's name collides with the min folded epoch: its old sidecar
+    # must be GONE (fallback), not stale
+    assert not os.path.exists(os.path.join(sink, "_ids", "_batch=0"))
+    keys_narrow = {
+        r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()
+    }
+    assert keys_narrow == keys_before
+    # re-delivering every doc under new ids must land NOTHING
+    base.select((F.col("doc_id") + 9000).alias("doc_id"), "text").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    assert read_sink(spark, sink).count() == len(keys_before)
+    # regenerating the base's sidecar keeps the narrow read exact
+    write_ids_sidecar(spark, sink, 0, ["__fp"])
+    assert os.path.exists(os.path.join(sink, "_ids", "_batch=0", "_SUCCESS"))
+    keys_narrow = {
+        r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()
+    }
+    assert keys_narrow == keys_before
