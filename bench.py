@@ -211,6 +211,24 @@ def _streaming_bench(spark) -> dict:
         q.awaitTermination(600)
         out["near_dedup_insert"] = _progress_stats(q, time.time() - t0, n_docs)
 
+        # --- streaming EXACT dedup: fingerprints land batch by batch
+        # against the bucket-store seen-set (round 10 — one band of the
+        # near-dedup machinery; pruned reads, no history-sized shuffle)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import dedup_insert
+
+        xsrc = os.path.join(work, "xsrc")
+        docs.select("doc_id", "text").repartition(N_STREAM_BATCHES).write.parquet(xsrc)
+        t0 = time.time()
+        q = dedup_insert(
+            file_stream_reader(spark, xsrc, dschema),
+            os.path.join(work, "xd_sink"),
+            os.path.join(work, "xd_ckpt"),
+            key_expr=F.md5("text"),
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["dedup_insert"] = _progress_stats(q, time.time() - t0, n_docs)
+
         # --- streaming IVF sink: embeddings land continuously-indexed
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import ivf_insert
 

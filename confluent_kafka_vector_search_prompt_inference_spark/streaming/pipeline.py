@@ -163,41 +163,174 @@ def dedup_insert(
     *,
     key_expr,
     key_name: str = "__fp",
+    bucket_partitions: int = 64,
+    compact_every: int = 16,
+    prune_store_read: bool = True,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous INSERT that drops rows whose content key already landed —
     incremental exact dedup against the sink itself.
 
     Each micro-batch (a) dedups within itself (one surviving row per
-    key), then (b) anti-joins the keys already in the sink. The
-    landed-keys side reads the per-epoch ``_ids`` sidecars
-    (:func:`write_ids_sidecar` — this writer lands one per epoch, a
-    single-file key projection: the compacted fingerprint-table shape),
-    falling back to projecting any epoch that lacks one — so the
-    anti-join scans tiny key files, flat in sink ROW WIDTH, instead of
-    the full sink. Unlike ``dropDuplicates`` in streaming mode, the
-    seen-set lives in the sink, not executor state — it survives
-    restarts and is unbounded without a watermark.
-    """
+    key), then (b) anti-joins the keys already landed. Unlike
+    ``dropDuplicates`` in streaming mode, the seen-set lives in the
+    sink, not executor state — it survives restarts and is unbounded
+    without a watermark.
+
+    Round 10 makes the landed-keys side the SAME bucket store the
+    near-dedup lane runs (``<sink>/_buckets``), with ``__bucket =
+    xxhash64(key)`` — exact dedup is near-dedup with one band. The
+    anti-join's right side used to be a full scan AND a history-sized
+    shuffle of every landed key per batch (left-anti can only broadcast
+    its right side, and the seen-set is the side that grows forever);
+    now the store read PRUNES to the ``__bpart`` partitions the batch's
+    key hashes touch, a bucket semi-join narrows it to exact-match
+    candidates (hash collisions only add rows, never drop them), and
+    the candidate set — batch-sized, not history-sized — broadcasts
+    into the anti-join. Per-batch history cost: a pruned narrow scan,
+    no history-sized shuffle. Everything the near-dedup store earned
+    rides along free: tiered geometric compaction, online rebucket
+    (``request_rebucket_online``), retention tombstones
+    (``enforce_retention_tombstoned(id_col=key_name)`` — a retired
+    key's re-delivery lands again, which is what retention MEANS), the
+    ``maintain_bucket_store`` lifecycle, and the narrow ``_ids``
+    sidecars its re-verify reads. One addition the exact lane needs
+    that near-dedup gets implicitly from its text re-attach: while a
+    tombstone is un-GC'd the store can hold STALE rows for retired
+    keys, so the candidate set re-verifies at query time (candidates ∩
+    tombstoned, minus re-landed live keys, leave the seen set) — a
+    retired key's re-delivery lands immediately, not after the folds
+    drain. A pre-round-10 sink (no store) is self-healed: every
+    committed epoch backfills its ``(key, bucket)`` delta from the
+    epoch's own key column, once. Retention on this sink must run
+    through ``enforce_retention_tombstoned`` (plain deletion would
+    leave dead keys suppressing forever with no tombstone to drain
+    them) — the same contract the near-dedup lane carries.
+
+    ``prune_store_read=False`` keeps the partition-pruning off (full
+    store scan per batch) — the measured A/B control for the ladder,
+    not a production mode."""
     from pyspark.sql import functions as F
 
     write_batch = idempotent_batch_writer(sink_dir)
+    buckets_dir = os.path.join(sink_dir, "_buckets")
+    layout_checked: set[int] = set()
+
+    def _epoch_delta(spark: SparkSession, epoch_dir: str) -> DataFrame:
+        rows = spark.read.parquet(epoch_dir)
+        if key_name not in rows.columns:
+            raise ValueError(
+                f"dedup_insert sink {sink_dir!r} contains landed rows "
+                f"without a {key_name!r} column (written by a different "
+                "sink writer?). Point dedup_insert at its own sink dir."
+            )
+        return rows.select(
+            key_name, F.xxhash64(key_name).alias("__bucket")
+        ).dropDuplicates([key_name])
+
+    def _heal_store(spark: SparkSession, n_parts: int, sidecar: bool) -> None:
+        covered = _covered_bucket_ranges(buckets_dir)
+        for d in _committed_batch_dirs(sink_dir):
+            eid = int(d.rsplit("=", 1)[1])
+            if eid in layout_checked or _ranges_contain(covered, eid):
+                layout_checked.add(eid)
+                continue
+            write_bucket_delta(
+                _epoch_delta(spark, d).repartition(1), buckets_dir, eid,
+                num_partitions=n_parts, nparts_sidecar=sidecar,
+            )
+            layout_checked.add(eid)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
         keyed = batch_df.withColumn(key_name, key_expr)
         keyed = keyed.dropDuplicates([key_name])
-        spark = batch_df.sparkSession
         # An empty sink (first batch) has no committed _batch=* dirs; any
         # other failure must propagate so the checkpoint retries the batch —
         # swallowing it would silently disable dedup and commit duplicates.
+        inc = None
         if _sink_has_batches(sink_dir):
-            seen = read_sink_ids(spark, sink_dir, [key_name]).distinct()
-            keyed = keyed.join(seen, key_name, "left_anti")
-        write_batch(keyed, epoch_id)
-        if os.path.exists(
-            os.path.join(sink_dir, f"_batch={epoch_id}", "_SUCCESS")
-        ):
-            write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
+            write_n, write_sc = bucket_store_write_partitions(
+                buckets_dir, bucket_partitions
+            )
+            _heal_store(spark, write_n, write_sc)
+            inc = keyed.select(
+                key_name, F.xxhash64(key_name).alias("__bucket")
+            ).persist()
+            parts_for = None
+            if prune_store_read and _split_bucket_dirs(
+                _committed_batch_dirs(buckets_dir)
+            )[0]:
+                # touched partitions PER store N (one list in steady
+                # state; one per N while an online rebucket is pending)
+                parts_by_n: dict[int, list[int] | None] = {}
+                for n in bucket_store_dir_ns(buckets_dir, bucket_partitions):
+                    vals = [
+                        r[0]
+                        for r in inc.select(
+                            F.pmod(F.col("__bucket"), F.lit(n)).cast("int")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    parts_by_n[n] = vals if len(vals) < n else None
+                parts_for = lambda n: parts_by_n.get(n)  # noqa: E731
+            old = read_bucket_store(
+                spark, buckets_dir, key_name, parts_for=parts_for
+            )
+            # exact-match candidates: store rows whose bucket appears in
+            # the batch (collisions only WIDEN the set) — batch-sized,
+            # so the anti-join's right side broadcasts
+            seen = old.join(
+                F.broadcast(inc.select("__bucket").distinct()),
+                "__bucket",
+                "left_semi",
+            ).select(key_name).distinct()
+            # the store may hold STALE rows for retired keys until the
+            # maintenance folds drain a live retention tombstone — and a
+            # retired key's re-delivery must LAND (forgetting is what
+            # retention means). Re-verify exactly like the near-dedup
+            # lane, but at query time and batch-bounded: candidates ∩
+            # tombstoned, minus keys that re-landed (live again), leave
+            # the seen set. Engages only while tombstones are un-GC'd —
+            # a transient O(log history)-fold window.
+            tombs = _live_tombstones(buckets_dir)
+            if tombs:
+                # candidates ∩ tombstoned with the TINY side broadcast
+                # (a retirement tombstone can be epoch-sized; seen is
+                # batch-bounded), then the re-land re-verify over the
+                # narrow _ids sidecars
+                tombstoned = spark.read.parquet(*tombs).select(key_name)
+                dead = tombstoned.join(
+                    F.broadcast(seen), key_name, "left_semi"
+                ).distinct().join(
+                    read_sink_ids(spark, sink_dir, [key_name]),
+                    key_name,
+                    "left_anti",
+                )
+                seen = seen.join(F.broadcast(dead), key_name, "left_anti")
+            keyed = keyed.join(F.broadcast(seen), key_name, "left_anti")
+        try:
+            write_batch(keyed, epoch_id)
+            target = os.path.join(sink_dir, f"_batch={epoch_id}")
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                wn, wsc = bucket_store_write_partitions(
+                    buckets_dir, bucket_partitions
+                )
+                write_bucket_delta(
+                    _epoch_delta(spark, target), buckets_dir, epoch_id,
+                    num_partitions=wn, nparts_sidecar=wsc,
+                )
+                layout_checked.add(epoch_id)
+                write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
+                maintain_bucket_store(
+                    spark, sink_dir, id_col=key_name,
+                    bucket_partitions=bucket_partitions,
+                    compact_every=compact_every, keep_batches=1,
+                )
+        finally:
+            if inc is not None:
+                inc.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

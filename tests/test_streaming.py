@@ -2736,3 +2736,62 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
         r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()
     }
     assert keys_narrow == keys_before
+
+
+def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path):
+    """Round 10: dedup_insert's seen-set is the near-dedup bucket store
+    with __bucket = xxhash64(key): dedup holds across batches through a
+    compacted base (the pruned-read path), retention tombstones retire
+    keys ONLINE (a retired key's re-delivery lands again), and the store
+    GC's the tombstone through the stream's own maintenance."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _live_tombstones,
+        dedup_insert,
+        enforce_retention_tombstoned,
+        read_bucket_store,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    store = os.path.join(sink, "_buckets")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_expr=F.md5("text"), bucket_partitions=4, compact_every=1,
+            trigger_once=True,
+        )
+        _drain(q)
+
+    run_batch([(1, "alpha"), (2, "beta")])
+    run_batch([(3, "gamma"), (4, "delta")])
+    run_batch([(5, "alpha"), (6, "epsilon")])  # 5 is an exact re-delivery
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2, 3, 4, 6}
+    # the store exists, holds one bucket row per landed key, and has a
+    # compacted base (compact_every=1 → the pruned path engaged)
+    store_keys = read_bucket_store(spark, store, "__fp").count()
+    assert store_keys == 5
+    assert glob.glob(os.path.join(store, "_batch=*", "__bpart=*"))
+
+    # retire the oldest epoch's keys; its re-delivery must LAND again
+    removed = enforce_retention_tombstoned(
+        spark, sink, id_col="__fp", max_batches=2
+    )
+    assert removed == [0]
+    run_batch([(7, "alpha"), (8, "zeta")])   # alpha retired → lands
+    run_batch([(9, "gamma"), (10, "eta")])   # gamma still live → drops
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 7 in landed and 8 in landed and 10 in landed
+    assert 9 not in landed, landed
+    # tombstone drained and GC'd by the in-stream maintenance
+    assert not _live_tombstones(store)

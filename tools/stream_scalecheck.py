@@ -388,6 +388,87 @@ def _near_dedup_rung(
     return stats
 
 
+def _exact_dedup_rung(
+    spark, rung: int, work: str, *, prune: bool = True, tag: str = "e"
+) -> dict:
+    """Round 10: dedup_insert's seen-set rides the bucket store
+    (``__bucket = xxhash64(key)``) with partition-pruned reads. This
+    rung pre-lands ``rung`` keys (sink rows + a partitioned store run,
+    the long-running stream's converged shape), then streams the fixed
+    2,000-row increment (1% exact re-deliveries of landed texts — rows
+    the anti-join must DROP) through 4 micro-batches.
+    ``prune=False`` is the A/B control: the same store scanned in full
+    per batch — the pre-round-10 cost shape."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bucket_store_partitions,
+        dedup_insert,
+        file_stream_reader,
+        read_sink,
+        write_bucket_delta,
+        write_ids_sidecar,
+    )
+
+    sink = os.path.join(work, f"xd{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"xd{tag}_ckpt_{rung}")
+    landed = _synth_docs(spark, rung, seed=0).select(
+        "doc_id", "text", F.md5("text").alias("__fp")
+    )
+    landed.repartition(max(32, min(4096, rung // 20_000))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, "_batch=-1"))
+    keyed = spark.read.parquet(os.path.join(sink, "_batch=-1"))
+    buckets_dir = os.path.join(sink, "_buckets")
+    write_bucket_delta(
+        keyed.select("__fp", F.xxhash64("__fp").alias("__bucket")).dropDuplicates(
+            ["__fp"]
+        ),
+        buckets_dir, -1,
+        num_partitions=bucket_store_partitions(buckets_dir, 1024),
+        layout="partitioned",
+    )
+    write_ids_sidecar(spark, sink, -1, ["__fp"])
+
+    inc = spark.range(INCOMING_ROWS)
+    fresh = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
+    planted_src = _synth_docs(spark, INCOMING_ROWS, seed=0).select(
+        F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
+    )
+    incoming = (
+        inc.select(
+            F.col("id"),
+            (F.col("id") + _ID_OFFSET).alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(min(rung, INCOMING_ROWS))).alias("__pid"),
+        )
+        .join(F.broadcast(planted_src), "__pid")
+        .join(fresh.select("doc_id", F.col("text").alias("__ftext")), "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("id") % PLANT_EVERY == 0, F.col("__ptext"))
+            .otherwise(F.col("__ftext"))
+            .alias("text"),
+        )
+    )
+    src = os.path.join(work, f"xd{tag}_src_{rung}")
+    incoming.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t0 = time.time()
+    q = dedup_insert(
+        file_stream_reader(spark, src, schema),
+        sink, ckpt,
+        key_expr=F.md5("text"), bucket_partitions=1024,
+        prune_store_read=prune, trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    landed_after = read_sink(spark, sink).count()
+    stats["landed_rows"] = landed_after - rung
+    stats["dropped_rows"] = INCOMING_ROWS - stats["landed_rows"]
+    return stats
+
+
 def _maintain_width_rung(spark, rung: int, work: str) -> dict:
     """Round 10: tombstone re-verify cost vs sink ROW WIDTH. The
     re-verify anti-join reads the sink's live ids every maintain call
@@ -843,6 +924,13 @@ def main() -> int:
         "sketch_insert": _sketch_rung,
         "maintain_reverify_width": _maintain_width_rung,
         "rebucket_drain_nudges": _rebucket_drain_rung,
+        "exact_dedup_insert": lambda s, r, w: dict(
+            _exact_dedup_rung(s, r, w, prune=True),
+            control=dict(
+                _exact_dedup_rung(s, r, w, prune=False, tag="ec"),
+                what="same store, partition pruning off (full scan/batch)",
+            ),
+        ),
     }
     # lanes whose natural control is ANOTHER lane run in the same
     # session: cross-attach that lane's same-rung numbers as `control`
