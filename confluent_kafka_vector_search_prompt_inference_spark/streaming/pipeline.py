@@ -156,6 +156,19 @@ def enforce_retention(
     return removed
 
 
+#: exact-dedup store size above which the per-batch read prunes by
+#: partition instead of full-scanning. Measured (SCALECHECK
+#: exact_dedup_insert with embedded controls): the narrow (key, bucket)
+#: store full-scans FASTER than the pruning machinery through 10M keys
+#: (~330 MB; 133 vs 85 rows/s), because the probe job and the
+#: 1-exp(-batch/N) fraction of partition-file opens are constant while
+#: the scan is ~16 bytes/key and warm. The scan grows linearly and the
+#: overhead doesn't, so past the projected ~4 GiB crossover (~250M keys
+#: on the ladder host) pruning takes over — the asymptotically
+#: mandatory shape for a 100 TB corpus' key set.
+_EXACT_PRUNE_MIN_BYTES = 4 << 30
+
+
 def dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -165,7 +178,7 @@ def dedup_insert(
     key_name: str = "__fp",
     bucket_partitions: int = 64,
     compact_every: int = 16,
-    prune_store_read: bool = True,
+    prune_store_read: bool | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous INSERT that drops rows whose content key already landed —
@@ -207,9 +220,20 @@ def dedup_insert(
     leave dead keys suppressing forever with no tombstone to drain
     them) — the same contract the near-dedup lane carries.
 
-    ``prune_store_read=False`` keeps the partition-pruning off (full
-    store scan per batch) — the measured A/B control for the ladder,
-    not a production mode."""
+    ``prune_store_read`` — the pruning regime, MEASURED on the ladder
+    (SCALECHECK ``exact_dedup_insert``, controls embedded): the store is
+    so narrow (two long columns per key, ~16 bytes/row) that a full
+    warm scan of a 10M-key store costs less than the pruning machinery
+    (the touched-partition probe job plus opening ~``1-exp(-batch/N)``
+    of N partition directories) — pruned LOST 85 vs 133 rows/s at 10M.
+    The asymptotics reverse unconditionally: the overhead is constant
+    while the scan grows linearly (a 1B-key store is ~16 GB per batch,
+    a 100 TB corpus' key set is TBs), so ``None`` (default) gates by
+    measured store size — full scan below
+    :data:`_EXACT_PRUNE_MIN_BYTES`, pruned above (the projected
+    crossover on the ladder host; the same young-store logic the
+    near-dedup lane applies via ``has_base``). ``True``/``False`` force
+    either mode (the ladder's A/B)."""
     from pyspark.sql import functions as F
 
     write_batch = idempotent_batch_writer(sink_dir)
@@ -257,8 +281,17 @@ def dedup_insert(
             inc = keyed.select(
                 key_name, F.xxhash64(key_name).alias("__bucket")
             ).persist()
+            prune = prune_store_read
+            if prune is None:
+                prune = (
+                    sum(
+                        _dir_bytes(d)
+                        for d in _committed_batch_dirs(buckets_dir)
+                    )
+                    >= _EXACT_PRUNE_MIN_BYTES
+                )
             parts_for = None
-            if prune_store_read and _split_bucket_dirs(
+            if prune and _split_bucket_dirs(
                 _committed_batch_dirs(buckets_dir)
             )[0]:
                 # touched partitions PER store N (one list in steady

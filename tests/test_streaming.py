@@ -2738,12 +2738,15 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
     assert keys_narrow == keys_before
 
 
-def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path):
+@pytest.mark.parametrize("prune", [True, None], ids=["pruned", "auto"])
+def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path, prune):
     """Round 10: dedup_insert's seen-set is the near-dedup bucket store
     with __bucket = xxhash64(key): dedup holds across batches through a
-    compacted base (the pruned-read path), retention tombstones retire
-    keys ONLINE (a retired key's re-delivery lands again), and the store
-    GC's the tombstone through the stream's own maintenance."""
+    compacted base, retention tombstones retire keys ONLINE (a retired
+    key's re-delivery lands again), and the store GC's the tombstone
+    through the stream's own maintenance. Parametrized over the pruning
+    regimes — forced-pruned and auto (which full-scans at this size per
+    the measured ladder crossover) must behave identically."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
@@ -2768,7 +2771,7 @@ def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path):
             file_stream_reader(spark, src, schema),
             sink, str(tmp_path / "ckpt"),
             key_expr=F.md5("text"), bucket_partitions=4, compact_every=1,
-            trigger_once=True,
+            prune_store_read=prune, trigger_once=True,
         )
         _drain(q)
 
