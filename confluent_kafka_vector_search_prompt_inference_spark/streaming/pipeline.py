@@ -1069,7 +1069,13 @@ def near_dedup_insert(
       dedup: within the batch the smallest-``id_col`` row per key
       survives, and keys already landed are dropped via an anti-join
       against the sink's NARROW ``_ids`` sidecar (first-arrived-wins —
-      the streaming face of the batch pipeline's min-id-per-URL rule);
+      the streaming face of the batch pipeline's min-id-per-URL rule).
+      The sidecar scan is O(landed keys) but ~tens of bytes/key — the
+      exact-dedup ladder measured that shape FASTER than a pruned
+      store read through 10M+ keys (SCALECHECK ``exact_dedup_insert``);
+      a corpus whose key set outgrows it (≫100M keys) should run the
+      key stage as its own :func:`dedup_insert` (whose store prunes
+      past the measured crossover) feeding this lane;
     - every epoch also lands a ``<sink>/_ids/_batch=N`` sidecar
       (:func:`write_ids_sidecar`: ``id_col`` + the exact key when
       configured), so the exact-key anti-join and the maintenance

@@ -201,16 +201,21 @@ def main() -> int:
             r["exponent_01_to_1"] = round(math.log10(max(s["1"], 0.01) / s["0.1"]), 2)
 
     # merge-don't-overwrite: a subset run (query names as argv) must not
-    # drop the ladder results of queries it didn't re-measure
-    prior: dict = {}
+    # drop the ladder results of queries it didn't re-measure — NOR any
+    # OTHER tool's sections (round 10 lost the whole `streaming` section
+    # to a run of this tool that rebuilt the document from scratch; every
+    # top-level key this tool doesn't own now passes through verbatim)
+    doc: dict = {}
     if os.path.exists("/root/repo/SCALECHECK.json"):
         try:
             with open("/root/repo/SCALECHECK.json") as fh:
-                prior = json.load(fh).get("queries", {})
+                doc = json.load(fh)
         except Exception:  # noqa: BLE001 — a corrupt file is replaced
-            prior = {}
+            doc = {}
+    prior = doc.get("queries", {})
     prior.update(results)
-    out = {
+    out = dict(doc)
+    out.update({
         "ladder": {sf: d for sf, d in SF_DIRS.items()},
         "note": (
             "exponent = log10(time ratio) per 10x data step after fixed "
@@ -228,7 +233,7 @@ def main() -> int:
             "single-task stage counts (fail open)."
         ),
         "queries": prior,
-    }
+    })
     with open("/root/repo/SCALECHECK.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote SCALECHECK.json")
