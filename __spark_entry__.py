@@ -9439,6 +9439,232 @@ ORDER BY source, q
 """
 
 
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-sketch SET ALGEBRA (round 10): how much do two
+    corpus halves SHARE — union, intersection, and Jaccard over their
+    3-shingle vocabularies — from two 256-row sketches, no join over
+    the corpora (``operators/membership.py``; Beyer et al., SIGMOD
+    2007). The HLL family (``approx_distinct_counts``) answers "how
+    many distinct"; this answers "how many shared", the question a
+    crawl-vs-crawl or source-vs-source overlap audit asks at 100 TB
+    where the exact shingle join is corpus-sized. The sketch is
+    deterministic md5 (bottom-k of ``'v#'``-seeded 60-bit ranks), so
+    the oracle recomputes every ESTIMATE exactly, and the exact
+    counts ride beside them with 4σ verdict columns — at this k the
+    distinct estimates carry ~6.3% relative standard error and the
+    Jaccard ~0.031 absolute."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    k = 256
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        (F.col("source").substr(4, 10).cast("int") % 2).alias("half"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+    ).transform(_persist)
+    sa = kmv_sketch(sh.filter("half = 0"), "s", k=k)
+    sb = kmv_sketch(sh.filter("half = 1"), "s", k=k)
+    est = kmv_overlap(sa, sb, k=k)
+    # exact ground truth over the same shingle sets — affordable at
+    # test SF, and exactly what the sketch exists to AVOID at corpus
+    # scale (the graded contrast, not a production step)
+    da = sh.filter("half = 0").select("s").distinct()
+    db = sh.filter("half = 1").select("s").distinct()
+    ex = (
+        da.agg(F.count("*").alias("exact_d_a"))
+        .crossJoin(db.agg(F.count("*").alias("exact_d_b")))
+        .crossJoin(da.join(db, "s", "semi").agg(F.count("*").alias("exact_inter")))
+    )
+    exact_union = F.col("exact_d_a") + F.col("exact_d_b") - F.col("exact_inter")
+    exact_j = F.round(
+        F.col("exact_inter").cast("double") / exact_union.cast("double"), 6
+    )
+    return est.crossJoin(ex).select(
+        "d_a_est",
+        "d_b_est",
+        "d_union_est",
+        "d_intersect_est",
+        "jaccard_est",
+        "exact_d_a",
+        "exact_d_b",
+        exact_j.alias("exact_jaccard"),
+        (
+            (F.abs(F.col("d_a_est") / F.col("exact_d_a") - 1) <= 0.251)
+            & (F.abs(F.col("d_b_est") / F.col("exact_d_b") - 1) <= 0.251)
+            & (F.abs(F.col("d_union_est") / exact_union - 1) <= 0.251)
+        ).alias("d_within_bound"),
+        (F.abs(F.col("jaccard_est") - exact_j) <= 0.135).alias(
+            "jaccard_within_bound"
+        ),
+    )
+
+
+_KMV_OVERLAP_ORACLE = f"""
+WITH toks AS (SELECT source, {_SQL_WORDS} AS t FROM documents),
+sh AS (
+  SELECT CAST(substring(source, 4, 10) AS INT) % 2 AS half,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM toks
+),
+keys AS (
+  SELECT DISTINCT half,
+         CAST(('0x' || substring(md5('v#' || s), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM sh
+),
+ka AS (SELECT h FROM keys WHERE half = 0 ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM keys WHERE half = 1 ORDER BY h LIMIT 256),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+est AS (
+  SELECT
+    (SELECT CASE WHEN COUNT(*) < 256 THEN ROUND(CAST(COUNT(*) AS DOUBLE), 4)
+            ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE), 4) END
+     FROM ka) AS d_a_est,
+    (SELECT CASE WHEN COUNT(*) < 256 THEN ROUND(CAST(COUNT(*) AS DOUBLE), 4)
+            ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE), 4) END
+     FROM kb) AS d_b_est,
+    (SELECT CASE WHEN COUNT(*) < 256 THEN ROUND(CAST(COUNT(*) AS DOUBLE), 4)
+            ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE), 4) END
+     FROM ku) AS d_union_est,
+    (SELECT COUNT(*) FROM ku) AS ku_n,
+    (SELECT COUNT(*) FROM ku
+     WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS kb_n
+),
+ex AS (
+  SELECT
+    (SELECT COUNT(DISTINCT s) FROM sh WHERE half = 0) AS exact_d_a,
+    (SELECT COUNT(DISTINCT s) FROM sh WHERE half = 1) AS exact_d_b,
+    (SELECT COUNT(*) FROM (SELECT DISTINCT s FROM sh WHERE half = 0) a
+       JOIN (SELECT DISTINCT s FROM sh WHERE half = 1) b USING (s)) AS exact_inter
+)
+SELECT d_a_est, d_b_est, d_union_est,
+  ROUND((CAST(kb_n AS DOUBLE) / CAST(ku_n AS DOUBLE)) * d_union_est, 4) AS d_intersect_est,
+  ROUND(CAST(kb_n AS DOUBLE) / CAST(ku_n AS DOUBLE), 4) AS jaccard_est,
+  exact_d_a, exact_d_b,
+  ROUND(CAST(exact_inter AS DOUBLE) / CAST(exact_d_a + exact_d_b - exact_inter AS DOUBLE), 6) AS exact_jaccard,
+  (ABS(d_a_est / exact_d_a - 1) <= 0.251
+   AND ABS(d_b_est / exact_d_b - 1) <= 0.251
+   AND ABS(d_union_est / (exact_d_a + exact_d_b - exact_inter) - 1) <= 0.251) AS d_within_bound,
+  (ABS(ROUND(CAST(kb_n AS DOUBLE) / CAST(ku_n AS DOUBLE), 4)
+       - ROUND(CAST(exact_inter AS DOUBLE) / CAST(exact_d_a + exact_d_b - exact_inter AS DOUBLE), 6)) <= 0.135) AS jaccard_within_bound
+FROM est, ex
+"""
+
+
+def bloom_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-window membership (round 10): the bitmap of
+    users seen in the FIRST half of the event-time range gates the
+    users active in the SECOND half — the "have we seen this key?"
+    pre-filter a 100 TB pipeline keeps across days so yesterday's
+    seen-URL set shrinks today's exact anti-join to the bloom-positive
+    sliver (``operators/membership.py``). The filter is ≤ ``m/32``
+    packed words whatever the key count, md5-deterministic, so the
+    oracle recomputes the identical bit array and the query grades
+    itself: no false negatives EVER (a theorem, asserted as a column),
+    measured false-positive rate beside the ``(1-e^(-kn/m))^k``
+    theory ceiling."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+        bloom_build,
+        bloom_contains,
+        bloom_fp_bound,
+    )
+
+    m_bits, kk = 4096, 4
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id"
+    )
+    cut = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("cut")
+    )
+    past = (
+        ev.crossJoin(F.broadcast(cut)).filter("us < cut").select("user_id").distinct()
+    ).transform(_persist)
+    probes = (
+        ev.crossJoin(F.broadcast(cut)).filter("us >= cut").select("user_id").distinct()
+    )
+    bloom = bloom_build(past, "user_id", m_bits=m_bits, k=kk)
+    flagged = bloom_contains(bloom, probes, "user_id", m_bits=m_bits, k=kk)
+    truth = flagged.join(
+        past.withColumnRenamed("user_id", "__pu"),
+        F.col("user_id") == F.col("__pu"),
+        "left",
+    ).select("bloom_member", F.col("__pu").isNotNull().alias("is_member"))
+    agg = truth.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("bloom_member").cast("int")).alias("n_bloom_positive"),
+        F.sum(F.col("is_member").cast("int")).alias("n_true_members"),
+        F.sum((F.col("bloom_member") & ~F.col("is_member")).cast("int")).alias(
+            "n_false_positives"
+        ),
+        F.min((F.col("bloom_member") | ~F.col("is_member")).cast("int")).alias(
+            "__nofn"
+        ),
+    ).crossJoin(past.agg(F.count("*").alias("n_inserted")))
+    fp_rate = F.col("n_false_positives") / F.greatest(
+        F.col("n_probed") - F.col("n_true_members"), F.lit(1)
+    )
+    bound = bloom_fp_bound(F.col("n_inserted"), m_bits=m_bits, k=kk)
+    return agg.select(
+        "n_inserted",
+        "n_probed",
+        "n_bloom_positive",
+        "n_true_members",
+        "n_false_positives",
+        (F.col("__nofn") == 1).alias("no_false_negatives"),
+        F.round(fp_rate, 6).alias("fp_rate"),
+        F.round(bound, 6).alias("fp_bound"),
+        # 3x theory + binomial slack for small probe counts; both
+        # engines compute the identical doubles, so the verdict column
+        # is scale-robustness, not the equality check itself
+        (fp_rate <= bound * 3 + 0.02).alias("fp_within_bound"),
+    )
+
+
+_BLOOM_USERS_ORACLE = """
+WITH ev AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+past AS (SELECT DISTINCT user_id FROM ev, cut WHERE us < cut),
+probes AS (SELECT DISTINCT user_id FROM ev, cut WHERE us >= cut),
+pos AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5('b' || CAST(hf.i AS VARCHAR) || '#'
+                         || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 4096 AS BIGINT) AS p
+  FROM past, (VALUES (0), (1), (2), (3)) AS hf(i)
+),
+flag AS (
+  SELECT pr.user_id, BOOL_AND(pp.p IS NOT NULL) AS bloom_member
+  FROM (SELECT user_id,
+               CAST(('0x' || substring(md5('b' || CAST(hf.i AS VARCHAR) || '#'
+                      || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 4096 AS BIGINT) AS p
+        FROM probes, (VALUES (0), (1), (2), (3)) AS hf(i)) pr
+  LEFT JOIN pos pp ON pr.p = pp.p
+  GROUP BY 1
+),
+truth AS (
+  SELECT f.bloom_member, (p.user_id IS NOT NULL) AS is_member
+  FROM flag f LEFT JOIN past p ON f.user_id = p.user_id
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM past) AS n_inserted,
+         COUNT(*) AS n_probed,
+         CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+         CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+         CAST(SUM(CASE WHEN bloom_member AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+         BOOL_AND(bloom_member OR NOT is_member) AS no_false_negatives
+  FROM truth
+)
+SELECT n_inserted, n_probed, n_bloom_positive, n_true_members, n_false_positives,
+  no_false_negatives,
+  ROUND(n_false_positives / GREATEST(n_probed - n_true_members, 1), 6) AS fp_rate,
+  ROUND(POWER(1.0 - EXP((-4.0 * CAST(n_inserted AS DOUBLE)) / 4096.0), 4.0), 6) AS fp_bound,
+  (n_false_positives / GREATEST(n_probed - n_true_members, 1)
+   <= POWER(1.0 - EXP((-4.0 * CAST(n_inserted AS DOUBLE)) / 4096.0), 4.0) * 3 + 0.02) AS fp_within_bound
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -9663,6 +9889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_order": epoch_shuffle_order,
         "source_nchars_quantiles": source_nchars_quantiles,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        # round 10: membership & overlap sketches (§2.11 sketch shelf)
+        "corpus_overlap_kmv": corpus_overlap_kmv,
+        "bloom_returning_users": bloom_returning_users,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -9862,4 +10091,6 @@ def oracle_sql() -> dict[str, str]:
         "user_decayed_value": _DECAYED_VALUE_ORACLE,
         "domain_temperature_mix": _DOMAIN_MIX_ORACLE,
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
+        "corpus_overlap_kmv": _KMV_OVERLAP_ORACLE,
+        "bloom_returning_users": _BLOOM_USERS_ORACLE,
     }

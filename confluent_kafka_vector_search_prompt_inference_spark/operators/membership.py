@@ -1,0 +1,312 @@
+"""Portable membership & overlap sketches as plain DataFrames.
+
+Not in the reference (SURVEY.md §2.11 — extension surface). Two sketch
+families a 100 TB curation pipeline keeps ACROSS jobs and days, rounding
+out the sketch shelf beside count-min (frequencies), bottom-m /
+KLL (quantiles), and HLL (per-query distinct counts):
+
+- **Bloom filter** — "have we seen this key before?" cheaper than the
+  key set. The canonical use is cross-day gating: yesterday's seen-URL
+  bloom filters today's crawl BEFORE the exact anti-join, so the join's
+  big side shrinks by the already-seen fraction at the cost of a
+  broadcast-sized bitmap (false positives only ever cause a redundant
+  exact check — never a lost row).
+- **KMV (k-minimum-values) distinct sketch** — distinct counts WITH SET
+  ALGEBRA (Bayer/Haas/Reinwald/Sismanis, SIGMOD 2007; Beyer et al.,
+  "On synopses for distinct-value estimation"). HLL answers "how many
+  distinct"; KMV additionally answers "how many SHARED" — union,
+  intersection, and Jaccard between two corpora (two crawl snapshots,
+  two source mixes) from two k-row sketches, no join over the corpora.
+
+Design choices (same discipline as ``operators/sketches.py`` — the
+sketch is *deterministic and engine-portable*, so the oracle can
+recompute it EXACTLY, not just tolerance-check it):
+
+- Both sketches ARE DataFrames, not opaque binary blobs: the bloom is
+  ``(word INT, bits BIGINT)`` — the bit array packed 32 bits per word,
+  at most ``m_bits/32`` rows regardless of how many keys were inserted
+  — and the KMV sketch is the ``k`` rows whose seed-prefixed md5 hash
+  is smallest. Queryable, joinable, mergeable with one line of SQL.
+- Hashes are the repo-standard md5 buckets
+  (:func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.sampling.hash_bucket` for bloom positions; the 60-bit
+  ``md5('v#' || key)`` rank for KMV), identical in any engine with md5.
+- Build is one ``groupBy().agg(bit_or)`` (bloom) / one dedup + bottom-k
+  (KMV) — map-side partial aggregation bounds the shuffle at the
+  SKETCH size per map task, so the 100 TB build cost is the scan.
+- Merge is union + re-aggregate: bloom OR is associative/commutative/
+  idempotent, and bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+  — per-day sketches fold into per-month sketches losslessly.
+
+Guarantees: the bloom has NO false negatives ever; its false-positive
+rate after ``n`` distinct inserts is ≈ ``(1 - e^(-k·n/m))^k`` (size at
+``m ≈ 10·n`` bits with ``k=4`` for ~1.2%). The KMV estimate
+``(k-1)/U_(k)`` (``U_(k)`` = k-th smallest hash normalized to (0,1])
+is unbiased with relative standard error ``~1/sqrt(k-2)`` (±6.3% at
+k=256), and is EXACT whenever the set has fewer than ``k`` distinct
+keys (the sketch then holds every hash). Intersection and Jaccard come
+from the union sketch: the k smallest hashes of A ∪ B are a uniform
+sample of its distinct keys, so the fraction of them present in BOTH
+input sketches estimates ``|A ∩ B| / |A ∪ B|``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import hash_bucket
+
+#: bits per packed bloom word. 32 (not 64) so ``1 << bit`` never touches
+#: a BIGINT's sign bit — the packed value stays non-negative and the
+#: shift/AND arithmetic is identical in Spark and DuckDB with no
+#: two's-complement edge case at bit 63.
+_WORD_BITS = 32
+
+#: the KMV hash space: 60-bit ranks (15 hex digits of md5), the same
+#: space as the bottom-m quantile sketch's rank hash
+_KMV_SPACE = float(1 << 60)
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Bit position of ``key`` under hash function ``i`` — md5 of the
+    seed-prefixed key (DuckDB twin:
+    ``('0x' || substring(md5('b{i}#' || CAST(key AS VARCHAR)), 1, 8))::UBIGINT % m_bits``)."""
+    return hash_bucket(F.concat(F.lit(f"b{i}#"), key.cast("string")), m_bits)
+
+
+def bloom_build(
+    items: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a bloom filter over ``key_col``.
+
+    Returns ``(word INT, bits BIGINT)`` — at most ``m_bits/32`` rows
+    total (words whose 32 bits are all zero are simply absent). One
+    ``groupBy(word).agg(bit_or)``: map-side partial aggregation bounds
+    the shuffle at ``m_bits/32`` rows per map task, so the build cost
+    over a 100 TB key column is the scan, not the wire. Duplicate input
+    keys are free (OR is idempotent) — no distinct pass needed.
+    """
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, m_bits).alias(f"p{i}") for i in range(k)])
+    ).alias("pos")
+    rows = items.select(pos).select(
+        (F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"),
+        # SQL form: the PySpark wrapper wants a literal shift count, the
+        # SQL function takes a column
+        F.expr(f"shiftleft(1L, cast(pos % {_WORD_BITS} as int))").alias("__bit"),
+    )
+    return rows.groupBy("word").agg(F.bit_or("__bit").alias("bits"))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge blooms built with identical ``(m_bits, k)``: union + OR.
+    Associative, commutative, idempotent — the daily-rollup merge is
+    this one line, and re-merging yesterday's sketch is a no-op."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Append ``bloom_member BOOLEAN`` to ``probes``: TRUE iff every one
+    of the key's ``k`` bits is set. The sketch side (≤ ``m_bits/32``
+    rows) gets the broadcast; the probe side keeps its scan parallelism
+    — this is the shape that lets a bitmap of yesterday's keys gate a
+    100 TB probe column without shuffling it.
+
+    Membership semantics are SET semantics on the probe ROW: the k bit
+    tests fan out and regroup on the probe's full column tuple, so
+    byte-identical duplicate probe rows collapse to one output row
+    (probe distinct keys, or carry a unique id column, to keep row
+    multiplicity). No false negatives, ever: a key that was inserted
+    has all its bits set by construction.
+    """
+    key = F.col(key_col)
+    cols = list(probes.columns)
+    fanned = probes.select(
+        "*",
+        F.explode(
+            F.array(*[_bloom_pos(key, i, m_bits).alias(f"p{i}") for i in range(k)])
+        ).alias("pos"),
+    ).select(
+        *cols,
+        (F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"),
+        (F.col("pos") % _WORD_BITS).cast("int").alias("__bit"),
+    )
+    joined = fanned.join(F.broadcast(bloom), "word", "left")
+    hit = F.expr("shiftright(coalesce(bits, 0L), __bit) % 2 = 1")
+    return (
+        joined.groupBy(*cols)
+        .agg(F.min(hit.cast("int")).alias("__all"))
+        .select(*cols, (F.col("__all") == 1).alias("bloom_member"))
+    )
+
+
+def bloom_fp_bound(n_inserted: Column, *, m_bits: int, k: int) -> Column:
+    """The standard false-positive-rate ceiling ``(1 - e^(-k·n/m))^k``
+    after ``n_inserted`` distinct keys — a Column so a query can grade
+    its measured rate against theory inside the plan (and an oracle can
+    recompute the identical double)."""
+    return F.pow(
+        F.lit(1.0)
+        - F.exp(
+            (F.lit(-float(k)) * n_inserted.cast("double")) / F.lit(float(m_bits))
+        ),
+        F.lit(float(k)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch with set algebra
+# ---------------------------------------------------------------------------
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """60-bit deterministic KMV rank of a key: the first 15 hex digits
+    of ``md5('v#' || key)`` as BIGINT. Seed-prefixed so it is
+    independent of the quantile sketch's ``'q#'`` rank family. DuckDB
+    twin: ``('0x' || substring(md5('v#' || CAST(key AS VARCHAR)), 1, 15))::UBIGINT``."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("v#"), c.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    items: DataFrame,
+    key_col: str,
+    *,
+    k: int = 256,
+    set_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a KMV sketch: the ``k`` smallest distinct key hashes,
+    ``(set_cols…, __h BIGINT)`` — one independent sketch per
+    ``set_cols`` group when given (per-source overlap matrices).
+
+    Duplicate keys collapse via ``dropDuplicates`` on the hash (the
+    hash is a function of the key; a 60-bit collision between two
+    DISTINCT keys under-counts by one — ~2⁻⁶⁰ per pair, the same
+    accepted risk as the quantile sketch). The bottom-k itself reuses
+    the quantile sketch's scale shape: grouped builds run the salted
+    TWO-PHASE window (phase 1 ranks within ``(set, pmod(__h, 64))`` so
+    a heavy group spreads over 64 tasks; any row of the true bottom-k
+    survives its salt slice's bottom-k), ungrouped builds plan a
+    TakeOrdered over a ≤64-partition narrow projection."""
+    rows = items.select(
+        *(set_cols or []), kmv_hash(F.col(key_col)).alias("__h")
+    ).dropDuplicates([*(set_cols or []), "__h"])
+    if set_cols:
+        from pyspark.sql import Window
+
+        w1 = Window.partitionBy(*set_cols, F.pmod(F.col("__h"), F.lit(64))).orderBy(
+            "__h"
+        )
+        partial = (
+            rows.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        w2 = Window.partitionBy(*set_cols).orderBy("__h")
+        return (
+            partial.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    if rows.rdd.getNumPartitions() > 64:
+        rows = rows.repartition(64)
+    return rows.orderBy("__h").limit(k)
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int = 256, set_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge sketches built with the same seed and ``k``: union, drop
+    duplicate hashes (the same key arriving via two sketches counts
+    once — distinct-count semantics), re-cap at bottom-k. Associative
+    and commutative; the result is exactly ``kmv_sketch`` of the
+    concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    out = out.dropDuplicates([*(set_cols or []), "__h"])
+    if set_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*set_cols).orderBy("__h")
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return out.orderBy("__h").limit(k)
+
+
+def kmv_distinct(
+    sketch: DataFrame, *, k: int = 256, set_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per sketch: ``(set_cols…, n_distinct_est
+    DOUBLE, is_exact BOOLEAN)``. A sketch holding fewer than ``k`` rows
+    saw its WHOLE key set — the estimate is then the exact count; at
+    ``k`` rows the estimator is ``(k-1) · 2^60 / h_(k)`` (unbiased,
+    relative standard error ~1/sqrt(k-2))."""
+    grp = sketch.groupBy(*(set_cols or [])) if set_cols else sketch.groupBy()
+    agg = grp.agg(F.count("__h").alias("__n"), F.max("__h").alias("__hk"))
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__hk").cast("double"))
+    return agg.select(
+        *(set_cols or []),
+        F.round(est, 4).alias("n_distinct_est"),
+        (F.col("__n") < k).alias("is_exact"),
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Set algebra between two (ungrouped) sketches — ONE row:
+    ``d_a_est, d_b_est, d_union_est, d_intersect_est, jaccard_est``
+    (DOUBLEs, rounded to 4 decimals so the engine/oracle float paths
+    agree bit-for-bit).
+
+    The union sketch (merge of the two, re-capped) is a KMV sketch of
+    A ∪ B, and its rows are a uniform hash-sample of the union's
+    distinct keys — so the fraction of them found in BOTH input
+    sketches estimates Jaccard, and ``jaccard · |A ∪ B|`` estimates the
+    intersection (Beyer et al., SIGMOD 2007). Every input here is
+    ≤ k rows: the whole computation broadcasts, whatever the corpora
+    weighed."""
+    ua = kmv_merge(a, b, k=k)
+    in_a = ua.join(F.broadcast(a.select("__h")), "__h", "semi")
+    in_both = in_a.join(F.broadcast(b.select("__h")), "__h", "semi")
+
+    def _d(sk: DataFrame, name: str) -> DataFrame:
+        return kmv_distinct(sk, k=k).select(F.col("n_distinct_est").alias(name))
+
+    stats = (
+        ua.groupBy()
+        .agg(F.count("__h").alias("__ku"))
+        .crossJoin(in_both.groupBy().agg(F.count("__h").alias("__kb")))
+        .crossJoin(_d(a, "d_a_est"))
+        .crossJoin(_d(b, "d_b_est"))
+        .crossJoin(_d(ua, "d_union_est"))
+    )
+    jac = F.col("__kb").cast("double") / F.col("__ku").cast("double")
+    return stats.select(
+        "d_a_est",
+        "d_b_est",
+        "d_union_est",
+        F.round(jac * F.col("d_union_est"), 4).alias("d_intersect_est"),
+        F.round(jac, 4).alias("jaccard_est"),
+    )

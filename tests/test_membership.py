@@ -1,0 +1,169 @@
+"""Membership & overlap sketches (operators/membership.py): bloom
+filter and KMV distinct sketch — merge laws, the no-false-negative
+theorem, bounded state, layout independence, and estimator accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+    bloom_build,
+    bloom_contains,
+    bloom_fp_bound,
+    bloom_merge,
+    kmv_distinct,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+M_BITS, K_HASH = 4096, 4
+
+
+def _keys(spark, lo, hi, prefix="u"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_state(spark):
+    inserted = _keys(spark, 0, 500)
+    bl = bloom_build(inserted, "k", m_bits=M_BITS, k=K_HASH)
+    # state bound: at most m/32 packed words no matter how many keys
+    assert bl.count() <= M_BITS // 32
+    flagged = bloom_contains(bl, inserted, "k", m_bits=M_BITS, k=K_HASH)
+    # every inserted key MUST test positive — a theorem, not a tendency
+    assert flagged.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    n = 500
+    bl = bloom_build(_keys(spark, 0, n), "k", m_bits=M_BITS, k=K_HASH)
+    non_members = _keys(spark, 10_000, 12_000)
+    fp = (
+        bloom_contains(bl, non_members, "k", m_bits=M_BITS, k=K_HASH)
+        .filter("bloom_member")
+        .count()
+    )
+    rate = fp / 2000
+    bound = (
+        spark.range(1)
+        .select(bloom_fp_bound(F.lit(n), m_bits=M_BITS, k=K_HASH).alias("b"))
+        .collect()[0]
+        .b
+    )
+    # kn/m ~ 0.49 -> bound ~ 2.2%; allow 3x for binomial noise at 2k probes
+    assert rate <= bound * 3 + 0.01, (rate, bound)
+
+
+def test_bloom_merge_law(spark):
+    a, b = _keys(spark, 0, 300), _keys(spark, 200, 600)
+    merged = bloom_merge(
+        bloom_build(a, "k", m_bits=M_BITS, k=K_HASH),
+        bloom_build(b, "k", m_bits=M_BITS, k=K_HASH),
+    )
+    direct = bloom_build(a.unionByName(b), "k", m_bits=M_BITS, k=K_HASH)
+    # merge(build(A), build(B)) == build(A ∪ B), word for word
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # idempotent: re-merging a sketch with itself changes nothing
+    twice = bloom_merge(direct, direct)
+    assert twice.exceptAll(direct).count() == 0
+
+
+def test_bloom_layout_independence(spark):
+    keys = _keys(spark, 0, 400)
+    one = bloom_build(keys.coalesce(1), "k", m_bits=M_BITS, k=K_HASH)
+    many = bloom_build(keys.repartition(7), "k", m_bits=M_BITS, k=K_HASH)
+    assert one.exceptAll(many).count() == 0
+    assert many.exceptAll(one).count() == 0
+
+
+def test_bloom_duplicate_probe_rows_collapse(spark):
+    bl = bloom_build(_keys(spark, 0, 10), "k", m_bits=M_BITS, k=K_HASH)
+    probes = _keys(spark, 0, 3).unionByName(_keys(spark, 0, 3))
+    out = bloom_contains(bl, probes, "k", m_bits=M_BITS, k=K_HASH)
+    assert out.count() == 3  # set semantics on the probe row, documented
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    small = _keys(spark, 0, 100)
+    # duplicates must not inflate the count
+    dups = small.unionByName(small)
+    est = kmv_distinct(kmv_sketch(dups, "k", k=256), k=256).collect()[0]
+    assert est.is_exact and est.n_distinct_est == 100.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n, k = 20_000, 512
+    est = kmv_distinct(kmv_sketch(_keys(spark, 0, n), "k", k=k), k=k).collect()[0]
+    assert not est.is_exact
+    # relative standard error ~ 1/sqrt(k-2) ~ 4.4%; assert 4 sigma
+    assert abs(est.n_distinct_est / n - 1) <= 4 / (k - 2) ** 0.5
+
+
+def test_kmv_merge_law_and_layout_independence(spark):
+    a, b = _keys(spark, 0, 3000), _keys(spark, 1500, 4500)
+    merged = kmv_merge(
+        kmv_sketch(a, "k", k=128), kmv_sketch(b, "k", k=128), k=128
+    )
+    direct = kmv_sketch(a.unionByName(b), "k", k=128)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    shuffled = kmv_sketch(a.unionByName(b).repartition(11), "k", k=128)
+    assert shuffled.exceptAll(direct).count() == 0
+
+
+def test_kmv_grouped_matches_per_group_build(spark):
+    rows = _keys(spark, 0, 2000).withColumn(
+        "g", (F.expr("cast(substring(k, 2, 10) as int)") % 3).cast("string")
+    )
+    grouped = kmv_sketch(rows, "k", k=64, set_cols=["g"])
+    for g in ("0", "1", "2"):
+        alone = kmv_sketch(rows.filter(F.col("g") == g), "k", k=64)
+        got = grouped.filter(F.col("g") == g).select("__h")
+        assert got.exceptAll(alone.select("__h")).count() == 0
+        assert alone.select("__h").exceptAll(got).count() == 0
+
+
+def test_kmv_overlap_identical_and_disjoint_sets(spark):
+    a = _keys(spark, 0, 5000)
+    sa = kmv_sketch(a, "k", k=256)
+    same = kmv_overlap(sa, sa, k=256).collect()[0]
+    assert same.jaccard_est == 1.0
+    assert same.d_intersect_est == same.d_union_est
+    sb = kmv_sketch(_keys(spark, 50_000, 55_000), "k", k=256)
+    disjoint = kmv_overlap(sa, sb, k=256).collect()[0]
+    assert disjoint.jaccard_est == 0.0 and disjoint.d_intersect_est == 0.0
+
+
+def test_kmv_overlap_estimates_true_jaccard(spark):
+    # |A| = |B| = 6000, |A ∩ B| = 3000 -> union 9000, jaccard 1/3
+    a, b = _keys(spark, 0, 6000), _keys(spark, 3000, 9000)
+    ov = kmv_overlap(
+        kmv_sketch(a, "k", k=512), kmv_sketch(b, "k", k=512), k=512
+    ).collect()[0]
+    assert abs(ov.jaccard_est - 1 / 3) <= 4 * (0.25 / 512) ** 0.5 + 0.01
+    assert abs(ov.d_union_est / 9000 - 1) <= 4 / 510**0.5
+    assert abs(ov.d_intersect_est / 3000 - 1) <= 0.25
+
+
+def test_kmv_small_sets_fully_exact_overlap(spark):
+    # both sets below k: every estimate collapses to the exact value
+    a, b = _keys(spark, 0, 60), _keys(spark, 40, 100)
+    ov = kmv_overlap(
+        kmv_sketch(a, "k", k=256), kmv_sketch(b, "k", k=256), k=256
+    ).collect()[0]
+    assert ov.d_a_est == 60.0 and ov.d_b_est == 60.0
+    assert ov.d_union_est == 100.0
+    assert ov.d_intersect_est == pytest.approx(20.0)
+    assert ov.jaccard_est == pytest.approx(0.2)
