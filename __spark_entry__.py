@@ -9460,7 +9460,9 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = 256
-    docs = _t(spark, sf_dir, "documents")
+    # small-SF parquet arrives as one split; spread the explode+hash
+    # (the hot stage) before it runs single-task
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     sh = docs.select(
         (F.col("source").substr(4, 10).cast("int") % 2).alias("half"),
         F.explode(word_shingles(F.col("text"), 3)).alias("s"),
@@ -9662,6 +9664,152 @@ SELECT n_inserted, n_probed, n_bloom_positive, n_true_members, n_false_positives
   (n_false_positives / GREATEST(n_probed - n_true_members, 1)
    <= POWER(1.0 - EXP((-4.0 * CAST(n_inserted AS DOUBLE)) / 4096.0), 4.0) * 3 + 0.02) AS fp_within_bound
 FROM agg
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-pairs face of ``corpus_overlap_kmv`` (round 10): one
+    grouped KMV sketch per ``documents.source``, then EVERY unordered
+    source pair's union/intersection/Jaccard from the sketches alone
+    (``kmv_overlap_matrix``) — the "which sources duplicate each
+    other's content" matrix a 20-source corpus audit wants, 190 rows
+    computed without ever joining the corpora. Deterministic md5, so
+    the oracle recomputes every per-pair estimate exactly; each pair's
+    exact Jaccard rides beside it with a 4σ verdict (k=128 ⇒ ±0.044
+    absolute standard error on Jaccard)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    k = 128
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).transform(_persist)
+    grouped = kmv_sketch(sh, "s", k=k, set_cols=["source"])
+    est = kmv_overlap_matrix(grouped, k=k, set_col="source")
+    # exact per-pair Jaccard over the same shingle sets (distinct
+    # (source, shingle) is vocabulary-bounded at test SF — the exact
+    # join the matrix exists to avoid at corpus scale)
+    ds = sh.distinct()
+    sizes = ds.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        ds.alias("a")
+        .join(ds.alias("b"), "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("set_a"), F.col("b.source").alias("set_b")
+        )
+        .agg(F.count("*").alias("__i"))
+    )
+    exact = (
+        est.select("set_a", "set_b")
+        .join(inter, ["set_a", "set_b"], "left")
+        .na.fill({"__i": 0})
+        .join(sizes.select(F.col("source").alias("set_a"), F.col("n").alias("__na")), "set_a")
+        .join(sizes.select(F.col("source").alias("set_b"), F.col("n").alias("__nb")), "set_b")
+        .select(
+            "set_a",
+            "set_b",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["set_a", "set_b"])
+        .select(
+            "set_a",
+            "set_b",
+            "d_union_est",
+            "d_intersect_est",
+            "jaccard_est",
+            "exact_jaccard",
+            (F.abs(F.col("jaccard_est") - F.col("exact_jaccard")) <= 0.19).alias(
+                "jaccard_within_bound"
+            ),
+        )
+        .orderBy("set_a", "set_b")
+    )
+
+
+_KMV_MATRIX_ORACLE = f"""
+WITH toks AS (SELECT source, {_SQL_WORDS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM toks
+),
+keys AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substring(md5('v#' || s), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM sh
+),
+ksk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM keys
+  ) WHERE rn <= 128
+),
+pairs AS (
+  SELECT a.source AS set_a, b.source AS set_b
+  FROM (SELECT DISTINCT source FROM ksk) a, (SELECT DISTINCT source FROM ksk) b
+  WHERE a.source < b.source
+),
+prows AS (
+  SELECT p.set_a, p.set_b, k.h,
+         MAX(CASE WHEN k.source = p.set_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN k.source = p.set_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN ksk k ON k.source = p.set_a OR k.source = p.set_b
+  GROUP BY 1, 2, 3
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+    FROM prows
+  ) WHERE rn <= 128
+),
+stats AS (
+  SELECT set_a, set_b, COUNT(h) AS ku, MAX(h) AS hk,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS kb
+  FROM capped GROUP BY 1, 2
+),
+est AS (
+  SELECT set_a, set_b,
+    ROUND(CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+          ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4) AS d_union_est,
+    ROUND((CAST(kb AS DOUBLE) / CAST(ku AS DOUBLE))
+          * ROUND(CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                  ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4), 4) AS d_intersect_est,
+    ROUND(CAST(kb AS DOUBLE) / CAST(ku AS DOUBLE), 4) AS jaccard_est
+  FROM stats
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS set_a, b.source AS set_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.set_a, p.set_b,
+         ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS exact_jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.set_a = p.set_a AND i.set_b = p.set_b
+  JOIN sizes sa ON sa.source = p.set_a
+  JOIN sizes sb ON sb.source = p.set_b
+)
+SELECT e.set_a, e.set_b, e.d_union_est, e.d_intersect_est, e.jaccard_est,
+       x.exact_jaccard,
+       (ABS(e.jaccard_est - x.exact_jaccard) <= 0.19) AS jaccard_within_bound
+FROM est e JOIN ex x ON e.set_a = x.set_a AND e.set_b = x.set_b
+ORDER BY e.set_a, e.set_b
 """
 
 
@@ -9892,6 +10040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10: membership & overlap sketches (§2.11 sketch shelf)
         "corpus_overlap_kmv": corpus_overlap_kmv,
         "bloom_returning_users": bloom_returning_users,
+        "source_overlap_matrix": source_overlap_matrix,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -10093,4 +10242,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle_order": _EPOCH_SHUFFLE_ORACLE,
         "corpus_overlap_kmv": _KMV_OVERLAP_ORACLE,
         "bloom_returning_users": _BLOOM_USERS_ORACLE,
+        "source_overlap_matrix": _KMV_MATRIX_ORACLE,
     }

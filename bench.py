@@ -310,6 +310,26 @@ def _streaming_bench(spark) -> dict:
         q.awaitTermination(600)
         out["quantile_insert_kll"] = _progress_stats(q, time.time() - t0, n_lens)
 
+        # --- streaming bloom filter: the cross-day seen-key membership
+        # sketch beside the frequency/quantile lanes (per-epoch bit-array
+        # deltas, OR merge-on-read) — recorded, not claimed
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import bloom_insert
+
+        ids = docs.select(F.col("doc_id").cast("string").alias("k"))
+        n_ids = ids.count()
+        blsrc = os.path.join(work, "blsrc")
+        ids.repartition(N_STREAM_BATCHES).write.parquet(blsrc)
+        t0 = time.time()
+        q = bloom_insert(
+            file_stream_reader(spark, blsrc, ids.schema),
+            os.path.join(work, "bl_sink"),
+            os.path.join(work, "bl_ckpt"),
+            key_col="k",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["bloom_insert"] = _progress_stats(q, time.time() - t0, n_ids)
+
         # --- streaming crawl curation: WARC blobs → parse → extract →
         # canonical-URL exact dedup → near-dedup, one composed lane
         # (round 10). Blob generation is fixture construction and stays

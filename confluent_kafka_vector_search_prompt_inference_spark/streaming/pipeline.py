@@ -2593,6 +2593,73 @@ def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
     return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def bloom_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous insert that also maintains a bloom filter of a key
+    column over everything ever landed — the membership sibling of
+    :func:`sketch_insert` (count-min answers "how often"; this answers
+    "seen at all?", the cross-day gate that lets yesterday's seen-URL
+    bitmap shrink today's exact anti-join to the bloom-positive sliver,
+    ``operators/membership.py``).
+
+    Same two idempotent epoch-keyed writes: rows under ``_batch=N``,
+    the batch's ≤ ``m_bits/32``-row bloom DELTA under
+    ``<sink>/_bloom/_batch=N``. The live filter is
+    :func:`read_corpus_bloom` — merge-on-read (one bounded
+    ``groupBy(word).bit_or``). Bloom OR is associative, commutative,
+    and IDEMPOTENT, so this sketch is even more forgiving than the
+    additive count-min: a hypothetically double-landed delta would not
+    change a single bit (the epoch protocol still prevents it — the
+    ROWS are not idempotent). Delta dirs may be folded by the generic
+    :func:`compact_sink` on the ``_bloom`` dir at any time: the merge
+    is a pure function of the unioned delta rows, which folding
+    preserves. No false negatives ever, by construction, across any
+    number of epochs, folds, and replays."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
+
+    write_rows = idempotent_batch_writer(sink_dir)
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_bloom"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            write_rows(batch_df, epoch_id)
+            write_delta(
+                bloom_build(batch_df, key_col, m_bits=m_bits, k=k), epoch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The current bloom filter of a :func:`bloom_insert` sink:
+    merge-on-read over the committed deltas (``(word, bits)``, OR'd).
+    Feed it straight to ``operators.membership.bloom_contains`` with
+    the build's ``(m_bits, k)``."""
+    from pyspark.sql import functions as F
+
+    deltas = read_sink(spark, os.path.join(sink_dir, "_bloom"))
+    return deltas.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 def quantile_insert(
     stream_df: DataFrame,
     sink_dir: str,

@@ -13,6 +13,7 @@ from confluent_kafka_vector_search_prompt_inference_spark.operators.membership i
     kmv_distinct,
     kmv_merge,
     kmv_overlap,
+    kmv_overlap_matrix,
     kmv_sketch,
 )
 
@@ -155,6 +156,30 @@ def test_kmv_overlap_estimates_true_jaccard(spark):
     assert abs(ov.jaccard_est - 1 / 3) <= 4 * (0.25 / 512) ** 0.5 + 0.01
     assert abs(ov.d_union_est / 9000 - 1) <= 4 / 510**0.5
     assert abs(ov.d_intersect_est / 3000 - 1) <= 0.25
+
+
+def test_kmv_overlap_matrix_matches_pairwise(spark):
+    """The all-pairs matrix must agree with kmv_overlap run pair by
+    pair — same union sketch, same estimator arithmetic, same rounding."""
+    rows = _keys(spark, 0, 4000).withColumn(
+        "g", (F.expr("cast(substring(k, 2, 10) as int)") % 3).cast("string")
+    )
+    k = 128
+    grouped = kmv_sketch(rows, "k", k=k, set_cols=["g"])
+    matrix = {
+        (r.set_a, r.set_b): r
+        for r in kmv_overlap_matrix(grouped, k=k, set_col="g").collect()
+    }
+    assert set(matrix) == {("0", "1"), ("0", "2"), ("1", "2")}
+    for a, b in matrix:
+        sa = kmv_sketch(rows.filter(F.col("g") == a), "k", k=k)
+        sb = kmv_sketch(rows.filter(F.col("g") == b), "k", k=k)
+        pair = kmv_overlap(sa, sb, k=k).collect()[0]
+        got = matrix[(a, b)]
+        assert got.d_a_est == pair.d_a_est and got.d_b_est == pair.d_b_est
+        assert got.d_union_est == pair.d_union_est
+        assert got.d_intersect_est == pair.d_intersect_est
+        assert got.jaccard_est == pair.jaccard_est
 
 
 def test_kmv_small_sets_fully_exact_overlap(spark):

@@ -1793,6 +1793,53 @@ def test_rebucket_recovery_still_applies_requested_n(spark, tmp_path):
     assert any(p >= 16 for p in parts)
 
 
+def test_bloom_insert_maintains_corpus_bloom(spark, tmp_path):
+    """bloom_insert lands rows AND a per-epoch bloom delta; the merged
+    filter equals the one-shot bloom over everything landed (OR merge
+    law), replay flips no bit, compacting the _bloom dir changes no
+    bit, and every landed key tests positive — the no-false-negative
+    theorem surviving epochs, folds, and replay."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build, bloom_contains
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bloom_insert,
+        compact_sink,
+        read_corpus_bloom,
+    )
+
+    m_bits, kk = 2048, 4
+    keys = spark.range(0, 120).select(F.concat(F.lit("url-"), F.col("id")).alias("k"))
+    src = str(tmp_path / "src")
+    keys.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, keys.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = bloom_insert(stream, sink, ckpt, key_col="k", m_bits=m_bits, k=kk, trigger_once=True)
+    _drain(q)
+
+    landed = read_sink(spark, sink)
+    assert landed.count() == 120
+    streamed = read_corpus_bloom(spark, sink)
+    oneshot = bloom_build(landed, "k", m_bits=m_bits, k=kk)
+    assert streamed.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(streamed).count() == 0
+
+    # replay: restarting over the same source flips no bit
+    q2 = bloom_insert(stream, sink, ckpt, key_col="k", m_bits=m_bits, k=kk, trigger_once=True)
+    _drain(q2)
+    assert read_corpus_bloom(spark, sink).exceptAll(oneshot).count() == 0
+
+    # compacting the delta dir preserves the merged filter bit for bit
+    folded = compact_sink(spark, os.path.join(sink, "_bloom"), keep_batches=1)
+    assert folded >= 1
+    after = read_corpus_bloom(spark, sink)
+    assert after.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(after).count() == 0
+
+    # no false negatives across the whole landed history
+    flagged = bloom_contains(after, landed, "k", m_bits=m_bits, k=kk)
+    assert flagged.filter(~F.col("bloom_member")).count() == 0
+
+
 def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
     """quantile_insert lands rows AND a per-epoch bottom-m delta; the
     merged sketch equals the one-shot sketch over everything landed,

@@ -79,6 +79,12 @@ HEAVIES = [
     # round-10: the composed crawl-curation chain (WARC encode+parse,
     # extraction, URL dedup, LSH near-dedup, quality gates in one plan)
     "crawl_curation_pipeline",
+    # round-10: membership & overlap sketches (bloom + KMV) — each entry
+    # carries its exact ground-truth contrast, so the ladder measures
+    # sketch AND exact paths together (the exact side is what the sketch
+    # replaces at corpus scale)
+    "corpus_overlap_kmv",
+    "bloom_returning_users",
 ]
 
 SF_DIRS = {
