@@ -9867,7 +9867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "asof_clicks_before_purchase": asof_clicks_before_purchase,
         "broadcast_join_agg": broadcast_join_agg,
-        "distinct_agg": distinct_agg,
+        # round 10: the membership/overlap sketch family's window rep —
+        # KMV set algebra (union/intersection/Jaccard between corpus
+        # halves from two 256-row sketches, exact-oracled). Takes the
+        # slot countDistinct held: aggregation keeps rollup_agg,
+        # pivot_status_priority, stats_quantiles, approx_distinct_counts
+        # inside the gate; distinct_agg moved to the tail, still
+        # parity-gated.
+        "corpus_overlap_kmv": corpus_overlap_kmv,
         "window_rank": window_rank,
         "orderby_limit": orderby_limit,
         "set_intersect": set_intersect,
@@ -10037,8 +10044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_order": epoch_shuffle_order,
         "source_nchars_quantiles": source_nchars_quantiles,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        # round 10: membership & overlap sketches (§2.11 sketch shelf)
-        "corpus_overlap_kmv": corpus_overlap_kmv,
+        # round 10: membership & overlap sketches (§2.11 sketch shelf;
+        # corpus_overlap_kmv is the family's in-window rep above)
+        "distinct_agg": distinct_agg,
         "bloom_returning_users": bloom_returning_users,
         "source_overlap_matrix": source_overlap_matrix,
         # RAG (§3)
