@@ -2660,6 +2660,78 @@ def read_corpus_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
     return deltas.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
+def kmv_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    k: int = 256,
+    set_cols: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous insert that also maintains a KMV distinct sketch of a
+    key column over everything ever landed — "how many DISTINCT keys
+    has this stream carried", answerable day-over-day WITH SET ALGEBRA
+    (yesterday's sketch ∩ today's = returning keys; ∪ = lifetime
+    distinct) from k-row sketches (``operators/membership.py``).
+
+    Same two idempotent epoch-keyed writes as the sketch/quantile
+    lanes: rows under ``_batch=N``, the batch's ≤ k-row KMV delta under
+    ``<sink>/_kmv/_batch=N``. The live sketch is
+    :func:`read_corpus_kmv` — merge-on-read (union → dedup-by-hash →
+    bottom-k re-cap). The merge is DOUBLY replay-safe: the epoch
+    protocol skips committed halves, and even a hypothetically
+    re-landed delta's rows are value-identical, so the hash dedup
+    collapses them (distinct-count semantics cannot double-count a
+    key). bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), so
+    delta dirs fold under the generic :func:`compact_sink` without
+    changing any estimate."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import kmv_sketch
+
+    write_rows = idempotent_batch_writer(sink_dir)
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_kmv"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            write_rows(batch_df, epoch_id)
+            write_delta(
+                kmv_sketch(batch_df, key_col, k=k, set_cols=set_cols), epoch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_kmv(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    k: int = 256,
+    set_cols: list[str] | None = None,
+) -> DataFrame:
+    """The current KMV sketch of a :func:`kmv_insert` sink: union of
+    the committed per-epoch deltas, deduped by hash, re-capped at
+    bottom-k. Feed it straight to ``operators.membership.kmv_distinct``
+    / ``kmv_overlap`` / ``kmv_overlap_matrix``. ``k`` and ``set_cols``
+    must match the build's (a smaller read-side k is a valid coarser
+    sketch; a larger one cannot be reconstructed from capped deltas)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import kmv_merge
+
+    deltas = read_sink(spark, os.path.join(sink_dir, "_kmv"))
+    return kmv_merge(deltas, k=k, set_cols=set_cols)
+
+
 def quantile_insert(
     stream_df: DataFrame,
     sink_dir: str,

@@ -1840,6 +1840,63 @@ def test_bloom_insert_maintains_corpus_bloom(spark, tmp_path):
     assert flagged.filter(~F.col("bloom_member")).count() == 0
 
 
+def test_kmv_insert_maintains_corpus_distinct_sketch(spark, tmp_path):
+    """kmv_insert lands rows AND a per-epoch KMV delta; the merged
+    sketch equals the one-shot sketch over everything landed (bottom-k
+    merge law), replay changes nothing (hash dedup collapses identical
+    deltas), compaction preserves the sketch, and the distinct estimate
+    is EXACT below k despite duplicate keys arriving across epochs."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import kmv_distinct, kmv_sketch
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        kmv_insert,
+        read_corpus_kmv,
+    )
+
+    k = 64
+    # 90 distinct keys, each arriving twice (across different files ->
+    # different epochs), so cross-epoch dedup is actually exercised
+    keys = (
+        spark.range(0, 90)
+        .select(F.concat(F.lit("key-"), F.col("id")).alias("u"))
+        .unionByName(
+            spark.range(0, 90).select(F.concat(F.lit("key-"), F.col("id")).alias("u"))
+        )
+    )
+    src = str(tmp_path / "src")
+    keys.repartition(4).write.parquet(src)
+    stream = file_stream_reader(spark, src, keys.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = kmv_insert(stream, sink, ckpt, key_col="u", k=k, trigger_once=True)
+    _drain(q)
+
+    landed = read_sink(spark, sink)
+    assert landed.count() == 180
+    streamed = read_corpus_kmv(spark, sink, k=k)
+    oneshot = kmv_sketch(landed, "u", k=k)
+    assert streamed.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(streamed).count() == 0
+
+    # replay: restarting over the same source changes nothing
+    q2 = kmv_insert(stream, sink, ckpt, key_col="u", k=k, trigger_once=True)
+    _drain(q2)
+    assert read_corpus_kmv(spark, sink, k=k).exceptAll(oneshot).count() == 0
+
+    # folding the delta dir preserves the merged sketch row for row
+    folded = compact_sink(spark, os.path.join(sink, "_kmv"), keep_batches=1)
+    assert folded >= 1
+    after = read_corpus_kmv(spark, sink, k=k)
+    assert after.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(after).count() == 0
+
+    # 90 distinct > k=64 (estimator regime), despite every key arriving
+    # twice — cross-epoch duplicates collapsed
+    est = kmv_distinct(after, k=k).collect()[0]
+    assert not est.is_exact
+    assert abs(est.n_distinct_est / 90 - 1) <= 4 / (k - 2) ** 0.5
+
+
 def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
     """quantile_insert lands rows AND a per-epoch bottom-m delta; the
     merged sketch equals the one-shot sketch over everything landed,
