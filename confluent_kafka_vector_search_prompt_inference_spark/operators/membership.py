@@ -155,6 +155,36 @@ def bloom_contains(
     )
 
 
+def bloom_needed_words(
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """The distinct packed-word ids a probe set will touch —
+    ``(word INT)``, at most ``|probes|·k`` rows. The small-probe /
+    LARGE-bloom regime's reduction: :func:`bloom_contains` broadcasts
+    the bloom, which is right when the bloom is sketch-sized and the
+    probe column is a corpus — but a store-sized auto-grown bloom
+    (100+ MB packed) must NOT ship to every task for a batch-sized
+    probe set. Semi-join the bloom down to these words first (the words
+    dropped are never looked up; absent words read as unset bits, so
+    membership semantics are unchanged), then broadcast the ≤
+    ``|probes|·k``-row remainder. Do NOT use this when the probe side
+    is the corpus: the distinct here would shuffle it."""
+    key = F.col(key_col)
+    return (
+        probes.select(
+            F.explode(
+                F.array(*[_bloom_pos(key, i, m_bits) for i in range(k)])
+            ).alias("pos")
+        )
+        .select((F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"))
+        .distinct()
+    )
+
+
 def bloom_fp_bound(n_inserted: Column, *, m_bits: int, k: int) -> Column:
     """The standard false-positive-rate ceiling ``(1 - e^(-k·n/m))^k``
     after ``n_inserted`` distinct keys — a Column so a query can grade

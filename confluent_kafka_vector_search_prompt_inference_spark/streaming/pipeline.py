@@ -169,6 +169,26 @@ def enforce_retention(
 _EXACT_PRUNE_MIN_BYTES = 4 << 30
 
 
+def bloom_gate_auto_m_bits(buckets_dir: str) -> int:
+    """Auto-sized width for :func:`dedup_insert`'s bloom gate, from the
+    bucket store's on-disk size: the narrow ``(key, bucket)`` store
+    runs ~16 bytes/key, and ``m ≈ 16–32 bits/key`` keeps the gate's
+    false-positive rate under ~0.5% at k=4 — a FIXED width would
+    silently saturate as the store grows (measured: 2²² bits is
+    all-positive by 10M keys, i.e. no gate at all, long before the
+    ≥4 GiB regime where the gate engages by default). Power of two so
+    the width only changes at store doublings; each change resets and
+    rebuilds the bloom through the meta sidecar — an O(log n)-times
+    amortized linear scan of the key column. Floor 2²⁰ (128 KB packed)
+    so small stores don't thrash."""
+    byts = sum(_dir_bytes(d) for d in _committed_batch_dirs(buckets_dir))
+    est_keys = max(1, byts // 16)
+    m = 1 << 20
+    while m < 16 * est_keys:
+        m <<= 1
+    return m
+
+
 def dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -179,6 +199,8 @@ def dedup_insert(
     bucket_partitions: int = 64,
     compact_every: int = 16,
     prune_store_read: bool | None = None,
+    bloom_gate: bool | None = None,
+    bloom_m_bits: int | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous INSERT that drops rows whose content key already landed —
@@ -233,12 +255,49 @@ def dedup_insert(
     :data:`_EXACT_PRUNE_MIN_BYTES`, pruned above (the projected
     crossover on the ladder host; the same young-store logic the
     near-dedup lane applies via ``has_base``). ``True``/``False`` force
-    either mode (the ladder's A/B)."""
+    either mode (the ladder's A/B).
+
+    ``bloom_gate`` (round 10): a bloom filter of every landed key
+    (``operators/membership.py``; per-epoch deltas under
+    ``<sink>/_bloomgate``, OR merge-on-read) pre-screens the batch —
+    keys the bloom rejects PROVABLY never landed, so they skip the
+    store entirely and only the bloom-positive sliver (true
+    re-deliveries + the fp rate) drives the candidate read. On a
+    new-key-heavy stream this shrinks the pruned read's touched
+    partitions from ~|batch| dirs to ~fp·|batch| — the file-open cost
+    the prune ladder measured as its own bottleneck. Correctness is
+    one-sided and crash-safe: the gate needs the bloom to be a SUPERSET
+    of landed keys, so deltas write AFTER the epoch's rows commit, the
+    heal pass backfills any committed epoch missing one before the
+    bloom is trusted (same coverage-sidecar machinery as the bucket
+    store; a pre-gate sink backfills once), and false positives only
+    cost the exact check they'd have done anyway. Retired keys stay in
+    the bloom (over-approximation) — their re-deliveries take the exact
+    path, where the tombstone re-verify lands them, which is what
+    retention means. ``bloom_m_bits=None`` (default) auto-sizes the
+    width from the store's measured bytes
+    (:func:`bloom_gate_auto_m_bits` — ~16–32 bits/key, <~0.5% fp at
+    k=4), resetting + rebuilding at each power-of-two doubling; a fixed
+    width saturates toward all-positive as the store grows (measured:
+    2²² is all-positive by 10M keys) — graceful, never incorrect, but
+    no gate. ``bloom_gate=None`` (default) follows the prune decision —
+    the regime where the win lives; ``True``/``False`` force (the
+    ladder's A/B)."""
     from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+        bloom_build,
+        bloom_contains,
+        bloom_needed_words,
+    )
 
     write_batch = idempotent_batch_writer(sink_dir)
     buckets_dir = os.path.join(sink_dir, "_buckets")
+    bloom_dir = os.path.join(sink_dir, "_bloomgate")
+    write_bloom = idempotent_batch_writer(bloom_dir)
     layout_checked: set[int] = set()
+    bloom_checked: set[int] = set()
+    _BGK = 4  # bloom hash count; m/n = 10 at ~400k keys for ~1% fp
 
     def _epoch_delta(spark: SparkSession, epoch_dir: str) -> DataFrame:
         rows = spark.read.parquet(epoch_dir)
@@ -265,6 +324,63 @@ def dedup_insert(
             )
             layout_checked.add(eid)
 
+    def _bloom_m() -> int:
+        return (
+            bloom_m_bits
+            if bloom_m_bits is not None
+            else bloom_gate_auto_m_bits(buckets_dir)
+        )
+
+    def _heal_bloom(spark: SparkSession, m_bits: int) -> None:
+        # the gate is only sound if the bloom covers EVERY committed
+        # epoch (a missed key would be a false negative = a duplicate
+        # landing). Same coverage discipline as the bucket store: live
+        # _batch= dirs plus folded-sidecar ranges; gaps (a crash between
+        # the rows commit and the bloom write, or a pre-gate sink)
+        # backfill from the epoch's own key column, once.
+        #
+        # (m_bits, k) are part of the bit positions themselves: deltas
+        # built under different params probe DIFFERENT bits, and merging
+        # them manufactures false negatives. A meta sidecar pins the
+        # params; on mismatch the whole dir resets and rebuilds from the
+        # sink (blooms are derived data) — the `_ids` schema-mismatch
+        # discipline, never a heterogeneous merge.
+        import json
+        import shutil as _sh
+
+        meta_path = os.path.join(bloom_dir, "_bloom_meta.json")
+        want = {"m_bits": m_bits, "k": _BGK}
+        if os.path.isdir(bloom_dir):
+            have = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    have = json.load(fh)
+            if have != want:
+                _sh.rmtree(bloom_dir, ignore_errors=True)
+                bloom_checked.clear()
+        os.makedirs(bloom_dir, exist_ok=True)
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as fh:
+                json.dump(want, fh)
+        covered = _covered_bucket_ranges(bloom_dir)
+        for d in _committed_batch_dirs(sink_dir):
+            eid = int(d.rsplit("=", 1)[1])
+            if eid in bloom_checked or _ranges_contain(covered, eid):
+                bloom_checked.add(eid)
+                continue
+            write_bloom(
+                bloom_build(
+                    spark.read.parquet(d)
+                    .select(key_name)
+                    .dropDuplicates([key_name]),
+                    key_name,
+                    m_bits=m_bits,
+                    k=_BGK,
+                ).coalesce(1),
+                eid,
+            )
+            bloom_checked.add(eid)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         keyed = batch_df.withColumn(key_name, key_expr)
@@ -273,6 +389,8 @@ def dedup_insert(
         # other failure must propagate so the checkpoint retries the batch —
         # swallowing it would silently disable dedup and commit duplicates.
         inc = None
+        gate_inc = None
+        m_used: int | None = None
         if _sink_has_batches(sink_dir):
             write_n, write_sc = bucket_store_write_partitions(
                 buckets_dir, bucket_partitions
@@ -290,6 +408,37 @@ def dedup_insert(
                     )
                     >= _EXACT_PRUNE_MIN_BYTES
                 )
+            gate = bloom_gate if bloom_gate is not None else prune
+            gate_inc = inc
+            if gate:
+                # pre-screen against the landed-keys bloom: rejected
+                # keys PROVABLY never landed and drop out of the
+                # candidate derivation entirely; only the positive
+                # sliver (re-deliveries + fp) touches the store below
+                m_used = _bloom_m()
+                _heal_bloom(spark, m_used)
+                # small-probe / large-bloom regime: an auto-grown bloom
+                # can be store-scaled (100+ MB packed at 10M keys), so
+                # reduce it to the ≤ |batch|·k words this batch probes
+                # BEFORE the merge + broadcast — absent words read as
+                # unset bits, so membership semantics are unchanged
+                need = bloom_needed_words(
+                    inc, key_name, m_bits=m_used, k=_BGK
+                )
+                bl = (
+                    spark.read.parquet(*_committed_batch_dirs(bloom_dir))
+                    .join(F.broadcast(need), "word", "left_semi")
+                    .groupBy("word")
+                    .agg(F.bit_or("bits").alias("bits"))
+                )
+                gate_inc = (
+                    bloom_contains(
+                        bl, inc, key_name, m_bits=m_used, k=_BGK
+                    )
+                    .filter(F.col("bloom_member"))
+                    .select(key_name, "__bucket")
+                    .persist()
+                )
             parts_for = None
             if prune and _split_bucket_dirs(
                 _committed_batch_dirs(buckets_dir)
@@ -300,7 +449,7 @@ def dedup_insert(
                 for n in bucket_store_dir_ns(buckets_dir, bucket_partitions):
                     vals = [
                         r[0]
-                        for r in inc.select(
+                        for r in gate_inc.select(
                             F.pmod(F.col("__bucket"), F.lit(n)).cast("int")
                         )
                         .distinct()
@@ -312,10 +461,10 @@ def dedup_insert(
                 spark, buckets_dir, key_name, parts_for=parts_for
             )
             # exact-match candidates: store rows whose bucket appears in
-            # the batch (collisions only WIDEN the set) — batch-sized,
-            # so the anti-join's right side broadcasts
+            # the (gated) batch (collisions only WIDEN the set) —
+            # batch-sized, so the anti-join's right side broadcasts
             seen = old.join(
-                F.broadcast(inc.select("__bucket").distinct()),
+                F.broadcast(gate_inc.select("__bucket").distinct()),
                 "__bucket",
                 "left_semi",
             ).select(key_name).distinct()
@@ -356,6 +505,26 @@ def dedup_insert(
                 )
                 layout_checked.add(epoch_id)
                 write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
+                if bloom_gate or (bloom_gate is None and os.path.isdir(bloom_dir)):
+                    # keep the bloom a superset of landed keys: the
+                    # epoch's delta lands right after its rows (a crash
+                    # between the two is exactly what _heal_bloom
+                    # closes); fold the OR-idempotent deltas once they
+                    # outnumber the compaction cadence
+                    write_bloom(
+                        bloom_build(
+                            spark.read.parquet(target)
+                            .select(key_name)
+                            .dropDuplicates([key_name]),
+                            key_name,
+                            m_bits=m_used if m_used is not None else _bloom_m(),
+                            k=_BGK,
+                        ).coalesce(1),
+                        epoch_id,
+                    )
+                    bloom_checked.add(epoch_id)
+                    if len(_committed_batch_dirs(bloom_dir)) > compact_every:
+                        compact_sink(spark, bloom_dir, keep_batches=1)
                 maintain_bucket_store(
                     spark, sink_dir, id_col=key_name,
                     bucket_partitions=bucket_partitions,
@@ -364,6 +533,8 @@ def dedup_insert(
         finally:
             if inc is not None:
                 inc.unpersist()
+            if gate_inc is not None and gate_inc is not inc:
+                gate_inc.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -61,6 +61,24 @@ def test_bloom_fp_rate_within_theory(spark):
     assert rate <= bound * 3 + 0.01, (rate, bound)
 
 
+def test_bloom_needed_words_reduction_preserves_membership(spark):
+    """The small-probe/large-bloom reduction: semi-filtering the bloom
+    to the probe's needed words before bloom_contains gives the exact
+    same membership verdicts as the full bloom (dropped words are never
+    looked up; absent words read as unset)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_needed_words
+
+    bl = bloom_build(_keys(spark, 0, 400), "k", m_bits=M_BITS, k=K_HASH)
+    probes = _keys(spark, 350, 450)  # straddles members and non-members
+    need = bloom_needed_words(probes, "k", m_bits=M_BITS, k=K_HASH)
+    assert need.count() <= 100 * K_HASH
+    reduced = bl.join(F.broadcast(need), "word", "left_semi")
+    full = bloom_contains(bl, probes, "k", m_bits=M_BITS, k=K_HASH)
+    slim = bloom_contains(reduced, probes, "k", m_bits=M_BITS, k=K_HASH)
+    assert full.exceptAll(slim).count() == 0
+    assert slim.exceptAll(full).count() == 0
+
+
 def test_bloom_merge_law(spark):
     a, b = _keys(spark, 0, 300), _keys(spark, 200, 600)
     merged = bloom_merge(

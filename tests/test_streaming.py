@@ -2842,6 +2842,90 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
     assert keys_narrow == keys_before
 
 
+def test_exact_dedup_bloom_gate_lifecycle(spark, tmp_path):
+    """Round 10 bloom gate on dedup_insert: a pre-gate sink upgrades by
+    one-time backfill, cross-epoch duplicates still drop through the
+    gate, a committed epoch whose bloom delta is lost to a crash is
+    healed BEFORE the bloom is trusted (the superset invariant — a
+    false negative would land a duplicate), folds ride the coverage
+    sidecars, and a retired key's re-delivery lands through the
+    bloom-positive exact path."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        dedup_insert,
+        enforce_retention_tombstoned,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    bloom_dir = os.path.join(sink, "_bloomgate")
+
+    def run_batch(rows, gate, m_bits=1 << 22):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_expr=F.md5("text"), bucket_partitions=4, compact_every=1,
+            bloom_gate=gate, bloom_m_bits=m_bits, trigger_once=True,
+        )
+        _drain(q)
+
+    def landed():
+        return {r.doc_id for r in read_sink(spark, sink).collect()}
+
+    # epochs 0-1 ungated (pre-gate sink shape: no _bloomgate at all)
+    run_batch([(1, "alpha"), (2, "beta")], gate=False)
+    run_batch([(3, "gamma")], gate=False)
+    assert not os.path.isdir(bloom_dir)
+
+    # upgrade: the first gated batch backfills the bloom from landed
+    # epochs, and a cross-epoch duplicate must drop through the gate
+    run_batch([(4, "alpha"), (5, "delta")], gate=True)
+    assert landed() == {1, 2, 3, 5}
+    assert glob.glob(os.path.join(bloom_dir, "_batch=*", "_SUCCESS"))
+
+    # crash simulation: a committed epoch's bloom delta disappears
+    # (crash between the rows commit and the bloom write); the next
+    # gated batch must heal it BEFORE trusting the bloom, so epoch 2's
+    # key ("delta") still dedups
+    for d in glob.glob(os.path.join(bloom_dir, "_batch=*")):
+        shutil.rmtree(d)
+    run_batch([(6, "delta"), (7, "epsilon")], gate=True)
+    assert landed() == {1, 2, 3, 5, 7}
+
+    # retention: retire the oldest epochs' keys; the retired key is
+    # still bloom-POSITIVE (the bloom never forgets), so it takes the
+    # exact path where the tombstone re-verify lands it — which is what
+    # retention means
+    enforce_retention_tombstoned(spark, sink, id_col="__fp", max_batches=2)
+    before = landed()
+    run_batch([(8, "alpha"), (9, "epsilon")], gate=True)
+    after = landed()
+    assert 8 in after           # alpha retired -> lands again
+    assert 9 not in after       # epsilon live -> still drops
+    assert before - after == set()  # nothing else lost
+
+    # param change across runs: a different bloom_m_bits probes
+    # DIFFERENT bit positions, so the gate resets the dir (meta sidecar
+    # mismatch) and rebuilds from the sink instead of merging mixed
+    # position spaces — the duplicate still drops
+    run_batch([(10, "epsilon"), (11, "theta")], gate=True, m_bits=1 << 12)
+    final = landed()
+    assert 11 in final and 10 not in final
+    import json as _json
+
+    with open(os.path.join(bloom_dir, "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 12
+
+
 @pytest.mark.parametrize("prune", [True, None], ids=["pruned", "auto"])
 def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path, prune):
     """Round 10: dedup_insert's seen-set is the near-dedup bucket store

@@ -389,7 +389,8 @@ def _near_dedup_rung(
 
 
 def _exact_dedup_rung(
-    spark, rung: int, work: str, *, prune: bool = True, tag: str = "e"
+    spark, rung: int, work: str, *, prune: bool = True, bloom: bool = False,
+    tag: str = "e",
 ) -> dict:
     """Round 10: dedup_insert's seen-set rides the bucket store
     (``__bucket = xxhash64(key)``) with partition-pruned reads. This
@@ -398,9 +399,14 @@ def _exact_dedup_rung(
     2,000-row increment (1% exact re-deliveries of landed texts — rows
     the anti-join must DROP) through 4 micro-batches.
     ``prune=False`` is the A/B control: the same store scanned in full
-    per batch — the pre-round-10 cost shape."""
+    per batch — the pre-round-10 cost shape. ``bloom=True`` adds the
+    landed-keys bloom gate (pre-landed for the converged shape, like
+    the store run): only the bloom-positive sliver of each batch drives
+    the candidate read, so with pruning on, the touched-partition count
+    per batch falls from ~|batch| to ~(re-deliveries + fp)."""
     from pyspark.sql import functions as F
 
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
         bucket_store_partitions,
         dedup_insert,
@@ -429,6 +435,20 @@ def _exact_dedup_rung(
         layout="partitioned",
     )
     write_ids_sidecar(spark, sink, -1, ["__fp"])
+    m_auto = None
+    if bloom:
+        # (m_bits, k) must match what dedup_insert will compute — a
+        # mismatched pre-land would reset + rebuild inside the timed
+        # window (and a HARD mismatch would probe different bit
+        # positions); the shared auto-sizing helper guarantees agreement
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import bloom_gate_auto_m_bits
+
+        m_auto = bloom_gate_auto_m_bits(buckets_dir)
+        bloom_build(keyed, "__fp", m_bits=m_auto, k=4).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, "_bloomgate", "_batch=-1"))
+        with open(os.path.join(sink, "_bloomgate", "_bloom_meta.json"), "w") as fh:
+            json.dump({"m_bits": m_auto, "k": 4}, fh)
 
     inc = spark.range(INCOMING_ROWS)
     fresh = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
@@ -454,18 +474,61 @@ def _exact_dedup_rung(
     incoming.repartition(N_BATCHES).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
+    mech = None
+    if bloom:
+        # deterministic mechanism metric, measured on the real first
+        # batch BEFORE streaming: how many __bpart partition dirs the
+        # batch's candidate read must open, ungated vs bloom-gated.
+        # Wall time on local disk underprices this (dir opens are
+        # ~free warm); an object store prices it per request, which is
+        # the 100 TB lever the gate exists for.
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
+            bloom_contains,
+            bloom_needed_words,
+        )
+
+        first = incoming.limit(INCOMING_ROWS // N_BATCHES).select(
+            F.md5("text").alias("__fp")
+        ).dropDuplicates(["__fp"])
+        hashed = first.select("__fp", F.xxhash64("__fp").alias("__bucket"))
+        ungated = (
+            hashed.select(F.pmod("__bucket", F.lit(1024))).distinct().count()
+        )
+        need = bloom_needed_words(hashed, "__fp", m_bits=m_auto, k=4)
+        bl = (
+            spark.read.parquet(os.path.join(sink, "_bloomgate", "_batch=-1"))
+            .join(F.broadcast(need), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        pos = bloom_contains(
+            bl, hashed, "__fp", m_bits=m_auto, k=4
+        ).filter("bloom_member")
+        gated = (
+            pos.select(F.pmod("__bucket", F.lit(1024))).distinct().count()
+        )
+        mech = {
+            "m_bits": m_auto,
+            "batch_keys": first.count(),
+            "bloom_positive_keys": pos.count(),
+            "touched_parts_ungated": ungated,
+            "touched_parts_gated": gated,
+        }
+
     t0 = time.time()
     q = dedup_insert(
         file_stream_reader(spark, src, schema),
         sink, ckpt,
         key_expr=F.md5("text"), bucket_partitions=1024,
-        prune_store_read=prune, trigger_once=True,
+        prune_store_read=prune, bloom_gate=bloom, trigger_once=True,
     )
     q.awaitTermination(1800)
     stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
     landed_after = read_sink(spark, sink).count()
     stats["landed_rows"] = landed_after - rung
     stats["dropped_rows"] = INCOMING_ROWS - stats["landed_rows"]
+    if mech is not None:
+        stats["mechanism"] = mech
     return stats
 
 
@@ -925,10 +988,14 @@ def main() -> int:
         "maintain_reverify_width": _maintain_width_rung,
         "rebucket_drain_nudges": _rebucket_drain_rung,
         "exact_dedup_insert": lambda s, r, w: dict(
-            _exact_dedup_rung(s, r, w, prune=True),
+            _exact_dedup_rung(s, r, w, prune=True, bloom=True, tag="eb"),
             control=dict(
                 _exact_dedup_rung(s, r, w, prune=False, tag="ec"),
-                what="same store, partition pruning off (full scan/batch)",
+                what="same store, no pruning, no bloom (full scan/batch)",
+            ),
+            control_pruned_ungated=dict(
+                _exact_dedup_rung(s, r, w, prune=True, tag="e"),
+                what="pruned read without the bloom gate (round-10 pre-gate shape)",
             ),
         ),
     }
