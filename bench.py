@@ -330,6 +330,21 @@ def _streaming_bench(spark) -> dict:
         q.awaitTermination(600)
         out["bloom_insert"] = _progress_stats(q, time.time() - t0, n_ids)
 
+        # --- streaming KMV distinct sketch: the set-algebra sibling
+        # (bottom-k deltas per epoch, dedup-by-hash merge-on-read)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import kmv_insert
+
+        t0 = time.time()
+        q = kmv_insert(
+            file_stream_reader(spark, blsrc, ids.schema),
+            os.path.join(work, "kmv_sink"),
+            os.path.join(work, "kmv_ckpt"),
+            key_col="k",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["kmv_insert"] = _progress_stats(q, time.time() - t0, n_ids)
+
         # --- streaming crawl curation: WARC blobs → parse → extract →
         # canonical-URL exact dedup → near-dedup, one composed lane
         # (round 10). Blob generation is fixture construction and stays
