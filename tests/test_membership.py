@@ -210,3 +210,8 @@ def test_kmv_small_sets_fully_exact_overlap(spark):
     assert ov.d_union_est == 100.0
     assert ov.d_intersect_est == pytest.approx(20.0)
     assert ov.jaccard_est == pytest.approx(0.2)
+    # an EMPTY side degrades to zeros, not nulls (union = the other side)
+    se = kmv_sketch(a.filter("1=0"), "k", k=256)
+    ove = kmv_overlap(kmv_sketch(a, "k", k=256), se, k=256).collect()[0]
+    assert ove.d_b_est == 0.0 and ove.jaccard_est == 0.0
+    assert ove.d_intersect_est == 0.0 and ove.d_union_est == 60.0
