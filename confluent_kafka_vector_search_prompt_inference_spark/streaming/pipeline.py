@@ -1772,6 +1772,29 @@ def _narrow_epoch_reads(
     return out
 
 
+def _regen_missing_sidecars(spark: SparkSession, sink_dir: str) -> int:
+    """Regenerate ``_ids`` sidecars for committed sink epochs that lack
+    one — called after a fold so the compacted base (whose folded
+    sources' sidecars were deleted at publish) gets its pre-projected
+    id table back instead of full-width fallback reads forever; also
+    heals any epoch whose sidecar write was lost to a crash. No-op on
+    sinks with no recorded sidecar schema (delta/sketch dirs, pre-
+    sidecar sinks). Returns the number regenerated."""
+    cols = _sidecar_cols(sink_dir)
+    if cols is None:
+        return 0
+    root = _ids_root(sink_dir)
+    n = 0
+    for d in _committed_batch_dirs(sink_dir):
+        name = f"_batch={d.rsplit('=', 1)[1]}"
+        if not os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            write_ids_sidecar(
+                spark, sink_dir, int(name.rsplit("=", 1)[1]), cols
+            )
+            n += 1
+    return n
+
+
 def read_sink_ids(
     spark: SparkSession, sink_dir: str, cols: list[str]
 ) -> DataFrame:
@@ -1847,10 +1870,15 @@ def compact_sink(
     to_fold = dirs[: max(0, len(dirs) - keep_batches)]
     if len(to_fold) < 2:
         return 0
-    return _fold_dirs(
+    folded = _fold_dirs(
         spark, sink_dir, to_fold,
         target_partitions=target_partitions, partition_by=partition_by,
     )
+    # the base's _ids sidecar was (correctly) deleted at publish; give
+    # it back so the folded bulk keeps narrow reads (no-op for sinks
+    # without a sidecar store)
+    _regen_missing_sidecars(spark, sink_dir)
+    return folded
 
 
 def _finish_fold(sink_dir: str, folded_names: list[str]) -> None:
@@ -2159,6 +2187,8 @@ def tiered_compact_sink(
                 break
         if not merged:
             break
+    if folded:
+        _regen_missing_sidecars(spark, sink_dir)
     return folded
 
 

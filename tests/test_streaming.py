@@ -2821,9 +2821,20 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
     keys_before = {r["__fp"] for r in read_sink(spark, sink).select("__fp").collect()}
     folded = compact_sink(spark, sink, keep_batches=1)
     assert folded >= 2
-    # the base's name collides with the min folded epoch: its old sidecar
-    # must be GONE (fallback), not stale
-    assert not os.path.exists(os.path.join(sink, "_ids", "_batch=0"))
+    # the base's name collides with the min folded epoch: its old
+    # one-epoch sidecar must never survive AS the base's. Since round
+    # 10's post-fold regeneration, the base carries a FRESH sidecar
+    # holding every folded key (the stale-sidecar hazard is prevented by
+    # replacement, not absence) — prove freshness by content
+    side = spark.read.parquet(os.path.join(sink, "_ids", "_batch=0"))
+    base_keys = {
+        r["__fp"]
+        for r in spark.read.parquet(os.path.join(sink, "_batch=0"))
+        .select("__fp")
+        .collect()
+    }
+    assert {r["__fp"] for r in side.collect()} == base_keys
+    assert len(base_keys) == 60  # epochs 0-1 folded; newest kept out
     keys_narrow = {
         r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()
     }
@@ -2840,6 +2851,65 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
         r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()
     }
     assert keys_narrow == keys_before
+
+
+def test_compact_sink_regenerates_base_ids_sidecar(spark, tmp_path):
+    """Round-10 adversarial-review find: folding the ROWS sink deletes
+    the folded epochs' _ids sidecars at publish (correct — a stale one
+    would describe one epoch while naming the base) but nothing gave the
+    base a fresh one, so the folded bulk read full-width forever.
+    compact_sink now regenerates missing sidecars after the fold; the
+    narrow table stays exact and a folded key's re-delivery still
+    drops."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        dedup_insert,
+        read_sink_ids,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_expr=F.md5("text"), bucket_partitions=4,
+            compact_every=10**9,  # rows-sink fold is OURS to trigger
+            trigger_once=True,
+        )
+        _drain(q)
+
+    run_batch([(1, "alpha"), (2, "beta")])
+    run_batch([(3, "gamma")])
+    run_batch([(4, "delta")])
+    folded = compact_sink(spark, sink, keep_batches=1)
+    assert folded >= 2
+    base = min(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(os.path.join(sink, "_batch=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    # the folded base got a FRESH sidecar back
+    assert os.path.exists(
+        os.path.join(sink, "_ids", f"_batch={base}", "_SUCCESS")
+    )
+    # the narrow table is exact over the folded history
+    ids = {r["__fp"] for r in read_sink_ids(spark, sink, ["__fp"]).collect()}
+    truth = {r["__fp"] for r in read_sink(spark, sink).select("__fp").collect()}
+    assert ids == truth and len(ids) == 4
+    # and a folded key's re-delivery still drops
+    run_batch([(5, "alpha"), (6, "epsilon")])
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert 6 in landed and 5 not in landed
 
 
 def test_exact_dedup_bloom_gate_lifecycle(spark, tmp_path):
