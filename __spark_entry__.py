@@ -7926,6 +7926,58 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def span_dedup_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022, word-granularity): corpus-
+    repeated 5-grams are CUT from every document — the removal op that
+    `crossdoc_duplicate_spans` only measures. A boilerplate span pasted
+    into otherwise-distinct pages survives every whole-doc dedup above;
+    this is the operator that actually removes what a model memorizes.
+    Plan shape at 100 TB: gram-keyed exchanges for the occurrence count
+    + duplicated-gram semi-join (rows are (gram, pos), never doc pairs),
+    a (doc, pos) anti-join for coverage (right side needs no distinct —
+    anti-join ignores multiplicity), and the cleaned text rebuilds with
+    an in-row array_sort over collected (pos, word) structs — one
+    groupBy, no corpus-wide window. See
+    operators/dedup.repeated_span_removal."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_span_removal(docs, "doc_id", "text", n=5, min_count=2)
+
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, u.g.pos AS pos, u.g.s AS s
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                i -> struct_pack(pos := i - 1,
+                                                 s := array_to_string(t[i:i+4], ' ')))) AS g
+        FROM toks) u(doc_id, g)
+),
+dup AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT o.doc_id, o.pos + d.off AS wpos
+        FROM (SELECT occ.* FROM occ SEMI JOIN dup USING (s)) o,
+             (SELECT unnest(range(0, 5)) AS off) d),
+words AS (SELECT doc_id, u.w.wpos AS wpos, u.w.w AS w
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t) + 1),
+                                        i -> struct_pack(wpos := i - 1, w := t[i]))) AS w
+                FROM toks) u(doc_id, w)),
+kept AS (SELECT w.doc_id, w.wpos, w.w
+         FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.wpos = c.wpos),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(w, ' ' ORDER BY wpos) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(len(t.t) AS BIGINT) AS n_words,
+  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+  ROUND(CAST(len(t.t) - COALESCE(a.n_kept, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE), 6) AS removed_frac,
+  COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-decile quality gate with EXACT rank semantics
     (curation: keep each language's best 10%, however its quality
@@ -10012,6 +10064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
+        "span_dedup_cleaned_docs": span_dedup_cleaned_docs,
         "quality_percentile_gate": quality_percentile_gate,
         "vec_threshold_join": vec_threshold_join,
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
@@ -10218,6 +10271,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_lm_quality": _TRIGRAM_LM_ORACLE,
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
+        "span_dedup_cleaned_docs": _SPAN_DEDUP_ORACLE,
         "quality_percentile_gate": _QUALITY_GATE_ORACLE,
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,

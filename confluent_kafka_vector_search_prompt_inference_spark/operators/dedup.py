@@ -326,6 +326,106 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# repeated-span removal (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def repeated_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut corpus-repeated word spans OUT of each document (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    substring-level dedup the doc-level strategies above cannot express:
+    a boilerplate paragraph pasted into a thousand otherwise-distinct
+    pages survives every whole-doc dedup, and it is exactly what a
+    language model memorizes).
+
+    Semantics (word-granularity approximation of the paper's
+    suffix-array pass): a word ``n``-gram occurring ``min_count``+ times
+    across the corpus (within-doc repeats count — matching the
+    suffix-array view of the corpus as one string) marks ALL ``n`` of
+    its word positions at EVERY occurrence; a document's cleaned text is
+    its uncovered words, original order preserved. Docs shorter than
+    ``n`` words have no grams and pass through untouched.
+
+    Returns ``(id_col, n_words, n_kept, n_removed, removed_frac,
+    cleaned_text)`` — one row per input doc (fully-duplicated docs keep
+    a row with ``cleaned_text = ''``).
+
+    Plan shape at 100 TB: gram-keyed exchanges for the occurrence count
+    and the duplicated-gram semi-join (token-scale rows of
+    ``(gram, pos)`` — never doc pairs, never an all-pairs product);
+    covered positions reach the word table through a ``(doc, pos)``
+    anti-join whose right side needs NO distinct (anti-join ignores
+    multiplicity); the cleaned text rebuilds with an in-row
+    ``array_sort`` over collected ``(pos, word)`` structs — one groupBy,
+    no window over the corpus."""
+    toks = word_tokens(text_col)
+    base = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .repartition(32, "__id")
+        .persist()
+    )
+    # gram start positions are 0-based; slice() is 1-based, so gram i-1
+    # covers 0-based word positions [i-1, i+n-2] — exactly what
+    # posexplode reports for the words themselves.
+    occ = base.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "__s"),
+    ).persist()
+    dup = (
+        occ.groupBy("__s")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__s")
+    )
+    covered = (
+        occ.join(dup, "__s", "left_semi")
+        .select("__id", F.explode(F.sequence("__pos", F.col("__pos") + (n - 1))).alias("__wpos"))
+    )
+    words = base.select("__id", F.posexplode("__toks").alias("__wpos", "__w"))
+    kept = words.join(covered, ["__id", "__wpos"], "left_anti")
+    agg = kept.groupBy("__id").agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__wpos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("__id", F.size("__toks").cast("bigint").alias("n_words"))
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_words",
+            F.coalesce("__n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_words") - F.coalesce("__n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+            F.round(
+                (F.col("n_words") - F.coalesce("__n_kept", F.lit(0))).cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("removed_frac"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -213,3 +213,76 @@ def test_mutual_knn_subset_of_one_directional(spark, embeddings):
     ow = set(zip(oneway.qid, oneway.cid))
     for r in mutual.itertuples():
         assert (r.id_a, r.id_b) in ow and (r.id_b, r.id_a) in ow
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    boiler = "subscribe to our newsletter for updates"  # 6 words > n=5
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler} eta theta"),
+        (2, f"one two three four five six {boiler} seven eight nine"),
+        (3, "unique words that appear nowhere else in this corpus at all"),
+        (4, "short doc"),  # < 5 words: no grams, untouched
+        (5, "loop loop loop loop loop loop loop loop loop loop"),  # within-doc repeat
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_removal_cuts_shared_boilerplate_keeps_unique(span_corpus):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_removal(span_corpus, "doc_id", "text").collect()
+    }
+    assert len(out) == 5  # every input doc keeps a row
+    # the shared 6-word boilerplate vanishes from BOTH docs; their unique
+    # prefixes/suffixes survive in original order
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[2]["cleaned_text"] == "one two three four five six seven eight nine"
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    # unique doc untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == "unique words that appear nowhere else in this corpus at all"
+    # sub-n doc has no grams — passes through
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "short doc"
+    # within-doc repetition counts toward min_count (suffix-array view):
+    # every position of the all-"loop" doc is covered
+    assert out[5]["n_kept"] == 0 and out[5]["cleaned_text"] == ""
+    assert out[5]["removed_frac"] == 1.0
+
+
+def test_span_removal_partition_invariant(span_corpus):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+
+    a = sorted(
+        (r["doc_id"], r["cleaned_text"], r["n_removed"])
+        for r in repeated_span_removal(span_corpus, "doc_id", "text").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cleaned_text"], r["n_removed"])
+        for r in repeated_span_removal(
+            span_corpus.repartition(7), "doc_id", "text"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_span_removal_min_count_threshold(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+
+    phrase = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} over something"), (2, f"{phrase} across nothing")],
+        ["doc_id", "text"],
+    )
+    # at min_count=3 the twice-occurring phrase survives
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_span_removal(df, "doc_id", "text", min_count=3).collect()
+    }
+    assert out == {1: 0, 2: 0}

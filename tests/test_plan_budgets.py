@@ -100,6 +100,9 @@ BUDGETS = {
                                     # localCheckpoints; one final segment agg
     "customer_spend_gini": 1,       # post-cumsum global agg gather only
     "customer_spend_lorenz": 3,     # decile agg + 10-row window + sort
+    "span_dedup_cleaned_docs": 7,  # doc repartition + gram count + dup
+    # semi-join pair + coverage anti-join pair (gram/(doc,pos)-keyed — rows
+    # are positions and grams, never doc pairs) + cleaned-text groupBy
     "crossdoc_duplicate_spans": 6,  # shingle repartition + span agg +
                                     # pair join + dedup + verify joins
     "trigram_lm_quality": 3,        # trigram count + bigram count +

@@ -59,6 +59,7 @@ HEAVIES = [
     "countmin_term_freqs",
     "domain_quota_cap",
     "crossdoc_duplicate_spans",
+    "span_dedup_cleaned_docs",
     "quality_percentile_gate",
     "chunk_meanpool_embeddings",
     "bm25_raw_index_topk",
