@@ -7978,6 +7978,73 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def span_clean_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export composition: substring-level dedup feeds sequence
+    packing in ONE dataflow — documents → repeated-span removal (corpus-
+    repeated 5-grams cut) → drop fully-boilerplate docs → token-count the
+    CLEANED text → greedy 512-token shard packing. The integration
+    oracle recomputes the whole chain closed-form (cleaned text word for
+    word, then the packing offsets over it), so any drift at the
+    operator interface — e.g. packing reading raw instead of cleaned
+    token counts — flips the hash even though both operators pass their
+    own oracles. Plan shape: the span-removal exchanges (gram-keyed /
+    (doc,pos)-keyed) then the packing's shard-keyed cumsum — no new
+    corpus-wide stage appears in the composition."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = repeated_span_removal(docs, "doc_id", "text", n=5, min_count=2).filter(
+        F.col("n_kept") > 0
+    )
+    sized = cleaned.select(
+        "doc_id", token_count("cleaned_text").cast("bigint").alias("tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "tokens", budget=512, shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_SPAN_PACK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, u.g.pos AS pos, u.g.s AS s
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                i -> struct_pack(pos := i - 1,
+                                                 s := array_to_string(t[i:i+4], ' ')))) AS g
+        FROM toks) u(doc_id, g)
+),
+dup AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT o.doc_id, o.pos + d.off AS wpos
+        FROM (SELECT occ.* FROM occ SEMI JOIN dup USING (s)) o,
+             (SELECT unnest(range(0, 5)) AS off) d),
+words AS (SELECT doc_id, u.w.wpos AS wpos, u.w.w AS w
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t) + 1),
+                                        i -> struct_pack(wpos := i - 1, w := t[i]))) AS w
+                FROM toks) u(doc_id, w)),
+kept AS (SELECT w.doc_id, w.wpos, w.w
+         FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.wpos = c.wpos),
+cleaned AS (SELECT doc_id, string_agg(w, ' ' ORDER BY wpos) AS cleaned_text
+            FROM kept GROUP BY doc_id),
+sized AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(cleaned_text, '{_TOKEN_SQL}')) AS BIGINT) AS tokens,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS shard
+  FROM cleaned),
+c AS (
+  SELECT *, COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sized)
+SELECT CAST(shard AS BIGINT) AS shard, start_offset // 512 AS seq_id,
+  COUNT(*) AS n_docs, SUM(tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-decile quality gate with EXACT rank semantics
     (curation: keep each language's best 10%, however its quality
@@ -10065,6 +10132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
         "span_dedup_cleaned_docs": span_dedup_cleaned_docs,
+        "span_clean_packed_corpus": span_clean_packed_corpus,
         "quality_percentile_gate": quality_percentile_gate,
         "vec_threshold_join": vec_threshold_join,
         "chunk_meanpool_embeddings": chunk_meanpool_embeddings,
@@ -10272,6 +10340,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_cap": _DOMAIN_QUOTA_ORACLE,
         "crossdoc_duplicate_spans": _CROSSDOC_SPANS_ORACLE,
         "span_dedup_cleaned_docs": _SPAN_DEDUP_ORACLE,
+        "span_clean_packed_corpus": _SPAN_PACK_ORACLE,
         "quality_percentile_gate": _QUALITY_GATE_ORACLE,
         "vec_threshold_join": _VEC_THRESHOLD_ORACLE,
         "chunk_meanpool_embeddings": _CHUNK_MEANPOOL_ORACLE,

@@ -61,6 +61,8 @@ HEADLINE = [
     # round-4 second wave: cross-doc span dedup, the count-min sketch
     # build, and the graph + segmentation heavies
     "crossdoc_duplicate_spans",
+    # round-10: substring-level dedup (the REMOVAL op, not just the metric)
+    "span_dedup_cleaned_docs",
     "countmin_term_freqs",
     "part_pagerank",
     "customer_rfm_segments",

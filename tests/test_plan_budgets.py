@@ -100,6 +100,9 @@ BUDGETS = {
                                     # localCheckpoints; one final segment agg
     "customer_spend_gini": 1,       # post-cumsum global agg gather only
     "customer_spend_lorenz": 3,     # decile agg + 10-row window + sort
+    "span_clean_packed_corpus": 9,  # the span-removal exchanges (7, above)
+    # + the packing's shard-keyed window + final (shard, seq) agg — the
+    # composition adds NO corpus-wide stage beyond its two operators
     "span_dedup_cleaned_docs": 7,  # doc repartition + gram count + dup
     # semi-join pair + coverage anti-join pair (gram/(doc,pos)-keyed — rows
     # are positions and grams, never doc pairs) + cleaned-text groupBy
