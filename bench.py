@@ -412,6 +412,27 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["crawl_curation_insert"] = _progress_stats(q, time.time() - t0, n_docs)
+
+        # --- streaming span removal: online substring-level dedup — each
+        # batch lands with every gram the stream already carried cut out
+        # (gram store = the exact-dedup bucket-store shape, token-scale)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import spanclean_insert
+
+        scdocs = docs.select("doc_id", "text")
+        n_sc = scdocs.count()
+        scsrc = os.path.join(work, "scsrc")
+        scdocs.repartition(N_STREAM_BATCHES).write.parquet(scsrc)
+        t0 = time.time()
+        q = spanclean_insert(
+            file_stream_reader(spark, scsrc, scdocs.schema),
+            os.path.join(work, "sc_sink"),
+            os.path.join(work, "sc_ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["spanclean_insert"] = _progress_stats(q, time.time() - t0, n_sc)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -364,16 +364,33 @@ def repeated_span_removal(
     multiplicity); the cleaned text rebuilds with an in-row
     ``array_sort`` over collected ``(pos, word)`` structs — one groupBy,
     no window over the corpus."""
-    toks = word_tokens(text_col)
-    base = (
-        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-        .repartition(32, "__id")
-        .persist()
+    base = span_tokenized(df, id_col, text_col).persist()
+    occ = gram_occurrences(base, n).persist()
+    dup = (
+        occ.groupBy("__s")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__s")
     )
-    # gram start positions are 0-based; slice() is 1-based, so gram i-1
-    # covers 0-based word positions [i-1, i+n-2] — exactly what
-    # posexplode reports for the words themselves.
-    occ = base.select(
+    return span_clean(base, occ, dup, id_col, n=n)
+
+
+def span_tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(__id, __toks)`` staging projection for the span-removal family —
+    tokenized once, hash-spread so the gram explode parallelizes even
+    when the input arrives as one split (small-SF parquet, micro-batch)."""
+    return df.select(
+        F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks")
+    ).repartition(32, "__id")
+
+
+def gram_occurrences(base: DataFrame, n: int) -> DataFrame:
+    """Every word ``n``-gram occurrence ``(__id, __pos, __s)`` of a
+    :func:`span_tokenized` projection. Gram start positions are 0-based;
+    ``slice()`` is 1-based, so gram ``i-1`` covers 0-based word positions
+    ``[i-1, i+n-2]`` — exactly what ``posexplode`` reports for the words
+    themselves. Docs shorter than ``n`` words yield no rows."""
+    return base.select(
         "__id",
         F.posexplode(
             F.when(
@@ -384,15 +401,27 @@ def repeated_span_removal(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__pos", "__s"),
-    ).persist()
-    dup = (
-        occ.groupBy("__s")
-        .agg(F.count("*").alias("__cnt"))
-        .filter(F.col("__cnt") >= min_count)
-        .select("__s")
     )
+
+
+def span_clean(
+    base: DataFrame,
+    occ: DataFrame,
+    dup_grams: DataFrame,
+    id_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Cut every occurrence of the given duplicated grams out of the
+    tokenized docs — the shared rebuild half of the span-removal family
+    (batch: corpus-internal dup set; streaming: landed-history ∪
+    within-batch). ``dup_grams`` is a one-column ``__s`` DataFrame; the
+    coverage anti-join's right side needs no distinct (anti-join ignores
+    multiplicity), and the cleaned text rebuilds with an in-row
+    ``array_sort`` over collected ``(pos, word)`` structs — one groupBy,
+    no corpus-wide window."""
     covered = (
-        occ.join(dup, "__s", "left_semi")
+        occ.join(dup_grams.select("__s"), "__s", "left_semi")
         .select("__id", F.explode(F.sequence("__pos", F.col("__pos") + (n - 1))).alias("__wpos"))
     )
     words = base.select("__id", F.posexplode("__toks").alias("__wpos", "__w"))

@@ -551,6 +551,204 @@ def _sink_has_batches(sink_dir: str) -> bool:
     return bool(glob.glob(os.path.join(sink_dir, "_batch=*", "_SUCCESS")))
 
 
+def spanclean_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    gram_partitions: int = 64,
+    compact_every: int = 16,
+    prune_store_read: bool | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous INSERT with ONLINE repeated-span removal — the streaming
+    face of :func:`operators.dedup.repeated_span_removal` (substring-level
+    dedup, Lee et al.): each micro-batch's documents land with every word
+    ``n``-gram the STREAM has already carried cut out of them.
+
+    Online semantics (arrival-order, the streaming analog of the batch
+    op's corpus-global count, and the same first-arrived-wins contract
+    :func:`dedup_insert` gives whole keys): a gram's FIRST delivery lands
+    intact — history is never retro-cleaned — and every later occurrence
+    (cross-batch via the gram store, or a within-batch repeat, where the
+    batch op's all-occurrences rule applies verbatim) is covered. A
+    stream drained in ONE batch therefore lands exactly the batch
+    operator's output (pytest-pinned).
+
+    Rows land with BOTH the raw ``text_col`` and the cleaned columns
+    (``cleaned_text``, ``n_words``/``n_kept``/``n_removed``/
+    ``removed_frac``) — raw text is the provenance the crash heal needs
+    (below) and what a re-run audit wants anyway; fully-boilerplate docs
+    land with ``cleaned_text=''`` so survivor accounting stays exact
+    (consumers filter ``n_kept > 0``).
+
+    Seen-gram state = the same ``(key, __bucket)`` bucket-store shape the
+    exact-dedup lane runs, keyed by the gram STRING under
+    ``<sink>/_grams`` (``__bucket = xxhash64(gram)``; candidates
+    re-verify by exact string match, so hash collisions can only widen
+    the candidate read, never over-clean). Unlike the whole-doc-key
+    lanes, partition pruning cannot engage: a batch carries ~n_words
+    grams per doc, so even a small batch's hash set touches every
+    ``__bpart`` partition — the honest per-batch history cost is a
+    columnar scan of the store's two narrow columns, linear in store
+    rows (``prune_store_read=True`` forces the dead prune machinery on,
+    the ladder's A/B; default off). The candidate set is batch-bounded
+    and broadcasts. The flat delta tail folds through
+    :func:`compact_sink` every ``compact_every`` epochs (folded-epoch
+    sidecars keep the heal's coverage check O(#runs)).
+
+    Crash contract (mirrors :func:`dedup_insert`): the epoch's rows
+    commit FIRST, its gram delta lands right after; the heal pass
+    backfills any committed epoch missing its delta by re-deriving grams
+    from the epoch's landed RAW text column — which is why raw text
+    rides along. A replayed epoch recomputes cleaning against a store
+    that may meanwhile include its own grams, but the idempotent writer
+    discards the recompute (rows already committed), so the sink never
+    sees the difference.
+
+    At 100 TB the gram store is token-scale — far larger than a key
+    store — which is exactly why the scan/prune crossover and the
+    per-epoch delta shape (micro-batch-sized, folded geometrically)
+    matter here more than anywhere else on the streaming shelf."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        gram_occurrences,
+        span_clean,
+        span_tokenized,
+    )
+
+    write_batch = idempotent_batch_writer(sink_dir)
+    grams_dir = os.path.join(sink_dir, "_grams")
+    grams_checked: set[int] = set()
+
+    def _epoch_grams(spark: SparkSession, epoch_dir: str) -> DataFrame:
+        rows = spark.read.parquet(epoch_dir).select(id_col, text_col)
+        return (
+            gram_occurrences(span_tokenized(rows, id_col, text_col), n)
+            .select("__s")
+            .dropDuplicates(["__s"])
+            .withColumn("__bucket", F.xxhash64("__s"))
+            .repartition(1)
+        )
+
+    def _heal_grams(spark: SparkSession) -> None:
+        covered = _covered_bucket_ranges(grams_dir)
+        for d in _committed_batch_dirs(sink_dir):
+            eid = int(d.rsplit("=", 1)[1])
+            if eid in grams_checked or _ranges_contain(covered, eid):
+                grams_checked.add(eid)
+                continue
+            write_bucket_delta(
+                _epoch_grams(spark, d), grams_dir, eid,
+                num_partitions=gram_partitions,
+            )
+            grams_checked.add(eid)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # one row per id: a duplicated id would explode its words twice
+        # into the same (id, pos) space and the rebuild would interleave
+        # both texts — the same per-batch id-uniqueness contract the
+        # other insert lanes carry
+        batch_df = batch_df.dropDuplicates([id_col])
+        base = span_tokenized(batch_df, id_col, text_col).persist()
+        occ = gram_occurrences(base, n).persist()
+        # within-batch duplicated grams: the batch operator's rule applies
+        # verbatim (ALL occurrences covered, count >= 2)
+        dup = (
+            occ.groupBy("__s")
+            .agg(F.count("*").alias("__cnt"))
+            .filter(F.col("__cnt") >= 2)
+            .select("__s")
+        )
+        inc = None
+        try:
+            if _sink_has_batches(sink_dir):
+                _heal_grams(spark)
+                inc = (
+                    occ.select("__s")
+                    .dropDuplicates(["__s"])
+                    .withColumn("__bucket", F.xxhash64("__s"))
+                    .persist()
+                )
+                # partition pruning CANNOT engage here the way it does for
+                # whole-doc keys: a batch carries ~n_words grams per doc
+                # (a 500-doc batch ≈ 13k gram hashes), so every one of the
+                # N=64 partitions is touched and the parts list degenerates
+                # to None — the prune machinery would pay its probe job +
+                # byte walk per batch and then full-scan anyway
+                # (SCALECHECK `spanclean_insert` carries the forced-prune
+                # control). The honest per-batch history cost is the
+                # columnar two-long-column scan of the store's bucket/gram
+                # columns; default False skips the dead overhead, True is
+                # the ladder's A/B.
+                prune = bool(prune_store_read)
+                parts = None
+                if prune:
+                    vals = [
+                        r[0]
+                        for r in inc.select(
+                            F.pmod(F.col("__bucket"), F.lit(gram_partitions)).cast("int")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    parts = vals if len(vals) < gram_partitions else None
+                old = read_bucket_store(spark, grams_dir, "__s", parts=parts)
+                # exact-match candidates: store grams whose bucket appears
+                # in the batch (collisions only WIDEN) — batch-bounded, so
+                # the semi-join's right side broadcasts; then exact string
+                # verify against the batch's own gram set
+                seen = old.join(
+                    F.broadcast(inc.select("__bucket").distinct()),
+                    "__bucket",
+                    "left_semi",
+                ).select("__s").dropDuplicates(["__s"])
+                dup = dup.unionByName(seen).dropDuplicates(["__s"])
+            cleaned = span_clean(base, occ, dup, id_col, n=n)
+            rows = batch_df.select(id_col, text_col).join(cleaned, id_col)
+            write_batch(rows, epoch_id)
+            target = os.path.join(sink_dir, f"_batch={epoch_id}")
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                # the epoch's own grams (already computed — identical to a
+                # re-derivation from the landed raw text) append to the
+                # store — unless a fold already swallowed this epoch's
+                # delta (a REPLAYED epoch after compaction): re-creating
+                # it would only widen candidate reads, but the widened
+                # rows would never dedup out of the store
+                if not _ranges_contain(
+                    _covered_bucket_ranges(grams_dir), epoch_id
+                ):
+                    write_bucket_delta(
+                        occ.select("__s")
+                        .dropDuplicates(["__s"])
+                        .withColumn("__bucket", F.xxhash64("__s"))
+                        .repartition(1),
+                        grams_dir,
+                        epoch_id,
+                        num_partitions=gram_partitions,
+                    )
+                grams_checked.add(epoch_id)
+                if len(_committed_batch_dirs(grams_dir)) > compact_every:
+                    compact_sink(spark, grams_dir, keep_batches=1)
+        finally:
+            base.unpersist()
+            occ.unpersist()
+            if inc is not None:
+                inc.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def band_buckets(sig_col, *, num_hashes: int, bands: int):
     """ARRAY of per-band bucket ids over a MinHash signature column —
     ``xxhash64`` of each band's signature slice, salted by band index so

@@ -3056,3 +3056,111 @@ def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path, prune):
     assert 9 not in landed, landed
     # tombstone drained and GC'd by the in-stream maintenance
     assert not _live_tombstones(store)
+
+
+def test_spanclean_insert_online_semantics(spark, tmp_path):
+    """Streaming span removal: a gram's first delivery lands intact;
+    later deliveries (cross-batch via the gram store, within-batch via
+    the batch rule) are cut. Order-robust: whichever batch carried the
+    boilerplate first keeps it."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import spanclean_insert
+
+    P = "subscribe to our newsletter for updates"  # 6 words -> two 5-grams
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, f"{P} and unique tail one")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, f"{P} with another unique suffix"),
+            (4, "echo echo echo echo echo echo echo"),  # within-batch repeat
+            (5, "totally fresh words nobody repeated anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "span_src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream_reader(spark, src, b1.schema, max_files_per_trigger=1)
+    q = spanclean_insert(
+        stream,
+        str(tmp_path / "span_sink"),
+        str(tmp_path / "span_ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        trigger_once=True,
+    )
+    _drain(q)
+    out = {r["doc_id"]: r for r in read_sink(spark, str(tmp_path / "span_sink")).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc lands, raw text preserved
+    assert all(out[i]["text"] is not None for i in out)
+    # exactly ONE of the two P-carrying docs keeps P (whichever arrived
+    # first); the other has all 6 P-words cut and its unique words kept
+    kept_p = [i for i in (2, 3) if P in out[i]["cleaned_text"]]
+    assert len(kept_p) == 1
+    cut = 5 - kept_p[0]  # the other of doc 2 / doc 3
+    assert out[cut]["n_removed"] == 6
+    expected_tail = {
+        2: "and unique tail one",
+        3: "with another unique suffix",
+    }[cut]
+    assert out[cut]["cleaned_text"] == expected_tail
+    # within-batch repetition: the all-"echo" doc is fully covered
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+    # untouched docs
+    assert out[1]["n_removed"] == 0 and out[5]["n_removed"] == 0
+
+
+def test_spanclean_insert_single_batch_equals_batch_op_heals_and_folds(
+    spark, tmp_path, docs
+):
+    """One drained batch == the batch operator exactly; a crash-lost gram
+    delta heals from the landed raw text; the delta tail folds through
+    compact_sink without changing downstream cleaning."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import spanclean_insert
+
+    base = docs.select("doc_id", "text").limit(60)
+    src = str(tmp_path / "sc_src")
+    base.coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "sc_sink")
+    stream = file_stream_reader(spark, src, base.schema, max_files_per_trigger=1)
+    q = spanclean_insert(
+        stream, sink, str(tmp_path / "sc_ckpt"),
+        id_col="doc_id", text_col="text", compact_every=1, trigger_once=True,
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in read_sink(spark, sink).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in repeated_span_removal(base, "doc_id", "text").collect()
+    }
+    assert got == want
+    # crash window: lose epoch 0's gram delta, then stream a re-delivery —
+    # the heal pass rebuilds the delta from the landed RAW text, so the
+    # re-delivered boilerplate is still recognized and cut
+    gram_deltas = sorted(glob.glob(os.path.join(sink, "_grams", "_batch=*")))
+    assert gram_deltas, "spanclean_insert should land gram deltas"
+    shutil.rmtree(gram_deltas[0])
+    redeliver = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    redeliver.coalesce(1).write.mode("append").parquet(src)
+    q = spanclean_insert(
+        file_stream_reader(spark, src, base.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "sc_ckpt"),
+        id_col="doc_id", text_col="text", compact_every=1, trigger_once=True,
+    )
+    _drain(q)
+    out = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    for i in range(5):
+        if (9000 + i) in out and out[9000 + i]["n_words"] >= 5:
+            # every gram of a re-delivered doc is already in the store
+            assert out[9000 + i]["n_kept"] == 0, f"doc {9000+i} not cut"
+    # compact_every=1 forced folds: the store still answers (steady state)
+    assert glob.glob(os.path.join(sink, "_grams", "_batch=*", "_SUCCESS"))

@@ -929,6 +929,94 @@ def _add_slowdowns(rows: dict) -> None:
             )
 
 
+def _spanclean_rung(
+    spark, rung: int, work: str, *, prune: bool | None = None, tag: str = "sp"
+) -> dict:
+    """Round 10 streaming span removal (`spanclean_insert`): pre-land
+    ``rung`` docs and their CONVERGED gram store (one partitioned base
+    run — the shape a long-running stream's folds converge to), then
+    stream the fixed 2,000-row increment through 4 micro-batches. 1% of
+    incoming rows are verbatim re-deliveries of landed TEXTS — every
+    gram already carried, so the whole doc must land fully cut
+    (``n_kept = 0``); the mechanism columns record that check beside the
+    throughput. ``prune`` forces the store-read mode (None = the
+    measured size gate, which picks the full scan at these store
+    sizes — the same crossover the exact-dedup lane measured)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        gram_occurrences,
+        span_tokenized,
+    )
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        spanclean_insert,
+        write_bucket_delta,
+    )
+
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    landed = _synth_docs(spark, rung, seed=0)
+    landed.repartition(max(32, min(4096, rung // 20_000))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, "_batch=-1"))
+    rows = spark.read.parquet(os.path.join(sink, "_batch=-1"))
+    write_bucket_delta(
+        gram_occurrences(span_tokenized(rows, "doc_id", "text"), 5)
+        .select("__s")
+        .dropDuplicates(["__s"])
+        .withColumn("__bucket", F.xxhash64("__s")),
+        os.path.join(sink, "_grams"), -1,
+        num_partitions=64, layout="partitioned",
+    )
+
+    inc = spark.range(INCOMING_ROWS)
+    fresh = _synth_docs(spark, INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
+    planted_src = _synth_docs(spark, INCOMING_ROWS, seed=0).select(
+        F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
+    )
+    incoming = (
+        inc.select(
+            F.col("id"),
+            (F.col("id") + _ID_OFFSET).alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(min(rung, INCOMING_ROWS))).alias("__pid"),
+        )
+        .join(F.broadcast(planted_src), "__pid")
+        .join(fresh.select("doc_id", F.col("text").alias("__ftext")), "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("id") % PLANT_EVERY == 0, F.col("__ptext"))
+            .otherwise(F.col("__ftext"))
+            .alias("text"),
+        )
+    )
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    incoming.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t0 = time.time()
+    q = spanclean_insert(
+        file_stream_reader(spark, src, schema),
+        sink, ckpt,
+        id_col="doc_id", text_col="text",
+        prune_store_read=prune, trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    new_dirs = [
+        d
+        for d in _glob.glob(os.path.join(sink, "_batch=*"))
+        if not d.endswith("=-1") and os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    out = spark.read.parquet(*new_dirs)
+    planted = out.filter(F.pmod(F.col("doc_id") - _ID_OFFSET, F.lit(PLANT_EVERY)) == 0)
+    stats["planted_docs"] = planted.count()
+    stats["planted_docs_fully_cut"] = planted.filter(F.col("n_kept") == 0).count()
+    return stats
+
+
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
@@ -987,6 +1075,23 @@ def main() -> int:
         "sketch_insert": _sketch_rung,
         "maintain_reverify_width": _maintain_width_rung,
         "rebucket_drain_nudges": _rebucket_drain_rung,
+        # a discarded 1k warm-up rung runs first: an A/A probe measured the
+        # session's FIRST streaming lane ~30% slow (codegen/JIT warm-up,
+        # 105 -> 138 rows/s back to back), which had masqueraded as the
+        # control winning — order-fairness costs ~20 s per invocation
+        "spanclean_insert": lambda s, r, w: (
+            _spanclean_rung(s, 1_000, w, prune=None, tag="spw" + str(r))
+            and dict(
+                _spanclean_rung(s, r, w, prune=None, tag="sp"),
+                control=dict(
+                    _spanclean_rung(s, r, w, prune=True, tag="spp"),
+                    what="forced prune machinery on — the touched-parts "
+                    "probe job runs and its list degenerates to None (a "
+                    "batch's ~13k gram hashes touch every partition), so "
+                    "this is the dead-overhead A/B for the default's skip",
+                ),
+            )
+        ),
         "exact_dedup_insert": lambda s, r, w: dict(
             _exact_dedup_rung(s, r, w, prune=True, bloom=True, tag="eb"),
             control=dict(
