@@ -960,6 +960,37 @@ SELECT user_id, event_type, event_id, value FROM (
 """
 
 
+def user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-upsert materialized view (Kafka log-compaction semantics,
+    batch face of `streaming/pipeline.keyed_upsert_insert`): each user's
+    LATEST event by (ts, event_id) wins — one key-keyed max-struct
+    aggregation with map-side partials, never a corpus window — and
+    users whose latest event is an 'error' tombstone drop out. The
+    streaming lane materializes exactly this view incrementally
+    (per-epoch latest-per-key deltas + merge-on-read + a fold that
+    reduces the base to ~|live keys| rows); this query shares its
+    `_latest_per_key` reduction so the two faces cannot drift."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _latest_per_key
+
+    ev = _t(spark, sf_dir, "events").withColumn("__epoch", F.lit(0))
+    out = _latest_per_key(ev, "user_id", ["ts", "event_id"])
+    return out.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("last_event_type"),
+        "value",
+    )
+
+
+_USER_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type AS last_event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user — the batch form
     of Spark's ``session_window``; in streaming the same expression runs
@@ -9983,6 +10014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_priority": pivot_status_priority,
         "explode_positions": explode_positions,
         "events_dedup_first": events_dedup_first,
+        "user_latest_state": user_latest_state,
         "events_sessionization": events_sessionization,
         "asof_clicks_before_purchase": asof_clicks_before_purchase,
         "broadcast_join_agg": broadcast_join_agg,
@@ -10196,6 +10228,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status_priority": _PIVOT_ORACLE,
         "explode_positions": _EXPLODE_ORACLE,
         "events_dedup_first": _EVENTS_DEDUP_ORACLE,
+        "user_latest_state": _USER_LATEST_ORACLE,
         "events_sessionization": _SESSION_ORACLE,
         "asof_clicks_before_purchase": _ASOF_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

@@ -433,6 +433,32 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["spanclean_insert"] = _progress_stats(q, time.time() - t0, n_sc)
+
+        # --- keyed upsert (Kafka log-compaction semantics): latest event
+        # per user materialized incrementally, folds reduce the base
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import keyed_upsert_insert
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        n_ev = ev.count()
+        upsrc = os.path.join(work, "upsrc")
+        ev.repartition(N_STREAM_BATCHES).write.parquet(upsrc)
+        t0 = time.time()
+        q = keyed_upsert_insert(
+            file_stream_reader(spark, upsrc, ev.schema),
+            os.path.join(work, "up_sink"),
+            os.path.join(work, "up_ckpt"),
+            key_col="user_id",
+            seq_cols=["ts", "event_id"],
+            compact_every=4,
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["keyed_upsert_insert"] = _progress_stats(q, time.time() - t0, n_ev)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

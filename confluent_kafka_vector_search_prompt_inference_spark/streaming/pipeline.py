@@ -749,6 +749,134 @@ def spanclean_insert(
     return writer.start()
 
 
+def _latest_per_key(
+    df: DataFrame, key_col: str, seq_cols: list[str]
+) -> DataFrame:
+    """One row per key — the max of ``(seq_cols..., __epoch, whole-row)``
+    struct order. A single key-keyed aggregation with map-side partials
+    (never a corpus window): the struct comparison is a TOTAL order (the
+    trailing whole-row struct breaks any remaining tie), so the survivor
+    is a pure function of the row set, independent of partitioning.
+    ``seq_cols`` must be non-null (a null sequence field has no defined
+    place in the order)."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    top = F.max(
+        F.struct(
+            *[F.col(c).alias(f"s{i}") for i, c in enumerate(seq_cols)],
+            F.col("__epoch").alias("e"),
+            F.struct(*[F.col(c) for c in cols]).alias("r"),
+        )
+    ).alias("t")
+    return df.groupBy(key_col).agg(top).select("t.r.*")
+
+
+def keyed_upsert_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    seq_cols: list[str],
+    tombstone_col: str | None = None,
+    drop_tombstones_on_fold: bool = False,
+    compact_every: int = 16,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous keyed UPSERT sink — Kafka LOG-COMPACTION semantics as a
+    materialized table (the retention mode :func:`enforce_retention`'s
+    count/byte budgets don't cover: ``cleanup.policy=compact`` keeps the
+    LATEST record per key and a null-value tombstone deletes the key).
+
+    Per micro-batch: reduce to the batch's latest row per ``key_col``
+    (max ``(seq_cols..., whole-row)`` struct order — deterministic under
+    any partitioning; within-batch ``seq`` ties resolve to the greatest
+    remaining row, pinned by test), stamp ``__epoch``, and land the
+    delta idempotently. The materialized view is merge-on-read
+    (:func:`read_upserted`): one key-keyed max-struct aggregation over
+    base + tail — never a window — then tombstoned keys drop out.
+
+    Compaction IS the semantics here, not just small-files hygiene: once
+    the flat tail passes ``compact_every`` epochs, :func:`compact_sink`
+    folds it with a ``fold_transform`` that keeps only each key's latest
+    row WITHIN the fold. Sound because the fold set is always a complete
+    prefix of history (every kept/new epoch is strictly newer): a
+    dropped row was dominated inside the fold by a row that still
+    participates in the global max, so no reader can miss it. Tombstone
+    ROWS are NOT dropped by the fold: under event-time ``seq_cols`` a
+    later-ARRIVING row may carry a SMALLER seq, and the retained
+    tombstone must still dominate it (the key stays deleted — pinned by
+    test). Kafka itself only sheds tombstones because its order IS
+    arrival order, and even then only after ``delete.retention.ms``;
+    ``drop_tombstones_on_fold=True`` opts into that behavior for
+    streams whose seq is monotone with arrival. The base therefore
+    converges to ~|live keys + tombstoned keys| rows no matter how many
+    updates ever flowed, and replay stays safe because
+    ``keep_batches=1`` protects the only epoch a checkpoint crash can
+    re-deliver.
+
+    ``tombstone_col`` names a BOOLEAN column: true rows delete the key
+    (a later-SEQ insert revives it, exactly like writing a new record
+    after a Kafka tombstone). At 100 TB: deltas are micro-batch-sized,
+    the fold rewrites O(|live keys|) rows every ``compact_every``
+    epochs, and reads shuffle each key once — the same decomposable-
+    partial contract as `agg_insert`, with max-struct as the merge."""
+    from pyspark.sql import functions as F
+
+    write_batch = idempotent_batch_writer(sink_dir)
+
+    def _reduce(df: DataFrame) -> DataFrame:
+        out = _latest_per_key(df, key_col, seq_cols)
+        if tombstone_col is not None and drop_tombstones_on_fold:
+            out = out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+        return out
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = _latest_per_key(
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id))),
+            key_col,
+            seq_cols,
+        )
+        write_batch(delta, epoch_id)
+        target = os.path.join(sink_dir, f"_batch={epoch_id}")
+        if (
+            os.path.exists(os.path.join(target, "_SUCCESS"))
+            and len(_committed_batch_dirs(sink_dir)) > compact_every
+        ):
+            compact_sink(spark, sink_dir, keep_batches=1, fold_transform=_reduce)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_upserted(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    key_col: str,
+    seq_cols: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """The live keyed table a :func:`keyed_upsert_insert` sink
+    materializes: latest row per key across the compacted base + flat
+    tail (one key-keyed max-struct aggregation — the log-compacted base
+    is already reduced, so the shuffle carries ~|live keys| + tail
+    rows), minus tombstoned keys. ``__epoch`` is dropped from the
+    result (it exists to order same-seq rows across epochs)."""
+    from pyspark.sql import functions as F
+
+    out = _latest_per_key(read_sink(spark, sink_dir), key_col, seq_cols)
+    if tombstone_col is not None:
+        out = out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    return out.drop("__epoch")
+
+
 def band_buckets(sig_col, *, num_hashes: int, bands: int):
     """ARRAY of per-band bucket ids over a MinHash signature column —
     ``xxhash64`` of each band's signature slice, salted by band index so
@@ -2013,6 +2141,7 @@ def compact_sink(
     keep_batches: int = 1,
     target_partitions: int | None = None,
     partition_by: list[str] | None = None,
+    fold_transform=None,
 ) -> int:
     """Fold committed ``_batch=*`` dirs into one compacted base batch.
 
@@ -2041,6 +2170,14 @@ def compact_sink(
     partitioning — folding it flat would destroy the partition pruning
     the store exists for); the fold repartitions by those columns first,
     so the compacted base holds one file per partition directory.
+
+    ``fold_transform`` rewrites the unioned rows on their way into the
+    folded base (e.g. :func:`keyed_upsert_insert`'s latest-per-key
+    reduction). It must be sound on a COMPLETE PREFIX of history: the
+    fold set is always the oldest epochs plus prior bases, and every
+    kept/new epoch is strictly newer — so a transform that only drops
+    rows DOMINATED by other rows in the same fold can never change what
+    a full read computes.
 
     The compacted base records which epoch ids it absorbed in a
     ``_folded_epochs.json`` sidecar (underscore-prefixed — invisible to
@@ -2071,6 +2208,7 @@ def compact_sink(
     folded = _fold_dirs(
         spark, sink_dir, to_fold,
         target_partitions=target_partitions, partition_by=partition_by,
+        transform=fold_transform,
     )
     # the base's _ids sidecar was (correctly) deleted at publish; give
     # it back so the folded bulk keeps narrow reads (no-op for sinks

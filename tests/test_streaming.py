@@ -3164,3 +3164,109 @@ def test_spanclean_insert_single_batch_equals_batch_op_heals_and_folds(
             assert out[9000 + i]["n_kept"] == 0, f"doc {9000+i} not cut"
     # compact_every=1 forced folds: the store still answers (steady state)
     assert glob.glob(os.path.join(sink, "_grams", "_batch=*", "_SUCCESS"))
+
+
+def test_keyed_upsert_insert_log_compaction_semantics(spark, tmp_path):
+    """Kafka log-compaction as a sink: latest row per key wins by
+    (seq, epoch); tombstones delete; a later-SEQ insert revives; a
+    later-ARRIVING but smaller-seq row does NOT resurrect a tombstoned
+    key (why the fold retains tombstone rows); the fold reduces the base
+    without changing what read_upserted computes."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        keyed_upsert_insert,
+        read_upserted,
+    )
+
+    cols = ["k", "seq", "val", "dead"]
+    b1 = spark.createDataFrame(
+        [("a", 1, "a1", False), ("b", 1, "b1", False), ("c", 1, "c1", False),
+         ("a", 2, "a2", False)],  # within-batch: a2 supersedes a1
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [("b", 5, None, True),    # tombstone b at seq 5
+         ("c", 2, "c2", False)],
+        cols,
+    )
+    b3 = spark.createDataFrame(
+        [("b", 3, "late", False),  # later arrival, SMALLER seq: b stays dead
+         ("c", 9, None, True),     # tombstone c ...
+         ("c", 10, "c10", False),  # ... revived by a later-seq insert
+         ("d", 1, "d1", False)],
+        cols,
+    )
+    src = str(tmp_path / "up_src")
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sink = str(tmp_path / "up_sink")
+    q = keyed_upsert_insert(
+        file_stream_reader(spark, src, b1.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "up_ckpt"),
+        key_col="k", seq_cols=["seq"], tombstone_col="dead",
+        compact_every=1,  # force folds inside the run
+        trigger_once=True,
+    )
+    _drain(q)
+    live = {
+        r["k"]: (r["seq"], r["val"])
+        for r in read_upserted(
+            spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+        ).collect()
+    }
+    # NOTE: file-source batch order follows write order here; the
+    # seq-dominant semantics make every assertion below hold under ANY
+    # interleaving except b-late-vs-b-tombstone, which seq also fixes
+    # (5 > 3), so the test is order-robust anyway.
+    assert live == {"a": (2, "a2"), "c": (10, "c10"), "d": (1, "d1")}
+    # the folded base retained the b-tombstone row (drop would let the
+    # smaller-seq late row resurrect b); raw store still shows b's marker
+    raw = read_sink(spark, sink)
+    assert raw.filter((F.col("k") == "b") & F.col("dead")).count() == 1
+    # fold actually reduced: superseded a1 is gone from the store
+    assert raw.filter((F.col("k") == "a")).count() == 1
+    # a second read is stable (merge-on-read is a pure function of the store)
+    live2 = {
+        r["k"]: (r["seq"], r["val"])
+        for r in read_upserted(
+            spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+        ).collect()
+    }
+    assert live2 == live
+
+
+def test_keyed_upsert_read_equals_batch_reduction(spark, tmp_path):
+    """Streamed-in-any-epoch-split == one batch reduction over the
+    concatenated input: the per-epoch deltas + merge-on-read + folds are
+    invisible to the view (the decomposable-partials law, max-struct as
+    the merge)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _latest_per_key,
+        keyed_upsert_insert,
+        read_upserted,
+    )
+
+    rows = [
+        (f"k{i % 37}", (i * 7919) % 101, f"v{i}", i % 11 == 0) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "val", "dead"])
+    src = str(tmp_path / "eq_src")
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    sink = str(tmp_path / "eq_sink")
+    q = keyed_upsert_insert(
+        file_stream_reader(spark, src, df.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "eq_ckpt"),
+        key_col="k", seq_cols=["seq", "val"], tombstone_col="dead",
+        compact_every=2, trigger_once=True,
+    )
+    _drain(q)
+    got = {
+        (r["k"], r["seq"], r["val"])
+        for r in read_upserted(
+            spark, sink, key_col="k", seq_cols=["seq", "val"], tombstone_col="dead"
+        ).collect()
+    }
+    want_df = _latest_per_key(
+        df.withColumn("__epoch", F.lit(0)), "k", ["seq", "val"]
+    ).filter(~F.col("dead"))
+    want = {(r["k"], r["seq"], r["val"]) for r in want_df.collect()}
+    assert got == want and got
