@@ -17,7 +17,13 @@ RAG chain, reference ``README.md:286-288, 438-446, 724-732``):
    against the sink's narrow ``_ids`` key sidecars);
 5. **near-dedup on the extracted text** — MinHash-LSH candidates,
    exact-Jaccard verify, banded buckets (never all-pairs);
-6. **quality gates** — word count and the heuristic quality score.
+6. **quality gates** — word count and the heuristic quality score;
+7. **span-clean + pack** — whole-doc dedup can't touch the footer
+   boilerplate EVERY page shares (each landed page is textually
+   distinct), so ``operators/dedup.repeated_span_removal`` cuts the
+   corpus-repeated 5-grams out of the survivors, and
+   ``operators/packing.pack_sequences`` fills the 512-token training
+   shards from the CLEANED token counts.
 
 ``python examples/crawl_curation.py`` runs a tiny corpus through the
 streaming lane (``near_dedup_insert(transform=, exact_key_col=)``) and
@@ -46,12 +52,22 @@ DOC_MERGE = (
 )
 
 
+#: the footer every crawled page carries — exactly what survives
+#: whole-doc dedup (each page is otherwise distinct) and what the
+#: span-removal stage exists to cut
+BOILER = "subscribe to the crawl newsletter for weekly corpus updates"
+
+
 def _blob(doc_id: int, page: str, text: str, status: int = 200):
-    """One single-response WARC archive: HTML wrapping the text, a URI
-    whose query is all trackers (canonicalization collapses re-crawls)."""
+    """One single-response WARC archive: HTML wrapping the text plus the
+    site-wide footer, a URI whose query is all trackers (canonicalization
+    collapses re-crawls)."""
     from confluent_kafka_vector_search_prompt_inference_spark.sources.warc import http_response, warc_encode
 
-    html = f"<html><body><p>{text}</p><!-- crawler --></body></html>"
+    html = (
+        f"<html><body><p>{text}</p><!-- crawler -->"
+        f"<p>{BOILER}</p></body></html>"
+    )
     uri = f"HTTPS://Crawl.Example/{page}?utm_source=x&gclid={doc_id}#frag"
     return (
         f"warc://{doc_id}",
@@ -130,6 +146,26 @@ def run(spark: SparkSession, verbose: bool = False) -> dict:
     ])
     out["landed_final"] = sorted(r.doc_id for r in read_sink(spark, sink).collect())
     out["ids_sidecars"] = len(glob.glob(os.path.join(sink, "_ids", "_batch=*")))
+    # stage 7: the landed survivors still each carry the site-wide footer
+    # (whole-doc dedup can't see it) — cut the corpus-repeated spans, then
+    # pack the CLEANED token counts into training shards
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import token_count
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import repeated_span_removal
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.packing import pack_sequences
+
+    cleaned = repeated_span_removal(
+        read_sink(spark, sink).select("doc_id", "text"), "doc_id", "text"
+    )
+    out["cleaned"] = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"]) for r in cleaned.collect()
+    }
+    packed = pack_sequences(
+        cleaned.filter(F.col("n_kept") > 0).select(
+            "doc_id", token_count("cleaned_text").cast("bigint").alias("tokens")
+        ),
+        "doc_id", "tokens", budget=512, shards=2,
+    )
+    out["packed_docs"] = packed.count()
     if verbose:
         for k, v in out.items():
             print(f"{k:16s} {v}")

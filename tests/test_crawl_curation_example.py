@@ -23,3 +23,15 @@ def test_crawl_curation_example(spark):
     # 1's text, doc 5 is genuinely new
     assert out["landed_final"] == [1, 5], out["landed_final"]
     assert out["ids_sidecars"] >= 1
+    # stage 7: the site-wide footer survived whole-doc dedup in BOTH
+    # landed pages; span removal cut all 9 footer words from each, the
+    # distinct page bodies stayed, and both docs packed
+    from crawl_curation import BOILER, DOC_FOX, DOC_KAFKA
+
+    n_boiler = len(BOILER.split())
+    assert set(out["cleaned"]) == {1, 5}
+    for doc_id, body in ((1, DOC_FOX), (5, DOC_KAFKA)):
+        n_removed, text = out["cleaned"][doc_id]
+        assert n_removed == n_boiler, (doc_id, n_removed)
+        assert BOILER not in text and text == body.lower()
+    assert out["packed_docs"] == 2
