@@ -972,7 +972,7 @@ def user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_latest_per_key` reduction so the two faces cannot drift."""
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _latest_per_key
 
-    ev = _t(spark, sf_dir, "events").withColumn("__epoch", F.lit(0))
+    ev = _t(spark, sf_dir, "events").withColumn("__epoch", F.lit(0).cast("long"))
     out = _latest_per_key(ev, "user_id", ["ts", "event_id"])
     return out.filter(F.col("event_type") != "error").select(
         "user_id",
@@ -10030,9 +10030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderby_limit": orderby_limit,
         "set_intersect": set_intersect,
         "scalar_json_events": scalar_json_events,
-        "scalar_date_fns": scalar_date_fns,
         "null_semantics": null_semantics,
-        "map_type_ops": map_type_ops,
         "sql_surface": sql_surface,
         "json_roundtrip": json_roundtrip,
         "range_join_clicks": range_join_clicks,
@@ -10043,9 +10041,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_topk_broadcast": vec_topk_broadcast,
         "vec_cosine_topk": vec_cosine_topk,
         "vec_topk_ivf": vec_topk_ivf,
-        # dedup (§2.11)
+        # dedup (§2.11; round 10 adds the substring-level REMOVAL face)
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_lsh_dups": minhash_lsh_dups,
+        "span_dedup_cleaned_docs": span_dedup_cleaned_docs,
         "simhash_near_dups": simhash_near_dups,
         # keyword + hybrid retrieval (§2.11)
         "bm25_keyword_topk": bm25_keyword_topk,
@@ -10054,6 +10053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_prompts": rag_prompts,
         "rag_answers": rag_answers,
         # ---- position 51+: parity-checked via tools/parity.py ----
+        # (round 10: scalar_date_fns + map_type_ops moved below the
+        # window — the scalar family keeps four in-window reps — to admit
+        # user_latest_state and span_dedup_cleaned_docs without displacing
+        # the RAG flagships)
+        "scalar_date_fns": scalar_date_fns,
+        "map_type_ops": map_type_ops,
         # (displaced from the driver window in round 9 to admit the new
         # operator families — kll_value_quantiles, video_iframe_stats,
         # warc_documents, crawl_text_extraction; each displaced entry's
@@ -10163,7 +10168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_quality": trigram_lm_quality,
         "domain_quota_cap": domain_quota_cap,
         "crossdoc_duplicate_spans": crossdoc_duplicate_spans,
-        "span_dedup_cleaned_docs": span_dedup_cleaned_docs,
         "span_clean_packed_corpus": span_clean_packed_corpus,
         "quality_percentile_gate": quality_percentile_gate,
         "vec_threshold_join": vec_threshold_join,

@@ -835,7 +835,7 @@ def keyed_upsert_insert(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = _latest_per_key(
-            batch_df.withColumn("__epoch", F.lit(int(epoch_id))),
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)).cast("long")),
             key_col,
             seq_cols,
         )

@@ -1017,6 +1017,76 @@ def _spanclean_rung(
     return stats
 
 
+def _upsert_rung(
+    spark, rung: int, work: str, *, compacted: bool = True, tag: str = "up"
+) -> dict:
+    """Round 10 keyed upsert (`keyed_upsert_insert`): the rung is TOTAL
+    HISTORICAL UPDATE VOLUME over a fixed 10k-key space — the axis log
+    compaction exists for. ``compacted=True`` pre-lands the converged
+    base (latest-per-key, ~10k rows — what the lane's folds produce);
+    the control pre-lands the SAME history unreduced (``rung`` rows),
+    which is what an append-only sink would make every read aggregate.
+    Streams the fixed 2,000-update increment through 4 batches, then
+    times one ``read_upserted`` materialization. The claim under test:
+    with compaction, per-batch cost and read cost are bounded by |keys|
+    + tail, FLAT in update volume; without it they grow linearly."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        keyed_upsert_insert,
+        read_upserted,
+    )
+
+    n_keys = 10_000
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    hist = spark.range(rung).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.lit(False).alias("dead"),
+        F.lit(-1).cast("long").alias("__epoch"),
+    )
+    if compacted:
+        hist = (
+            hist.groupBy("k")
+            .agg(F.max(F.struct("seq", "__epoch", F.struct("k", "seq", "val", "dead", "__epoch").alias("r"))).alias("t"))
+            .select("t.r.*")
+        )
+    hist.repartition(max(8, min(512, rung // 50_000))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, "_batch=-1"))
+
+    incoming = spark.range(INCOMING_ROWS).select(
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_keys)).alias("k"),
+        (F.col("id") + rung).alias("seq"),
+        F.concat(F.lit("u"), F.col("id")).alias("val"),
+        F.lit(False).alias("dead"),
+    )
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    incoming.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    t0 = time.time()
+    q = keyed_upsert_insert(
+        file_stream_reader(spark, src, schema),
+        sink, ckpt,
+        key_col="k", seq_cols=["seq"], tombstone_col="dead",
+        compact_every=(2 if compacted else 10**9),
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    t0 = time.time()
+    live = read_upserted(
+        spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+    ).count()
+    stats["read_sec"] = round(time.time() - t0, 2)
+    stats["live_keys"] = live
+    return stats
+
+
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
@@ -1089,6 +1159,18 @@ def main() -> int:
                     "probe job runs and its list degenerates to None (a "
                     "batch's ~13k gram hashes touch every partition), so "
                     "this is the dead-overhead A/B for the default's skip",
+                ),
+            )
+        ),
+        "keyed_upsert_insert": lambda s, r, w: (
+            _upsert_rung(s, 1_000, w, compacted=True, tag="upw" + str(r))
+            and dict(
+                _upsert_rung(s, r, w, compacted=True, tag="up"),
+                control=dict(
+                    _upsert_rung(s, r, w, compacted=False, tag="upc"),
+                    what="same update history UNREDUCED (append-only sink "
+                    "shape, folds disabled): every read and every batch's "
+                    "merge aggregates the full history",
                 ),
             )
         ),
