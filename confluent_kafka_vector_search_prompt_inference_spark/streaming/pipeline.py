@@ -782,6 +782,7 @@ def keyed_upsert_insert(
     tombstone_col: str | None = None,
     drop_tombstones_on_fold: bool = False,
     compact_every: int = 16,
+    fold_partitions: int = 8,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous keyed UPSERT sink — Kafka LOG-COMPACTION semantics as a
@@ -845,7 +846,16 @@ def keyed_upsert_insert(
             os.path.exists(os.path.join(target, "_SUCCESS"))
             and len(_committed_batch_dirs(sink_dir)) > compact_every
         ):
-            compact_sink(spark, sink_dir, keep_batches=1, fold_transform=_reduce)
+            # fold_partitions bounds the base's FILE count: the reduced
+            # base is ~|live keys| rows however it arrived, but without a
+            # repartition the fold inherits the unioned inputs' task count
+            # and every subsequent fold re-opens that many small files —
+            # request-priced on an object store (measured as the 10M-rung
+            # write-decline in SCALECHECK before this bound)
+            compact_sink(
+                spark, sink_dir, keep_batches=1, fold_transform=_reduce,
+                target_partitions=fold_partitions,
+            )
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
