@@ -3270,3 +3270,64 @@ def test_keyed_upsert_read_equals_batch_reduction(spark, tmp_path):
     ).filter(~F.col("dead"))
     want = {(r["k"], r["seq"], r["val"]) for r in want_df.collect()}
     assert got == want and got
+
+
+def test_keyed_upsert_fold_bounds_files_and_recovers_crashes(spark, tmp_path):
+    """The upsert fold honors fold_partitions (the base stays a handful of
+    files however many tasks produced the inputs) and the fold_transform
+    path inherits compact_sink's crash recovery: a crashed half-deleted
+    fold is completed by the next call with the reduction applied and the
+    view unchanged."""
+    import json
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        keyed_upsert_insert,
+        read_upserted,
+    )
+
+    rows = [(f"k{i % 19}", i, f"v{i}", False) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "seq", "val", "dead"])
+    src = str(tmp_path / "fb_src")
+    df.repartition(4).write.parquet(src)
+    sink = str(tmp_path / "fb_sink")
+    q = keyed_upsert_insert(
+        file_stream_reader(spark, src, df.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "fb_ckpt"),
+        key_col="k", seq_cols=["seq"], tombstone_col="dead",
+        compact_every=1, fold_partitions=2, trigger_once=True,
+    )
+    _drain(q)
+    base = sorted(glob.glob(os.path.join(sink, "_batch=*")))[0]
+    n_files = len(glob.glob(os.path.join(base, "*.parquet")))
+    assert n_files <= 2, f"fold wrote {n_files} files, fold_partitions=2"
+    before = {
+        (r["k"], r["seq"])
+        for r in read_upserted(
+            spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+        ).collect()
+    }
+    # crash window: a tmp holding the fold of the two oldest dirs, one
+    # source already deleted — recovery must finish the fold, and the
+    # NEXT fold (with the reduction) must leave the view unchanged
+    dirs = sorted(
+        glob.glob(os.path.join(sink, "_batch=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    tmp = os.path.join(sink, "_compact_tmp")
+    spark.read.parquet(dirs[0], dirs[1]).write.parquet(tmp)
+    with open(os.path.join(tmp, "_fold_manifest.json"), "w") as fh:
+        json.dump([os.path.basename(dirs[0]), os.path.basename(dirs[1])], fh)
+    shutil.rmtree(dirs[0])
+    compact_sink(
+        spark, sink, keep_batches=1,
+        fold_transform=lambda d: d, target_partitions=2,
+    )
+    after = {
+        (r["k"], r["seq"])
+        for r in read_upserted(
+            spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+        ).collect()
+    }
+    assert after == before and len(after) == 19
