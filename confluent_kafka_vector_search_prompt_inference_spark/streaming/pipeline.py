@@ -597,8 +597,12 @@ def spanclean_insert(
     rows (``prune_store_read=True`` forces the dead prune machinery on,
     the ladder's A/B; default off). The candidate set is batch-bounded
     and broadcasts. The flat delta tail folds through
-    :func:`compact_sink` every ``compact_every`` epochs (folded-epoch
-    sidecars keep the heal's coverage check O(#runs)).
+    :func:`tiered_compact_sink` every ``compact_every`` epochs — the
+    gram store grows with the corpus, so the geometric policy (each byte
+    rewritten O(log history) times) matters here, and its
+    ``__bpart``-partitioned runs are the legs :func:`read_bucket_store`
+    already unions (folded-epoch sidecars keep the heal's coverage check
+    O(#runs)).
 
     Crash contract (mirrors :func:`dedup_insert`): the epoch's rows
     commit FIRST, its gram delta lands right after; the heal pass
@@ -734,7 +738,17 @@ def spanclean_insert(
                     )
                 grams_checked.add(epoch_id)
                 if len(_committed_batch_dirs(grams_dir)) > compact_every:
-                    compact_sink(spark, grams_dir, keep_batches=1)
+                    # tiered, NOT compact_sink: the gram store grows with
+                    # the corpus (token-scale), so an everything-into-one-
+                    # base fold would rewrite the whole store every
+                    # compact_every epochs — O(history) per fold. The
+                    # geometric policy bounds each byte's rewrites at
+                    # O(log history), and its __bpart-partitioned runs are
+                    # exactly the legs read_bucket_store already unions.
+                    tiered_compact_sink(
+                        spark, grams_dir, keep_batches=1,
+                        partition_by=["__bpart"],
+                    )
         finally:
             base.unpersist()
             occ.unpersist()
