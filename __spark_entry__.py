@@ -7209,6 +7209,72 @@ SELECT TRUE AS drift_skewed_index, TRUE AS split_happened,
 """
 
 
+def gram_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus' 5-gram occurrences —
+    count-min's deterministic-UNDERcount dual (operators/sketches.py
+    mg_sketch/mg_summary): k=64 counters per input partition, zero
+    shuffle in the build (the exact groupBy alternative shuffles one row
+    per vocabulary entry — corpus-sized at 100 TB), mergeable-summaries
+    reduction with the error tracked EXACTLY as the sum of decrement
+    subtractions. MG estimates are layout-dependent; its GUARANTEES are
+    not, so the oracle row asserts them: est ≤ true for every retained
+    gram, true − est ≤ bound for EVERY gram, every gram with
+    true > bound retained, sketch ≤ k rows — with n_tokens coming from
+    the sketch's own meta tally and n_distinct from the exact side, both
+    recomputed exactly in DuckDB (a broken tally flips the hash)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import gram_occurrences, span_tokenized
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = (
+        gram_occurrences(span_tokenized(docs, "doc_id", "text"), 5)
+        .select(F.col("__s").alias("item"))
+        .transform(_persist)
+    )
+    summ = mg_summary(mg_sketch(occ, "item", k=64), k=64).transform(_persist)
+    exact = occ.groupBy("item").agg(F.count("*").alias("tc")).transform(_persist)
+    j = summ.join(exact, "item", "left")
+    checks = j.agg(
+        F.count("*").alias("sk_size"),
+        F.every(F.col("est") <= F.col("tc")).alias("all_le_true"),
+        F.every((F.col("tc") - F.col("est")) <= F.col("bound")).alias("all_within_bound"),
+        F.first("bound").alias("b"),
+        F.first("n").cast("bigint").alias("n_tokens"),
+    )
+    missed = (
+        exact.join(F.broadcast(summ.select("item")), "item", "left_anti")
+        .crossJoin(F.broadcast(checks.select("b")))
+        .agg(F.count_if(F.col("tc") > F.col("b")).alias("n_missed"))
+    )
+    nd = exact.agg(F.count("*").cast("bigint").alias("n_distinct"))
+    return (
+        checks.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_tokens",
+            "n_distinct",
+            (F.col("sk_size") <= F.lit(64)).alias("sketch_le_k"),
+            "all_le_true",
+            "all_within_bound",
+            (F.col("n_missed") == 0).alias("heavy_recall"),
+        )
+    )
+
+
+_MG_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+  TRUE AS sketch_le_k, TRUE AS all_le_true,
+  TRUE AS all_within_bound, TRUE AS heavy_recall
+FROM occ
+"""
+
+
 def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch term frequencies (operators/sketches.py): build a
     4×512 sketch over every document token (one groupBy, map-side
@@ -10159,6 +10225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
+        "gram_heavy_hitters_mg": gram_heavy_hitters_mg,
         "knn_label_vote": knn_label_vote,
         "knn_label_eval": knn_label_eval,
         "knn_vote_calibration": knn_vote_calibration,
@@ -10367,6 +10434,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
+        "gram_heavy_hitters_mg": _MG_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "knn_label_eval": _KNN_EVAL_ORACLE,
         "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,

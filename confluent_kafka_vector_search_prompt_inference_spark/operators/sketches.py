@@ -610,3 +610,106 @@ def kll_quantiles(
     if g:
         return est.join(meta, g)
     return est.crossJoin(F.broadcast(meta))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (deterministic UNDERcount — count-min's dual)
+# ---------------------------------------------------------------------------
+
+def mg_sketch(df: DataFrame, item_col: str, *, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitters summary — the sketch shelf's missing
+    classic beside count-min: k counters, deterministic UNDERestimates
+    (count-min only ever OVERcounts), and the guarantee that every item
+    with true frequency above the tracked bound is present.
+
+    Phase 1 of the mergeable-summaries construction (Agarwal et al.,
+    PODS 2012): classic MG runs per INPUT PARTITION inside
+    ``mapInPandas`` with bounded state and ZERO shuffle — the point at
+    100 TB, where the exact ``groupBy(item).count()`` alternative
+    shuffles one row per vocabulary entry. Each Arrow batch
+    pre-aggregates with ``value_counts`` and folds in as weighted
+    inserts; whenever the counter set exceeds k, the (k+1)-th largest
+    value δ is subtracted from every counter (≤0 drop) and δ
+    accumulates into the partition's EXACT decrement total — the error
+    is tracked, not estimated (Berinde et al.: any reduce schedule
+    preserves ``true − est ≤ Σδ``).
+
+    Returns raw sketch rows: counter rows ``(item, cnt, 0, 0)`` plus one
+    meta row per partition ``(NULL, 0, dec, n)``. Feed to
+    :func:`mg_summary` (union raw sketches from several builds first to
+    merge — the summary's reduction IS the merge operation). ``item`` is
+    cast to string for engine portability."""
+    import pandas as pd
+
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def _build(batches):
+        counters: dict = {}
+        dec = 0
+        n = 0
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            n += int(vc.sum())
+            for it, w in vc.items():
+                counters[it] = counters.get(it, 0) + int(w)
+            if len(counters) > k:
+                delta = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - delta for i, c in counters.items() if c > delta
+                }
+                dec += delta
+        out = pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "cnt": [int(c) for c in counters.values()] + [0],
+                "dec": [0] * len(counters) + [int(dec)],
+                "n": [0] * len(counters) + [int(n)],
+            }
+        )
+        yield out
+
+    return src.mapInPandas(_build, "item string, cnt long, dec long, n long")
+
+
+def mg_summary(sketch: DataFrame, *, k: int = 64) -> DataFrame:
+    """Reduce raw :func:`mg_sketch` rows (from one build, or a UNION of
+    builds — this reduction IS the mergeable-summaries merge) to the
+    final heavy-hitters table ``(item, est, bound, n)``:
+
+    - ``est ≤ true`` for every retained item (MG never overcounts);
+    - ``true − est ≤ bound`` for EVERY item, retained or not — bound =
+      Σ per-partition decrements + t, where t is the (k+1)-th largest
+      summed counter subtracted here (items tying t drop,
+      deterministically);
+    - every item with ``true > bound`` is retained (if true > Σdec + t
+      then its summed counter exceeds t);
+    - ``n`` is the EXACT total item count (free — the meta rows carry
+      per-partition exact tallies).
+
+    All inputs to the reduction are sketch-scale (≤ partitions × k
+    rows); the (k+1)-th largest resolves via a k-bounded driver collect,
+    the same bounded-collect discipline as every top-k final in this
+    repo. The estimates are layout-dependent (as with any MG
+    construction) — the GUARANTEES above are not, which is what the
+    oracle and tests pin."""
+    counters = (
+        sketch.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("s"))
+    )
+    top = counters.orderBy(F.desc("s"), F.asc("item")).limit(k + 1).collect()
+    t = int(top[k]["s"]) if len(top) > k else 0
+    meta = sketch.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("dec"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+    ).collect()[0]
+    bound = int(meta["dec"]) + t
+    return (
+        counters.filter(F.col("s") > t)
+        .select(
+            "item",
+            (F.col("s") - F.lit(t)).cast("long").alias("est"),
+            F.lit(bound).cast("long").alias("bound"),
+            F.lit(int(meta["n"])).cast("long").alias("n"),
+        )
+    )

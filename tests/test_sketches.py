@@ -275,3 +275,80 @@ def test_kll_grouped_build(spark, skewed_vals):
         assert _kll_rank_window(
             spark, part, r["est"], r["err_rank_bound"], r["q"], r["n"]
         ), r
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _zipf_items(spark, n_rows=6000, seed=0):
+    """Deterministic Zipf-ish stream: item 'h{j}' appears ~n/(j+1) times —
+    real heavy hitters, unlike the uniform testdata."""
+    return spark.range(n_rows).selectExpr(
+        f"concat('h', cast(floor(pow(pmod(xxhash64(id, {seed}), 100000) / 100000.0, 3) * 40) as int)) as item"
+    )
+
+
+def _mg_invariants(spark, items, k):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    summ = mg_summary(mg_sketch(items, "item", k=k), k=k).collect()
+    exact = {r["item"]: r["cnt"] for r in items.groupBy("item").count().withColumnRenamed("count", "cnt").collect()}
+    n_true = sum(exact.values())
+    assert summ, "summary empty"
+    bound = summ[0]["bound"]
+    n = summ[0]["n"]
+    assert n == n_true
+    est = {r["item"]: r["est"] for r in summ}
+    assert len(est) <= k
+    for it, e in est.items():
+        assert e <= exact[it], (it, e, exact[it])          # never overcounts
+        assert exact[it] - e <= bound, (it, e, exact[it], bound)
+    # EVERY item (retained or not) is within bound, and every true-heavy
+    # item is retained
+    for it, c in exact.items():
+        assert c - est.get(it, 0) <= bound, (it, c, bound)
+        if c > bound:
+            assert it in est, f"heavy item {it} (true {c} > bound {bound}) missing"
+    return est, bound, n
+
+
+def test_mg_exact_when_vocab_fits(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    items = spark.range(1000).selectExpr("concat('v', pmod(id, 10)) as item")
+    summ = {r["item"]: r for r in mg_summary(mg_sketch(items, "item", k=64), k=64).collect()}
+    assert len(summ) == 10
+    assert all(r["est"] == 100 and r["bound"] == 0 for r in summ.values())
+
+
+def test_mg_zipf_guarantees_hold_under_any_layout(spark):
+    items = _zipf_items(spark)
+    for parts in (3, 17):
+        est, bound, n = _mg_invariants(spark, items.repartition(parts), k=16)
+        assert bound > 0  # decrements genuinely fired at k=16
+        assert est  # and heavies survived them
+
+
+def test_mg_merge_law_additive_bounds(spark):
+    """Summary over the UNION of two halves' raw sketches = the merge;
+    its guarantees hold against the WHOLE stream's exact counts, and n
+    adds exactly."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    items = _zipf_items(spark, n_rows=8000)
+    a = items.filter(F.pmod(F.xxhash64("item"), F.lit(2)) == 0)
+    b = items.filter(F.pmod(F.xxhash64("item"), F.lit(2)) == 1)
+    merged = mg_summary(
+        mg_sketch(a, "item", k=16).unionByName(mg_sketch(b, "item", k=16)),
+        k=16,
+    ).collect()
+    exact = {r["item"]: r["cnt"] for r in items.groupBy("item").count().withColumnRenamed("count", "cnt").collect()}
+    bound = merged[0]["bound"]
+    assert merged[0]["n"] == sum(exact.values())
+    est = {r["item"]: r["est"] for r in merged}
+    for it, c in exact.items():
+        assert est.get(it, 0) <= c
+        assert c - est.get(it, 0) <= bound
+        if c > bound:
+            assert it in est
