@@ -64,6 +64,8 @@ HEADLINE = [
     # round-10: substring-level dedup (the REMOVAL op, not just the metric)
     "span_dedup_cleaned_docs",
     "countmin_term_freqs",
+    # round-10: count-min's undercount dual (zero-shuffle bounded-state build)
+    "gram_heavy_hitters_mg",
     "part_pagerank",
     "customer_rfm_segments",
     # round-5: the repo's heaviest single query (degree-oriented wedge

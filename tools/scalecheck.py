@@ -60,6 +60,7 @@ HEAVIES = [
     "domain_quota_cap",
     "crossdoc_duplicate_spans",
     "span_dedup_cleaned_docs",
+    "gram_heavy_hitters_mg",
     "quality_percentile_gate",
     "chunk_meanpool_embeddings",
     "bm25_raw_index_topk",
