@@ -278,6 +278,22 @@ def _streaming_bench(spark) -> dict:
         q.awaitTermination(600)
         out["sketch_insert"] = _progress_stats(q, time.time() - t0, n_terms)
 
+        # --- streaming Misra-Gries heavy hitters: the undercount dual
+        # maintained beside the insert (raw sketch deltas per epoch,
+        # same term stream as the count-min lane for comparability)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import mg_insert
+
+        t0 = time.time()
+        q = mg_insert(
+            file_stream_reader(spark, tsrc, terms.schema),
+            os.path.join(work, "mg_sink"),
+            os.path.join(work, "mg_ckpt"),
+            item_col="term",
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["mg_insert"] = _progress_stats(q, time.time() - t0, n_terms)
+
         # --- streaming quantile sketch: distribution monitoring beside
         # the insert (bottom-m deltas per epoch, merge-on-read)
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import quantile_insert

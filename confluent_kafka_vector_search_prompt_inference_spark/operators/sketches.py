@@ -671,6 +671,45 @@ def mg_sketch(df: DataFrame, item_col: str, *, k: int = 64) -> DataFrame:
     return src.mapInPandas(_build, "item string, cnt long, dec long, n long")
 
 
+def mg_compact(sketch: DataFrame, *, k: int = 64) -> DataFrame:
+    """Reduce raw :func:`mg_sketch` rows to ONE raw-format sketch — the
+    mergeable-summaries merge emitting the input format, so it composes:
+    ``mg_compact(a.union(b))`` is a valid raw sketch whose tracked
+    decrement total already includes this reduction's t (bounds ADD).
+    This is what a streaming fold applies to delta dirs
+    (:func:`~confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline.mg_insert`): folding can never
+    change what :func:`mg_summary` computes beyond tightening storage,
+    because summary-of-compact ≡ summary-of-raw by the merge law.
+    All inputs are sketch-scale; the (k+1)-th largest resolves via a
+    k-bounded driver collect."""
+    counters = (
+        sketch.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("s"))
+    )
+    top = counters.orderBy(F.desc("s"), F.asc("item")).limit(k + 1).collect()
+    t = int(top[k]["s"]) if len(top) > k else 0
+    meta = sketch.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("dec"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+    ).collect()[0]
+    spark = sketch.sparkSession
+    meta_row = spark.createDataFrame(
+        [(None, 0, int(meta["dec"]) + t, int(meta["n"]))],
+        "item string, cnt long, dec long, n long",
+    )
+    return (
+        counters.filter(F.col("s") > t)
+        .select(
+            "item",
+            (F.col("s") - F.lit(t)).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("dec"),
+            F.lit(0).cast("long").alias("n"),
+        )
+        .unionByName(meta_row)
+    )
+
+
 def mg_summary(sketch: DataFrame, *, k: int = 64) -> DataFrame:
     """Reduce raw :func:`mg_sketch` rows (from one build, or a UNION of
     builds — this reduction IS the mergeable-summaries merge) to the

@@ -3154,6 +3154,65 @@ def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
     return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def mg_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    item_col: str,
+    k: int = 64,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous insert that also maintains a Misra-Gries heavy-hitters
+    sketch of an item column over everything ever landed — the
+    undercount dual of :func:`sketch_insert`'s count-min (count-min
+    answers "at most how often"; MG answers "at least how often", with
+    every item above its tracked bound guaranteed present —
+    ``operators/sketches.mg_sketch``).
+
+    Same two idempotent epoch-keyed writes: rows under ``_batch=N``, the
+    batch's raw MG sketch DELTA (≤ partitions×k counter rows + meta)
+    under ``<sink>/_mg/_batch=N``. Raw-sketch UNION is the
+    mergeable-summaries merge, so the live view is
+    :func:`read_corpus_mg` (one :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.sketches.mg_summary`
+    over all deltas), replay double-counts nothing (the epoch contract),
+    and delta dirs may be folded at any time by
+    ``compact_sink(fold_transform=lambda d: mg_compact(d, k=k))`` —
+    summary-of-compact ≡ summary-of-raw by the merge law, pytest-pinned,
+    with the fold's own subtraction folded into the tracked bound."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch
+
+    write_rows = idempotent_batch_writer(sink_dir)
+    write_delta = idempotent_batch_writer(os.path.join(sink_dir, "_mg"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            write_rows(batch_df, epoch_id)
+            write_delta(mg_sketch(batch_df, item_col, k=k).coalesce(1), epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_mg(spark: SparkSession, sink_dir: str, *, k: int = 64) -> DataFrame:
+    """The current heavy-hitters table of a :func:`mg_insert` sink:
+    ``(item, est, bound, n)`` via one merge-on-read reduction over the
+    committed (possibly folded) deltas."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_summary
+
+    return mg_summary(read_sink(spark, os.path.join(sink_dir, "_mg")), k=k)
+
+
 def bloom_insert(
     stream_df: DataFrame,
     sink_dir: str,

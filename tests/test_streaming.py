@@ -3331,3 +3331,57 @@ def test_keyed_upsert_fold_bounds_files_and_recovers_crashes(spark, tmp_path):
         ).collect()
     }
     assert after == before and len(after) == 19
+
+
+def test_mg_insert_maintains_corpus_heavy_hitters(spark, tmp_path):
+    """Streaming MG: guarantees hold for the whole landed history after
+    multi-batch ingest; folding the delta dirs through mg_compact leaves
+    the summary's guarantees intact (merge law — the fold's own
+    subtraction rides the tracked bound)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_compact
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        mg_insert,
+        read_corpus_mg,
+    )
+
+    items = spark.range(6000).selectExpr(
+        "concat('h', cast(floor(pow(pmod(xxhash64(id, 5), 100000) / 100000.0, 3) * 40) as int)) as item"
+    )
+    src = str(tmp_path / "mg_src")
+    items.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    sink = str(tmp_path / "mg_sink")
+    q = mg_insert(
+        file_stream_reader(spark, src, items.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "mg_ckpt"),
+        item_col="item", k=16, trigger_once=True,
+    )
+    _drain(q)
+
+    def _check():
+        summ = read_corpus_mg(spark, sink, k=16).collect()
+        exact = {
+            r["item"]: r["c"]
+            for r in items.groupBy("item").agg(F.count("*").alias("c")).collect()
+        }
+        bound, n = summ[0]["bound"], summ[0]["n"]
+        assert n == sum(exact.values())
+        est = {r["item"]: r["est"] for r in summ}
+        assert len(est) <= 16
+        for it, c in exact.items():
+            assert est.get(it, 0) <= c
+            assert c - est.get(it, 0) <= bound
+            if c > bound:
+                assert it in est
+        return bound
+
+    bound_raw = _check()
+    folded = compact_sink(
+        spark, os.path.join(sink, "_mg"), keep_batches=1,
+        fold_transform=lambda d: mg_compact(d, k=16),
+    )
+    assert folded >= 2
+    bound_folded = _check()
+    # the fold may add its own subtraction to the bound, never shrink
+    # correctness; storage tightened to <= k counters + meta per dir
+    assert bound_folded >= bound_raw
