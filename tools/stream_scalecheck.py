@@ -1225,6 +1225,26 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="spark_graft_stream_ladder_")
     results: dict[str, dict] = {name: {} for name in lanes}
     try:
+        # session-level warm-up (discarded): an A/A probe measured the
+        # FIRST streaming lane of a session ~30% slow (codegen/JIT,
+        # 105 -> 138 rows/s back to back) — enough to masquerade as a
+        # lane-vs-control difference. One tiny foreachBatch stream pays
+        # it before anything is measured; the spanclean/upsert lanes
+        # keep their own per-lane warm-ups as belt-and-braces.
+        warm = _synth_docs(spark, 500, seed=9)
+        wsrc = os.path.join(work, "_warmup_src")
+        warm.repartition(2).write.parquet(wsrc)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+            continuous_insert as _ci,
+            file_stream_reader as _fsr,
+        )
+
+        _ci(
+            _fsr(spark, wsrc, warm.schema, max_files_per_trigger=1),
+            os.path.join(work, "_warmup_sink"),
+            os.path.join(work, "_warmup_ckpt"),
+            trigger_once=True,
+        ).awaitTermination(120)
         for rung in rungs:
             for name, fn in lanes.items():
                 s = fn(spark, rung, work)
