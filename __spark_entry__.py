@@ -7275,6 +7275,66 @@ FROM occ
 """
 
 
+def corpus_selfjoin_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketches.ams_sketch): the
+    second frequency moment of the corpus' word column — the SELF-JOIN
+    SIZE, what an optimizer consults before joining a key column with
+    itself, and the standard repetitiveness scalar. Deterministic md5
+    signs make the whole sketch a pure function of the word multiset,
+    so the oracle recomputes every S_j AND the median-of-means estimate
+    bit-for-bit (an EXACT oracle, not a tolerance check); the exact F2
+    rides along with a 0.5 relative-error verdict (measured 0.33-0.36
+    across sf0.001/0.01/0.1 — the ~40-word vocabulary is AMS's
+    worst-case regime, few huge counts; the gate holds with ~30%
+    headroom at every SF). Build: one groupBy(j).sum over a 32-way
+    fanout, map-side partials bound the shuffle at depth rows/task."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_f2, ams_sketch
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("item"))
+        .transform(_persist)
+    )
+    sk = ams_sketch(words, "item", depth=32).transform(_persist)
+    est = ams_f2(sk, group=8)
+    true_f2 = (
+        words.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_true"))
+    )
+    return (
+        sk.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(true_f2))
+        .select(
+            "j",
+            "s",
+            "f2_est",
+            "f2_true",
+            (
+                F.abs(F.col("f2_est") - F.col("f2_true"))
+                <= 0.5 * F.col("f2_true")
+            ).alias("ok"),
+        )
+    )
+
+
+_AMS_ORACLE = f"""
+WITH w AS (SELECT unnest({_SQL_WORDS}) AS item FROM documents),
+signs AS (
+  SELECT j,
+    1 - 2 * CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || item), 1, 8))::UBIGINT % 2 AS BIGINT) AS sign
+  FROM w, (SELECT unnest(range(0, 32)) AS j) d),
+sk AS (SELECT j, SUM(sign) AS s FROM signs GROUP BY j),
+means AS (SELECT j // 8 AS grp, AVG(CAST(s * s AS DOUBLE)) AS m FROM sk GROUP BY 1),
+e AS (SELECT CAST(floor(median(m)) AS BIGINT) AS f2_est FROM means),
+t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true
+      FROM (SELECT COUNT(*) AS c FROM w GROUP BY item))
+SELECT sk.j, sk.s, e.f2_est, t.f2_true,
+  (ABS(e.f2_est - t.f2_true) <= 0.5 * t.f2_true) AS ok
+FROM sk, e, t
+"""
+
+
 def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch term frequencies (operators/sketches.py): build a
     4×512 sketch over every document token (one groupBy, map-side
@@ -10226,6 +10286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "gram_heavy_hitters_mg": gram_heavy_hitters_mg,
+        "corpus_selfjoin_f2": corpus_selfjoin_f2,
         "knn_label_vote": knn_label_vote,
         "knn_label_eval": knn_label_eval,
         "knn_vote_calibration": knn_vote_calibration,
@@ -10435,6 +10496,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "gram_heavy_hitters_mg": _MG_ORACLE,
+        "corpus_selfjoin_f2": _AMS_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "knn_label_eval": _KNN_EVAL_ORACLE,
         "knn_vote_calibration": _KNN_CALIBRATION_ORACLE,

@@ -752,3 +752,87 @@ def mg_summary(sketch: DataFrame, *, k: int = 64) -> DataFrame:
             F.lit(int(meta["n"])).cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war second-moment (F2) sketch — self-join size estimation
+# ---------------------------------------------------------------------------
+
+def ams_sketch(
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon-Matias-Szegedy, STOC'96) of the
+    second frequency moment F2 = Σ count(item)² — the self-join size,
+    the optimizer statistic that says how explosive a key column joins
+    with itself (and the standard repetitiveness scalar of a corpus).
+
+    ``depth`` independent ±1 sign rows: row j's state is the single
+    number S_j = Σ over input rows of sign_j(item)·w, where sign_j is
+    the parity of the repo-standard md5 bucket of the ``"{j}#"``-seeded
+    item — DETERMINISTIC, so unlike textbook AMS the whole sketch (and
+    therefore the estimate) is a pure function of the input multiset,
+    reproducible bit-for-bit in any engine with md5 (the oracle
+    recomputes every S_j exactly). E[S_j²] = F2 and Var(S_j²) ≤ 2·F2²
+    still hold over the hash family; :func:`ams_f2` uses the
+    median-of-rows estimator.
+
+    Scale shape: one ``groupBy(j).sum`` over a depth-way fanout —
+    map-side partials bound the shuffle at ``depth`` rows per task, so
+    a 100 TB column's F2 costs the scan (same contract as
+    :func:`countmin_build`). Merge = union + re-sum per row
+    (:func:`ams_merge` — signs are deterministic, so sketches of two
+    corpus halves ADD)."""
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    term = F.col(item_col)
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.lit(1)
+                            - F.lit(2) * hash_bucket(F.concat_ws("#", F.lit(str(j)), term), 2)
+                        ).cast("bigint").alias("sign"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("s"),
+        w.alias("__w"),
+    )
+    return rows.groupBy(F.col("s.j").alias("j")).agg(
+        F.sum(F.col("s.sign") * F.col("__w")).alias("s")
+    )
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge AMS sketches built with identical depth: union + per-row
+    re-sum. The signs are deterministic functions of the item, so the
+    merged sketch equals the sketch of the concatenated input —
+    associative, commutative, streaming-delta-safe."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j").agg(F.sum("s").alias("s"))
+
+
+def ams_f2(sketch: DataFrame, *, group: int = 8) -> DataFrame:
+    """F2 estimate from an AMS sketch: the classic MEDIAN-OF-MEANS —
+    rows bucket into groups of ``group`` consecutive j's, each group
+    averages its S_j² (means beat single rows: Var/``group``), and the
+    median over group means is the estimate. One row ``(f2_est
+    BIGINT)``; everything is a bounded aggregation over ≤ depth rows.
+    ``floor`` before the BIGINT cast on BOTH engines — Spark truncates
+    a fractional cast while DuckDB rounds, so the shared floor keeps
+    the oracle exact when the median interpolates two group means."""
+    means = sketch.groupBy(
+        (F.col("j") / F.lit(group)).cast("int").alias("grp")
+    ).agg(F.avg(F.col("s") * F.col("s")).alias("m"))
+    return means.agg(
+        F.floor(F.expr("percentile(m, 0.5)")).cast("bigint").alias("f2_est")
+    )

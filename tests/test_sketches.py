@@ -352,3 +352,51 @@ def test_mg_merge_law_additive_bounds(spark):
         assert c - est.get(it, 0) <= bound
         if c > bound:
             assert it in est
+
+
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war F2
+# ---------------------------------------------------------------------------
+
+def test_ams_merge_law_and_layout_independence(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_merge, ams_sketch
+
+    items = spark.range(4000).selectExpr("concat('w', pmod(id, 50)) as item")
+    whole = {r["j"]: r["s"] for r in ams_sketch(items, "item", depth=8).collect()}
+    a = items.filter(F.col("id") % 2 == 0)
+    b = items.filter(F.col("id") % 2 == 1)
+    merged = {
+        r["j"]: r["s"]
+        for r in ams_merge(
+            ams_sketch(a, "item", depth=8), ams_sketch(b, "item", depth=8)
+        ).collect()
+    }
+    assert merged == whole  # deterministic signs: halves ADD exactly
+    relay = {
+        r["j"]: r["s"]
+        for r in ams_sketch(items.repartition(13), "item", depth=8).collect()
+    }
+    assert relay == whole  # pure function of the multiset
+
+
+def test_ams_f2_estimates_selfjoin_size(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_f2, ams_sketch
+
+    # skewed: one hot key dominates F2, so a sign-sketch must see it
+    items = spark.range(5000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('c', id) END AS item"
+    )
+    true_f2 = (
+        items.groupBy("item").count().selectExpr("sum(count * count) f").collect()[0]["f"]
+    )
+    est = ams_f2(ams_sketch(items, "item", depth=17)).collect()[0]["f2_est"]
+    assert abs(est - true_f2) / true_f2 < 0.5, (est, true_f2)
+    # weighted build equals unweighted over pre-aggregated counts
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_merge  # noqa: F401
+
+    agg = items.groupBy("item").agg(F.count("*").alias("w"))
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_sketch as _sk
+
+    sk_w = {r["j"]: r["s"] for r in _sk(agg, "item", depth=17, weight_col="w").collect()}
+    sk_u = {r["j"]: r["s"] for r in _sk(items, "item", depth=17).collect()}
+    assert sk_w == sk_u
