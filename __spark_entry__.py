@@ -7297,10 +7297,18 @@ def corpus_selfjoin_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = ams_sketch(words, "item", depth=32).transform(_persist)
     est = ams_f2(sk, group=8)
+    # exact side squares in DECIMAL(38,0): a BIGINT c*c wraps silently
+    # past c ~ 3e9 (a plausible single-token count at corpus scale) while
+    # DuckDB's SUM(c*c) auto-promotes to HUGEINT — the widened multiply
+    # keeps both sides exact to 38 digits before the final narrow cast
     true_f2 = (
         words.groupBy("item")
         .agg(F.count("*").alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_true"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+            ).cast("bigint").alias("f2_true")
+        )
     )
     return (
         sk.crossJoin(F.broadcast(est))
@@ -7325,7 +7333,7 @@ signs AS (
     1 - 2 * CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || item), 1, 8))::UBIGINT % 2 AS BIGINT) AS sign
   FROM w, (SELECT unnest(range(0, 32)) AS j) d),
 sk AS (SELECT j, SUM(sign) AS s FROM signs GROUP BY j),
-means AS (SELECT j // 8 AS grp, AVG(CAST(s * s AS DOUBLE)) AS m FROM sk GROUP BY 1),
+means AS (SELECT j // 8 AS grp, AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS m FROM sk GROUP BY 1),
 e AS (SELECT CAST(floor(median(m)) AS BIGINT) AS f2_est FROM means),
 t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true
       FROM (SELECT COUNT(*) AS c FROM w GROUP BY item))

@@ -375,13 +375,32 @@ def repeated_span_removal(
     return span_clean(base, occ, dup, id_col, n=n)
 
 
-def span_tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def span_tokenized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """``(__id, __toks)`` staging projection for the span-removal family —
     tokenized once, hash-spread so the gram explode parallelizes even
-    when the input arrives as one split (small-SF parquet, micro-batch)."""
+    when the input arrives as one split (small-SF parquet, micro-batch).
+
+    ``num_partitions=None`` sizes the spread as ``max(32,
+    spark.sql.shuffle.partitions)``: a floor of 32 keeps small inputs
+    from funneling the explode through a handful of tasks, and on a real
+    cluster — where shuffle.partitions is sized to the executor fleet —
+    the spread follows it instead of capping a 100 TB corpus' gram
+    explode (and every downstream span-removal exchange) at a fixed 32
+    tasks. Explicit values win for callers that know their input
+    (micro-batch lanes pass their batch-sized count)."""
+    if num_partitions is None:
+        num_partitions = max(
+            32, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
     return df.select(
         F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks")
-    ).repartition(32, "__id")
+    ).repartition(num_partitions, "__id")
 
 
 def gram_occurrences(base: DataFrame, n: int) -> DataFrame:

@@ -829,10 +829,19 @@ def ams_f2(sketch: DataFrame, *, group: int = 8) -> DataFrame:
     BIGINT)``; everything is a bounded aggregation over ≤ depth rows.
     ``floor`` before the BIGINT cast on BOTH engines — Spark truncates
     a fractional cast while DuckDB rounds, so the shared floor keeps
-    the oracle exact when the median interpolates two group means."""
+    the oracle exact when the median interpolates two group means.
+
+    Each row's S_j casts to DOUBLE **before** squaring: |S_j| can reach
+    sqrt(F2) (~3.0e9 already for a single key with ~1e12 occurrences —
+    squarely inside the 100 TB regime this sketch targets), and the
+    non-ANSI BIGINT multiply would silently wrap there while the oracle
+    kept computing in floats — a silent divergence. Squaring in DOUBLE
+    is IEEE-identical in Spark and DuckDB (the oracle mirrors the cast
+    order), and the estimate's own variance (~F2/sqrt(depth)) dwarfs
+    the 2^-52 relative rounding."""
     means = sketch.groupBy(
         (F.col("j") / F.lit(group)).cast("int").alias("grp")
-    ).agg(F.avg(F.col("s") * F.col("s")).alias("m"))
+    ).agg(F.avg(F.col("s").cast("double") * F.col("s").cast("double")).alias("m"))
     return means.agg(
         F.floor(F.expr("percentile(m, 0.5)")).cast("bigint").alias("f2_est")
     )

@@ -763,27 +763,83 @@ def spanclean_insert(
     return writer.start()
 
 
+def _orderable_type(dt) -> bool:
+    """Whether Spark's binary comparator accepts the type — MapType is
+    unorderable (at any nesting depth); everything else here is."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _latest_per_key(
     df: DataFrame, key_col: str, seq_cols: list[str]
 ) -> DataFrame:
-    """One row per key — the max of ``(seq_cols..., __epoch, whole-row)``
+    """One row per key — the max of ``(seq_cols..., __epoch, tie-break)``
     struct order. A single key-keyed aggregation with map-side partials
-    (never a corpus window): the struct comparison is a TOTAL order (the
-    trailing whole-row struct breaks any remaining tie), so the survivor
-    is a pure function of the row set, independent of partitioning.
-    ``seq_cols`` must be non-null (a null sequence field has no defined
-    place in the order)."""
+    (never a corpus window): the struct comparison is a TOTAL order over
+    the ORDERABLE columns (the trailing struct of them breaks any
+    remaining tie), so the survivor is a pure function of the row set,
+    independent of partitioning.
+
+    Schema contract, VALIDATED here instead of failing mid-analysis or
+    ordering undefined: each ``seq_cols`` column must exist and be an
+    orderable type (a MapType — at any nesting — has no comparator), and
+    must be NON-NULL per row — a null sequence value has no defined
+    place in the order, so it raises at execution (via ``coalesce`` into
+    ``raise_error``, zero cost on the non-null path) rather than
+    silently sorting somewhere. Unorderable NON-seq columns are carried
+    in the output but excluded from the tie-break struct: two rows
+    identical in every orderable column that differ only inside a map
+    tie arbitrarily (documented; the alternative is an analysis error
+    on every map-bearing schema)."""
     from pyspark.sql import functions as F
 
     cols = df.columns
-    top = F.max(
-        F.struct(
-            *[F.col(c).alias(f"s{i}") for i, c in enumerate(seq_cols)],
-            F.col("__epoch").alias("e"),
-            F.struct(*[F.col(c) for c in cols]).alias("r"),
-        )
-    ).alias("t")
-    return df.groupBy(key_col).agg(top).select("t.r.*")
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in seq_cols:
+        if c not in dtypes:
+            raise ValueError(
+                f"keyed upsert seq column {c!r} not in schema {cols}"
+            )
+        if not _orderable_type(dtypes[c]):
+            raise ValueError(
+                f"keyed upsert seq column {c!r} has unorderable type "
+                f"{dtypes[c].simpleString()} (maps have no comparator); "
+                "use an orderable sequence column"
+            )
+    tie_cols = [c for c in cols if _orderable_type(dtypes[c])]
+    seq_guarded = [
+        F.coalesce(
+            F.col(c),
+            F.raise_error(
+                F.lit(
+                    f"keyed upsert seq column {c!r} is NULL: a null "
+                    "sequence value has no defined place in the "
+                    "latest-per-key order"
+                )
+            ).cast(dtypes[c]),
+        ).alias(f"s{i}")
+        for i, c in enumerate(seq_cols)
+    ]
+    # max_by, not max-of-nested-struct: the RETURNED row may carry
+    # unorderable columns; only the ORDERING struct needs a comparator.
+    # Ties under the ordering key are rows identical in every orderable
+    # column (the key embeds them all), so the pick is deterministic
+    # whenever the schema is fully orderable and documented-arbitrary
+    # only across map-valued differences.
+    order_key = F.struct(
+        *seq_guarded,
+        F.col("__epoch").alias("e"),
+        F.struct(*[F.col(c) for c in tie_cols]).alias("o"),
+    )
+    top = F.max_by(F.struct(*[F.col(c) for c in cols]), order_key).alias("r")
+    return df.groupBy(key_col).agg(top).select("r.*")
 
 
 def keyed_upsert_insert(

@@ -286,3 +286,19 @@ def test_span_removal_min_count_threshold(spark):
         for r in repeated_span_removal(df, "doc_id", "text", min_count=3).collect()
     }
     assert out == {1: 0, 2: 0}
+
+
+def test_span_tokenized_partition_spread_scales_and_overrides(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import span_tokenized
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    floor_n = max(32, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    assert span_tokenized(docs, "doc_id", "text").rdd.getNumPartitions() == floor_n
+    assert (
+        span_tokenized(docs, "doc_id", "text", num_partitions=7)
+        .rdd.getNumPartitions()
+        == 7
+    )

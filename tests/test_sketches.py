@@ -400,3 +400,18 @@ def test_ams_f2_estimates_selfjoin_size(spark):
     sk_w = {r["j"]: r["s"] for r in _sk(agg, "item", depth=17, weight_col="w").collect()}
     sk_u = {r["j"]: r["s"] for r in _sk(items, "item", depth=17).collect()}
     assert sk_w == sk_u
+
+
+def test_ams_f2_row_sums_square_in_double_not_bigint(spark):
+    """A tail S_j near (or past) sqrt(BIGINT_MAX) must not wrap: the
+    squaring runs in DOUBLE (IEEE-identical in Spark and DuckDB), so an
+    s=4e9 row contributes +1.6e19 to its group mean instead of the
+    two's-complement garbage the old BIGINT multiply produced."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_f2
+
+    rows = [(j, 4_000_000_000 if j == 0 else 0) for j in range(8)]
+    rows += [(j, 1_000_000_000) for j in range(8, 16)]
+    sketch = spark.createDataFrame(rows, "j int, s long")
+    est = ams_f2(sketch, group=8).collect()[0]["f2_est"]
+    # group 0 mean = 1.6e19/8 = 2e18; group 1 mean = 1e18; median = 1.5e18
+    assert est == int(1.5e18), est

@@ -3385,3 +3385,34 @@ def test_mg_insert_maintains_corpus_heavy_hitters(spark, tmp_path):
     # the fold may add its own subtraction to the bound, never shrink
     # correctness; storage tightened to <= k counters + meta per dir
     assert bound_folded >= bound_raw
+
+
+def test_latest_per_key_validates_seq_cols_and_carries_maps(spark):
+    """ADVICE round 10: the reduction must (a) reject unorderable seq
+    columns with a clear error instead of failing mid-analysis, (b)
+    raise on NULL seq values instead of ordering them undefined, and
+    (c) still WORK when a non-seq column is a map — the row is returned
+    via max_by, so only the ordering key needs a comparator."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _latest_per_key
+
+    df = spark.createDataFrame(
+        [("k1", 1, {"a": 1}), ("k1", 2, {"b": 2}), ("k2", 5, {"c": 3})],
+        "k string, seq long, attrs map<string,int>",
+    ).withColumn("__epoch", F.lit(0).cast("long"))
+    # (c) map-valued payload column rides along; latest seq wins
+    out = {r["k"]: (r["seq"], dict(r["attrs"])) for r in _latest_per_key(df, "k", ["seq"]).collect()}
+    assert out == {"k1": (2, {"b": 2}), "k2": (5, {"c": 3})}
+    # (a) a map seq column is a configuration error, named in the message
+    with _pytest.raises(ValueError, match="unorderable"):
+        _latest_per_key(df, "k", ["attrs"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        _latest_per_key(df, "k", ["nope"])
+    # (b) a NULL seq value raises at execution, not silently sorted
+    nulled = spark.createDataFrame(
+        [("k1", None), ("k1", 2)], "k string, seq long"
+    ).withColumn("__epoch", F.lit(0).cast("long"))
+    with _pytest.raises(Exception, match="NULL"):
+        _latest_per_key(nulled, "k", ["seq"]).collect()

@@ -939,9 +939,11 @@ def _spanclean_rung(
     incoming rows are verbatim re-deliveries of landed TEXTS — every
     gram already carried, so the whole doc must land fully cut
     (``n_kept = 0``); the mechanism columns record that check beside the
-    throughput. ``prune`` forces the store-read mode (None = the
-    measured size gate, which picks the full scan at these store
-    sizes — the same crossover the exact-dedup lane measured)."""
+    throughput. ``prune`` forces the store-read mode: ``None`` means
+    pruning is ALWAYS OFF for the gram store (``spanclean_insert`` has
+    no size gate by design — a batch's ~13k gram hashes touch every
+    partition, so the prune machinery can never win; see its docstring),
+    ``True`` forces the dead machinery on (the A/B control)."""
     import glob as _glob
 
     from pyspark.sql import functions as F
