@@ -163,6 +163,23 @@ def _streaming_bench(spark) -> dict:
     n_docs = docs.count()
     out: dict[str, dict] = {}
     try:
+        # session warm-up, DISCARDED (round 11): an A/A probe measured the
+        # session's FIRST streaming lane ~30% slow (micro-batch codegen /
+        # JIT warm-up, 105 -> 138 rows/s back to back on the ladder) —
+        # every pre-round-11 recorded lane carried that confound on
+        # whichever lane ran first. One tiny foreachBatch stream pays it
+        # before anything is metered; the record notes the discipline via
+        # `streaming_warmup_discarded` so readers know which rounds
+        # measured warm.
+        wdocs = docs.select("doc_id", "text").limit(500)
+        wsrc = os.path.join(work, "_warm_src")
+        wdocs.repartition(2).write.parquet(wsrc)
+        continuous_insert(
+            file_stream_reader(spark, wsrc, wdocs.schema),
+            os.path.join(work, "_warm_sink"),
+            os.path.join(work, "_warm_ckpt"),
+            trigger_once=True,
+        ).awaitTermination(120)
         # --- RAG transform: question micro-batches against a cached corpus
         registry = ModelRegistry()
         registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
@@ -482,16 +499,65 @@ def _streaming_bench(spark) -> dict:
     return out
 
 
+def _scan_bench_text(text: str) -> dict | None:
+    """Find a bench record inside arbitrary captured text: the whole text
+    as JSON first, then every line scanned from the END (progress-bar
+    noise and truncation live at the front). A FULL record (has
+    ``queries``, no ``compact`` marker) wins over the compact trailing
+    summary line; the compact line is the answer only when the capture
+    window ate the full record's head — exactly the round-10 failure
+    (``BENCH_r10.json`` ``parsed: null``: the record line outgrew the
+    driver's ~2.3 KB tail and lost its opening brace). Driver wrappers
+    (``{"tail": ...}``) recurse one level."""
+    fallback: dict | None = None
+    for candidate in (text, *reversed(text.splitlines())):
+        candidate = candidate.strip()
+        if not candidate.startswith("{"):
+            continue
+        try:
+            d = json.loads(candidate)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in d:
+            if d.get("compact"):
+                fallback = fallback or d
+                continue
+            return d
+        if "tail" in d and isinstance(d["tail"], str):
+            got = _scan_bench_text(d["tail"])
+            if got is not None and not got.get("compact"):
+                return got
+            fallback = fallback or got
+    return fallback
+
+
 def _previous_round_bench() -> dict:
-    """The bench JSON line from the newest ``BENCH_r*.json`` beside this
-    script, or {} when none exists / parses. The driver's per-round
-    record WRAPS the bench line (under ``tail``, with progress-bar noise
-    around it) — a plain top-level parse finds no ``queries`` key and
-    silently disabled the noise damping below for every driver-recorded
-    round. Parse like ``tools/bench_compare._load``: top level first,
-    then the last JSON line inside ``tail``. Only used to pick re-run
-    candidates — never to alter a measured number."""
+    """The previous round's bench record, or {} when none exists/parses.
+
+    Preference order (round 11 — ``BENCH_r10.json`` arrived with
+    ``parsed: null`` because the record line outgrew the driver's tail
+    capture, which silently disarmed the damping machinery below AND
+    left ``tools/bench_compare.py`` nothing to gate against):
+
+    1. ``BENCH_LOCAL.json`` beside this script — the full-fidelity copy
+       :func:`main` writes (and commits) on every sf0.1 run, immune to
+       any stdout capture window;
+    2. the newest driver ``BENCH_r*.json``, scanned line-by-line from
+       the end (full record preferred, the compact trailing summary
+       accepted when truncation ate the full line's head).
+
+    Only used to pick re-run candidates — never to alter a measured
+    number."""
     root = os.path.dirname(os.path.abspath(__file__))
+    local = os.path.join(root, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                d = json.load(fh)
+            if "queries" in d:
+                return d
+        except (OSError, ValueError):
+            pass
     benches = sorted(
         f for f in os.listdir(root) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
@@ -500,21 +566,7 @@ def _previous_round_bench() -> dict:
     try:
         with open(os.path.join(root, benches[-1])) as fh:
             text = fh.read()
-        # [-1:] not [-1]: an empty record file must degrade to {} (the
-        # docstring contract), not raise IndexError past the except below
-        for candidate in (text, *text.splitlines()[-1:]):
-            try:
-                d = json.loads(candidate)
-            except json.JSONDecodeError:
-                continue
-            if "queries" in d:
-                return d
-            if "tail" in d:
-                for line in reversed(d["tail"].splitlines()):
-                    line = line.strip()
-                    if line.startswith("{"):
-                        return json.loads(line)
-        return {}
+        return _scan_bench_text(text) or {}
     except (OSError, ValueError):
         return {}
 
@@ -677,7 +729,13 @@ def _calibration_probe(spark) -> float:
 
 
 def main() -> None:
-    spark = get_spark("spark-graft-bench")
+    # progress bars OFF: the driver's per-round record keeps only the
+    # tail of stdout, and executor progress-bar noise (plus the record
+    # line itself growing past ~2.3 KB) is exactly what truncated
+    # BENCH_r10.json into `parsed: null`
+    spark = get_spark(
+        "spark-graft-bench", **{"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
 
@@ -766,6 +824,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming": streaming,
+        "streaming_warmup_discarded": True,
         "calibration_sec": calibration_sec,
         "scan_probe_sec": scan_probe_sec,
         "sf": sf,
@@ -779,7 +838,40 @@ def main() -> None:
             "cpu_factor": round(host_factor, 3),
             "reran": sorted(storage_rerun),
         }
+    # capture-proofing (round 11): (a) the full record also lands in
+    # BENCH_LOCAL.json beside this script — committed, so next round's
+    # damping and bench_compare never depend on a stdout capture window
+    # (sf0.1 only: a dev run at another SF must not overwrite the
+    # round-of-record); (b) a COMPACT second line follows the full one —
+    # headline + probes + 2-decimal query timings + rows/sec per lane —
+    # small enough that at least one parsable record survives any tail
+    # truncation (the `compact` marker makes loaders prefer a full
+    # record when both survive).
+    if sf == 0.1:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(record, fh)
     print(json.dumps(record))
+    compact = {
+        "compact": True,
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "streaming": {
+            k: {"rows_per_sec": v.get("rows_per_sec")}
+            for k, v in streaming.items()
+            if isinstance(v, dict) and v.get("rows_per_sec") is not None
+        },
+        "calibration_sec": calibration_sec,
+        "scan_probe_sec": scan_probe_sec,
+        "sf": sf,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -267,3 +267,82 @@ def test_storage_drift_picks_scan_bound_rerun_set():
     assert bench._storage_factor(0.3, {}) == 1.0
     assert bench._storage_factor(0.45, {"scan_probe_sec": 0.3}) == 1.5
     assert bench._storage_factor(0.2, {"scan_probe_sec": 0.3}) == 1.0
+
+
+def test_previous_round_survives_truncated_driver_artifact(tmp_path, monkeypatch):
+    """Round 11 (BENCH_r10 arrived `parsed: null`): when the driver's tail
+    window ate the FULL record's head, the compact trailing summary line
+    bench.py prints second must still resolve the previous round's
+    timings — the damping machinery must not silently disarm."""
+    full = {
+        "metric": "headline_total", "value": 2.0,
+        "queries": {"q1": 0.5, "q2": 1.5},
+        "streaming": {"lane": {"rows_per_sec": 100.0, "p50_batch_ms": 7}},
+        "sf": 0.1,
+    }
+    compact = {
+        "compact": True, "metric": "headline_total", "value": 2.0,
+        "queries": {"q1": 0.5, "q2": 1.5},
+        "streaming": {"lane": {"rows_per_sec": 100.0}},
+        "sf": 0.1,
+    }
+    # tail lost the head of the full line; the compact line survived whole
+    torn_tail = json.dumps(full)[40:] + "\n" + json.dumps(compact) + "\n"
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"n": 1, "rc": 0, "tail": torn_tail})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    assert bench._previous_round_timings() == {"q1": 0.5, "q2": 1.5}
+    assert bench._previous_round_streaming() == {"lane": {"rows_per_sec": 100.0}}
+
+
+def test_previous_round_prefers_full_record_over_compact(tmp_path, monkeypatch):
+    full = {"queries": {"q1": 0.512}, "streaming": {}, "sf": 0.1}
+    compact = {"compact": True, "queries": {"q1": 0.51}, "sf": 0.1}
+    tail = json.dumps(full) + "\n" + json.dumps(compact) + "\n"
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"tail": tail}))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._previous_round_timings() == {"q1": 0.512}
+
+
+def test_previous_round_prefers_bench_local_over_driver_artifact(
+    tmp_path, monkeypatch
+):
+    """BENCH_LOCAL.json is the committed full-fidelity copy — immune to
+    the capture window — and wins over any driver artifact."""
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"queries": {"q1": 0.7}, "sf": 0.1})
+    )
+    _write_record(
+        tmp_path, "BENCH_r99.json",
+        {"queries": {"q1": 9.9}, "sf": 0.1}, wrap=True,
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._previous_round_timings() == {"q1": 0.7}
+    # a torn local file degrades to the driver artifact, not to {}
+    (tmp_path / "BENCH_LOCAL.json").write_text("{torn")
+    assert bench._previous_round_timings() == {"q1": 9.9}
+
+
+def test_bench_compare_reads_truncated_artifact_via_compact_line(tmp_path):
+    import subprocess
+    import sys
+
+    full = {"queries": {"a": 1.0}, "streaming": {"lane": {"rows_per_sec": 50.0}}}
+    compact = {
+        "compact": True, "queries": {"a": 1.0},
+        "streaming": {"lane": {"rows_per_sec": 50.0}},
+    }
+    torn = {"tail": json.dumps(full)[25:] + "\n" + json.dumps(compact)}
+    o, n = tmp_path / "o.json", tmp_path / "n.json"
+    o.write_text(json.dumps(torn))
+    n.write_text(json.dumps({"queries": {"a": 1.05}, "streaming": {"lane": {"rows_per_sec": 48.0}}}))
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(o), str(n)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "compact trailing summary" in r.stdout

@@ -22,22 +22,60 @@ import sys
 STREAM_DROP = 0.30
 
 
-def _load(path: str) -> dict:
-    with open(path) as fh:
-        text = fh.read()
-    # BENCH_r files may wrap the JSON line inside a driver record
-    for candidate in (text, text.splitlines()[-1]):
+def _scan(text: str) -> dict | None:
+    """A bench record anywhere in captured text, scanned from the END
+    (truncation eats the front). A full record (no ``compact`` marker)
+    beats the compact trailing summary bench.py prints as its
+    truncation-proof second line; driver ``{"tail": ...}`` wrappers
+    recurse one level."""
+    fallback = None
+    for candidate in (text, *reversed(text.splitlines())):
+        candidate = candidate.strip()
+        if not candidate.startswith("{"):
+            continue
         try:
             d = json.loads(candidate)
         except json.JSONDecodeError:
             continue
         if "queries" in d:
+            if d.get("compact"):
+                fallback = fallback or d
+                continue
             return d
-        if "tail" in d:  # driver wrapper: the bench line is in "tail"
-            for line in reversed(d["tail"].splitlines()):
-                line = line.strip()
-                if line.startswith("{"):
-                    return json.loads(line)
+        if "tail" in d and isinstance(d["tail"], str):
+            got = _scan(d["tail"])
+            if got is not None and not got.get("compact"):
+                return got
+            fallback = fallback or got
+    return fallback
+
+
+def _load(path: str) -> dict:
+    import os
+
+    with open(path) as fh:
+        text = fh.read()
+    got = _scan(text)
+    if got is not None:
+        if got.get("compact"):
+            print(f"note: {path} truncated past its full record — using "
+                  "the compact trailing summary (rows/sec + 2-decimal "
+                  "timings only)")
+        return got
+    # last resort for a torn driver artifact: the committed full-fidelity
+    # copy bench.py writes beside itself. Loud, because it may describe a
+    # DIFFERENT round than the artifact's filename claims.
+    local = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            d = None
+        if d and "queries" in d:
+            print(f"WARNING: no bench JSON found in {path}; falling back "
+                  f"to {local} — verify it describes the intended round")
+            return d
     raise SystemExit(f"no bench JSON found in {path}")
 
 
