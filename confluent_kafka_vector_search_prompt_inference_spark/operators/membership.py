@@ -124,35 +124,52 @@ def bloom_contains(
     """Append ``bloom_member BOOLEAN`` to ``probes``: TRUE iff every one
     of the key's ``k`` bits is set. The sketch side (≤ ``m_bits/32``
     rows) gets the broadcast; the probe side keeps its scan parallelism
-    — this is the shape that lets a bitmap of yesterday's keys gate a
-    100 TB probe column without shuffling it.
+    and is NEVER shuffled — this is the shape that lets a bitmap of
+    yesterday's keys gate a 100 TB probe column in one map-side pass.
 
-    Membership semantics are SET semantics on the probe ROW: the k bit
-    tests fan out and regroup on the probe's full column tuple, so
-    byte-identical duplicate probe rows collapse to one output row
-    (probe distinct keys, or carry a unique id column, to keep row
-    multiplicity). No false negatives, ever: a key that was inserted
+    Shape (round 11): the k bit tests run as k broadcast hash joins on
+    the packed word id, ANDed in one projection — a pure map-side chain
+    (plan-asserted: zero non-broadcast exchanges on the probe side). The
+    previous implementation exploded k rows per probe and REGROUPED on
+    the probe's full column tuple — a full shuffle of the probe table
+    that contradicted the docstring's own scale claim in the
+    corpus-probe regime (harmless only where the probe side was
+    batch-sized). Row multiplicity is preserved: duplicate probe rows
+    each keep their row (the old shape collapsed them as a side effect
+    of the regroup). No false negatives, ever: a key that was inserted
     has all its bits set by construction.
+
+    For a STORE-SCALED bloom (100+ MB packed) probed by a SMALL batch,
+    semi-reduce it with :func:`bloom_needed_words` first so the k
+    broadcasts ship ≤ ``|probes|·k`` words instead of the full bitmap.
     """
     key = F.col(key_col)
     cols = list(probes.columns)
-    fanned = probes.select(
-        "*",
-        F.explode(
-            F.array(*[_bloom_pos(key, i, m_bits).alias(f"p{i}") for i in range(k)])
-        ).alias("pos"),
-    ).select(
-        *cols,
-        (F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"),
-        (F.col("pos") % _WORD_BITS).cast("int").alias("__bit"),
-    )
-    joined = fanned.join(F.broadcast(bloom), "word", "left")
-    hit = F.expr("shiftright(coalesce(bits, 0L), __bit) % 2 = 1")
-    return (
-        joined.groupBy(*cols)
-        .agg(F.min(hit.cast("int")).alias("__all"))
-        .select(*cols, (F.col("__all") == 1).alias("bloom_member"))
-    )
+    out = probes
+    hits = []
+    for i in range(k):
+        wn, bn, btn = f"__blw{i}", f"__blbits{i}", f"__blb{i}"
+        # one md5 per hash function: materialize the position, derive
+        # word + bit from it, drop it (the optimizer would otherwise be
+        # free to compute the hash twice)
+        out = (
+            out.withColumn("__blpos", _bloom_pos(key, i, m_bits))
+            .withColumn(wn, (F.col("__blpos") / F.lit(_WORD_BITS)).cast("int"))
+            .withColumn(btn, (F.col("__blpos") % _WORD_BITS).cast("int"))
+            .drop("__blpos")
+        )
+        out = out.join(
+            F.broadcast(
+                bloom.select(F.col("word").alias(wn), F.col("bits").alias(bn))
+            ),
+            wn,
+            "left",
+        )
+        hits.append(F.expr(f"shiftright(coalesce({bn}, 0L), {btn}) % 2 = 1"))
+    member = hits[0]
+    for h in hits[1:]:
+        member = member & h
+    return out.select(*cols, member.alias("bloom_member"))
 
 
 def bloom_needed_words(
@@ -255,7 +272,12 @@ def kmv_sketch(
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
-    if rows.rdd.getNumPartitions() > 64:
+    # bound the TakeOrdered fan-in (driver merges k rows per partition)
+    # WITHOUT an RDD-conversion probe: after dropDuplicates the partition
+    # count is at most the session's shuffle partitions, so the conf — a
+    # free lookup — is the bound the old rdd.getNumPartitions() call
+    # forced a conversion plan per invocation to learn
+    if int(items.sparkSession.conf.get("spark.sql.shuffle.partitions")) > 64:
         rows = rows.repartition(64)
     return rows.orderBy("__h").limit(k)
 

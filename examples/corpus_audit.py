@@ -83,7 +83,12 @@ def run(spark: SparkSession, verbose: bool = False):
         q.awaitTermination(120)
     out["day1_landed"] = read_sink(spark, sink).count()
 
-    # 2. gate day 2: bloom-negative URLs are PROVABLY new
+    # 2. gate day 2: bloom-negative URLs are PROVABLY new. This is the
+    # corpus-probe regime the probe shape is built for: day 2 is the BIG
+    # side and is never shuffled — bloom_contains runs k broadcast
+    # bit-tests ANDed in a projection (plan-asserted in
+    # tests/test_membership.py), so at 100 TB the gate costs one
+    # map-side pass over the scan
     bloom = read_corpus_bloom(spark, sink)
     flagged = bloom_contains(
         bloom, day2.select("url").distinct(), "url", m_bits=m_bits, k=kk

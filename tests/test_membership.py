@@ -102,11 +102,79 @@ def test_bloom_layout_independence(spark):
     assert many.exceptAll(one).count() == 0
 
 
-def test_bloom_duplicate_probe_rows_collapse(spark):
+def test_bloom_duplicate_probe_rows_preserved(spark):
+    """Round 11: the probe is a map-side projection, so duplicate probe
+    rows keep their multiplicity (the old explode+regroup shape
+    collapsed them as a side effect of its shuffle)."""
     bl = bloom_build(_keys(spark, 0, 10), "k", m_bits=M_BITS, k=K_HASH)
     probes = _keys(spark, 0, 3).unionByName(_keys(spark, 0, 3))
     out = bloom_contains(bl, probes, "k", m_bits=M_BITS, k=K_HASH)
-    assert out.count() == 3  # set semantics on the probe row, documented
+    assert out.count() == 6
+    assert out.filter("bloom_member").count() == 6
+
+
+def test_bloom_contains_probe_side_never_shuffles(spark):
+    """The docstring's 100 TB claim, plan-asserted: with the bloom
+    pre-materialized, the probe plan holds ZERO non-broadcast exchanges
+    — k BroadcastHashJoins ANDed in a projection."""
+    from confluent_kafka_vector_search_prompt_inference_spark.plans import formatted_plan
+
+    bl = spark.createDataFrame(
+        bloom_build(_keys(spark, 0, 200), "k", m_bits=M_BITS, k=K_HASH).collect(),
+        "word int, bits long",
+    )
+    out = bloom_contains(bl, _keys(spark, 100, 400), "k", m_bits=M_BITS, k=K_HASH)
+    plan = formatted_plan(out)
+    data_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert data_exchanges == [], plan
+    # formatted explain prints each node in the tree AND the detail list
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == K_HASH
+
+
+def test_bloom_contains_matches_reference_regroup_shape(spark):
+    """Equivalence vs the pre-round-11 explode+regroup implementation:
+    same (key → member) verdicts on a mixed member/non-member probe set
+    (the shapes may only differ in row multiplicity, checked above)."""
+    inserted = _keys(spark, 0, 300)
+    bl = bloom_build(inserted, "k", m_bits=M_BITS, k=K_HASH)
+    probes = _keys(spark, 150, 600)
+
+    # the old shape, inlined as the reference oracle
+    key = F.col("k")
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import _WORD_BITS, _bloom_pos
+
+    fanned = probes.select(
+        "*",
+        F.explode(
+            F.array(*[_bloom_pos(key, i, M_BITS) for i in range(K_HASH)])
+        ).alias("pos"),
+    ).select(
+        "k",
+        (F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"),
+        (F.col("pos") % _WORD_BITS).cast("int").alias("__bit"),
+    )
+    ref = (
+        fanned.join(F.broadcast(bl), "word", "left")
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.expr("shiftright(coalesce(bits, 0L), __bit) % 2 = 1").cast("int")
+            ).alias("__all")
+        )
+        .select("k", (F.col("__all") == 1).alias("bloom_member"))
+    )
+    got = {
+        r["k"]: r["bloom_member"]
+        for r in bloom_contains(bl, probes, "k", m_bits=M_BITS, k=K_HASH).collect()
+    }
+    want = {r["k"]: r["bloom_member"] for r in ref.collect()}
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
