@@ -189,6 +189,64 @@ def bloom_gate_auto_m_bits(buckets_dir: str) -> int:
     return m
 
 
+def _bloomgate_sync_meta(
+    bloom_dir: str, m_bits: int, k: int, checked: set
+) -> None:
+    """Pin a bloom-gate store's ``(m_bits, k)`` — the params are part of
+    the bit positions themselves: deltas built under different params
+    probe DIFFERENT bits, and merging them manufactures false negatives.
+    On mismatch the whole dir resets and rebuilds from the sink (blooms
+    are derived data) — the ``_ids`` schema-mismatch discipline, never a
+    heterogeneous merge. Shared by :func:`dedup_insert` (landed-keys
+    gate) and :func:`near_dedup_insert` (band-bucket-values gate)."""
+    import json
+    import shutil as _sh
+
+    meta_path = os.path.join(bloom_dir, "_bloom_meta.json")
+    want = {"m_bits": m_bits, "k": k}
+    if os.path.isdir(bloom_dir):
+        have = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                have = json.load(fh)
+        if have != want:
+            _sh.rmtree(bloom_dir, ignore_errors=True)
+            checked.clear()
+    os.makedirs(bloom_dir, exist_ok=True)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as fh:
+            json.dump(want, fh)
+
+
+def _bloomgate_batch_reduced(
+    spark: SparkSession,
+    bloom_dir: str,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """The gate bloom, merged on read AND semi-reduced to the ≤
+    ``|probes|·k`` packed words this batch will actually test — the
+    small-probe / large-bloom regime: an auto-grown gate bloom can be
+    store-scaled (100+ MB packed at 10M keys) and must not ship whole to
+    every task for a micro-batch-sized probe set. Absent words read as
+    unset bits, so membership semantics are unchanged (the 24 s/batch
+    broadcast inversion the ladder caught, SCALING.md)."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_needed_words
+
+    need = bloom_needed_words(probes, key_col, m_bits=m_bits, k=k)
+    return (
+        spark.read.parquet(*_committed_batch_dirs(bloom_dir))
+        .join(F.broadcast(need), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def dedup_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -288,7 +346,6 @@ def dedup_insert(
     from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import (
         bloom_build,
         bloom_contains,
-        bloom_needed_words,
     )
 
     write_batch = idempotent_batch_writer(sink_dir)
@@ -339,29 +396,8 @@ def dedup_insert(
         # the rows commit and the bloom write, or a pre-gate sink)
         # backfill from the epoch's own key column, once.
         #
-        # (m_bits, k) are part of the bit positions themselves: deltas
-        # built under different params probe DIFFERENT bits, and merging
-        # them manufactures false negatives. A meta sidecar pins the
-        # params; on mismatch the whole dir resets and rebuilds from the
-        # sink (blooms are derived data) — the `_ids` schema-mismatch
-        # discipline, never a heterogeneous merge.
-        import json
-        import shutil as _sh
-
-        meta_path = os.path.join(bloom_dir, "_bloom_meta.json")
-        want = {"m_bits": m_bits, "k": _BGK}
-        if os.path.isdir(bloom_dir):
-            have = None
-            if os.path.exists(meta_path):
-                with open(meta_path) as fh:
-                    have = json.load(fh)
-            if have != want:
-                _sh.rmtree(bloom_dir, ignore_errors=True)
-                bloom_checked.clear()
-        os.makedirs(bloom_dir, exist_ok=True)
-        if not os.path.exists(meta_path):
-            with open(meta_path, "w") as fh:
-                json.dump(want, fh)
+        # (m_bits, k) pinning + reset-on-mismatch: _bloomgate_sync_meta
+        _bloomgate_sync_meta(bloom_dir, m_bits, _BGK, bloom_checked)
         covered = _covered_bucket_ranges(bloom_dir)
         for d in _committed_batch_dirs(sink_dir):
             eid = int(d.rsplit("=", 1)[1])
@@ -417,19 +453,8 @@ def dedup_insert(
                 # sliver (re-deliveries + fp) touches the store below
                 m_used = _bloom_m()
                 _heal_bloom(spark, m_used)
-                # small-probe / large-bloom regime: an auto-grown bloom
-                # can be store-scaled (100+ MB packed at 10M keys), so
-                # reduce it to the ≤ |batch|·k words this batch probes
-                # BEFORE the merge + broadcast — absent words read as
-                # unset bits, so membership semantics are unchanged
-                need = bloom_needed_words(
-                    inc, key_name, m_bits=m_used, k=_BGK
-                )
-                bl = (
-                    spark.read.parquet(*_committed_batch_dirs(bloom_dir))
-                    .join(F.broadcast(need), "word", "left_semi")
-                    .groupBy("word")
-                    .agg(F.bit_or("bits").alias("bits"))
+                bl = _bloomgate_batch_reduced(
+                    spark, bloom_dir, inc, key_name, m_bits=m_used, k=_BGK
                 )
                 gate_inc = (
                     bloom_contains(
@@ -1563,6 +1588,8 @@ def near_dedup_insert(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     exact_key_col: str | None = None,
     maintenance_nudges: int = 1,
+    bloom_gate: bool | None = None,
+    bloom_m_bits: int | None = None,
 ) -> StreamingQuery:
     """Continuous INSERT that drops NEAR-duplicate documents — the
     streaming leg of the MinHash-LSH dedup family (the exact-key version
@@ -1660,7 +1687,37 @@ def near_dedup_insert(
       of the full sink — flat in sink row width at 100 TB;
     - ``maintenance_nudges`` forwards to ``maintain_bucket_store
       (max_nudges_per_call=...)`` — the batch-latency ↔ migration-drain
-      trade for slow trigger cadences."""
+      trade for slow trigger cadences.
+
+    ``bloom_gate`` (round 11 — the exact-dedup gate's machinery applied
+    to this lane, SCALING.md's round-10 residual): a bloom filter over
+    the store's BAND-BUCKET VALUES (per-epoch deltas under
+    ``<sink>/_bloomgate``, OR merge-on-read) pre-screens the incoming
+    batch's bucket hashes — a bucket the bloom rejects PROVABLY holds no
+    landed row, so a novel doc whose 16 band buckets are all
+    bloom-negative drives NO candidate read at all, and the pruned
+    store read's touched-partition count falls from ~|batch|·bands dirs
+    to ~(true bucket collisions + fp)·dirs — the per-request object-
+    store economics the exact-dedup ladder measured as the gate's
+    lever. Exactness is unconditional: the gated rows are exactly
+    those the ``old ⋈ inc`` bucket equi-join could never match, so the
+    candidate-pair set is IDENTICAL with the gate on or off
+    (pytest-pinned, including across retention tombstones and an
+    online rebucket — bucket VALUES survive both; folds and rebuckets
+    change layout, never values, and a pruned tombstone only removes
+    rows, keeping the bloom a superset). Crash contract, shared with
+    :func:`dedup_insert`'s gate: deltas land AFTER the epoch's rows
+    commit, gaps backfill from landed signatures before the bloom is
+    trusted, and ``(m_bits, k)`` are pinned in a meta sidecar (mismatch
+    = reset + rebuild — derived data). ``bloom_m_bits=None`` auto-sizes
+    from the store's measured bytes (:func:`bloom_gate_auto_m_bits`);
+    ``bloom_gate=None`` (default) engages once a compacted base exists
+    AND the store passes the measured prune-crossover size
+    (:data:`_EXACT_PRUNE_MIN_BYTES` — the exact-dedup ladder's honest
+    negative: the gate's win is request-priced object-store dir opens,
+    unmeasurable on warm local disk, so small stores never pay the
+    per-batch bloom upkeep); ``True``/``False`` force (the ladder's
+    A/B)."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -1675,6 +1732,10 @@ def near_dedup_insert(
         return band_buckets(sig_col, num_hashes=num_hashes, bands=bands)
 
     buckets_dir = os.path.join(sink_dir, "_buckets")
+    bloomgate_dir = os.path.join(sink_dir, "_bloomgate")
+    write_bloomgate = idempotent_batch_writer(bloomgate_dir)
+    bloomgate_checked: set[int] = set()
+    _BGK = 4  # bloom hash count (shared auto-sizer keeps fp < ~0.5%)
     # epochs whose on-disk layout this process has already vetted (or
     # itself wrote) — bounds the heal pass's pre-upgrade footer check to
     # one read per epoch per stream lifetime, not one per micro-batch
@@ -1761,6 +1822,42 @@ def near_dedup_insert(
             )
             layout_checked.add(eid)
 
+    def _bloom_m() -> int:
+        return (
+            bloom_m_bits
+            if bloom_m_bits is not None
+            else bloom_gate_auto_m_bits(buckets_dir)
+        )
+
+    def _heal_bucket_bloom(spark: SparkSession, m_bits: int) -> None:
+        # the gate is sound only if the bloom covers the bucket VALUES of
+        # EVERY committed epoch (a missed value would be a false negative
+        # = a near-dup landing). Coverage discipline shared with the
+        # bucket store: live _batch= dirs plus folded-sidecar ranges;
+        # gaps (a crash between the rows commit and the bloom write, a
+        # pre-gate sink) backfill from the epoch's landed signatures.
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
+
+        _bloomgate_sync_meta(bloomgate_dir, m_bits, _BGK, bloomgate_checked)
+        covered = _covered_bucket_ranges(bloomgate_dir)
+        for d in _committed_batch_dirs(sink_dir):
+            eid = int(d.rsplit("=", 1)[1])
+            if eid in bloomgate_checked or _ranges_contain(covered, eid):
+                bloomgate_checked.add(eid)
+                continue
+            write_bloomgate(
+                bloom_build(
+                    _epoch_delta(spark, d)
+                    .select("__bucket")
+                    .dropDuplicates(["__bucket"]),
+                    "__bucket",
+                    m_bits=m_bits,
+                    k=_BGK,
+                ).coalesce(1),
+                eid,
+            )
+            bloomgate_checked.add(eid)
+
     sidecar_cols = [id_col] + (
         [exact_key_col] if exact_key_col and exact_key_col != id_col else []
     )
@@ -1817,6 +1914,9 @@ def near_dedup_insert(
         keyed = keyed.join(dups, id_col, "left_anti")
         # (3) vs already-landed rows: bucket join on band hashes, exact verify
         pairs = None
+        gate = bool(bloom_gate)  # resolved against store age below
+        m_used: int | None = None
+        persisted: list[DataFrame] = [sh, sigs]
         if _sink_has_batches(sink_dir):
             # contract check from ONE footer (not a mergeSchema sweep of
             # every landed file), ONCE per stream (every later epoch was
@@ -1858,8 +1958,51 @@ def near_dedup_insert(
                 F.col(id_col).alias("id_b"),
                 F.explode(_band_buckets(F.col("__minhash"))).alias("__bucket"),
             )
-            if has_base:
+            if bloom_gate is None:
+                # default follows the measured regime, exactly like
+                # exact-dedup's gate: engage only once the store passes
+                # the prune-crossover size — the exact-dedup ladder's
+                # honest negative says the gate's win is request-priced
+                # (object-store dir opens), unmeasurable-to-negative on
+                # warm local disk, so small stores never pay the
+                # per-batch bloom upkeep
+                gate = has_base and (
+                    sum(
+                        _dir_bytes(d)
+                        for d in _committed_batch_dirs(buckets_dir)
+                    )
+                    >= _EXACT_PRUNE_MIN_BYTES
+                )
+            else:
+                gate = bloom_gate
+            if has_base or gate:
                 inc = inc.persist()
+                persisted.append(inc)
+            ginc = inc
+            if gate:
+                # bloom over the store's bucket VALUES: rejected buckets
+                # PROVABLY hold no landed row, so they drop out of the
+                # candidate derivation — the equi-join below could never
+                # have matched them, so the pair set is unchanged while
+                # the parts probe + pruned read see only the positive
+                # sliver (true collisions + fp)
+                from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_contains
+
+                m_used = _bloom_m()
+                _heal_bucket_bloom(spark, m_used)
+                bvals = inc.select("__bucket").distinct()
+                bl = _bloomgate_batch_reduced(
+                    spark, bloomgate_dir, bvals, "__bucket",
+                    m_bits=m_used, k=_BGK,
+                )
+                pos = (
+                    bloom_contains(bl, bvals, "__bucket", m_bits=m_used, k=_BGK)
+                    .filter(F.col("bloom_member"))
+                    .select("__bucket")
+                )
+                ginc = inc.join(F.broadcast(pos), "__bucket", "left_semi").persist()
+                persisted.append(ginc)
+            if has_base:
                 # touched partitions PER store N: one list in steady
                 # state, one per N while an online rebucket leaves the
                 # store mixed-N (pruning a target-N leg with meta-N
@@ -1868,7 +2011,7 @@ def near_dedup_insert(
                 for n in bucket_store_dir_ns(buckets_dir, bucket_partitions):
                     vals = [
                         r[0]
-                        for r in inc.select(
+                        for r in ginc.select(
                             F.pmod(F.col("__bucket"), F.lit(n)).cast("int")
                         )
                         .distinct()
@@ -1884,11 +2027,12 @@ def near_dedup_insert(
                     F.col(id_col).alias("id_a"), "__bucket"
                 )
             pairs = (
-                old.join(F.broadcast(inc.select("id_b", "__bucket")), "__bucket")
+                old.join(F.broadcast(ginc.select("id_b", "__bucket")), "__bucket")
                 .select("id_a", "id_b")
                 .dropDuplicates(["id_a", "id_b"])
                 .persist()
             )
+            persisted.append(pairs)
             # zero candidate pairs → no landed row can be a near-dup of
             # this batch: skip the verify joins AND the linear scan of the
             # sink's text column they would trigger (the steady-state
@@ -1947,6 +2091,28 @@ def near_dedup_insert(
                 # crash before it just means this epoch's readers fall
                 # back to projecting the epoch dir itself
                 write_ids_sidecar(spark, sink_dir, epoch_id, sidecar_cols)
+                if gate or (bloom_gate is None and os.path.isdir(bloomgate_dir)):
+                    # keep the gate bloom a superset of landed bucket
+                    # values: the epoch's delta lands right after its
+                    # rows (a crash between is exactly what
+                    # _heal_bucket_bloom closes); OR-idempotent deltas
+                    # fold once they outnumber the compaction cadence
+                    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
+
+                    write_bloomgate(
+                        bloom_build(
+                            _epoch_delta(spark, target)
+                            .select("__bucket")
+                            .dropDuplicates(["__bucket"]),
+                            "__bucket",
+                            m_bits=m_used if m_used is not None else _bloom_m(),
+                            k=_BGK,
+                        ).coalesce(1),
+                        epoch_id,
+                    )
+                    bloomgate_checked.add(epoch_id)
+                    if len(_committed_batch_dirs(bloomgate_dir)) > compact_every:
+                        compact_sink(spark, bloomgate_dir, keep_batches=1)
             # bounded directory count AND the partitioned layout's home:
             # once the flat tail exceeds compact_every epochs it folds
             # into a NEW __bpart-partitioned run, and runs merge
@@ -1967,12 +2133,8 @@ def near_dedup_insert(
                 max_nudges_per_call=maintenance_nudges,
             )
         finally:
-            if pairs is not None:
-                pairs.unpersist()
-                if has_base:
-                    inc.unpersist()
-            sigs.unpersist()
-            sh.unpersist()
+            for df in reversed(persisted):
+                df.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

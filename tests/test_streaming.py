@@ -3416,3 +3416,156 @@ def test_latest_per_key_validates_seq_cols_and_carries_maps(spark):
     ).withColumn("__epoch", F.lit(0).cast("long"))
     with _pytest.raises(Exception, match="NULL"):
         _latest_per_key(nulled, "k", ["seq"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# near-dedup bloom gate (round 11)
+# ---------------------------------------------------------------------------
+
+_ND_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the late afternoon sun"
+)
+_ND_OTHER = (
+    "spark executes declarative plans through catalyst producing "
+    "vectorized stages that shuffle partitioned data across the cluster"
+)
+_ND_THIRD = (
+    "schema registries attach late bound data contracts to kafka "
+    "topics so raw bytes decode into typed streaming tables"
+)
+
+
+def _nd_run(spark, tmp_path, name, rows, **kw):
+    """Append rows as one micro-batch file and drain a near_dedup_insert
+    lane over the shared src, into the named sink."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import near_dedup_insert
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / f"{name}_src")
+    if rows:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = near_dedup_insert(
+        file_stream_reader(spark, src, schema),
+        str(tmp_path / f"{name}_sink"), str(tmp_path / f"{name}_ckpt"),
+        id_col="doc_id", text_col="text", threshold=0.5,
+        bucket_partitions=4, compact_every=1, trigger_once=True, **kw,
+    )
+    _drain(q)
+    return str(tmp_path / f"{name}_sink")
+
+
+def test_near_dedup_bloom_gate_preserves_survivor_set(spark, tmp_path):
+    """The gate's exactness claim: the same stream through a gated and an
+    ungated lane lands the SAME survivor set — the gated-away buckets are
+    exactly those the bucket equi-join could never match. Covers folded
+    history (compact_every=1 forces a base, which also engages the
+    default gate) and both drop directions (within-batch and vs landed)."""
+    batches = [
+        [(1, _ND_BASE), (2, _ND_OTHER)],
+        [(3, _ND_BASE.replace("lazy", "sleepy")), (4, _ND_THIRD)],
+        [(5, _ND_OTHER.replace("spark", "flink")), (6, _ND_BASE + " extra")],
+    ]
+    sinks = {}
+    for mode, kw in (("on", {"bloom_gate": True}), ("off", {"bloom_gate": False})):
+        for rows in batches:
+            sinks[mode] = _nd_run(spark, tmp_path, f"bg_{mode}", rows, **kw)
+    landed_on = {r.doc_id for r in read_sink(spark, sinks["on"]).collect()}
+    landed_off = {r.doc_id for r in read_sink(spark, sinks["off"]).collect()}
+    assert landed_on == landed_off, (landed_on, landed_off)
+    assert landed_on == {1, 2, 4}, landed_on
+    # the gate store exists, is meta-pinned, and covers every epoch
+    import glob as _glob
+
+    bg = os.path.join(sinks["on"], "_bloomgate")
+    assert os.path.exists(os.path.join(bg, "_bloom_meta.json"))
+    assert _glob.glob(os.path.join(bg, "_batch=*", "_SUCCESS"))
+
+
+def test_near_dedup_bloom_gate_heals_missing_delta(spark, tmp_path):
+    """Crash between the epoch's rows commit and its bloom delta write:
+    the next batch backfills the gap BEFORE trusting the gate, so a
+    near-copy of the uncovered epoch's doc still drops (a missed key
+    would be a false negative = a duplicate landing)."""
+    import shutil
+
+    sink = _nd_run(spark, tmp_path, "bh", [(1, _ND_BASE)], bloom_gate=True)
+    _nd_run(spark, tmp_path, "bh", [(2, _ND_OTHER)], bloom_gate=True)
+    # simulate the crash: epoch 1's bloom delta vanishes
+    bg = os.path.join(sink, "_bloomgate")
+    victims = [d for d in glob.glob(os.path.join(bg, "_batch=*")) if d.endswith("=1")]
+    assert victims
+    shutil.rmtree(victims[0])
+    # near-copy of doc 2 (the uncovered epoch) must still drop
+    _nd_run(
+        spark, tmp_path, "bh",
+        [(9, _ND_OTHER.replace("spark", "flink"))], bloom_gate=True,
+    )
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2}, landed
+
+
+def test_near_dedup_bloom_gate_meta_mismatch_resets(spark, tmp_path):
+    """A width change (auto-sizer crossing a power of two, or an explicit
+    override) must reset + rebuild the gate store — deltas built under
+    different (m_bits, k) probe different bits and merging them would
+    manufacture false negatives."""
+    sink = _nd_run(
+        spark, tmp_path, "bm", [(1, _ND_BASE)], bloom_gate=True,
+        bloom_m_bits=1 << 20,
+    )
+    # width changes: old deltas are untrustworthy, store resets, and the
+    # near-copy of landed history still drops through the rebuilt gate
+    _nd_run(
+        spark, tmp_path, "bm",
+        [(7, _ND_BASE.replace("quick", "swift"))], bloom_gate=True,
+        bloom_m_bits=1 << 21,
+    )
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1}, landed
+    import json as _json
+
+    with open(os.path.join(sink, "_bloomgate", "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 21
+
+
+def test_near_dedup_bloom_gate_survives_online_rebucket(spark, tmp_path):
+    """Bucket VALUES survive a rebucket (only __bpart layout changes), so
+    the gate bloom stays a superset across the migration and near-copies
+    of folded + rebucketed history still drop with the gate forced on."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import request_rebucket_online
+
+    sink = _nd_run(spark, tmp_path, "br", [(1, _ND_BASE)], bloom_gate=True)
+    _nd_run(spark, tmp_path, "br", [(2, _ND_THIRD)], bloom_gate=True)
+    request_rebucket_online(os.path.join(sink, "_buckets"), 64)
+    _nd_run(
+        spark, tmp_path, "br",
+        [(9, _ND_BASE.replace("quick", "swift")), (10, _ND_OTHER)],
+        bloom_gate=True,
+    )
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2, 10}, landed
+
+
+def test_near_dedup_bloom_gate_retired_redelivery_lands(spark, tmp_path):
+    """Retention semantics are unchanged by the gate: a retired doc's
+    buckets stay bloom-positive (over-approximation), its re-delivery
+    takes the exact path, finds no live landed text, and LANDS — which is
+    what retention means."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_tombstoned
+
+    sink = _nd_run(spark, tmp_path, "bt", [(1, _ND_BASE)], bloom_gate=True)
+    _nd_run(spark, tmp_path, "bt", [(2, _ND_OTHER)], bloom_gate=True)
+    removed = enforce_retention_tombstoned(
+        spark, sink, id_col="doc_id", max_batches=1
+    )
+    assert removed
+    _nd_run(spark, tmp_path, "bt", [(11, _ND_BASE)], bloom_gate=True)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {2, 11}, landed

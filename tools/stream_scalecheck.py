@@ -115,6 +115,7 @@ def _near_dedup_rung(
     n_batches: int = N_BATCHES,
     tombstone_ghosts: bool = False,
     monitor_runs: bool = False,
+    bloom: bool | None = None,
 ) -> dict:
     """The history-joined lane. Variants measured off the same harness:
 
@@ -150,7 +151,14 @@ def _near_dedup_rung(
       the store stale). The ``retired`` lane streams against that
       bloated store; the ``pruned`` lane first runs
       ``prune_bucket_store`` (timed) and streams against the reclaimed
-      one — the measured payoff of the retention-interplay op.
+      one — the measured payoff of the retention-interplay op;
+    - ``bloom=True`` (round 11, lane ``near_dedup_bloom``): the
+      band-bucket-VALUES bloom gate, pre-landed for the converged shape
+      like the store run; records the deterministic mechanism metric
+      (touched ``__bpart`` partitions for the first batch, gated vs
+      ungated, plus the bloom-positive bucket fraction) beside the wall
+      numbers — local warm disk underprices directory opens, an object
+      store prices them per request, which is the 100 TB lever.
     """
     from pyspark.sql import functions as F
 
@@ -210,6 +218,27 @@ def _near_dedup_rung(
         num_partitions=bucket_store_partitions(buckets_dir, 64),
         layout="partitioned",
     )
+    m_auto = None
+    if bloom:
+        # pre-land the gate bloom over the store's bucket VALUES with the
+        # SAME auto-sized width the writer will compute — a mismatched
+        # pre-land would reset + rebuild inside the timed window
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import bloom_gate_auto_m_bits
+
+        m_auto = bloom_gate_auto_m_bits(buckets_dir)
+        bloom_build(
+            keyed.select(
+                F.explode(
+                    band_buckets(F.col("__minhash"), num_hashes=64, bands=16)
+                ).alias("__bucket")
+            ).dropDuplicates(["__bucket"]),
+            "__bucket", m_bits=m_auto, k=4,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink, "_bloomgate", "_batch=-1")
+        )
+        with open(os.path.join(sink, "_bloomgate", "_bloom_meta.json"), "w") as fh:
+            json.dump({"m_bits": m_auto, "k": 4}, fh)
 
     # --- fixed increment: fresh docs (seed 1) + 1% planted near-copies of
     # landed rows (seed 0 text of id mod rung, one token appended).
@@ -245,6 +274,43 @@ def _near_dedup_rung(
     src = os.path.join(work, f"nd{tag}_src_{rung}")
     incoming.repartition(n_batches).write.parquet(src)
     schema = spark.read.parquet(src).schema
+
+    mech = None
+    if bloom:
+        # deterministic mechanism metric on the real first batch BEFORE
+        # streaming: touched __bpart partition dirs, ungated vs gated,
+        # plus the bloom-positive bucket fraction. Wall time on warm
+        # local disk underprices dir opens; an object store prices them
+        # per request — the 100 TB lever the gate exists for.
+        from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_contains
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _bloomgate_batch_reduced
+
+        first = incoming.limit(inc_rows // n_batches)
+        fsigs = minhash_signatures(first, "doc_id", "text", num_hashes=64)
+        bvals = fsigs.select(
+            F.explode(
+                band_buckets(F.col("minhash"), num_hashes=64, bands=16)
+            ).alias("__bucket")
+        ).dropDuplicates(["__bucket"]).persist()
+        n_parts = bucket_store_partitions(buckets_dir, 64)
+        ungated = bvals.select(F.pmod("__bucket", F.lit(n_parts))).distinct().count()
+        bl = _bloomgate_batch_reduced(
+            spark, os.path.join(sink, "_bloomgate"), bvals, "__bucket",
+            m_bits=m_auto, k=4,
+        )
+        pos = bloom_contains(
+            bl, bvals, "__bucket", m_bits=m_auto, k=4
+        ).filter("bloom_member").persist()
+        gated = pos.select(F.pmod("__bucket", F.lit(n_parts))).distinct().count()
+        mech = {
+            "m_bits": m_auto,
+            "batch_buckets": bvals.count(),
+            "bloom_positive_buckets": pos.count(),
+            "touched_parts_ungated": ungated,
+            "touched_parts_gated": gated,
+        }
+        bvals.unpersist()
+        pos.unpersist()
 
     if stale is not None:
         # ghost bucket rows: `rung` docs' worth of (id, band-bucket)
@@ -331,7 +397,7 @@ def _near_dedup_rung(
         file_stream_reader(spark, src, schema),
         sink, ckpt,
         id_col="doc_id", text_col="text",
-        compact_every=compact_every, trigger_once=True,
+        compact_every=compact_every, bloom_gate=bloom, trigger_once=True,
     )
     q.awaitTermination(1800)
     wall = time.time() - t0
@@ -342,6 +408,8 @@ def _near_dedup_rung(
     landed_after = read_sink(spark, sink).count()
     stats["landed_rows"] = landed_after - rung
     stats["dropped_rows"] = inc_rows - stats["landed_rows"]
+    if mech is not None:
+        stats["mechanism"] = mech
     if rebucket_to is not None:
         stats["rebucket_to"] = rebucket_to
         stats["rebucket_s"] = rebucket_s
@@ -1137,6 +1205,18 @@ def main() -> int:
         ),
         "near_dedup_retired": lambda s, r, w: _near_dedup_rung(
             s, r, w, stale="retired", tag="x"
+        ),
+        # round 11: the band-bucket-VALUES bloom gate, forced on with a
+        # forced-off control (the shipped default only engages past the
+        # measured prune-crossover store size — these rungs price the
+        # mechanism, the default keeps small stores out of it)
+        "near_dedup_bloom": lambda s, r, w: dict(
+            _near_dedup_rung(s, r, w, bloom=True, tag="nb"),
+            control=dict(
+                _near_dedup_rung(s, r, w, bloom=False, tag="nc"),
+                what="same pre-landed store, gate forced off "
+                "(the pre-round-11 shape)",
+            ),
         ),
         "near_dedup_pruned": lambda s, r, w: _near_dedup_rung(
             s, r, w, stale="pruned", tag="p"
