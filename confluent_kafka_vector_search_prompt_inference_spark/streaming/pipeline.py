@@ -876,6 +876,7 @@ def keyed_upsert_insert(
     seq_cols: list[str],
     tombstone_col: str | None = None,
     drop_tombstones_on_fold: bool = False,
+    shed_tombstones_after: int | float | str | None = None,
     compact_every: int = 16,
     fold_partitions: int = 8,
     trigger_once: bool = False,
@@ -912,6 +913,27 @@ def keyed_upsert_insert(
     ``keep_batches=1`` protects the only epoch a checkpoint crash can
     re-deliver.
 
+    ``shed_tombstones_after`` (round 11) is the PROVABLY-SAFE middle
+    ground between keep-forever (dead keys in the base forever) and
+    ``drop_tombstones_on_fold`` (arrival-order streams only): a seq
+    WATERMARK. At each fold the watermark is ``max(seq₀ over the fold's
+    own input) − shed_tombstones_after`` (a number for numeric seq
+    columns, an SQL interval string like ``'7 days'`` for timestamps),
+    and a tombstone sheds only once its seq₀ falls strictly below it.
+    The contract is exactly ``withWatermark``'s: the caller asserts no
+    row arrives more than ``shed_tombstones_after`` behind the maximum
+    seq already seen — under it, no later-arriving row the shed
+    tombstone was still needed to dominate can exist, so shedding is
+    exact (a row that violates the contract resurrects the key, the
+    same failure Spark's own watermark has). The watermark is computed
+    over the FOLD INPUT, which is a prefix of history — an
+    underestimate of the true global max, so it only ever sheds LATER
+    than allowed, never earlier. Tombstones younger than the watermark
+    keep dominating later-arriving smaller-seq rows (pinned by test).
+    Requires ``tombstone_col``; ``drop_tombstones_on_fold`` subsumes it
+    when both are set. The base then converges to ~|live keys| +
+    |tombstones younger than the watermark|.
+
     ``tombstone_col`` names a BOOLEAN column: true rows delete the key
     (a later-SEQ insert revives it, exactly like writing a new record
     after a Kafka tombstone). At 100 TB: deltas are micro-batch-sized,
@@ -920,12 +942,35 @@ def keyed_upsert_insert(
     partial contract as `agg_insert`, with max-struct as the merge."""
     from pyspark.sql import functions as F
 
+    if shed_tombstones_after is not None and tombstone_col is None:
+        raise ValueError(
+            "shed_tombstones_after requires tombstone_col: the watermark "
+            "sheds tombstone ROWS, and without the column nothing is one"
+        )
+
     write_batch = idempotent_batch_writer(sink_dir)
 
     def _reduce(df: DataFrame) -> DataFrame:
         out = _latest_per_key(df, key_col, seq_cols)
         if tombstone_col is not None and drop_tombstones_on_fold:
-            out = out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+            return out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+        if tombstone_col is not None and shed_tombstones_after is not None:
+            # seq watermark over the fold's own input (a prefix of
+            # history — an underestimate of the global max, so this only
+            # sheds LATER than the contract allows, never earlier)
+            s0 = F.col(seq_cols[0])
+            delay = (
+                F.expr(f"INTERVAL {shed_tombstones_after}")
+                if isinstance(shed_tombstones_after, str)
+                else F.lit(shed_tombstones_after)
+            )
+            wm = df.agg((F.max(s0) - delay).alias("__wm"))
+            tomb = F.coalesce(F.col(tombstone_col), F.lit(False))
+            return (
+                out.crossJoin(F.broadcast(wm))
+                .filter(~(tomb & (s0 < F.col("__wm"))))
+                .drop("__wm")
+            )
         return out
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:

@@ -3569,3 +3569,85 @@ def test_near_dedup_bloom_gate_retired_redelivery_lands(spark, tmp_path):
     _nd_run(spark, tmp_path, "bt", [(11, _ND_BASE)], bloom_gate=True)
     landed = {r.doc_id for r in read_sink(spark, sink).collect()}
     assert landed == {2, 11}, landed
+
+
+def test_keyed_upsert_shed_tombstones_watermark(spark, tmp_path):
+    """Round 11: shed_tombstones_after sheds a tombstone at fold time
+    only once the seq watermark (max seq in the fold − delay) passes it;
+    a younger tombstone survives the fold and still dominates a
+    later-ARRIVING smaller-seq row; the base stops carrying shed keys."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        keyed_upsert_insert,
+        read_upserted,
+    )
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("seq", LongType()),
+        StructField("val", StringType()),
+        StructField("dead", BooleanType()),
+    ])
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = keyed_upsert_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_col="k", seq_cols=["seq"], tombstone_col="dead",
+            shed_tombstones_after=50, compact_every=1, trigger_once=True,
+        )
+        _drain(q)
+
+    # epoch 0: live rows; epoch 1: an OLD tombstone (k1@10) and a YOUNG
+    # one (k2@95) beside a max seq of 100 -> wm = 50 at the next fold
+    run([("k1", 5, "a", False), ("k2", 6, "b", False), ("k3", 7, "c", False)])
+    run([("k1", 10, None, True), ("k2", 95, None, True), ("k3", 100, "c2", False)])
+    # epoch 2 triggers the fold of epochs 0-1 (compact_every=1)
+    run([("k4", 101, "d", False)])
+
+    # both tombstoned keys are invisible to readers either way
+    live = {r["k"]: r["seq"] for r in read_upserted(
+        spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+    ).collect()}
+    assert live == {"k3": 100, "k4": 101}, live
+
+    # the BASE carries k2's young tombstone but NOT k1's shed one
+    base = spark.read.parquet(os.path.join(sink, "_batch=0"))
+    base_keys = {(r["k"], bool(r["dead"])) for r in base.collect()}
+    assert ("k2", True) in base_keys, base_keys
+    assert all(k != "k1" for k, _ in base_keys), base_keys
+
+    # a later-arriving SMALLER-seq row for k2 still loses to the kept
+    # tombstone (the exactness the watermark preserves)
+    run([("k2", 90, "stale", False)])
+    live = {r["k"] for r in read_upserted(
+        spark, sink, key_col="k", seq_cols=["seq"], tombstone_col="dead"
+    ).collect()}
+    assert "k2" not in live, live
+
+
+def test_keyed_upsert_shed_requires_tombstone_col(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import keyed_upsert_insert
+
+    schema = StructType([
+        StructField("k", StringType()), StructField("seq", LongType()),
+    ])
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("k1", 1)], schema).write.parquet(src)
+    with _pytest.raises(ValueError, match="tombstone_col"):
+        keyed_upsert_insert(
+            file_stream_reader(spark, src, schema),
+            str(tmp_path / "s"), str(tmp_path / "c"),
+            key_col="k", seq_cols=["seq"], shed_tombstones_after=10,
+        )

@@ -1088,7 +1088,8 @@ def _spanclean_rung(
 
 
 def _upsert_rung(
-    spark, rung: int, work: str, *, compacted: bool = True, tag: str = "up"
+    spark, rung: int, work: str, *, compacted: bool = True, tag: str = "up",
+    shed: bool | None = None,
 ) -> dict:
     """Round 10 keyed upsert (`keyed_upsert_insert`): the rung is TOTAL
     HISTORICAL UPDATE VOLUME over a fixed 10k-key space — the axis log
@@ -1099,7 +1100,15 @@ def _upsert_rung(
     Streams the fixed 2,000-update increment through 4 batches, then
     times one ``read_upserted`` materialization. The claim under test:
     with compaction, per-batch cost and read cost are bounded by |keys|
-    + tail, FLAT in update volume; without it they grow linearly."""
+    + tail, FLAT in update volume; without it they grow linearly.
+
+    ``shed`` (round 11, lane ``keyed_upsert_shed``): 20% of the
+    increment's rows are TOMBSTONES; ``shed=True`` runs with
+    ``shed_tombstones_after=0`` (seq here is monotone, so every
+    dominated tombstone sheds at the next fold), ``shed=False`` keeps
+    them forever (the pre-round-11 default) — the recorded
+    ``base_rows`` / ``base_tombstones`` pair is the convergence claim:
+    shed ≈ |live keys|, unshed ≈ |live + dead keys|."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
@@ -1132,7 +1141,11 @@ def _upsert_rung(
         F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_keys)).alias("k"),
         (F.col("id") + rung).alias("seq"),
         F.concat(F.lit("u"), F.col("id")).alias("val"),
-        F.lit(False).alias("dead"),
+        (
+            (F.pmod(F.col("id"), F.lit(5)) == 0)
+            if shed is not None
+            else F.lit(False)
+        ).alias("dead"),
     )
     src = os.path.join(work, f"{tag}_src_{rung}")
     incoming.repartition(N_BATCHES).write.parquet(src)
@@ -1143,6 +1156,7 @@ def _upsert_rung(
         file_stream_reader(spark, src, schema),
         sink, ckpt,
         key_col="k", seq_cols=["seq"], tombstone_col="dead",
+        shed_tombstones_after=(0 if shed else None),
         compact_every=(2 if compacted else 10**9),
         trigger_once=True,
     )
@@ -1154,6 +1168,12 @@ def _upsert_rung(
     ).count()
     stats["read_sec"] = round(time.time() - t0, 2)
     stats["live_keys"] = live
+    if shed is not None:
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import _committed_batch_dirs
+
+        base = spark.read.parquet(_committed_batch_dirs(sink)[0])
+        stats["base_rows"] = base.count()
+        stats["base_tombstones"] = base.filter("dead").count()
     return stats
 
 
@@ -1253,6 +1273,20 @@ def main() -> int:
                     what="same update history UNREDUCED (append-only sink "
                     "shape, folds disabled): every read and every batch's "
                     "merge aggregates the full history",
+                ),
+            )
+        ),
+        # round 11: the seq-watermark tombstone shed — 20% of the
+        # increment tombstones; base_rows/base_tombstones record the
+        # convergence (shed ≈ |live keys|, unshed carries dead forever)
+        "keyed_upsert_shed": lambda s, r, w: (
+            _upsert_rung(s, 1_000, w, compacted=True, tag="usw" + str(r))
+            and dict(
+                _upsert_rung(s, r, w, compacted=True, shed=True, tag="us"),
+                control=dict(
+                    _upsert_rung(s, r, w, compacted=True, shed=False, tag="usc"),
+                    what="same tombstoned increment, shed off (keep-forever "
+                    "default): the base carries every dead key",
                 ),
             )
         ),
