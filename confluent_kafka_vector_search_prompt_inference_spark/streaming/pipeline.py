@@ -587,6 +587,7 @@ def spanclean_insert(
     gram_partitions: int = 64,
     compact_every: int = 16,
     prune_store_read: bool | None = None,
+    carrier_counts: bool = False,
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Continuous INSERT with ONLINE repeated-span removal — the streaming
@@ -641,7 +642,25 @@ def spanclean_insert(
     At 100 TB the gram store is token-scale — far larger than a key
     store — which is exactly why the scan/prune crossover and the
     per-epoch delta shape (micro-batch-sized, folded geometrically)
-    matter here more than anywhere else on the streaming shelf."""
+    matter here more than anywhere else on the streaming shelf.
+
+    ``carrier_counts`` (round 11, OPT-IN — the never-forget default is
+    the right training-data-dedup semantics and stays the default):
+    gram deltas carry ``__cnt`` = the number of carrier DOCUMENTS in
+    that epoch (derived from raw text, exactly like the heal pass), so
+    retention can RELEASE a gram once its last carrier retires:
+    :func:`enforce_retention_spanclean` writes a NEGATIVE delta from a
+    retiring epoch's raw text before deleting it, folds sum counts per
+    gram (dropping exact zeros, keeping un-met negatives), and the
+    candidate read treats a gram as seen only while its candidate-
+    bounded sum is > 0. Released grams land intact on re-sight and
+    re-register — suppression resumes automatically. Already-cleaned
+    history is never retro-restored (same no-retro-clean contract as
+    the base lane). The mode is pinned in ``_grams/_mode.json``:
+    counted and uncounted deltas must never mix (a counted sum over
+    rows missing ``__cnt`` would be garbage), so a mismatch raises.
+    Cost: one extra long column in the store and a candidate-bounded
+    per-batch aggregation — laddered beside the uncounted lane."""
     from pyspark.sql import functions as F
 
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
@@ -654,15 +673,27 @@ def spanclean_insert(
     grams_dir = os.path.join(sink_dir, "_grams")
     grams_checked: set[int] = set()
 
-    def _epoch_grams(spark: SparkSession, epoch_dir: str) -> DataFrame:
-        rows = spark.read.parquet(epoch_dir).select(id_col, text_col)
+    def _gram_delta(occ: DataFrame) -> DataFrame:
+        """Gram-store delta rows from an occurrences table: distinct
+        grams, plus per-gram carrier-DOC counts in counted mode (both
+        pure functions of the raw text, so heal and live paths agree)."""
+        if carrier_counts:
+            return (
+                occ.groupBy("__s")
+                .agg(F.count_distinct("__id").cast("long").alias("__cnt"))
+                .withColumn("__bucket", F.xxhash64("__s"))
+            )
         return (
-            gram_occurrences(span_tokenized(rows, id_col, text_col), n)
-            .select("__s")
+            occ.select("__s")
             .dropDuplicates(["__s"])
             .withColumn("__bucket", F.xxhash64("__s"))
-            .repartition(1)
         )
+
+    def _epoch_grams(spark: SparkSession, epoch_dir: str) -> DataFrame:
+        rows = spark.read.parquet(epoch_dir).select(id_col, text_col)
+        return _gram_delta(
+            gram_occurrences(span_tokenized(rows, id_col, text_col), n)
+        ).repartition(1)
 
     def _heal_grams(spark: SparkSession) -> None:
         covered = _covered_bucket_ranges(grams_dir)
@@ -679,6 +710,7 @@ def spanclean_insert(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        _spanclean_sync_mode(grams_dir, carrier_counts)
         # one row per id: a duplicated id would explode its words twice
         # into the same (id, pos) space and the rebuild would interleave
         # both texts — the same per-batch id-uniqueness contract the
@@ -696,7 +728,7 @@ def spanclean_insert(
         )
         inc = None
         try:
-            if _sink_has_batches(sink_dir):
+            if _sink_has_batches(sink_dir) or _committed_batch_dirs(grams_dir):
                 _heal_grams(spark)
                 inc = (
                     occ.select("__s")
@@ -727,16 +759,32 @@ def spanclean_insert(
                         .collect()
                     ]
                     parts = vals if len(vals) < gram_partitions else None
-                old = read_bucket_store(spark, grams_dir, "__s", parts=parts)
+                old = read_bucket_store(
+                    spark, grams_dir, "__s", parts=parts,
+                    extra_cols=("__cnt",) if carrier_counts else (),
+                )
                 # exact-match candidates: store grams whose bucket appears
                 # in the batch (collisions only WIDEN) — batch-bounded, so
                 # the semi-join's right side broadcasts; then exact string
                 # verify against the batch's own gram set
-                seen = old.join(
+                cand = old.join(
                     F.broadcast(inc.select("__bucket").distinct()),
                     "__bucket",
                     "left_semi",
-                ).select("__s").dropDuplicates(["__s"])
+                )
+                if carrier_counts:
+                    # a gram is seen only while its live carrier count is
+                    # positive — negative retirement deltas subtract here;
+                    # the aggregation is candidate-bounded (batch-sized),
+                    # never store-wide
+                    seen = (
+                        cand.groupBy("__s")
+                        .agg(F.sum("__cnt").alias("__c"))
+                        .filter(F.col("__c") > 0)
+                        .select("__s")
+                    )
+                else:
+                    seen = cand.select("__s").dropDuplicates(["__s"])
                 dup = dup.unionByName(seen).dropDuplicates(["__s"])
             cleaned = span_clean(base, occ, dup, id_col, n=n)
             rows = batch_df.select(id_col, text_col).join(cleaned, id_col)
@@ -753,10 +801,7 @@ def spanclean_insert(
                     _covered_bucket_ranges(grams_dir), epoch_id
                 ):
                     write_bucket_delta(
-                        occ.select("__s")
-                        .dropDuplicates(["__s"])
-                        .withColumn("__bucket", F.xxhash64("__s"))
-                        .repartition(1),
+                        _gram_delta(occ).repartition(1),
                         grams_dir,
                         epoch_id,
                         num_partitions=gram_partitions,
@@ -773,6 +818,9 @@ def spanclean_insert(
                     tiered_compact_sink(
                         spark, grams_dir, keep_batches=1,
                         partition_by=["__bpart"],
+                        transform=(
+                            _spanclean_fold_counts if carrier_counts else None
+                        ),
                     )
         finally:
             base.unpersist()
@@ -786,6 +834,202 @@ def spanclean_insert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _spanclean_sync_mode(grams_dir: str, carrier_counts: bool) -> None:
+    """Pin the gram store's mode in ``_grams/_mode.json``: counted and
+    uncounted deltas must never mix (a count-sum over rows missing
+    ``__cnt`` is garbage; ignoring counts silently reverts retention
+    semantics), so a mismatch between the store and the caller raises
+    instead of guessing."""
+    import json
+
+    os.makedirs(grams_dir, exist_ok=True)
+    p = os.path.join(grams_dir, "_mode.json")
+    want = {"carrier_counts": bool(carrier_counts)}
+    if os.path.exists(p):
+        with open(p) as fh:
+            have = json.load(fh)
+        if have != want:
+            raise ValueError(
+                f"spanclean gram store {grams_dir!r} was created with "
+                f"{have} but this writer wants {want}: counted and "
+                "uncounted gram deltas must never mix. Point the lane at "
+                "a fresh sink or keep the store's mode."
+            )
+        return
+    if carrier_counts and _committed_batch_dirs(grams_dir):
+        # a pre-mode store holds UNCOUNTED deltas; a counted writer
+        # cannot retrofit them (their carrier counts are gone with the
+        # epochs that may already have been retained away)
+        raise ValueError(
+            f"spanclean gram store {grams_dir!r} predates carrier "
+            "counting and already holds uncounted deltas: counted and "
+            "uncounted gram deltas must never mix. Start carrier_counts "
+            "from the sink's first epoch."
+        )
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(want, fh)
+    os.replace(tmp, p)
+
+
+def _spanclean_fold_counts(df: DataFrame) -> DataFrame:
+    """Fold transform for a carrier-counted gram store: sum counts per
+    gram, drop EXACT zeros (a fully-released gram), keep negatives — a
+    retirement delta may fold before it meets its positives in an older
+    run, and dropping the un-met negative would lose the subtraction.
+    Grouping carries ``__bucket``/``__bpart`` (functions of the gram)
+    so the folded run keeps the store layout."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("__s", "__bucket", "__bpart")
+        .agg(F.sum("__cnt").alias("__cnt"))
+        .filter(F.col("__cnt") != 0)
+    )
+
+
+def enforce_retention_spanclean(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    gram_partitions: int = 64,
+    max_batches: int | None = None,
+    max_bytes: int | None = None,
+) -> list[int]:
+    """Retention for a CARRIER-COUNTED :func:`spanclean_insert` sink:
+    drop the oldest committed epochs beyond a count/byte budget AND
+    release their grams — each retiring epoch writes a NEGATIVE gram
+    delta (per-gram carrier-doc counts re-derived from its landed RAW
+    text, the exact mirror of the positive delta the epoch landed with)
+    so a gram's live sum reaches exactly zero when its last carrier
+    retires. Suppression of that gram stops at the next batch; a later
+    re-sight lands intact and re-registers it. Returns the epoch ids
+    removed.
+
+    Crash protocol (conservative in the direction the lane's semantics
+    already point — a crash can only delay a release, never suppress a
+    release that already happened or lose landed data):
+
+    1. the negative delta is fully written to ``_grams/_retire_tmp_<e>``
+       (raw text still present — it is the only source);
+    2. the sink epoch (and its ``_ids`` sidecar) is deleted;
+    3. the tmp publishes by rename to ``_grams/_batch=<-1000-e>`` —
+       retirement deltas live at NEGATIVE epoch ids disjoint from every
+       stream epoch (≥ 0) and ladder pre-land (−1, −2), so a replayed
+       stream epoch can never be swallowed by a retirement dir.
+
+    A crash before (2) re-derives next call (epoch intact); between (2)
+    and (3) the next call finds a complete tmp whose epoch is gone and
+    just publishes it; an INCOMPLETE tmp whose epoch is gone is dropped
+    — those grams stay suppressed forever, which is the lane's default
+    semantics, stated in SCALING.md. Requires the store's pinned mode
+    to be carrier-counted (raises otherwise — an uncounted store cannot
+    subtract)."""
+    import json
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import (
+        gram_occurrences,
+        span_tokenized,
+    )
+
+    grams_dir = os.path.join(sink_dir, "_grams")
+    mode_p = os.path.join(grams_dir, "_mode.json")
+    have = None
+    if os.path.exists(mode_p):
+        with open(mode_p) as fh:
+            have = json.load(fh)
+    if have != {"carrier_counts": True}:
+        raise ValueError(
+            f"enforce_retention_spanclean needs a carrier-counted gram "
+            f"store (mode {have!r} at {grams_dir!r}): an uncounted store "
+            "has nothing to subtract from — run spanclean_insert with "
+            "carrier_counts=True from the sink's first epoch"
+        )
+
+    def _neg_id(eid: int) -> int:
+        return -1000 - eid
+
+    def _publish(tmp: str, eid: int) -> None:
+        target = os.path.join(grams_dir, f"_batch={_neg_id(eid)}")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+
+    # recover a prior crash: a COMPLETE tmp whose sink epoch is gone
+    # publishes; anything else is debris (its epoch is either still
+    # present — we re-derive below — or its raw text is lost and the
+    # conservative outcome is keep-suppressing)
+    for tmp in list(
+        d
+        for d in (
+            os.path.join(grams_dir, x)
+            for x in (os.listdir(grams_dir) if os.path.isdir(grams_dir) else [])
+        )
+        if re.fullmatch(r"_retire_tmp_-?\d+", os.path.basename(d))
+    ):
+        eid = int(os.path.basename(tmp).rsplit("_", 1)[1])
+        epoch_gone = not os.path.exists(
+            os.path.join(sink_dir, f"_batch={eid}", "_SUCCESS")
+        )
+        if epoch_gone and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            _publish(tmp, eid)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # budget walk: oldest-first, whole epochs — the enforce_retention
+    # policy with the gram-release protocol spliced in
+    dirs = []
+    for d in sorted(os.listdir(sink_dir)) if os.path.isdir(sink_dir) else []:
+        m = re.fullmatch(r"_batch=(-?\d+)", d)
+        if m:
+            path = os.path.join(sink_dir, d)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            dirs.append((int(m.group(1)), path, _dir_bytes(path)))
+    dirs.sort()
+    removed: list[int] = []
+    while dirs:
+        over_count = max_batches is not None and len(dirs) > max_batches
+        over_bytes = max_bytes is not None and sum(s for _, _, s in dirs) > max_bytes
+        if not (over_count or over_bytes):
+            break
+        eid, path, _ = dirs.pop(0)
+        # (1) negative delta from the epoch's raw text, into tmp
+        tmp = os.path.join(grams_dir, f"_retire_tmp_{eid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        rows = spark.read.parquet(path).select(id_col, text_col)
+        neg = (
+            gram_occurrences(span_tokenized(rows, id_col, text_col), n)
+            .groupBy("__s")
+            .agg((-F.count_distinct("__id")).cast("long").alias("__cnt"))
+            .withColumn("__bucket", F.xxhash64("__s"))
+            .withColumn(
+                "__bpart",
+                F.pmod(F.col("__bucket"), F.lit(gram_partitions)).cast("int"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("__bpart")
+        )
+        neg.write.mode("overwrite").parquet(tmp)
+        # (2) the epoch leaves the sink (sidecar first — orphaned
+        # sidecars must never outlive their epoch)
+        shutil.rmtree(
+            os.path.join(_ids_root(sink_dir), f"_batch={eid}"),
+            ignore_errors=True,
+        )
+        shutil.rmtree(path)
+        # (3) publish the release
+        _publish(tmp, eid)
+        removed.append(eid)
+    return removed
 
 
 def _orderable_type(dt) -> bool:
@@ -1554,6 +1798,7 @@ def read_bucket_store(
     parts: list[int] | None = None,
     *,
     parts_for=None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The landed ``(id, __bucket)`` table, PRUNED to the given
     ``__bpart`` partitions. Two legs, unioned:
@@ -1566,6 +1811,9 @@ def read_bucket_store(
       deltas by construction): the same ``isin`` on the stored
       ``__bpart`` DATA column, pushed to parquet row-group stats (deltas
       are written sorted by it).
+
+    ``extra_cols`` keeps additional store columns in the projection
+    (the carrier-counted gram store's ``__cnt``).
 
     ``parts_for`` (round 9, mutually exclusive with ``parts``): a
     callable ``N -> list[int] | None`` giving the touched-partition list
@@ -1609,7 +1857,7 @@ def read_bucket_store(
                 df = df.filter(
                     F.col("__bpart").isin([int(p) for p in leg_parts])
                 )
-            legs.append(df.select(id_col, "__bucket"))
+            legs.append(df.select(id_col, "__bucket", *extra_cols))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

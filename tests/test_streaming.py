@@ -3651,3 +3651,204 @@ def test_keyed_upsert_shed_requires_tombstone_col(spark, tmp_path):
             str(tmp_path / "s"), str(tmp_path / "c"),
             key_col="k", seq_cols=["seq"], shed_tombstones_after=10,
         )
+
+
+# ---------------------------------------------------------------------------
+# retention-integrated gram store (round 11)
+# ---------------------------------------------------------------------------
+
+_SC_BOILER = "alpha bravo charlie delta echo"
+
+
+def _sc_run(spark, tmp_path, rows, **kw):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import spanclean_insert
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "sc_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = spanclean_insert(
+        file_stream_reader(spark, src, schema),
+        str(tmp_path / "sc_sink"), str(tmp_path / "sc_ckpt"),
+        id_col="doc_id", text_col="text", trigger_once=True, **kw,
+    )
+    _drain(q)
+    return str(tmp_path / "sc_sink")
+
+
+def test_spanclean_carrier_counts_release_and_resight(spark, tmp_path):
+    """Round 11 opt-in: when every carrier of a gram retires via
+    enforce_retention_spanclean, the gram RELEASES — the next sighting
+    lands intact — and then re-registers, so suppression resumes on the
+    sighting after that. The never-forget default is untouched (mode is
+    pinned per store)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    kw = dict(carrier_counts=True, compact_every=10**9)
+    sink = _sc_run(
+        spark, tmp_path, [(1, _SC_BOILER + " unique1a unique1b unique1c unique1d")], **kw
+    )
+    _sc_run(
+        spark, tmp_path, [(2, _SC_BOILER + " unique2a unique2b unique2c unique2d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[1]["n_removed"] == 0           # first delivery intact
+    assert by_id[2]["n_removed"] == 5           # boilerplate cut
+    assert _SC_BOILER not in by_id[2]["cleaned_text"]
+
+    # retire BOTH carrier epochs: the boilerplate's live count hits 0
+    removed = enforce_retention_spanclean(
+        spark, sink, id_col="doc_id", text_col="text", max_batches=0
+    )
+    assert sorted(removed) == [0, 1], removed
+
+    # released: the next sighting lands INTACT...
+    _sc_run(
+        spark, tmp_path, [(3, _SC_BOILER + " unique3a unique3b unique3c unique3d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert set(by_id) == {3}
+    assert by_id[3]["n_removed"] == 0, by_id[3]
+
+    # ...and re-registers: suppression resumes on the sighting after
+    _sc_run(
+        spark, tmp_path, [(4, _SC_BOILER + " unique4a unique4b unique4c unique4d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[4]["n_removed"] == 5, by_id[4]
+
+
+def test_spanclean_carrier_counts_partial_retirement_keeps_suppressing(
+    spark, tmp_path
+):
+    """A gram releases only when its LAST carrier retires: with one of
+    two carrier epochs retired, the live count stays positive and the
+    next sighting is still cut."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    kw = dict(carrier_counts=True, compact_every=10**9)
+    sink = _sc_run(
+        spark, tmp_path, [(1, _SC_BOILER + " unique1a unique1b unique1c unique1d")], **kw
+    )
+    _sc_run(
+        spark, tmp_path, [(2, _SC_BOILER + " unique2a unique2b unique2c unique2d")], **kw
+    )
+    removed = enforce_retention_spanclean(
+        spark, sink, id_col="doc_id", text_col="text", max_batches=1
+    )
+    assert removed == [0]
+    _sc_run(
+        spark, tmp_path, [(3, _SC_BOILER + " unique3a unique3b unique3c unique3d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[3]["n_removed"] == 5, by_id[3]
+
+
+def test_spanclean_carrier_counts_survive_folds(spark, tmp_path):
+    """The tiered fold sums counts per gram (keeping un-met negatives,
+    dropping exact zeros): releases computed through folded runs give
+    the same answers as flat deltas."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    kw = dict(carrier_counts=True, compact_every=1)
+    sink = _sc_run(
+        spark, tmp_path, [(1, _SC_BOILER + " unique1a unique1b unique1c unique1d")], **kw
+    )
+    _sc_run(
+        spark, tmp_path, [(2, _SC_BOILER + " unique2a unique2b unique2c unique2d")], **kw
+    )
+    _sc_run(spark, tmp_path, [(5, "totally different words here now folks")], **kw)
+    removed = enforce_retention_spanclean(
+        spark, sink, id_col="doc_id", text_col="text", max_batches=1
+    )
+    assert sorted(removed) == [0, 1], removed
+    # carriers 1 and 2 both retired (doc 5's epoch survives): released
+    _sc_run(
+        spark, tmp_path, [(6, _SC_BOILER + " unique6a unique6b unique6c unique6d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[6]["n_removed"] == 0, by_id[6]
+
+
+def test_spanclean_mode_pinning_and_retention_guard(spark, tmp_path):
+    """Counted and uncounted deltas must never mix: a store created in
+    one mode rejects a writer in the other, and the retention entry
+    point refuses an uncounted store outright."""
+    import pytest as _pytest
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    sink = _sc_run(spark, tmp_path, [(1, _SC_BOILER + " u1 u2 u3 u4")])
+    with _pytest.raises(ValueError, match="carrier-counted"):
+        enforce_retention_spanclean(
+            spark, sink, id_col="doc_id", text_col="text", max_batches=0
+        )
+    # a counted writer against the uncounted store fails the next batch
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import spanclean_insert
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    spark.createDataFrame([(9, "more words arrive here now")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(tmp_path / "sc_src"))
+    q = spanclean_insert(
+        file_stream_reader(spark, str(tmp_path / "sc_src"), schema),
+        sink, str(tmp_path / "sc_ckpt"),
+        id_col="doc_id", text_col="text", carrier_counts=True,
+        trigger_once=True,
+    )
+    with _pytest.raises(Exception, match="never mix"):
+        q.awaitTermination(120)
+
+
+def test_spanclean_retention_crash_between_delete_and_publish(spark, tmp_path):
+    """Crash protocol step (2)->(3): a complete _retire_tmp whose sink
+    epoch is gone publishes on the next retention call, completing the
+    release."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    kw = dict(carrier_counts=True, compact_every=10**9)
+    sink = _sc_run(
+        spark, tmp_path, [(1, _SC_BOILER + " unique1a unique1b unique1c unique1d")], **kw
+    )
+    grams = os.path.join(sink, "_grams")
+    # manufacture the crash: stage the negative delta exactly as step (1)
+    # writes it, delete the epoch (step 2), and DON'T publish
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import gram_occurrences, span_tokenized
+
+    epoch = os.path.join(sink, "_batch=0")
+    rows = spark.read.parquet(epoch).select("doc_id", "text")
+    (
+        gram_occurrences(span_tokenized(rows, "doc_id", "text"), 5)
+        .groupBy("__s")
+        .agg((-F.count_distinct("__id")).cast("long").alias("__cnt"))
+        .withColumn("__bucket", F.xxhash64("__s"))
+        .withColumn("__bpart", F.pmod(F.col("__bucket"), F.lit(64)).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(grams, "_retire_tmp_0"))
+    )
+    shutil.rmtree(epoch)
+    # next retention call recovers: publishes the tmp, completing the release
+    removed = enforce_retention_spanclean(
+        spark, sink, id_col="doc_id", text_col="text", max_batches=10
+    )
+    assert removed == []  # nothing newly retired; recovery only
+    assert os.path.exists(os.path.join(grams, "_batch=-1000", "_SUCCESS"))
+    _sc_run(
+        spark, tmp_path, [(7, _SC_BOILER + " unique7a unique7b unique7c unique7d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[7]["n_removed"] == 0, by_id[7]

@@ -998,7 +998,8 @@ def _add_slowdowns(rows: dict) -> None:
 
 
 def _spanclean_rung(
-    spark, rung: int, work: str, *, prune: bool | None = None, tag: str = "sp"
+    spark, rung: int, work: str, *, prune: bool | None = None, tag: str = "sp",
+    carrier: bool = False,
 ) -> dict:
     """Round 10 streaming span removal (`spanclean_insert`): pre-land
     ``rung`` docs and their CONVERGED gram store (one partitioned base
@@ -1011,7 +1012,12 @@ def _spanclean_rung(
     pruning is ALWAYS OFF for the gram store (``spanclean_insert`` has
     no size gate by design — a batch's ~13k gram hashes touch every
     partition, so the prune machinery can never win; see its docstring),
-    ``True`` forces the dead machinery on (the A/B control)."""
+    ``True`` forces the dead machinery on (the A/B control).
+    ``carrier=True`` (round 11, lane ``spanclean_carrier``) runs the
+    retention-integrated CARRIER-COUNTED store: the pre-land carries
+    per-gram carrier counts and the batch path pays the extra long
+    column plus the candidate-bounded count-sum — this rung prices that
+    against the uncounted default."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -1033,11 +1039,22 @@ def _spanclean_rung(
         "overwrite"
     ).parquet(os.path.join(sink, "_batch=-1"))
     rows = spark.read.parquet(os.path.join(sink, "_batch=-1"))
+    occ_pre = gram_occurrences(span_tokenized(rows, "doc_id", "text"), 5)
+    if carrier:
+        delta_pre = occ_pre.groupBy("__s").agg(
+            F.count_distinct("__id").cast("long").alias("__cnt")
+        ).withColumn("__bucket", F.xxhash64("__s"))
+        os.makedirs(os.path.join(sink, "_grams"), exist_ok=True)
+        with open(os.path.join(sink, "_grams", "_mode.json"), "w") as fh:
+            json.dump({"carrier_counts": True}, fh)
+    else:
+        delta_pre = (
+            occ_pre.select("__s")
+            .dropDuplicates(["__s"])
+            .withColumn("__bucket", F.xxhash64("__s"))
+        )
     write_bucket_delta(
-        gram_occurrences(span_tokenized(rows, "doc_id", "text"), 5)
-        .select("__s")
-        .dropDuplicates(["__s"])
-        .withColumn("__bucket", F.xxhash64("__s")),
+        delta_pre,
         os.path.join(sink, "_grams"), -1,
         num_partitions=64, layout="partitioned",
     )
@@ -1071,7 +1088,7 @@ def _spanclean_rung(
         file_stream_reader(spark, src, schema),
         sink, ckpt,
         id_col="doc_id", text_col="text",
-        prune_store_read=prune, trigger_once=True,
+        prune_store_read=prune, carrier_counts=carrier, trigger_once=True,
     )
     q.awaitTermination(1800)
     stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
@@ -1276,6 +1293,13 @@ def main() -> int:
                 ),
             )
         ),
+        # round 11: the retention-integrated carrier-counted gram store —
+        # prices the extra count column + candidate-bounded sum against
+        # the uncounted default (cross-control below)
+        "spanclean_carrier": lambda s, r, w: (
+            _spanclean_rung(s, 1_000, w, carrier=True, tag="scw" + str(r))
+            and _spanclean_rung(s, r, w, carrier=True, tag="sc")
+        ),
         # round 11: the seq-watermark tombstone shed — 20% of the
         # increment tombstones; base_rows/base_tombstones record the
         # convergence (shed ≈ |live keys|, unshed carries dead forever)
@@ -1306,6 +1330,10 @@ def main() -> int:
     # session: cross-attach that lane's same-rung numbers as `control`
     # so the artifact carries both sides of the A/B without re-running
     CROSS_CONTROLS = {
+        "spanclean_carrier": (
+            "spanclean_insert",
+            "uncounted gram store (the never-forget default)",
+        ),
         "near_dedup_rebucket": ("near_dedup_insert", "plain store, N=64"),
         "near_dedup_pruned": (
             "near_dedup_retired",
