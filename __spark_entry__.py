@@ -7275,6 +7275,87 @@ FROM occ
 """
 
 
+def domain_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Misra-Gries heavy hitters (round 11 —
+    operators/sketches.mg_sketch(group_cols=)): an INDEPENDENT k=32 MG
+    per document SOURCE over the corpus' words — the per-domain
+    heavy-hitter table a curation audit actually consumes ("which
+    boilerplate dominates each crawl source"). Build stays zero-shuffle
+    (bounded state per (partition, group) inside mapInPandas); the
+    summary's (k+1)-th-largest resolves through a group-keyed rank
+    window over sketch-sized groups (the kll_grouped_quantiles
+    discipline), never a driver collect. MG estimates are
+    layout-dependent; the GUARANTEES are not, so the oracle pins them
+    PER GROUP: est ≤ true, true − est ≤ bound for every word, every
+    word with true > bound retained, ≤ k retained rows — with per-group
+    n_tokens from the sketch's own meta tally and n_distinct from the
+    exact side, both recomputed exactly in DuckDB."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    k = 32
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("item"),
+    ).transform(_persist)
+    summ = mg_summary(
+        mg_sketch(occ, "item", k=k, group_cols=["source"]),
+        k=k, group_cols=["source"],
+    ).transform(_persist)
+    exact = (
+        occ.groupBy("source", "item")
+        .agg(F.count("*").alias("tc"))
+        .transform(_persist)
+    )
+    j = summ.join(exact, ["source", "item"], "left")
+    checks = j.groupBy("source").agg(
+        F.count("*").alias("sk_size"),
+        F.every(F.col("est") <= F.col("tc")).alias("all_le_true"),
+        F.every((F.col("tc") - F.col("est")) <= F.col("bound")).alias(
+            "all_within_bound"
+        ),
+        F.first("bound").alias("b"),
+        F.first("n").cast("bigint").alias("n_tokens"),
+    )
+    missed = (
+        exact.join(summ.select("source", "item"), ["source", "item"], "left_anti")
+        .join(F.broadcast(checks.select("source", "b")), "source")
+        .groupBy("source")
+        .agg(F.count_if(F.col("tc") > F.col("b")).alias("n_missed"))
+    )
+    nd = exact.groupBy("source").agg(F.count("*").cast("bigint").alias("n_distinct"))
+    return (
+        checks.join(nd, "source")
+        .join(missed, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            (F.col("sk_size") <= F.lit(k)).alias("sketch_le_k"),
+            "all_le_true",
+            "all_within_bound",
+            (F.coalesce(F.col("n_missed"), F.lit(0)) == 0).alias("heavy_recall"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_MG_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS item
+  FROM documents)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT item) AS BIGINT) AS n_distinct,
+  TRUE AS sketch_le_k, TRUE AS all_le_true,
+  TRUE AS all_within_bound, TRUE AS heavy_recall
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
 def corpus_selfjoin_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war F2 sketch (operators/sketches.ams_sketch): the
     second frequency moment of the corpus' word column — the SELF-JOIN
@@ -10294,6 +10375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
         "gram_heavy_hitters_mg": gram_heavy_hitters_mg,
+        "domain_heavy_hitters_mg": domain_heavy_hitters_mg,
         "corpus_selfjoin_f2": corpus_selfjoin_f2,
         "knn_label_vote": knn_label_vote,
         "knn_label_eval": knn_label_eval,
@@ -10504,6 +10586,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
         "gram_heavy_hitters_mg": _MG_ORACLE,
+        "domain_heavy_hitters_mg": _DOMAIN_MG_ORACLE,
         "corpus_selfjoin_f2": _AMS_ORACLE,
         "knn_label_vote": _KNN_VOTE_ORACLE,
         "knn_label_eval": _KNN_EVAL_ORACLE,

@@ -616,7 +616,13 @@ def kll_quantiles(
 # Misra-Gries heavy hitters (deterministic UNDERcount — count-min's dual)
 # ---------------------------------------------------------------------------
 
-def mg_sketch(df: DataFrame, item_col: str, *, k: int = 64) -> DataFrame:
+def mg_sketch(
+    df: DataFrame,
+    item_col: str,
+    *,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Misra-Gries heavy-hitters summary — the sketch shelf's missing
     classic beside count-min: k counters, deterministic UNDERestimates
     (count-min only ever OVERcounts), and the guarantee that every item
@@ -638,37 +644,69 @@ def mg_sketch(df: DataFrame, item_col: str, *, k: int = 64) -> DataFrame:
     meta row per partition ``(NULL, 0, dec, n)``. Feed to
     :func:`mg_summary` (union raw sketches from several builds first to
     merge — the summary's reduction IS the merge operation). ``item`` is
-    cast to string for engine portability."""
+    cast to string for engine portability.
+
+    ``group_cols`` (round 11) runs an INDEPENDENT MG per group — the
+    per-domain heavy-hitter form a curation audit actually consumes —
+    with the same zero-shuffle contract: each input partition keeps k
+    counters PER GROUP it sees (bounded state = k · |groups in
+    partition|; meta rows are per (partition, group), so every
+    guarantee below holds per group). Group columns are cast to string
+    like ``item`` (engine-portable, and the mapInPandas output schema
+    stays fixed)."""
     import pandas as pd
 
-    src = df.select(F.col(item_col).cast("string").alias("item"))
+    g = list(group_cols or [])
+    src = df.select(
+        *[F.col(c).cast("string").alias(c) for c in g],
+        F.col(item_col).cast("string").alias("item"),
+    )
+    schema = (
+        ", ".join(f"`{c}` string" for c in g)
+        + (", " if g else "")
+        + "item string, cnt long, dec long, n long"
+    )
 
     def _build(batches):
-        counters: dict = {}
-        dec = 0
-        n = 0
+        # state per group key (() for the ungrouped build)
+        counters: dict[tuple, dict] = {}
+        dec: dict[tuple, int] = {}
+        n: dict[tuple, int] = {}
         for pdf in batches:
-            vc = pdf["item"].dropna().value_counts()
-            n += int(vc.sum())
-            for it, w in vc.items():
-                counters[it] = counters.get(it, 0) + int(w)
-            if len(counters) > k:
-                delta = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    i: c - delta for i, c in counters.items() if c > delta
-                }
-                dec += delta
-        out = pd.DataFrame(
-            {
-                "item": list(counters) + [None],
-                "cnt": [int(c) for c in counters.values()] + [0],
-                "dec": [0] * len(counters) + [int(dec)],
-                "n": [0] * len(counters) + [int(n)],
-            }
-        )
-        yield out
+            pdf = pdf.dropna(subset=["item"])
+            if g:
+                grouped = pdf.groupby(g, dropna=False)["item"].value_counts()
+                items_iter = (
+                    (key if isinstance(key, tuple) else (key,), w)
+                    for key, w in grouped.items()
+                )
+                # key is (g1, ..., gN, item); split off the item
+                pairs = [((key[:-1]), key[-1], int(w)) for key, w in items_iter]
+            else:
+                pairs = [
+                    ((), it, int(w))
+                    for it, w in pdf["item"].value_counts().items()
+                ]
+            touched = set()
+            for gk, it, w in pairs:
+                c = counters.setdefault(gk, {})
+                c[it] = c.get(it, 0) + w
+                n[gk] = n.get(gk, 0) + w
+                touched.add(gk)
+            for gk in touched:
+                c = counters[gk]
+                if len(c) > k:
+                    delta = sorted(c.values(), reverse=True)[k]
+                    counters[gk] = {i: v - delta for i, v in c.items() if v > delta}
+                    dec[gk] = dec.get(gk, 0) + delta
+        rows = []
+        for gk in counters:
+            for it, v in counters[gk].items():
+                rows.append((*gk, it, int(v), 0, 0))
+            rows.append((*gk, None, 0, int(dec.get(gk, 0)), int(n.get(gk, 0))))
+        yield pd.DataFrame(rows, columns=[*g, "item", "cnt", "dec", "n"])
 
-    return src.mapInPandas(_build, "item string, cnt long, dec long, n long")
+    return src.mapInPandas(_build, schema)
 
 
 def mg_compact(sketch: DataFrame, *, k: int = 64) -> DataFrame:
@@ -710,7 +748,9 @@ def mg_compact(sketch: DataFrame, *, k: int = 64) -> DataFrame:
     )
 
 
-def mg_summary(sketch: DataFrame, *, k: int = 64) -> DataFrame:
+def mg_summary(
+    sketch: DataFrame, *, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
     """Reduce raw :func:`mg_sketch` rows (from one build, or a UNION of
     builds — this reduction IS the mergeable-summaries merge) to the
     final heavy-hitters table ``(item, est, bound, n)``:
@@ -730,7 +770,50 @@ def mg_summary(sketch: DataFrame, *, k: int = 64) -> DataFrame:
     the same bounded-collect discipline as every top-k final in this
     repo. The estimates are layout-dependent (as with any MG
     construction) — the GUARANTEES above are not, which is what the
-    oracle and tests pin."""
+    oracle and tests pin.
+
+    ``group_cols`` reduces a GROUPED :func:`mg_sketch` per group —
+    output ``(*group_cols, item, est, bound, n)`` with every guarantee
+    holding per group. The (k+1)-th largest resolves through a
+    group-keyed rank window over sketch-sized groups (≤ partitions·k
+    rows per group) instead of a driver collect — the
+    ``kll_grouped_quantiles`` discipline."""
+    g = list(group_cols or [])
+    if g:
+        from pyspark.sql import Window
+
+        counters = (
+            sketch.filter(F.col("item").isNotNull())
+            .groupBy(*g, "item")
+            .agg(F.sum("cnt").alias("s"))
+        )
+        w = Window.partitionBy(*g).orderBy(F.desc("s"), F.asc("item"))
+        ranked = counters.withColumn("__rn", F.row_number().over(w))
+        t_g = ranked.filter(F.col("__rn") == k + 1).select(
+            *g, F.col("s").alias("__t")
+        )
+        meta = (
+            sketch.filter(F.col("item").isNull())
+            .groupBy(*g)
+            .agg(
+                F.coalesce(F.sum("dec"), F.lit(0)).alias("__dec"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("__n"),
+            )
+        )
+        return (
+            ranked.filter(F.col("__rn") <= k)
+            .join(t_g, g, "left")
+            .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
+            .filter(F.col("s") > F.col("__t"))
+            .join(meta, g)
+            .select(
+                *g,
+                "item",
+                (F.col("s") - F.col("__t")).cast("long").alias("est"),
+                (F.col("__dec") + F.col("__t")).cast("long").alias("bound"),
+                F.col("__n").cast("long").alias("n"),
+            )
+        )
     counters = (
         sketch.filter(F.col("item").isNotNull())
         .groupBy("item")

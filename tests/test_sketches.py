@@ -415,3 +415,87 @@ def test_ams_f2_row_sums_square_in_double_not_bigint(spark):
     est = ams_f2(sketch, group=8).collect()[0]["f2_est"]
     # group 0 mean = 1.6e19/8 = 2e18; group 1 mean = 1e18; median = 1.5e18
     assert est == int(1.5e18), est
+
+
+def test_mg_grouped_guarantees_per_group(spark):
+    """Round 11 grouped MG: every Misra-Gries guarantee holds PER GROUP
+    (est <= true; true - est <= bound; every item with true > bound
+    retained; n exact per group; <= k counters per group), with the
+    (k+1)-th-largest resolved through a group-keyed window, no driver
+    collect."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    k = 8
+    # two groups with different skew: group a's hot item is 'h', group
+    # b's is 'g'; long tails force decrements at k=8
+    items = spark.range(6000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp",
+        """CASE
+             WHEN id % 2 = 0 AND id % 3 = 0 THEN 'h'
+             WHEN id % 2 = 1 AND id % 3 = 0 THEN 'g'
+             ELSE concat('t', pmod(id, 97))
+           END AS item""",
+    )
+    summ = mg_summary(
+        mg_sketch(items, "item", k=k, group_cols=["grp"]),
+        k=k, group_cols=["grp"],
+    )
+    rows = summ.collect()
+    true = {
+        (r["grp"], r["item"]): r["c"]
+        for r in items.groupBy("grp", "item").agg(F.count("*").alias("c")).collect()
+    }
+    n_true = {
+        r["grp"]: r["c"]
+        for r in items.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r["grp"], []).append(r)
+        assert r["est"] <= true[(r["grp"], r["item"])]
+        assert true[(r["grp"], r["item"])] - r["est"] <= r["bound"]
+        assert r["n"] == n_true[r["grp"]]
+    assert set(per_group) == {"a", "b"}
+    for grp, rs in per_group.items():
+        assert len(rs) <= k
+        bound = rs[0]["bound"]
+        retained = {r["item"] for r in rs}
+        for (g2, it), c in true.items():
+            if g2 == grp and c > bound:
+                assert it in retained, (grp, it, c, bound)
+        # the hot item clears the bound and must be retained
+        hot = "h" if grp == "a" else "g"
+        assert hot in retained
+
+
+def test_mg_grouped_merge_law_preserves_guarantees(spark):
+    """Union of two grouped raw sketches reduced once = a valid merged
+    summary: guarantees still hold per group and n adds exactly."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    k = 6
+    items = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS grp",
+        "CASE WHEN id % 5 = 0 THEN 'hot' ELSE concat('t', pmod(id, 53)) END AS item",
+    )
+    a = items.filter(F.col("id") < 2000)
+    b = items.filter(F.col("id") >= 2000)
+    merged = mg_summary(
+        mg_sketch(a, "item", k=k, group_cols=["grp"]).unionByName(
+            mg_sketch(b, "item", k=k, group_cols=["grp"])
+        ),
+        k=k, group_cols=["grp"],
+    ).collect()
+    true = {
+        (r["grp"], r["item"]): r["c"]
+        for r in items.groupBy("grp", "item").agg(F.count("*").alias("c")).collect()
+    }
+    n_true = {
+        r["grp"]: r["c"]
+        for r in items.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    assert merged
+    for r in merged:
+        assert r["est"] <= true[(r["grp"], r["item"])]
+        assert true[(r["grp"], r["item"])] - r["est"] <= r["bound"]
+        assert r["n"] == n_true[r["grp"]]
