@@ -154,6 +154,7 @@ def _streaming_bench(spark) -> dict:
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
         continuous_insert,
         file_stream_reader,
+        idempotent_batch_writer,
         near_dedup_insert,
     )
     from confluent_kafka_vector_search_prompt_inference_spark.streaming.rag import RagPipeline
@@ -494,6 +495,50 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["keyed_upsert_insert"] = _progress_stats(q, time.time() - t0, n_ev)
+
+        # --- NATIVE stateful event-time windows (round 11): sliding and
+        # session aggregations through Spark's own streaming state store
+        # (append mode + watermark), not a foreachBatch batch op — the
+        # last streaming family on the shelf without a recorded
+        # throughput number. Source reuses the events files written for
+        # the upsert lane above.
+        sliding = (
+            file_stream_reader(spark, upsrc, ev.schema)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+        )
+        t0 = time.time()
+        q = (
+            sliding.writeStream.outputMode("append")
+            .foreachBatch(idempotent_batch_writer(os.path.join(work, "sw_sink")))
+            .option("checkpointLocation", os.path.join(work, "sw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out["events_sliding_stream"] = _progress_stats(q, time.time() - t0, n_ev)
+
+        sessions = (
+            file_stream_reader(spark, upsrc, ev.schema)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("session_start"), "user_id", "n_events"
+            )
+        )
+        t0 = time.time()
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(idempotent_batch_writer(os.path.join(work, "ss_sink")))
+            .option("checkpointLocation", os.path.join(work, "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out["events_session_stream"] = _progress_stats(q, time.time() - t0, n_ev)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
