@@ -1414,7 +1414,11 @@ def main() -> int:
         "(rag_transform) of rung rows; rows_per_sec meters the increment, "
         "so movement across rungs isolates the cost of landed HISTORY. "
         "slowdown_A_to_B = rps(A)/rps(B); 10.0 per decade would be "
-        "linear-in-history, the target is far under."
+        "linear-in-history, the target is far under. Every run since "
+        "round 10 pays a discarded session-level warm-up stream before "
+        "any lane is metered (A/A measured the session's FIRST lane ~30% "
+        "slow from codegen/JIT); rungs re-recorded in round 11 carry "
+        "that discipline — retained 10M rungs predate it."
     )
     for lane, rows in results.items():
         streaming.setdefault(lane, {}).update(rows)
