@@ -709,7 +709,9 @@ def mg_sketch(
     return src.mapInPandas(_build, schema)
 
 
-def mg_compact(sketch: DataFrame, *, k: int = 64) -> DataFrame:
+def mg_compact(
+    sketch: DataFrame, *, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
     """Reduce raw :func:`mg_sketch` rows to ONE raw-format sketch — the
     mergeable-summaries merge emitting the input format, so it composes:
     ``mg_compact(a.union(b))`` is a valid raw sketch whose tracked
@@ -719,7 +721,59 @@ def mg_compact(sketch: DataFrame, *, k: int = 64) -> DataFrame:
     change what :func:`mg_summary` computes beyond tightening storage,
     because summary-of-compact ≡ summary-of-raw by the merge law.
     All inputs are sketch-scale; the (k+1)-th largest resolves via a
-    k-bounded driver collect."""
+    k-bounded driver collect — or, for ``group_cols`` (a grouped
+    :func:`mg_sketch`), through the same group-keyed rank window as
+    :func:`mg_summary`, emitting one compacted raw sketch (counters +
+    one meta row) PER GROUP with each group's reduction subtraction
+    folded into its tracked bound."""
+    g = list(group_cols or [])
+    if g:
+        from pyspark.sql import Window
+
+        counters = (
+            sketch.filter(F.col("item").isNotNull())
+            .groupBy(*g, "item")
+            .agg(F.sum("cnt").alias("s"))
+        )
+        w = Window.partitionBy(*g).orderBy(F.desc("s"), F.asc("item"))
+        ranked = counters.withColumn("__rn", F.row_number().over(w))
+        t_g = ranked.filter(F.col("__rn") == k + 1).select(
+            *g, F.col("s").alias("__t")
+        )
+        meta = (
+            sketch.filter(F.col("item").isNull())
+            .groupBy(*g)
+            .agg(
+                F.coalesce(F.sum("dec"), F.lit(0)).alias("__dec"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("__n"),
+            )
+        )
+        kept = (
+            ranked.filter(F.col("__rn") <= k)
+            .join(t_g, g, "left")
+            .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
+            .filter(F.col("s") > F.col("__t"))
+            .select(
+                *g,
+                "item",
+                (F.col("s") - F.col("__t")).cast("long").alias("cnt"),
+                F.lit(0).cast("long").alias("dec"),
+                F.lit(0).cast("long").alias("n"),
+            )
+        )
+        meta_rows = (
+            meta.join(t_g, g, "left")
+            .select(
+                *g,
+                F.lit(None).cast("string").alias("item"),
+                F.lit(0).cast("long").alias("cnt"),
+                (F.col("__dec") + F.coalesce(F.col("__t"), F.lit(0)))
+                .cast("long")
+                .alias("dec"),
+                F.col("__n").cast("long").alias("n"),
+            )
+        )
+        return kept.unionByName(meta_rows)
     counters = (
         sketch.filter(F.col("item").isNotNull())
         .groupBy("item")

@@ -3672,6 +3672,7 @@ def mg_insert(
     *,
     item_col: str,
     k: int = 64,
+    group_cols: list[str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
@@ -3691,7 +3692,12 @@ def mg_insert(
     and delta dirs may be folded at any time by
     ``compact_sink(fold_transform=lambda d: mg_compact(d, k=k))`` —
     summary-of-compact ≡ summary-of-raw by the merge law, pytest-pinned,
-    with the fold's own subtraction folded into the tracked bound."""
+    with the fold's own subtraction folded into the tracked bound.
+
+    ``group_cols`` (round 11) maintains an INDEPENDENT MG per group —
+    the per-domain monitoring form (every delta, fold, and read reduces
+    per group; pass the same ``group_cols`` to :func:`read_corpus_mg`
+    and to a fold's ``mg_compact``)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch
 
     write_rows = idempotent_batch_writer(sink_dir)
@@ -3703,7 +3709,12 @@ def mg_insert(
         batch_df = batch_df.persist()
         try:
             write_rows(batch_df, epoch_id)
-            write_delta(mg_sketch(batch_df, item_col, k=k).coalesce(1), epoch_id)
+            write_delta(
+                mg_sketch(
+                    batch_df, item_col, k=k, group_cols=group_cols
+                ).coalesce(1),
+                epoch_id,
+            )
         finally:
             batch_df.unpersist()
 
@@ -3715,13 +3726,24 @@ def mg_insert(
     return writer.start()
 
 
-def read_corpus_mg(spark: SparkSession, sink_dir: str, *, k: int = 64) -> DataFrame:
+def read_corpus_mg(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """The current heavy-hitters table of a :func:`mg_insert` sink:
-    ``(item, est, bound, n)`` via one merge-on-read reduction over the
-    committed (possibly folded) deltas."""
+    ``(item, est, bound, n)`` — per group when ``group_cols`` matches
+    the writer's — via one merge-on-read reduction over the committed
+    (possibly folded) deltas."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_summary
 
-    return mg_summary(read_sink(spark, os.path.join(sink_dir, "_mg")), k=k)
+    return mg_summary(
+        read_sink(spark, os.path.join(sink_dir, "_mg")),
+        k=k,
+        group_cols=group_cols,
+    )
 
 
 def bloom_insert(

@@ -3852,3 +3852,75 @@ def test_spanclean_retention_crash_between_delete_and_publish(spark, tmp_path):
     )
     by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
     assert by_id[7]["n_removed"] == 0, by_id[7]
+
+
+def test_mg_insert_grouped_maintains_per_domain_heavy_hitters(spark, tmp_path):
+    """Round 11 grouped streaming MG: one independent sketch per group
+    maintained across micro-batches; every MG guarantee holds PER GROUP
+    over the whole landed history, and folding the deltas through the
+    grouped mg_compact keeps them intact (merge law per group)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_compact
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        compact_sink,
+        mg_insert,
+        read_corpus_mg,
+    )
+
+    k = 8
+    items = spark.range(6000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp",
+        """CASE
+             WHEN id % 2 = 0 AND id % 3 = 0 THEN 'h'
+             WHEN id % 2 = 1 AND id % 3 = 0 THEN 'g'
+             ELSE concat('t', pmod(id, 97))
+           END AS item""",
+    )
+    src = str(tmp_path / "mgg_src")
+    items.repartition(3).write.parquet(src)
+    sink = str(tmp_path / "mgg_sink")
+    q = mg_insert(
+        file_stream_reader(spark, src, items.schema, max_files_per_trigger=1),
+        sink, str(tmp_path / "mgg_ckpt"),
+        item_col="item", k=k, group_cols=["grp"], trigger_once=True,
+    )
+    _drain(q)
+
+    exact = {
+        (r["grp"], r["item"]): r["c"]
+        for r in items.groupBy("grp", "item").agg(F.count("*").alias("c")).collect()
+    }
+    n_true = {
+        r["grp"]: r["c"]
+        for r in items.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+
+    def _check():
+        summ = read_corpus_mg(spark, sink, k=k, group_cols=["grp"]).collect()
+        per: dict = {}
+        for r in summ:
+            per.setdefault(r["grp"], []).append(r)
+            assert r["est"] <= exact[(r["grp"], r["item"])]
+            assert exact[(r["grp"], r["item"])] - r["est"] <= r["bound"]
+            assert r["n"] == n_true[r["grp"]]
+        assert set(per) == {"a", "b"}
+        bounds = {}
+        for grp, rs in per.items():
+            assert len(rs) <= k
+            retained = {r["item"] for r in rs}
+            b = rs[0]["bound"]
+            bounds[grp] = b
+            for (g2, it), c in exact.items():
+                if g2 == grp and c > b:
+                    assert it in retained
+            assert ("h" if grp == "a" else "g") in retained
+        return bounds
+
+    bounds_raw = _check()
+    folded = compact_sink(
+        spark, os.path.join(sink, "_mg"), keep_batches=1,
+        fold_transform=lambda d: mg_compact(d, k=k, group_cols=["grp"]),
+    )
+    assert folded >= 2
+    bounds_folded = _check()
+    for grp in bounds_raw:
+        assert bounds_folded[grp] >= bounds_raw[grp]
