@@ -7378,19 +7378,30 @@ def corpus_selfjoin_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = ams_sketch(words, "item", depth=32).transform(_persist)
     est = ams_f2(sk, group=8)
-    # exact side squares in DECIMAL(38,0): a BIGINT c*c wraps silently
-    # past c ~ 3e9 (a plausible single-token count at corpus scale) while
-    # DuckDB's SUM(c*c) auto-promotes to HUGEINT — the widened multiply
-    # keeps both sides exact to 38 digits before the final narrow cast
+    # exact side squares AND STAYS in DECIMAL(38,0): a BIGINT c*c wraps
+    # silently past c ~ 3e9 (a plausible single-token count at corpus
+    # scale) while DuckDB's SUM(c*c) auto-promotes to HUGEINT — and a
+    # final BIGINT narrow would just move the divergence to the last
+    # cast (Spark NULLs, DuckDB raises, round-11 advice). DECIMAL(38,0)
+    # end-to-end is exact to 38 digits on both engines with identical
+    # integer semantics; only the ESTIMATE keeps a (loudly guarded)
+    # BIGINT face, see ams_f2's docstring
     true_f2 = (
         words.groupBy("item")
         .agg(F.count("*").alias("c"))
         .agg(
             F.sum(
                 F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
-            ).cast("bigint").alias("f2_true")
+            ).cast("decimal(38,0)").alias("f2_true")
         )
     )
+    # f2_true crosses the result bridge as a STRING: DECIMAL(38,0)
+    # arithmetic is exact on both engines, but DuckDB's pandas client
+    # widens >18-digit decimals to float64 (silently un-exact past
+    # 2^53) while Spark hands back Decimal — the decimal's canonical
+    # digit string is the one representation both engines agree on at
+    # every magnitude. The verdict compares in full decimal precision
+    # BEFORE the narrowing.
     return (
         sk.crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(true_f2))
@@ -7398,7 +7409,7 @@ def corpus_selfjoin_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             "s",
             "f2_est",
-            "f2_true",
+            F.col("f2_true").cast("string").alias("f2_true"),
             (
                 F.abs(F.col("f2_est") - F.col("f2_true"))
                 <= 0.5 * F.col("f2_true")
@@ -7416,9 +7427,9 @@ signs AS (
 sk AS (SELECT j, SUM(sign) AS s FROM signs GROUP BY j),
 means AS (SELECT j // 8 AS grp, AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS m FROM sk GROUP BY 1),
 e AS (SELECT CAST(floor(median(m)) AS BIGINT) AS f2_est FROM means),
-t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true
+t AS (SELECT CAST(SUM(c * c) AS DECIMAL(38,0)) AS f2_true
       FROM (SELECT COUNT(*) AS c FROM w GROUP BY item))
-SELECT sk.j, sk.s, e.f2_est, t.f2_true,
+SELECT sk.j, sk.s, e.f2_est, CAST(t.f2_true AS VARCHAR) AS f2_true,
   (ABS(e.f2_est - t.f2_true) <= 0.5 * t.f2_true) AS ok
 FROM sk, e, t
 """

@@ -608,8 +608,34 @@ def kll_quantiles(
         .select(*g, "q", F.col("val").alias("est"), "n")
     )
     if g:
-        return est.join(meta, g)
+        # null-safe: a NULL group key is a real group here and must not
+        # drop through the inner join (see _ns_join)
+        return _ns_join(est, meta, g)
     return est.crossJoin(F.broadcast(meta))
+
+
+def _ns_join(
+    left: DataFrame, right: DataFrame, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Group-column join with NULL-SAFE equality. The grouped sketch
+    builds deliberately KEEP null group keys (pandas ``dropna=False``;
+    Spark ``groupBy`` treats NULL as a group), but a plain
+    ``.join(on=cols)`` compares with null-unsafe ``=`` — an inner join
+    silently DROPS the entire null group from the output and a left
+    join misses its match (round-11 advice: items under a null group
+    key vanished from grouped summaries without error).
+    ``eqNullSafe`` keeps the null group first-class; the right side's
+    join columns are renamed then dropped so the output schema matches
+    the plain using-join exactly."""
+    renamed = {c: f"__r_{c}" for c in on}
+    r = right
+    for c, rc in renamed.items():
+        r = r.withColumnRenamed(c, rc)
+    cond = None
+    for c, rc in renamed.items():
+        e = left[c].eqNullSafe(r[rc])
+        cond = e if cond is None else (cond & e)
+    return left.join(r, cond, how).drop(*renamed.values())
 
 
 # ---------------------------------------------------------------------------
@@ -622,6 +648,7 @@ def mg_sketch(
     *,
     k: int = 64,
     group_cols: list[str] | None = None,
+    max_groups_per_partition: int | None = None,
 ) -> DataFrame:
     """Misra-Gries heavy-hitters summary — the sketch shelf's missing
     classic beside count-min: k counters, deterministic UNDERestimates
@@ -653,10 +680,36 @@ def mg_sketch(
     partition|; meta rows are per (partition, group), so every
     guarantee below holds per group). Group columns are cast to string
     like ``item`` (engine-portable, and the mapInPandas output schema
-    stays fixed)."""
+    stays fixed).
+
+    ``max_groups_per_partition`` (round 12) is the high-cardinality
+    escape hatch: grouped state is ``k · |groups in partition|`` Python
+    dict entries, fine for crawl domains (~10⁴) but unbounded for a
+    user-id-like group column. With a cap set, each partition tracks MG
+    state for the FIRST cap groups it sees; every further group SPILLS
+    — its batch-preaggregated ``(item, weight)`` counts pass straight
+    through as counter rows (plus a meta row carrying the batch's exact
+    n), streamed out per Arrow batch, never held. Spilled rows are
+    EXACT inputs to the reduction, so every guarantee below still holds
+    for spilled groups (their partition dec contribution is 0; the only
+    subtraction is the summary's own t) — the trade is OUTPUT size, not
+    correctness: a spilled group emits ~distinct-items-per-batch rows
+    instead of ≤ k+1, which downstream shuffles into the group-keyed
+    summary. If most groups overflow, ``df.repartition(*group_cols)``
+    first — co-locating a group's rows makes |groups per partition| ≈
+    |groups| / partitions and turns the cap back into dead code."""
     import pandas as pd
 
     g = list(group_cols or [])
+    if max_groups_per_partition is not None:
+        if not g:
+            raise ValueError(
+                "max_groups_per_partition only applies to a grouped "
+                "build (group_cols=...): ungrouped state is k counters, "
+                "already bounded"
+            )
+        if max_groups_per_partition < 1:
+            raise ValueError("max_groups_per_partition must be >= 1")
     src = df.select(
         *[F.col(c).cast("string").alias(c) for c in g],
         F.col(item_col).cast("string").alias("item"),
@@ -688,7 +741,20 @@ def mg_sketch(
                     for it, w in pdf["item"].value_counts().items()
                 ]
             touched = set()
+            spill_rows: list[tuple] = []
+            spill_n: dict[tuple, int] = {}
             for gk, it, w in pairs:
+                if (
+                    max_groups_per_partition is not None
+                    and gk not in counters
+                    and len(counters) >= max_groups_per_partition
+                ):
+                    # overflow group: pass the batch-preaggregated count
+                    # straight through as an EXACT counter row — no
+                    # state held, guarantees preserved (dec stays 0)
+                    spill_rows.append((*gk, it, w, 0, 0))
+                    spill_n[gk] = spill_n.get(gk, 0) + w
+                    continue
                 c = counters.setdefault(gk, {})
                 c[it] = c.get(it, 0) + w
                 n[gk] = n.get(gk, 0) + w
@@ -699,6 +765,12 @@ def mg_sketch(
                     delta = sorted(c.values(), reverse=True)[k]
                     counters[gk] = {i: v - delta for i, v in c.items() if v > delta}
                     dec[gk] = dec.get(gk, 0) + delta
+            if spill_rows:
+                for gk, w in spill_n.items():
+                    spill_rows.append((*gk, None, 0, 0, int(w)))
+                yield pd.DataFrame(
+                    spill_rows, columns=[*g, "item", "cnt", "dec", "n"]
+                )
         rows = []
         for gk in counters:
             for it, v in counters[gk].items():
@@ -749,8 +821,7 @@ def mg_compact(
             )
         )
         kept = (
-            ranked.filter(F.col("__rn") <= k)
-            .join(t_g, g, "left")
+            _ns_join(ranked.filter(F.col("__rn") <= k), t_g, g, "left")
             .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
             .filter(F.col("s") > F.col("__t"))
             .select(
@@ -762,7 +833,7 @@ def mg_compact(
             )
         )
         meta_rows = (
-            meta.join(t_g, g, "left")
+            _ns_join(meta, t_g, g, "left")
             .select(
                 *g,
                 F.lit(None).cast("string").alias("item"),
@@ -855,11 +926,13 @@ def mg_summary(
             )
         )
         return (
-            ranked.filter(F.col("__rn") <= k)
-            .join(t_g, g, "left")
-            .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
-            .filter(F.col("s") > F.col("__t"))
-            .join(meta, g)
+            _ns_join(
+                _ns_join(ranked.filter(F.col("__rn") <= k), t_g, g, "left")
+                .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
+                .filter(F.col("s") > F.col("__t")),
+                meta,
+                g,
+            )
             .select(
                 *g,
                 "item",
@@ -975,10 +1048,29 @@ def ams_f2(sketch: DataFrame, *, group: int = 8) -> DataFrame:
     kept computing in floats — a silent divergence. Squaring in DOUBLE
     is IEEE-identical in Spark and DuckDB (the oracle mirrors the cast
     order), and the estimate's own variance (~F2/sqrt(depth)) dwarfs
-    the 2^-52 relative rounding."""
+    the 2^-52 relative rounding.
+
+    The final BIGINT narrow is GUARDED (round-12, advice r11): past
+    F2 ~ 2^63 Spark's non-ANSI ``floor``/cast wraps to garbage or NULL
+    while DuckDB's DOUBLE→BIGINT cast raises — the guard makes BOTH
+    engines fail loudly at the same boundary. The estimate can't stay
+    exact past 2^63 anyway (a double's 53-bit mantissa already owns
+    it); keeping BIGINT-with-loud-overflow beats a DECIMAL(38,0)
+    output because Spark's double→decimal conversion goes through
+    Java's shortest-string repr while DuckDB expands the exact binary
+    value — bit-DIFFERENT results above 2^53, a silent oracle split
+    (measured: 9.2e24 → …0000000 in Spark vs …630901248 in DuckDB)."""
     means = sketch.groupBy(
         (F.col("j") / F.lit(group)).cast("int").alias("grp")
     ).agg(F.avg(F.col("s").cast("double") * F.col("s").cast("double")).alias("m"))
-    return means.agg(
-        F.floor(F.expr("percentile(m, 0.5)")).cast("bigint").alias("f2_est")
-    )
+    med = F.expr("percentile(m, 0.5)")
+    guarded = F.when(
+        med >= F.lit(9.223372036854775808e18),
+        F.raise_error(
+            F.lit(
+                "ams_f2: estimate exceeds BIGINT range (F2 >= 2^63); "
+                "the DuckDB oracle's cast raises at the same boundary"
+            )
+        ).cast("double"),
+    ).otherwise(med)
+    return means.agg(F.floor(guarded).cast("bigint").alias("f2_est"))

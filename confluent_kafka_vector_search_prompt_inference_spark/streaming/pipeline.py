@@ -218,6 +218,30 @@ def _bloomgate_sync_meta(
             json.dump(want, fh)
 
 
+def _bloom_meta_m(bloom_dir: str) -> int | None:
+    """The dir's PINNED bloom width, or None if nothing is pinned yet.
+
+    Every delta write must use this, never a fresh auto-width recompute:
+    the post-land delta path is reachable while the gate is DISENGAGED
+    (``bloom_gate=None`` with the prune heuristic off but the dir left
+    by earlier gated batches), and the auto width tracks CURRENT store
+    bytes — across a shrink (fold/retention prune) and regrow it can
+    pass through a different doubling and come back, so a recomputed
+    width can differ from the pin while :func:`_bloomgate_sync_meta`
+    later sees no mismatch. A foreign-width delta OR-merged into the
+    dir probes the wrong words = FALSE NEGATIVES = duplicates landing
+    (round-11 advice). Writing at the pinned width keeps every delta in
+    a dir homogeneous by construction; the pin only moves through
+    ``_bloomgate_sync_meta``'s reset-and-rebuild."""
+    import json
+
+    p = os.path.join(bloom_dir, "_bloom_meta.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(json.load(fh)["m_bits"])
+    return None
+
+
 def _bloomgate_batch_reduced(
     spark: SparkSession,
     bloom_dir: str,
@@ -535,14 +559,26 @@ def dedup_insert(
                     # epoch's delta lands right after its rows (a crash
                     # between the two is exactly what _heal_bloom
                     # closes); fold the OR-idempotent deltas once they
-                    # outnumber the compaction cadence
+                    # outnumber the compaction cadence. Width comes from
+                    # the dir's PIN when the gate didn't run this batch
+                    # (_bloom_meta_m: a fresh auto recompute can diverge
+                    # from the pin across a shrink/regrow — foreign-width
+                    # deltas probe wrong words = false negatives)
+                    m_delta = m_used
+                    if m_delta is None:
+                        m_delta = _bloom_meta_m(bloom_dir)
+                    if m_delta is None:
+                        m_delta = _bloom_m()
+                        _bloomgate_sync_meta(
+                            bloom_dir, m_delta, _BGK, bloom_checked
+                        )
                     write_bloom(
                         bloom_build(
                             spark.read.parquet(target)
                             .select(key_name)
                             .dropDuplicates([key_name]),
                             key_name,
-                            m_bits=m_used if m_used is not None else _bloom_m(),
+                            m_bits=m_delta,
                             k=_BGK,
                         ).coalesce(1),
                         epoch_id,
@@ -915,6 +951,12 @@ def enforce_retention_spanclean(
     already point — a crash can only delay a release, never suppress a
     release that already happened or lose landed data):
 
+    0. the retiring epoch's POSITIVE delta is verified present in the
+       gram store (folded-range sidecars + live dirs) and backfilled
+       from the epoch's raw text if a crash beat the stream's heal pass
+       to it — publishing a negative with no matched positive would
+       under-count grams whose OTHER carriers are still live (round-12,
+       advice r11);
     1. the negative delta is fully written to ``_grams/_retire_tmp_<e>``
        (raw text still present — it is the only source);
     2. the sink epoch (and its ``_ids`` sidecar) is deleted;
@@ -1002,13 +1044,35 @@ def enforce_retention_spanclean(
         if not (over_count or over_bytes):
             break
         eid, path, _ = dirs.pop(0)
+        rows = spark.read.parquet(path).select(id_col, text_col)
+        occ = gram_occurrences(span_tokenized(rows, id_col, text_col), n)
+        # (0) coverage guard (round-12, advice r11): the retiring
+        # epoch's POSITIVE delta must be IN the gram store before its
+        # negative can publish. A crash between the epoch's rows commit
+        # and its delta write leaves the store un-backfilled until the
+        # NEXT micro-batch's heal pass; retention running inside that
+        # window would publish an unmatched negative — per-gram sums
+        # skew below true live-carrier counts, a gram with live carriers
+        # in OTHER epochs reads as released, and its next sighting lands
+        # uncut, breaking the "every crash point degrades to
+        # keep-suppressing" contract. Backfill here from the same raw
+        # text the heal derivation uses (idempotent: write_bucket_delta
+        # skips a committed _batch=eid).
+        if not _ranges_contain(_covered_bucket_ranges(grams_dir), eid):
+            write_bucket_delta(
+                occ.groupBy("__s")
+                .agg(F.count_distinct("__id").cast("long").alias("__cnt"))
+                .withColumn("__bucket", F.xxhash64("__s"))
+                .repartition(1),
+                grams_dir,
+                eid,
+                num_partitions=gram_partitions,
+            )
         # (1) negative delta from the epoch's raw text, into tmp
         tmp = os.path.join(grams_dir, f"_retire_tmp_{eid}")
         shutil.rmtree(tmp, ignore_errors=True)
-        rows = spark.read.parquet(path).select(id_col, text_col)
         neg = (
-            gram_occurrences(span_tokenized(rows, id_col, text_col), n)
-            .groupBy("__s")
+            occ.groupBy("__s")
             .agg((-F.count_distinct("__id")).cast("long").alias("__cnt"))
             .withColumn("__bucket", F.xxhash64("__s"))
             .withColumn(
@@ -2389,16 +2453,29 @@ def near_dedup_insert(
                     # values: the epoch's delta lands right after its
                     # rows (a crash between is exactly what
                     # _heal_bucket_bloom closes); OR-idempotent deltas
-                    # fold once they outnumber the compaction cadence
+                    # fold once they outnumber the compaction cadence.
+                    # Width comes from the dir's PIN when the gate
+                    # didn't run this batch (_bloom_meta_m: a fresh
+                    # auto recompute can diverge from the pin across a
+                    # shrink/regrow — foreign-width deltas probe wrong
+                    # words = false negatives)
                     from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
 
+                    m_delta = m_used
+                    if m_delta is None:
+                        m_delta = _bloom_meta_m(bloomgate_dir)
+                    if m_delta is None:
+                        m_delta = _bloom_m()
+                        _bloomgate_sync_meta(
+                            bloomgate_dir, m_delta, _BGK, bloomgate_checked
+                        )
                     write_bloomgate(
                         bloom_build(
                             _epoch_delta(spark, target)
                             .select("__bucket")
                             .dropDuplicates(["__bucket"]),
                             "__bucket",
-                            m_bits=m_used if m_used is not None else _bloom_m(),
+                            m_bits=m_delta,
                             k=_BGK,
                         ).coalesce(1),
                         epoch_id,
@@ -3673,6 +3750,7 @@ def mg_insert(
     item_col: str,
     k: int = 64,
     group_cols: list[str] | None = None,
+    max_groups_per_partition: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
@@ -3697,7 +3775,13 @@ def mg_insert(
     ``group_cols`` (round 11) maintains an INDEPENDENT MG per group —
     the per-domain monitoring form (every delta, fold, and read reduces
     per group; pass the same ``group_cols`` to :func:`read_corpus_mg`
-    and to a fold's ``mg_compact``)."""
+    and to a fold's ``mg_compact``). ``max_groups_per_partition``
+    (round 12) threads the high-cardinality escape hatch through to the
+    per-batch build — see :func:`~confluent_kafka_vector_search_prompt_inference_spark.operators.sketches.mg_sketch`:
+    overflow groups spill exact batch-preaggregated rows into the delta
+    instead of holding per-group dict state, so a group-column
+    cardinality spike can grow a DELTA but never the executor's Python
+    state."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch
 
     write_rows = idempotent_batch_writer(sink_dir)
@@ -3711,7 +3795,8 @@ def mg_insert(
             write_rows(batch_df, epoch_id)
             write_delta(
                 mg_sketch(
-                    batch_df, item_col, k=k, group_cols=group_cols
+                    batch_df, item_col, k=k, group_cols=group_cols,
+                    max_groups_per_partition=max_groups_per_partition,
                 ).coalesce(1),
                 epoch_id,
             )

@@ -346,3 +346,98 @@ def test_bench_compare_reads_truncated_artifact_via_compact_line(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "compact trailing summary" in r.stdout
+
+
+def test_bench_compare_refuses_same_run_id(tmp_path):
+    """Round 12: a torn OLD artifact whose fallback resolves to the very
+    record NEW describes is a self-compare, not a comparison — refuse
+    loudly (r10->r11 read 1.00x on 39 queries this way)."""
+    import subprocess
+    import sys
+
+    rec = {"queries": {"a": 1.0}, "run_id": "abc123def456", "sf": 0.1}
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(rec))
+    (tmp_path / "o.json").write_text("{torn-to-nothing")
+    (tmp_path / "n.json").write_text(json.dumps(rec))
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py",
+         str(tmp_path / "o.json"), str(tmp_path / "n.json")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    blob = r.stdout + r.stderr
+    assert "REFUSING" in blob and "BENCH_HISTORY.jsonl" in blob
+
+
+def test_bench_compare_refuses_identical_pre_run_id_records(tmp_path):
+    """Pre-run_id records that parse to the same dict also refuse —
+    equality is the only identity older records carry."""
+    import subprocess
+    import sys
+
+    rec = {"queries": {"a": 1.0}, "sf": 0.1}
+    (tmp_path / "o.json").write_text(json.dumps(rec))
+    (tmp_path / "n.json").write_text(json.dumps(rec))
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py",
+         str(tmp_path / "o.json"), str(tmp_path / "n.json")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "REFUSING" in r.stdout + r.stderr
+
+
+def test_bench_compare_labels_cross_protocol_streaming(tmp_path):
+    """Round 12: when exactly one side predates the discarded session
+    warm-up, the streaming comparison is labeled cross-protocol; when
+    both carry the flag, no label."""
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"a": 1.0},
+        "streaming": {"lane": {"rows_per_sec": 50.0}},
+        "run_id": "aaa",
+    }
+    new = {
+        "queries": {"a": 1.0},
+        "streaming": {"lane": {"rows_per_sec": 55.0}},
+        "streaming_warmup_discarded": True,
+        "run_id": "bbb",
+    }
+    o, n = tmp_path / "o.json", tmp_path / "n.json"
+    o.write_text(json.dumps(old))
+    n.write_text(json.dumps(new))
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(o), str(n)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CROSS-PROTOCOL" in r.stdout
+    assert "warmup_discarded=False" in r.stdout
+
+    old["streaming_warmup_discarded"] = True
+    o.write_text(json.dumps(old))
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(o), str(n)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0
+    assert "CROSS-PROTOCOL" not in r.stdout
+    assert "warmup_discarded=True" in r.stdout
+
+
+def test_persist_round_record_archives_history(tmp_path):
+    """BENCH_LOCAL.json is latest-wins; BENCH_HISTORY.jsonl is
+    append-only — two runs leave two history lines and the second
+    record in LOCAL."""
+    r1 = {"queries": {"a": 1.0}, "run_id": "r1", "sf": 0.1}
+    r2 = {"queries": {"a": 0.9}, "run_id": "r2", "sf": 0.1}
+    bench._persist_round_record(r1, str(tmp_path))
+    bench._persist_round_record(r2, str(tmp_path))
+    assert json.load(open(tmp_path / "BENCH_LOCAL.json"))["run_id"] == "r2"
+    lines = [
+        json.loads(x)
+        for x in (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    ]
+    assert [x["run_id"] for x in lines] == ["r1", "r2"]

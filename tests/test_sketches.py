@@ -499,3 +499,163 @@ def test_mg_grouped_merge_law_preserves_guarantees(spark):
         assert r["est"] <= true[(r["grp"], r["item"])]
         assert true[(r["grp"], r["item"])] - r["est"] <= r["bound"]
         assert r["n"] == n_true[r["grp"]]
+
+
+def test_mg_grouped_null_group_is_first_class(spark):
+    """Round 12 (advice r11): grouped builds deliberately KEEP null
+    group keys, so the summary/compact reductions must not lose them to
+    null-unsafe joins — a NULL-grp item set gets the same per-group
+    guarantees as any other group, through both the raw reduction and
+    a compact round-trip."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        mg_compact,
+        mg_sketch,
+        mg_summary,
+    )
+
+    k = 6
+    items = spark.range(3000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN NULL ELSE 'b' END AS grp",
+        "CASE WHEN id % 5 = 0 THEN 'hot' ELSE concat('t', pmod(id, 41)) END AS item",
+    )
+    true = {
+        (r["grp"], r["item"]): r["c"]
+        for r in items.groupBy("grp", "item").agg(F.count("*").alias("c")).collect()
+    }
+    n_true = {
+        r["grp"]: r["c"]
+        for r in items.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    raw = mg_sketch(items, "item", k=k, group_cols=["grp"])
+
+    def _check(summ_rows):
+        per: dict = {}
+        for r in summ_rows:
+            per.setdefault(r["grp"], []).append(r)
+            assert r["est"] <= true[(r["grp"], r["item"])]
+            assert true[(r["grp"], r["item"])] - r["est"] <= r["bound"]
+            assert r["n"] == n_true[r["grp"]]
+        # the null group is PRESENT with a full guarantee set
+        assert set(per) == {"a", "b", None}
+        for grp, rs in per.items():
+            assert len(rs) <= k
+            bound = rs[0]["bound"]
+            retained = {r["item"] for r in rs}
+            for (g2, it), c in true.items():
+                if g2 == grp and c > bound:
+                    assert it in retained, (grp, it, c, bound)
+            assert "hot" in retained
+
+    _check(mg_summary(raw, k=k, group_cols=["grp"]).collect())
+    # compact must also carry the null group (its meta row included),
+    # and summary-of-compact keeps every guarantee
+    compacted = mg_compact(raw, k=k, group_cols=["grp"])
+    metas = compacted.filter(F.col("item").isNull() & (F.col("n") > 0)).collect()
+    assert {r["grp"] for r in metas} == {"a", "b", None}
+    _check(mg_summary(compacted, k=k, group_cols=["grp"]).collect())
+
+
+def test_kll_grouped_null_group_is_first_class(spark):
+    """Same advice item, KLL face: a NULL group key survives the
+    grouped quantile join (est + err bound rows present for it)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch_build,
+    )
+
+    g = spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE NULL END AS grp",
+        "id AS key",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    sk = kll_sketch_build(g, "v", "key", k=64, group_cols=["grp"])
+    rows = kll_quantiles(sk, [0.5], group_cols=["grp"]).collect()
+    got = {r["grp"]: r for r in rows}
+    assert set(got) == {"x", None}
+    for r in rows:
+        assert r["n"] == 1000
+        assert r["err_rank_bound"] >= 0
+        # median of each group's ~uniform ids sits mid-range
+        assert 200.0 <= r["est"] <= 1800.0
+
+
+def test_ams_f2_bigint_overflow_fails_loudly(spark):
+    """Round 12 (advice r11): past F2 ~ 2^63 the estimate's BIGINT
+    narrow RAISES on the engine side (matching the DuckDB oracle's
+    conversion error) instead of Spark's silent non-ANSI NULL; below
+    the boundary the value is unchanged."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import ams_f2
+
+    # |S_j| = 3e9 -> S^2 = 9e18 < 2^63: fine, exact floor
+    ok = spark.createDataFrame(
+        [(j, 3_000_000_000) for j in range(8)], "j int, s long"
+    )
+    assert ams_f2(ok, group=8).collect()[0]["f2_est"] == 9_000_000_000_000_000_000
+
+    # |S_j| = 4e9 -> S^2 = 1.6e19 >= 2^63: loud failure on BOTH engines
+    over = spark.createDataFrame(
+        [(j, 4_000_000_000) for j in range(8)], "j int, s long"
+    )
+    with pytest.raises(Exception, match="BIGINT range"):
+        ams_f2(over, group=8).collect()
+
+
+def test_mg_grouped_overflow_cap_preserves_guarantees(spark):
+    """Round 12 escape hatch: with max_groups_per_partition set far
+    below the group cardinality, overflow groups SPILL exact
+    batch-preaggregated rows instead of holding state — and every MG
+    guarantee still holds for every group, spilled or tracked. Spilled
+    groups' partition decrement is zero, so their bound comes only from
+    the summary's own t (never looser than the uncapped build)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch, mg_summary
+
+    k = 6
+    n_groups = 40
+    # hot fires once per 4 rows WITHIN each group (pmod(id,160)<40 hits
+    # every group each 160-id cycle) — every group owns a heavy hitter,
+    # so every group must survive into the summary
+    items = spark.range(8000).selectExpr(
+        f"concat('g', pmod(id, {n_groups})) AS grp",
+        "CASE WHEN pmod(id, 160) < 40 THEN 'hot' ELSE concat('t', pmod(id, 29)) END AS item",
+    ).coalesce(2)
+    true = {
+        (r["grp"], r["item"]): r["c"]
+        for r in items.groupBy("grp", "item").agg(F.count("*").alias("c")).collect()
+    }
+    n_true = {
+        r["grp"]: r["c"]
+        for r in items.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    summ = mg_summary(
+        mg_sketch(
+            items, "item", k=k, group_cols=["grp"],
+            max_groups_per_partition=5,
+        ),
+        k=k, group_cols=["grp"],
+    ).collect()
+    per: dict = {}
+    for r in summ:
+        per.setdefault(r["grp"], []).append(r)
+        assert r["est"] <= true[(r["grp"], r["item"])]
+        assert true[(r["grp"], r["item"])] - r["est"] <= r["bound"]
+        assert r["n"] == n_true[r["grp"]], (r["grp"], r["n"], n_true[r["grp"]])
+    # no group vanished: overflow spills, it never drops
+    assert set(per) == {f"g{i}" for i in range(n_groups)}
+    for grp, rs in per.items():
+        assert len(rs) <= k
+        bound = rs[0]["bound"]
+        retained = {r["item"] for r in rs}
+        for (g2, it), c in true.items():
+            if g2 == grp and c > bound:
+                assert it in retained, (grp, it, c, bound)
+        assert "hot" in retained
+
+
+def test_mg_overflow_cap_argument_validation(spark):
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import mg_sketch
+
+    df = spark.range(10).selectExpr("'a' AS grp", "CAST(id AS STRING) AS item")
+    with pytest.raises(ValueError, match="grouped build"):
+        mg_sketch(df, "item", k=4, max_groups_per_partition=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        mg_sketch(df, "item", k=4, group_cols=["grp"], max_groups_per_partition=0)

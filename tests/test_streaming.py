@@ -3924,3 +3924,142 @@ def test_mg_insert_grouped_maintains_per_domain_heavy_hitters(spark, tmp_path):
     bounds_folded = _check()
     for grp in bounds_raw:
         assert bounds_folded[grp] >= bounds_raw[grp]
+
+
+# ---------------------------------------------------------------------------
+# bloom-gate delta width pinning (round 12, advice r11)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
+    """The post-land bloom delta write is reachable with the gate
+    DISENGAGED (bloom_gate=None, prune off, dir left by earlier gated
+    batches). It must write at the dir's PINNED width, not a fresh auto
+    recompute: a foreign-width delta OR-merged into the store probes
+    the wrong words when the gate re-engages at the pinned width —
+    false negatives, i.e. duplicates silently landing (advice r11)."""
+    import json as _json
+    import shutil as _sh
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import dedup_insert
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    bloom_dir = os.path.join(sink, "_bloomgate")
+
+    def run_batch(rows, **kw):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = dedup_insert(
+            file_stream_reader(spark, src, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_expr=F.md5("text"), bucket_partitions=4,
+            compact_every=10**9, trigger_once=True, **kw,
+        )
+        _drain(q)
+
+    # epoch 0: gated at an explicit narrow width — pins m_bits=4096
+    run_batch([(1, "alpha")], bloom_gate=True, bloom_m_bits=1 << 12)
+    with open(os.path.join(bloom_dir, "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 12
+
+    # epoch 1: AUTO gate, tiny store => gate disengaged, but the dir
+    # exists so the post-land delta write still fires. Its width must
+    # follow the 4096 pin, not bloom_gate_auto_m_bits' 2^20 floor.
+    run_batch([(2, "beta")])
+    with open(os.path.join(bloom_dir, "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 12  # pin untouched
+
+    # epoch 2: gate re-engages at the pinned width and probes the
+    # merged deltas — epoch 1's key must be bloom-POSITIVE so its
+    # duplicate drops (a foreign-width epoch-1 delta reads negative)
+    run_batch([(3, "beta"), (4, "gamma")], bloom_gate=True, bloom_m_bits=1 << 12)
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2, 4}, landed
+
+    # belt-and-braces: no committed delta in the dir may carry a word id
+    # outside the pinned width's word space (32-bit packed words)
+    words = spark.read.parquet(
+        *glob.glob(os.path.join(bloom_dir, "_batch=*"))
+    ).select("word").collect()
+    assert all(0 <= r["word"] < (1 << 12) // 32 for r in words)
+    _sh.rmtree(src, ignore_errors=True)
+
+
+def test_near_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
+    """near_dedup_insert's band-bucket-value gate: same pinned-width
+    contract as the exact lane — a disengaged-gate batch's delta must
+    write at the meta pin so a later gated batch's probe still sees its
+    bucket values (advice r11, the near-dedup face)."""
+    import json as _json
+
+    sink = _nd_run(
+        spark, tmp_path, "wpin", [(1, _ND_BASE)],
+        bloom_gate=True, bloom_m_bits=1 << 12,
+    )
+    bg = os.path.join(sink, "_bloomgate")
+    with open(os.path.join(bg, "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 12
+
+    # disengaged (auto gate, tiny store) — delta still written, at the pin
+    _nd_run(spark, tmp_path, "wpin", [(2, _ND_OTHER)])
+    with open(os.path.join(bg, "_bloom_meta.json")) as fh:
+        assert _json.load(fh)["m_bits"] == 1 << 12
+    words = spark.read.parquet(
+        *glob.glob(os.path.join(bg, "_batch=*"))
+    ).select("word").collect()
+    assert all(0 <= r["word"] < (1 << 12) // 32 for r in words)
+
+    # gate re-engages at the pin: a near-copy of the DISENGAGED epoch's
+    # doc must still be caught (its buckets probe positive)
+    near = _ND_OTHER + " extra"
+    _nd_run(
+        spark, tmp_path, "wpin", [(3, near), (4, _ND_THIRD)],
+        bloom_gate=True, bloom_m_bits=1 << 12,
+    )
+    landed = {r.doc_id for r in read_sink(spark, sink).collect()}
+    assert landed == {1, 2, 4}, landed
+
+
+def test_spanclean_retention_backfills_uncovered_positive(spark, tmp_path):
+    """Round-12 coverage guard (advice r11): retiring an epoch whose
+    POSITIVE gram delta never landed (crash between the rows commit and
+    the delta write, retention racing the next batch's heal pass) must
+    backfill the positive before publishing the negative — otherwise
+    the unmatched negative under-counts grams whose OTHER carriers are
+    still live, and their next sighting lands uncut."""
+    import shutil as _sh
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import enforce_retention_spanclean
+
+    kw = dict(carrier_counts=True, compact_every=10**9)
+    sink = _sc_run(
+        spark, tmp_path, [(1, _SC_BOILER + " unique1a unique1b unique1c unique1d")], **kw
+    )
+    _sc_run(
+        spark, tmp_path, [(2, _SC_BOILER + " unique2a unique2b unique2c unique2d")], **kw
+    )
+    # simulate the crash: epoch 0's positive delta vanishes before any
+    # heal pass runs
+    _sh.rmtree(os.path.join(sink, "_grams", "_batch=0"))
+
+    # retire epoch 0 only — epoch 1 (a live boilerplate carrier) stays
+    removed = enforce_retention_spanclean(
+        spark, sink, id_col="doc_id", text_col="text", max_batches=1
+    )
+    assert removed == [0]
+
+    # the boilerplate still has a live carrier (doc 2): the next
+    # sighting must still be CUT. Without the guard the unmatched
+    # negative drove its live sum to zero and doc 3 landed intact.
+    _sc_run(
+        spark, tmp_path, [(3, _SC_BOILER + " unique3a unique3b unique3c unique3d")], **kw
+    )
+    by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
+    assert by_id[3]["n_removed"] == 5, dict(by_id[3].asDict())

@@ -10,6 +10,15 @@ streaming lane's rows/sec dropped by more than STREAM_DROP (30%) — the
 round-6 contract that turns the streaming numbers from a chart into a
 gate. Streaming runs are 8-batch and noisy at ±15%, so the 30% bar
 flags real plan regressions without tripping on scheduler jitter.
+
+Round 12: REFUSES to compare when both sides resolve to the identical
+record (same ``run_id``, or equal dicts for pre-run_id records) — the
+BENCH_LOCAL fallback is overwritten per run, so a torn OLD artifact
+could silently self-compare at 1.00x (it happened to r10->r11).
+Recovery path: ``BENCH_HISTORY.jsonl``, the append-only per-round
+archive bench.py writes beside BENCH_LOCAL.json. Also prints both
+records' ``streaming_warmup_discarded`` flags and labels cross-protocol
+streaming comparisons (pre-r11 tails metered the first lane cold).
 """
 
 from __future__ import annotations
@@ -82,6 +91,41 @@ def _load(path: str) -> dict:
 def main() -> int:
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    # self-compare refusal (round 12): the BENCH_LOCAL fallback above is
+    # overwritten every run, so a torn OLD artifact can resolve to the
+    # very record NEW describes — r10->r11 read 1.00x on all 39 queries
+    # behind one warning. A same-run identity is never a comparison;
+    # refuse loudly and point at the append-only archive.
+    same_id = old.get("run_id") is not None and old.get("run_id") == new.get(
+        "run_id"
+    )
+    if same_id or old == new:
+        raise SystemExit(
+            "REFUSING to compare: OLD and NEW resolve to the identical "
+            "bench record"
+            + (f" (run_id {old.get('run_id')})" if same_id else "")
+            + " — one side's artifact is unparseable and the fallback "
+            "landed on the other's record. Recover the missing round "
+            "from BENCH_HISTORY.jsonl (append-only, one full record per "
+            "sf0.1 run) and compare against that line instead."
+        )
+    # streaming-protocol provenance (round 12): rounds before r11
+    # metered the session's FIRST streaming lane cold (~30% slow);
+    # r11+ discard a session warm-up before metering. Comparing across
+    # that protocol change is legitimate but must be LABELED.
+    wo = bool(old.get("streaming_warmup_discarded"))
+    wn = bool(new.get("streaming_warmup_discarded"))
+    print(
+        f"streaming protocol: old warmup_discarded={wo}, "
+        f"new warmup_discarded={wn}"
+        + (
+            " — CROSS-PROTOCOL comparison: the un-warmed side's first "
+            "lane carries a ~30% cold-JIT penalty; interpret streaming "
+            "movement accordingly"
+            if wo != wn
+            else ""
+        )
+    )
     oq, nq = old["queries"], new["queries"]
     # host-drift normalization: when BOTH records carry the fixed
     # calibration probe (bench.py `calibration_sec`, round 8+), the gate
