@@ -10189,6 +10189,142 @@ ORDER BY e.set_a, e.set_b
 """
 
 
+def online_source_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped KMV STREAMING face under an exact oracle (round 12):
+    ``kmv_insert(set_cols=['source'])`` streams the documents table in
+    THREE micro-batch epochs (a real foreachBatch stream into a scratch
+    sink), ``read_corpus_kmv`` merges the per-epoch deltas per source,
+    and ``kmv_distinct`` reports each source's 3-shingle vocabulary
+    size. The KMV merge law (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)), deterministic md5 ranks) makes the streamed sketch a
+    PURE FUNCTION of the key multiset — independent of how the stream
+    was sliced into epochs — so the DuckDB oracle recomputes every
+    estimate bit-for-bit from the batch table: this is the streaming
+    lane's correctness gate expressed as SQL, not a rows-only check.
+    Exact per-source distincts ride beside the estimates with a 4σ
+    verdict (k=256 ⇒ ±25.1% at 4σ; measured ~2-6%). The ≤ |sources|-row
+    result materializes before the scratch sink is removed — the one
+    driver-side collect, sketch-bounded by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import kmv_distinct
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        kmv_insert,
+        read_corpus_kmv,
+    )
+
+    k = 256
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_kmv_online_")
+    try:
+        src = os.path.join(work, "in")
+        # three deterministic slices, one file each -> three epochs
+        # (maxFilesPerTrigger=1); the merge law promises the final
+        # sketch cannot depend on this split
+        for i in range(3):
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = kmv_insert(
+            file_stream_reader(spark, src, docs.schema),
+            os.path.join(work, "sink"),
+            os.path.join(work, "ckpt"),
+            key_col="s",
+            k=k,
+            set_cols=["source"],
+            transform=lambda df: df.select(
+                "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+            ),
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+        est = kmv_distinct(
+            read_corpus_kmv(
+                spark, os.path.join(work, "sink"), k=k, set_cols=["source"]
+            ),
+            k=k,
+            set_cols=["source"],
+        )
+        exact = (
+            docs.select(
+                "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+            )
+            .distinct()
+            .groupBy("source")
+            .agg(F.count("*").alias("exact_distinct"))
+        )
+        rows = (
+            est.join(exact, "source")
+            .select(
+                "source",
+                "n_distinct_est",
+                "is_exact",
+                "exact_distinct",
+                (
+                    F.abs(
+                        F.col("n_distinct_est")
+                        / F.col("exact_distinct").cast("double")
+                        - 1
+                    )
+                    <= 0.251
+                ).alias("within_bound"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source string, n_distinct_est double, is_exact boolean, "
+        "exact_distinct bigint, within_bound boolean",
+    )
+
+
+_KMV_ONLINE_ORACLE = f"""
+WITH toks AS (SELECT source, {_SQL_WORDS} AS t FROM documents),
+sh AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM toks
+),
+keys AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substring(md5('v#' || s), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM sh
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM keys
+),
+agg AS (
+  SELECT source, COUNT(*) AS n, MAX(h) AS hk
+  FROM ranked WHERE rn <= 256 GROUP BY source
+),
+ex AS (
+  SELECT source, COUNT(DISTINCT s) AS exact_distinct FROM sh GROUP BY source
+),
+est AS (
+  SELECT a.source,
+         CASE WHEN a.n < 256 THEN ROUND(CAST(a.n AS DOUBLE), 4)
+              ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(a.hk AS DOUBLE), 4)
+         END AS n_distinct_est,
+         (a.n < 256) AS is_exact
+  FROM agg a
+)
+SELECT e.source, e.n_distinct_est, e.is_exact, x.exact_distinct,
+       (ABS(e.n_distinct_est / CAST(x.exact_distinct AS DOUBLE) - 1) <= 0.251)
+         AS within_bound
+FROM est e JOIN ex x ON e.source = x.source
+ORDER BY e.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's full RAG pipeline on sf0.001."""
     return rag_answers(spark, "/root/testdata/sf0.001")
@@ -10438,6 +10574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": distinct_agg,
         "bloom_returning_users": bloom_returning_users,
         "source_overlap_matrix": source_overlap_matrix,
+        # round 12: the grouped-KMV STREAMING face under an exact
+        # oracle (merge law => sketch independent of the epoch split)
+        "online_source_kmv": online_source_kmv,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
@@ -10646,4 +10785,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap_kmv": _KMV_OVERLAP_ORACLE,
         "bloom_returning_users": _BLOOM_USERS_ORACLE,
         "source_overlap_matrix": _KMV_MATRIX_ORACLE,
+        "online_source_kmv": _KMV_ONLINE_ORACLE,
     }

@@ -77,6 +77,12 @@ HEADLINE = [
     # URL dedup → near-dedup → quality gates) — the end-to-end corpus
     # build a real crawl ingests through
     "crawl_curation_pipeline",
+    # round-12: tokenizer training goes under the round-over-round
+    # microscope — the oracled one-round merge ranking, plus the
+    # composed learn-50-merges → encode-the-corpus chain (the "one
+    # corpus pass" claim, timed instead of asserted)
+    "bpe_merge_candidates",
+    "bpe_tokenize_corpus",
 ]
 
 
@@ -111,9 +117,33 @@ def _ivf_probe(spark, sf_dir: str) -> None:
     out.write.format("noop").mode("overwrite").save()
 
 
+def _bpe_tokenize_corpus(spark, sf_dir: str) -> None:
+    # the composed tokenizer chain: ONE corpus pass builds the
+    # vocabulary-sized word-frequency table, the greedy learner runs
+    # over its frequency head on the driver (bounded collect), and the
+    # encode is a merges-in-closure mapInPandas — nothing shuffles
+    # after the word count
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    merges = learn_bpe_merges(
+        word_frequencies(docs), n_merges=50, max_vocab_rows=100_000
+    )
+    bpe_encode(docs, merges).write.format("noop").mode("overwrite").save()
+
+
 EXTRA_ACTIONS = {
     "vec_topk_ivf_build": _ivf_build,
     "vec_topk_ivf_probe": _ivf_probe,
+    "bpe_tokenize_corpus": _bpe_tokenize_corpus,
 }
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,7 @@ def bloom_build(
     *,
     m_bits: int = 1 << 16,
     k: int = 4,
+    set_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build a bloom filter over ``key_col``.
 
@@ -89,28 +90,40 @@ def bloom_build(
     the shuffle at ``m_bits/32`` rows per map task, so the build cost
     over a 100 TB key column is the scan, not the wire. Duplicate input
     keys are free (OR is idempotent) — no distinct pass needed.
-    """
+
+    ``set_cols`` (round 12) builds one INDEPENDENT bloom per group —
+    ``(set_cols…, word, bits)``, ≤ ``m_bits/32`` rows per group — the
+    per-source membership form (each source's seen-URL bitmap in one
+    table, the KMV ``set_cols`` sibling). NULL group keys are
+    first-class groups (Spark ``groupBy`` keeps them; the grouped
+    :func:`bloom_contains` joins them null-safely)."""
+    sc = list(set_cols or [])
     key = F.col(key_col)
     pos = F.explode(
         F.array(*[_bloom_pos(key, i, m_bits).alias(f"p{i}") for i in range(k)])
     ).alias("pos")
-    rows = items.select(pos).select(
+    rows = items.select(*sc, pos).select(
+        *sc,
         (F.col("pos") / F.lit(_WORD_BITS)).cast("int").alias("word"),
         # SQL form: the PySpark wrapper wants a literal shift count, the
         # SQL function takes a column
         F.expr(f"shiftleft(1L, cast(pos % {_WORD_BITS} as int))").alias("__bit"),
     )
-    return rows.groupBy("word").agg(F.bit_or("__bit").alias("bits"))
+    return rows.groupBy(*sc, "word").agg(F.bit_or("__bit").alias("bits"))
 
 
-def bloom_merge(*blooms: DataFrame) -> DataFrame:
+def bloom_merge(
+    *blooms: DataFrame, set_cols: list[str] | None = None
+) -> DataFrame:
     """Merge blooms built with identical ``(m_bits, k)``: union + OR.
     Associative, commutative, idempotent — the daily-rollup merge is
-    this one line, and re-merging yesterday's sketch is a no-op."""
+    this one line, and re-merging yesterday's sketch is a no-op.
+    Grouped blooms merge per group (pass the build's ``set_cols``)."""
+    sc = list(set_cols or [])
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return out.groupBy(*sc, "word").agg(F.bit_or("bits").alias("bits"))
 
 
 def bloom_contains(
@@ -120,6 +133,7 @@ def bloom_contains(
     *,
     m_bits: int = 1 << 16,
     k: int = 4,
+    set_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``bloom_member BOOLEAN`` to ``probes``: TRUE iff every one
     of the key's ``k`` bits is set. The sketch side (≤ ``m_bits/32``
@@ -142,7 +156,14 @@ def bloom_contains(
     For a STORE-SCALED bloom (100+ MB packed) probed by a SMALL batch,
     semi-reduce it with :func:`bloom_needed_words` first so the k
     broadcasts ship ≤ ``|probes|·k`` words instead of the full bitmap.
-    """
+
+    ``set_cols`` (round 12) probes a GROUPED build: each probe row
+    tests membership in ITS OWN group's bloom — the k broadcast joins
+    key on ``(set_cols…, word)`` with NULL-SAFE group equality (a null
+    group key was a real group at build time; a null-unsafe join would
+    read every one of its keys as absent = false negatives). Same
+    zero-shuffle probe-side shape."""
+    sc = list(set_cols or [])
     key = F.col(key_col)
     cols = list(probes.columns)
     out = probes
@@ -158,13 +179,28 @@ def bloom_contains(
             .withColumn(btn, (F.col("__blpos") % _WORD_BITS).cast("int"))
             .drop("__blpos")
         )
-        out = out.join(
-            F.broadcast(
-                bloom.select(F.col("word").alias(wn), F.col("bits").alias(bn))
-            ),
-            wn,
-            "left",
-        )
+        if sc:
+            bl = F.broadcast(
+                bloom.select(
+                    *[F.col(c).alias(f"__bls{i}_{j}") for j, c in enumerate(sc)],
+                    F.col("word").alias(wn),
+                    F.col("bits").alias(bn),
+                )
+            )
+            cond = out[wn] == bl[wn]
+            for j, c in enumerate(sc):
+                cond = cond & out[c].eqNullSafe(bl[f"__bls{i}_{j}"])
+            out = out.join(bl, cond, "left").drop(
+                bl[wn], *[bl[f"__bls{i}_{j}"] for j in range(len(sc))]
+            )
+        else:
+            out = out.join(
+                F.broadcast(
+                    bloom.select(F.col("word").alias(wn), F.col("bits").alias(bn))
+                ),
+                wn,
+                "left",
+            )
         hits.append(F.expr(f"shiftright(coalesce({bn}, 0L), {btn}) % 2 = 1"))
     member = hits[0]
     for h in hits[1:]:

@@ -3839,6 +3839,7 @@ def bloom_insert(
     key_col: str,
     m_bits: int = 1 << 20,
     k: int = 4,
+    set_cols: list[str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
@@ -3861,7 +3862,14 @@ def bloom_insert(
     :func:`compact_sink` on the ``_bloom`` dir at any time: the merge
     is a pure function of the unioned delta rows, which folding
     preserves. No false negatives ever, by construction, across any
-    number of epochs, folds, and replays."""
+    number of epochs, folds, and replays.
+
+    ``set_cols`` (round 12) maintains one INDEPENDENT bloom per group —
+    per-source seen-key bitmaps online, the membership sibling of
+    ``kmv_insert(set_cols=)``: every delta, fold, and read reduces per
+    ``(set_cols…, word)``; pass the same ``set_cols`` to
+    :func:`read_corpus_bloom` and to grouped
+    ``operators.membership.bloom_contains``."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
 
     write_rows = idempotent_batch_writer(sink_dir)
@@ -3874,7 +3882,10 @@ def bloom_insert(
         try:
             write_rows(batch_df, epoch_id)
             write_delta(
-                bloom_build(batch_df, key_col, m_bits=m_bits, k=k), epoch_id
+                bloom_build(
+                    batch_df, key_col, m_bits=m_bits, k=k, set_cols=set_cols
+                ),
+                epoch_id,
             )
         finally:
             batch_df.unpersist()
@@ -3887,15 +3898,22 @@ def bloom_insert(
     return writer.start()
 
 
-def read_corpus_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
+def read_corpus_bloom(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    set_cols: list[str] | None = None,
+) -> DataFrame:
     """The current bloom filter of a :func:`bloom_insert` sink:
-    merge-on-read over the committed deltas (``(word, bits)``, OR'd).
-    Feed it straight to ``operators.membership.bloom_contains`` with
-    the build's ``(m_bits, k)``."""
+    merge-on-read over the committed deltas (``(word, bits)``, OR'd —
+    per ``(set_cols…, word)`` for a grouped build). Feed it straight to
+    ``operators.membership.bloom_contains`` with the build's
+    ``(m_bits, k)`` (and ``set_cols``)."""
     from pyspark.sql import functions as F
 
+    sc = list(set_cols or [])
     deltas = read_sink(spark, os.path.join(sink_dir, "_bloom"))
-    return deltas.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return deltas.groupBy(*sc, "word").agg(F.bit_or("bits").alias("bits"))
 
 
 def kmv_insert(

@@ -283,3 +283,99 @@ def test_kmv_small_sets_fully_exact_overlap(spark):
     ove = kmv_overlap(kmv_sketch(a, "k", k=256), se, k=256).collect()[0]
     assert ove.d_b_est == 0.0 and ove.jaccard_est == 0.0
     assert ove.d_intersect_est == 0.0 and ove.d_union_est == 60.0
+
+
+# ---------------------------------------------------------------------------
+# grouped bloom (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_grouped_membership_is_per_group(spark):
+    """set_cols builds one independent bloom per group: a key inserted
+    under source A is a member of A's bloom (no false negatives, per
+    group) and — at this width — a non-member of B's; NULL group keys
+    are first-class through build AND probe (null-safe join)."""
+    rows = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(200)]
+        + [("b", f"x{i}") for i in range(200)]
+        + [(None, f"z{i}") for i in range(50)],
+        "src string, k string",
+    )
+    bloom = bloom_build(rows, "k", m_bits=1 << 16, k=K_HASH, set_cols=["src"])
+    # bounded state per group
+    per = {r["src"]: r["c"] for r in bloom.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert set(per) == {"a", "b", None}
+    assert all(c <= (1 << 16) // 32 for c in per.values())
+    # every inserted (group, key) probes TRUE
+    got = bloom_contains(
+        bloom, rows, "k", m_bits=1 << 16, k=K_HASH, set_cols=["src"]
+    )
+    assert got.filter(~F.col("bloom_member")).count() == 0
+    # cross-group probes: a's keys against b's bloom read absent
+    cross = rows.filter(F.col("src") == "a").withColumn("src", F.lit("b"))
+    fp = bloom_contains(
+        bloom, cross, "k", m_bits=1 << 16, k=K_HASH, set_cols=["src"]
+    ).filter(F.col("bloom_member")).count()
+    assert fp <= 5  # fp-rate sized, never systematic
+
+
+def test_bloom_grouped_merge_law(spark):
+    """Grouped merge = grouped build of the concatenation."""
+    a = spark.createDataFrame([("s1", f"k{i}") for i in range(100)], "src string, k string")
+    b = spark.createDataFrame(
+        [("s1", f"m{i}") for i in range(100)] + [("s2", f"n{i}") for i in range(100)],
+        "src string, k string",
+    )
+    merged = bloom_merge(
+        bloom_build(a, "k", m_bits=M_BITS, k=K_HASH, set_cols=["src"]),
+        bloom_build(b, "k", m_bits=M_BITS, k=K_HASH, set_cols=["src"]),
+        set_cols=["src"],
+    )
+    direct = bloom_build(a.union(b), "k", m_bits=M_BITS, k=K_HASH, set_cols=["src"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_insert_grouped_stream_face(spark, tmp_path):
+    """bloom_insert(set_cols=): per-source membership maintained online —
+    two epochs land, read_corpus_bloom(set_cols) merges per group, and
+    every landed (source, key) probes TRUE while cross-source probes
+    stay fp-rate-bounded."""
+    import os
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        bloom_insert,
+        file_stream_reader,
+        read_corpus_bloom,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("src", StringType()), StructField("k", StringType())])
+    srcdir = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(srcdir)
+        q = bloom_insert(
+            file_stream_reader(spark, srcdir, schema),
+            sink, str(tmp_path / "ckpt"),
+            key_col="k", m_bits=M_BITS, k=K_HASH, set_cols=["src"],
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run([("a", f"k{i}") for i in range(50)])
+    run([("b", f"x{i}") for i in range(50)] + [("a", "late1")])
+    bloom = read_corpus_bloom(spark, sink, set_cols=["src"])
+    probes = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(50)] + [("a", "late1")]
+        + [("b", f"x{i}") for i in range(50)],
+        schema,
+    )
+    got = bloom_contains(bloom, probes, "k", m_bits=M_BITS, k=K_HASH, set_cols=["src"])
+    assert got.filter(~F.col("bloom_member")).count() == 0
+    # b's keys are not members of a's bloom (beyond fp noise)
+    cross = spark.createDataFrame([("a", f"x{i}") for i in range(50)], schema)
+    fp = bloom_contains(
+        bloom, cross, "k", m_bits=M_BITS, k=K_HASH, set_cols=["src"]
+    ).filter(F.col("bloom_member")).count()
+    assert fp <= 5

@@ -87,6 +87,10 @@ HEAVIES = [
     # replaces at corpus scale)
     "corpus_overlap_kmv",
     "bloom_returning_users",
+    # round-12: tokenizer training — the one-round merge ranking whose
+    # hot stage is vocabulary-sized, not corpus-sized (the exponent
+    # should track the word-count shuffle, near 1.0)
+    "bpe_merge_candidates",
 ]
 
 SF_DIRS = {

@@ -1194,6 +1194,215 @@ def _upsert_rung(
     return stats
 
 
+def _stateful_window_rung(
+    spark, rung: int, work: str, *, session: bool = False, tag: str = "sw"
+) -> dict:
+    """Round 12: state-growth rungs for the NATIVE stateful event-time
+    window lanes (bench ``events_sliding_stream`` / ``events_session_stream``
+    carry one bench point each — this ladders their actual 100 TB risk,
+    STATE-STORE growth). The rung is KEY CARDINALITY; the INPUT is
+    FIXED (200k rows, 4 event-time-ordered micro-batches): rows/sec
+    movement across rungs therefore isolates the cost of state, not
+    input — the fixed-input design IS the control, and the recorded
+    ``state_rows_max`` (max ``stateOperators.numRowsTotal`` over the
+    progress log) proves the state actually grew with the rung.
+
+    Sliding: 1 h windows sliding 30 m over a ~5.5 h event-time span,
+    watermark 1 h — each key holds its in-flight window set until the
+    per-batch watermark advance evicts behind it. Session: 5-minute-gap
+    sessions — at low rungs every key re-fires inside the gap (one long
+    open session per key); at high rungs per-key gaps exceed 5 m and
+    sessions close as the watermark passes, so open-session count
+    tracks the rung either way."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        idempotent_batch_writer,
+    )
+
+    n_rows = 200_000
+    keys = min(rung, n_rows)
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    base_ts = 1_700_000_000
+    ev = spark.range(n_rows).select(
+        "id",
+        F.timestamp_seconds(F.lit(base_ts) + F.col("id") / F.lit(10.0)).alias(
+            "ts"
+        ),
+        F.concat(F.lit("k"), F.pmod(F.xxhash64("id"), F.lit(keys))).alias(
+            "key"
+        ),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    # event-time-ordered slices written sequentially: the file source
+    # picks them up oldest-first, so the watermark advances per batch
+    # and eviction actually runs (a shuffled split would hold ALL state
+    # to the end and measure nothing but the final flush)
+    for b in range(N_BATCHES):
+        lo = b * n_rows // N_BATCHES
+        hi = (b + 1) * n_rows // N_BATCHES
+        (
+            ev.filter((F.col("id") >= lo) & (F.col("id") < hi))
+            .drop("id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+    stream = file_stream_reader(spark, src, schema).withWatermark("ts", "1 hour")
+    if session:
+        out_df = (
+            stream.groupBy(
+                F.session_window("ts", "5 minutes").alias("w"), "key"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "key", "n")
+        )
+    else:
+        out_df = (
+            stream.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"), "key"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "key", "n", "sv")
+        )
+    t0 = time.time()
+    q = (
+        out_df.writeStream.outputMode("append")
+        .foreachBatch(idempotent_batch_writer(sink))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, n_rows)
+    state_rows = 0
+    for p in q.recentProgress or []:
+        for so in p.get("stateOperators", []) or []:
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+    stats["state_rows_max"] = state_rows
+    stats["distinct_keys"] = keys
+    return stats
+
+
+def _mg_groups_rung(
+    spark, rung: int, work: str, *, cap: int | None = None, tag: str = "mgg"
+) -> dict:
+    """Round 12: the grouped-MG GROUP-CARDINALITY axis over a FIXED
+    200k-item input (4 batches) — pricing the round-11 caveat that
+    per-partition Python state is ``k · |groups seen|`` dict entries
+    with no bound. ``cap`` runs the round-12 escape hatch
+    (``max_groups_per_partition``): overflow groups spill exact
+    batch-preaggregated rows instead of holding state — the recorded
+    ``delta_rows`` makes the spill's output-size trade visible next to
+    the wall numbers."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        file_stream_reader,
+        mg_insert,
+        read_corpus_mg,
+    )
+
+    n_rows = 200_000
+    groups = min(rung, n_rows)
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    rows = spark.range(n_rows).select(
+        F.concat(F.lit("g"), F.pmod(F.xxhash64("id"), F.lit(groups))).alias(
+            "g"
+        ),
+        F.concat(
+            F.lit("t"), F.pmod(F.xxhash64(F.col("id") + 3), F.lit(97))
+        ).alias("item"),
+    )
+    rows.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = mg_insert(
+        file_stream_reader(spark, src, schema),
+        sink,
+        ckpt,
+        item_col="item",
+        k=16,
+        group_cols=["g"],
+        max_groups_per_partition=cap,
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, n_rows)
+    stats["delta_rows"] = spark.read.parquet(
+        *_committed_batch_dirs(os.path.join(sink, "_mg"))
+    ).count()
+    t0 = time.time()
+    stats["summary_rows"] = read_corpus_mg(
+        spark, sink, k=16, group_cols=["g"]
+    ).count()
+    stats["summary_sec"] = round(time.time() - t0, 2)
+    stats["distinct_groups"] = groups
+    return stats
+
+
+def _kmv_groups_rung(spark, rung: int, work: str, tag: str = "kvg") -> dict:
+    """Round 12: the grouped-KMV SET-CARDINALITY axis over a FIXED
+    200k-key input (4 batches) — the per-source distinct/overlap store
+    maintained online (``kmv_insert(set_cols=)``); deltas are ≤ k rows
+    PER SET, so the recorded ``delta_rows`` should track rung · k and
+    the read-side merge (grouped rank window over sketch-scale rows)
+    prices the summary."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import kmv_distinct
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        file_stream_reader,
+        kmv_insert,
+        read_corpus_kmv,
+    )
+
+    n_rows = 200_000
+    sets = min(rung, n_rows)
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    k = 64
+    rows = spark.range(n_rows).select(
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("id"), F.lit(sets))).alias("g"),
+        F.concat(F.lit("u"), F.col("id")).alias("key"),
+    )
+    rows.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = kmv_insert(
+        file_stream_reader(spark, src, schema),
+        sink,
+        ckpt,
+        key_col="key",
+        k=k,
+        set_cols=["g"],
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, n_rows)
+    stats["delta_rows"] = spark.read.parquet(
+        *_committed_batch_dirs(os.path.join(sink, "_kmv"))
+    ).count()
+    t0 = time.time()
+    stats["summary_rows"] = kmv_distinct(
+        read_corpus_kmv(spark, sink, k=k, set_cols=["g"]),
+        k=k,
+        set_cols=["g"],
+    ).count()
+    stats["summary_sec"] = round(time.time() - t0, 2)
+    stats["distinct_sets"] = sets
+    return stats
+
+
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
@@ -1325,6 +1534,24 @@ def main() -> int:
                 what="pruned read without the bloom gate (round-10 pre-gate shape)",
             ),
         ),
+        # round 12: STATE-growth ladders — the rung is state cardinality
+        # (keys / groups / sets), the input is FIXED at 200k rows, so
+        # cross-rung movement isolates state cost from input cost by
+        # construction. Run these with their own rung list, e.g.
+        #   --lanes events_sliding_state,events_session_state 1000 10000 100000
+        "events_sliding_state": _stateful_window_rung,
+        "events_session_state": lambda s, r, w: _stateful_window_rung(
+            s, r, w, session=True, tag="ss"
+        ),
+        "mg_grouped_insert": lambda s, r, w: dict(
+            _mg_groups_rung(s, r, w, cap=None, tag="mgg"),
+            control=dict(
+                _mg_groups_rung(s, r, w, cap=1024, tag="mgc"),
+                what="max_groups_per_partition=1024: overflow groups "
+                "spill exact rows, per-partition dict state capped",
+            ),
+        ),
+        "kmv_grouped_insert": _kmv_groups_rung,
     }
     # lanes whose natural control is ANOTHER lane run in the same
     # session: cross-attach that lane's same-rung numbers as `control`
