@@ -10350,7 +10350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "filter_pushdown_project": filter_pushdown_project,
-        "q10_returned_items": q10_returned_items,
         # round 8: the bottom-m quantile sketch takes the driver-window
         # slot TPC-H q17 held — the relational core keeps six other
         # representatives inside the first-50 hash gate, while the new
@@ -10388,6 +10387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the gate; distinct_agg moved to the tail, still
         # parity-gated.
         "corpus_overlap_kmv": corpus_overlap_kmv,
+        # round 12: the grouped-KMV STREAMING face joins the window —
+        # a real 3-epoch kmv_insert(set_cols=) stream whose sketch the
+        # oracle recomputes exactly (merge law: the result cannot
+        # depend on the epoch split). q10_returned_items yields its
+        # slot to the tail (the relational core keeps five TPC-H reps
+        # plus the join/window/rollup shapes in-window).
+        "online_source_kmv": online_source_kmv,
         "window_rank": window_rank,
         "orderby_limit": orderby_limit,
         "set_intersect": set_intersect,
@@ -10424,6 +10430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the RAG flagships)
         "scalar_date_fns": scalar_date_fns,
         "map_type_ops": map_type_ops,
+        # (round 12: displaced by online_source_kmv; still parity-gated)
+        "q10_returned_items": q10_returned_items,
         # (displaced from the driver window in round 9 to admit the new
         # operator families — kll_value_quantiles, video_iframe_stats,
         # warc_documents, crawl_text_extraction; each displaced entry's
@@ -10574,9 +10582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": distinct_agg,
         "bloom_returning_users": bloom_returning_users,
         "source_overlap_matrix": source_overlap_matrix,
-        # round 12: the grouped-KMV STREAMING face under an exact
-        # oracle (merge law => sketch independent of the epoch split)
-        "online_source_kmv": online_source_kmv,
         # RAG (§3)
         "rag_answers_hybrid": rag_answers_hybrid,
     }
