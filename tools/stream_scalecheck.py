@@ -1644,8 +1644,13 @@ def main() -> int:
         "linear-in-history, the target is far under. Every run since "
         "round 10 pays a discarded session-level warm-up stream before "
         "any lane is metered (A/A measured the session's FIRST lane ~30% "
-        "slow from codegen/JIT); rungs re-recorded in round 11 carry "
-        "that discipline — retained 10M rungs predate it."
+        "slow from codegen/JIT); the 10k/100k/1M rungs were re-recorded "
+        "behind it in round 11 and the ENTIRE 10M tier in round 12 — no "
+        "retained rung predates the warm-up discipline anymore. The "
+        "round-12 10M re-run moved two conclusions: the rebucketed "
+        "store's 10M win and the ghost-prune's break-even both read as "
+        "LOSSES warm-measured on local disk (see SCALING.md round-12 "
+        "notes; both remain object-store-regime levers)."
     )
     for lane, rows in results.items():
         streaming.setdefault(lane, {}).update(rows)
