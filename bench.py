@@ -176,6 +176,19 @@ def _progress_stats(query, wall_sec: float, source_rows: int) -> dict:
     }
 
 
+def _state_rows_max(query) -> int:
+    """Max streaming-state-store rows over the query's progress log —
+    the number the round-12 state-growth ladder rungs against; recorded
+    here too so the per-round bench carries the state footprint beside
+    the throughput (a throughput move with a state move is a different
+    diagnosis than one without)."""
+    m = 0
+    for p in query.recentProgress or []:
+        for so in p.get("stateOperators", []) or []:
+            m = max(m, int(so.get("numRowsTotal", 0)))
+    return m
+
+
 def _streaming_bench(spark) -> dict:
     import shutil
     import tempfile
@@ -551,6 +564,7 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["events_sliding_stream"] = _progress_stats(q, time.time() - t0, n_ev)
+        out["events_sliding_stream"]["state_rows_max"] = _state_rows_max(q)
 
         sessions = (
             file_stream_reader(spark, upsrc, ev.schema)
@@ -571,6 +585,7 @@ def _streaming_bench(spark) -> dict:
         )
         q.awaitTermination(600)
         out["events_session_stream"] = _progress_stats(q, time.time() - t0, n_ev)
+        out["events_session_stream"]["state_rows_max"] = _state_rows_max(q)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
