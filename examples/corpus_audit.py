@@ -125,12 +125,52 @@ def run(spark: SparkSession, verbose: bool = False):
     out["matrix"] = [
         (r.set_a, r.set_b, r.jaccard_est) for r in matrix.collect()
     ]
+
+    # 5. per-source membership ONLINE (round 12): one GROUPED bloom
+    # (``bloom_insert(set_cols=['source'])``) answers the question the
+    # global bloom of step 2 cannot — "has THIS source itself carried
+    # this URL", distinguishing a source re-crawling its own pages from
+    # a different source mirroring them. Same zero-shuffle probe, the k
+    # broadcast joins keyed on (source, word) with null-safe groups.
+    gsink = os.path.join(work, "gsink")
+    q = bloom_insert(
+        file_stream_reader(spark, src1, day1.schema),
+        gsink,
+        os.path.join(work, "gbloom_ckpt"),
+        key_col="url",
+        m_bits=m_bits,
+        k=kk,
+        set_cols=["source"],
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    gb = read_corpus_bloom(spark, gsink, set_cols=["source"])
+    own = bloom_contains(
+        gb, day2.select("source", "url"), "url",
+        m_bits=m_bits, k=kk, set_cols=["source"],
+    )
+    out["day2_seen_by_own_source"] = own.filter("bloom_member").count()
+    # cross-source probe: source 0's day-2 URLs asked against source
+    # 1's bloom — a per-source bitmap holds only its own keys, so this
+    # reads (near) empty where the global bloom would say "seen"
+    cross = day2.filter("source = '0'").withColumn("source", F.lit("1"))
+    out["cross_source_hits"] = (
+        bloom_contains(
+            gb, cross.select("source", "url"), "url",
+            m_bits=m_bits, k=kk, set_cols=["source"],
+        )
+        .filter("bloom_member")
+        .count()
+    )
     if verbose:
         print(out)
     return out
 
 
 if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "8")

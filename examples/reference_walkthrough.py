@@ -11,6 +11,11 @@ stage's output; `tests/test_walkthrough.py` asserts the flow.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import SparkSession
 
 from confluent_kafka_vector_search_prompt_inference_spark.catalog import Catalog

@@ -33,3 +33,10 @@ def test_corpus_audit_example(spark):
     # matrix has all 3 pairs, each with zero estimated overlap
     assert len(out["matrix"]) == 3
     assert all(j == 0.0 for _, _, j in out["matrix"])
+    # grouped bloom (round 12): every same-source re-crawl is a member
+    # of its OWN source's bloom (superset — no false negatives per
+    # group), while a different source's bloom reads (near) empty for
+    # the same URLs
+    assert out["day2_seen_by_own_source"] >= 300
+    assert out["day2_seen_by_own_source"] <= 330
+    assert out["cross_source_hits"] <= 20
