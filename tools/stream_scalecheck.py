@@ -1195,7 +1195,8 @@ def _upsert_rung(
 
 
 def _stateful_window_rung(
-    spark, rung: int, work: str, *, session: bool = False, tag: str = "sw"
+    spark, rung: int, work: str, *, session: bool = False, tag: str = "sw",
+    n_rows: int = 200_000,
 ) -> dict:
     """Round 12: state-growth rungs for the NATIVE stateful event-time
     window lanes (bench ``events_sliding_stream`` / ``events_session_stream``
@@ -1221,7 +1222,6 @@ def _stateful_window_rung(
         idempotent_batch_writer,
     )
 
-    n_rows = 200_000
     keys = min(rung, n_rows)
     src = os.path.join(work, f"{tag}_src_{rung}")
     sink = os.path.join(work, f"{tag}_sink_{rung}")
@@ -1289,7 +1289,8 @@ def _stateful_window_rung(
 
 
 def _mg_groups_rung(
-    spark, rung: int, work: str, *, cap: int | None = None, tag: str = "mgg"
+    spark, rung: int, work: str, *, cap: int | None = None, tag: str = "mgg",
+    n_rows: int = 200_000,
 ) -> dict:
     """Round 12: the grouped-MG GROUP-CARDINALITY axis over a FIXED
     200k-item input (4 batches) — pricing the round-11 caveat that
@@ -1308,7 +1309,6 @@ def _mg_groups_rung(
         read_corpus_mg,
     )
 
-    n_rows = 200_000
     groups = min(rung, n_rows)
     src = os.path.join(work, f"{tag}_src_{rung}")
     sink = os.path.join(work, f"{tag}_sink_{rung}")
@@ -1348,7 +1348,9 @@ def _mg_groups_rung(
     return stats
 
 
-def _kmv_groups_rung(spark, rung: int, work: str, tag: str = "kvg") -> dict:
+def _kmv_groups_rung(
+    spark, rung: int, work: str, tag: str = "kvg", n_rows: int = 200_000
+) -> dict:
     """Round 12: the grouped-KMV SET-CARDINALITY axis over a FIXED
     200k-key input (4 batches) — the per-source distinct/overlap store
     maintained online (``kmv_insert(set_cols=)``); deltas are ≤ k rows
@@ -1365,7 +1367,6 @@ def _kmv_groups_rung(spark, rung: int, work: str, tag: str = "kvg") -> dict:
         read_corpus_kmv,
     )
 
-    n_rows = 200_000
     sets = min(rung, n_rows)
     src = os.path.join(work, f"{tag}_src_{rung}")
     sink = os.path.join(work, f"{tag}_sink_{rung}")
@@ -1539,19 +1540,36 @@ def main() -> int:
         # cross-rung movement isolates state cost from input cost by
         # construction. Run these with their own rung list, e.g.
         #   --lanes events_sliding_state,events_session_state 1000 10000 100000
-        "events_sliding_state": _stateful_window_rung,
-        "events_session_state": lambda s, r, w: _stateful_window_rung(
-            s, r, w, session=True, tag="ss"
+        # each pays a small DISCARDED warm pass first (the generic
+        # session warm-up doesn't reach these lanes' stateful-window /
+        # mapInPandas codegen paths — the first metered pass of a
+        # session measured ~1.5x slow, inverting the state-growth story
+        # at the smallest rung)
+        "events_sliding_state": lambda s, r, w: (
+            _stateful_window_rung(s, 100, w, tag="slw" + str(r), n_rows=20_000)
+            and _stateful_window_rung(s, r, w, tag="sl")
         ),
-        "mg_grouped_insert": lambda s, r, w: dict(
-            _mg_groups_rung(s, r, w, cap=None, tag="mgg"),
-            control=dict(
-                _mg_groups_rung(s, r, w, cap=1024, tag="mgc"),
-                what="max_groups_per_partition=1024: overflow groups "
-                "spill exact rows, per-partition dict state capped",
-            ),
+        "events_session_state": lambda s, r, w: (
+            _stateful_window_rung(
+                s, 100, w, session=True, tag="ssw" + str(r), n_rows=20_000
+            )
+            and _stateful_window_rung(s, r, w, session=True, tag="ss")
         ),
-        "kmv_grouped_insert": _kmv_groups_rung,
+        "mg_grouped_insert": lambda s, r, w: (
+            _mg_groups_rung(s, 100, w, tag="mgw" + str(r), n_rows=20_000)
+            and dict(
+                _mg_groups_rung(s, r, w, cap=None, tag="mgg"),
+                control=dict(
+                    _mg_groups_rung(s, r, w, cap=1024, tag="mgc"),
+                    what="max_groups_per_partition=1024: overflow groups "
+                    "spill exact rows, per-partition dict state capped",
+                ),
+            )
+        ),
+        "kmv_grouped_insert": lambda s, r, w: (
+            _kmv_groups_rung(s, 100, w, tag="kvw" + str(r), n_rows=20_000)
+            and _kmv_groups_rung(s, r, w)
+        ),
     }
     # lanes whose natural control is ANOTHER lane run in the same
     # session: cross-attach that lane's same-rung numbers as `control`
