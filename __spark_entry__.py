@@ -1545,6 +1545,167 @@ WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
 """
 
 
+def line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet / RefinedWeb line-level boilerplate removal (round 12 —
+    the granularity between whole-doc dedup and 5-gram span removal:
+    nav bars, cookie banners, copyright footers repeat across a SITE's
+    pages without making any two pages near-duplicates). Fixture pages
+    are built in-flight, closed-form from ``documents`` so DuckDB can
+    re-run the whole chain: per doc a multi-line page — a per-source
+    nav header, a cookie-banner line on ``doc_id % 3 == 0`` (~1/3 of
+    each source's docs, above the 0.25 gate), the doc's own text in
+    12-word body lines, a per-source copyright footer. The operator
+    must cut header/banner/footer per source and keep every body line
+    (a body line repeating across two docs of a source sits below the
+    0.25 fraction gate).
+
+    Plan shape at 100 TB: one (source, line)-keyed distinct-doc count,
+    a broadcast |sources|-row totals join, one groupBy(doc) reassembly
+    — no corpus window, no all-pairs (``operators/repetition.py``)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.repetition import (
+        remove_repeated_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(w) / F.lit(12.0)).cast("int"), F.lit(1)
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * 12 + 1, F.lit(12)), " "),
+    )
+    hdr = F.concat(F.lit("nav "), F.col("source"), F.lit(" home products contact login"))
+    cook = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.lit("this site uses cookies accept or decline terms")),
+    ).otherwise(F.array().cast("array<string>"))
+    ftr = F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved"))
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.concat(F.array(hdr), cook, body, F.array(ftr)), "\n"
+        ).alias("page"),
+    )
+    return remove_repeated_lines(
+        pages, "doc_id", "page",
+        group_cols=["source"], min_docs=2, max_doc_frac=0.25,
+    ).orderBy("doc_id")
+
+
+_LINE_BOILERPLATE_ORACLE = r"""
+WITH pages AS (
+  SELECT doc_id, source,
+    ['nav ' || source || ' home products contact login']
+    || (CASE WHEN doc_id % 3 = 0
+             THEN ['this site uses cookies accept or decline terms']
+             ELSE []::VARCHAR[] END)
+    || list_transform(
+         range(greatest(cast(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT), 1)),
+         i -> array_to_string(string_split(text, ' ')[i*12+1:i*12+12], ' '))
+    || ['copyright ' || source || ' all rights reserved'] AS ls
+  FROM documents),
+lines AS (
+  SELECT doc_id, source, ls[r.p] AS line, r.p AS pos
+  FROM pages, unnest(range(1, len(ls) + 1)) r(p)),
+cnt AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS dc
+  FROM lines GROUP BY source, line),
+tot AS (SELECT source, COUNT(*) AS nd FROM pages GROUP BY source),
+fl AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (c.dc >= 2 AND CAST(c.dc AS DOUBLE) >= 0.25 * CAST(t.nd AS DOUBLE)) AS bp
+  FROM lines l
+  JOIN cnt c ON l.source = c.source AND l.line = c.line
+  JOIN tot t ON l.source = t.source)
+SELECT doc_id,
+  COUNT(*) AS n_lines,
+  COUNT(*) FILTER (WHERE NOT bp) AS n_kept,
+  COUNT(*) FILTER (WHERE bp) AS n_removed,
+  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT bp), '')
+    AS cleaned_text
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality gates (Rae et al. 2021 A1.1, round 12):
+    per document the fraction of characters in the most frequent word
+    2-/3-gram (all occurrences), the fraction of characters covered by
+    duplicated 5-grams (overlaps counted once), the distinct-word
+    fraction, and the published repetitive verdict. Every signal is a
+    (doc, gram)-keyed aggregate reduced to one row per doc — map-side
+    partials, no corpus window (``operators/repetition.py``)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.repetition import (
+        gopher_repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition_signals(docs).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+words AS (
+  SELECT doc_id, t[r.p] AS w, r.p - 1 AS pos
+  FROM toks, unnest(range(1, len(t) + 1)) r(p)),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct,
+         SUM(length(w)) AS n_chars
+  FROM words GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+top2 AS (
+  SELECT doc_id, MAX(c * length(replace(s, ' ', ''))) AS m
+  FROM (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY doc_id, s)
+  GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, len(t) - 1)) r(i) WHERE len(t) >= 3),
+top3 AS (
+  SELECT doc_id, MAX(c * length(replace(s, ' ', ''))) AS m
+  FROM (SELECT doc_id, s, COUNT(*) AS c FROM g3 GROUP BY doc_id, s)
+  GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, unnest(range(1, len(t) - 3)) r(i) WHERE len(t) >= 5),
+dup AS (
+  SELECT doc_id, s FROM g5 GROUP BY doc_id, s HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + x.i AS p
+  FROM g5 g JOIN dup d USING (doc_id, s), unnest(range(5)) x(i)),
+dc AS (
+  SELECT c.doc_id, SUM(length(w.w)) AS ch
+  FROM cov c JOIN words w ON c.doc_id = w.doc_id AND c.p = w.pos
+  GROUP BY c.doc_id),
+assembled AS (
+  SELECT s.doc_id, s.n_words, s.n_distinct AS n_distinct_words,
+    ROUND(CASE WHEN s.n_words > 0
+      THEN CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+      ELSE 0.0 END, 6) AS distinct_word_frac,
+    ROUND(CASE WHEN s.n_chars > 0
+      THEN CAST(coalesce(t2.m, 0) AS DOUBLE) / CAST(s.n_chars AS DOUBLE)
+      ELSE 0.0 END, 6) AS top2gram_char_frac,
+    ROUND(CASE WHEN s.n_chars > 0
+      THEN CAST(coalesce(t3.m, 0) AS DOUBLE) / CAST(s.n_chars AS DOUBLE)
+      ELSE 0.0 END, 6) AS top3gram_char_frac,
+    ROUND(CASE WHEN s.n_chars > 0
+      THEN CAST(coalesce(d.ch, 0) AS DOUBLE) / CAST(s.n_chars AS DOUBLE)
+      ELSE 0.0 END, 6) AS dup5gram_char_frac
+  FROM stats s
+  LEFT JOIN top2 t2 ON s.doc_id = t2.doc_id
+  LEFT JOIN top3 t3 ON s.doc_id = t3.doc_id
+  LEFT JOIN dc d ON s.doc_id = d.doc_id)
+SELECT doc_id, n_words, n_distinct_words, distinct_word_frac,
+  top2gram_char_frac, top3gram_char_frac, dup5gram_char_frac,
+  (top2gram_char_frac > 0.20 OR top3gram_char_frac > 0.18
+   OR dup5gram_char_frac > 0.15) AS repetitive
+FROM assembled ORDER BY doc_id
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("vector"))
     copies = (
@@ -10373,7 +10534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": text_redact_pii,
         "higher_order_fns": higher_order_fns,
         "pivot_status_priority": pivot_status_priority,
-        "explode_positions": explode_positions,
+        # round 12: line-level boilerplate removal (CCNet/RefinedWeb —
+        # the new repetition family's window rep; a composed multi-line
+        # page fixture whose header/banner/footer must fall per source).
+        # explode_positions yields its slot to the tail (the HOF/explode
+        # family keeps higher_order_fns in-window), still parity-gated.
+        "line_boilerplate_removal": line_boilerplate_removal,
         "events_dedup_first": events_dedup_first,
         "user_latest_state": user_latest_state,
         "events_sessionization": events_sessionization,
@@ -10432,6 +10598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_type_ops": map_type_ops,
         # (round 12: displaced by online_source_kmv; still parity-gated)
         "q10_returned_items": q10_returned_items,
+        # (round 12: displaced by line_boilerplate_removal; still
+        # parity-gated)
+        "explode_positions": explode_positions,
         # (displaced from the driver window in round 9 to admit the new
         # operator families — kll_value_quantiles, video_iframe_stats,
         # warc_documents, crawl_text_extraction; each displaced entry's
@@ -10480,6 +10649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        # round 12: per-doc repetition gates (Gopher A1.1)
+        "gopher_repetition_quality": gopher_repetition_quality,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
         "text_repetition": text_repetition,
@@ -10668,6 +10839,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _FINGERPRINT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_langid": _LANGID_ORACLE,
+        "line_boilerplate_removal": _LINE_BOILERPLATE_ORACLE,
+        "gopher_repetition_quality": _GOPHER_ORACLE,
         "ngram_jaccard_dups": _JACCARD_ORACLE,
         "embedding_near_dups": _EMB_DUP_ORACLE,
         "bm25_keyword_topk": _BM25_ORACLE,

@@ -83,6 +83,12 @@ HEADLINE = [
     # corpus pass" claim, timed instead of asserted)
     "bpe_merge_candidates",
     "bpe_tokenize_corpus",
+    # round-12 second wave: the repetition family — line-level
+    # boilerplate removal over composed multi-line pages (the CCNet/
+    # RefinedWeb pass) and the Gopher repetition gates (three
+    # (doc, gram)-keyed aggregates + a coverage distinct)
+    "line_boilerplate_removal",
+    "gopher_repetition_quality",
 ]
 
 
