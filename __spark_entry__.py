@@ -1566,7 +1566,18 @@ def line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_lines,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = _bp_pages(_t(spark, sf_dir, "documents"))
+    return remove_repeated_lines(
+        pages, "doc_id", "page",
+        group_cols=["source"], min_docs=2, max_doc_frac=0.25,
+    ).orderBy("doc_id")
+
+
+def _bp_pages(docs: DataFrame) -> DataFrame:
+    """The multi-line page fixture shared by the boilerplate lanes:
+    per-source nav header, cookie banner on doc_id % 3 == 0, the doc's
+    text in 12-word body lines, per-source copyright footer."""
+    docs = docs.select("doc_id", "source", "text")
     w = F.split(F.col("text"), " ")
     n_lines = F.greatest(
         F.ceil(F.size(w) / F.lit(12.0)).cast("int"), F.lit(1)
@@ -1581,21 +1592,19 @@ def line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("this site uses cookies accept or decline terms")),
     ).otherwise(F.array().cast("array<string>"))
     ftr = F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved"))
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         F.array_join(
             F.concat(F.array(hdr), cook, body, F.array(ftr)), "\n"
         ).alias("page"),
     )
-    return remove_repeated_lines(
-        pages, "doc_id", "page",
-        group_cols=["source"], min_docs=2, max_doc_frac=0.25,
-    ).orderBy("doc_id")
 
 
-_LINE_BOILERPLATE_ORACLE = r"""
-WITH pages AS (
+# pages → per-(source, line) doc counts → boilerplate flags: the CTE
+# chain shared by the standalone lane and the composed page-curation
+# pipeline below (ends at `fl`; consumers aggregate it per doc).
+_BP_CTES = r"""pages AS (
   SELECT doc_id, source,
     ['nav ' || source || ' home products contact login']
     || (CASE WHEN doc_id % 3 = 0
@@ -1618,7 +1627,10 @@ fl AS (
          (c.dc >= 2 AND CAST(c.dc AS DOUBLE) >= 0.25 * CAST(t.nd AS DOUBLE)) AS bp
   FROM lines l
   JOIN cnt c ON l.source = c.source AND l.line = c.line
-  JOIN tot t ON l.source = t.source)
+  JOIN tot t ON l.source = t.source)"""
+
+_LINE_BOILERPLATE_ORACLE = f"""
+WITH {_BP_CTES}
 SELECT doc_id,
   COUNT(*) AS n_lines,
   COUNT(*) FILTER (WHERE NOT bp) AS n_kept,
@@ -1645,8 +1657,11 @@ def gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_signals(docs).orderBy("doc_id")
 
 
-_GOPHER_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM documents),
+def _gopher_ctes(rel: str) -> str:
+    """The Gopher-signal CTE chain over relation ``rel`` (must expose
+    ``doc_id, text``), ending at ``assembled`` — shared by the
+    standalone lane and the composed page-curation pipeline."""
+    return f"""toks AS (SELECT doc_id, {_SQL_WORDS} AS t FROM {rel}),
 words AS (
   SELECT doc_id, t[r.p] AS w, r.p - 1 AS pos
   FROM toks, unnest(range(1, len(t) + 1)) r(p)),
@@ -1697,12 +1712,76 @@ assembled AS (
   FROM stats s
   LEFT JOIN top2 t2 ON s.doc_id = t2.doc_id
   LEFT JOIN top3 t3 ON s.doc_id = t3.doc_id
-  LEFT JOIN dc d ON s.doc_id = d.doc_id)
+  LEFT JOIN dc d ON s.doc_id = d.doc_id)"""
+
+
+_GOPHER_ORACLE = f"""
+WITH {_gopher_ctes("documents")}
 SELECT doc_id, n_words, n_distinct_words, distinct_word_frac,
   top2gram_char_frac, top3gram_char_frac, dup5gram_char_frac,
   (top2gram_char_frac > 0.20 OR top3gram_char_frac > 0.18
    OR dup5gram_char_frac > 0.15) AS repetitive
 FROM assembled ORDER BY doc_id
+"""
+
+
+def page_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED repetition chain (round 12): multi-line pages →
+    per-site line-boilerplate removal → Gopher repetition gate on the
+    CLEANED text → keep verdict. Like ``crawl_curation_pipeline`` for
+    the dedup family, this is the integration face that catches
+    interface drift the per-operator oracles cannot (the boilerplate
+    pass's reassembled text — newline-joined — feeds the signal pass's
+    tokenizer, whose whitespace normalization must absorb the line
+    separators). DuckDB re-runs the WHOLE chain closed-form.
+
+    Plan shape at 100 TB: the boilerplate stage's (source, line) count
+    + broadcast totals + one doc reassembly, then the signal stage's
+    (doc, gram) aggregates over the cleaned text — the stages
+    pipeline; nothing is collected between them."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.repetition import (
+        gopher_repetition_signals,
+        remove_repeated_lines,
+    )
+
+    pages = _bp_pages(_t(spark, sf_dir, "documents"))
+    cleaned = remove_repeated_lines(
+        pages, "doc_id", "page",
+        group_cols=["source"], min_docs=2, max_doc_frac=0.25,
+    )
+    sig = gopher_repetition_signals(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+    )
+    return (
+        cleaned.select("doc_id", "n_removed")
+        .join(sig.select("doc_id", "n_words", "repetitive"), "doc_id")
+        .select(
+            "doc_id",
+            "n_removed",
+            "n_words",
+            "repetitive",
+            ((~F.col("repetitive")) & (F.col("n_words") >= 30)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PAGE_CURATION_ORACLE = f"""
+WITH {_BP_CTES},
+cleaned AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (WHERE bp) AS n_removed,
+    coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT bp), '')
+      AS text
+  FROM fl GROUP BY doc_id),
+{_gopher_ctes("cleaned")}
+SELECT a.doc_id, c.n_removed, a.n_words,
+  (a.top2gram_char_frac > 0.20 OR a.top3gram_char_frac > 0.18
+   OR a.dup5gram_char_frac > 0.15) AS repetitive,
+  (NOT (a.top2gram_char_frac > 0.20 OR a.top3gram_char_frac > 0.18
+        OR a.dup5gram_char_frac > 0.15) AND a.n_words >= 30) AS kept
+FROM assembled a JOIN cleaned c ON a.doc_id = c.doc_id
+ORDER BY a.doc_id
 """
 
 
@@ -7651,6 +7730,77 @@ SELECT term, true_cnt, est, est - true_cnt AS overcount FROM est
 """
 
 
+def source_term_freqs_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED count-min (round 12 — completes the grouped-sketch
+    matrix beside grouped MG/KMV/bloom/KLL/bottom-m): one independent
+    4×256 sketch per source (``countmin_build(group_cols=['source'])``,
+    state depth×width×|groups| — cell rows keyed (source, d, bucket)),
+    then point-estimate each source's top-5 terms against ITS OWN
+    sketch (null-safe group join in ``countmin_lookup``). Same
+    md5-seeded determinism as the global lane, so the oracle recomputes
+    every per-group cell exactly — including per-group collision
+    overcounts at the deliberately narrow width."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    sketch = countmin_build(
+        toks, "term", depth=4, width=256, group_cols=["source"]
+    )
+    tc = toks.groupBy("source", "term").agg(F.count("*").alias("true_cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("true_cnt"), F.asc("term"))
+    top = (
+        tc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    est = countmin_lookup(
+        sketch, top, "term", depth=4, width=256, group_cols=["source"]
+    )
+    return est.select(
+        "source", "term", "true_cnt", "est",
+        (F.col("est") - F.col("true_cnt")).alias("overcount"),
+    ).orderBy("source", "term")
+
+
+_SOURCE_CM_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT source, d,
+    CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || '#' || term), 1, 8))::UBIGINT % 256 AS INTEGER) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN seeds GROUP BY 1, 2, 3),
+tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+       FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT source, term, true_cnt FROM (
+    SELECT source, term, true_cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY true_cnt DESC, term ASC) AS rn
+    FROM tc) WHERE rn <= 5),
+est AS (
+  SELECT top.source, top.term, top.true_cnt,
+         MIN(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS est
+  FROM top CROSS JOIN seeds
+  LEFT JOIN cells c
+    ON c.source = top.source
+   AND c.d = seeds.d
+   AND c.bucket = CAST(('0x' || substring(md5(CAST(seeds.d AS VARCHAR) || '#' || top.term), 1, 8))::UBIGINT % 256 AS INTEGER)
+  GROUP BY 1, 2, 3)
+SELECT source, term, true_cnt, est, est - true_cnt AS overcount
+FROM est ORDER BY source, term
+"""
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification by neighbor vote: label each query embedding
     with the majority label of its k=5 nearest labeled neighbors (dot
@@ -10649,8 +10799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "text_quality": text_quality,
         "text_langid": text_langid,
-        # round 12: per-doc repetition gates (Gopher A1.1)
+        # round 12: per-doc repetition gates (Gopher A1.1) + the
+        # composed pages → line-dedup → gate chain
         "gopher_repetition_quality": gopher_repetition_quality,
+        "page_curation_pipeline": page_curation_pipeline,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
         "text_repetition": text_repetition,
@@ -10703,6 +10855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift_split": ivf_drift_split,
         "vec_ivfpq_topk": vec_ivfpq_topk,
         "countmin_term_freqs": countmin_term_freqs,
+        # round 12: grouped count-min — per-source sketches, exact cells
+        "source_term_freqs_cm": source_term_freqs_cm,
         "gram_heavy_hitters_mg": gram_heavy_hitters_mg,
         "stats_quantiles": stats_quantiles,
         "corpus_selfjoin_f2": corpus_selfjoin_f2,
@@ -10841,6 +10995,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_ORACLE,
         "line_boilerplate_removal": _LINE_BOILERPLATE_ORACLE,
         "gopher_repetition_quality": _GOPHER_ORACLE,
+        "page_curation_pipeline": _PAGE_CURATION_ORACLE,
         "ngram_jaccard_dups": _JACCARD_ORACLE,
         "embedding_near_dups": _EMB_DUP_ORACLE,
         "bm25_keyword_topk": _BM25_ORACLE,
@@ -10916,6 +11071,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_drift_split": _IVF_DRIFT_SPLIT_ORACLE,
         "vec_ivfpq_topk": _IVFPQ_RECALL_ORACLE,
         "countmin_term_freqs": _COUNTMIN_ORACLE,
+        "source_term_freqs_cm": _SOURCE_CM_ORACLE,
         "gram_heavy_hitters_mg": _MG_ORACLE,
         "domain_heavy_hitters_mg": _DOMAIN_MG_ORACLE,
         "corpus_selfjoin_f2": _AMS_ORACLE,

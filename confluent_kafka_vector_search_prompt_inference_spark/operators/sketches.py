@@ -49,16 +49,26 @@ def countmin_build(
     depth: int = 4,
     width: int = 2048,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over one term per input row.
 
     Returns ``(d INT, bucket INT, cnt BIGINT)`` — at most ``depth×width``
     rows total. ``weight_col`` (optional BIGINT) makes it a weighted
     sketch; default weight is 1 per row.
+
+    ``group_cols`` (round 12) keeps one independent sketch PER GROUP —
+    ``(*group_cols, d, bucket, cnt)``, ``depth×width`` rows per group
+    (per-source vocabulary monitoring, the same consumer grouped MG/KMV
+    serve). State is ``depth×width × |groups|``: fine for crawl domains
+    (~10⁴ × 8k cells); a high-cardinality group column belongs in the
+    term itself (``concat(group, '#', term)``), not in ``group_cols``.
     """
+    g = list(group_cols or [])
     term = F.col(term_col)
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     rows = items.select(
+        *g,
         F.explode(
             F.array(
                 *[
@@ -72,19 +82,22 @@ def countmin_build(
         ).alias("s"),
         w.alias("__w"),
     )
-    return rows.groupBy(F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket")).agg(
-        F.sum("__w").alias("cnt")
-    )
+    return rows.groupBy(
+        *g, F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket")
+    ).agg(F.sum("__w").alias("cnt"))
 
 
-def countmin_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge sketches built with identical ``(depth, width)``: union +
-    re-sum. Associative and commutative — the streaming/daily-rollup
-    merge is this one line."""
+def countmin_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge sketches built with identical ``(depth, width)`` (and the
+    same ``group_cols``): union + re-sum. Associative and commutative —
+    the streaming/daily-rollup merge is this one line."""
+    g = list(group_cols or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*g, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def countmin_lookup(
@@ -94,13 +107,22 @@ def countmin_lookup(
     *,
     depth: int = 4,
     width: int = 2048,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-estimate each query term: ``min`` over rows of the counter at
     that row's bucket (absent counter = 0). Query terms are few by
     contract; the ``depth×width``-bounded sketch side gets the broadcast.
 
+    With ``group_cols`` (round 12) each query row must carry the group
+    columns and is estimated against its group's sketch (NULL-SAFE
+    group equality, so a null group key reads its own sketch instead of
+    nothing). The broadcast stays sound while ``|groups| × depth ×
+    width`` cells fit an executor — the same contract as the grouped
+    bloom probe.
+
     Returns the ``queries`` columns plus ``est BIGINT``.
     """
+    g = list(group_cols or [])
     term = F.col(term_col)
     q = queries.select(
         "*",
@@ -116,7 +138,15 @@ def countmin_lookup(
             )
         ).alias("s"),
     ).select("*", F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket")).drop("s")
-    joined = q.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    sk = F.broadcast(
+        sketch.select(
+            *[F.col(c).alias(f"__g_{c}") for c in g], "d", "bucket", "cnt"
+        )
+    )
+    cond = [q["d"] == sk["d"], q["bucket"] == sk["bucket"]] + [
+        q[c].eqNullSafe(sk[f"__g_{c}"]) for c in g
+    ]
+    joined = q.join(sk, cond, "left").drop(sk["d"]).drop(sk["bucket"])
     keys = [c for c in queries.columns]
     return (
         joined.groupBy(*keys)

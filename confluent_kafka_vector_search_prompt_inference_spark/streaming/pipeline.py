@@ -3682,6 +3682,7 @@ def sketch_insert(
     depth: int = 4,
     width: int = 2048,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
@@ -3689,6 +3690,9 @@ def sketch_insert(
     column over everything ever landed — the streaming face of
     ``operators/sketches.py`` (corpus-vocabulary monitoring beside the
     reference's forever-running INSERT-SELECT, ``README.md:435``).
+    ``group_cols`` (round 12) keeps one sketch per group — per-source
+    vocabulary monitoring online, delta rows keyed
+    ``(*group_cols, d, bucket)`` and additive exactly as before.
 
     Each micro-batch lands twice, both idempotently (skip-if-committed,
     keyed by the same epoch id): the rows under ``<sink>/_batch=N`` and
@@ -3716,7 +3720,7 @@ def sketch_insert(
             write_delta(
                 countmin_build(
                     batch_df, term_col, depth=depth, width=width,
-                    weight_col=weight_col,
+                    weight_col=weight_col, group_cols=group_cols,
                 ),
                 epoch_id,
             )
@@ -3731,15 +3735,19 @@ def sketch_insert(
     return writer.start()
 
 
-def read_corpus_sketch(spark: SparkSession, sink_dir: str) -> DataFrame:
+def read_corpus_sketch(
+    spark: SparkSession, sink_dir: str, *, group_cols: list[str] | None = None
+) -> DataFrame:
     """The current count-min sketch of a :func:`sketch_insert` sink:
     merge-on-read over the committed deltas (``(d, bucket, cnt)``,
-    additive cells). Feed it straight to
+    additive cells; ``(*group_cols, d, bucket, cnt)`` for a grouped
+    sink — pass the same ``group_cols``). Feed it straight to
     ``operators.sketches.countmin_lookup``."""
     from pyspark.sql import functions as F
 
     deltas = read_sink(spark, os.path.join(sink_dir, "_sketch"))
-    return deltas.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    g = list(group_cols or [])
+    return deltas.groupBy(*g, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def mg_insert(

@@ -659,3 +659,75 @@ def test_mg_overflow_cap_argument_validation(spark):
         mg_sketch(df, "item", k=4, max_groups_per_partition=5)
     with pytest.raises(ValueError, match=">= 1"):
         mg_sketch(df, "item", k=4, group_cols=["grp"], max_groups_per_partition=0)
+
+
+# ---------------------------------------------------------------------------
+# grouped count-min (round 12 — one sketch per group)
+# ---------------------------------------------------------------------------
+
+def test_grouped_cm_matches_per_group_builds(spark):
+    """A grouped build is exactly the per-group builds stacked: filtering
+    the grouped sketch to one group's rows gives the same cells as
+    building over that group alone — and estimates answer against the
+    group's OWN sketch, so a term flooded in group A cannot inflate
+    group B beyond B's own collisions."""
+    rows = (
+        [("a", "x")] * 50 + [("a", "y")] * 3
+        + [("b", "x")] * 2 + [("b", "z")] * 7
+    )
+    df = spark.createDataFrame(rows, ["src", "term"])
+    g = countmin_build(df, "term", depth=DEPTH, width=WIDTH, group_cols=["src"])
+    for s in ("a", "b"):
+        solo = countmin_build(
+            df.filter(F.col("src") == s), "term", depth=DEPTH, width=WIDTH
+        )
+        stacked = g.filter(F.col("src") == s).drop("src")
+        diff = (
+            stacked.withColumnRenamed("cnt", "c2")
+            .join(solo, ["d", "bucket"], "full")
+            .filter(F.coalesce("cnt", F.lit(-1)) != F.coalesce("c2", F.lit(-2)))
+            .count()
+        )
+        assert diff == 0
+    true = df.groupBy("src", "term").agg(F.count("*").alias("true_cnt"))
+    est = countmin_lookup(
+        g, true, "term", depth=DEPTH, width=WIDTH, group_cols=["src"]
+    )
+    rows_out = {(r.src, r.term): (r.true_cnt, r.est) for r in est.collect()}
+    # never undercounts, per group
+    assert all(e >= t for t, e in rows_out.values())
+    # "x" has 50 hits in a but only 2 in b: b's estimate comes from b's
+    # sketch (7+2 tokens total), so it is bounded by b's corpus size —
+    # proof the groups are independent
+    assert rows_out[("b", "x")][1] <= 9
+    assert rows_out[("a", "x")][1] >= 50
+
+
+def test_grouped_cm_merge_law_and_null_group(spark):
+    """Merge across an arbitrary row split equals the one-shot grouped
+    build (associative cells), and a NULL group key keeps its own
+    sketch — lookups against it hit via null-safe equality."""
+    rows = [
+        (i, "a" if i < 5 else None, "x" if i < 16 else "q")
+        for i in range(18)
+    ]  # a: 5×"x"; null group: 11×"x" + 2×"q"
+    df = spark.createDataFrame(rows, ["i", "src", "term"])
+    half1, half2 = df.filter(F.col("i") < 9), df.filter(F.col("i") >= 9)
+    merged = countmin_merge(
+        countmin_build(half1, "term", depth=DEPTH, width=WIDTH, group_cols=["src"]),
+        countmin_build(half2, "term", depth=DEPTH, width=WIDTH, group_cols=["src"]),
+        group_cols=["src"],
+    )
+    whole = countmin_build(df, "term", depth=DEPTH, width=WIDTH, group_cols=["src"])
+    # compare via collected dicts — a plain join(on=[cols]) would drop
+    # the null group's rows under null-unsafe equality
+    m = {(r.src, r.d, r.bucket): r.cnt for r in merged.collect()}
+    w = {(r.src, r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert m == w and len(w) > 0
+    true = df.groupBy("src", "term").agg(F.count("*").alias("true_cnt"))
+    est = countmin_lookup(
+        whole, true, "term", depth=DEPTH, width=WIDTH, group_cols=["src"]
+    )
+    out = {(r.src, r.term): r.est for r in est.collect()}
+    assert out[(None, "x")] >= 11  # null group answered from its own sketch
+    assert out[("a", "x")] == 5  # a's sketch holds only its 5 tokens

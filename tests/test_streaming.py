@@ -4063,3 +4063,50 @@ def test_spanclean_retention_backfills_uncovered_positive(spark, tmp_path):
     )
     by_id = {r["doc_id"]: r for r in read_sink(spark, sink).collect()}
     assert by_id[3]["n_removed"] == 5, dict(by_id[3].asDict())
+
+
+def test_sketch_insert_grouped_per_source(spark, tmp_path, docs):
+    """sketch_insert(group_cols=) maintains one count-min PER SOURCE
+    online: the merged grouped sketch equals the one-shot grouped build
+    over everything landed, and each source's estimates answer from its
+    own sketch (round 12 — completes the grouped streaming sketch
+    matrix beside mg_insert/kmv_insert/bloom_insert)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        read_corpus_sketch,
+        sketch_insert,
+    )
+
+    terms = docs.limit(60).select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    src = str(tmp_path / "src")
+    terms.repartition(3).write.parquet(src)
+    stream = file_stream_reader(spark, src, terms.schema, max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = sketch_insert(
+        stream, sink, str(tmp_path / "ckpt"), term_col="term",
+        depth=2, width=64, group_cols=["source"], trigger_once=True,
+    )
+    _drain(q)
+
+    landed = read_sink(spark, sink)
+    streamed = read_corpus_sketch(spark, sink, group_cols=["source"])
+    oneshot = countmin_build(
+        landed, "term", depth=2, width=64, group_cols=["source"]
+    )
+    diff = (
+        streamed.withColumnRenamed("cnt", "c2")
+        .join(oneshot, ["source", "d", "bucket"], "full")
+        .filter(F.coalesce("cnt", F.lit(-1)) != F.coalesce("c2", F.lit(-2)))
+        .count()
+    )
+    assert diff == 0
+    true = landed.groupBy("source", "term").agg(F.count("*").alias("true_cnt"))
+    est = countmin_lookup(
+        streamed, true, "term", depth=2, width=64, group_cols=["source"]
+    )
+    assert est.filter(F.col("est") < F.col("true_cnt")).count() == 0

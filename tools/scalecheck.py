@@ -91,6 +91,11 @@ HEAVIES = [
     # hot stage is vocabulary-sized, not corpus-sized (the exponent
     # should track the word-count shuffle, near 1.0)
     "bpe_merge_candidates",
+    # round-12 second wave: the repetition family — line counting is
+    # (group, line)-keyed (line-scale rows, exponent should track the
+    # line explode near 1.0); the Gopher gates are (doc, gram)-keyed
+    "line_boilerplate_removal",
+    "gopher_repetition_quality",
 ]
 
 SF_DIRS = {

@@ -1404,6 +1404,61 @@ def _kmv_groups_rung(
     return stats
 
 
+def _cm_groups_rung(
+    spark, rung: int, work: str, tag: str = "cmg", n_rows: int = 200_000
+) -> dict:
+    """Round 12: the grouped count-min GROUP-CARDINALITY axis over a
+    FIXED 200k-token input (4 batches) — per-source vocabulary sketches
+    maintained online (``sketch_insert(group_cols=)``). State is
+    depth×width cells PER GROUP, so ``delta_rows`` should saturate at
+    min(batch tokens · depth, groups · depth · width) and the read-side
+    merge (one grouped sum over cell-scale rows) prices the summary."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _committed_batch_dirs,
+        file_stream_reader,
+        read_corpus_sketch,
+        sketch_insert,
+    )
+
+    groups = min(rung, n_rows)
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+    rows = spark.range(n_rows).select(
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("id"), F.lit(groups))).alias("g"),
+        F.concat(
+            F.lit("t"), F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5_000))
+        ).alias("term"),
+    )
+    rows.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = sketch_insert(
+        file_stream_reader(spark, src, schema),
+        sink,
+        ckpt,
+        term_col="term",
+        depth=4,
+        width=256,
+        group_cols=["g"],
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, n_rows)
+    stats["delta_rows"] = spark.read.parquet(
+        *_committed_batch_dirs(os.path.join(sink, "_sketch"))
+    ).count()
+    t0 = time.time()
+    stats["summary_rows"] = read_corpus_sketch(
+        spark, sink, group_cols=["g"]
+    ).count()
+    stats["summary_sec"] = round(time.time() - t0, 2)
+    stats["distinct_groups"] = groups
+    return stats
+
+
 def main() -> int:
     from confluent_kafka_vector_search_prompt_inference_spark import get_spark
 
@@ -1569,6 +1624,12 @@ def main() -> int:
         "kmv_grouped_insert": lambda s, r, w: (
             _kmv_groups_rung(s, 100, w, tag="kvw" + str(r), n_rows=20_000)
             and _kmv_groups_rung(s, r, w)
+        ),
+        # round 12 second wave: grouped count-min joins the grouped
+        # streaming matrix (MG/KMV/bloom already laddered)
+        "cm_grouped_insert": lambda s, r, w: (
+            _cm_groups_rung(s, 100, w, tag="cmw" + str(r), n_rows=20_000)
+            and _cm_groups_rung(s, r, w)
         ),
     }
     # lanes whose natural control is ANOTHER lane run in the same
