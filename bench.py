@@ -521,6 +521,33 @@ def _streaming_bench(spark) -> dict:
         q.awaitTermination(600)
         out["spanclean_insert"] = _progress_stats(q, time.time() - t0, n_sc)
 
+        # --- streaming line-level boilerplate removal (round 12): each
+        # batch's multi-line pages land with every line the stream has
+        # seen on enough of the site's pages cut out (line store =
+        # carrier-counted bucket-store deltas + |sites|-row totals)
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import lineclean_insert
+
+        lcpages = entry._bp_pages(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        )
+        n_lc = lcpages.count()
+        lcsrc = os.path.join(work, "lcsrc")
+        lcpages.repartition(N_STREAM_BATCHES).write.parquet(lcsrc)
+        t0 = time.time()
+        q = lineclean_insert(
+            file_stream_reader(spark, lcsrc, lcpages.schema),
+            os.path.join(work, "lc_sink"),
+            os.path.join(work, "lc_ckpt"),
+            id_col="doc_id",
+            text_col="page",
+            group_cols=["source"],
+            min_docs=2,
+            max_doc_frac=0.25,
+            trigger_once=True,
+        )
+        q.awaitTermination(600)
+        out["lineclean_insert"] = _progress_stats(q, time.time() - t0, n_lc)
+
         # --- keyed upsert (Kafka log-compaction semantics): latest event
         # per user materialized incrementally, folds reduce the base
         from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import keyed_upsert_insert

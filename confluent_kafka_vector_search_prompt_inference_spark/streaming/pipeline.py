@@ -926,6 +926,341 @@ def _spanclean_fold_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def _lineclean_tables(
+    batch_df: DataFrame, id_col: str, text_col: str, g: list, line_sep: str
+):
+    """(base, lines, line-count delta, totals delta) for one batch of a
+    :func:`lineclean_insert` stream — pure functions of the raw rows, so
+    the heal pass and the live path derive identical deltas."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    base = batch_df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in g],
+        F.split(F.col(text_col), _re.escape(line_sep)).alias("__ls"),
+    )
+    lines = base.select("__id", *g, F.posexplode("__ls").alias("__pos", "__line"))
+    binc = (
+        lines.groupBy(*g, "__line")
+        .agg(F.count_distinct("__id").cast("long").alias("__cnt"))
+        .withColumn("__bucket", F.xxhash64(*g, "__line"))
+    )
+    gk = (
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in g],
+        )
+        if g
+        else F.lit("")
+    )
+    btot = (
+        base.groupBy(*g)
+        .agg(F.count_distinct("__id").cast("long").alias("__nd"))
+        .withColumn("__gk", gk)
+        .withColumn("__bucket", F.xxhash64("__gk"))
+    )
+    return base, lines, binc, btot
+
+
+def _lineclean_fold(df: DataFrame) -> DataFrame:
+    """Fold transform for the line store: counts are additive per
+    (group…, line)."""
+    from pyspark.sql import functions as F
+
+    keys = [c for c in df.columns if c not in ("__cnt",)]
+    return df.groupBy(*keys).agg(F.sum("__cnt").alias("__cnt"))
+
+
+def _linetotals_fold(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    keys = [c for c in df.columns if c not in ("__nd",)]
+    return df.groupBy(*keys).agg(F.sum("__nd").alias("__nd"))
+
+
+def lineclean_insert(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str] | None = None,
+    min_docs: int = 2,
+    max_doc_frac: float = 0.5,
+    line_sep: str = "\n",
+    line_partitions: int = 64,
+    compact_every: int = 16,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous INSERT with ONLINE line-level boilerplate removal — the
+    streaming face of :func:`operators.repetition.remove_repeated_lines`
+    (CCNet/RefinedWeb per-site line dedup): each micro-batch's documents
+    land with every line the STREAM has seen in enough of the group's
+    documents cut out of them.
+
+    Online semantics (arrival-order, like :func:`spanclean_insert`'s
+    gram contract): a line is boilerplate for THIS batch when its
+    CUMULATIVE distinct-document count (line store + this batch) crosses
+    BOTH gates — ``>= min_docs`` and ``>= max_doc_frac`` of the group's
+    cumulative document total. Early deliveries land intact (history is
+    never retro-cleaned); once a nav bar has been seen on enough of a
+    site's pages, every later page of that site lands without it. A
+    stream drained in ONE batch lands exactly the batch operator's
+    output (pytest-pinned). Group membership is NULL-SAFE throughout —
+    a null group key forms one group, exactly as in the batch operator.
+
+    Rows land with the raw ``text_col`` (heal provenance) plus
+    ``n_lines`` / ``n_kept`` / ``n_removed`` / ``cleaned_text``.
+
+    State: a carrier-counted line store under ``<sink>/_lines`` —
+    ``(*group_cols, __line, __cnt, __bucket)`` bucket-store deltas
+    (``__bucket = xxhash64(group…, line)``; candidates re-verify by
+    exact null-safe match, so collisions only widen the candidate read)
+    — and the tiny per-group document totals under
+    ``<sink>/_linetotals`` (|groups|-row deltas on the same bucket-store
+    plumbing keyed by a group-key string). Both fold through
+    :func:`tiered_compact_sink` (counts additive; every byte rewritten
+    O(log history) times); as with grams, partition pruning cannot
+    engage (a batch's line set hashes across every partition), so the
+    honest per-batch history cost is the columnar scan of the line
+    store's narrow columns.
+
+    Crash contract (mirrors :func:`spanclean_insert`): the epoch's rows
+    commit FIRST, then its line delta, then its totals delta; the heal
+    pass backfills any committed epoch missing either delta by
+    re-deriving it from the epoch's landed RAW text. Every crash point
+    therefore degrades to UNDER-counting some lines for a batch or two
+    (boilerplate cut later than ideal) — never to over-cleaning.
+
+    At 100 TB: the line store is line-scale (far smaller than the gram
+    store — one row per distinct (site, line), not per token n-gram),
+    the per-batch candidate set is batch-bounded and broadcast, and the
+    totals side stays |groups|-sized end to end."""
+    from pyspark.sql import functions as F
+
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if not (0.0 <= max_doc_frac <= 1.0):
+        raise ValueError("max_doc_frac must be in [0, 1]")
+    g = list(group_cols or [])
+    write_batch = idempotent_batch_writer(sink_dir)
+    lines_dir = os.path.join(sink_dir, "_lines")
+    totals_dir = os.path.join(sink_dir, "_linetotals")
+    healed: set[int] = set()
+
+    def _heal(spark: SparkSession) -> None:
+        cov_l = _covered_bucket_ranges(lines_dir)
+        cov_t = _covered_bucket_ranges(totals_dir)
+        for d in _committed_batch_dirs(sink_dir):
+            eid = int(d.rsplit("=", 1)[1])
+            if eid in healed:
+                continue
+            need_l = not _ranges_contain(cov_l, eid)
+            need_t = not _ranges_contain(cov_t, eid)
+            if need_l or need_t:
+                rows = spark.read.parquet(d).select(id_col, text_col, *g)
+                _, _, binc, btot = _lineclean_tables(
+                    rows, id_col, text_col, g, line_sep
+                )
+                if need_l:
+                    write_bucket_delta(
+                        binc.repartition(1), lines_dir, eid,
+                        num_partitions=line_partitions,
+                    )
+                if need_t:
+                    write_bucket_delta(
+                        btot.repartition(1), totals_dir, eid,
+                        num_partitions=1,
+                    )
+            healed.add(eid)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates([id_col]).persist()
+        base, lines, binc, btot = _lineclean_tables(
+            batch_df, id_col, text_col, g, line_sep
+        )
+        lines = lines.persist()
+        binc = binc.persist()
+        try:
+            cum = binc.select(*g, "__line", "__cnt")
+            tot = btot.select(*g, "__nd")
+            if _sink_has_batches(sink_dir) or _committed_batch_dirs(lines_dir):
+                _heal(spark)
+                if _committed_batch_dirs(lines_dir):
+                    old = read_bucket_store(
+                        spark, lines_dir, "__line",
+                        extra_cols=("__cnt", *g),
+                    )
+                    cand = old.join(
+                        F.broadcast(binc.select("__bucket").distinct()),
+                        "__bucket",
+                        "left_semi",
+                    )
+                    # exact null-safe verify against the batch's own line
+                    # set (batch-bounded, broadcasts) — collision-widened
+                    # rows drop here
+                    probe = F.broadcast(
+                        binc.select(
+                            *[F.col(c).alias(f"__p_{c}") for c in g],
+                            F.col("__line").alias("__pline"),
+                        ).distinct()
+                    )
+                    vcond = [cand["__line"] == probe["__pline"]] + [
+                        cand[c].eqNullSafe(probe[f"__p_{c}"]) for c in g
+                    ]
+                    seen = cand.join(probe, vcond, "left_semi").select(
+                        *g, "__line", "__cnt"
+                    )
+                    cum = cum.unionByName(seen)
+                if _committed_batch_dirs(totals_dir):
+                    oldt = read_bucket_store(
+                        spark, totals_dir, "__gk", extra_cols=("__nd", *g)
+                    )
+                    tot = tot.unionByName(oldt.select(*g, "__nd"))
+            cum = cum.groupBy(*g, "__line").agg(F.sum("__cnt").alias("__c"))
+            tot = F.broadcast(
+                tot.groupBy(*[F.col(c).alias(f"__t_{c}") for c in g]).agg(
+                    F.sum("__nd").alias("__n")
+                )
+            )
+            if g:
+                tcond = [cum[c].eqNullSafe(tot[f"__t_{c}"]) for c in g]
+                gated = cum.join(tot, tcond, "inner")
+            else:
+                gated = cum.crossJoin(tot)
+            bp = F.broadcast(
+                gated.filter(
+                    (F.col("__c") >= F.lit(min_docs))
+                    & (
+                        F.col("__c").cast("double")
+                        >= F.col("__n").cast("double") * F.lit(float(max_doc_frac))
+                    )
+                ).select(
+                    *[F.col(c).alias(f"__b_{c}") for c in g],
+                    F.col("__line").alias("__bline"),
+                )
+            )
+            mcond = [lines["__line"] == bp["__bline"]] + [
+                lines[c].eqNullSafe(bp[f"__b_{c}"]) for c in g
+            ]
+            marked = lines.join(bp, mcond, "left").withColumn(
+                "__bp", F.col("__bline").isNotNull()
+            )
+            cleaned = (
+                marked.groupBy("__id")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_lines"),
+                    F.sum(F.when(F.col("__bp"), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        ~F.col("__bp"),
+                                        F.struct(
+                                            F.col("__pos").alias("p"),
+                                            F.col("__line").alias("l"),
+                                        ),
+                                    )
+                                )
+                            ),
+                            lambda s: s["l"],
+                        ),
+                        line_sep,
+                    ).alias("cleaned_text"),
+                )
+                .withColumn(
+                    "n_kept", (F.col("n_lines") - F.col("n_removed")).cast("bigint")
+                )
+            )
+            rows = batch_df.join(
+                cleaned.withColumnRenamed("__id", id_col), id_col
+            )
+            write_batch(rows, epoch_id)
+            target = os.path.join(sink_dir, f"_batch={epoch_id}")
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                if not _ranges_contain(_covered_bucket_ranges(lines_dir), epoch_id):
+                    write_bucket_delta(
+                        binc.repartition(1), lines_dir, epoch_id,
+                        num_partitions=line_partitions,
+                    )
+                if not _ranges_contain(
+                    _covered_bucket_ranges(totals_dir), epoch_id
+                ):
+                    write_bucket_delta(
+                        btot.repartition(1), totals_dir, epoch_id,
+                        num_partitions=1,
+                    )
+                healed.add(epoch_id)
+                if len(_committed_batch_dirs(lines_dir)) > compact_every:
+                    tiered_compact_sink(
+                        spark, lines_dir, keep_batches=1,
+                        partition_by=["__bpart"],
+                        transform=_lineclean_fold,
+                    )
+                if len(_committed_batch_dirs(totals_dir)) > compact_every:
+                    tiered_compact_sink(
+                        spark, totals_dir, keep_batches=1,
+                        partition_by=["__bpart"],
+                        transform=_linetotals_fold,
+                    )
+        finally:
+            batch_df.unpersist()
+            lines.unpersist()
+            binc.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_lines(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The cumulative per-(group…, line) distinct-document counts and
+    per-group document totals of a :func:`lineclean_insert` sink,
+    merge-on-read: ``(*group_cols, __line, doc_count, group_docs)`` —
+    the audit face ("which lines does the store currently consider
+    boilerplate for this site?")."""
+    from pyspark.sql import functions as F
+
+    g = list(group_cols or [])
+    cnt = (
+        read_bucket_store(
+            spark, os.path.join(sink_dir, "_lines"), "__line",
+            extra_cols=("__cnt", *g),
+        )
+        .groupBy(*g, "__line")
+        .agg(F.sum("__cnt").alias("doc_count"))
+    )
+    tot = F.broadcast(
+        read_bucket_store(
+            spark, os.path.join(sink_dir, "_linetotals"), "__gk",
+            extra_cols=("__nd", *g),
+        )
+        .groupBy(*[F.col(c).alias(f"__t_{c}") for c in g])
+        .agg(F.sum("__nd").alias("group_docs"))
+    )
+    if g:
+        cond = [cnt[c].eqNullSafe(tot[f"__t_{c}"]) for c in g]
+        out = cnt.join(tot, cond, "inner")
+    else:
+        out = cnt.crossJoin(tot)
+    return out.select(*g, "__line", "doc_count", "group_docs")
+
+
 def enforce_retention_spanclean(
     spark: SparkSession,
     sink_dir: str,

@@ -4110,3 +4110,162 @@ def test_sketch_insert_grouped_per_source(spark, tmp_path, docs):
         streamed, true, "term", depth=2, width=64, group_cols=["source"]
     )
     assert est.filter(F.col("est") < F.col("true_cnt")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# lineclean_insert (round 12 — online line-level boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def _lc_rows(spark, sink):
+    return {
+        r.doc_id: r
+        for r in read_sink(spark, sink)
+        .select("doc_id", "n_lines", "n_kept", "n_removed", "cleaned_text")
+        .collect()
+    }
+
+
+def test_lineclean_one_batch_equals_batch_operator(spark, tmp_path):
+    """A stream drained in ONE batch lands exactly the batch operator's
+    output (the same contract spanclean_insert pins for grams)."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.repetition import remove_repeated_lines
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import lineclean_insert
+
+    rows = [
+        (1, "a", "nav\nalpha\nshared"),
+        (2, "a", "nav\nshared\nbeta"),
+        (3, "a", "nav\ngamma"),
+        (4, "b", "nav\ndelta"),
+        (5, "b", "nav\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "site", "text"])
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    q = lineclean_insert(
+        file_stream_reader(spark, src, df.schema),
+        sink, str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text", group_cols=["site"],
+        min_docs=2, max_doc_frac=0.5, trigger_once=True,
+    )
+    _drain(q)
+    got = _lc_rows(spark, sink)
+    want = {
+        r["doc_id"]: r
+        for r in remove_repeated_lines(
+            df, "doc_id", "text", group_cols=["site"],
+            min_docs=2, max_doc_frac=0.5,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        for c in ("n_lines", "n_kept", "n_removed", "cleaned_text"):
+            assert got[d][c] == want[d][c], (d, c)
+
+
+def test_lineclean_online_accumulation_and_no_retro_clean(spark, tmp_path):
+    """Counts accumulate ACROSS batches: a banner below the gate in
+    batch 1 lands intact there, crosses the cumulative gate in batch 2,
+    and is cut from batch-2 docs only (history never retro-cleaned).
+    The null group key forms one group online too."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        lineclean_insert,
+        read_corpus_lines,
+    )
+
+    schema = spark.createDataFrame(
+        [(0, "x", "y")], ["doc_id", "site", "text"]
+    ).schema
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = lineclean_insert(
+            file_stream_reader(spark, src, schema),
+            sink, ckpt,
+            id_col="doc_id", text_col="text", group_cols=["site"],
+            min_docs=2, max_doc_frac=0.5, trigger_once=True,
+        )
+        _drain(q)
+
+    # batch 1: banner on ONE of two site-s docs -> 1/2 under min_docs=2
+    feed([
+        (1, "s", "banner\none"),
+        (2, "s", "two"),
+        (10, None, "nullnav\nn1"),
+    ])
+    got = _lc_rows(spark, sink)
+    assert got[1].cleaned_text == "banner\none"  # below the gate, intact
+    assert got[10].cleaned_text == "nullnav\nn1"
+    # batch 2: banner arrives on two more site-s docs -> cumulative 3/4
+    # crosses both gates; batch-1 rows stay as landed
+    feed([
+        (3, "s", "banner\nthree"),
+        (4, "s", "banner\nfour"),
+        (11, None, "nullnav\nn2"),
+    ])
+    got = _lc_rows(spark, sink)
+    assert got[3].cleaned_text == "three"
+    assert got[4].cleaned_text == "four"
+    assert got[1].cleaned_text == "banner\none"  # no retro-clean
+    # null group accumulated to 2/2 -> its nav falls in batch 2
+    assert got[11].cleaned_text == "n2"
+    assert got[10].cleaned_text == "nullnav\nn1"
+    # audit face: cumulative counts + group totals merge-on-read
+    audit = {
+        (r.site, r["__line"]): (r.doc_count, r.group_docs)
+        for r in read_corpus_lines(
+            spark, sink, group_cols=["site"]
+        ).collect()
+    }
+    assert audit[("s", "banner")] == (3, 4)
+    assert audit[(None, "nullnav")] == (2, 2)
+
+
+def test_lineclean_heals_missing_deltas(spark, tmp_path):
+    """Crash between the rows commit and the delta writes: the next
+    batch's heal pass re-derives BOTH deltas from the landed raw text,
+    so the banner still crosses the gate on schedule."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        lineclean_insert,
+        read_corpus_lines,
+    )
+
+    schema = spark.createDataFrame(
+        [(0, "x", "y")], ["doc_id", "site", "text"]
+    ).schema
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = lineclean_insert(
+            file_stream_reader(spark, src, schema),
+            sink, ckpt,
+            id_col="doc_id", text_col="text", group_cols=["site"],
+            min_docs=2, max_doc_frac=0.5, trigger_once=True,
+        )
+        _drain(q)
+
+    feed([(1, "s", "banner\none"), (2, "s", "banner\ntwo")])
+    # simulate the crash window: epoch 0's deltas vanish
+    shutil.rmtree(os.path.join(sink, "_lines"))
+    shutil.rmtree(os.path.join(sink, "_linetotals"))
+    feed([(3, "s", "banner\nthree")])
+    got = _lc_rows(spark, sink)
+    # healed store: banner was already on 2/2 docs -> doc 3 lands cut
+    assert got[3].cleaned_text == "three"
+    audit = {
+        r["__line"]: (r.doc_count, r.group_docs)
+        for r in read_corpus_lines(spark, sink, group_cols=["site"]).collect()
+    }
+    assert audit["banner"] == (3, 3)

@@ -1404,6 +1404,107 @@ def _kmv_groups_rung(
     return stats
 
 
+def _lineclean_rung(
+    spark, rung: int, work: str, tag: str = "lc", n_sites: int = 20
+) -> dict:
+    """Round 12: streaming line-level boilerplate removal
+    (``lineclean_insert``): pre-land ``rung`` multi-line pages across
+    ``n_sites`` sites and their CONVERGED line store (per-site nav
+    header + copyright footer each carried by rung/n_sites docs — far
+    over the 0.25 gate — plus 3 unique body lines per doc, the store's
+    unbounded part), then stream the fixed 2,000-page increment through
+    4 micro-batches. Mechanism check: every incoming page must land
+    with BOTH site boilerplate lines cut (``boilerplate_cut_rows``)
+    and all 3 body lines kept — recorded beside the throughput, so a
+    store-scan regression and a semantics regression are separately
+    visible."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        _lineclean_tables,
+        file_stream_reader,
+        lineclean_insert,
+        read_bucket_store,
+        read_sink,
+        write_bucket_delta,
+    )
+
+    sink = os.path.join(work, f"{tag}_sink_{rung}")
+    ckpt = os.path.join(work, f"{tag}_ckpt_{rung}")
+
+    def pages(n: int, *, id_offset: int = 0, seed: int = 0):
+        site = F.concat(
+            F.lit("s"), F.pmod(F.col("doc_id"), F.lit(n_sites))
+        ).alias("site")
+        body = F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.concat(
+                F.lit("body "),
+                F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(seed)), F.lit(1 << 40)),
+            ),
+        )
+        return spark.range(n).select(
+            (F.col("id") + id_offset).alias("doc_id")
+        ).select(
+            "doc_id",
+            site,
+        ).select(
+            "doc_id",
+            "site",
+            F.array_join(
+                F.concat(
+                    F.array(F.concat(F.lit("nav "), F.col("site"), F.lit(" home"))),
+                    body,
+                    F.array(F.concat(F.lit("copyright "), F.col("site"))),
+                ),
+                "\n",
+            ).alias("page"),
+        )
+
+    landed = pages(rung, seed=0)
+    landed.repartition(max(32, min(4096, rung // 20_000))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, "_batch=-1"))
+    rows = spark.read.parquet(os.path.join(sink, "_batch=-1"))
+    _, _, binc, btot = _lineclean_tables(rows, "doc_id", "page", ["site"], "\n")
+    write_bucket_delta(
+        binc, os.path.join(sink, "_lines"), -1,
+        num_partitions=64, layout="partitioned",
+    )
+    write_bucket_delta(
+        btot, os.path.join(sink, "_linetotals"), -1,
+        num_partitions=1, layout="partitioned",
+    )
+
+    incoming = pages(INCOMING_ROWS, id_offset=_ID_OFFSET, seed=1)
+    src = os.path.join(work, f"{tag}_src_{rung}")
+    incoming.repartition(N_BATCHES).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t0 = time.time()
+    q = lineclean_insert(
+        file_stream_reader(spark, src, schema),
+        sink,
+        ckpt,
+        id_col="doc_id",
+        text_col="page",
+        group_cols=["site"],
+        min_docs=2,
+        max_doc_frac=0.25,
+        trigger_once=True,
+    )
+    q.awaitTermination(1800)
+    stats = _progress_stats(q, time.time() - t0, INCOMING_ROWS)
+    inc_rows = read_sink(spark, sink).filter(F.col("doc_id") >= _ID_OFFSET)
+    stats["inc_rows"] = inc_rows.count()
+    stats["boilerplate_cut_rows"] = inc_rows.filter(
+        (F.col("n_removed") == 2) & (F.col("n_kept") == 3)
+    ).count()
+    stats["line_store_rows"] = read_bucket_store(
+        spark, os.path.join(sink, "_lines"), "__line", extra_cols=("site",)
+    ).count()
+    return stats
+
+
 def _cm_groups_rung(
     spark, rung: int, work: str, tag: str = "cmg", n_rows: int = 200_000
 ) -> dict:
@@ -1630,6 +1731,12 @@ def main() -> int:
         "cm_grouped_insert": lambda s, r, w: (
             _cm_groups_rung(s, 100, w, tag="cmw" + str(r), n_rows=20_000)
             and _cm_groups_rung(s, r, w)
+        ),
+        # round 12 second wave: online line-boilerplate removal against
+        # a converged line store (rung = pre-landed page count)
+        "lineclean_insert": lambda s, r, w: (
+            _lineclean_rung(s, 1_000, w, tag="lw" + str(r))
+            and _lineclean_rung(s, r, w)
         ),
     }
     # lanes whose natural control is ANOTHER lane run in the same
