@@ -966,18 +966,30 @@ def _lineclean_tables(
 
 def _lineclean_fold(df: DataFrame) -> DataFrame:
     """Fold transform for the line store: counts are additive per
-    (group…, line)."""
+    (group…, line). Exact zeros (a fully-released line after
+    :func:`enforce_retention_lineclean`) drop; negatives KEEP — a
+    retirement delta may fold before it meets its positives in an older
+    run, and dropping the un-met negative would lose the subtraction
+    (same contract as the carrier-counted gram store)."""
     from pyspark.sql import functions as F
 
     keys = [c for c in df.columns if c not in ("__cnt",)]
-    return df.groupBy(*keys).agg(F.sum("__cnt").alias("__cnt"))
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum("__cnt").alias("__cnt"))
+        .filter(F.col("__cnt") != 0)
+    )
 
 
 def _linetotals_fold(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     keys = [c for c in df.columns if c not in ("__nd",)]
-    return df.groupBy(*keys).agg(F.sum("__nd").alias("__nd"))
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum("__nd").alias("__nd"))
+        .filter(F.col("__nd") != 0)
+    )
 
 
 def lineclean_insert(
@@ -1259,6 +1271,142 @@ def read_corpus_lines(
     else:
         out = cnt.crossJoin(tot)
     return out.select(*g, "__line", "doc_count", "group_docs")
+
+
+def enforce_retention_lineclean(
+    spark: SparkSession,
+    sink_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str] | None = None,
+    line_sep: str = "\n",
+    line_partitions: int = 64,
+    max_batches: int | None = None,
+    max_bytes: int | None = None,
+) -> list[int]:
+    """Retention for a :func:`lineclean_insert` sink: drop the oldest
+    committed epochs beyond a count/byte budget AND release their line
+    counts — each retiring epoch writes NEGATIVE deltas to BOTH stores
+    (per-line distinct-doc counts and per-group doc totals, re-derived
+    from its landed RAW text, the exact mirror of the positives it
+    landed with). This matters more here than for grams: the fraction
+    gate divides by the group's CUMULATIVE doc total, so without
+    retention an old site's total grows forever and NEW boilerplate
+    needs ever more sightings to cross ``max_doc_frac`` — retention
+    keeps the gate honest against the live corpus. Returns the epoch
+    ids removed.
+
+    Crash protocol (mirrors :func:`enforce_retention_spanclean`, both
+    stores under one epoch walk):
+
+    0. the retiring epoch's POSITIVE deltas are verified present in
+       each store and backfilled from raw text if a crash beat the
+       stream's heal pass (an unmatched negative would under-count
+       lines whose other carriers are live);
+    1. both negative deltas are fully written to
+       ``<store>/_retire_tmp_<e>`` while the raw text still exists;
+    2. the sink epoch is deleted;
+    3. each tmp publishes by rename to ``_batch=<-1000-e>`` (negative
+       ids, disjoint from stream epochs and ladder pre-lands).
+
+    A crash before (2) re-derives next call; after (2), the recovery
+    loop publishes any COMPLETE tmp whose epoch is gone and drops
+    incomplete ones — a lost line-negative keeps suppressing (the
+    lane's conservative default), a lost totals-negative keeps the
+    gate HARDER to cross (under-cleaning, never over-cleaning)."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    g = list(group_cols or [])
+    lines_dir = os.path.join(sink_dir, "_lines")
+    totals_dir = os.path.join(sink_dir, "_linetotals")
+
+    def _neg_id(eid: int) -> int:
+        return -1000 - eid
+
+    def _publish(store: str, tmp: str, eid: int) -> None:
+        target = os.path.join(store, f"_batch={_neg_id(eid)}")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+
+    for store in (lines_dir, totals_dir):
+        for tmp in list(
+            os.path.join(store, x)
+            for x in (os.listdir(store) if os.path.isdir(store) else [])
+            if re.fullmatch(r"_retire_tmp_-?\d+", x)
+        ):
+            eid = int(os.path.basename(tmp).rsplit("_", 1)[1])
+            epoch_gone = not os.path.exists(
+                os.path.join(sink_dir, f"_batch={eid}", "_SUCCESS")
+            )
+            if epoch_gone and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                _publish(store, tmp, eid)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    dirs = []
+    for d in sorted(os.listdir(sink_dir)) if os.path.isdir(sink_dir) else []:
+        m = re.fullmatch(r"_batch=(-?\d+)", d)
+        if m:
+            path = os.path.join(sink_dir, d)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            dirs.append((int(m.group(1)), path, _dir_bytes(path)))
+    dirs.sort()
+    removed: list[int] = []
+    while dirs:
+        over_count = max_batches is not None and len(dirs) > max_batches
+        over_bytes = max_bytes is not None and sum(s for _, _, s in dirs) > max_bytes
+        if not (over_count or over_bytes):
+            break
+        eid, path, _ = dirs.pop(0)
+        rows = spark.read.parquet(path).select(id_col, text_col, *g)
+        _, _, binc, btot = _lineclean_tables(rows, id_col, text_col, g, line_sep)
+        binc = binc.persist()
+        btot = btot.persist()
+        try:
+            # (0) coverage guards — idempotent backfills from raw text
+            if not _ranges_contain(_covered_bucket_ranges(lines_dir), eid):
+                write_bucket_delta(
+                    binc.repartition(1), lines_dir, eid,
+                    num_partitions=line_partitions,
+                )
+            if not _ranges_contain(_covered_bucket_ranges(totals_dir), eid):
+                write_bucket_delta(
+                    btot.repartition(1), totals_dir, eid, num_partitions=1
+                )
+            # (1) both negatives into tmps, raw text still present
+            tmps = []
+            for store, delta, cnt_col, nparts in (
+                (lines_dir, binc, "__cnt", line_partitions),
+                (totals_dir, btot, "__nd", 1),
+            ):
+                tmp = os.path.join(store, f"_retire_tmp_{eid}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    delta.withColumn(cnt_col, -F.col(cnt_col))
+                    .withColumn(
+                        "__bpart",
+                        F.pmod(F.col("__bucket"), F.lit(nparts)).cast("int"),
+                    )
+                    .repartition(1)
+                    .sortWithinPartitions("__bpart")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                tmps.append((store, tmp))
+            # (2) the epoch leaves the sink; (3) publish both releases
+            shutil.rmtree(path)
+            for store, tmp in tmps:
+                _publish(store, tmp, eid)
+            removed.append(eid)
+        finally:
+            binc.unpersist()
+            btot.unpersist()
+    return removed
 
 
 def enforce_retention_spanclean(

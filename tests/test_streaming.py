@@ -4269,3 +4269,109 @@ def test_lineclean_heals_missing_deltas(spark, tmp_path):
         for r in read_corpus_lines(spark, sink, group_cols=["site"]).collect()
     }
     assert audit["banner"] == (3, 3)
+
+
+def test_lineclean_retention_releases_lines_and_totals(spark, tmp_path):
+    """enforce_retention_lineclean retires the oldest epoch and writes
+    NEGATIVE deltas to BOTH stores: the released banner stops being cut
+    (its count returns below min_docs) and the fraction gate re-reads
+    the LIVE corpus total."""
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        enforce_retention_lineclean,
+        lineclean_insert,
+        read_corpus_lines,
+    )
+
+    schema = spark.createDataFrame(
+        [(0, "x", "y")], ["doc_id", "site", "text"]
+    ).schema
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = lineclean_insert(
+            file_stream_reader(spark, src, schema),
+            sink, ckpt,
+            id_col="doc_id", text_col="text", group_cols=["site"],
+            min_docs=2, max_doc_frac=0.5, trigger_once=True,
+        )
+        _drain(q)
+
+    feed([(1, "s", "banner\none"), (2, "s", "banner\ntwo")])
+    feed([(3, "s", "three"), (4, "s", "four")])
+    audit = {
+        r["__line"]: (r.doc_count, r.group_docs)
+        for r in read_corpus_lines(spark, sink, group_cols=["site"]).collect()
+    }
+    assert audit["banner"] == (2, 4)
+
+    removed = enforce_retention_lineclean(
+        spark, sink,
+        id_col="doc_id", text_col="text", group_cols=["site"],
+        max_batches=1,
+    )
+    assert removed == [0]
+    assert not os.path.exists(os.path.join(sink, "_batch=0"))
+    audit = {
+        r["__line"]: (r.doc_count, r.group_docs)
+        for r in read_corpus_lines(spark, sink, group_cols=["site"]).collect()
+    }
+    assert audit["banner"] == (0, 2)  # released; live total is 2
+
+    # the released banner lands INTACT on re-sight (count back to 1 < 2)
+    feed([(5, "s", "banner\nfive")])
+    got = _lc_rows(spark, sink)
+    assert got[5].cleaned_text == "banner\nfive"
+
+
+def test_lineclean_retention_coverage_guard(spark, tmp_path):
+    """A retiring epoch whose positive delta never landed (crash before
+    the heal pass) is backfilled BEFORE its negative publishes — the
+    line's live-carrier sum stays exact, never negative."""
+    import shutil
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        enforce_retention_lineclean,
+        lineclean_insert,
+        read_corpus_lines,
+    )
+
+    schema = spark.createDataFrame(
+        [(0, "x", "y")], ["doc_id", "site", "text"]
+    ).schema
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = lineclean_insert(
+            file_stream_reader(spark, src, schema),
+            sink, ckpt,
+            id_col="doc_id", text_col="text", group_cols=["site"],
+            min_docs=2, max_doc_frac=0.5, trigger_once=True,
+        )
+        _drain(q)
+
+    feed([(1, "s", "banner\none"), (2, "s", "banner\ntwo")])
+    feed([(3, "s", "banner\nthree")])
+    # crash window: epoch 0's positive deltas never landed
+    shutil.rmtree(os.path.join(sink, "_lines", "_batch=0"))
+    shutil.rmtree(os.path.join(sink, "_linetotals", "_batch=0"))
+    removed = enforce_retention_lineclean(
+        spark, sink,
+        id_col="doc_id", text_col="text", group_cols=["site"],
+        max_batches=1,
+    )
+    assert removed == [0]
+    audit = {
+        r["__line"]: (r.doc_count, r.group_docs)
+        for r in read_corpus_lines(spark, sink, group_cols=["site"]).collect()
+    }
+    assert audit["banner"] == (1, 1)  # epoch 1's carrier only — exact
