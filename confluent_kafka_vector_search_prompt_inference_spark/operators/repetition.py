@@ -68,6 +68,9 @@ def remove_repeated_lines(
     Returns one row per input document:
     ``(id_col, n_lines, n_kept, n_removed, cleaned_text)`` — a fully
     boilerplate document keeps its row with ``cleaned_text = ''``.
+    ``id_col`` must be unique (the reassembly groups by it — duplicated
+    ids would interleave two documents' lines; the streaming face
+    enforces this per batch with ``dropDuplicates``).
 
     Plan shape at 100 TB: one ``(group, line)``-keyed aggregate for the
     distinct-document counts (line-scale rows, map-side partials on the
@@ -197,6 +200,8 @@ def gopher_repetition_signals(
 
     Returns ``(id_col, n_words, n_distinct_words, distinct_word_frac,
     top{n}gram_char_frac …, dup{n}gram_char_frac, repetitive)``.
+    ``id_col`` must be unique — duplicated ids would merge two
+    documents' gram spaces.
 
     Plan shape at 100 TB: each signal is a ``(doc, gram)``-keyed
     aggregate reduced to one row per document and joined back on the
