@@ -1601,19 +1601,22 @@ def _bp_pages(docs: DataFrame) -> DataFrame:
     )
 
 
-# pages → per-(source, line) doc counts → boilerplate flags: the CTE
-# chain shared by the standalone lane and the composed page-curation
-# pipeline below (ends at `fl`; consumers aggregate it per doc).
-_BP_CTES = r"""pages AS (
-  SELECT doc_id, source,
-    ['nav ' || source || ' home products contact login']
+# the multi-line page list expression (DuckDB twin of `_bp_pages`),
+# shared by the batch oracles and the ONLINE lineclean oracle below
+_BP_LS_SQL = r"""['nav ' || source || ' home products contact login']
     || (CASE WHEN doc_id % 3 = 0
              THEN ['this site uses cookies accept or decline terms']
              ELSE []::VARCHAR[] END)
     || list_transform(
          range(greatest(cast(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT), 1)),
          i -> array_to_string(string_split(text, ' ')[i*12+1:i*12+12], ' '))
-    || ['copyright ' || source || ' all rights reserved'] AS ls
+    || ['copyright ' || source || ' all rights reserved']"""
+
+# pages → per-(source, line) doc counts → boilerplate flags: the CTE
+# chain shared by the standalone lane and the composed page-curation
+# pipeline below (ends at `fl`; consumers aggregate it per doc).
+_BP_CTES = f"""pages AS (
+  SELECT doc_id, source, {_BP_LS_SQL} AS ls
   FROM documents),
 lines AS (
   SELECT doc_id, source, ls[r.p] AS line, r.p AS pos
@@ -1631,6 +1634,104 @@ fl AS (
 
 _LINE_BOILERPLATE_ORACLE = f"""
 WITH {_BP_CTES}
+SELECT doc_id,
+  COUNT(*) AS n_lines,
+  COUNT(*) FILTER (WHERE NOT bp) AS n_kept,
+  COUNT(*) FILTER (WHERE bp) AS n_removed,
+  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT bp), '')
+    AS cleaned_text
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def online_lineclean_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming line-boilerplate lane under an exact ONLINE oracle
+    (round 12 — the `online_source_kmv` move applied to a lane where
+    ORDER MATTERS): a real ``lineclean_insert`` stream drains the page
+    corpus in THREE sequential epochs (``epoch = doc_id % 3``, one
+    availableNow drain each, so the split is deterministic), and DuckDB
+    recomputes the lane's arrival-order semantics closed-form — a doc
+    in epoch e is cleaned against counts and totals CUMULATIVE THROUGH
+    e. The fixture distinguishes online from batch-global counting: a
+    per-source promo line rides each source's first two docs
+    (``doc_id < 40``), which land in DIFFERENT epochs by construction
+    (``s % 3 != (s + 20) % 3``) — the earlier carrier must KEEP its
+    promo line (cumulative count 1 < min_docs), the later must lose it
+    (count 2, past the 0.05 fraction gate); a batch-count impostor
+    would cut both, an ignore-history impostor neither. Nav, banner,
+    footer saturate within epoch 0 and fall everywhere. The scratch
+    stream's sink backs the returned DataFrame (read lazily by the
+    harness), so nothing corpus-sized is collected."""
+    import os
+    import tempfile
+
+    from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import (
+        file_stream_reader,
+        lineclean_insert,
+        read_sink,
+    )
+
+    pages = _bp_pages(_t(spark, sf_dir, "documents"))
+    promo = F.concat(F.lit("promo "), F.col("source"), F.lit(" weekly deals"))
+    pages = pages.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") < 40, F.concat(promo, F.lit("\n"), F.col("page"))
+        )
+        .otherwise(F.col("page"))
+        .alias("page"),
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_lineclean_online_")
+    src = os.path.join(work, "in")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    for e in range(3):
+        pages.filter(F.col("doc_id") % 3 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = lineclean_insert(
+            file_stream_reader(spark, src, pages.schema),
+            sink,
+            ckpt,
+            id_col="doc_id",
+            text_col="page",
+            group_cols=["source"],
+            min_docs=2,
+            max_doc_frac=0.05,
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+    return (
+        read_sink(spark, sink)
+        .select("doc_id", "n_lines", "n_kept", "n_removed", "cleaned_text")
+        .orderBy("doc_id")
+    )
+
+
+_ONLINE_LINECLEAN_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, source, doc_id % 3 AS ep,
+    (CASE WHEN doc_id < 40
+          THEN ['promo ' || source || ' weekly deals']
+          ELSE []::VARCHAR[] END) || {_BP_LS_SQL} AS ls
+  FROM documents),
+lines AS (
+  SELECT doc_id, source, ep, ls[r.p] AS line, r.p AS pos
+  FROM pages, unnest(range(1, len(ls) + 1)) r(p)),
+eps AS (SELECT unnest([0, 1, 2]) AS e),
+cum AS (
+  SELECT l.source, l.line, e.e, COUNT(DISTINCT l.doc_id) AS dc
+  FROM lines l JOIN eps e ON l.ep <= e.e GROUP BY 1, 2, 3),
+tot AS (
+  SELECT p.source, e.e, COUNT(DISTINCT p.doc_id) AS nd
+  FROM pages p JOIN eps e ON p.ep <= e.e GROUP BY 1, 2),
+fl AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (c.dc >= 2 AND CAST(c.dc AS DOUBLE) >= 0.05 * CAST(t.nd AS DOUBLE)) AS bp
+  FROM lines l
+  JOIN cum c ON c.source = l.source AND c.line = l.line AND c.e = l.ep
+  JOIN tot t ON t.source = l.source AND t.e = l.ep)
 SELECT doc_id,
   COUNT(*) AS n_lines,
   COUNT(*) FILTER (WHERE NOT bp) AS n_kept,
@@ -10803,6 +10904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed pages → line-dedup → gate chain
         "gopher_repetition_quality": gopher_repetition_quality,
         "page_curation_pipeline": page_curation_pipeline,
+        # round 12: the STREAMED lineclean lane under an exact
+        # arrival-order oracle (a real 3-epoch stream; DuckDB recomputes
+        # the cumulative-through-epoch gate closed-form)
+        "online_lineclean_pages": online_lineclean_pages,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
         "text_repetition": text_repetition,
@@ -10996,6 +11101,7 @@ def oracle_sql() -> dict[str, str]:
         "line_boilerplate_removal": _LINE_BOILERPLATE_ORACLE,
         "gopher_repetition_quality": _GOPHER_ORACLE,
         "page_curation_pipeline": _PAGE_CURATION_ORACLE,
+        "online_lineclean_pages": _ONLINE_LINECLEAN_ORACLE,
         "ngram_jaccard_dups": _JACCARD_ORACLE,
         "embedding_near_dups": _EMB_DUP_ORACLE,
         "bm25_keyword_topk": _BM25_ORACLE,
