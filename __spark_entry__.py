@@ -1644,6 +1644,71 @@ FROM fl GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, round 12): hashed-bigram
+    importance resampling toward a TARGET distribution — here "look
+    like sources src0/src1" — over the whole corpus, with deterministic
+    Gumbel-top-50 selection (``operators/sampling.py``). Weights follow
+    the BM25 fixed-point discipline: per-BUCKET log ratios round into
+    integer nano-units once, per-doc scores are exact BIGINT sums, the
+    Gumbel perturbation is drawn from each doc's md5 — so DuckDB
+    reproduces every weight, key, and the final top-k bit-for-bit.
+
+    Plan shape at 100 TB: two occurrence-scale bucket counts, one
+    4096-row broadcast weight table, one (doc, bucket) aggregate, and a
+    k-bounded TakeOrderedAndProject — no global sort, nothing
+    driver-resident beyond the bucket table."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    raw = docs.select("doc_id", "text").repartition(32, "doc_id")
+    target = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    return dsir_select(raw, target, "doc_id", "text", k=50, n=2, buckets=4096)
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_WORDS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, source, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+bocc AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5('g#' || g), 1, 8))::UBIGINT % 4096 AS b
+  FROM occ),
+rc AS (SELECT b, COUNT(*) AS c FROM bocc GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS c FROM bocc
+       WHERE source IN ('src0', 'src1') GROUP BY b),
+rt AS (SELECT COUNT(*) AS nr FROM bocc),
+tt AS (SELECT COUNT(*) AS nt FROM bocc WHERE source IN ('src0', 'src1')),
+bt AS (
+  SELECT x.b,
+    CAST(round(ln(
+      ((coalesce(tc.c, 0) + 1.0) / (tt.nt + 4096.0))
+      / ((coalesce(rc.c, 0) + 1.0) / (rt.nr + 4096.0))
+    ) * 1e9) AS BIGINT) AS w
+  FROM (SELECT unnest(range(4096)) AS b) x
+  LEFT JOIN rc ON x.b = rc.b
+  LEFT JOIN tc ON x.b = tc.b
+  CROSS JOIN rt CROSS JOIN tt),
+dw AS (
+  SELECT o.doc_id, SUM(bt.w) AS logw_nanos, COUNT(*) AS n_grams
+  FROM bocc o JOIN bt ON o.b = bt.b GROUP BY o.doc_id),
+fw AS (
+  SELECT d.doc_id,
+         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(w.logw_nanos, 0) AS BIGINT) AS logw_nanos
+  FROM documents d LEFT JOIN dw w ON d.doc_id = w.doc_id)
+SELECT doc_id, n_grams, logw_nanos,
+  logw_nanos + CAST(round(-ln(-ln(
+    ((('0x' || substring(md5('u#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      % 1000000) + 0.5) / 1000000.0
+  )) * 1e9) AS BIGINT) AS key_nanos
+FROM fw ORDER BY key_nanos DESC, doc_id ASC LIMIT 50
+"""
+
+
 def online_lineclean_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming line-boilerplate lane under an exact ONLINE oracle
     (round 12 — the `online_source_kmv` move applied to a lane where
@@ -10908,6 +10973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arrival-order oracle (a real 3-epoch stream; DuckDB recomputes
         # the cumulative-through-epoch gate closed-form)
         "online_lineclean_pages": online_lineclean_pages,
+        # round 12: DSIR importance resampling (hashed-bigram target
+        # matching, deterministic Gumbel-top-k)
+        "dsir_selected_docs": dsir_selected_docs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_near_dups": embedding_near_dups,
         "text_repetition": text_repetition,
@@ -11102,6 +11170,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_quality": _GOPHER_ORACLE,
         "page_curation_pipeline": _PAGE_CURATION_ORACLE,
         "online_lineclean_pages": _ONLINE_LINECLEAN_ORACLE,
+        "dsir_selected_docs": _DSIR_ORACLE,
         "ngram_jaccard_dups": _JACCARD_ORACLE,
         "embedding_near_dups": _EMB_DUP_ORACLE,
         "bm25_keyword_topk": _BM25_ORACLE,

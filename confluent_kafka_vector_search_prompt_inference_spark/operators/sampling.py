@@ -296,3 +296,144 @@ def scalable_cumsum(
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc))
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-document DSIR importance weights: hashed word ``n``-gram
+    features, Laplace-smoothed bucket distributions over the TARGET and
+    RAW corpora, and each raw document scored by the summed log ratio
+    of its gram occurrences — ``log ŵ(d) = Σ_g log(p̂_target[h(g)] /
+    p̂_raw[h(g)])``. Documents whose hashed gram profile looks like the
+    target distribution score high; generic or off-target text scores
+    low. Returns ``(id_col, n_grams, logw_nanos)`` — one row per raw
+    document, zero-gram docs at weight 0.
+
+    Exactness contract (the BM25 fixed-point pattern): each BUCKET's
+    log ratio is rounded into integer nano-units once, and per-doc
+    scores are exact BIGINT sums of those — so the result is
+    partitioning-independent and engine-portable (the md5 bucket hash
+    and the double arithmetic reproduce in DuckDB; summation order
+    cannot perturb an integer sum).
+
+    Plan shape at 100 TB: two occurrence-scale bucket counts with
+    map-side partials (the distributions), ONE broadcast of the
+    ``buckets``-row weight table, one (doc, bucket)-keyed aggregate,
+    one reduce to a row per doc. Nothing is driver-resident; the
+    weight table is ``buckets`` rows by construction."""
+    from confluent_kafka_vector_search_prompt_inference_spark.functions.text import word_tokens
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.repetition import _gram_col
+
+    spark = raw.sparkSession
+    b_lit = float(buckets)
+
+    def occ(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_gram_col(word_tokens(text_col), n)).alias("__g"),
+        ).select(
+            "__id",
+            hash_bucket(F.concat(F.lit("g#"), F.col("__g")), buckets).alias("__b"),
+        )
+
+    raw_occ = occ(raw)
+    tgt_occ = occ(target)
+    rc = raw_occ.groupBy("__b").agg(F.count("*").alias("__rc"))
+    tc = tgt_occ.groupBy("__b").agg(F.count("*").alias("__tc"))
+    rt = raw_occ.agg(F.count("*").alias("__rt"))
+    tt = tgt_occ.agg(F.count("*").alias("__tt"))
+    wb = (
+        spark.range(buckets)
+        .select(F.col("id").alias("__b"))
+        .join(tc, "__b", "left")
+        .join(rc, "__b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("__tc", F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("__tt").cast("double") + F.lit(b_lit))
+                    )
+                    / (
+                        (F.coalesce("__rc", F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("__rt").cast("double") + F.lit(b_lit))
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("__w"),
+        )
+    )
+    dw = (
+        raw_occ.groupBy("__id", "__b")
+        .agg(F.count("*").alias("__c"))
+        .join(F.broadcast(wb), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.col("__c") * F.col("__w")).alias("logw_nanos"),
+            F.sum("__c").cast("bigint").alias("n_grams"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(dw, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("logw_nanos", F.lit(0)).cast("bigint").alias("logw_nanos"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int,
+    n: int = 2,
+    buckets: int = 8192,
+    seed: str = "u#",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance weights — the
+    paper's sampling-without-replacement, made DETERMINISTIC by drawing
+    each document's uniform from the md5 of its id (same doc, same
+    draw, in any engine, at any parallelism). ``key = logw_nanos +
+    round(gumbel(u) · 1e9)`` stays an exact BIGINT; the top-``k`` by
+    key is a ``TakeOrderedAndProject`` (k-bounded, no global sort
+    materialized). Returns ``(id_col, n_grams, logw_nanos,
+    key_nanos)``, highest keys first, ties broken by ascending id."""
+    w = dsir_importance_weights(
+        raw, target, id_col, text_col, n=n, buckets=buckets
+    )
+    u = (
+        hash_bucket(
+            F.concat(F.lit(seed), F.col(id_col).cast("string")), 1_000_000
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.col("logw_nanos") + F.round(
+        (-F.log(-F.log(u))) * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        w.withColumn("key_nanos", key)
+        .orderBy(F.desc("key_nanos"), F.asc(id_col))
+        .limit(k)
+    )

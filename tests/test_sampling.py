@@ -326,3 +326,77 @@ def test_per_group_top_n_requires_useful_salt_key(spark):
         per_group_top_n(df, ["g"], [F.asc("id")], 1)
     with pytest.raises(ValueError, match="group column"):
         per_group_top_n(df, ["g"], [F.asc("id")], 1, salt_key="g")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 12)
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_match_bruteforce(spark):
+    """Engine weights equal a plain-Python mirror of the paper's
+    hashed-bigram estimator (same md5 buckets, same smoothing, same
+    nano-unit rounding) on a small corpus."""
+    import hashlib
+    import math
+
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dsir_importance_weights
+
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "delta epsilon zeta"),
+        (3, "alpha beta alpha beta alpha"),
+        (4, "x"),  # shorter than a bigram -> weight 0
+    ]
+    tgt_rows = [(10, "alpha beta gamma"), (11, "alpha beta")]
+    B = 64
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.logw_nanos)
+        for r in dsir_importance_weights(raw, tgt, n=2, buckets=B).collect()
+    }
+
+    def bucket(g):
+        return int(hashlib.md5(f"g#{g}".encode()).hexdigest()[:8], 16) % B
+
+    def occs(rows):
+        out = []
+        for _, text in rows:
+            w = text.split()
+            out += [bucket(" ".join(w[i:i + 2])) for i in range(len(w) - 1)]
+        return out
+
+    ro, to = occs(raw_rows), occs(tgt_rows)
+    wb = {}
+    for b in range(B):
+        pt = (to.count(b) + 1.0) / (len(to) + float(B))
+        pr = (ro.count(b) + 1.0) / (len(ro) + float(B))
+        wb[b] = round(math.log(pt / pr) * 1e9)
+    for doc_id, text in raw_rows:
+        w = text.split()
+        grams = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        exp = sum(wb[bucket(g)] for g in grams)
+        assert got[doc_id] == (len(grams), exp), doc_id
+
+
+def test_dsir_self_target_is_flat_and_selection_deterministic(spark):
+    """target == raw makes every bucket ratio 1 (weight exactly 0), and
+    dsir_select is a pure function of ids — same top-k on re-run, keys
+    descending, on-target docs outrank off-target ones."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dsir_select, dsir_importance_weights
+
+    rows = [(i, ("spark sql " * 5 if i % 2 else "cats dogs " * 5).strip())
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flat = dsir_importance_weights(df, df, buckets=128)
+    assert flat.filter(F.col("logw_nanos") != 0).count() == 0
+
+    tgt = df.filter(F.col("doc_id") % 2 == 1)  # the "spark sql" half
+    a = dsir_select(df, tgt, k=8, buckets=128).collect()
+    b = dsir_select(df, tgt, k=8, buckets=128).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    keys = [r.key_nanos for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # every selected doc is from the on-target half: the off-target
+    # half's grams are heavily down-weighted
+    assert all(r.doc_id % 2 == 1 for r in a)
