@@ -96,6 +96,9 @@ HEAVIES = [
     # line explode near 1.0); the Gopher gates are (doc, gram)-keyed
     "line_boilerplate_removal",
     "gopher_repetition_quality",
+    # round-12: DSIR — two occurrence-scale bucket counts + one
+    # broadcast weight table; exponent should track the gram explode
+    "dsir_selected_docs",
 ]
 
 SF_DIRS = {
