@@ -1566,10 +1566,20 @@ def line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_lines,
     )
 
-    pages = _bp_pages(_t(spark, sf_dir, "documents"))
-    return remove_repeated_lines(
-        pages, "doc_id", "page",
-        group_cols=["source"], min_docs=2, max_doc_frac=0.25,
+    # repartition: the small-SF parquet is ONE split — the page-fixture
+    # construction (split + per-line slices) and the operator's line
+    # explode otherwise run single-threaded until the first exchange
+    pages = _bp_pages(
+        _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    )
+    # persist before the global sort: the sort's range-boundary sampling
+    # re-executes the reassembly aggregate otherwise (guide §5; measured
+    # 2.11 s → 1.85 s warm at sf0.1)
+    return _persist(
+        remove_repeated_lines(
+            pages, "doc_id", "page",
+            group_cols=["source"], min_docs=2, max_doc_frac=0.25,
+        )
     ).orderBy("doc_id")
 
 
@@ -1820,7 +1830,12 @@ def gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return gopher_repetition_signals(docs).orderBy("doc_id")
+    # persist before the global sort: RangePartitioning's boundary
+    # sampling re-executes the child's final stage (the three signal
+    # joins), so the sort otherwise pays the signal assembly twice
+    # (guide §5 — reused AND expensive to recompute; measured 1.96 s →
+    # 1.42 s warm at sf0.1)
+    return _persist(gopher_repetition_signals(docs)).orderBy("doc_id")
 
 
 def _gopher_ctes(rel: str) -> str:
@@ -6361,21 +6376,29 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a real corpus the scan has natural splits and this is a no-op cost
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32, "doc_id")
     sh5 = word_shingles("text", 5)
+    # shingle ONCE (round 12 optimization): the 5-gram set previously
+    # computed three times — n_shingles in base, the bench explode, the
+    # hits explode; persist the (doc, shingles[], gates) projection and
+    # derive all three consumers from it
     base = docs.select(
         "doc_id",
         language_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
         doc_fingerprint("text").alias("fp"),
-        F.size(sh5).cast("bigint").alias("n_shingles"),
+        sh5.alias("__sh"),
+    ).transform(_persist)
+    survivors = (
+        base.withColumn("n_shingles", F.size("__sh").cast("bigint"))
+        .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("min_id"))
     )
-    survivors = base.withColumn(
-        "min_id", F.min("doc_id").over(Window.partitionBy("fp"))
-    ).filter(F.col("doc_id") == F.col("min_id"))
     bench = (
-        docs.filter(F.col("doc_id") < 5).select(F.explode(sh5).alias("s")).distinct()
+        base.filter(F.col("doc_id") < 5)
+        .select(F.explode("__sh").alias("s"))
+        .distinct()
     )
     hits = (
-        docs.select("doc_id", F.explode(sh5).alias("s"))
+        base.select("doc_id", F.explode("__sh").alias("s"))
         .join(F.broadcast(bench), "s", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
@@ -7854,19 +7877,26 @@ def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the test exercises the interesting case, not just the identity)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
 
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the small-SF parquet is ONE split — spread the
+    # tokenize+explode; then aggregate the occurrence stream ONCE and
+    # feed BOTH consumers from the vocabulary-sized (term, count) table:
+    # the sketch as a weighted build (cell sums identical — Σ weights ==
+    # occurrence count) and the top-20 as an order-by over the same agg.
+    # The previous shape ran the occurrence explode twice and pushed
+    # depth× occurrence-scale rows into the sketch aggregate.
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = docs.select(
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
         ).alias("term")
     )
-    sketch = countmin_build(toks, "term", depth=4, width=512)
-    top = (
+    tc = (
         toks.groupBy("term")
         .agg(F.count("*").alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), F.asc("term"))
-        .limit(20)
+        .transform(_persist)
     )
+    sketch = countmin_build(tc, "term", depth=4, width=512, weight_col="true_cnt")
+    top = tc.orderBy(F.desc("true_cnt"), F.asc("term")).limit(20)
     est = countmin_lookup(sketch, top, "term", depth=4, width=512)
     return est.select(
         "term", "true_cnt", "est", (F.col("est") - F.col("true_cnt")).alias("overcount")
@@ -7908,17 +7938,26 @@ def source_term_freqs_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcounts at the deliberately narrow width."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sketches import countmin_build, countmin_lookup
 
-    docs = _t(spark, sf_dir, "documents")
+    # same single-aggregation shape as countmin_term_freqs (round 12
+    # optimization): one (source, term) count feeds the per-group sketch
+    # as a weighted build and the per-group top-5 — the occurrence
+    # stream is exploded and aggregated exactly once
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = docs.select(
         "source",
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
         ).alias("term"),
     )
-    sketch = countmin_build(
-        toks, "term", depth=4, width=256, group_cols=["source"]
+    tc = (
+        toks.groupBy("source", "term")
+        .agg(F.count("*").alias("true_cnt"))
+        .transform(_persist)
     )
-    tc = toks.groupBy("source", "term").agg(F.count("*").alias("true_cnt"))
+    sketch = countmin_build(
+        tc, "term", depth=4, width=256, weight_col="true_cnt",
+        group_cols=["source"],
+    )
     w = Window.partitionBy("source").orderBy(F.desc("true_cnt"), F.asc("term"))
     top = (
         tc.withColumn("__rn", F.row_number().over(w))
@@ -8480,7 +8519,11 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reproduces it bit-for-bit. At 100 TB the ngram count
     tables are vocabulary-sized, joined by hash on the ngram key; the
     doc side re-attaches by doc_id without ever shuffling text."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the small-SF parquet is ONE split — tokenize + the two
+    # ngram explodes otherwise run single-threaded; hash(doc_id) also
+    # makes every per-doc aggregate below map-side (partitioning on a
+    # subset of the grouping keys satisfies the clustering requirement)
+    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("__t"), F.size(toks).alias("__n"))
 
@@ -8495,12 +8538,24 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    tri = base.select("doc_id", F.explode(ngrams(3)).alias("tri"))
+    # pre-aggregate per (doc, trigram) BEFORE anything shuffles on the
+    # gram string (guide §2.3 "aggregate before you shuffle"): the
+    # occurrence-scale explode reduces map-side to distinct-per-doc rows
+    # carrying an exact multiplicity, so the two string-keyed join
+    # exchanges and the final per-doc aggregate move distinct rows, not
+    # every occurrence. __p is an exact DECIMAL, so c·p == Σ_occurrences p
+    # and every output bit matches the occurrence-form oracle.
+    dt = (
+        base.select("doc_id", F.explode(ngrams(3)).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("__c"))
+        .transform(_persist)
+    )
+    tri_counts = dt.groupBy("tri").agg(F.sum("__c").alias("c_tri"))
     bi = base.select("doc_id", F.explode(ngrams(2)).alias("bi"))
-    tri_counts = tri.groupBy("tri").agg(F.count("*").alias("c_tri"))
     bi_counts = bi.groupBy("bi").agg(F.count("*").alias("c_bi"))
     scored = (
-        tri.join(tri_counts, "tri")
+        dt.join(tri_counts, "tri")
         .withColumn("bi", F.substring_index("tri", " ", 2))
         .join(bi_counts, "bi")
         .withColumn(
@@ -8512,12 +8567,12 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tri"),
+            F.sum("__c").alias("n_tri"),
             F.round(
-                (F.sum("__p").cast("double") / F.count("*")), 6
+                (F.sum(F.col("__p") * F.col("__c")).cast("double") / F.sum("__c")), 6
             ).alias("avg_cond_p"),
             F.round(
-                F.count_distinct("tri").cast("double") / F.count("*"), 6
+                F.count("*").cast("double") / F.sum("__c").cast("double"), 6
             ).alias("distinct_ratio"),
         )
     )
@@ -9175,7 +9230,10 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(_persist)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # node-sized, consumed five times (the ed build, the pr seed, and the
+    # per-iteration node list ×3) — without the persist each consumer
+    # re-aggregates the persisted edge table
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(_persist)
     # out-degree rides the edge table (persisted once) so each power
     # iteration pays ONE join instead of edges⋈pr⋈deg
     ed = edges.join(deg, "src").transform(_persist)

@@ -51,11 +51,25 @@ def vec_l2_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def vec_normalize(a: Column | str) -> Column:
-    """Unit-normalize (double elements). Zero vectors normalize to zeros."""
+    """Unit-normalize (double elements). Zero vectors normalize to zeros.
+
+    The norm binds ONCE through an outer single-element ``transform``
+    (its lambda variable is evaluated once per row): referencing the
+    O(dim) norm aggregate directly inside the per-element lambda would
+    re-evaluate it for EVERY element — Catalyst does not CSE a
+    subexpression across lambda iterations, turning normalization into
+    O(dim²) per row (measured 0.59 s → 0.06 s on 2000×64-dim rows for
+    the analogous int8-quantize fix, round 12)."""
     a = F.col(a) if isinstance(a, str) else a
-    norm = vec_l2norm(a)
-    return F.when(norm == 0.0, _as_double(a)).otherwise(
-        F.transform(_as_double(a), lambda x: x / norm)
+    d = _as_double(a)
+    return F.element_at(
+        F.transform(
+            F.array(vec_l2norm(a)),
+            lambda nm: F.when(nm == 0.0, d).otherwise(
+                F.transform(d, lambda x: x / nm)
+            ),
+        ),
+        1,
     )
 
 
@@ -78,11 +92,19 @@ def vec_quantize_int8(a: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     d = _as_double(a)
     amax = F.array_max(F.transform(d, F.abs))
-    scale = amax / F.lit(127.0)
-    q = F.when(amax == 0.0, F.transform(d, lambda x: x.cast("int"))).otherwise(
-        F.transform(d, lambda x: F.round(x / scale).cast("int"))
-    )
-    return F.struct(scale.alias("scale"), q.alias("q"))
+
+    # bind amax ONCE via an outer single-element transform: embedding the
+    # array_max aggregate inside the per-element lambda re-evaluates it
+    # per element (no CSE across lambda iterations) — O(dim²) per row,
+    # measured 0.59 s vs 0.06 s for 2000 64-dim rows (round 12)
+    def _mk(am: Column) -> Column:
+        scale = am / F.lit(127.0)
+        q = F.when(am == 0.0, F.transform(d, lambda x: x.cast("int"))).otherwise(
+            F.transform(d, lambda x: F.round(x / scale).cast("int"))
+        )
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    return F.element_at(F.transform(F.array(amax), _mk), 1)
 
 
 def vec_int_dot(qa: Column | str, qb: Column | str) -> Column:

@@ -71,15 +71,19 @@ def _star_components(canon: DataFrame, max_iterations: int) -> DataFrame:
     labels read straight off the edges. Converges in O(log n)
     alternations even on diameter-Θ(n) path graphs, where min-label
     propagation needs Θ(n) rounds."""
+    # lazy checkpoints: each materializes inside the first action that
+    # reads it (the nxt.count() below) instead of paying a dedicated
+    # job per checkpoint — see the label loop note in
+    # connected_components
     nodes = (
         canon.select(F.col("a").alias("node"))
         .unionByName(canon.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    cur = canon.localCheckpoint(eager=True)
+    cur = canon.localCheckpoint(eager=False)
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # star forests are a fixed point of both phases, so "unchanged
         # edge set" is exactly convergence; sizes first (cheap), then a
         # one-sided subtract (both sets are distinct + equal-sized).
@@ -120,11 +124,18 @@ def connected_components(
             _canonical(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))),
             max_iterations,
         )
+    # LAZY checkpoints throughout the loop (round 12 optimization): an
+    # eager localCheckpoint is its own Spark job, so the label loop paid
+    # 2 jobs per round (materialize + changed-count) plus 2 upfront —
+    # pure scheduling overhead on small duplicate graphs and a full
+    # extra pass per round at scale. Each lazy checkpoint materializes
+    # inside the FIRST action that reads it (here: the very next count),
+    # halving the job count with identical lineage-truncation semantics.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Size the iteration parallelism to the GRAPH, not the session default:
     # dup graphs are usually orders of magnitude smaller than the corpus
@@ -143,12 +154,12 @@ def connected_components(
     if n_part != cur_parts:
         # only re-shuffle + re-materialize when the width actually changes;
         # an unconditional repartition would double-copy the edge set
-        sym = sym.repartition(n_part, "b").localCheckpoint(eager=True)
+        sym = sym.repartition(n_part, "b").localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = (
         min(max_iterations, label_round_budget)
@@ -171,7 +182,9 @@ def connected_components(
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # lazy: the changed-count below materializes the checkpoint in
+        # the same job it counts in
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:

@@ -56,6 +56,10 @@ def triangle_counts(
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
+        # node-sized, consumed three times (both orientation sides + the
+        # final clustering join) — cut like e/oriented so the union-agg
+        # over the edge list runs once
+        .localCheckpoint(eager=False)
     )
 
     # Orient a—b from the (degree, id)-smaller endpoint to the larger.
@@ -85,10 +89,13 @@ def triangle_counts(
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
 
+    # one corner row per triangle endpoint via explode — the three-way
+    # union form rebuilt the wedge+closing joins once PER CORNER (the
+    # optimizer does not share the common subtree across union branches:
+    # plans/r12/part_triangle_counts_before.txt shows the two
+    # SortMergeJoins three times), tripling the query's heavy stages
     per_node = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("tri_cnt"))
     )
