@@ -34,8 +34,15 @@ BUDGETS = {
     # executed shuffles. Budgets record the printed count; the scaling
     # argument is that each repartition moves (id, text/shingles) exactly
     # once at execution time.
-    "training_set_selection": 5,    # spread repartition (×2 branches) +
-                                    # fingerprint window + hit count + distinct
+    "training_set_selection": 8,    # round 12: the shingle set computes
+                                    # ONCE in a persisted (doc, gates, __sh)
+                                    # projection whose spread repartition
+                                    # prints per consuming branch (survivors
+                                    # window, bench distinct, hit count) —
+                                    # printed 8, executed: one repartition +
+                                    # fingerprint window + bench distinct +
+                                    # hit agg; the round-11 form printed 5
+                                    # but SHINGLED THE CORPUS 3×
     "embedding_near_dups": 0,       # broadcast-matmul mapInPandas — zero shuffle
     "crawl_text_extraction": 1,     # pure Catalyst regexp projection; one
                                     # orderBy range exchange (presentation)
@@ -60,9 +67,16 @@ BUDGETS = {
                                     # packed query matrix broadcasts
     "vec_threshold_join": 0,        # scan → score → filter: no window, no
                                     # shuffle — broadcast queries only
-    "countmin_term_freqs": 2,       # sketch-cell groupBy + true-count
-                                    # groupBy (top-20 is TakeOrdered;
-                                    # lookup side broadcasts)
+    "countmin_term_freqs": 8,       # round 12: ONE persisted (term, count)
+                                    # aggregation feeds the weighted sketch
+                                    # build AND the top-20 — its spread
+                                    # repartition + term agg print per
+                                    # consuming branch (printed 8); executed:
+                                    # repartition + term agg + vocab-sized
+                                    # cell agg (the round-11 form printed 2
+                                    # but ran the occurrence explode twice
+                                    # and pushed depth× occurrence rows into
+                                    # the cell aggregate)
     "domain_quota_cap": 2,          # two-phase salted top-N: (lang, salt)
                                     # window + lang window over ≤ n·salt rows
     "vec_quantized_rescore_topk": 2,  # coarse rank window carries ids+score
@@ -70,10 +84,14 @@ BUDGETS = {
     # Fourth-wave additions. Printed counts again overstate execution for
     # persisted/checkpointed subtrees (postings / edge tables print once
     # per consuming branch, execute once).
-    "part_triangle_counts": 13,     # pair-build + degree agg print per
-                                    # branch; executed: pair shuffle,
-                                    # degrees, orientation joins, wedge
-                                    # join, closure join, per-node agg
+    "part_triangle_counts": 6,      # round 12 TIGHTENED 13 → 6: the
+                                    # per-corner count now explodes ONE
+                                    # triangle enumeration (the union form
+                                    # printed — and EXECUTED — the wedge +
+                                    # closure joins once per corner);
+                                    # executed: pair shuffle, degrees,
+                                    # orientation joins, wedge join,
+                                    # closure join, per-node agg
     "tfidf_cosine_topk": 32,        # persisted postings print ×(dnorm,
                                     # num, dfreq) branches; executed: tf
                                     # agg, df agg, norm aggs, num agg, rank
@@ -90,12 +108,16 @@ BUDGETS = {
     # Fifth-wave additions (round 5): the newest heavies put under the
     # same printed-tree contract. Persisted subtrees again print once per
     # consuming branch while executing once.
-    "part_pagerank": 58,            # 3 unrolled power iterations over a
+    "part_pagerank": 62,            # 3 unrolled power iterations over a
                                     # persisted edge+degree table: each
                                     # iteration's contribution agg + rank
                                     # join prints per downstream branch;
                                     # executed shuffles are edge-keyed
                                     # (node, contribution) pairs only
+                                    # (round 12: +4 printed — the degree
+                                    # table is now persisted too, its agg
+                                    # printing per consumer, while its
+                                    # EXECUTION count dropped 5× to once)
     "customer_rfm_segments": 1,     # value-table cumsums hide behind
                                     # localCheckpoints; one final segment agg
     "customer_spend_gini": 1,       # post-cumsum global agg gather only
@@ -108,9 +130,15 @@ BUDGETS = {
     # are positions and grams, never doc pairs) + cleaned-text groupBy
     "crossdoc_duplicate_spans": 6,  # shingle repartition + span agg +
                                     # pair join + dedup + verify joins
-    "trigram_lm_quality": 3,        # trigram count + bigram count +
-                                    # per-doc score agg (model tables
-                                    # broadcast back)
+    "trigram_lm_quality": 9,        # round 12: the per-(doc, trigram)
+                                    # pre-aggregate persists and prints its
+                                    # spread repartition per consuming
+                                    # branch (model side + scoring side) —
+                                    # printed 9; executed: repartition +
+                                    # map-side (doc,tri) agg + tri/bi count
+                                    # exchanges + two model joins + per-doc
+                                    # agg, all over DISTINCT-per-doc rows
+                                    # instead of every occurrence
     "knn_label_vote": 2,            # (query, label) vote agg + rank
                                     # window over k rows/query
     "vec_ivfpq_topk": 13,           # in-query index build (train sample
