@@ -2770,17 +2770,19 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     survivors = url_surv.join(dup_b, "doc_id", "left_anti")
-    # stage: quality gates on the extracted text (pure Catalyst)
-    return (
+    # stage: quality gates on the extracted text (pure Catalyst).
+    # Persist before the global sort: the sort's range-boundary sampling
+    # re-executes its child's final stage — here the anti-join plus the
+    # per-row quality regexes — before the real pass (guide §5; measured
+    # 3.43 s → 2.87 s min-of-4 warm at sf0.1).
+    return _persist(
         survivors.select(
             "doc_id",
             "canon_url",
             word_count("extracted").alias("n_words"),
             quality_score("extracted").alias("quality"),
-        )
-        .filter((F.col("n_words") >= 10) & (F.col("quality") >= 0.5))
-        .orderBy("doc_id")
-    )
+        ).filter((F.col("n_words") >= 10) & (F.col("quality") >= 0.5))
+    ).orderBy("doc_id")
 
 
 _CURATION_SQL_PRE = _CURATION_HTML_PRE.replace("'", "''")
