@@ -10910,12 +10910,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": text_redact_pii,
         "higher_order_fns": higher_order_fns,
         "pivot_status_priority": pivot_status_priority,
-        # round 12: line-level boilerplate removal (CCNet/RefinedWeb —
-        # the new repetition family's window rep; a composed multi-line
-        # page fixture whose header/banner/footer must fall per source).
-        # explode_positions yields its slot to the tail (the HOF/explode
-        # family keeps higher_order_fns in-window), still parity-gated.
-        "line_boilerplate_removal": line_boilerplate_removal,
+        # round 13: explode_positions RESTORED to the window (it was
+        # driver-verified through round 11; new faces must not displace
+        # previously driver-verified queries). line_boilerplate_removal
+        # moves to the tail with one driver-verified round on record and
+        # full parity coverage.
+        "explode_positions": explode_positions,
         "events_dedup_first": events_dedup_first,
         "user_latest_state": user_latest_state,
         "events_sessionization": events_sessionization,
@@ -10929,13 +10929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the gate; distinct_agg moved to the tail, still
         # parity-gated.
         "corpus_overlap_kmv": corpus_overlap_kmv,
-        # round 12: the grouped-KMV STREAMING face joins the window —
-        # a real 3-epoch kmv_insert(set_cols=) stream whose sketch the
-        # oracle recomputes exactly (merge law: the result cannot
-        # depend on the epoch split). q10_returned_items yields its
-        # slot to the tail (the relational core keeps five TPC-H reps
-        # plus the join/window/rollup shapes in-window).
-        "online_source_kmv": online_source_kmv,
+        # round 13: q10_returned_items RESTORED to the window (driver-
+        # verified through round 11). online_source_kmv moves to the
+        # tail with one driver-verified round on record and full parity
+        # coverage.
+        "q10_returned_items": q10_returned_items,
         "window_rank": window_rank,
         "orderby_limit": orderby_limit,
         "set_intersect": set_intersect,
@@ -10972,11 +10970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the RAG flagships)
         "scalar_date_fns": scalar_date_fns,
         "map_type_ops": map_type_ops,
-        # (round 12: displaced by online_source_kmv; still parity-gated)
-        "q10_returned_items": q10_returned_items,
-        # (round 12: displaced by line_boilerplate_removal; still
-        # parity-gated)
-        "explode_positions": explode_positions,
+        # (round 13: the two round-12 faces sit in the tail — each has
+        # one driver-verified round on record and stays parity-gated +
+        # bench-covered)
+        "line_boilerplate_removal": line_boilerplate_removal,
+        "online_source_kmv": online_source_kmv,
         # (displaced from the driver window in round 9 to admit the new
         # operator families — kll_value_quantiles, video_iframe_stats,
         # warc_documents, crawl_text_extraction; each displaced entry's
