@@ -87,14 +87,30 @@ _PERSISTED: list[DataFrame] = []
 
 
 def _persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_persisted`.
+
+    Contract for harnesses: several queries RETURN DataFrames whose plans
+    read persisted subtrees (shared shingle/occurrence tables, persisted
+    pre-sort results — e.g. trigram_lm_quality, countmin_term_freqs,
+    training_set_selection, gopher_repetition_quality,
+    line_boilerplate_removal, crawl_curation_pipeline, the span family).
+    A caller sweeping many queries without calling
+    :func:`release_persisted` between/after them accumulates executor
+    memory for the whole sweep (bench.py, tools/parity.py,
+    tools/capture_plans.py and tools/timeq.py all release)."""
     df = df.persist()
     _PERSISTED.append(df)
     return df
 
 
 def release_persisted() -> int:
-    """Unpersist every DataFrame this module has persisted; returns how
-    many were released."""
+    """Unpersist every DataFrame this module has persisted — plus every
+    operator-internal persist routed through the package's releasable
+    registry (BM25 postings, span-family tables, repetition signals; see
+    confluent_kafka_vector_search_prompt_inference_spark/persist.py) —
+    and return how many were released."""
+    from confluent_kafka_vector_search_prompt_inference_spark.persist import release_tracked
+
     n = 0
     while _PERSISTED:
         try:
@@ -102,7 +118,20 @@ def release_persisted() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
-    return n
+    return n + release_tracked()
+
+
+def _spread_width(spark: SparkSession) -> int:
+    """Width for the fixture-spread repartitions before per-row-heavy
+    stages (small-SF parquet arrives as ONE split, starving cores).
+
+    Follows the session's core count instead of a hardcoded 32: an
+    explicit ``repartition(n, key)`` is never widened by AQE, so a
+    constant would cap the tokenize/explode stages at 32 tasks on a real
+    cluster. The floor of 32 keeps the 8-core and 32-core local bench
+    runs on the identical partition layout (comparability: core count
+    changes task slots, not the plan)."""
+    return max(32, spark.sparkContext.defaultParallelism)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1523,7 +1552,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrated by ``minhash_lsh_dups``/``dedup_cluster_assignments``).
     Repartition first: the small-SF parquet is one split, and the shingle
     explode feeds both sides of the self-join."""
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
@@ -1570,7 +1599,7 @@ def line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (split + per-line slices) and the operator's line
     # explode otherwise run single-threaded until the first exchange
     pages = _bp_pages(
-        _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+        _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     )
     # persist before the global sort: the sort's range-boundary sampling
     # re-executes the reassembly aggregate otherwise (guide §5; measured
@@ -1671,7 +1700,7 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import dsir_select
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    raw = docs.select("doc_id", "text").repartition(32, "doc_id")
+    raw = docs.select("doc_id", "text").repartition(_spread_width(spark), "doc_id")
     target = docs.filter(F.col("source").isin("src0", "src1")).select(
         "doc_id", "text"
     )
@@ -2063,7 +2092,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition: a single small parquet file arrives as ONE partition, and
     # signature computation is per-row-heavy — spread it across cores
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     sh = docs.select("doc_id", word_shingles("text", 3).alias("__sh")).transform(_persist)
     sigs = minhash_signatures(
         sh, "doc_id", None, num_hashes=64, shingle_col="__sh"
@@ -2730,7 +2759,7 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(warc_encode(recs, gzip_members=bool(d % 2)))
             yield pd.DataFrame({"path": paths, "content": blobs})
 
-    archives = served.repartition(32, "doc_id").mapInPandas(
+    archives = served.repartition(_spread_width(spark), "doc_id").mapInPandas(
         gen, "path string, content binary"
     )
     pages = read_warc(archives).filter(
@@ -3637,7 +3666,7 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-pairs semantics end-to-end."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     sh = docs.select("doc_id", word_shingles("text", 3).alias("__sh")).transform(_persist)
     sigs = minhash_signatures(sh, "doc_id", None, num_hashes=64, shingle_col="__sh")
     cands = minhash_lsh_candidates(
@@ -3698,7 +3727,7 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
     CTE components + the quality formula + the same rank)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     sh = docs.select("doc_id", word_shingles("text", 3).alias("__sh")).transform(_persist)
     sigs = minhash_signatures(sh, "doc_id", None, num_hashes=64, shingle_col="__sh")
     cands = minhash_lsh_candidates(
@@ -3805,7 +3834,7 @@ def _rag(spark: SparkSession, sf_dir: str) -> tuple[RagPipeline, DataFrame, Data
     # partition, which would run Arrow inference single-threaded
     corpus = pipe.registry.ml_predict(
         docs.select(F.col("doc_id").alias("product_id"), F.col("text").alias("content"))
-        .repartition(32, "product_id"),
+        .repartition(_spread_width(spark), "product_id"),
         "vector_encoding",
         "content",
     )
@@ -3934,7 +3963,7 @@ def late_interaction_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
     # repartition before the explode: the small-SF parquet is one split and
     # the token fan-out (plus the downstream block join) must start wide
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -4802,7 +4831,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-SF parquet split (7.5s → ~1s at sf0.1)."""
     from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(_spread_width(spark), "doc_id")
     shd = docs.select("doc_id", word_shingles("text", 5).alias("__sh")).transform(_persist)
     tot = shd.select("doc_id", F.size("__sh").cast("bigint").alias("n_shingles"))
     bench = (
@@ -5569,7 +5598,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(_spread_width(spark), "doc_id")
     )
     sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
     sizes = docs.select(
@@ -6376,7 +6405,7 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the small-SF parquet arrives as ONE split and the
     # langid/quality/shingle expressions are per-row-heavy — spread them;
     # on a real corpus the scan has natural splits and this is a no-op cost
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(_spread_width(spark), "doc_id")
     sh5 = word_shingles("text", 5)
     # shingle ONCE (round 12 optimization): the 5-gram set previously
     # computed three times — n_shingles in base, the bench explode, the
@@ -7886,7 +7915,7 @@ def countmin_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurrence count) and the top-20 as an order-by over the same agg.
     # The previous shape ran the occurrence explode twice and pushed
     # depth× occurrence-scale rows into the sketch aggregate.
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     toks = docs.select(
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
@@ -7944,7 +7973,7 @@ def source_term_freqs_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization): one (source, term) count feeds the per-group sketch
     # as a weighted build and the per-group top-5 — the occurrence
     # stream is exploded and aggregated exactly once
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     toks = docs.select(
         "source",
         F.explode(
@@ -8523,9 +8552,12 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc side re-attaches by doc_id without ever shuffling text."""
     # repartition: the small-SF parquet is ONE split — tokenize + the two
     # ngram explodes otherwise run single-threaded; hash(doc_id) also
-    # makes every per-doc aggregate below map-side (partitioning on a
-    # subset of the grouping keys satisfies the clustering requirement)
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # makes the (doc_id, tri) PRE-aggregate below map-side (partitioning
+    # on a subset of its grouping keys satisfies the clustering
+    # requirement). The FINAL per-doc aggregate runs after two gram-keyed
+    # joins that destroy this partitioning, so it still shuffles — see
+    # the plan-budget note.
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("__t"), F.size(toks).alias("__n"))
 
@@ -8672,24 +8704,41 @@ def crossdoc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-internal cross-doc axis. Plan shape at 100 TB: the only wide
     exchanges are keyed by the 5-gram (distinct + doc-frequency
     aggregation) — token-scale rows of (gram, doc_id)/(gram, df),
-    never documents; the per-doc ratio re-attaches by doc_id."""
-    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import word_shingles
+    never documents; the per-doc ratio re-attaches by doc_id.
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32, "doc_id")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
-    ).transform(_persist)
-    # (s, doc_id) is already distinct (word_shingles de-dups per doc), so a
-    # plain COUNT(*) is the doc frequency without a second distinct pass
-    df_counts = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
-    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    Round 13: the shingles derive from the span family's shared
+    ``span_tokenized``/``gram_occurrences`` subtree — the identical
+    analyzed plan ``span_dedup_cleaned_docs`` and ``gram_heavy_hitters_mg``
+    persist — so one gram explode serves all three queries in a session
+    instead of three (§2.3/§5). Short docs (< 5 words) yield no
+    occurrence rows, so their single whole-text fallback shingle (the
+    ``word_shingles`` contract) unions in from the tokenized base;
+    distinct-per-doc shingles come from a DISTINCT over the occurrence
+    rows — the same set ``array_distinct(word_shingles(...))`` produced."""
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.dedup import gram_occurrences, span_tokenized
+    from confluent_kafka_vector_search_prompt_inference_spark.persist import track
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = track(span_tokenized(docs, "doc_id", "text"))
+    occ = track(gram_occurrences(base, 5))
+    sh = (
+        occ.select("__id", "__s").distinct()
+        .unionAll(
+            base.filter(F.size("__toks") < 5).select(
+                "__id", F.concat_ws(" ", "__toks").alias("__s")
+            )
+        )
+        .transform(_persist)
+    )
+    df_counts = sh.groupBy("__s").agg(F.count("*").alias("n_docs"))
+    tot = sh.groupBy("__id").agg(F.count("*").alias("n_spans"))
     dup = (
-        sh.join(df_counts.filter(F.col("n_docs") >= 2), "s", "left_semi")
-        .groupBy("doc_id")
+        sh.join(df_counts.filter(F.col("n_docs") >= 2), "__s", "left_semi")
+        .groupBy("__id")
         .agg(F.count("*").alias("n_shared"))
     )
-    return tot.join(dup, "doc_id", "left").select(
-        "doc_id",
+    return tot.join(dup, "__id", "left").select(
+        F.col("__id").alias("doc_id"),
         "n_spans",
         F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
         F.round(
@@ -8959,7 +9008,7 @@ def chunk_meanpool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; dim fan-out is the encoder width (32), a constant."""
     registry = ModelRegistry()
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
-    chunks = document_chunks(spark, sf_dir).repartition(32, "doc_id")
+    chunks = document_chunks(spark, sf_dir).repartition(_spread_width(spark), "doc_id")
     emb = registry.ml_predict(
         chunks.select("doc_id", "chunk_id", "chunk_text"),
         "vector_encoding",
@@ -9551,7 +9600,7 @@ def semantic_pair_chamfer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     registry = ModelRegistry()
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -9612,27 +9661,6 @@ FROM am JOIN bm ON am.id_a = bm.id_a AND am.id_b = bm.id_b
 )
 
 
-def _metric_quintile(vals: DataFrame, metric: str) -> DataFrame:
-    """Exact rank-based quintile per distinct metric value (the
-    equi-depth-histogram bucketing applied to a (value, count) table via
-    the two-phase scalable cumsum — no unpartitioned window). The total
-    row count rides along from the cumsum's own driver-side prefix-offset
-    collect (``total_col``) rather than a separate ``count()`` action, so
-    callers never re-scan their source and the plan gains no exchange."""
-    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
-
-    cum = scalable_cumsum(vals, metric, "c", out_col="cum", total_col="__n_total")
-    return cum.select(
-        metric,
-        F.least(
-            F.lit(4),
-            F.floor(
-                (F.col("cum") - F.col("c")) / (F.col("__n_total") / 5.0)
-            ).cast("int"),
-        ).alias("q"),
-    )
-
-
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation with EXACT rank semantics: recency
     (days since last order, relative to the corpus max date), frequency
@@ -9641,12 +9669,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated ntile, no unpartitioned window, identical buckets in
     any engine. Scores follow the RFM convention (5 best: recent,
     frequent, high-spend); segment = concat of the three digits. The
-    whole query is three value-table cumsums plus broadcast joins back
-    onto the customer metric table. No standalone driver scalar actions:
-    the corpus max date folds in as a broadcast 1-row aggregate of the
-    per-customer maxima, the total customer count is derived inside
-    ``_metric_quintile`` from the value table's own counts, and the
-    customer metric table is checkpointed so orders is scanned once."""
+    whole query is ONE melted value-table cumsum plus broadcast joins
+    back onto the customer metric table. No standalone driver scalar
+    actions: the corpus max date folds in as a broadcast 1-row aggregate
+    of the per-customer maxima, the total customer count is derived from
+    the cumsum's own prefix-offset collect, and the customer metric
+    table is checkpointed so orders is scanned once."""
     ords = _t(spark, sf_dir, "orders")
     per_cust = ords.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("__last_order"),
@@ -9665,18 +9693,54 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once so orders is not re-aggregated per metric
         .localCheckpoint(eager=True)
     )
-    out = cust
-    for metric, best_high in (
+    # round 13 (§2.6 driver-side job count): the three per-metric quintile
+    # cumsums each paid a range-sample + eager-checkpoint + prefix-offset
+    # collect — ~10 driver-blocking jobs for three value tables. Melt the
+    # metrics into ONE (metric_idx, value) table and run a single
+    # two-phase cumsum over the lexicographic (metric_idx, value) order:
+    # each metric's counts sum to the same customer total N, so metric
+    # i's per-metric cumsum is the global cumsum minus i·N and its
+    # n_total is grand_total/3 — every operand stays an exact integer
+    # below 2^52, so the double bucket arithmetic (floor((cum - c) /
+    # (N / 5.0))) is byte-identical to the per-metric form.
+    from confluent_kafka_vector_search_prompt_inference_spark.operators.sampling import scalable_cumsum
+
+    metrics = (
         ("recency_days", False),
         ("frequency", True),
         ("monetary_cents", True),
-    ):
-        vals = cust.groupBy(metric).agg(F.count("*").alias("c"))
-        qt = _metric_quintile(vals, metric)
-        score = (F.col("q") + 1) if best_high else (F.lit(5) - F.col("q"))
-        out = out.join(
-            F.broadcast(qt.select(metric, score.alias(f"{metric}_score"))), metric
+    )
+    melted = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__m"), F.col(m).alias("__v")
+                    )
+                    for i, (m, _) in enumerate(metrics)
+                ]
+            )
+        ).alias("mv")
+    ).select("mv.__m", "mv.__v")
+    vals = melted.groupBy("__m", "__v").agg(F.count("*").alias("c"))
+    cum = scalable_cumsum(
+        vals, ["__m", "__v"], "c", out_col="cum", total_col="__gt"
+    )
+    n_total = F.col("__gt") / F.lit(3)
+    q = F.least(
+        F.lit(4),
+        F.floor(
+            (F.col("cum") - F.col("__m") * n_total - F.col("c"))
+            / (n_total / 5.0)
+        ).cast("int"),
+    )
+    out = cust
+    for i, (metric, best_high) in enumerate(metrics):
+        score = (q + 1) if best_high else (F.lit(5) - q)
+        qt = cum.filter(F.col("__m") == i).select(
+            F.col("__v").alias(metric), score.alias(f"{metric}_score")
         )
+        out = out.join(F.broadcast(qt), metric)
     return out.select(
         "o_custkey",
         "recency_days", "frequency", "monetary_cents",
@@ -9868,7 +9932,7 @@ def model_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=32))
     registry.create_model("vector_encoding", "embedding", HashingEmbedder(dim=64))
     registry.alter_default("vector_encoding", 2)  # M6: new default
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id").select(
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id").select(
         "doc_id", F.col("text").alias("content")
     )
 
@@ -10375,7 +10439,7 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 256
     # small-SF parquet arrives as one split; spread the explode+hash
     # (the hot stage) before it runs single-task
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     sh = docs.select(
         (F.col("source").substr(4, 10).cast("int") % 2).alias("half"),
         F.explode(word_shingles(F.col("text"), 3)).alias("s"),
@@ -10597,7 +10661,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = 128
-    docs = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_spread_width(spark), "doc_id")
     sh = docs.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
     ).transform(_persist)

@@ -138,7 +138,7 @@ def _bpe_tokenize_corpus(spark, sf_dir: str) -> None:
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(entry._spread_width(spark), "doc_id")
     )
     merges = learn_bpe_merges(
         word_frequencies(docs), n_merges=50, max_vocab_rows=100_000

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from confluent_kafka_vector_search_prompt_inference_spark.functions.text import word_tokens
+from confluent_kafka_vector_search_prompt_inference_spark.persist import track
 
 #: Standard Robertson/Sparck-Jones defaults.
 DEFAULT_K1 = 1.2
@@ -157,7 +158,7 @@ def bm25_search(
     """
     postings = bm25_postings(docs, id_col, text_col)
     if persist_postings:
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings = track(postings, StorageLevel.MEMORY_AND_DISK)
     impacts = bm25_impacts(
         postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
     )
@@ -516,7 +517,7 @@ def conjunctive_search(
     """
     postings = bm25_postings(docs, id_col, text_col)
     if persist_postings:
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings = track(postings, StorageLevel.MEMORY_AND_DISK)
     impacts = bm25_impacts(
         postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
     )
@@ -661,7 +662,7 @@ def tfidf_cosine_search(
     """
     postings = bm25_postings(docs, id_col, text_col)
     if persist_postings:
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings = track(postings, StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     weights = (
@@ -763,12 +764,15 @@ def bm25_prf_search(
     set; pass 2 is the standard broadcast-terms scoring join with
     |q_terms| + fb_terms terms per query.
     """
-    postings = bm25_postings(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    postings = track(
+        bm25_postings(docs, id_col, text_col), StorageLevel.MEMORY_AND_DISK
     )
-    impacts = bm25_impacts(
-        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    impacts = track(
+        bm25_impacts(
+            postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),

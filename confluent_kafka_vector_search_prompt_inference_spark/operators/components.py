@@ -142,7 +142,9 @@ def connected_components(
     # (most docs have no dup edge), and each of the ~3-4 label rounds pays
     # per-partition task overhead. ~100k edges per partition keeps a round
     # one task on small graphs and thousands of tasks at the 100 TB tier.
-    # The count is free — sym was just materialized by the checkpoint.
+    # With the lazy checkpoint above, this count IS the materializing
+    # action: it pays the full symmetrize build once, and the checkpoint
+    # rides along (cost moved into the count, not removed).
     n_edges = sym.count()
     cur_parts = sym.rdd.getNumPartitions()
     # Sized by the edge count ALONE — deliberately allowed to exceed the

@@ -364,8 +364,10 @@ def repeated_span_removal(
     multiplicity); the cleaned text rebuilds with an in-row
     ``array_sort`` over collected ``(pos, word)`` structs — one groupBy,
     no window over the corpus."""
-    base = span_tokenized(df, id_col, text_col).persist()
-    occ = gram_occurrences(base, n).persist()
+    from confluent_kafka_vector_search_prompt_inference_spark.persist import track
+
+    base = track(span_tokenized(df, id_col, text_col))
+    occ = track(gram_occurrences(base, n))
     dup = (
         occ.groupBy("__s")
         .agg(F.count("*").alias("__cnt"))

@@ -210,7 +210,9 @@ def gopher_repetition_signals(
     gram-occurrence explode and marks covered word positions with a
     ``(doc, pos)`` distinct, exactly the span-removal exchange shape."""
     thresholds = dict(top_thresholds or {2: 0.20, 3: 0.18})
-    base = span_tokenized(df, id_col, text_col).persist()
+    from confluent_kafka_vector_search_prompt_inference_spark.persist import track
+
+    base = track(span_tokenized(df, id_col, text_col))
     words = base.select(
         "__id", F.posexplode("__toks").alias("__pos", "__w")
     )

@@ -234,7 +234,7 @@ def scalable_cumsum(
     value_col: str,
     *,
     out_col: str = "cum",
-    n_parts: int = 32,
+    n_parts: int | None = None,
     total_col: str | None = None,
 ) -> DataFrame:
     """Global running sum WITHOUT a single-partition window.
@@ -261,6 +261,12 @@ def scalable_cumsum(
     so the grand total is their sum — zero extra jobs, zero extra
     exchanges, unlike a separate ``df.agg(sum(...))`` action.
     """
+    if n_parts is None:
+        # width follows the session (floored at 32): the two-phase cumsum
+        # is exact at ANY partitioning, so this only sizes parallelism —
+        # a hardcoded 32 would cap a 100 TB value table's cumsum at 32
+        # tasks, while local 32-core runs keep the same layout as before
+        n_parts = max(32, df.sparkSession.sparkContext.defaultParallelism)
     if n_parts < 1:
         raise ValueError("n_parts must be >= 1")
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)

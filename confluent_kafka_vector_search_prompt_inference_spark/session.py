@@ -18,8 +18,31 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_shuffle_partitions() -> str:
+    """Shuffle width follows the session's core count, floored at 32.
+
+    A constant 32 made the 8-vs-32-core bench pair indistinguishable by
+    partitioning (core count changed task slots but not layout) and would
+    cap every shuffle at 32 tasks on a real cluster. ``max(32, cores)``
+    keeps the two local bench points (8 and 32 cores) on the identical
+    32-partition layout — so round-over-round comparisons stay valid —
+    while a 512-core cluster gets 512. ``SPARK_GRAFT_SHUFFLE`` still
+    overrides outright, and AQE coalesces down when partitions run small.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if explicit:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        n = int(cpus)
+    except ValueError:
+        n = os.cpu_count() or 32
+    return str(max(32, n))
+
+
 _DEFAULTS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -118,8 +118,11 @@ BUDGETS = {
                                     # table is now persisted too, its agg
                                     # printing per consumer, while its
                                     # EXECUTION count dropped 5× to once)
-    "customer_rfm_segments": 1,     # value-table cumsums hide behind
-                                    # localCheckpoints; one final segment agg
+    "customer_rfm_segments": 0,     # round 13 TIGHTENED 1 → 0: the three
+                                    # per-metric cumsums folded into ONE
+                                    # melted (metric, value) cumsum behind
+                                    # a localCheckpoint; the final plan is
+                                    # checkpoint-scan + 3 broadcast joins
     "customer_spend_gini": 1,       # post-cumsum global agg gather only
     "customer_spend_lorenz": 3,     # decile agg + 10-row window + sort
     "span_clean_packed_corpus": 9,  # the span-removal exchanges (7, above)
@@ -128,8 +131,19 @@ BUDGETS = {
     "span_dedup_cleaned_docs": 7,  # doc repartition + gram count + dup
     # semi-join pair + coverage anti-join pair (gram/(doc,pos)-keyed — rows
     # are positions and grams, never doc pairs) + cleaned-text groupBy
-    "crossdoc_duplicate_spans": 6,  # shingle repartition + span agg +
-                                    # pair join + dedup + verify joins
+    "crossdoc_duplicate_spans": 9,  # round 13: shingles now derive from
+                                    # the span family's SHARED persisted
+                                    # base/occ subtree (one gram explode
+                                    # serves crossdoc + span_dedup +
+                                    # gram_heavy_hitters in a session);
+                                    # the persisted base prints its spread
+                                    # repartition per branch and the
+                                    # persisted distinct-shingle table
+                                    # prints per its 3 consumers — printed
+                                    # 9, executed: one repartition + one
+                                    # distinct + df/tot/dup aggregates
+                                    # (the round-12 form printed 6 but
+                                    # built its own second corpus explode)
     "trigram_lm_quality": 9,        # round 12: the per-(doc, trigram)
                                     # pre-aggregate persists and prints its
                                     # spread repartition per consuming

@@ -140,6 +140,18 @@ def main() -> int:
         print(f"calibration probe: {cal_o:.3f}s -> {cal_n:.3f}s "
               f"(host factor {cal_n / cal_o:.2f}; gate normalizes by "
               f"{factor:.2f})")
+        if abs(cal_n / cal_o - 1.0) > 0.25:
+            # round 13: the r12 verdict burned its regression budget on a
+            # 1.68x host swing read raw — make the invalidity of raw
+            # ratios impossible to miss when the probes disagree this much
+            print(
+                "HOST DRIFT >25%: the two records were measured on hosts "
+                "the fixed probe times "
+                f"{max(cal_o, cal_n) / min(cal_o, cal_n):.2f}x apart — "
+                "RAW ratios between them are NOT comparable; read only "
+                "the probe-normalized `norm` column (and treat uniform "
+                "movement matching the probe as environment, not code)."
+            )
     scan_o, scan_n = old.get("scan_probe_sec"), new.get("scan_probe_sec")
     storage_drift = False
     if scan_o and scan_n:

@@ -35,9 +35,13 @@ def main() -> int:
         if name in bench.EXTRA_ACTIONS:
             continue
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        # queryExecution().explainString(ExplainMode) is the stable JVM
+        # surface (PythonSQLUtils.explainString depends on PySpark's
+        # java_import set and moves across Spark versions)
+        mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
+        plan = df._jdf.queryExecution().explainString(mode)
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as fh:
             fh.write(plan)
         print(f"wrote {name}_{suffix}.txt ({plan.count('Exchange')} Exchange refs)")
