@@ -79,12 +79,44 @@ def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def bm25_doc_stats(docs: DataFrame, text_col: str) -> DataFrame:
     """Corpus statistics ``(n, avgdl)`` in one no-explode pass over the
-    documents — far cheaper than re-deriving them from the postings, which
-    would re-run the tokenizer and the (doc, term) shuffle a second time."""
+    documents — the standalone form for callers without a materialized
+    postings table (building postings just for stats would cost a
+    (doc, term) explode)."""
     lens = docs.select(F.size(word_tokens(text_col)).cast("bigint").alias("dl"))
     return lens.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
+def bm25_doc_stats_from_postings(
+    postings: DataFrame, docs: DataFrame, text_col: str
+) -> DataFrame:
+    """``(n, avgdl)`` derived from an already-persisted postings table —
+    saving the SECOND full-corpus tokenize :func:`bm25_doc_stats` pays
+    (round 13, guide §5: the persisted index already carries ``dl``).
+
+    Exactly equal to :func:`bm25_doc_stats`: ``word_tokens`` of any
+    non-null text is non-empty (``split('')`` is ``['']``), so every
+    non-null-text document has postings rows and its ``dl`` rides along
+    (the per-doc partial aggregate is map-side — postings are narrow
+    over the scan, each doc's rows colocated); null-text docs carry
+    ``dl = NULL`` in the standalone form (``size(NULL)`` is NULL, so
+    ``sum`` skips them while ``count(*)`` counts them) and are restored
+    here by a tokenizer-free ``isNull`` count. Same operands, same
+    double division, bit-identical ``avgdl``."""
+    per_doc = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    agg = per_doc.agg(
+        F.count("*").alias("__n_tok"),
+        F.coalesce(F.sum("dl"), F.lit(0).cast("bigint")).alias("__sum_dl"),
+    )
+    nulls = docs.select(
+        F.count_if(F.col(text_col).isNull()).alias("__n_null")
+    )
+    n = F.col("__n_tok") + F.col("__n_null")
+    return agg.crossJoin(F.broadcast(nulls)).select(
+        n.alias("n"),
+        (F.col("__sum_dl").cast("double") / n).alias("avgdl"),
     )
 
 
@@ -159,9 +191,12 @@ def bm25_search(
     postings = bm25_postings(docs, id_col, text_col)
     if persist_postings:
         postings = track(postings, StorageLevel.MEMORY_AND_DISK)
-    impacts = bm25_impacts(
-        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
-    )
+        # stats ride the persisted index (dl per doc) — the standalone
+        # form would tokenize the whole corpus a second time
+        stats = bm25_doc_stats_from_postings(postings, docs, text_col)
+    else:
+        stats = bm25_doc_stats(docs, text_col)
+    impacts = bm25_impacts(postings, k1=k1, b=b, doc_stats=stats)
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
@@ -518,9 +553,12 @@ def conjunctive_search(
     postings = bm25_postings(docs, id_col, text_col)
     if persist_postings:
         postings = track(postings, StorageLevel.MEMORY_AND_DISK)
-    impacts = bm25_impacts(
-        postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
-    )
+        # stats ride the persisted index (dl per doc) — the standalone
+        # form would tokenize the whole corpus a second time
+        stats = bm25_doc_stats_from_postings(postings, docs, text_col)
+    else:
+        stats = bm25_doc_stats(docs, text_col)
+    impacts = bm25_impacts(postings, k1=k1, b=b, doc_stats=stats)
     qt = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.array_distinct(word_tokens(query_text))).alias("term"),
@@ -769,7 +807,8 @@ def bm25_prf_search(
     )
     impacts = track(
         bm25_impacts(
-            postings, k1=k1, b=b, doc_stats=bm25_doc_stats(docs, text_col)
+            postings, k1=k1, b=b,
+            doc_stats=bm25_doc_stats_from_postings(postings, docs, text_col),
         ),
         StorageLevel.MEMORY_AND_DISK,
     )

@@ -49,6 +49,39 @@ def idempotent_batch_writer(sink_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def _parallel_postcommit(*thunks) -> None:
+    """Run independent post-commit store writes concurrently (round 13,
+    guide §2.6: Spark happily schedules several jobs at once — the
+    per-batch delta/sidecar/bloom writes were only sequential because the
+    driver called them sequentially, and each is a small driver-blocking
+    job whose tail leaves the executors idle).
+
+    ONLY for writes that are mutually independent under the store's
+    crash contract: every write here is heal-covered if any other lands
+    first and the process dies in between (bucket-store deltas backfill
+    from the committed sink epoch via ``_heal_*``; missing bloom deltas
+    backfill before the gate reads; a missing ids sidecar falls back to
+    projecting the epoch dir) — so every interleaving a thread schedule
+    can produce is a state the next batch already recovers from. The
+    first exception re-raises after all thunks settle, so a failed write
+    still fails the micro-batch and the checkpoint does not advance
+    (partially-landed sibling writes are exactly the crash states the
+    heals replay-idempotently absorb)."""
+    thunks = [t for t in thunks if t is not None]
+    if len(thunks) <= 1:
+        for t in thunks:
+            t()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errors = [f.exception() for f in futures]
+    for e in errors:
+        if e is not None:
+            raise e
+
+
 def continuous_insert(
     stream_df: DataFrame,
     sink_dir: str,
@@ -545,15 +578,27 @@ def dedup_insert(
             write_batch(keyed, epoch_id)
             target = os.path.join(sink_dir, f"_batch={epoch_id}")
             if os.path.exists(os.path.join(target, "_SUCCESS")):
+                # the three epoch-keyed sidecar writes are mutually
+                # independent under the heal contract (delta backfills
+                # via _heal_store, bloom via _heal_bloom, the ids sidecar
+                # falls back to the epoch dir) — overlap them
+                # (_parallel_postcommit) instead of paying three
+                # sequential driver-blocking jobs per micro-batch
                 wn, wsc = bucket_store_write_partitions(
                     buckets_dir, bucket_partitions
                 )
-                write_bucket_delta(
-                    _epoch_delta(spark, target), buckets_dir, epoch_id,
-                    num_partitions=wn, nparts_sidecar=wsc,
-                )
-                layout_checked.add(epoch_id)
-                write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
+
+                def _w_delta() -> None:
+                    write_bucket_delta(
+                        _epoch_delta(spark, target), buckets_dir, epoch_id,
+                        num_partitions=wn, nparts_sidecar=wsc,
+                    )
+                    layout_checked.add(epoch_id)
+
+                def _w_ids() -> None:
+                    write_ids_sidecar(spark, sink_dir, epoch_id, [key_name])
+
+                _w_bloom = None
                 if bloom_gate or (bloom_gate is None and os.path.isdir(bloom_dir)):
                     # keep the bloom a superset of landed keys: the
                     # epoch's delta lands right after its rows (a crash
@@ -564,28 +609,31 @@ def dedup_insert(
                     # (_bloom_meta_m: a fresh auto recompute can diverge
                     # from the pin across a shrink/regrow — foreign-width
                     # deltas probe wrong words = false negatives)
-                    m_delta = m_used
-                    if m_delta is None:
-                        m_delta = _bloom_meta_m(bloom_dir)
-                    if m_delta is None:
-                        m_delta = _bloom_m()
-                        _bloomgate_sync_meta(
-                            bloom_dir, m_delta, _BGK, bloom_checked
+                    def _w_bloom() -> None:
+                        m_delta = m_used
+                        if m_delta is None:
+                            m_delta = _bloom_meta_m(bloom_dir)
+                        if m_delta is None:
+                            m_delta = _bloom_m()
+                            _bloomgate_sync_meta(
+                                bloom_dir, m_delta, _BGK, bloom_checked
+                            )
+                        write_bloom(
+                            bloom_build(
+                                spark.read.parquet(target)
+                                .select(key_name)
+                                .dropDuplicates([key_name]),
+                                key_name,
+                                m_bits=m_delta,
+                                k=_BGK,
+                            ).coalesce(1),
+                            epoch_id,
                         )
-                    write_bloom(
-                        bloom_build(
-                            spark.read.parquet(target)
-                            .select(key_name)
-                            .dropDuplicates([key_name]),
-                            key_name,
-                            m_bits=m_delta,
-                            k=_BGK,
-                        ).coalesce(1),
-                        epoch_id,
-                    )
-                    bloom_checked.add(epoch_id)
-                    if len(_committed_batch_dirs(bloom_dir)) > compact_every:
-                        compact_sink(spark, bloom_dir, keep_batches=1)
+                        bloom_checked.add(epoch_id)
+                        if len(_committed_batch_dirs(bloom_dir)) > compact_every:
+                            compact_sink(spark, bloom_dir, keep_batches=1)
+
+                _parallel_postcommit(_w_delta, _w_ids, _w_bloom)
                 maintain_bucket_store(
                     spark, sink_dir, id_col=key_name,
                     bucket_partitions=bucket_partitions,
@@ -1197,31 +1245,44 @@ def lineclean_insert(
             write_batch(rows, epoch_id)
             target = os.path.join(sink_dir, f"_batch={epoch_id}")
             if os.path.exists(os.path.join(target, "_SUCCESS")):
-                if not _ranges_contain(_covered_bucket_ranges(lines_dir), epoch_id):
-                    write_bucket_delta(
-                        binc.repartition(1), lines_dir, epoch_id,
-                        num_partitions=line_partitions,
-                    )
-                if not _ranges_contain(
-                    _covered_bucket_ranges(totals_dir), epoch_id
-                ):
-                    write_bucket_delta(
-                        btot.repartition(1), totals_dir, epoch_id,
-                        num_partitions=1,
-                    )
+                # the lines and totals stores are independent legs of the
+                # heal contract (_heal backfills need_l / need_t
+                # separately from the committed epoch's raw text), so the
+                # delta write + conditional fold of each leg overlap as
+                # one thunk per store (_parallel_postcommit) instead of
+                # up to four sequential driver-blocking jobs per batch
+                def _w_lines() -> None:
+                    if not _ranges_contain(
+                        _covered_bucket_ranges(lines_dir), epoch_id
+                    ):
+                        write_bucket_delta(
+                            binc.repartition(1), lines_dir, epoch_id,
+                            num_partitions=line_partitions,
+                        )
+                    if len(_committed_batch_dirs(lines_dir)) > compact_every:
+                        tiered_compact_sink(
+                            spark, lines_dir, keep_batches=1,
+                            partition_by=["__bpart"],
+                            transform=_lineclean_fold,
+                        )
+
+                def _w_totals() -> None:
+                    if not _ranges_contain(
+                        _covered_bucket_ranges(totals_dir), epoch_id
+                    ):
+                        write_bucket_delta(
+                            btot.repartition(1), totals_dir, epoch_id,
+                            num_partitions=1,
+                        )
+                    if len(_committed_batch_dirs(totals_dir)) > compact_every:
+                        tiered_compact_sink(
+                            spark, totals_dir, keep_batches=1,
+                            partition_by=["__bpart"],
+                            transform=_linetotals_fold,
+                        )
+
+                _parallel_postcommit(_w_lines, _w_totals)
                 healed.add(epoch_id)
-                if len(_committed_batch_dirs(lines_dir)) > compact_every:
-                    tiered_compact_sink(
-                        spark, lines_dir, keep_batches=1,
-                        partition_by=["__bpart"],
-                        transform=_lineclean_fold,
-                    )
-                if len(_committed_batch_dirs(totals_dir)) > compact_every:
-                    tiered_compact_sink(
-                        spark, totals_dir, keep_batches=1,
-                        partition_by=["__bpart"],
-                        transform=_linetotals_fold,
-                    )
         finally:
             batch_df.unpersist()
             lines.unpersist()
@@ -2919,18 +2980,29 @@ def near_dedup_insert(
             # skips both idempotently.
             target = os.path.join(sink_dir, f"_batch={epoch_id}")
             if os.path.exists(os.path.join(target, "_SUCCESS")):
+                # the three epoch-keyed sidecar writes are mutually
+                # independent under the heal contract (delta backfills
+                # via _heal_bucket_store, the gate bloom via
+                # _heal_bucket_bloom — both run BEFORE their consumers at
+                # the top of the next batch — and a missing ids sidecar
+                # just means readers fall back to projecting the epoch
+                # dir): overlap them (_parallel_postcommit) instead of
+                # paying three sequential driver-blocking jobs per batch
                 wn, wsc = bucket_store_write_partitions(
                     buckets_dir, bucket_partitions
                 )
-                write_bucket_delta(
-                    _epoch_delta(spark, target), buckets_dir, epoch_id,
-                    num_partitions=wn, nparts_sidecar=wsc,
-                )
-                layout_checked.add(epoch_id)
-                # narrow live-id sidecar (third epoch-keyed write): a
-                # crash before it just means this epoch's readers fall
-                # back to projecting the epoch dir itself
-                write_ids_sidecar(spark, sink_dir, epoch_id, sidecar_cols)
+
+                def _w_delta() -> None:
+                    write_bucket_delta(
+                        _epoch_delta(spark, target), buckets_dir, epoch_id,
+                        num_partitions=wn, nparts_sidecar=wsc,
+                    )
+                    layout_checked.add(epoch_id)
+
+                def _w_ids() -> None:
+                    write_ids_sidecar(spark, sink_dir, epoch_id, sidecar_cols)
+
+                _w_bloom = None
                 if gate or (bloom_gate is None and os.path.isdir(bloomgate_dir)):
                     # keep the gate bloom a superset of landed bucket
                     # values: the epoch's delta lands right after its
@@ -2944,28 +3016,31 @@ def near_dedup_insert(
                     # words = false negatives)
                     from confluent_kafka_vector_search_prompt_inference_spark.operators.membership import bloom_build
 
-                    m_delta = m_used
-                    if m_delta is None:
-                        m_delta = _bloom_meta_m(bloomgate_dir)
-                    if m_delta is None:
-                        m_delta = _bloom_m()
-                        _bloomgate_sync_meta(
-                            bloomgate_dir, m_delta, _BGK, bloomgate_checked
+                    def _w_bloom() -> None:
+                        m_delta = m_used
+                        if m_delta is None:
+                            m_delta = _bloom_meta_m(bloomgate_dir)
+                        if m_delta is None:
+                            m_delta = _bloom_m()
+                            _bloomgate_sync_meta(
+                                bloomgate_dir, m_delta, _BGK, bloomgate_checked
+                            )
+                        write_bloomgate(
+                            bloom_build(
+                                _epoch_delta(spark, target)
+                                .select("__bucket")
+                                .dropDuplicates(["__bucket"]),
+                                "__bucket",
+                                m_bits=m_delta,
+                                k=_BGK,
+                            ).coalesce(1),
+                            epoch_id,
                         )
-                    write_bloomgate(
-                        bloom_build(
-                            _epoch_delta(spark, target)
-                            .select("__bucket")
-                            .dropDuplicates(["__bucket"]),
-                            "__bucket",
-                            m_bits=m_delta,
-                            k=_BGK,
-                        ).coalesce(1),
-                        epoch_id,
-                    )
-                    bloomgate_checked.add(epoch_id)
-                    if len(_committed_batch_dirs(bloomgate_dir)) > compact_every:
-                        compact_sink(spark, bloomgate_dir, keep_batches=1)
+                        bloomgate_checked.add(epoch_id)
+                        if len(_committed_batch_dirs(bloomgate_dir)) > compact_every:
+                            compact_sink(spark, bloomgate_dir, keep_batches=1)
+
+                _parallel_postcommit(_w_delta, _w_ids, _w_bloom)
             # bounded directory count AND the partitioned layout's home:
             # once the flat tail exceeds compact_every epochs it folds
             # into a NEW __bpart-partitioned run, and runs merge

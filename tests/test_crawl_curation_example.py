@@ -2,6 +2,8 @@
 streaming lane gates fetch status, collapses re-crawled URLs, drops
 textual near-copies, and lands the narrow key sidecars."""
 
+import pytest
+
 import os
 import sys
 
@@ -13,6 +15,7 @@ sys.path.insert(
 )
 
 
+@pytest.mark.slow
 def test_crawl_curation_example(spark):
     from crawl_curation import run
 

@@ -34,6 +34,7 @@ def test_vector_fns_match_numpy(spark, a, b):
 
 @settings(max_examples=3, deadline=None)
 @given(st.integers(min_value=1, max_value=50), st.integers(min_value=1, max_value=5))
+@pytest.mark.slow
 def test_topk_strategies_agree_random(spark, n_corpus, k):
     rng = np.random.default_rng(n_corpus * 7 + k)
     q = spark.createDataFrame(

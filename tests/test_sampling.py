@@ -1,5 +1,6 @@
 """Sampling / split / connected-components operators (SURVEY.md §2.11)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from confluent_kafka_vector_search_prompt_inference_spark.operators.components import (
@@ -114,6 +115,7 @@ def test_star_components_path_graph_converges_in_log_rounds(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+@pytest.mark.slow
 def test_star_equals_label_on_random_graphs(spark):
     """Property: star and min-label produce identical (node, component)
     maps, both matching a union-find oracle, across random graph shapes."""

@@ -2,6 +2,8 @@
 survives compact → rebucket → retire → prune and still dedups live
 history while forgetting retired history."""
 
+import pytest
+
 import os
 import sys
 
@@ -13,6 +15,7 @@ sys.path.insert(
 )
 
 
+@pytest.mark.slow
 def test_store_lifecycle_example(spark):
     from store_lifecycle import run
 
@@ -26,6 +29,7 @@ def test_store_lifecycle_example(spark):
     assert 21 in final and 20 not in final, out["landed_final"]
 
 
+@pytest.mark.slow
 def test_store_lifecycle_online_example(spark):
     """Round 9: the zero-downtime lifecycle — tombstoned retention and a
     rebucket REQUEST both drain through the stream's own maintenance;

@@ -394,6 +394,7 @@ def test_sink_retention_by_count_and_bytes(spark, tmp_path):
     assert read_sink(spark, sink).count() == 200
 
 
+@pytest.mark.slow
 def test_stateful_transition_steps_match_batch_lag(spark, tmp_path):
     """Streaming transition mining with cross-batch keyed state equals the
     batch LEAD() transition matrix when micro-batches replay in event-time
@@ -461,6 +462,7 @@ def test_stateful_transition_steps_match_batch_lag(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_near_dedup_insert_drops_within_and_across_batches(spark, tmp_path):
     """Streaming MinHash near-dedup: a near-copy in the same micro-batch
     and a near-copy of an already-landed doc both get dropped; distinct
@@ -1192,6 +1194,7 @@ def test_near_dedup_bucket_store_maintained_and_healed(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_bucket_store_partitioned_pruned_and_compacted(spark, tmp_path):
     """Round 7: the near-dedup history store is (a) hash-partitioned by
     __bpart with the count pinned in _meta.json, (b) read PRUNED to the
@@ -1636,6 +1639,7 @@ def test_rebucket_bucket_store_heals_crashes(spark, tmp_path):
     assert _bucket_rows(spark, store) == before
 
 
+@pytest.mark.slow
 def test_near_dedup_still_catches_dups_after_rebucket(spark, tmp_path):
     """End-to-end: a store rebucketed to a larger N keeps catching
     near-dups of folded history through the stream's own pruned read."""
@@ -1963,6 +1967,7 @@ def test_quantile_insert_maintains_corpus_quantile_sketch(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow
 def test_prune_bucket_store_after_retention(spark, tmp_path):
     """Retention interplay: enforce_retention retires a sink epoch; the
     retired doc correctly stops suppressing near-dups (forgetting IS the
@@ -2094,6 +2099,7 @@ _DOC_C = (
 )
 
 
+@pytest.mark.slow
 def test_online_prune_drains_tombstones_mid_stream(spark, tmp_path):
     """The round-9 headline: retention retires a document via
     enforce_retention_tombstoned while the stream keeps running; the
@@ -2144,6 +2150,7 @@ def test_online_prune_drains_tombstones_mid_stream(spark, tmp_path):
     assert 10 not in landed
 
 
+@pytest.mark.slow
 def test_tombstone_reland_keeps_bucket_rows(spark, tmp_path):
     """A retired id that legitimately RE-LANDS must keep its new bucket
     rows: tombstone application re-verifies against the live sink, so
@@ -2218,6 +2225,7 @@ def test_tombstone_first_crash_gcs_noop_tombstone(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_online_rebucket_migrates_without_stop(spark, tmp_path):
     """request_rebucket_online: the store migrates 4 → 32 partitions one
     run per maintenance call while batches keep landing; mid-migration
@@ -2447,6 +2455,7 @@ def test_maintain_sweeps_crashed_tombstone_debris(spark, tmp_path):
     assert os.path.exists(fresh)
 
 
+@pytest.mark.slow
 def test_online_rebucket_cancel_mid_migration_heals(spark, tmp_path):
     """Regression (round-9 review): cancelling an online rebucket
     mid-way (re-requesting the pinned N deletes the request) leaves
@@ -2526,6 +2535,7 @@ def test_online_rebucket_cancel_mid_migration_heals(spark, tmp_path):
 # composed crawl-curation streaming lane
 
 
+@pytest.mark.slow
 def test_ids_sidecar_narrow_reads_stay_exact_under_crashes(spark, tmp_path):
     """Every near-dedup epoch lands a narrow `_ids` sidecar; read_sink_ids
     equals the full-sink projection with sidecars present, with one
@@ -2587,6 +2597,7 @@ def test_ids_sidecar_narrow_reads_stay_exact_under_crashes(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_maintain_honors_max_nudges_per_call(spark, tmp_path):
     """max_nudges_per_call bounds the per-call stale-dir rewrites AND
     proportionally shortens a migration's drain: a unit budget rewrites
@@ -2641,6 +2652,7 @@ def test_maintain_honors_max_nudges_per_call(spark, tmp_path):
     assert not read_bucket_maintenance(store)
 
 
+@pytest.mark.slow
 def test_idle_stream_gcs_fully_applied_tombstone(spark, tmp_path):
     """A tombstone on a stream that then goes IDLE: the newest kept flat
     delta predates the tombstone forever (no new epochs fold it), so the
@@ -2699,6 +2711,7 @@ def test_idle_stream_gcs_fully_applied_tombstone(spark, tmp_path):
     assert not _live_tombstones(store)
 
 
+@pytest.mark.slow
 def test_near_dedup_insert_composed_curation_lane(spark, tmp_path):
     """The crawl-curation chain as ONE streaming lane: WARC blobs stream
     in; the transform parses records, gates fetch status, extracts text
@@ -2853,6 +2866,7 @@ def test_compacted_dedup_sink_keeps_key_sidecars_exact(spark, tmp_path, docs):
     assert keys_narrow == keys_before
 
 
+@pytest.mark.slow
 def test_compact_sink_regenerates_base_ids_sidecar(spark, tmp_path):
     """Round-10 adversarial-review find: folding the ROWS sink deletes
     the folded epochs' _ids sidecars at publish (correct — a stale one
@@ -2912,6 +2926,7 @@ def test_compact_sink_regenerates_base_ids_sidecar(spark, tmp_path):
     assert 6 in landed and 5 not in landed
 
 
+@pytest.mark.slow
 def test_exact_dedup_bloom_gate_lifecycle(spark, tmp_path):
     """Round 10 bloom gate on dedup_insert: a pre-gate sink upgrades by
     one-time backfill, cross-epoch duplicates still drop through the
@@ -2997,6 +3012,7 @@ def test_exact_dedup_bloom_gate_lifecycle(spark, tmp_path):
 
 
 @pytest.mark.parametrize("prune", [True, None], ids=["pruned", "auto"])
+@pytest.mark.slow
 def test_exact_dedup_bucket_store_prunes_and_forgets(spark, tmp_path, prune):
     """Round 10: dedup_insert's seen-set is the near-dedup bucket store
     with __bucket = xxhash64(key): dedup holds across batches through a
@@ -3461,6 +3477,7 @@ def _nd_run(spark, tmp_path, name, rows, **kw):
     return str(tmp_path / f"{name}_sink")
 
 
+@pytest.mark.slow
 def test_near_dedup_bloom_gate_preserves_survivor_set(spark, tmp_path):
     """The gate's exactness claim: the same stream through a gated and an
     ungated lane lands the SAME survivor set — the gated-away buckets are
@@ -3488,6 +3505,7 @@ def test_near_dedup_bloom_gate_preserves_survivor_set(spark, tmp_path):
     assert _glob.glob(os.path.join(bg, "_batch=*", "_SUCCESS"))
 
 
+@pytest.mark.slow
 def test_near_dedup_bloom_gate_heals_missing_delta(spark, tmp_path):
     """Crash between the epoch's rows commit and its bloom delta write:
     the next batch backfills the gap BEFORE trusting the gate, so a
@@ -3535,6 +3553,7 @@ def test_near_dedup_bloom_gate_meta_mismatch_resets(spark, tmp_path):
         assert _json.load(fh)["m_bits"] == 1 << 21
 
 
+@pytest.mark.slow
 def test_near_dedup_bloom_gate_survives_online_rebucket(spark, tmp_path):
     """Bucket VALUES survive a rebucket (only __bpart layout changes), so
     the gate bloom stays a superset across the migration and near-copies
@@ -3553,6 +3572,7 @@ def test_near_dedup_bloom_gate_survives_online_rebucket(spark, tmp_path):
     assert landed == {1, 2, 10}, landed
 
 
+@pytest.mark.slow
 def test_near_dedup_bloom_gate_retired_redelivery_lands(spark, tmp_path):
     """Retention semantics are unchanged by the gate: a retired doc's
     buckets stay bloom-positive (over-approximation), its re-delivery
@@ -3571,6 +3591,7 @@ def test_near_dedup_bloom_gate_retired_redelivery_lands(spark, tmp_path):
     assert landed == {2, 11}, landed
 
 
+@pytest.mark.slow
 def test_keyed_upsert_shed_tombstones_watermark(spark, tmp_path):
     """Round 11: shed_tombstones_after sheds a tombstone at fold time
     only once the seq watermark (max seq in the fold − delay) passes it;
@@ -3681,6 +3702,7 @@ def _sc_run(spark, tmp_path, rows, **kw):
     return str(tmp_path / "sc_sink")
 
 
+@pytest.mark.slow
 def test_spanclean_carrier_counts_release_and_resight(spark, tmp_path):
     """Round 11 opt-in: when every carrier of a gram retires via
     enforce_retention_spanclean, the gram RELEASES — the next sighting
@@ -3749,6 +3771,7 @@ def test_spanclean_carrier_counts_partial_retirement_keeps_suppressing(
     assert by_id[3]["n_removed"] == 5, by_id[3]
 
 
+@pytest.mark.slow
 def test_spanclean_carrier_counts_survive_folds(spark, tmp_path):
     """The tiered fold sums counts per gram (keeping un-met negatives,
     dropping exact zeros): releases computed through folded runs give
@@ -3931,6 +3954,7 @@ def test_mg_insert_grouped_maintains_per_domain_heavy_hitters(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_exact_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
     """The post-land bloom delta write is reachable with the gate
     DISENGAGED (bloom_gate=None, prune off, dir left by earlier gated
@@ -3992,6 +4016,7 @@ def test_exact_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
     _sh.rmtree(src, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_near_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
     """near_dedup_insert's band-bucket-value gate: same pinned-width
     contract as the exact lane — a disengaged-gate batch's delta must
@@ -4027,6 +4052,7 @@ def test_near_dedup_disengaged_delta_respects_pinned_width(spark, tmp_path):
     assert landed == {1, 2, 4}, landed
 
 
+@pytest.mark.slow
 def test_spanclean_retention_backfills_uncovered_positive(spark, tmp_path):
     """Round-12 coverage guard (advice r11): retiring an epoch whose
     POSITIVE gram delta never landed (crash between the rows commit and
@@ -4271,6 +4297,7 @@ def test_lineclean_heals_missing_deltas(spark, tmp_path):
     assert audit["banner"] == (3, 3)
 
 
+@pytest.mark.slow
 def test_lineclean_retention_releases_lines_and_totals(spark, tmp_path):
     """enforce_retention_lineclean retires the oldest epoch and writes
     NEGATIVE deltas to BOTH stores: the released banner stops being cut
