@@ -580,6 +580,23 @@ def _streaming_bench(spark) -> dict:
         # last streaming family on the shelf without a recorded
         # throughput number. Source reuses the events files written for
         # the upsert lane above.
+        #
+        # Round 13 (VERDICT #4): the lanes run through
+        # run_stateful_stream with the state-store partition count sized
+        # to the STATE (~7k/12.5k rows), not the session's corpus
+        # shuffle width — 32 HDFS-backed stores paid a per-batch
+        # open/commit/snapshot cost that dominated the trigger (summed
+        # commit 12.0 s vs 0.5 s at 8 stores; p50 addBatch 813 → 300 ms
+        # A/B'd in-session). Emitted rows are unchanged (keyed
+        # aggregation output is partitioning-independent) and
+        # state_rows_max is recorded beside the throughput as before.
+        # Parameterised for scale: a deployment with billions of state
+        # rows raises $SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+        from confluent_kafka_vector_search_prompt_inference_spark.streaming.pipeline import run_stateful_stream
+
+        state_parts = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
         sliding = (
             file_stream_reader(spark, upsrc, ev.schema)
             .withWatermark("ts", "1 hour")
@@ -588,16 +605,15 @@ def _streaming_bench(spark) -> dict:
             .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
         )
         t0 = time.time()
-        q = (
-            sliding.writeStream.outputMode("append")
-            .foreachBatch(idempotent_batch_writer(os.path.join(work, "sw_sink")))
-            .option("checkpointLocation", os.path.join(work, "sw_ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        q = run_stateful_stream(
+            sliding,
+            os.path.join(work, "sw_sink"),
+            os.path.join(work, "sw_ckpt"),
+            state_partitions=state_parts,
         )
-        q.awaitTermination(600)
         out["events_sliding_stream"] = _progress_stats(q, time.time() - t0, n_ev)
         out["events_sliding_stream"]["state_rows_max"] = _state_rows_max(q)
+        out["events_sliding_stream"]["state_partitions"] = state_parts
 
         sessions = (
             file_stream_reader(spark, upsrc, ev.schema)
@@ -609,16 +625,15 @@ def _streaming_bench(spark) -> dict:
             )
         )
         t0 = time.time()
-        q = (
-            sessions.writeStream.outputMode("append")
-            .foreachBatch(idempotent_batch_writer(os.path.join(work, "ss_sink")))
-            .option("checkpointLocation", os.path.join(work, "ss_ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        q = run_stateful_stream(
+            sessions,
+            os.path.join(work, "ss_sink"),
+            os.path.join(work, "ss_ckpt"),
+            state_partitions=state_parts,
         )
-        q.awaitTermination(600)
         out["events_session_stream"] = _progress_stats(q, time.time() - t0, n_ev)
         out["events_session_stream"]["state_rows_max"] = _state_rows_max(q)
+        out["events_session_stream"]["state_partitions"] = state_parts
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

